@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{DiffFunctions, Hashing, TextFunctions}
+import graft.model.{Delta, Link, LinkCtx}
+
+/** Registers the engine's scalar/table functions as Spark UDFs and exposes
+  * them as `Column` helpers.
+  *
+  * Design note (scale): everything that CAN be a built-in
+  * `org.apache.spark.sql.functions` call IS one (codegen + pushdown
+  * friendly); only the genuinely custom kernels from the reference
+  * (link/template extraction, markup strip, diff, ez-decode, minhash…)
+  * are UDFs. Reference behavior specs: SURVEY.md §2.7.
+  */
+object GraftFunctions {
+
+  /** Idempotent registration of all named UDFs on a session. */
+  def register(spark: SparkSession): Unit = {
+    val u = spark.udf
+    u.register("extract_links", (t: String) => TextFunctions.extractLinks(t))
+    u.register("extract_links_ctx",
+      (t: String) => TextFunctions.extractLinksWithContext(t))
+    u.register("extract_refs", (t: String) => TextFunctions.extractReferences(t))
+    u.register("extract_templates",
+      (t: String) => TextFunctions.extractTemplates(t))
+    u.register("plain_text", (t: String) => TextFunctions.plainText(t))
+    u.register("normalize_title", (t: String) => TextFunctions.normalizeTitle(t))
+    u.register("freebase_encode", (t: String) => TextFunctions.freebaseEncode(t))
+    u.register("cut_last", (s: String, n: Int) => TextFunctions.cutLast(s, n))
+    u.register("extract_domain", (s: String) => TextFunctions.extractDomain(s))
+    u.register("decode_ez", (s: String, days: Int) => EzFunctions.decodeEz(s, days))
+    u.register("rev_diff",
+      (a: Seq[String], b: Seq[String]) => DiffFunctions.diff(a, b))
+    u.register("added_words",
+      (a: Seq[String], b: Seq[String]) => DiffFunctions.addedWords(a, b))
+    u.register("minhash_sig",
+      (tokens: Seq[String], k: Int, num: Int) =>
+        Hashing.minHash(Hashing.shingles(tokens, k).toSet, num))
+    u.register("simhash64", (tokens: Seq[String]) => Hashing.simHash(tokens))
+    u.register("hamming64", (a: Long, b: Long) => Hashing.hamming(a, b))
+    u.register("rolling_fingerprint", (s: String) => Hashing.rollingHash(s))
+    u.register("seeded_hash", (s: String, seed: Int) => Hashing.seeded(s, seed))
+    u.register("lang_id", (t: String) => TextFunctions.langId(t))
+  }
+
+  // ---- Column-level helpers (the library API surface) ----
+
+  def extractLinks(c: Column): Column = udf(TextFunctions.extractLinks _).apply(c)
+  def extractLinksCtx(c: Column): Column =
+    udf((t: String) => TextFunctions.extractLinksWithContext(t)).apply(c)
+  def extractRefs(c: Column): Column =
+    udf(TextFunctions.extractReferences _).apply(c)
+  def extractTemplates(c: Column): Column =
+    udf(TextFunctions.extractTemplates _).apply(c)
+  def plainText(c: Column): Column = udf(TextFunctions.plainText _).apply(c)
+  def normalizeTitle(c: Column): Column =
+    udf(TextFunctions.normalizeTitle _).apply(c)
+  def freebaseEncode(c: Column): Column =
+    udf(TextFunctions.freebaseEncode _).apply(c)
+  def revDiff(a: Column, b: Column): Column =
+    udf((x: Seq[String], y: Seq[String]) => DiffFunctions.diff(x, y)).apply(a, b)
+  def addedWords(a: Column, b: Column): Column =
+    udf((x: Seq[String], y: Seq[String]) => DiffFunctions.addedWords(x, y))
+      .apply(a, b)
+  def langId(c: Column): Column = udf(TextFunctions.langId _).apply(c)
+  def decodeEz(c: Column, days: Column): Column =
+    udf((s: String, d: Int) => EzFunctions.decodeEz(s, d)).apply(c, days)
+
+  /** Whitespace tokenization with lower-casing — the reference's default
+    * analyzer path (SURVEY §2.7 F17). Pure built-ins: codegen'd, no UDF. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  // ---- Date/time scalar fns (F7-F10, F14) as built-in compositions ----
+
+  /** F7: epoch-millis → `yyyyMMdd` (UTC). */
+  def unixToYyyymmdd(ms: Column): Column =
+    date_format(timestamp_millis(ms), "yyyyMMdd")
+
+  /** F8: `yyyyMMddHH` string → `yyyyMMdd`. */
+  def yyyymmddhhToDay(s: Column): Column = substring(s, 1, 8)
+
+  /** F9: epoch-millis → elastic `yyyy-MM-dd'T'HH:mm:ss`. */
+  def unixToElastic(ms: Column): Column =
+    date_format(timestamp_millis(ms), "yyyy-MM-dd'T'HH:mm:ss")
+
+  /** F10: `yyyyMMdd` + 1 day. */
+  def oneDayMore(s: Column): Column =
+    date_format(date_add(to_date(s, "yyyyMMdd"), 1), "yyyyMMdd")
+
+  /** F14: ISO-8601 no-millis timestamp parse. */
+  def isoTimestamp(s: Column): Column =
+    to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ssXXX")
+}
+
+/** Compact pageview decode (F18) — `pagecounts-ez` monthly strings.
+  *
+  * Format: comma-separated day segments; each segment is a day marker
+  * (`A`-`Z[\]^_` → day index 0-30) followed by (hour-letter, digit-run)
+  * pairs; the day's total is the sum of its hourly counts.
+  * Reference spec: mapreduce/PreprocessEZPageviews.java:239-299
+  * (decodeDay :239-257, decodeHour :259-266, extractViewsForOneDay
+  * :267-299). Documented divergences from the reference's parse loop
+  * (:221-232): we do not skip the first character of the string and we do
+  * process a final segment lacking a trailing comma — the reference drops
+  * both; the *intended* semantics are implemented here.
+  */
+object EzFunctions {
+  private def decodeDay(c: Char): Int =
+    if (c >= 'A' && c <= '_') c - 'A'
+    else throw new IllegalArgumentException(s"Unknown day: $c")
+
+  def decodeEz(s: String, days: Int): Array[Int] = {
+    val out = new Array[Int](math.max(days, 0))
+    if (s == null || s.isEmpty) return out
+    s.split(',').foreach { seg =>
+      val t = seg.trim
+      if (t.nonEmpty) {
+        val day = decodeDay(t.charAt(0))
+        var dayView = 0
+        var hourView = 0
+        var sawHour = false
+        var i = 1
+        while (i < t.length) {
+          val c = t.charAt(i)
+          if (c >= '0' && c <= '9') hourView = hourView * 10 + (c - '0')
+          else { // next hour marker: bank the previous hour's count
+            if (sawHour) dayView += hourView
+            sawHour = true; hourView = 0
+          }
+          i += 1
+        }
+        if (sawHour) dayView += hourView
+        if (day < out.length) out(day) += dayView
+      }
+    }
+    out
+  }
+}

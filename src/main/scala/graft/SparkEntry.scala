@@ -1,13 +1,619 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline operators), each with a DuckDB oracle
+  * in `oracleSql` (same column names, deterministic values).
+  *
+  * Conventions for oracle stability:
+  *  - timestamps leave the plan as formatted strings (parquet tz-metadata
+  *    differences between writers can break value comparison);
+  *  - doubles are rounded (sum/avg orders differ between engines at the
+  *    1e-13 level; the rounding increment is far above it);
+  *  - integral sums are CAST(... AS BIGINT) in DuckDB (its SUM(int) is
+  *    HUGEINT, Spark's is LONG);
+  *  - every aggregate/computed column is aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Flagship query on sf=0.001 — the J1-style broadcast join pipeline:
+    * orders ⋈ customer ⋈ nation, revenue by nation/segment. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("n_name"), col("c_mktsegment"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Fixture frames for the scalar-function golden queries (inline, no
+  // external data; oracles are literal expected VALUES).
+  // ---------------------------------------------------------------------
+
+  private def textFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "See [[Spark|the engine]] and [[Scala]] but not [[File:x.png|img]] or [[#frag]]."),
+      (2L, "'''Bold''' text with [[link|word]] and <ref>x</ref> {{tmpl}} &amp; http://u.com end"),
+      (3L, "refs http://a.com/x more http://b.io/y done {{Infobox x|a}} {{cite web|u}} {{Portal}} {{Good one}}")
+    ).toDF("fid", "text")
+  }
+
+  private def titleFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, "foo bar#sec"), (2L, "a&b=c"), (3L, "\"quoted title\""),
+      (4L, "héllo wörld"), (5L, "wiki page"))
+      .toDF("fid", "title")
+  }
+
+  private def samplerFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    // (event_id, key, ts-offset-sec, len): hand-traced through the
+    // reference carry rules — see RevisionOpsSpec for the derivation.
+    Seq((1L, "A", 1, 1000.0), (2L, "A", 2, 1005.0), (3L, "A", 3, 1200.0),
+      (4L, "A", 4, 1250.0), (5L, "A", 5, 2000.0), (6L, "B", 1, 50.0))
+      .toDF("event_id", "key", "off", "len")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("off")))
+      .drop("off")
+  }
+
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core over the TPC-H-ish tables ----
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n_rows"))),
+
+    "q3_top_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "p1_filter_eq" -> ((s, d) =>
+      t(s, d, "documents").filter(col("lang") === "en")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))),
+
+    "p3_time_range" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-07").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))),
+
+    "p4_projection" -> ((s, d) =>
+      t(s, d, "documents").filter(col("n_chars") > 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    "p5_len_filter" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("n_chars") >= 11 && col("n_chars") <= 1000000)
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))),
+
+    "p7_filter_sort" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("event_id"), date_format(col("ts"), tsFmt).as("ts_str"),
+          round(col("value"), 2).as("value"))),
+
+    "p8_semijoin" -> ((s, d) => {
+      import s.implicits._
+      val seeds = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L).toDF("user_id")
+      t(s, d, "events").join(broadcast(seeds), Seq("user_id"), "left_semi")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    }),
+
+    "j1_broadcast_join" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))),
+
+    "j2_double_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 4).as("avg_bal"))),
+
+    "j4_left_coalesce" -> ((s, d) =>
+      t(s, d, "events")
+        .join(broadcast(t(s, d, "customer")),
+          col("user_id") * 20 === col("c_custkey"), "left")
+        .select(coalesce(col("c_mktsegment"), lit("UNRESOLVED")).as("segment"))
+        .groupBy(col("segment")).agg(count(lit(1)).as("n_events"))),
+
+    "j5_freebase_join" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("fb_key",
+          GraftFunctions.freebaseEncode(concat(col("lang"), lit("/"), col("source"))))
+        .groupBy(col("fb_key")).agg(count(lit(1)).as("n_docs"))),
+
+    // ---- aggregations ----
+    "a1_max_timestamp" -> ((s, d) =>
+      t(s, d, "events").agg(
+        date_format(max(col("ts")), tsFmt).as("max_ts"),
+        date_format(min(col("ts")), tsFmt).as("min_ts"),
+        count(lit(1)).as("n_events"))),
+
+    "a2_group_min" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("user_id"))
+        .agg(date_format(min(col("ts")), tsFmt).as("first_ts"),
+          count(lit(1)).as("n_events"))),
+
+    "a3_distinct_count" -> ((s, d) =>
+      t(s, d, "events").agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))),
+
+    "a4_term_stats" -> ((s, d) =>
+      TermOps.termStats(t(s, d, "documents"), "doc_id", "text", minDf = 5L)),
+
+    "a5_dictionary" -> ((s, d) =>
+      TermOps.dictionary(t(s, d, "documents"), "doc_id", "text", minDf = 5L)),
+
+    "a7_cooccurrence" -> ((s, d) => {
+      val c = t(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val a = c.select(col("user_id"), col("day"), col("event_type").as("type_a"), col("c").as("ca"))
+      val b = c.select(col("user_id"), col("day"), col("event_type").as("type_b"), col("c").as("cb"))
+      a.join(b, Seq("user_id", "day")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(least(col("ca"), col("cb"))).as("w"), count(lit(1)).as("n_pairs"))
+    }),
+
+    "a8_dense_series" -> ((s, d) =>
+      RevisionOps.denseDailyCounts(t(s, d, "events"), "event_type", "ts",
+        "2024-01-01", "2024-01-31")),
+
+    "a9_vector_sum" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("e")), 3).as("s"))),
+
+    "a10_tf_postings" -> ((s, d) =>
+      TermOps.tfPostings(t(s, d, "documents"), "doc_id", "text")
+        .filter(col("tf") >= 3)),
+
+    "a12_doc_length" -> ((s, d) =>
+      TermOps.docLengths(t(s, d, "documents"), "doc_id", "text")),
+
+    "a13_distinct_pairs" -> ((s, d) =>
+      t(s, d, "events").select(col("user_id"), col("event_type")).distinct()),
+
+    "a6_doc_vectors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dict = TermOps.dictionary(docs, "doc_id", "text", minDf = 5L)
+      TermOps.docVectors(docs, "doc_id", "text", dict)
+        .select(col("doc_id"), size(col("term_ids")).as("n_ids"))
+    }),
+
+    // ---- sorts / windows / time ----
+    "o1_sort_limit" -> ((s, d) =>
+      t(s, d, "events").orderBy(col("ts"), col("event_id")).limit(100)
+        .select(col("event_id"), date_format(col("ts"), tsFmt).as("ts_str"),
+          col("event_type"))),
+
+    "w1_lag_pairs" -> ((s, d) =>
+      RevisionOps.pairs(t(s, d, "events"), "user_id", "ts",
+          Seq("event_id", "value"), "event_id")
+        .select(col("event_id"), col("prev_event_id"),
+          round(col("value") - col("prev_value"), 2).as("value_delta"))),
+
+    "t1_roundup_hour" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(RevisionOps.roundUp(col("ts"), 3600L), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_events"))),
+
+    "t1_roundup_day_anchored" -> ((s, d) =>
+      // day buckets anchored at 01:00, the reference's day semantics
+      t(s, d, "events")
+        .groupBy(date_format(RevisionOps.roundUp(col("ts"), 86400L, 3600L),
+          "yyyy-MM-dd HH:mm:ss").as("bucket"))
+        .agg(count(lit(1)).as("n_events"))),
+
+    "t2_interval_bucket" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(RevisionOps.intervalBucket(col("ts"), 21600000L).as("bucket"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))),
+
+    // ---- date/format scalar functions ----
+    "f7_day_format" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyyMMdd").as("day"))
+        .agg(count(lit(1)).as("n_events"))),
+
+    "f9_elastic_time" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(date_format(max(col("ts")), "yyyy-MM-dd'T'HH:mm:ss").as("last_elastic"))),
+
+    "f10_one_day_more" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyyMMdd").as("day"),
+          GraftFunctions.oneDayMore(date_format(col("ts"), "yyyyMMdd")).as("next_day"))
+        .agg(count(lit(1)).as("n_events"))),
+
+    "f15_json_field" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), round(avg(col("k")), 4).as("avg_k"))),
+
+    // ---- LLM-pipeline: dedup / similarity / text analysis / multimodal ----
+    "dedup_exact" -> ((s, d) =>
+      DedupOps.exactGroups(t(s, d, "documents"), "doc_id", "text")),
+
+    "dedup_minhash_cand" -> ((s, d) =>
+      DedupOps.verifiedNearDups(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.4)),
+
+    "dedup_simhash" -> ((s, d) =>
+      DedupOps.simhashCandidates(t(s, d, "documents"), "doc_id", "text")
+        .filter(col("hamming") <= 8)),
+
+    "ann_brute_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 4).as("sim"),
+          col("rank"))
+    }),
+
+    "ann_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 4).as("sim"),
+          col("rank"))
+    }),
+
+    "text_quality" -> ((s, d) =>
+      TextAnalysisOps.qualityMetrics(t(s, d, "documents"), "doc_id", "text")),
+
+    "text_lang_id" -> ((s, d) =>
+      TextAnalysisOps.withLangId(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("pred_lang"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysisOps.withFingerprint(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("fingerprint"))),
+
+    "mm_bytes" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))),
+
+    "mm_media_meta" -> ((s, d) =>
+      MultimodalOps.withMediaMeta(
+          t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+          "payload")
+        .select(col("doc_id"), col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.format").as("format"),
+          col("media_meta.n_bytes").as("n_bytes"))),
+
+    // ---- golden fixture queries for the UDF kernels ----
+    "f1_extract_links" -> ((s, _) =>
+      textFixture(s).filter(col("fid") === 1L)
+        .select(explode(GraftFunctions.extractLinks(col("text"))).as("l"))
+        .select(col("l.anchor").as("anchor"), col("l.target").as("target"))),
+
+    "f3_extract_refs" -> ((s, _) =>
+      textFixture(s)
+        .select(col("fid"), size(GraftFunctions.extractRefs(col("text"))).as("n_refs"))),
+
+    "f4_extract_templates" -> ((s, _) =>
+      textFixture(s).filter(col("fid") === 3L)
+        .select(explode(GraftFunctions.extractTemplates(col("text"))).as("template"))),
+
+    "f11_plain_text" -> ((s, _) =>
+      textFixture(s).filter(col("fid") === 2L)
+        .select(GraftFunctions.plainText(col("text")).as("plain"))),
+
+    "f13_normalize_title" -> ((s, _) =>
+      titleFixture(s)
+        .select(col("fid"), GraftFunctions.normalizeTitle(col("title")).as("norm"))),
+
+    "f5_extract_domain" -> ((s, _) => {
+      import s.implicits._
+      Seq((1L, "http://www.bbc.co.uk/news"), (2L, "https://example.com/x?y"),
+        (3L, "not a url"))
+        .toDF("fid", "url")
+        .select(col("fid"),
+          udf(graft.functions.TextFunctions.extractDomain _).apply(col("url")).as("domain"))
+    }),
+
+    "f18_decode_ez" -> ((s, _) => {
+      import s.implicits._
+      Seq((1L, "AB5C3,CA1B2")).toDF("fid", "ez")
+        .select(col("fid"),
+          posexplode(GraftFunctions.decodeEz(col("ez"), lit(5))).as(Seq("day", "views")))
+    }),
+
+    "s8_sampler_fixture" -> ((s, _) =>
+      RevisionOps.changeRatioSample(samplerFixture(s), "key", "ts", "len")
+        .select(col("event_id"))),
+
+    "s8_sampler_events" -> ((s, d) =>
+      // the sampler at data scale: keyed by user, "length" = value column
+      RevisionOps.changeRatioSample(t(s, d, "events"), "user_id", "ts", "value")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept")))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+
+  private val tokensSub =
+    """SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      |FROM documents""".stripMargin
+
+  private val tfSub =
+    s"""SELECT doc_id, term, count(*) AS tf FROM ($tokensSub)
+       |WHERE term <> '' GROUP BY doc_id, term""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, c_mktsegment,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        |GROUP BY o_orderkey, c_mktsegment
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "p1_filter_eq" ->
+      "SELECT source, count(*) AS n_docs FROM documents WHERE lang='en' GROUP BY source",
+
+    "p3_time_range" ->
+      """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-07'
+        |GROUP BY event_type""".stripMargin,
+
+    "p4_projection" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200",
+
+    "p5_len_filter" ->
+      """SELECT count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars
+        |FROM documents WHERE n_chars BETWEEN 11 AND 1000000""".stripMargin,
+
+    "p7_filter_sort" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | round(value,2) AS value
+        |FROM events WHERE event_type='purchase' ORDER BY ts, event_id""".stripMargin,
+
+    "p8_semijoin" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |WHERE user_id IN (1,2,3,5,8,13,21,34) GROUP BY user_id""".stripMargin,
+
+    "j1_broadcast_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey=c_custkey GROUP BY c_mktsegment""".stripMargin,
+
+    "j2_double_join" ->
+      """SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal),4) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey GROUP BY r_name""".stripMargin,
+
+    "j4_left_coalesce" ->
+      """SELECT coalesce(c_mktsegment, 'UNRESOLVED') AS segment, count(*) AS n_events
+        |FROM events LEFT JOIN customer ON user_id*20 = c_custkey
+        |GROUP BY segment""".stripMargin,
+
+    "j5_freebase_join" ->
+      """SELECT lang || '$002F' || source AS fb_key, count(*) AS n_docs
+        |FROM documents GROUP BY fb_key""".stripMargin,
+
+    "a1_max_timestamp" ->
+      """SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+        | count(*) AS n_events FROM events""".stripMargin,
+
+    "a2_group_min" ->
+      """SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        | count(*) AS n_events FROM events GROUP BY user_id""".stripMargin,
+
+    "a3_distinct_count" ->
+      """SELECT count(DISTINCT user_id) AS n_users,
+        | count(DISTINCT event_type) AS n_types FROM events""".stripMargin,
+
+    "a4_term_stats" ->
+      s"""SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |FROM ($tfSub) GROUP BY term HAVING count(*) >= 5""".stripMargin,
+
+    "a5_dictionary" ->
+      s"""SELECT term, df, cf, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS id
+         |FROM (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |      FROM ($tfSub) GROUP BY term HAVING count(*) >= 5)""".stripMargin,
+
+    "a7_cooccurrence" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        |  FROM events GROUP BY 1,2,3)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | CAST(sum(least(a.c, b.c)) AS BIGINT) AS w, count(*) AS n_pairs
+        |FROM c a JOIN c b ON a.user_id=b.user_id AND a.day=b.day
+        | AND a.event_type < b.event_type
+        |GROUP BY type_a, type_b""".stripMargin,
+
+    "a8_dense_series" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1,2),
+        |axis AS (
+        |  SELECT event_type, CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily))
+        |SELECT axis.event_type, strftime(axis.day, '%Y-%m-%d') AS day,
+        | CAST(coalesce(daily.c, 0) AS BIGINT) AS cnt
+        |FROM axis LEFT JOIN daily
+        | ON axis.event_type=daily.event_type AND axis.day=daily.day""".stripMargin,
+
+    "a9_vector_sum" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos, round(sum(e), 3) AS s
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
+
+    "a10_tf_postings" ->
+      s"SELECT doc_id, term, tf FROM ($tfSub) WHERE tf >= 3",
+
+    "a12_doc_length" ->
+      """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        | x -> x <> '')) AS INT) AS doc_len FROM documents""".stripMargin,
+
+    "a13_distinct_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "a6_doc_vectors" ->
+      s"""WITH tf AS ($tfSub),
+         |dict AS (SELECT term FROM tf GROUP BY term HAVING count(*) >= 5)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_ids
+         |FROM tf JOIN dict USING (term) GROUP BY doc_id""".stripMargin,
+
+    "o1_sort_limit" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, event_type
+        |FROM events ORDER BY ts, event_id LIMIT 100""".stripMargin,
+
+    "w1_lag_pairs" ->
+      """SELECT event_id,
+        | lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+        | round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+        |   AS value_delta
+        |FROM events""".stripMargin,
+
+    "t1_roundup_hour" ->
+      """SELECT strftime(to_timestamp(CAST(ceil(CAST(epoch(date_trunc('second', ts)) AS DOUBLE)
+        |  / 3600) AS BIGINT) * 3600), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | count(*) AS n_events
+        |FROM events GROUP BY bucket""".stripMargin,
+
+    "t1_roundup_day_anchored" ->
+      """SELECT strftime(to_timestamp(CAST(ceil((CAST(epoch(date_trunc('second', ts)) AS DOUBLE)
+        |  - 3600) / 86400) AS BIGINT) * 86400 + 3600), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | count(*) AS n_events
+        |FROM events GROUP BY bucket""".stripMargin,
+
+    "t2_interval_bucket" ->
+      """SELECT CAST(floor(CAST(epoch_ms(ts) AS DOUBLE) / 21600000) AS BIGINT) AS bucket,
+        | count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY bucket""".stripMargin,
+
+    "f7_day_format" ->
+      "SELECT strftime(ts, '%Y%m%d') AS day, count(*) AS n_events FROM events GROUP BY day",
+
+    "f9_elastic_time" ->
+      """SELECT event_type, strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS last_elastic
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "f10_one_day_more" ->
+      """SELECT strftime(ts, '%Y%m%d') AS day,
+        | strftime(CAST(ts AS DATE) + 1, '%Y%m%d') AS next_day, count(*) AS n_events
+        |FROM events GROUP BY day, next_day""".stripMargin,
+
+    "f15_json_field" ->
+      """SELECT event_type, CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS BIGINT)
+        |  AS sum_k,
+        | round(avg(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)), 4) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY content_hash""".stripMargin,
+
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT query_id, vec_id AS nbr_id,
+        |       list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
+        |      FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, nbr_id, sim,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM s)
+        |SELECT query_id, nbr_id, round(sim,4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS INT)
+        |   AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+        |   AS n_bpe_tokens,
+        | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |   greatest(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     x -> x <> '')) AS DOUBLE), 1.0), 4) AS mean_tok_len,
+        | round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) /
+        |   greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
+        | round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+        |   greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS digit_ratio
+        |FROM documents""".stripMargin,
+
+    "mm_bytes" ->
+      "SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes FROM documents",
+
+    // ---- golden fixtures: oracle = literal expected rows ----
+    "f1_extract_links" ->
+      """SELECT * FROM (VALUES ('the engine', 'Spark'), ('Scala', 'Scala'))
+        | t(anchor, target)""".stripMargin,
+
+    "f3_extract_refs" ->
+      """SELECT CAST(col0 AS BIGINT) AS fid, CAST(col1 AS INT) AS n_refs
+        |FROM (VALUES (1, 0), (2, 1), (3, 2)) t(col0, col1)""".stripMargin,
+
+    "f4_extract_templates" ->
+      "SELECT * FROM (VALUES ('Infobox x'), ('Good one')) t(template)",
+
+    "f11_plain_text" ->
+      "SELECT 'Bold text with word and & end' AS plain",
+
+    "f13_normalize_title" ->
+      """SELECT CAST(col0 AS BIGINT) AS fid, col1 AS norm FROM (VALUES
+        | (1, 'Foo_bar'), (2, 'A'), (3, 'Quoted_title'),
+        | (4, 'Héllo_wörld'), (5, 'Wiki_page')) t(col0, col1)""".stripMargin,
+
+    "f5_extract_domain" ->
+      """SELECT CAST(col0 AS BIGINT) AS fid, col1 AS domain FROM (VALUES
+        | (1, 'bbc' || chr(9) || 'co.uk'), (2, 'example' || chr(9) || 'com'),
+        | (3, NULL)) t(col0, col1)""".stripMargin,
+
+    "f18_decode_ez" ->
+      """SELECT CAST(1 AS BIGINT) AS fid, CAST(col0 AS INT) AS day, CAST(col1 AS INT) AS views
+        |FROM (VALUES (0, 8), (1, 0), (2, 3), (3, 0), (4, 0)) t(col0, col1)""".stripMargin,
+
+    "s8_sampler_fixture" ->
+      """SELECT CAST(col0 AS BIGINT) AS event_id
+        |FROM (VALUES (2), (3), (5), (6)) t(col0)""".stripMargin
+  )
 }

@@ -40,9 +40,12 @@ object Hashing {
     h
   }
 
-  /** Word k-shingles of a token list. */
+  /** Word k-shingles of a token list. Empty input yields no shingles (so
+    * `minHash` returns its documented all-Long.MaxValue signature); an input
+    * shorter than k yields the single joined shingle. */
   def shingles(tokens: Seq[String], k: Int): Seq[String] =
-    if (tokens.length < k) Seq(tokens.mkString(" "))
+    if (tokens.isEmpty) Seq.empty
+    else if (tokens.length < k) Seq(tokens.mkString(" "))
     else tokens.sliding(k).map(_.mkString(" ")).toSeq
 
   /** MinHash signature: for each of `num` seeded hash functions, the min

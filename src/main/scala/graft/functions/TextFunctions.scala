@@ -27,14 +27,18 @@ object TextFunctions {
     if (text == null) return Seq.empty
     val out = ArrayBuffer.empty[Link]
     var i = 0
-    while (true) {
+    var done = false
+    while (!done) {
       val s = text.indexOf("[[", i)
-      if (s < 0) return out.toSeq
-      val e = text.indexOf("]]", s + 2)
-      if (e < 0) return out.toSeq
-      val body = text.substring(s + 2, e)
-      splitLink(body).foreach(out += _)
-      i = e + 2
+      if (s < 0) done = true
+      else {
+        val e = text.indexOf("]]", s + 2)
+        if (e < 0) done = true
+        else {
+          splitLink(text.substring(s + 2, e)).foreach(out += _)
+          i = e + 2
+        }
+      }
     }
     out.toSeq
   }
@@ -162,7 +166,7 @@ object TextFunctions {
     t = t.replace("\"", "").trim
     t = t.replace(' ', '_')
     if (t.isEmpty) t
-    else t.substring(0, 1).toUpperCase + t.substring(1)
+    else t.substring(0, 1).toUpperCase(java.util.Locale.ROOT) + t.substring(1)
   }
 
   /** Freebase MQL key encoding: chars outside [A-Za-z0-9_-] become `$XXXX`
@@ -180,4 +184,65 @@ object TextFunctions {
   /** Drop the last n chars. */
   def cutLast(s: String, n: Int): String =
     if (s == null || n >= s.length) "" else s.substring(0, s.length - n)
+
+  /** Multi-level public suffixes for the hand-rolled PSL subset of F5
+    * (reference uses Guava's InternetDomainName; we keep the common cases —
+    * the delta is documented in FIXTURES.md). */
+  private val MultiSuffix: Set[String] = Set(
+    "co.uk", "ac.uk", "org.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "com.sg", "com.tw", "co.kr")
+
+  /** F5 `ExtractDomain(url)`: `"secondLevelDomain \t publicSuffix"`, null on
+    * malformed input (pig/eval/wikipedia/ExtractDomain.java:23-80). */
+  def extractDomain(url: String): String = {
+    if (url == null) return null
+    val noScheme = {
+      val i = url.indexOf("://")
+      if (i < 0) url else url.substring(i + 3)
+    }
+    val hostEnd = noScheme.indexWhere(c => c == '/' || c == '?' || c == '#' || c == ':')
+    val host = (if (hostEnd < 0) noScheme else noScheme.substring(0, hostEnd))
+      .toLowerCase(java.util.Locale.ROOT)
+    val labels = host.split('.').filter(_.nonEmpty)
+    if (labels.length < 2 || labels.exists(l => !l.forall(c => c.isLetterOrDigit || c == '-')))
+      return null
+    val lastTwo = labels.takeRight(2).mkString(".")
+    val (suffix, needed) =
+      if (labels.length >= 3 && MultiSuffix.contains(lastTwo)) (lastTwo, 3)
+      else (labels.last, 2)
+    if (labels.length < needed) null
+    else labels(labels.length - needed) + "\t" + suffix
+  }
+
+  /** Stopword/character-class language-ID heuristic (driver brief: text
+    * analysis). Deterministic: CJK-ratio check first, then per-language
+    * stopword hit counts over lower-cased whitespace tokens; ties break by
+    * fixed language order; no hits → "und". */
+  private val LangStopwords: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "with", "as", "on", "are", "this"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "für", "auf", "den", "im", "zu"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "une", "un", "dans", "pour", "que", "qui", "du", "au"),
+    "es" -> Set("el", "la", "los", "las", "de", "y", "es", "en", "un", "una", "que", "por", "con", "para", "del"))
+
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0; var total = 0
+    text.foreach { c =>
+      if (!c.isWhitespace) {
+        total += 1
+        val b = Character.UnicodeScript.of(c)
+        if (b == Character.UnicodeScript.HAN || b == Character.UnicodeScript.HIRAGANA ||
+            b == Character.UnicodeScript.KATAKANA || b == Character.UnicodeScript.HANGUL) cjk += 1
+      }
+    }
+    if (total > 0 && cjk * 2 > total) return "zh"
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    var best = "und"; var bestHits = 0
+    LangStopwords.foreach { case (lang, sw) =>
+      val hits = toks.count(sw.contains)
+      if (hits > bestHits) { best = lang; bestHits = hits }
+    }
+    best
+  }
 }

@@ -1,9 +1,9 @@
 package graft.model
 
 /** Canonical data model of the engine, derived from the reference's record
-  * types (see SURVEY.md §1; reference: java/main/org/hedera/io/*.java —
-  * RevisionHeader.java:13-20, Revision.java:16-18, FullRevision.java:11-17,
-  * LinkProfile.java:17-21, RevisionDiff.java:23-26).
+  * types (see SURVEY.md §1; reference: the java/main/org/hedera/io Writable
+  * records — RevisionHeader.java:13-20, Revision.java:16-18,
+  * FullRevision.java:11-17, LinkProfile.java:17-21, RevisionDiff.java:23-26).
   *
   * All timestamps are epoch milliseconds in the reference; here they are
   * surfaced as java.sql.Timestamp at API edges and TimestampType in frames.

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Deduplication operators for large text corpora (driver brief: a core
+  * LLM-data-pipeline capability; reference analogue: the distinct-dedup
+  * A13, python/id2title.py:41-59 — extended here to content and near-dup
+  * semantics).
+  *
+  * Scale stance (100 TB):
+  *  - exact dedup is a hash groupBy — one shuffle on the 128-bit content
+  *    hash, never on the text itself;
+  *  - near-dup is banded MinHash LSH: explode to (band_hash) keys and
+  *    self-join per bucket — candidate generation is linear in corpus
+  *    size + bucket sizes, NEVER all-pairs; huge buckets (degenerate
+  *    content) are capped to bound worst-case joins;
+  *  - verification (exact Jaccard) runs only on candidate pairs.
+  */
+object DedupOps {
+
+  private val sigUdf = udf((toks: Seq[String], k: Int, num: Int) =>
+    Hashing.minHash(Hashing.shingles(toks, k).toSet, num))
+  private val bandUdf = udf((sig: Seq[Long], bands: Int, rows: Int) =>
+    (0 until bands).map { b =>
+      var h = Hashing.FnvOffset
+      var i = b * rows
+      while (i < (b + 1) * rows && i < sig.length) {
+        h ^= sig(i); h *= Hashing.FnvPrime; i += 1
+      }
+      (b.toLong << 56) ^ (h >>> 8) // band id folded into the bucket key
+    })
+  private val jaccardUdf = udf((a: Seq[String], b: Seq[String]) => {
+    val sa = a.toSet; val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  })
+  private val simhashUdf = udf((toks: Seq[String]) => Hashing.simHash(toks))
+
+  /** Exact content dedup: group by md5(text); emit (hash, keep_id = min id,
+    * dup_count). Downstream `docs.join(result, "doc_id"==keep_id)` keeps one
+    * representative per content group. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Near-duplicate candidate pairs via banded MinHash LSH.
+    *
+    * signature(num = bands*rowsPerBand) → per-band bucket hash → explode →
+    * groupBy bucket (bounded by `maxBucket`) → within-bucket pairs
+    * (id_a < id_b) → distinct. `threshold`-level verification is the
+    * caller's second stage (see `verifiedNearDups`).
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
+    val num = bands * rowsPerBand
+    val sigs = docs.select(col(idCol).as("doc_id"),
+        TermOps.tokens(col(textCol)).as("toks"))
+      .withColumn("sig", sigUdf(col("toks"), lit(shingleK), lit(num)))
+      .withColumn("bucket", explode(bandUdf(col("sig"), lit(bands), lit(rowsPerBand))))
+      .select("doc_id", "bucket")
+    val grouped = sigs.groupBy("bucket")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) between(2, maxBucket))
+    grouped.select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+  }
+
+  private val pairCombinations = udf((ids: Seq[Long]) => {
+    val s = ids.distinct.sorted
+    for {
+      i <- s.indices
+      j <- (i + 1) until s.length
+    } yield (s(i), s(j))
+  })
+
+  /** Candidates + exact n-gram Jaccard verification ≥ threshold. The
+    * verify join fetches each side's tokens by id — two shuffles on ids,
+    * Jaccard computed only for candidates. */
+  def verifiedNearDups(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleK: Int = 3,
+                       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TermOps.tokens(col(textCol)).as("toks"))
+    val shingled = toks.select(col("id"),
+      udf((t: Seq[String]) => Hashing.shingles(t, shingleK)).apply(col("toks")).as("sh"))
+    minhashCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+      .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup candidates: 64-bit signature split into `chunks`
+    * pieces; docs sharing any chunk value are candidates (hamming ≤
+    * chunks-1 guaranteed covered). Same explode/groupBy shape as LSH. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        chunks: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val bits = 64 / chunks
+    val chunkUdf = udf((sig: Long) =>
+      (0 until chunks).map(c => (c.toLong << 58) ^ ((sig >>> (c * bits)) & ((1L << bits) - 1))))
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        simhashUdf(TermOps.tokens(col(textCol))).as("sig"))
+      .withColumn("bucket", explode(chunkUdf(col("sig"))))
+    keyed.groupBy("bucket").agg(collect_list(struct("doc_id", "sig")).as("xs"))
+      .filter(size(col("xs")) between(2, maxBucket))
+      .select(explode(simhashPairs(col("xs"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  private val simhashPairs = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+    val s = xs.map(r => (r.getLong(0), r.getLong(1))).distinct.sortBy(_._1)
+    for {
+      i <- s.indices
+      j <- (i + 1) until s.length
+    } yield SimPair(s(i)._1, s(j)._1, Hashing.hamming(s(i)._2, s(j)._2))
+  })
+}
+
+case class SimPair(id_a: Long, id_b: Long, hamming: Int)

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (driver brief): media payloads are opaque
+  * `binary` columns + typed metadata structs; decode/feature-extraction
+  * runs as a partition-wise batch transform.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): `stubDecode` derives deterministic fake metadata from the
+  * bytes. The Spark-side contract — schema, batched per-partition
+  * execution, binary hygiene (never shuffle decoded frames, only compact
+  * features) — is real and tested.
+  */
+object MultimodalOps {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Deterministic fake decode: in production this calls the real codec
+    * (??? behind this seam); dimensions are derived from a stable byte
+    * hash so tests are reproducible. */
+  def stubDecode(bytes: Array[Byte]): (Int, Int, String, Long) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, "empty", 0L)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < math.min(bytes.length, 1024)) { h = 31 * h + bytes(i); i += 1 }
+    val w = 64 + math.floorMod(h, 1024).toInt
+    val ht = 64 + math.floorMod(h >> 16, 1024).toInt
+    val fmt = Seq("png", "jpeg", "webp")(math.floorMod(h >> 32, 3).toInt)
+    (w, ht, fmt, bytes.length.toLong)
+  }
+
+  /** Attach a decoded-metadata struct to a binary column, batch-wise per
+    * partition (the mapInPandas-equivalent seam in Scala: mapPartitions,
+    * one codec init per partition, streamed rows). */
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = df.schema.add(StructField("media_meta", mediaMetaType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      // codec/session init would happen once per partition here
+      it.map { r =>
+        val (w, h, fmt, n) = stubDecode(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+ Row(w, h, fmt, n))
+      }
+    }
+  }
+
+  /** Frame-sampling plumbing: explode a binary "video" into every `stride`th
+    * fixed-size chunk (stand-in for frame extraction), keeping only compact
+    * per-frame features downstream. */
+  def sampleFrames(df: DataFrame, binCol: String, frameSize: Int,
+                   stride: Int): DataFrame = {
+    val frameUdf = udf((bytes: Array[Byte]) =>
+      if (bytes == null) Seq.empty[(Int, Long)]
+      else {
+        val n = math.max(1, frameSize * stride)
+        (0 until bytes.length by n).map { off =>
+          var h = 1125899906842597L
+          var i = off
+          while (i < math.min(bytes.length, off + frameSize)) { h = 31 * h + bytes(i); i += 1 }
+          (off / n, h)
+        }
+      })
+    df.withColumn("frame", explode(frameUdf(col(binCol))))
+      .withColumn("frame_idx", col("frame._1"))
+      .withColumn("frame_sig", col("frame._2"))
+      .drop("frame")
+  }
+}

