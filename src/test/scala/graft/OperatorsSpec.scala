@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.IntVectorSum
+
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- RevisionOps ----
+
+  test("changeRatioSample follows the reference carry rules") {
+    val df = Seq(
+      (1L, "A", 1, 1000.0), (2L, "A", 2, 1005.0), (3L, "A", 3, 1200.0),
+      (4L, "A", 4, 1250.0), (5L, "A", 5, 2000.0), (6L, "B", 1, 50.0))
+      .toDF("id", "key", "off", "len")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("off")))
+    val kept = RevisionOps.changeRatioSample(df, "key", "ts", "len")
+      .select("id").as[Long].collect().sorted
+    // A: r2 replaces r1 (0.5% change), r3 flushes r2 (19%), r4 gray-zone
+    // dropped (4%), r5 flushes r3 (67%), r5 emitted at end; B: single row.
+    assert(kept.toSeq == Seq(2L, 3L, 5L, 6L))
+  }
+
+  test("changeRatioSample emits every key's last buffer across partitions") {
+    val rows = (1 to 100).flatMap { k =>
+      (1 to 5).map(i => (k.toLong * 10 + i, s"k$k", i, 100.0)) // no changes
+    }
+    val df = rows.toDF("id", "key", "off", "len")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("off")))
+    val kept = RevisionOps.changeRatioSample(df, "key", "ts", "len")
+    // identical lengths → only the final (carried) row per key survives
+    assert(kept.count() == 100)
+    assert(kept.select("off").distinct().as[Int].collect().toSeq == Seq(5))
+  }
+
+  test("pairs adds lagged columns per key") {
+    val df = Seq((1L, "A", 1, 10.0), (2L, "A", 2, 20.0), (3L, "B", 1, 5.0))
+      .toDF("id", "key", "off", "v")
+      .withColumn("ts", timestamp_seconds(lit(1000L) + col("off")))
+    val out = RevisionOps.pairs(df, "key", "ts", Seq("id", "v"), "id")
+      .select("id", "prev_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).isEmpty && out(3L).isEmpty)
+    assert(out(2L).contains(1L))
+  }
+
+  test("roundUp: exact boundary stays, otherwise next boundary; anchor shifts") {
+    val df = Seq(
+      ("2024-01-01 05:00:00", 3600L, 0L, "2024-01-01 05:00:00"),
+      ("2024-01-01 05:00:01", 3600L, 0L, "2024-01-01 06:00:00"),
+      ("2024-01-01 00:59:59", 86400L, 3600L, "2024-01-01 01:00:00"),
+      ("2024-01-01 01:00:01", 86400L, 3600L, "2024-01-02 01:00:00"))
+      .toDF("ts", "unit", "anchor", "expected")
+    df.collect() // force schema
+    val checks = df.select(col("expected"),
+      date_format(RevisionOps.roundUp(col("ts").cast("timestamp"), 3600L), "yyyy-MM-dd HH:mm:ss").as("h"),
+      date_format(RevisionOps.roundUp(col("ts").cast("timestamp"), 86400L, 3600L), "yyyy-MM-dd HH:mm:ss").as("d"))
+      .collect()
+    assert(checks(0).getString(1) == "2024-01-01 05:00:00")
+    assert(checks(1).getString(1) == "2024-01-01 06:00:00")
+    assert(checks(2).getString(2) == "2024-01-01 01:00:00")
+    assert(checks(3).getString(2) == "2024-01-02 01:00:00")
+  }
+
+  test("denseDailyCounts gap-fills missing days with 0") {
+    val df = Seq(("a", "2024-01-01 10:00:00"), ("a", "2024-01-03 10:00:00"))
+      .toDF("k", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = RevisionOps.denseDailyCounts(df, "k", "ts", "2024-01-01", "2024-01-04")
+      .orderBy("day").as[(String, String, Long)].collect()
+    assert(out.map(_._3).toSeq == Seq(1L, 0L, 1L, 0L))
+    assert(out.map(_._2).toSeq ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+  }
+
+  // ---- TermOps ----
+
+  test("termStats computes df/cf with min-df cut") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c d")).toDF("doc_id", "text")
+    val stats = TermOps.termStats(docs, "doc_id", "text", minDf = 2)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(stats == Map("a" -> (2L, 3L), "c" -> (2L, 3L)))
+  }
+
+  test("dictionary ranks by df desc, term asc") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b a")).toDF("doc_id", "text")
+    val dict = TermOps.dictionary(docs, "doc_id", "text")
+      .select("term", "id").as[(String, Int)].collect().toMap
+    assert(dict == Map("a" -> 1, "b" -> 2, "c" -> 3))
+  }
+
+  // ---- DedupOps ----
+
+  private val nearDupDocs = {
+    val base = (1 to 60).map("tok" + _).mkString(" ")
+    val nearA = ((1 to 58).map("tok" + _) ++ Seq("x1", "x2")).mkString(" ")
+    val other = (200 to 260).map("tok" + _).mkString(" ")
+    Seq((1L, base), (2L, nearA), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+  }
+
+  test("exactGroups finds content duplicates") {
+    val g = DedupOps.exactGroups(nearDupDocs, "doc_id", "text")
+    val dup = g.filter(col("dup_count") === 2).select("keep_id").as[Long].collect()
+    assert(dup.toSeq == Seq(1L)) // docs 1 and 4 share content; keep min id
+    assert(g.count() == 3)
+  }
+
+  test("verifiedNearDups finds the planted near-pair, not the unrelated doc") {
+    val pairs = DedupOps.verifiedNearDups(nearDupDocs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashCandidates puts identical docs at hamming 0") {
+    val out = DedupOps.simhashCandidates(nearDupDocs, "doc_id", "text")
+      .filter(col("id_a") === 1L && col("id_b") === 4L)
+      .select("hamming").as[Int].collect()
+    assert(out.toSeq == Seq(0))
+  }
+
+  // ---- SimilarityOps ----
+
+  test("bruteForceTopK ranks an identical vector first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1L), 2)
+      .orderBy("rank").select("nbr_id").as[Long].collect()
+    assert(out.head == 2L) // identical vector is rank 1
+    assert(out(1) == 4L)
+  }
+
+  test("lshTopK finds the identical vector (same bucket guaranteed)") {
+    def v(i: Int) = Array.tabulate(8)(d =>
+      (graft.functions.Hashing.mix(i.toLong * 8 + d) % 1000).toFloat)
+    val vecs = (1 to 50).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val dup = Seq((100L, v(7))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.lshTopK(vecs, dup, k = 3)
+      .filter(col("rank") === 1).select("nbr_id").as[Long].collect()
+    assert(out.toSeq == Seq(7L)) // identical direction → cosine 1.0, same bucket
+  }
+
+  // ---- Aggregators ----
+
+  test("IntVectorSum sums ragged vectors element-wise") {
+    val df = Seq(("a", Seq(1, 2)), ("a", Seq(3, 4, 5)), ("b", Seq(10)))
+      .toDF("k", "v")
+    val out = df.groupBy("k")
+      .agg(udaf(IntVectorSum).apply(col("v")).as("s"))
+      .as[(String, Seq[Int])].collect().toMap
+    assert(out("a") == Seq(4, 6, 5))
+    assert(out("b") == Seq(10))
+  }
+
+  // ---- MultimodalOps ----
+
+  test("withMediaMeta is deterministic and preserves byte length") {
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    def run() = MultimodalOps.withMediaMeta(df, "payload")
+      .select("doc_id", "media_meta.n_bytes", "media_meta.format")
+      .as[(Long, Long, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val out = run()
+    assert(out == run())
+    assert(out(1L)._1 == 11L)
+    assert(out(2L)._2 == "empty")
+  }
+
+  test("sampleFrames yields one frame per stride chunk") {
+    val df = Seq((1L, Array.fill[Byte](100)(7))).toDF("id", "payload")
+    val out = MultimodalOps.sampleFrames(df, "payload", frameSize = 10, stride = 3)
+    assert(out.count() == 4) // ceil(100 / 30)
+  }
+}
