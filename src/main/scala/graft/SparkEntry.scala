@@ -363,7 +363,58 @@ object SparkEntry {
     "s8_sampler_events" -> ((s, d) =>
       // the sampler at data scale: keyed by user, "length" = value column
       RevisionOps.changeRatioSample(t(s, d, "events"), "user_id", "ts", "value")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept")))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))),
+
+    // ---- custom XML / JSON revision sources (golden fixtures) ----
+    "s3_xml_scan" -> ((s, _) =>
+      graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath,
+          Map("onlyArticles" -> "true", "skipRedirects" -> "true"))
+        .select(col("page_id"), col("rev_id"),
+          date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          col("user"), col("user_id"), col("minor"))),
+
+    "s11_header_scan" -> ((s, _) =>
+      graft.sources.WikiXml.readHeaders(s, graft.sources.WikiFixtures.standardXmlPath)
+        .groupBy(col("page_id"))
+        .agg(count(lit(1)).as("n_revs"), max(col("rev_id")).as("max_rev"))),
+
+    "s5_revision_pairs" -> ((s, _) =>
+      RevisionOps.pairs(
+          graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath),
+          "page_id", "timestamp", Seq("rev_id"), "rev_id")
+        .select(col("rev_id"), col("prev_rev_id"))),
+
+    "s15_json_scan" -> ((s, _) =>
+      graft.sources.WikiXml.readJson(s, graft.sources.WikiFixtures.jsonPath)
+        .select(col("page_id"), col("rev_id"), col("parent_id"),
+          col("timestamp").as("ts_ms"), col("user"))),
+
+    "f16_rev_diff" -> ((s, _) => {
+      import s.implicits._
+      val orig = Seq("The quick brown fox jumps over the lazy dog",
+        "This sentence stays the same", "But this will be removed.",
+        "This will be the same.")
+      val rev = Seq("And this has been added.",
+        "That quick brown fox jumped over a lazy dog.",
+        "This sentence stays the same", "And this has been newly added.",
+        "This will be the same.")
+      Seq((1L, orig, rev)).toDF("fid", "orig", "rev")
+        .select(col("fid"), explode(GraftFunctions.revDiff(col("orig"), col("rev"))).as("d"))
+        .select(col("fid"), col("d.op").as("op"), col("d.origPos").as("orig_pos"),
+          col("d.revPos").as("rev_pos"), size(col("d.origLines")).as("n_orig"),
+          size(col("d.revLines")).as("n_rev"))
+    }),
+
+    "w2_change_sampling" -> ((s, d) => {
+      // approximate window-based variant of S8 (SURVEY §2.8): keep rows
+      // whose value moved >10% vs the previous row of the same user
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .filter(col("prev_value").isNull ||
+          abs(col("value") - col("prev_value")) / greatest(abs(col("prev_value")), lit(1.0)) > 0.1)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -614,6 +665,47 @@ object SparkEntry {
 
     "s8_sampler_fixture" ->
       """SELECT CAST(col0 AS BIGINT) AS event_id
-        |FROM (VALUES (2), (3), (5), (6)) t(col0)""".stripMargin
+        |FROM (VALUES (2), (3), (5), (6)) t(col0)""".stripMargin,
+
+    "s3_xml_scan" ->
+      """SELECT CAST(col0 AS BIGINT) AS page_id, CAST(col1 AS BIGINT) AS rev_id,
+        | col2 AS ts_str, col3 AS user, CAST(col4 AS BIGINT) AS user_id,
+        | CAST(col5 AS BOOLEAN) AS minor
+        |FROM (VALUES
+        | (10, 101, '2020-01-01 00:00:00', 'alice', 7, FALSE),
+        | (10, 102, '2020-06-01 12:00:00', '192.168.0.1', -1, FALSE),
+        | (10, 103, '2021-01-01 00:00:00', 'bob', 9, TRUE)) t""".stripMargin,
+
+    "s11_header_scan" ->
+      """SELECT CAST(col0 AS BIGINT) AS page_id, CAST(col1 AS BIGINT) AS n_revs,
+        | CAST(col2 AS BIGINT) AS max_rev
+        |FROM (VALUES (10, 3, 103), (20, 1, 201), (30, 1, 301)) t""".stripMargin,
+
+    "s5_revision_pairs" ->
+      """SELECT CAST(col0 AS BIGINT) AS rev_id, CAST(col1 AS BIGINT) AS prev_rev_id
+        |FROM (VALUES (101, NULL), (102, 101), (103, 102), (201, NULL),
+        | (301, NULL)) t""".stripMargin,
+
+    "s15_json_scan" ->
+      """SELECT CAST(col0 AS BIGINT) AS page_id, CAST(col1 AS BIGINT) AS rev_id,
+        | CAST(col2 AS BIGINT) AS parent_id, CAST(col3 AS BIGINT) AS ts_ms,
+        | col4 AS user
+        |FROM (VALUES (1, 5, 4, 1577836800000, 'u'),
+        | (1, 6, 5, 1577836900000, 'u')) t""".stripMargin,
+
+    "f16_rev_diff" ->
+      """SELECT CAST(1 AS BIGINT) AS fid, col0 AS op, CAST(col1 AS INT) AS orig_pos,
+        | CAST(col2 AS INT) AS rev_pos, CAST(col3 AS INT) AS n_orig,
+        | CAST(col4 AS INT) AS n_rev
+        |FROM (VALUES ('CHANGE', 0, 0, 1, 2), ('CHANGE', 2, 3, 1, 1)) t""".stripMargin,
+
+    "w2_change_sampling" ->
+      """SELECT user_id, count(*) AS n_kept FROM (
+        |  SELECT user_id, value,
+        |   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |WHERE prev_value IS NULL
+        |  OR abs(value - prev_value) / greatest(abs(prev_value), 1.0) > 0.1
+        |GROUP BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Deterministic revision-dump XML fixtures for golden queries and tests
+  * (our own authored equivalent of a tiny `pages-meta-history` export —
+  * same shape as the reference's fixture usage in its local reader tests,
+  * content original). */
+object WikiFixtures {
+
+  def page(id: Long, title: String, ns: Int, redirect: Boolean,
+           revs: Seq[String]): String = {
+    val r = if (redirect) "    <redirect title=\"Elsewhere\" />\n" else ""
+    s"""  <page>
+       |    <title>$title</title>
+       |    <ns>$ns</ns>
+       |    <id>$id</id>
+       |$r${revs.mkString("\n")}
+       |  </page>""".stripMargin
+  }
+
+  def rev(id: Long, parent: Option[Long], ts: String, user: String,
+          userId: Option[Long], comment: String, text: String,
+          minor: Boolean = false): String = {
+    val p = parent.map(x => s"      <parentid>$x</parentid>\n").getOrElse("")
+    val m = if (minor) "      <minor />\n" else ""
+    val contrib = userId match {
+      case Some(uid) =>
+        s"      <contributor>\n        <username>$user</username>\n        <id>$uid</id>\n      </contributor>"
+      case None =>
+        s"      <contributor>\n        <ip>$user</ip>\n      </contributor>"
+    }
+    s"""    <revision>
+       |      <id>$id</id>
+       |$p      <timestamp>$ts</timestamp>
+       |$contrib
+       |$m      <comment>$comment</comment>
+       |      <model>wikitext</model>
+       |      <format>text/x-wiki</format>
+       |      <text bytes="${text.length}" xml:space="preserve">$text</text>
+       |      <sha1>x</sha1>
+       |    </revision>""".stripMargin
+  }
+
+  /** Three pages: an article with 3 revisions (named + ip contributors, a
+    * minor edit, XML entities), a redirect, a non-article namespace. */
+  def standardXml: String = {
+    val xml = new StringBuilder
+    xml.append("<mediawiki xmlns=\"http://www.mediawiki.org/xml/export-0.11/\" version=\"0.11\">\n")
+    xml.append(page(10, "Alpha &amp; Beta", 0, redirect = false, Seq(
+      rev(101, None, "2020-01-01T00:00:00Z", "alice", Some(7),
+        "create", "Start text with [[Link|anchor]] and &lt;tag&gt;"),
+      rev(102, Some(101), "2020-06-01T12:00:00Z", "192.168.0.1", None,
+        "edit by ip", "Second version text"),
+      rev(103, Some(102), "2021-01-01T00:00:00Z", "bob", Some(9),
+        "tweak", "Third version text", minor = true)))).append("\n")
+    xml.append(page(20, "Old name", 0, redirect = true, Seq(
+      rev(201, None, "2019-05-05T05:05:05Z", "carol", Some(11),
+        "redirected", "#REDIRECT [[Elsewhere]]")))).append("\n")
+    xml.append(page(30, "Category:Things", 14, redirect = false, Seq(
+      rev(301, None, "2018-01-01T00:00:00Z", "dave", Some(13),
+        "cat", "category page text")))).append("\n")
+    xml.append("</mediawiki>\n")
+    xml.toString
+  }
+
+  /** `n` article pages with 3 revisions each (for split tests). */
+  def bigXml(n: Int): String =
+    "<mediawiki>\n" + (1 to n).map(i =>
+      page(1000 + i, s"Page $i", 0, redirect = false,
+        (1 to 3).map(j => rev(i * 10 + j,
+          if (j > 1) Some(i * 10 + j - 1) else None,
+          f"2020-01-${(i % 27) + 1}%02dT00:00:0${j - 1}Z", s"u$i", Some(i),
+          s"c$j", s"text $i $j " + ("pad " * 40))))).mkString("\n") +
+      "\n</mediawiki>\n"
+
+  /** Two JSON-lines revisions (S15 ingest fixture). */
+  def jsonLines: String =
+    """{"page_id":1,"page_title":"T","page_namespace":0,"rev_id":5,"parent_id":4,"timestamp":1577836800000,"user":"u","user_id":3,"comment":"c","text":"body"}
+      |{"page_id":1,"page_title":"T","page_namespace":0,"rev_id":6,"parent_id":5,"timestamp":1577836900000,"user":"u","user_id":3,"comment":"d","text":"body2"}
+      |""".stripMargin
+
+  /** Write `content` once to a stable temp path keyed by `name`. */
+  def materialize(name: String, content: String): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-fixtures")
+    Files.createDirectories(dir)
+    val f = dir.resolve(name)
+    if (!Files.exists(f) || Files.size(f) != content.getBytes("UTF-8").length)
+      Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  def standardXmlPath: String = materialize("testwiki.xml", standardXml)
+  def jsonPath: String = materialize("revs.json", jsonLines)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.WikiXml
+
+class WikiSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val fixturePath: String = graft.sources.WikiFixtures.standardXmlPath
+
+  test("full read: one row per revision, typed fields, unescaping") {
+    val df = WikiXml.read(spark, fixturePath)
+    assert(df.count() == 5)
+    val alpha = df.filter($"page_id" === 10).orderBy("rev_id")
+      .select("page_title", "rev_id", "parent_id", "user", "user_id",
+        "comment", "minor", "redirect", "text")
+      .collect()
+    assert(alpha.length == 3)
+    assert(alpha(0).getString(0) == "Alpha & Beta") // entity unescaped
+    assert(alpha(0).getLong(2) == -1L)              // no parent
+    assert(alpha(1).getString(3) == "192.168.0.1")  // ip contributor
+    assert(alpha(1).getLong(4) == -1L)
+    assert(alpha(2).getBoolean(6))                  // minor
+    assert(!alpha(2).getBoolean(7))                 // not redirect
+    assert(alpha(0).getString(8).contains("<tag>")) // text unescaped
+    val ts = df.filter($"rev_id" === 101)
+      .select(date_format($"timestamp", "yyyy-MM-dd HH:mm:ss")).as[String].head()
+    assert(ts == "2020-01-01 00:00:00")
+  }
+
+  test("onlyArticles and skipRedirects options prune pages at the scan") {
+    val art = WikiXml.read(spark, fixturePath, Map("onlyArticles" -> "true"))
+    assert(art.select("page_id").distinct().as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+    val clean = WikiXml.read(spark, fixturePath,
+      Map("onlyArticles" -> "true", "skipRedirects" -> "true"))
+    assert(clean.select("page_id").distinct().as[Long].collect().toSeq == Seq(10L))
+  }
+
+  test("time-range option is a half-open interval over revisions") {
+    val df = WikiXml.read(spark, fixturePath,
+      Map("beginTime" -> "2020-01-01T00:00:00Z", "endTime" -> "2021-01-01T00:00:00Z"))
+    assert(df.select("rev_id").as[Long].collect().sorted.toSeq == Seq(101L, 102L))
+  }
+
+  test("catalyst filters on namespace/timestamp still yield exact results") {
+    val df = WikiXml.read(spark, fixturePath)
+      .filter($"page_namespace" === 0 &&
+        $"timestamp" >= lit("2020-01-01").cast("timestamp"))
+    assert(df.select("rev_id").as[Long].collect().sorted.toSeq ==
+      Seq(101L, 102L, 103L))
+  }
+
+  test("header-only projection never needs text") {
+    val heads = WikiXml.readHeaders(spark, fixturePath)
+    assert(heads.columns.toSeq ==
+      Seq("page_id", "page_title", "page_namespace", "rev_id", "parent_id",
+        "timestamp", "minor", "redirect"))
+    assert(heads.count() == 5)
+  }
+
+  test("page-boundary splitting: many small splits == one big split") {
+    val f = Files.createTempFile("bigwiki", ".xml")
+    Files.writeString(f, graft.sources.WikiFixtures.bigXml(60))
+    val whole = WikiXml.read(spark, f.toString)
+    val split = WikiXml.read(spark, f.toString, Map("maxSplitBytes" -> "4000"))
+    assert(split.rdd.getNumPartitions > 5)
+    assert(whole.count() == 180)
+    assert(split.count() == 180)
+    assert(split.agg(sum("rev_id")).as[Long].head() ==
+      whole.agg(sum("rev_id")).as[Long].head())
+  }
+
+  test("bz2-compressed dumps read as a single partition") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(conf)
+    val f = Files.createTempFile("testwiki", ".xml.bz2")
+    val out = codec.createOutputStream(Files.newOutputStream(f))
+    out.write(Files.readAllBytes(Paths.get(fixturePath)))
+    out.close()
+    val df = WikiXml.read(spark, f.toString)
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 5)
+  }
+
+  test("fileNames source lists files") {
+    assert(WikiXml.fileNames(spark, fixturePath).count() == 1)
+  }
+
+  test("json ingest with the canonical schema") {
+    val df = WikiXml.readJson(spark, graft.sources.WikiFixtures.jsonPath)
+    assert(df.count() == 2)
+    assert(df.select(max("rev_id")).as[Long].head() == 6L)
+  }
+}
