@@ -414,6 +414,75 @@ object SparkEntry {
         .filter(col("prev_value").isNull ||
           abs(col("value") - col("prev_value")) / greatest(abs(col("prev_value")), lit(1.0)) > 0.1)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))
+    }),
+
+    "s7_bucket_pairs" -> ((s, d) => {
+      // S7: collapse to the last event per (user, rounded-up hour), then
+      // pair consecutive buckets per user
+      val b = t(s, d, "events")
+        .withColumn("bucket",
+          date_format(RevisionOps.roundUp(col("ts"), 3600L), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy(col("user_id"), col("bucket"))
+        .agg(max_by(col("event_id"), col("ts")).as("last_event_id"))
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+      b.withColumn("prev_bucket", lag(col("bucket"), 1).over(w))
+        .withColumn("prev_event_id", lag(col("last_event_id"), 1).over(w))
+    }),
+
+    "s12_link_profile" -> ((s, _) =>
+      graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath)
+        .select(col("rev_id"), explode(GraftFunctions.extractLinks(col("text"))).as("l"))
+        .select(col("rev_id"), col("l.anchor").as("anchor"), col("l.target").as("target"))),
+
+    "s13_bow_scan" -> ((s, _) =>
+      BowOps.changedWordBow(
+        graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath),
+        "page_id", "timestamp", "text", "rev_id")),
+
+    "s14_concat_scan" -> ((s, _) =>
+      BowOps.concatPatches(
+          graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath),
+          "page_id", "timestamp", "text", "rev_id")
+        .select(col("page_id"), col("first_text"),
+          size(col("patch_words")).as("n_patch_words"))),
+
+    "s20_clean_text" -> ((s, _) =>
+      graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath)
+        .select(col("rev_id"), GraftFunctions.plainText(col("text")).as("plain"))),
+
+    "s18_sql_surface" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+              | round(sum(o_totalprice), 2) AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment <> 'BUILDING'
+              |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    "j3_ts_dict" -> ((s, d) => {
+      val dict = t(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("type_id",
+          row_number().over(Window.orderBy(col("n").desc, col("event_type").asc)))
+        .select("event_type", "type_id")
+      t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(dict), Seq("event_type"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("type_id"), col("cnt"))
+    }),
+
+    "pv_pipeline" -> ((s, _) => {
+      import s.implicits._
+      val lines = Seq(
+        "en.z Foo_bar#x 10 AB5C3,CA1B2",
+        "en.z foo_bar 7 AA7",
+        "de.z Ignored 5 AA5",
+        "en.z Baz 2 BA2").toDF("value")
+      PageviewOps.pipeline(lines, days = 5)
+        .select(col("title"), col("total"),
+          posexplode(col("daily")).as(Seq("day", "views")))
     })
   )
 
@@ -706,6 +775,79 @@ object SparkEntry {
         |  FROM events)
         |WHERE prev_value IS NULL
         |  OR abs(value - prev_value) / greatest(abs(prev_value), 1.0) > 0.1
-        |GROUP BY user_id""".stripMargin
+        |GROUP BY user_id""".stripMargin,
+
+    "s7_bucket_pairs" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |   strftime(make_timestamp(CAST(ceil(CAST(epoch(date_trunc('second', ts)) AS DOUBLE)
+        |     / 3600) AS BIGINT) * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |   arg_max(event_id, ts) AS last_event_id
+        |  FROM events GROUP BY user_id, bucket)
+        |SELECT user_id, bucket, last_event_id,
+        | lag(bucket) OVER (PARTITION BY user_id ORDER BY bucket) AS prev_bucket,
+        | lag(last_event_id) OVER (PARTITION BY user_id ORDER BY bucket) AS prev_event_id
+        |FROM b""".stripMargin,
+
+    "s12_link_profile" ->
+      """SELECT CAST(col0 AS BIGINT) AS rev_id, col1 AS anchor, col2 AS target
+        |FROM (VALUES (101, 'anchor', 'Link'),
+        | (201, 'Elsewhere', 'Elsewhere')) t""".stripMargin,
+
+    "s13_bow_scan" ->
+      """SELECT CAST(col0 AS BIGINT) AS page_id, CAST(col1 AS BIGINT) AS rev_id,
+        | col2 AS word, CAST(col3 AS BIGINT) AS cnt
+        |FROM (VALUES
+        | (10, 101, 'start', 1), (10, 101, 'text', 1), (10, 101, 'with', 1),
+        | (10, 101, '[[link|anchor]]', 1), (10, 101, 'and', 1), (10, 101, '<tag>', 1),
+        | (10, 102, 'second', 1), (10, 102, 'version', 1),
+        | (10, 103, 'third', 1),
+        | (20, 201, '#redirect', 1), (20, 201, '[[elsewhere]]', 1),
+        | (30, 301, 'category', 1), (30, 301, 'page', 1), (30, 301, 'text', 1)
+        |) t""".stripMargin,
+
+    "s14_concat_scan" ->
+      """SELECT CAST(col0 AS BIGINT) AS page_id, col1 AS first_text,
+        | CAST(col2 AS INT) AS n_patch_words
+        |FROM (VALUES
+        | (10, 'Start text with [[Link|anchor]] and <tag>', 3),
+        | (20, '#REDIRECT [[Elsewhere]]', 0),
+        | (30, 'category page text', 0)) t""".stripMargin,
+
+    "s20_clean_text" ->
+      """SELECT CAST(col0 AS BIGINT) AS rev_id, col1 AS plain
+        |FROM (VALUES
+        | (101, 'Start text with anchor and'),
+        | (102, 'Second version text'),
+        | (103, 'Third version text'),
+        | (201, '#REDIRECT Elsewhere'),
+        | (301, 'category page text')) t""".stripMargin,
+
+    "s18_sql_surface" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment <> 'BUILDING'
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "j3_ts_dict" ->
+      """WITH dict AS (
+        |  SELECT event_type,
+        |   CAST(row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS INT)
+        |     AS type_id
+        |  FROM events GROUP BY event_type)
+        |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, type_id,
+        | count(*) AS cnt
+        |FROM events JOIN dict USING (event_type)
+        |GROUP BY day, type_id""".stripMargin,
+
+    "pv_pipeline" ->
+      """SELECT col0 AS title, CAST(col1 AS BIGINT) AS total,
+        | CAST(col2 AS INT) AS day, CAST(col3 AS INT) AS views
+        |FROM (VALUES
+        | ('Foo_bar', 17, 0, 15), ('Foo_bar', 17, 1, 0), ('Foo_bar', 17, 2, 3),
+        | ('Foo_bar', 17, 3, 0), ('Foo_bar', 17, 4, 0),
+        | ('Baz', 2, 0, 0), ('Baz', 2, 1, 2), ('Baz', 2, 2, 0),
+        | ('Baz', 2, 3, 0), ('Baz', 2, 4, 0)) t""".stripMargin
   )
 }
