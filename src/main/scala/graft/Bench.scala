@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/session (codegen, shuffle service, parquet footer cache)
+    // so per-query numbers measure the queries, not startup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

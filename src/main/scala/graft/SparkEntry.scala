@@ -473,6 +473,27 @@ object SparkEntry {
           col("type_id"), col("cnt"))
     }),
 
+    "f2_extract_links_ctx" -> ((s, _) => {
+      import s.implicits._
+      Seq((1L, "0123456789[[T|a]]post")).toDF("fid", "text")
+        .select(col("fid"), explode(GraftFunctions.extractLinksCtx(col("text"))).as("l"))
+        .select(col("fid"), col("l.anchor").as("anchor"), col("l.target").as("target"),
+          col("l.offset").as("offset"), col("l.pre").as("pre"), col("l.post").as("post"))
+    }),
+
+    "f6_cut_last" -> ((s, _) => {
+      import s.implicits._
+      Seq((1L, "abcdef"), (2L, "ab")).toDF("fid", "v")
+        .select(col("fid"),
+          udf(graft.functions.TextFunctions.cutLast _).apply(col("v"), lit(2)).as("cut"))
+    }),
+
+    "f8_hour_to_day" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(GraftFunctions.yyyymmddhhToDay(
+          date_format(col("ts"), "yyyyMMddHH")).as("day"))
+        .agg(count(lit(1)).as("n_events"))),
+
     "pv_pipeline" -> ((s, _) => {
       import s.implicits._
       val lines = Seq(
@@ -840,6 +861,18 @@ object SparkEntry {
         | count(*) AS cnt
         |FROM events JOIN dict USING (event_type)
         |GROUP BY day, type_id""".stripMargin,
+
+    "f2_extract_links_ctx" ->
+      """SELECT CAST(1 AS BIGINT) AS fid, 'a' AS anchor, 'T' AS target,
+        | CAST(10 AS INT) AS offset, '0123456789' AS pre, 'post' AS post""".stripMargin,
+
+    "f6_cut_last" ->
+      """SELECT CAST(col0 AS BIGINT) AS fid, col1 AS cut
+        |FROM (VALUES (1, 'abcd'), (2, '')) t(col0, col1)""".stripMargin,
+
+    "f8_hour_to_day" ->
+      """SELECT substr(strftime(ts, '%Y%m%d%H'), 1, 8) AS day, count(*) AS n_events
+        |FROM events GROUP BY day""".stripMargin,
 
     "pv_pipeline" ->
       """SELECT col0 AS title, CAST(col1 AS BIGINT) AS total,

@@ -19,6 +19,11 @@ object Tables {
       // rejects; read the raw int64 nanos and truncate to microseconds
       // (TimestampType precision — `div`, not `/`, since epoch-nanos
       // exceed double's 2^53 integer range).
+      // Known pushdown cost of this workaround: predicates on the derived
+      // `ts` cannot reach the parquet scan (row-group stats pruning is
+      // lost). A production table written with µs timestamps gets the
+      // pushdown for free; this is a testdata-format artifact, not an
+      // operator-design choice.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
