@@ -494,6 +494,27 @@ object SparkEntry {
           date_format(col("ts"), "yyyyMMddHH")).as("day"))
         .agg(count(lit(1)).as("n_events"))),
 
+    "o5_salted_agg" -> ((s, d) =>
+      SkewOps.saltedSum(t(s, d, "events"), "event_type", "value")
+        .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"),
+          col("n_rows"))),
+
+    "fnv64_native" -> ((s, _) => {
+      import s.implicits._
+      graft.plans.GraftSparkExtensions.install(s)
+      Seq((1L, "abc"), (2L, ""), (3L, "hello world"), (4L, "graft"))
+        .toDF("fid", "v")
+        .selectExpr("fid", "fnv64(v) AS h")
+    }),
+
+    "a11_tf_ts_index" -> ((s, _) =>
+      graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath)
+        .select(col("page_id"),
+          date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          explode(TermOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word"), col("page_id"), col("ts_str"))
+        .agg(count(lit(1)).as("tf"))),
+
     "pv_pipeline" -> ((s, _) => {
       import s.implicits._
       val lines = Seq(
@@ -873,6 +894,37 @@ object SparkEntry {
     "f8_hour_to_day" ->
       """SELECT substr(strftime(ts, '%Y%m%d%H'), 1, 8) AS day, count(*) AS n_events
         |FROM events GROUP BY day""".stripMargin,
+
+    "o5_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "fnv64_native" ->
+      """SELECT CAST(col0 AS BIGINT) AS fid, CAST(col1 AS BIGINT) AS h FROM (VALUES
+        | (1, -1792535898324117685), (2, -3750763034362895579),
+        | (3, 8618312879776256743), (4, 3648338088737783365)) t(col0, col1)""".stripMargin,
+
+    "a11_tf_ts_index" ->
+      """SELECT col0 AS word, CAST(col1 AS BIGINT) AS page_id, col2 AS ts_str,
+        | CAST(col3 AS BIGINT) AS tf
+        |FROM (VALUES
+        | ('start', 10, '2020-01-01 00:00:00', 1),
+        | ('text', 10, '2020-01-01 00:00:00', 1),
+        | ('with', 10, '2020-01-01 00:00:00', 1),
+        | ('[[link|anchor]]', 10, '2020-01-01 00:00:00', 1),
+        | ('and', 10, '2020-01-01 00:00:00', 1),
+        | ('<tag>', 10, '2020-01-01 00:00:00', 1),
+        | ('second', 10, '2020-06-01 12:00:00', 1),
+        | ('version', 10, '2020-06-01 12:00:00', 1),
+        | ('text', 10, '2020-06-01 12:00:00', 1),
+        | ('third', 10, '2021-01-01 00:00:00', 1),
+        | ('version', 10, '2021-01-01 00:00:00', 1),
+        | ('text', 10, '2021-01-01 00:00:00', 1),
+        | ('#redirect', 20, '2019-05-05 05:05:05', 1),
+        | ('[[elsewhere]]', 20, '2019-05-05 05:05:05', 1),
+        | ('category', 30, '2018-01-01 00:00:00', 1),
+        | ('page', 30, '2018-01-01 00:00:00', 1),
+        | ('text', 30, '2018-01-01 00:00:00', 1)) t""".stripMargin,
 
     "pv_pipeline" ->
       """SELECT col0 AS title, CAST(col1 AS BIGINT) AS total,
