@@ -279,6 +279,18 @@ object SparkEntry {
       DedupOps.simhashCandidates(t(s, d, "documents"), "doc_id", "text")
         .filter(col("hamming") <= 8)),
 
+    "dedup_jaccard" -> ((s, d) =>
+      DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5)),
+
+    "ann_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 4).as("sim"),
+          col("rank"))
+    }),
+
     "ann_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -715,6 +727,27 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY content_hash""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 0))) AS t(i)
+        |  WHERE len(a) >= 3),
+        |kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+        |shk AS (SELECT doc_id, sh.sh FROM sh JOIN kept USING (sh)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida AS id_a, idb AS id_b,
+        | round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin,
 
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

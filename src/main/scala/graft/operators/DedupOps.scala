@@ -97,6 +97,39 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted-index
+    * join — deterministic (oracle-checkable), unlike the probabilistic
+    * LSH path. Shingles occurring in more than `maxShingleDf` docs are
+    * excluded from the similarity (they carry no discriminative signal
+    * and would blow up the self-join fanout at scale); docs with fewer
+    * than `shingleK` tokens are skipped. Never an all-pairs product:
+    * the join is keyed on shingle, intersection counts come from a
+    * groupBy, and sizes join back by id. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, shingleK: Int = 3,
+                   maxShingleDf: Long = 100L): DataFrame = {
+    val shUdf = udf((t: Seq[String]) => Hashing.shingles(t, shingleK).distinct)
+    val shingled = docs
+      .select(col(idCol).as("id"), TermOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+      .select(col("id"), explode(shUdf(col("toks"))).as("sh"))
+    val kept = shingled.groupBy("sh").agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") <= maxShingleDf).select("sh")
+    val shk = shingled.join(kept, Seq("sh"))
+    val sizes = shk.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = shk.select(col("sh"), col("id").as("id_a"))
+      .join(shk.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** SimHash near-dup candidates: 64-bit signature split into `chunks`
     * pieces; docs sharing any chunk value are candidates (hamming ≤
     * chunks-1 guaranteed covered). Same explode/groupBy shape as LSH. */

@@ -66,6 +66,44 @@ object SimilarityOps {
     sig
   }
 
+  /** IVF-style ANN: a deterministic subset of the corpus acts as coarse
+    * centroids; every vector is assigned to its nearest centroid (one
+    * broadcast pass), queries probe their `nProbe` nearest cells and
+    * score only those cells' members. The inverted-file structure is the
+    * standard scale path when hyperplane LSH recall is too coarse: cells
+    * partition the corpus, so the scored set shrinks by ~nCentroids/nProbe.
+    * (Deterministic centroid choice — every ~N/nCentroids-th vector —
+    * keeps results reproducible without a k-means iteration.) */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 3): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCentroids)
+    val cents = corpus.filter(col("vec_id") % stride === 0)
+      .limit(nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int) = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col(embCol), col("cent_emb")))
+      scored.withColumn("crank", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id").asc)))
+        .filter(col("crank") <= keep)
+        .drop("cent_emb", "csim", "crank")
+    }
+    val cells = assign(
+      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb")),
+      "nbr_id", "nbr_emb", keep = 1)
+    val probes = assign(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", keep = nProbe)
+    val scored = cells.join(probes, Seq("cent_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("nbr_emb")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "sim", "rank")
+  }
+
   /** ANN top-k via random-hyperplane bucketing: corpus and queries hash to
     * `planes`-bit signatures; candidates = same-bucket rows; exact cosine +
     * top-k within candidates. Multi-probe: each query also probes the

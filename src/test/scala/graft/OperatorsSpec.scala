@@ -114,6 +114,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("jaccardPairs finds the planted near-pair with the exact score") {
+    val pairs = DedupOps.jaccardPairs(nearDupDocs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // docs 1/4 identical (jaccard 1.0); docs 1/2 and 2/4 share 56 of 60
+    // shingles (58 common tokens → 56 common 3-shingles, 60 total each)
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 4L)) == 1.0)
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.8)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ivfTopK finds an identical vector (same cell guaranteed)") {
+    def v(i: Int) = Array.tabulate(8)(d =>
+      (graft.functions.Hashing.mix(i.toLong * 8 + d) % 1000).toFloat)
+    val vecs = (1 to 50).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val dup = Seq((100L, v(9))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfTopK(vecs, dup, k = 3, nCentroids = 8, nProbe = 2)
+      .filter(col("rank") === 1).select("nbr_id").as[Long].collect()
+    assert(out.toSeq == Seq(9L))
+  }
+
   test("simhashCandidates puts identical docs at hamming 0") {
     val out = DedupOps.simhashCandidates(nearDupDocs, "doc_id", "text")
       .filter(col("id_a") === 1L && col("id_b") === 4L)
