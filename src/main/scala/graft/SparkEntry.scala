@@ -506,6 +506,19 @@ object SparkEntry {
           date_format(col("ts"), "yyyyMMddHH")).as("day"))
         .agg(count(lit(1)).as("n_events"))),
 
+    "j1_anchor_graph" -> ((s, _) => {
+      // J1/J2: anchors ⋈ broadcast id-title map → resolved edge list
+      // (unresolved targets drop out, the reference's inner-join semantics)
+      val revs = graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.graphXmlPath)
+      val idmap = revs.select(col("page_title").as("title"),
+        col("page_id").as("dst_id")).distinct()
+      revs.select(col("page_id").as("src_id"),
+          explode(GraftFunctions.extractLinks(col("text"))).as("l"))
+        .join(broadcast(idmap), col("l.target") === col("title"))
+        .groupBy(col("src_id"), col("dst_id"))
+        .agg(count(lit(1)).as("n_links"))
+    }),
+
     "o5_salted_agg" -> ((s, d) =>
       SkewOps.saltedSum(t(s, d, "events"), "event_type", "value")
         .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"),
@@ -927,6 +940,11 @@ object SparkEntry {
     "f8_hour_to_day" ->
       """SELECT substr(strftime(ts, '%Y%m%d%H'), 1, 8) AS day, count(*) AS n_events
         |FROM events GROUP BY day""".stripMargin,
+
+    "j1_anchor_graph" ->
+      """SELECT CAST(col0 AS BIGINT) AS src_id, CAST(col1 AS BIGINT) AS dst_id,
+        | CAST(col2 AS BIGINT) AS n_links
+        |FROM (VALUES (1, 2, 2), (2, 1, 1), (2, 3, 1)) t""".stripMargin,
 
     "o5_salted_agg" ->
       """SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n_rows

@@ -74,6 +74,26 @@ object WikiFixtures {
           s"c$j", s"text $i $j " + ("pad " * 40))))).mkString("\n") +
       "\n</mediawiki>\n"
 
+  /** Link-graph fixture: three articles whose current texts link to each
+    * other (anchor-graph resolution, pig/experimental/temporalgraph.pig). */
+  def graphXml: String = {
+    val xml = new StringBuilder
+    xml.append("<mediawiki>\n")
+    xml.append(page(1, "Alpha", 0, redirect = false, Seq(
+      rev(11, None, "2020-01-01T00:00:00Z", "u", Some(1), "c",
+        "Alpha links to [[Beta|the second]] twice: [[Beta]]")))).append("\n")
+    xml.append(page(2, "Beta", 0, redirect = false, Seq(
+      rev(21, None, "2020-01-02T00:00:00Z", "u", Some(1), "c",
+        "Beta links [[Alpha]] and [[Gamma|g]] and [[Missing]]")))).append("\n")
+    xml.append(page(3, "Gamma", 0, redirect = false, Seq(
+      rev(31, None, "2020-01-03T00:00:00Z", "u", Some(1), "c",
+        "Gamma links nothing")))).append("\n")
+    xml.append("</mediawiki>\n")
+    xml.toString
+  }
+
+  def graphXmlPath: String = materialize("graphwiki.xml", graphXml)
+
   /** Two JSON-lines revisions (S15 ingest fixture). */
   def jsonLines: String =
     """{"page_id":1,"page_title":"T","page_namespace":0,"rev_id":5,"parent_id":4,"timestamp":1577836800000,"user":"u","user_id":3,"comment":"c","text":"body"}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Plan-contract tests: the physical shapes the 100 TB design depends on
+  * must survive refactors — broadcasts stay broadcast, pruning reaches
+  * the scan, windows shuffle once. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("j1 plans a broadcast hash join (no shuffle join for the dim side)") {
+    val p = plan("j1_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q1 scan is column-pruned to the five referenced columns") {
+    val p = plan("q1_pricing_summary")
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail(p))
+    val names = scanCols.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+    assert(names == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus"), p)
+  }
+
+  test("p4 pushes the n_chars filter into the parquet scan") {
+    val p = plan("p4_projection")
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)]"), p)
+  }
+
+  test("w1 window shuffles once on the partition key") {
+    val p = plan("w1_lag_pairs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("wikirev scan prunes text when only headers are projected") {
+    val df = graft.sources.WikiXml.readHeaders(spark,
+      graft.sources.WikiFixtures.standardXmlPath)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("text"), scan)
+  }
+
+  test("GraftFunctions.register exposes the UDF surface to SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("See [[A|b]] and http://x.io now {{Tmpl}}").toDF("t")
+      .createOrReplaceTempView("reg_in")
+    val row = spark.sql(
+      """SELECT size(extract_links(t)) AS links, size(extract_refs(t)) AS refs,
+        |  size(extract_templates(t)) AS tmpls, normalize_title('a b#c') AS norm,
+        |  lang_id('the cat is on the mat') AS lang
+        |FROM reg_in""".stripMargin).collect().head
+    assert(row.getInt(0) == 1 && row.getInt(1) == 1 && row.getInt(2) == 1)
+    assert(row.getString(3) == "A_b" && row.getString(4) == "en")
+  }
+}
