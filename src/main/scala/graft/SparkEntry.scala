@@ -283,6 +283,9 @@ object SparkEntry {
       DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
 
+    "dedup_embedding" -> ((s, d) =>
+      SimilarityOps.embeddingNearDups(t(s, d, "embeddings"), threshold = 0.99)),
+
     "ann_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))

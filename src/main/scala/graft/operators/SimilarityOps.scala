@@ -104,6 +104,27 @@ object SimilarityOps {
       .select("query_id", "nbr_id", "sim", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (driver brief): hyperplane-LSH
+    * buckets (few planes → high recall at `threshold` ≈ 1), within-bucket
+    * pairs only, exact cosine verification. Complements the text-side
+    * MinHash/Jaccard dedup for semantically-identical documents. */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double,
+                        planes: Int = 8, maxBucket: Int = 2000): DataFrame = {
+    val sigUdf = udf((e: Seq[Float]) => signBits(e, planes))
+    val keyed = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", sigUdf(col("embedding")))
+    val a = keyed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = keyed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("emb_a").cast("array<double>"),
+        col("emb_b").cast("array<double>")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .distinct()
+  }
+
   /** ANN top-k via random-hyperplane bucketing: corpus and queries hash to
     * `planes`-bit signatures; candidates = same-bucket rows; exact cosine +
     * top-k within candidates. Multi-probe: each query also probes the

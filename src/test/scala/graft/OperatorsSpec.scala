@@ -135,6 +135,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(9L))
   }
 
+  test("embeddingNearDups finds a planted duplicate embedding") {
+    def v(i: Int) = Array.tabulate(8)(d =>
+      (graft.functions.Hashing.mix(i.toLong * 8 + d) % 1000).toFloat)
+    val vecs = ((1 to 40).map(i => (i.toLong, v(i))) :+ (200L, v(5)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.embeddingNearDups(vecs, threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((5L, 200L)))
+    assert(out.head._3 == 1.0)
+  }
+
   test("simhashCandidates puts identical docs at hamming 0") {
     val out = DedupOps.simhashCandidates(nearDupDocs, "doc_id", "text")
       .filter(col("id_a") === 1L && col("id_b") === 4L)
