@@ -108,7 +108,11 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleK: Int = 3,
                    maxShingleDf: Long = 100L): DataFrame = {
-    val shUdf = udf((t: Seq[String]) => Hashing.shingles(t, shingleK).distinct)
+    // shingles travel as 64-bit FNV hashes: ~10× smaller shuffle keys for
+    // the inverted-index join; a collision (~2^-64 per pair) would merge
+    // two shingles and is detectable by the exact oracle
+    val shUdf = udf((t: Seq[String]) =>
+      Hashing.shingles(t, shingleK).distinct.map(Hashing.fnv1a))
     val shingled = docs
       .select(col(idCol).as("id"), TermOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleK)
