@@ -312,6 +312,11 @@ object SparkEntry {
     "text_quality" -> ((s, d) =>
       TextAnalysisOps.qualityMetrics(t(s, d, "documents"), "doc_id", "text")),
 
+    "text_stopword_ratio" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysisOps.stopwordRatio(col("text")).as("sw_ratio"))),
+
     "text_lang_id" -> ((s, d) =>
       TextAnalysisOps.withLangId(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("pred_lang"))),
@@ -793,6 +798,15 @@ object SparkEntry {
 
     "mm_bytes" ->
       "SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes FROM documents",
+
+    "text_stopword_ratio" ->
+      """SELECT doc_id, round(
+        | CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |   x -> x <> ''), x -> x IN ('the','of','and','to','in','is','that','it',
+        |   'was','for','with','as','on','are','a'))) AS DOUBLE) /
+        | greatest(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |   x -> x <> '')) AS DOUBLE), 1.0), 4) AS sw_ratio
+        |FROM documents""".stripMargin,
 
     // ---- golden fixtures: oracle = literal expected rows ----
     "f1_extract_links" ->

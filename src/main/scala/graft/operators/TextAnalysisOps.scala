@@ -40,6 +40,17 @@ object TextAnalysisOps {
         greatest(nChars, lit(1.0)), 4).as("digit_ratio"))
   }
 
+  /** English stopword ratio — a standard quality signal; the stopword set
+    * rides along as literals (broadcast-equivalent, no join). */
+  val EnStopwords: Seq[String] = Seq("the", "of", "and", "to", "in", "is",
+    "that", "it", "was", "for", "with", "as", "on", "are", "a")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = TermOps.tokens(text)
+    round(size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0)), 4)
+  }
+
   /** Predicted language per document (n-gram/stopword heuristic kernel). */
   def withLangId(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("pred_lang", langIdUdf(col(textCol)))

@@ -115,15 +115,36 @@ class WikiRevisionScan(props: Map[String, String], required: StructType,
         if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
       }
     }
+    // Optional precomputed page-offset index (S19): partition boundaries
+    // land exactly on <page> tags — the reader's boundary scan starts at
+    // a page, so no bytes are parsed twice across partitions.
+    val index: Map[String, Seq[Long]] = props.get("splitIndex").map { ip =>
+      org.apache.spark.sql.SparkSession.active.read.parquet(ip)
+        .select("file_name", "offset")
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq.sorted }
+    }.getOrElse(Map.empty)
+
     statuses.flatMap { st =>
       val p = st.getPath.toString
       val compressed = p.endsWith(".bz2") || p.endsWith(".gz")
       if (compressed || st.getLen <= maxSplit)
         Seq(WikiRevisionInputPartition(p, 0L, Long.MaxValue))
-      else {
-        val n = ((st.getLen + maxSplit - 1) / maxSplit).toInt
-        (0 until n).map(i => WikiRevisionInputPartition(p, i * maxSplit,
-          math.min((i + 1) * maxSplit, st.getLen)))
+      else index.get(p) match {
+        case Some(offsets) if offsets.nonEmpty =>
+          // group consecutive page offsets into ~maxSplit-sized ranges
+          val parts = scala.collection.mutable.ArrayBuffer.empty[WikiRevisionInputPartition]
+          var start = offsets.head
+          offsets.tail.foreach { o =>
+            if (o - start >= maxSplit) { parts += WikiRevisionInputPartition(p, start, o); start = o }
+          }
+          parts += WikiRevisionInputPartition(p, start, Long.MaxValue)
+          parts.toSeq
+        case _ =>
+          val n = ((st.getLen + maxSplit - 1) / maxSplit).toInt
+          (0 until n).map(i => WikiRevisionInputPartition(p, i * maxSplit,
+            math.min((i + 1) * maxSplit, st.getLen)))
       }
     }.toArray[InputPartition]
   }

@@ -73,6 +73,22 @@ class WikiSourceSpec extends AnyFunSuite {
       whole.agg(sum("rev_id")).as[Long].head())
   }
 
+  test("split index aligns partitions on page boundaries") {
+    val f = Files.createTempFile("idxwiki", ".xml")
+    Files.writeString(f, graft.sources.WikiFixtures.bigXml(60))
+    val idx = graft.sources.IndexSplits.build(spark, f.toString)
+    assert(idx.count() == 60) // one offset per page
+    val idxPath = Files.createTempDirectory("idx").toString + "/index"
+    graft.sources.GraftSinks.writeSplitIndex(idx, idxPath)
+    val indexed = WikiXml.read(spark, f.toString,
+      Map("maxSplitBytes" -> "4000", "splitIndex" -> idxPath))
+    val plain = WikiXml.read(spark, f.toString)
+    assert(indexed.rdd.getNumPartitions > 5)
+    assert(indexed.count() == 180)
+    assert(indexed.agg(sum("rev_id")).as[Long].head() ==
+      plain.agg(sum("rev_id")).as[Long].head())
+  }
+
   test("bz2-compressed dumps read as a single partition") {
     val conf = new org.apache.hadoop.conf.Configuration()
     val codec = new org.apache.hadoop.io.compress.BZip2Codec()
