@@ -94,6 +94,26 @@ object WikiFixtures {
 
   def graphXmlPath: String = materialize("graphwiki.xml", graphXml)
 
+  /** `n` pages of poorly-compressible pseudo-random text — produces
+    * multi-block bz2 files for splittable-compression tests. */
+  def noisyXml(n: Int): String = {
+    val sb = new StringBuilder(n * 3000)
+    sb.append("<mediawiki>\n")
+    var i = 1
+    while (i <= n) {
+      val text = (0 until 200)
+        .map(j => java.lang.Long.toHexString(
+          graft.functions.Hashing.mix(i.toLong * 1000 + j)))
+        .mkString(" ")
+      sb.append(page(5000 + i, s"Noisy $i", 0, redirect = false,
+        Seq(rev(i.toLong * 7, None, f"2020-02-${(i % 27) + 1}%02dT00:00:00Z",
+          s"u$i", Some(i), "c", text)))).append("\n")
+      i += 1
+    }
+    sb.append("</mediawiki>\n")
+    sb.toString
+  }
+
   /** Two JSON-lines revisions (S15 ingest fixture). */
   def jsonLines: String =
     """{"page_id":1,"page_title":"T","page_namespace":0,"rev_id":5,"parent_id":4,"timestamp":1577836800000,"user":"u","user_id":3,"comment":"c","text":"body"}

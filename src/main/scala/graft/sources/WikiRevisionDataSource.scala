@@ -128,8 +128,13 @@ class WikiRevisionScan(props: Map[String, String], required: StructType,
 
     statuses.flatMap { st =>
       val p = st.getPath.toString
-      val compressed = p.endsWith(".bz2") || p.endsWith(".gz")
-      if (compressed || st.getLen <= maxSplit)
+      // bz2 is splittable (BYBLOCK ranges over compressed bytes); gz is not
+      if (p.endsWith(".bz2") && st.getLen > maxSplit) {
+        val n = ((st.getLen + maxSplit - 1) / maxSplit).toInt
+        (0 until n).map(i => WikiRevisionInputPartition(p, i * maxSplit,
+          math.min((i + 1) * maxSplit, st.getLen)))
+      }
+      else if (p.endsWith(".bz2") || p.endsWith(".gz") || st.getLen <= maxSplit)
         Seq(WikiRevisionInputPartition(p, 0L, Long.MaxValue))
       else index.get(p) match {
         case Some(offsets) if offsets.nonEmpty =>

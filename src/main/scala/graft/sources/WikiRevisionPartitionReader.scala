@@ -33,23 +33,40 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
   private val needComment = fields.contains("comment")
   private val needUser = fields.contains("user") || fields.contains("user_id")
 
-  private val streamAndCodec: (InputStream, Boolean) = {
+  // Three stream modes:
+  //  - uncompressed: seek to part.start, own pages whose tag starts < end;
+  //  - splittable bz2 (part.end finite): BYBLOCK SplitCompressionInputStream
+  //    — own pages begun while compressed getPos() <= end (Hadoop's
+  //    LineRecordReader convention; the stream self-aligns to the first
+  //    compression block of the range);
+  //  - other/whole-file compressed: single partition, read everything.
+  private val streamSetup: (InputStream,
+      org.apache.hadoop.io.compress.SplitCompressionInputStream) = {
     val conf = new Configuration()
     val p = new Path(part.path)
     val fs = FileSystem.get(p.toUri, conf)
     val raw = fs.open(p)
     val codec = new CompressionCodecFactory(conf).getCodec(p)
-    if (codec != null)
-      (new BufferedInputStream(codec.createInputStream(raw), 1 << 16), true)
-    else {
-      if (part.start > 0) raw.seek(part.start)
-      (new BufferedInputStream(raw, 1 << 16), false)
+    codec match {
+      case null =>
+        if (part.start > 0) raw.seek(part.start)
+        (new BufferedInputStream(raw, 1 << 16), null)
+      case sc: org.apache.hadoop.io.compress.SplittableCompressionCodec
+          if part.end != Long.MaxValue =>
+        val d = org.apache.hadoop.io.compress.CodecPool.getDecompressor(codec)
+        val cin = sc.createInputStream(raw, d, part.start, part.end,
+          org.apache.hadoop.io.compress.SplittableCompressionCodec.READ_MODE.BYBLOCK)
+        (cin, cin)
+      case c =>
+        (new BufferedInputStream(c.createInputStream(raw), 1 << 16), null)
     }
   }
-  private val in = streamAndCodec._1
-  // absolute position; for compressed files these are post-decompression
-  // coordinates (the whole file is a single partition there)
-  private var pos: Long = if (streamAndCodec._2) 0L else part.start
+  private val in = streamSetup._1
+  private val splitStream = streamSetup._2
+  // absolute position for the uncompressed case; decompressed byte count
+  // otherwise (only compared against `end` in the uncompressed case)
+  private var pos: Long = if (splitStream == null && part.start >= 0 &&
+    !part.path.endsWith(".bz2") && !part.path.endsWith(".gz")) part.start else 0L
 
   private val PageOpen = "<page>".getBytes("UTF-8")
   private val PageClose = "</page>".getBytes("UTF-8")
@@ -71,10 +88,12 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
 
-  /** Next `<page>` block whose open tag starts inside [start, end). */
+  /** Next `<page>` block owned by this partition. */
   private def nextPageBlock(): Option[String] = {
+    if (splitStream != null && splitStream.getPos > part.end) return None
     val tagPos = seek(PageOpen)
-    if (tagPos < 0 || tagPos >= part.end) return None
+    if (tagPos < 0) return None
+    if (splitStream == null && tagPos >= part.end) return None
     val sb = new java.lang.StringBuilder(1 << 16)
     if (!captureUntil(PageClose, sb)) return None // truncated trailing page
     Some(sb.toString)

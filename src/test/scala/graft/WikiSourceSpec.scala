@@ -102,6 +102,24 @@ class WikiSourceSpec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  test("multi-block bz2 splits across partitions with exact results") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(conf)
+    val f = Files.createTempFile("noisywiki", ".xml.bz2")
+    val out = codec.createOutputStream(Files.newOutputStream(f))
+    out.write(graft.sources.WikiFixtures.noisyXml(2000).getBytes("UTF-8"))
+    out.close()
+    assert(Files.size(f) > 2 * 900 * 1000, s"need >2 bz2 blocks, got ${Files.size(f)}")
+    val whole = WikiXml.read(spark, f.toString)
+    val split = WikiXml.read(spark, f.toString, Map("maxSplitBytes" -> "400000"))
+    assert(split.rdd.getNumPartitions > 3)
+    assert(whole.count() == 2000)
+    assert(split.count() == 2000)
+    assert(split.agg(sum("rev_id")).as[Long].head() ==
+      whole.agg(sum("rev_id")).as[Long].head())
+  }
+
   test("fileNames source lists files") {
     assert(WikiXml.fileNames(spark, fixturePath).count() == 1)
   }
