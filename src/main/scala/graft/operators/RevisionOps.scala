@@ -53,14 +53,19 @@ object RevisionOps {
     */
   def changeRatioSample(df: DataFrame, key: String, ts: String,
                         lenCol: String, lower: Double = 0.01,
-                        upper: Double = 0.1): DataFrame = {
+                        upper: Double = 0.1, minLen: Double = 0.0): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
     val keyIdx = schema.fieldIndex(key)
     val tsIdx = schema.fieldIndex(ts)
     val lenIdx = schema.fieldIndex(lenCol)
     implicit val rowEnc = Encoders.row(schema)
-    val sorted = df.repartition(col(key)).sortWithinPartitions(col(key), col(ts))
+    // rows below the minimum size never take part in the carry — the
+    // reference's GOOD_ENOUGH_REVISION skip (RevisionETLReader.java:43,
+    // :273-294; its tiny-last-revision case degenerates to the normal
+    // end-of-group buffer flush once such rows are excluded)
+    val eligible = if (minLen > 0) df.filter(col(lenCol) >= minLen) else df
+    val sorted = eligible.repartition(col(key)).sortWithinPartitions(col(key), col(ts))
     sorted.mapPartitions { it =>
       new Iterator[Row] {
         private var buf: Row = null

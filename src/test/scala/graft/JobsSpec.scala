@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jobs._
+import graft.sources.WikiFixtures
+
+class JobsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Json2Anchor writes link rows from revisions JSON") {
+    val in = WikiFixtures.materialize("job_revs.json",
+      """{"page_id":1,"page_title":"T","page_namespace":0,"rev_id":5,"parent_id":4,"timestamp":100,"user":"u","user_id":3,"comment":"c","text":"see [[A|b]] and [[C]]"}
+        |""".stripMargin)
+    val out = Files.createTempDirectory("j2a").toString + "/out"
+    Json2Anchor.run(spark, in, out)
+    val rows = spark.read.option("sep", "\t").csv(out)
+    assert(rows.count() == 2)
+  }
+
+  test("MaxTimestamp returns the global maximum") {
+    assert(MaxTimestamp.run(spark, WikiFixtures.jsonPath) == 1577836900000L)
+  }
+
+  test("BuildDictionary writes a ranked dictionary") {
+    val in = Files.createTempDirectory("dictin").toString + "/docs"
+    Seq((1L, "x y x"), (2L, "x z")).toDF("doc_id", "text").write.parquet(in)
+    val out = Files.createTempDirectory("dictout").toString + "/dict"
+    BuildDictionary.run(spark, in, out)
+    val dict = spark.read.parquet(out).as[(String, Int, Long, Long)].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(dict == Map("x" -> 1, "y" -> 2, "z" -> 3))
+  }
+
+  test("ExtractTemporalAnchorText samples and extracts over the XML source") {
+    val out = Files.createTempDirectory("anchors").toString + "/out"
+    ExtractTemporalAnchorText.run(spark, WikiFixtures.graphXmlPath, out)
+    val rows = spark.read.option("sep", "\t").csv(out)
+    // single-revision pages: every revision kept; 2+3 resolvable+raw links
+    assert(rows.count() == 5)
+  }
+}

@@ -24,6 +24,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(2L, 3L, 5L, 6L))
   }
 
+  test("changeRatioSample skips rows below the minimum size") {
+    val df = Seq(
+      (1L, "A", 1, 1000.0), (2L, "A", 2, 5.0), // tiny row must not reset the carry
+      (3L, "A", 3, 1200.0), (4L, "A", 4, 2000.0))
+      .toDF("id", "key", "off", "len")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("off")))
+    val kept = RevisionOps.changeRatioSample(df, "key", "ts", "len", minLen = 10.0)
+      .select("id").as[Long].collect().sorted
+    // with id=2 excluded: r3 flushes r1 (20% change), r4 flushes r3 (67%),
+    // r4 emitted at end
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
   test("changeRatioSample emits every key's last buffer across partitions") {
     val rows = (1 to 100).flatMap { k =>
       (1 to 5).map(i => (k.toLong * 10 + i, s"k$k", i, 100.0)) // no changes
