@@ -436,6 +436,15 @@ object SparkEntry {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))
     }),
 
+    "s6_revision_diffs" -> ((s, _) => {
+      val revs = graft.sources.WikiXml
+        .read(s, graft.sources.WikiFixtures.standardXmlPath)
+        .withColumn("toks", TermOps.tokens(col("text")))
+      RevisionOps.diffs(revs, "page_id", "timestamp", "toks", "rev_id",
+          GraftFunctions.revDiff)
+        .select(col("rev_id"), size(col("deltas")).as("n_deltas"))
+    }),
+
     "s7_bucket_pairs" -> ((s, d) => {
       // S7: collapse to the last event per (user, rounded-up hour), then
       // pair consecutive buckets per user
@@ -881,6 +890,10 @@ object SparkEntry {
         |WHERE prev_value IS NULL
         |  OR abs(value - prev_value) / greatest(abs(prev_value), 1.0) > 0.1
         |GROUP BY user_id""".stripMargin,
+
+    "s6_revision_diffs" ->
+      """SELECT CAST(col0 AS BIGINT) AS rev_id, CAST(col1 AS INT) AS n_deltas
+        |FROM (VALUES (101, 1), (102, 2), (103, 1), (201, 1), (301, 1)) t""".stripMargin,
 
     "s7_bucket_pairs" ->
       """WITH b AS (

@@ -120,6 +120,39 @@ class WikiSourceSpec extends AnyFunSuite {
       whole.agg(sum("rev_id")).as[Long].head())
   }
 
+  test("parser corner cases: missing ns, self-closing text, no comment, pageless file") {
+    val xml =
+      """<mediawiki>
+        |  <page>
+        |    <title>Sparse</title>
+        |    <id>99</id>
+        |    <revision>
+        |      <id>991</id>
+        |      <timestamp>2020-01-01T00:00:00Z</timestamp>
+        |      <contributor deleted="deleted" />
+        |      <text bytes="0" />
+        |    </revision>
+        |  </page>
+        |  <page>
+        |    <title>Empty page</title>
+        |    <ns>0</ns>
+        |    <id>98</id>
+        |  </page>
+        |</mediawiki>
+        |""".stripMargin
+    val f = Files.createTempFile("sparse", ".xml")
+    Files.writeString(f, xml)
+    val rows = WikiXml.read(spark, f.toString).collect()
+    assert(rows.length == 1) // revision-less page contributes nothing
+    val r = rows.head
+    assert(r.getAs[Int]("page_namespace") == 0)   // ns defaults to 0
+    assert(r.getAs[String]("text") == "")          // self-closing <text/>
+    assert(r.getAs[String]("user") == null)        // deleted contributor
+    assert(r.getAs[Long]("user_id") == -1L)
+    assert(r.getAs[String]("comment") == null)     // absent comment
+    assert(r.getAs[Long]("parent_id") == -1L)
+  }
+
   test("fileNames source lists files") {
     assert(WikiXml.fileNames(spark, fixturePath).count() == 1)
   }
