@@ -380,6 +380,33 @@ object SparkEntry {
       RevisionOps.changeRatioSample(samplerFixture(s), "key", "ts", "len")
         .select(col("event_id"))),
 
+    "st_windowed_counts" -> ((s, _) => {
+      // streaming through the correctness gate: a deterministic event
+      // trace flows through readStream-equivalent MemoryStream into the
+      // watermarked windowed-count operator; the finished micro-batch
+      // result is the query output
+      implicit val sq = s.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.windowedCounts(mem.toDF(), "ts", "user_id",
+          "10 minutes", "5 minutes")
+        .writeStream.format("memory").queryName("st_wc_out")
+        .outputMode("complete").start()
+      try {
+        mem.addData(
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1.0),
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 2.0),
+          EventStreamOps.Event(2, java.sql.Timestamp.valueOf("2024-01-01 00:12:00"), 3.0),
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:13:00"), 4.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("st_wc_out")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("user_id"), col("n_events"))
+    }),
+
     "s8_sampler_events" -> ((s, d) =>
       // the sampler at data scale: keyed by user, "length" = value column
       RevisionOps.changeRatioSample(t(s, d, "events"), "user_id", "ts", "value")
@@ -849,6 +876,12 @@ object SparkEntry {
     "s8_sampler_fixture" ->
       """SELECT CAST(col0 AS BIGINT) AS event_id
         |FROM (VALUES (2), (3), (5), (6)) t(col0)""".stripMargin,
+
+    "st_windowed_counts" ->
+      """SELECT col0 AS w_start, CAST(col1 AS BIGINT) AS user_id,
+        | CAST(col2 AS BIGINT) AS n_events
+        |FROM (VALUES ('2024-01-01 00:00:00', 1, 2),
+        | ('2024-01-01 00:10:00', 2, 1), ('2024-01-01 00:10:00', 1, 1)) t""".stripMargin,
 
     "s3_xml_scan" ->
       """SELECT CAST(col0 AS BIGINT) AS page_id, CAST(col1 AS BIGINT) AS rev_id,

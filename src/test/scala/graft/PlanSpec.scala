@@ -45,6 +45,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.contains("text"), scan)
   }
 
+  test("bucketed fact-fact join runs with no shuffle exchange") {
+    val lineitem = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val orders = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    operators.BucketedTables.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 4)
+    operators.BucketedTables.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val joined = operators.BucketedTables.coLocatedJoin(
+        spark, "b_lineitem", "b_orders", "l_orderkey", "o_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p) // co-located: shuffle paid at write
+      assert(p.contains("SortMergeJoin"), p)
+      assert(joined.count() == lineitem.count()) // every lineitem has an order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("GraftFunctions.register exposes the UDF surface to SQL") {
     GraftFunctions.register(spark)
     import spark.implicits._
