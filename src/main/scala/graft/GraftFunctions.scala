@@ -69,9 +69,8 @@ object GraftFunctions {
     udf((s: String, d: Int) => EzFunctions.decodeEz(s, d)).apply(c, days)
 
   /** Whitespace tokenization with lower-casing — the reference's default
-    * analyzer path (SURVEY §2.7 F17). Pure built-ins: codegen'd, no UDF. */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => t =!= "")
+    * analyzer path (SURVEY §2.7 F17); single definition in TermOps. */
+  def tokens(c: Column): Column = graft.operators.TermOps.tokens(c)
 
   // ---- Date/time scalar fns (F7-F10, F14) as built-in compositions ----
 

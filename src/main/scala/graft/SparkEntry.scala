@@ -409,7 +409,8 @@ object SparkEntry {
 
     "s8_sampler_events" -> ((s, d) =>
       // the sampler at data scale: keyed by user, "length" = value column
-      RevisionOps.changeRatioSample(t(s, d, "events"), "user_id", "ts", "value")
+      RevisionOps.changeRatioSample(t(s, d, "events"), "user_id", "ts", "value",
+          tieBreak = "event_id")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))),
 
     // ---- custom XML / JSON revision sources (golden fixtures) ----
@@ -747,14 +748,16 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "t1_roundup_hour" ->
-      """SELECT strftime(to_timestamp(CAST(ceil(CAST(epoch(date_trunc('second', ts)) AS DOUBLE)
-        |  / 3600) AS BIGINT) * 3600), '%Y-%m-%d %H:%M:%S') AS bucket,
+      """SELECT strftime(make_timestamp(epoch_us(ts) +
+        |  (((0 - epoch_us(ts)) % 3600000000 + 3600000000) % 3600000000)),
+        |  '%Y-%m-%d %H:%M:%S') AS bucket,
         | count(*) AS n_events
         |FROM events GROUP BY bucket""".stripMargin,
 
     "t1_roundup_day_anchored" ->
-      """SELECT strftime(to_timestamp(CAST(ceil((CAST(epoch(date_trunc('second', ts)) AS DOUBLE)
-        |  - 3600) / 86400) AS BIGINT) * 86400 + 3600), '%Y-%m-%d %H:%M:%S') AS bucket,
+      """SELECT strftime(make_timestamp(epoch_us(ts) +
+        |  (((3600000000 - epoch_us(ts)) % 86400000000 + 86400000000) % 86400000000)),
+        |  '%Y-%m-%d %H:%M:%S') AS bucket,
         | count(*) AS n_events
         |FROM events GROUP BY bucket""".stripMargin,
 
@@ -931,8 +934,9 @@ object SparkEntry {
     "s7_bucket_pairs" ->
       """WITH b AS (
         |  SELECT user_id,
-        |   strftime(make_timestamp(CAST(ceil(CAST(epoch(date_trunc('second', ts)) AS DOUBLE)
-        |     / 3600) AS BIGINT) * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |   strftime(make_timestamp(epoch_us(ts) +
+        |     (((0 - epoch_us(ts)) % 3600000000 + 3600000000) % 3600000000)),
+        |     '%Y-%m-%d %H:%M:%S') AS bucket,
         |   arg_max(event_id, ts) AS last_event_id
         |  FROM events GROUP BY user_id, bucket)
         |SELECT user_id, bucket, last_event_id,

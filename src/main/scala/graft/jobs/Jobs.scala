@@ -34,12 +34,12 @@ object Json2Anchor {
 /** Reference: experiments mapreduce/MaxTimestamp.java:54-99 — global max
   * timestamp, printed (counter-as-result equivalent). */
 object MaxTimestamp {
-  def run(spark: SparkSession, in: String): Long = {
-    val df = WikiXml.readJson(spark, in)
-    df.agg(max(col("timestamp"))).collect().head.getLong(0)
+  def run(spark: SparkSession, in: String): Option[Long] = {
+    val row = WikiXml.readJson(spark, in).agg(max(col("timestamp"))).collect().head
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
   def main(args: Array[String]): Unit =
-    println(run(Jobs.session(), args(0)))
+    println(run(Jobs.session(), args(0)).map(_.toString).getOrElse("no timestamps"))
 }
 
 /** Reference: mapreduce/BuildDictionary.java:82-229 — term dictionary with

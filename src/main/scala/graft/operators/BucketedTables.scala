@@ -23,7 +23,9 @@ object BucketedTables {
   /** Join two bucketed tables on their bucket key — planner elides both
     * exchanges when bucket counts match. */
   def coLocatedJoin(spark: SparkSession, left: String, right: String,
-                    leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+                    leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -53,7 +53,8 @@ object RevisionOps {
     */
   def changeRatioSample(df: DataFrame, key: String, ts: String,
                         lenCol: String, lower: Double = 0.01,
-                        upper: Double = 0.1, minLen: Double = 0.0): DataFrame = {
+                        upper: Double = 0.1, minLen: Double = 0.0,
+                        tieBreak: String = null): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
     val keyIdx = schema.fieldIndex(key)
@@ -65,7 +66,12 @@ object RevisionOps {
     // :273-294; its tiny-last-revision case degenerates to the normal
     // end-of-group buffer flush once such rows are excluded)
     val eligible = if (minLen > 0) df.filter(col(lenCol) >= minLen) else df
-    val sorted = eligible.repartition(col(key)).sortWithinPartitions(col(key), col(ts))
+    // a tie-break column keeps the traversal (and thus the kept set)
+    // deterministic when a key has equal timestamps
+    val sortCols =
+      if (tieBreak == null) Seq(col(key), col(ts))
+      else Seq(col(key), col(ts), col(tieBreak))
+    val sorted = eligible.repartition(col(key)).sortWithinPartitions(sortCols: _*)
     sorted.mapPartitions { it =>
       new Iterator[Row] {
         private var buf: Row = null
@@ -105,9 +111,14 @@ object RevisionOps {
     * anchored at 01:00, week at Monday 01:00; its month roundup via
     * addWeeks(1) is a documented bug we do not replicate). */
   def roundUp(ts: Column, unitSec: Long, anchorSec: Long = 0L): Column = {
-    val sec = unix_timestamp(ts)
-    val bucket = ceil((sec - anchorSec).cast("double") / unitSec).cast("long")
-    timestamp_seconds(bucket * unitSec + anchorSec)
+    // exact integer micro-precision: the smallest t >= ts with
+    // t ≡ anchor (mod unit) is ts + pmod(anchor - ts, unit) — a
+    // timestamp one microsecond past a boundary belongs to the next
+    // bucket (double division would round that microsecond away)
+    val us = unix_micros(ts)
+    val unitUs = unitSec * 1000000L
+    val anchorUs = anchorSec * 1000000L
+    timestamp_micros(us + pmod(lit(anchorUs) - us, lit(unitUs)))
   }
 
   /** T2 — fixed-interval bucketing by epoch millis (hour/6h/day/…).

@@ -76,9 +76,12 @@ object SimilarityOps {
     * keeps results reproducible without a k-means iteration.) */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 3): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1L, n / nCentroids)
-    val cents = corpus.filter(col("vec_id") % stride === 0)
+    // deterministic pseudo-random centroid pick with no assumptions about
+    // id density: order by a hash of the id and take the first
+    // nCentroids — orderBy+limit plans as TakeOrderedAndProject (one
+    // pass, per-partition top-k heaps), no global sort shuffle
+    val cents = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     def assign(df: DataFrame, idCol: String, embCol: String, keep: Int) = {

@@ -104,11 +104,16 @@ class WikiRevisionScan(props: Map[String, String], required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Session Hadoop conf (fs credentials, defaultFS, …) — resolved on the
+    * driver, shipped to readers via SerializableConfiguration. */
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   override def planInputPartitions(): Array[InputPartition] = {
     val path = props.getOrElse("path",
       throw new IllegalArgumentException("wikirev: 'path' option is required"))
     val maxSplit = props.getOrElse("maxSplitBytes", (128L * 1024 * 1024).toString).toLong
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val fs = FileSystem.get(new java.net.URI(path), hadoopConf)
     val statuses = fs.globStatus(new Path(path)) match {
       case null => Array.empty[org.apache.hadoop.fs.FileStatus]
       case s => s.flatMap { st =>
@@ -155,7 +160,9 @@ class WikiRevisionScan(props: Map[String, String], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WikiRevisionReaderFactory(required.fieldNames, WikiRevisionPushdown(props, pushed))
+    new WikiRevisionReaderFactory(required.fieldNames,
+      WikiRevisionPushdown(props, pushed),
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
 }
 
 /** Serializable pushdown config resolved from options + catalyst filters. */
@@ -185,11 +192,12 @@ object WikiRevisionPushdown {
   }
 }
 
-class WikiRevisionReaderFactory(fields: Array[String], push: WikiRevisionPushdown)
+class WikiRevisionReaderFactory(fields: Array[String], push: WikiRevisionPushdown,
+                                conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WikiRevisionInputPartition]
-    new WikiRevisionPartitionReader(p, fields, push)
+    new WikiRevisionPartitionReader(p, fields, push, conf.value)
   }
 }
 

@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
                                   fields: Array[String],
-                                  push: WikiRevisionPushdown)
+                                  push: WikiRevisionPushdown,
+                                  hadoopConf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
   private val needText = fields.contains("text")
@@ -40,9 +41,11 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
   //    LineRecordReader convention; the stream self-aligns to the first
   //    compression block of the range);
   //  - other/whole-file compressed: single partition, read everything.
+  private var pooledDecompressor: org.apache.hadoop.io.compress.Decompressor = _
+
   private val streamSetup: (InputStream,
       org.apache.hadoop.io.compress.SplitCompressionInputStream) = {
-    val conf = new Configuration()
+    val conf = hadoopConf
     val p = new Path(part.path)
     val fs = FileSystem.get(p.toUri, conf)
     val raw = fs.open(p)
@@ -53,8 +56,8 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
         (new BufferedInputStream(raw, 1 << 16), null)
       case sc: org.apache.hadoop.io.compress.SplittableCompressionCodec
           if part.end != Long.MaxValue =>
-        val d = org.apache.hadoop.io.compress.CodecPool.getDecompressor(codec)
-        val cin = sc.createInputStream(raw, d, part.start, part.end,
+        pooledDecompressor = org.apache.hadoop.io.compress.CodecPool.getDecompressor(codec)
+        val cin = sc.createInputStream(raw, pooledDecompressor, part.start, part.end,
           org.apache.hadoop.io.compress.SplittableCompressionCodec.READ_MODE.BYBLOCK)
         (cin, cin)
       case c =>
@@ -86,7 +89,13 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    in.close()
+    if (pooledDecompressor != null) {
+      org.apache.hadoop.io.compress.CodecPool.returnDecompressor(pooledDecompressor)
+      pooledDecompressor = null
+    }
+  }
 
   /** Next `<page>` block owned by this partition. */
   private def nextPageBlock(): Option[String] = {
@@ -178,10 +187,14 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
 
     def parseRevision(rev: String): InternalRow = {
       val tsStr = tagValue(rev, "timestamp")
-      val micros =
-        if (tsStr == null) Long.MinValue
-        else java.time.Instant.parse(tsStr.trim).toEpochMilli * 1000L
-      if (micros < push.beginMicros || micros >= push.endMicros) return null
+      // absent timestamp → null column (like the other optional fields);
+      // the time-range pushdown only applies to present timestamps
+      val micros: java.lang.Long =
+        if (tsStr == null) null
+        else java.lang.Long.valueOf(
+          java.time.Instant.parse(tsStr.trim).toEpochMilli * 1000L)
+      if (micros != null &&
+        (micros < push.beginMicros || micros >= push.endMicros)) return null
       val revId = tagValue(rev, "id") match {
         case null => -1L
         case v => v.trim.toLong
@@ -215,7 +228,7 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
         case "page_namespace" => ns
         case "rev_id" => revId
         case "parent_id" => parentId
-        case "timestamp" => micros
+        case "timestamp" => if (micros == null) null else micros.longValue()
         case "user" => if (user == null) null else UTF8String.fromString(user)
         case "user_id" => userId
         case "comment" => if (comment == null) null else UTF8String.fromString(comment)

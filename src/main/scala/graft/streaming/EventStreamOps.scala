@@ -31,33 +31,53 @@ object EventStreamOps {
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,
                      n_events: Int, sum_value: Double)
 
-  /** Gap-based sessionization: a session closes when no event arrives
-    * within `gapMs` (event-time, enforced via processing-time timeout in
-    * this minimal variant). Emits one row per closed session. */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  /** Gap-based sessionization: a session closes when a later event for
+    * the key falls outside `gapMs`, or (with `idleTimeout`, the
+    * production default) when the processing-time timeout fires for an
+    * idle key — the timeout path both emits the final session and
+    * removes the key's state, so state stays bounded by the set of
+    * currently-active keys. Deterministic tests disable the timeout
+    * (timer-driven no-data micro-batches busy-loop under a 0 ms
+    * trigger); pair it with a real trigger interval in production. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 idleTimeout: Boolean = true): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[SessionState]
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
-              case Some(s) =>
-                closed += Session(userId, s.start, s.last, s.n, s.sum)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // idle key: flush the open session and drop the state
+            val out = state.getOption
+              .map(s => Session(userId, s.start, s.last, s.n, s.sum)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              if (idleTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
       }
   }
 }

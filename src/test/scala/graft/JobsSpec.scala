@@ -20,7 +20,7 @@ class JobsSpec extends AnyFunSuite {
   }
 
   test("MaxTimestamp returns the global maximum") {
-    assert(MaxTimestamp.run(spark, WikiFixtures.jsonPath) == 1577836900000L)
+    assert(MaxTimestamp.run(spark, WikiFixtures.jsonPath).contains(1577836900000L))
   }
 
   test("BuildDictionary writes a ranked dictionary") {

@@ -36,7 +36,8 @@ class StreamingSpec extends AnyFunSuite {
   test("sessionize closes a session after the gap and carries state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
-    val out = EventStreamOps.sessionize(mem.toDS(), gapMs = 60000L)
+    val out = EventStreamOps.sessionize(mem.toDS(), gapMs = 60000L,
+      idleTimeout = false) // deterministic: close via the later-event path
     val q = out.writeStream.format("memory").queryName("sess")
       .outputMode("append").start()
     try {

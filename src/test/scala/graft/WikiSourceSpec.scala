@@ -132,6 +132,10 @@ class WikiSourceSpec extends AnyFunSuite {
         |      <contributor deleted="deleted" />
         |      <text bytes="0" />
         |    </revision>
+        |    <revision>
+        |      <id>992</id>
+        |      <text bytes="1">x</text>
+        |    </revision>
         |  </page>
         |  <page>
         |    <title>Empty page</title>
@@ -142,8 +146,8 @@ class WikiSourceSpec extends AnyFunSuite {
         |""".stripMargin
     val f = Files.createTempFile("sparse", ".xml")
     Files.writeString(f, xml)
-    val rows = WikiXml.read(spark, f.toString).collect()
-    assert(rows.length == 1) // revision-less page contributes nothing
+    val rows = WikiXml.read(spark, f.toString).orderBy("rev_id").collect()
+    assert(rows.length == 2) // revision-less page contributes nothing
     val r = rows.head
     assert(r.getAs[Int]("page_namespace") == 0)   // ns defaults to 0
     assert(r.getAs[String]("text") == "")          // self-closing <text/>
@@ -151,6 +155,7 @@ class WikiSourceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("user_id") == -1L)
     assert(r.getAs[String]("comment") == null)     // absent comment
     assert(r.getAs[Long]("parent_id") == -1L)
+    assert(rows(1).getAs[java.sql.Timestamp]("timestamp") == null) // absent ts
   }
 
   test("fileNames source lists files") {
