@@ -77,6 +77,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(checks(3).getString(2) == "2024-01-02 01:00:00")
   }
 
+  test("roundUp is exact at microsecond precision") {
+    val df = Seq("2024-01-01 05:00:00.000000", "2024-01-01 05:00:00.000001")
+      .toDF("s").withColumn("ts", col("s").cast("timestamp"))
+    val out = df.select(col("s"),
+        date_format(RevisionOps.roundUp(col("ts"), 3600L), "HH:mm").as("b"))
+      .as[(String, String)].collect().toMap
+    assert(out("2024-01-01 05:00:00.000000") == "05:00") // boundary stays
+    assert(out("2024-01-01 05:00:00.000001") == "06:00") // 1µs past → next
+  }
+
   test("denseDailyCounts gap-fills missing days with 0") {
     val df = Seq(("a", "2024-01-01 10:00:00"), ("a", "2024-01-03 10:00:00"))
       .toDF("k", "s").withColumn("ts", col("s").cast("timestamp"))
