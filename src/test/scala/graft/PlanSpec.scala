@@ -64,6 +64,10 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("driver smoke: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("GraftFunctions.register exposes the UDF surface to SQL") {
     GraftFunctions.register(spark)
     import spark.implicits._
