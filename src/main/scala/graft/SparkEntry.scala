@@ -464,6 +464,33 @@ object SparkEntry {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))
     }),
 
+    "a13_id_title_map" -> ((s, _) =>
+      graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath)
+        .select(col("page_id"), col("page_title")).distinct()),
+
+    "p2_redirect_filter" -> ((s, _) =>
+      graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath,
+          Map("skipRedirects" -> "true"))
+        .select(col("rev_id"))),
+
+    "f14_iso_parse" -> ((s, _) => {
+      import s.implicits._
+      Seq((1L, "2021-03-04T05:06:07Z"), (2L, "1999-12-31T23:59:59Z"))
+        .toDF("fid", "iso")
+        .select(col("fid"),
+          date_format(GraftFunctions.isoTimestamp(col("iso")),
+            "yyyy-MM-dd HH:mm:ss").as("parsed"))
+    }),
+
+    "k4_count_only" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n_rows"))),
+
+    "o2_dict_sort" -> ((s, d) =>
+      TermOps.termStats(t(s, d, "documents"), "doc_id", "text", minDf = 5L)
+        .withColumn("term_rank",
+          row_number().over(Window.orderBy(col("term").asc)))
+        .select(col("term"), col("term_rank"))),
+
     "s6_revision_diffs" -> ((s, _) => {
       val revs = graft.sources.WikiXml
         .read(s, graft.sources.WikiFixtures.standardXmlPath)
@@ -838,6 +865,44 @@ object SparkEntry {
     "mm_bytes" ->
       "SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes FROM documents",
 
+    // rolling 31-hash with 2^64 wrap-around, HUGEINT-mod in DuckDB (the
+    // kernel iterates UTF-16 units; identical to codepoints on BMP text)
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |   THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |   AS fingerprint
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      list_transform(regexp_split_to_array(text, ''), c -> unicode(c)::HUGEINT)),
+        |      (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
+        |   length(regexp_replace(text,
+        |     '[^\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]', '', 'g')) AS cjk,
+        |   length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, cjk, nonspace,
+        |   len(list_filter(toks, x -> x IN ('the','of','and','to','in','is','that','it','was','for','with','as','on','are','this'))) AS en,
+        |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','mit','von','für','auf','den','im','zu'))) AS de,
+        |   len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','est','une','un','dans','pour','que','qui','du','au'))) AS fr,
+        |   len(list_filter(toks, x -> x IN ('el','la','los','las','de','y','es','en','un','una','que','por','con','para','del'))) AS es
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN nonspace > 0 AND cjk * 2 > nonspace THEN 'zh'
+        |  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |  WHEN en >= greatest(de, fr, es) THEN 'en'
+        |  WHEN de >= greatest(fr, es) THEN 'de'
+        |  WHEN fr >= es THEN 'fr'
+        |  ELSE 'es' END AS pred_lang
+        |FROM c""".stripMargin,
+
     "text_stopword_ratio" ->
       """SELECT doc_id, round(
         | CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -926,6 +991,27 @@ object SparkEntry {
         |WHERE prev_value IS NULL
         |  OR abs(value - prev_value) / greatest(abs(prev_value), 1.0) > 0.1
         |GROUP BY user_id""".stripMargin,
+
+    "a13_id_title_map" ->
+      """SELECT CAST(col0 AS BIGINT) AS page_id, col1 AS page_title
+        |FROM (VALUES (10, 'Alpha & Beta'), (20, 'Old name'),
+        | (30, 'Category:Things')) t""".stripMargin,
+
+    "p2_redirect_filter" ->
+      """SELECT CAST(col0 AS BIGINT) AS rev_id
+        |FROM (VALUES (101), (102), (103), (301)) t""".stripMargin,
+
+    "f14_iso_parse" ->
+      """SELECT CAST(col0 AS BIGINT) AS fid, col1 AS parsed FROM (VALUES
+        | (1, '2021-03-04 05:06:07'), (2, '1999-12-31 23:59:59')) t""".stripMargin,
+
+    "k4_count_only" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+
+    "o2_dict_sort" ->
+      s"""SELECT term, CAST(row_number() OVER (ORDER BY term ASC) AS INT) AS term_rank
+         |FROM (SELECT term FROM ($tfSub) GROUP BY term
+         |      HAVING count(*) >= 5)""".stripMargin,
 
     "s6_revision_diffs" ->
       """SELECT CAST(col0 AS BIGINT) AS rev_id, CAST(col1 AS INT) AS n_deltas
