@@ -836,6 +836,16 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin,
 
+    // exact brute-force mirror: above the threshold the LSH-bucketed
+    // result equals the exact result (both empty on this corpus — the
+    // check still validates schema and the absence of false positives)
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99""".stripMargin,
+
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),
