@@ -955,6 +955,32 @@ object SparkEntry {
       """SELECT CAST(col0 AS BIGINT) AS event_id
         |FROM (VALUES (2), (3), (5), (6)) t(col0)""".stripMargin,
 
+    // the exact carry semantics, replayed sequentially per user by a
+    // recursive CTE: n_kept = 1 (final buffer flush) + #emit transitions
+    "s8_sampler_events" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, 1 AS rn, abs(value) AS buf_len, 0 AS emits
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn + 1,
+        |   CASE
+        |     WHEN abs(abs(r.value) - greatest(abs(s.buf_len), 1.0))
+        |       / greatest(abs(s.buf_len), 1.0) < 0.01 THEN abs(r.value)
+        |     WHEN abs(abs(r.value) - greatest(abs(s.buf_len), 1.0))
+        |       / greatest(abs(s.buf_len), 1.0) > 0.1 THEN abs(r.value)
+        |     ELSE s.buf_len END,
+        |   s.emits + CASE
+        |     WHEN abs(abs(r.value) - greatest(abs(s.buf_len), 1.0))
+        |       / greatest(abs(s.buf_len), 1.0) > 0.1 THEN 1
+        |     ELSE 0 END
+        |  FROM s JOIN r ON r.user_id = s.user_id AND r.rn = s.rn + 1)
+        |SELECT user_id, CAST(max_by(emits, rn) + 1 AS BIGINT) AS n_kept
+        |FROM s GROUP BY user_id""".stripMargin,
+
     "st_windowed_counts" ->
       """SELECT col0 AS w_start, CAST(col1 AS BIGINT) AS user_id,
         | CAST(col2 AS BIGINT) AS n_events
