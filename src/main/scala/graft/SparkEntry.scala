@@ -25,10 +25,11 @@ object SparkEntry {
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-  /** Flagship query on sf=0.001 — the J1-style broadcast join pipeline:
-    * orders ⋈ customer ⋈ nation, revenue by nation/segment. */
+  /** Flagship query — the J1-style broadcast join pipeline:
+    * orders ⋈ customer ⋈ nation, revenue by nation/segment. Data dir
+    * comes from SPARK_GRAFT_SF_DIR (driver contract default: sf0.001). */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     t(spark, dir, "orders")
       .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -273,7 +274,8 @@ object SparkEntry {
 
     "dedup_minhash_cand" -> ((s, d) =>
       DedupOps.verifiedNearDups(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.4)),
+          threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
 
     "dedup_simhash" -> ((s, d) =>
       DedupOps.simhashCandidates(t(s, d, "documents"), "doc_id", "text")
@@ -283,8 +285,23 @@ object SparkEntry {
       DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
 
-    "dedup_embedding" -> ((s, d) =>
-      SimilarityOps.embeddingNearDups(t(s, d, "embeddings"), threshold = 0.99)),
+    "dedup_embedding" -> ((s, d) => {
+      import s.implicits._
+      // planted identical-vector pairs (ids far above the corpus range):
+      // the organic corpus has no pair ≥ 0.99, so without them the oracle
+      // hash-match would only ever prove the *absence* of false positives
+      def v(f: Int => Float) = (0 until 64).map(f).toArray
+      val planted = Seq(
+        (9000001L, v(i => (i + 1).toFloat)),
+        (9000002L, v(i => (i + 1).toFloat)),
+        (9000003L, v(i => ((i * 37) % 64 + 1).toFloat)),
+        (9000004L, v(i => ((i * 37) % 64 + 1).toFloat)),
+        (9000005L, v(i => ((i * 11) % 64 + 1).toFloat))
+      ).toDF("vec_id", "embedding")
+      SimilarityOps.embeddingNearDups(
+        t(s, d, "embeddings").select("vec_id", "embedding").unionByName(planted),
+        threshold = 0.99)
+    }),
 
     "ann_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -304,6 +321,7 @@ object SparkEntry {
 
     "ann_lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
       SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("nbr_id"), round(col("sim"), 4).as("sim"),
           col("rank"))
@@ -622,7 +640,59 @@ object SparkEntry {
       PageviewOps.pipeline(lines, days = 5)
         .select(col("title"), col("total"),
           posexplode(col("daily")).as(Seq("day", "views")))
-    })
+    }),
+
+    "j6_wikistats" -> ((s, _) => {
+      // J6 end-to-end: pageview agg → redirect re-merge → re-aggregate →
+      // title→id join (reference: etc/match_wikistats.sh:34-41,
+      // python/local_redirect.py:12-36)
+      import s.implicits._
+      val lines = Seq(
+        "en.z Foo_bar#x 10 AB5C3,CA1B2",
+        "en.z foo_bar 7 AA7",
+        "en.z Old_name 4 BA4",
+        "de.z Ignored 5 AA5",
+        "en.z Baz 2 BA2").toDF("value")
+      val redirects = Seq(("Old_name", "Baz")).toDF("src_title", "dst_title")
+      val idmap = Seq(("Foo_bar", 100L), ("Baz", 200L), ("Other", 300L))
+        .toDF("rtitle", "page_id")
+      graft.jobs.MatchWikistats.chain(lines, redirects, idmap, days = 5)
+        .select(col("page_id"), col("title"), col("total"),
+          posexplode(col("daily")).as(Seq("day", "views")))
+    }),
+
+    // ---- sink round-trips (K1/K5/K7): write with the engine's sink, read
+    // back, emit rows; the oracle reads the original table directly ----
+    "k1_tsv_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_k1").toString
+      graft.sources.GraftSinks.writeTsv(
+        t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        dir)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("sep", "\t").csv(dir)
+    }),
+
+    "k5_json_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_k5").toString
+      graft.sources.GraftSinks.writeJson(
+        t(s, d, "region").select(col("r_regionkey"), col("r_name")), dir)
+      s.read.schema("r_regionkey INT, r_name STRING").json(dir)
+    }),
+
+    "k7_dict_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_k7").toString
+      graft.sources.GraftSinks.writeDictionary(
+        TermOps.dictionary(t(s, d, "documents"), "doc_id", "text", minDf = 5L), dir)
+      s.read.parquet(dir)
+    }),
+
+    "s10_time_window_scan" -> ((s, _) =>
+      // S10: beginTime inclusive (rev 101 sits exactly on it), endTime
+      // exclusive (rev 103 sits exactly on it) — the half-open contract
+      graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath,
+          Map("beginTime" -> "2020-01-01T00:00:00Z",
+            "endTime" -> "2021-01-01T00:00:00Z"))
+        .select(col("rev_id")))
   )
 
   // ---------------------------------------------------------------------
@@ -632,6 +702,39 @@ object SparkEntry {
   private val tokensSub =
     """SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
       |FROM documents""".stripMargin
+
+  /** Mirrors `SimilarityOps.cosine` op-for-op (sequential left-fold dot and
+    * norms over 64-dim double arrays, then dot/(na*nb)) so DuckDB produces
+    * bit-identical doubles. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $a[i] * $b[i])), (acc, x) -> acc + x) / " +
+      s"(sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $a[i] * $a[i])), (acc, x) -> acc + x)) * " +
+      s"sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $b[i] * $b[i])), (acc, x) -> acc + x))))"
+
+  /** Mirrors `SimilarityOps.hash32` (multiply/xorshift/multiply, all
+    * intermediates < 2^63 → plain BIGINT SQL) for an arbitrary key expr. */
+  private def hash32Sql(k: String): String =
+    s"((xor((($k * 2654435761) % 4294967296), ((($k * 2654435761) % 4294967296) // 65536)) * 1540483477) % 4294967296)"
+
+  /** Mirrors `SimilarityOps.planeWeight(p, i-1, 64)` for column `p` and
+    * 1-based lambda index `i`. */
+  private val planeWeightSql: String =
+    hash32Sql("(p*64 + i)") + " / 2147483648.0 - 1.0"
+
+  /** Hyperplane signature CTEs shared by the LSH oracle: per-plane dots
+    * folded in dimension order exactly like `SimilarityOps.signBits`. */
+  private val lshSigSub: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p,
+       |   list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+       |     i -> emb[i] * ($planeWeightSql))), (acc, x) -> acc + x) AS dot
+       |  FROM e, unnest(generate_series(0, 11)) AS t(p)),
+       |sig AS (
+       |  SELECT vec_id,
+       |   CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+       |     AS bucket
+       |  FROM dots GROUP BY vec_id)""".stripMargin
 
   private val tfSub =
     s"""SELECT doc_id, term, count(*) AS tf FROM ($tokensSub)
@@ -836,15 +939,167 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin,
 
-    // exact brute-force mirror: above the threshold the LSH-bucketed
-    // result equals the exact result (both empty on this corpus — the
-    // check still validates schema and the absence of false positives)
+    // exact computation of what the LSH+verify pipeline approximates: all
+    // pairs with shingle-SET jaccard ≥ 0.4 (docs all have ≥ 10 tokens, so
+    // the <k-token single-shingle rule never fires). A hash match proves
+    // the banded-MinHash candidates had no false negatives on this corpus
+    // and the verify stage computed the exact same jaccard values.
+    "dedup_minhash_cand" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 0))) AS t(i)
+        |  WHERE len(a) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida AS id_a, idb AS id_b,
+        | round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4""".stripMargin,
+
+    // full replication of the SimHash kernel: FNV-1a per token in HUGEINT
+    // (the xor only ever touches the low 7 bits — ASCII tokens — so it
+    // runs in BIGINT), per-bit majority votes, 16-bit chunk buckets,
+    // hamming over the xor of the signed signatures
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |   list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |     list_transform(regexp_split_to_array(tok, ''), c -> unicode(c)::HUGEINT)),
+        |     (h, c) -> ((h - h % 128 +
+        |       xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT))::HUGEINT)
+        |       * 1099511628211) % 18446744073709551616::HUGEINT) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |   sum(CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM th, unnest(generate_series(0, 63)) AS t(b)
+        |  GROUP BY doc_id, b),
+        |sigs AS (
+        |  SELECT doc_id,
+        |   sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS su
+        |  FROM bits GROUP BY doc_id),
+        |sigc AS (
+        |  SELECT doc_id,
+        |   CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+        |     THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS sig,
+        |   CAST(su % 65536 AS BIGINT) AS c0,
+        |   CAST((su // 65536) % 65536 AS BIGINT) AS c1,
+        |   CAST((su // 4294967296) % 65536 AS BIGINT) AS c2,
+        |   CAST((su // 281474976710656) % 65536 AS BIGINT) AS c3
+        |  FROM sigs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sigc a JOIN sigc b ON a.doc_id < b.doc_id
+        | AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 8""".stripMargin,
+
+    // stubDecode replicated in HUGEINT: base-31 rolling hash mod 2^64 over
+    // the first 1024 bytes (ASCII text → bytes = codepoints), unsigned
+    // field extraction
+    "mm_media_meta" ->
+      """WITH h AS (
+        |  SELECT doc_id, strlen(text) AS nb,
+        |   list_reduce(list_prepend(0::HUGEINT,
+        |     list_transform(regexp_split_to_array(substr(text, 1, 1024), ''),
+        |       c -> unicode(c)::HUGEINT)),
+        |     (hh, c) -> (hh * 31 + c) % 18446744073709551616::HUGEINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(64 + hv % 1024 AS INT) AS width,
+        | CAST(64 + (hv // 65536) % 1024 AS INT) AS height,
+        | CASE (hv // 4294967296) % 3
+        |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        | CAST(nb AS BIGINT) AS n_bytes
+        |FROM h""".stripMargin,
+
+    // exact brute-force mirror over corpus ∪ planted vectors: the planted
+    // identical pairs are guaranteed same-bucket in the LSH path, so the
+    // hash match now proves presence (2 pairs) as well as absence of false
+    // positives across all organic pairs
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99""".stripMargin,
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT 9000000 + j AS vec_id,
+         |   list_transform(generate_series(0, 63), i -> CAST(
+         |     CASE WHEN j <= 2 THEN i + 1
+         |          WHEN j <= 4 THEN (i * 37) % 64 + 1
+         |          ELSE (i * 11) % 64 + 1 END AS DOUBLE)) AS emb
+         |  FROM unnest(generate_series(1, 5)) AS t(j))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(${cosSql("a.emb", "b.emb")}, 4) AS sim
+         |FROM base a JOIN base b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.emb", "b.emb")} >= 0.99""".stripMargin,
+
+    // full replication of the hyperplane-LSH path: signatures, the 5
+    // probe buckets (original + single-bit flips of bits 0-3), bucket
+    // join, exact cosine, per-query rank
+    "ann_lsh_topk" ->
+      s"""WITH $lshSigSub,
+         |qsig AS (
+         |  SELECT e.vec_id AS query_id, e.emb AS q_emb,
+         |   CASE WHEN b = -1 THEN s.bucket
+         |        ELSE xor(s.bucket, 1::BIGINT << b) END AS bucket
+         |  FROM e JOIN sig s USING (vec_id),
+         |       unnest(generate_series(-1, 3)) AS t(b)
+         |  WHERE e.vec_id < 10),
+         |cand AS (
+         |  SELECT q.query_id, q.q_emb, ce.vec_id AS nbr_id, ce.emb AS nbr_emb
+         |  FROM qsig q JOIN sig c ON q.bucket = c.bucket
+         |       JOIN e ce ON ce.vec_id = c.vec_id
+         |  WHERE c.vec_id <> q.query_id),
+         |scored AS (
+         |  SELECT query_id, nbr_id, ${cosSql("q_emb", "nbr_emb")} AS sim FROM cand),
+         |r AS (
+         |  SELECT query_id, nbr_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    // full replication of the IVF path: deterministic hashed centroid
+    // pick, nearest-cell assignment (keep 1 corpus / 3 probe), cell-local
+    // scoring, per-query rank
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+         |  ORDER BY ${hash32Sql("(vec_id + 1)")}, vec_id LIMIT 16),
+         |cscore AS (
+         |  SELECT e.vec_id, e.emb, c.cent_id,
+         |   ${cosSql("e.emb", "c.cent_emb")} AS csim
+         |  FROM e CROSS JOIN cents c),
+         |ranked AS (
+         |  SELECT vec_id, emb, cent_id,
+         |   row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY csim DESC, cent_id ASC) AS crank
+         |  FROM cscore),
+         |cells AS (SELECT vec_id AS nbr_id, emb AS nbr_emb, cent_id
+         |          FROM ranked WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, emb AS q_emb, cent_id
+         |           FROM ranked WHERE vec_id < 10 AND crank <= 3),
+         |scored AS (
+         |  SELECT p.query_id, n.nbr_id,
+         |   ${cosSql("p.q_emb", "n.nbr_emb")} AS sim
+         |  FROM cells n JOIN probes p USING (cent_id)
+         |  WHERE n.nbr_id <> p.query_id),
+         |r AS (
+         |  SELECT query_id, nbr_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
+         |WHERE rank <= 5""".stripMargin,
 
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -1173,6 +1428,36 @@ object SparkEntry {
         | ('Foo_bar', 17, 0, 15), ('Foo_bar', 17, 1, 0), ('Foo_bar', 17, 2, 3),
         | ('Foo_bar', 17, 3, 0), ('Foo_bar', 17, 4, 0),
         | ('Baz', 2, 0, 0), ('Baz', 2, 1, 2), ('Baz', 2, 2, 0),
-        | ('Baz', 2, 3, 0), ('Baz', 2, 4, 0)) t""".stripMargin
+        | ('Baz', 2, 3, 0), ('Baz', 2, 4, 0)) t""".stripMargin,
+
+    // hand-traced: Foo_bar#x + foo_bar normalize-merge (17 = 10+7, daily
+    // 15@d0 + 3@d2); Old_name (4@d1) redirect-resolves into Baz (2@d1) →
+    // 6@d1; de.z filtered; 'Other' has no pageviews → inner join drops it
+    "j6_wikistats" ->
+      """SELECT CAST(col0 AS BIGINT) AS page_id, col1 AS title,
+        | CAST(col2 AS BIGINT) AS total, CAST(col3 AS INT) AS day,
+        | CAST(col4 AS INT) AS views
+        |FROM (VALUES
+        | (100, 'Foo_bar', 17, 0, 15), (100, 'Foo_bar', 17, 1, 0),
+        | (100, 'Foo_bar', 17, 2, 3), (100, 'Foo_bar', 17, 3, 0),
+        | (100, 'Foo_bar', 17, 4, 0),
+        | (200, 'Baz', 6, 0, 0), (200, 'Baz', 6, 1, 6), (200, 'Baz', 6, 2, 0),
+        | (200, 'Baz', 6, 3, 0), (200, 'Baz', 6, 4, 0)) t""".stripMargin,
+
+    "k1_tsv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "k5_json_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region",
+
+    "k7_dict_roundtrip" ->
+      s"""SELECT term, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS id,
+         | df, cf
+         |FROM (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |      FROM ($tfSub) GROUP BY term HAVING count(*) >= 5)""".stripMargin,
+
+    "s10_time_window_scan" ->
+      """SELECT CAST(col0 AS BIGINT) AS rev_id
+        |FROM (VALUES (101), (102)) t""".stripMargin
   )
 }

@@ -63,6 +63,46 @@ object PreprocessEZPageviews {
     run(Jobs.session(), args(0), args(1), args(2).toInt)
 }
 
+/** J6 — the full `match_wikistats` chain (reference:
+  * etc/match_wikistats.sh:34-41 + python/local_redirect.py:12-36):
+  * pagecounts-ez lines → per-title daily vectors (PageviewOps.pipeline) →
+  * redirect resolution (left join + coalesce, re-merging titles that
+  * resolve to the same target) → re-aggregate → title→page_id join.
+  *
+  * Scale stance: redirect and id maps are dimension tables (≤ tens of
+  * millions of rows) → broadcast joins, so the only shuffles are the two
+  * title aggregations, both with map-side partial aggregation.
+  */
+object MatchWikistats {
+  import graft.functions.IntVectorSum
+
+  def chain(lines: DataFrame, redirects: DataFrame, idmap: DataFrame,
+            days: Int): DataFrame = {
+    val pv = PageviewOps.pipeline(lines, days)
+    val resolved = pv
+      .join(broadcast(redirects), pv("title") === redirects("src_title"), "left")
+      .select(coalesce(col("dst_title"), pv("title")).as("title"),
+        col("total"), col("daily"))
+      .groupBy(col("title"))
+      .agg(sum(col("total")).as("total"),
+        udaf(IntVectorSum).apply(col("daily")).as("daily"))
+    resolved.join(broadcast(idmap), resolved("title") === idmap("rtitle"))
+      .select(col("page_id"), resolved("title"), col("total"), col("daily"))
+  }
+
+  /** `<pv-lines> <redirect-tsv src dst> <idmap-tsv title id> <days> <out>` */
+  def main(args: Array[String]): Unit = {
+    val spark = Jobs.session()
+    val redirects = spark.read.option("sep", "\t")
+      .schema("src_title STRING, dst_title STRING").csv(args(1))
+    val idmap = spark.read.option("sep", "\t")
+      .schema("rtitle STRING, page_id BIGINT").csv(args(2))
+    GraftSinks.writeParquet(
+      chain(spark.read.text(args(0)).toDF("value"), redirects, idmap,
+        args(3).toInt), args(4))
+  }
+}
+
 /** Reference: mapreduce/FastExtractTemporalAnchorText.java — sampled
   * anchor extraction over revision XML with the ETL change-ratio
   * semantics. */

@@ -24,15 +24,19 @@ object MultimodalOps {
 
   /** Deterministic fake decode: in production this calls the real codec
     * (??? behind this seam); dimensions are derived from a stable byte
-    * hash so tests are reproducible. */
+    * hash so tests are reproducible. The hash is the base-31 rolling hash
+    * mod 2^64 over the first 1024 *unsigned* bytes with unsigned
+    * extraction of the w/h/format fields, so the DuckDB oracle can
+    * replicate it with HUGEINT arithmetic (same trick as the
+    * `text_fingerprint` oracle). */
   def stubDecode(bytes: Array[Byte]): (Int, Int, String, Long) = {
     if (bytes == null || bytes.isEmpty) return (0, 0, "empty", 0L)
-    var h = 1125899906842597L
+    var h = 0L
     var i = 0
-    while (i < math.min(bytes.length, 1024)) { h = 31 * h + bytes(i); i += 1 }
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >> 16, 1024).toInt
-    val fmt = Seq("png", "jpeg", "webp")(math.floorMod(h >> 32, 3).toInt)
+    while (i < math.min(bytes.length, 1024)) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+    val w = 64 + (h & 1023L).toInt
+    val ht = 64 + ((h >>> 16) & 1023L).toInt
+    val fmt = Seq("png", "jpeg", "webp")(((h >>> 32) % 3L).toInt)
     (w, ht, fmt, bytes.length.toLong)
   }
 

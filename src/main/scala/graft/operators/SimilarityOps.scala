@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Hashing
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`Array[Float]`), per the driver brief.
@@ -44,14 +43,28 @@ object SimilarityOps {
       .select("query_id", "nbr_id", "sim", "rank")
   }
 
-  /** Deterministic random hyperplanes: plane p, dim d weight =
-    * mix(p*dims + d) scaled to [-1, 1). */
-  private def planeWeight(p: Int, d: Int, dims: Int): Float = {
-    val h = Hashing.mix(p.toLong * dims + d)
-    (h.toDouble / Long.MaxValue.toDouble).toFloat
+  /** 32-bit multiply/xorshift/multiply hash. Chosen (over splitmix64) so
+    * the DuckDB oracle can replicate it with plain BIGINT arithmetic: every
+    * intermediate stays below 2^63 (max product (2^32-1)*1540483477), so no
+    * 128-bit math and no unsigned-shift emulation is needed in SQL. */
+  private[graft] def hash32(k: Long): Long = {
+    val u1 = (k * 2654435761L) & 0xffffffffL
+    ((u1 ^ (u1 >>> 16)) * 1540483477L) & 0xffffffffL
   }
 
-  private def signBits(emb: Seq[Float], planes: Int): Long = {
+  /** Deterministic random hyperplanes: plane p, dim d weight =
+    * hash32(p*dims + d + 1) scaled to [-1, 1). */
+  private[graft] def planeWeight(p: Int, d: Int, dims: Int): Double =
+    hash32(p.toLong * dims + d + 1L).toDouble / 2147483648.0 - 1.0
+
+  /** Column-side hash32 of an id (same function, usable inside codegen —
+    * no UDF). Operands stay < 2^63 so ANSI overflow checks never fire. */
+  private[graft] def hash32Col(c: Column): Column = {
+    val u1 = (c * lit(2654435761L)) % lit(4294967296L)
+    ((u1.bitwiseXOR(shiftright(u1, 16))) * lit(1540483477L)) % lit(4294967296L)
+  }
+
+  private[graft] def signBits(emb: Seq[Double], planes: Int): Long = {
     if (emb == null) return 0L
     val dims = emb.length
     var sig = 0L
@@ -81,7 +94,7 @@ object SimilarityOps {
     // nCentroids — orderBy+limit plans as TakeOrderedAndProject (one
     // pass, per-partition top-k heaps), no global sort shuffle
     val cents = corpus
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(hash32Col(col("vec_id") + lit(1L)), col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     def assign(df: DataFrame, idCol: String, embCol: String, keep: Int) = {
@@ -113,7 +126,7 @@ object SimilarityOps {
     * MinHash/Jaccard dedup for semantically-identical documents. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
                         planes: Int = 8, maxBucket: Int = 2000): DataFrame = {
-    val sigUdf = udf((e: Seq[Float]) => signBits(e, planes))
+    val sigUdf = udf((e: Seq[Double]) => signBits(e, planes))
     val keyed = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
     val a = keyed.select(col("bucket"), col("vec_id").as("id_a"),
@@ -135,7 +148,7 @@ object SimilarityOps {
     * misses. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 12, probes: Int = 4): DataFrame = {
-    val sigUdf = udf((e: Seq[Float]) => signBits(e, planes))
+    val sigUdf = udf((e: Seq[Double]) => signBits(e, planes))
     val probeUdf = udf((sig: Long) =>
       sig +: (0 until math.min(probes, planes)).map(b => sig ^ (1L << b)))
     val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
