@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object IndexSplits {
 
-  def scanOffsets(file: String): Seq[Long] = {
+  def scanOffsets(file: String,
+                  conf: Configuration = new Configuration()): Seq[Long] = {
     if (file.endsWith(".bz2") || file.endsWith(".gz")) return Seq.empty
     val p = new Path(file)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, conf)
     val in = new BufferedInputStream(fs.open(p), 1 << 16)
     try {
       val tag = "<page>".getBytes("UTF-8")
@@ -41,10 +42,15 @@ object IndexSplits {
     } finally in.close()
   }
 
-  private val offsetsUdf = udf((f: String) => scanOffsets(f))
-
-  /** (file_name, offset) rows — write with `GraftSinks.writeSplitIndex`. */
-  def build(spark: SparkSession, path: String): DataFrame =
+  /** (file_name, offset) rows — write with `GraftSinks.writeSplitIndex`.
+    * The session Hadoop conf (fs credentials, defaultFS) ships to the
+    * executor-side scans via SerializableConfiguration, same as the
+    * wikirev reader factory. */
+  def build(spark: SparkSession, path: String): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val offsetsUdf = udf((f: String) => scanOffsets(f, conf.value))
     WikiXml.fileNames(spark, path)
       .select(col("file_name"), explode(offsetsUdf(col("file_name"))).as("offset"))
+  }
 }

@@ -123,9 +123,20 @@ class WikiRevisionScan(props: Map[String, String], required: StructType,
     // Optional precomputed page-offset index (S19): partition boundaries
     // land exactly on <page> tags — the reader's boundary scan starts at
     // a page, so no bytes are parsed twice across partitions.
+    //
+    // The index is aggregated IN SPARK down to ~one range start per
+    // maxSplitBytes (min page offset per file × size bucket) before the
+    // driver collects it: planning memory is O(fileBytes / maxSplit), not
+    // O(pages). A full enwiki history index (~60M page offsets) would
+    // otherwise be GBs of driver heap; the aggregate is a few thousand
+    // range starts. Buckets with no page start simply merge into the
+    // previous range.
     val index: Map[String, Seq[Long]] = props.get("splitIndex").map { ip =>
+      import org.apache.spark.sql.functions.{col, expr, min}
       org.apache.spark.sql.SparkSession.active.read.parquet(ip)
-        .select("file_name", "offset")
+        .groupBy(col("file_name"), expr(s"offset div $maxSplit").as("bucket"))
+        .agg(min(col("offset")).as("start"))
+        .select("file_name", "start")
         .collect()
         .groupBy(_.getString(0))
         .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq.sorted }
@@ -142,15 +153,12 @@ class WikiRevisionScan(props: Map[String, String], required: StructType,
       else if (p.endsWith(".bz2") || p.endsWith(".gz") || st.getLen <= maxSplit)
         Seq(WikiRevisionInputPartition(p, 0L, Long.MaxValue))
       else index.get(p) match {
-        case Some(offsets) if offsets.nonEmpty =>
-          // group consecutive page offsets into ~maxSplit-sized ranges
-          val parts = scala.collection.mutable.ArrayBuffer.empty[WikiRevisionInputPartition]
-          var start = offsets.head
-          offsets.tail.foreach { o =>
-            if (o - start >= maxSplit) { parts += WikiRevisionInputPartition(p, start, o); start = o }
+        case Some(starts) if starts.nonEmpty =>
+          // consecutive page-aligned range starts → partitions; the last
+          // range runs to EOF
+          starts.zip(starts.tail :+ Long.MaxValue).map { case (s, e) =>
+            WikiRevisionInputPartition(p, s, e)
           }
-          parts += WikiRevisionInputPartition(p, start, Long.MaxValue)
-          parts.toSeq
         case _ =>
           val n = ((st.getLen + maxSplit - 1) / maxSplit).toInt
           (0 until n).map(i => WikiRevisionInputPartition(p, i * maxSplit,

@@ -89,6 +89,27 @@ class WikiSourceSpec extends AnyFunSuite {
       plain.agg(sum("rev_id")).as[Long].head())
   }
 
+  test("split index planning set is O(ranges), not O(pages)") {
+    val f = Files.createTempFile("idxwiki2", ".xml")
+    Files.writeString(f, graft.sources.WikiFixtures.bigXml(120))
+    val idx = graft.sources.IndexSplits.build(spark, f.toString)
+    assert(idx.count() == 120)
+    val idxPath = Files.createTempDirectory("idx2").toString + "/index"
+    graft.sources.GraftSinks.writeSplitIndex(idx, idxPath)
+    val maxSplit = 4000L
+    val indexed = WikiXml.read(spark, f.toString,
+      Map("maxSplitBytes" -> maxSplit.toString, "splitIndex" -> idxPath))
+    // the driver plans from the Spark-side aggregate: at most one range
+    // start per maxSplit-sized bucket — never one per page
+    val nParts = indexed.rdd.getNumPartitions
+    assert(nParts <= Files.size(f) / maxSplit + 1)
+    assert(nParts < 120)
+    val plain = WikiXml.read(spark, f.toString)
+    assert(indexed.count() == plain.count())
+    assert(indexed.agg(sum("rev_id")).as[Long].head() ==
+      plain.agg(sum("rev_id")).as[Long].head())
+  }
+
   test("bz2-compressed dumps read as a single partition") {
     val conf = new org.apache.hadoop.conf.Configuration()
     val codec = new org.apache.hadoop.io.compress.BZip2Codec()
