@@ -692,7 +692,92 @@ object SparkEntry {
       graft.sources.WikiXml.read(s, graft.sources.WikiFixtures.standardXmlPath,
           Map("beginTime" -> "2020-01-01T00:00:00Z",
             "endTime" -> "2021-01-01T00:00:00Z"))
-        .select(col("rev_id")))
+        .select(col("rev_id"))),
+
+    "k2_parquet_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_k2").toString
+      graft.sources.GraftSinks.writeParquet(
+        t(s, d, "region").select(col("r_regionkey"), col("r_name")), dir,
+        compression = "zstd")
+      s.read.parquet(dir)
+    }),
+
+    "k6_compressed_sink" -> ((s, d) => {
+      // K6: compression option on the TSV sink (gzip), transparent on read
+      val dir = java.nio.file.Files.createTempDirectory("graft_k6").toString
+      graft.sources.GraftSinks.writeTsv(
+        t(s, d, "nation").select(col("n_nationkey"), col("n_name")), dir,
+        compression = Some("gzip"))
+      s.read.schema("n_nationkey INT, n_name STRING")
+        .option("sep", "\t").csv(dir)
+    }),
+
+    "s17_file_names" -> ((s, _) => {
+      // S17: one row per dump file in a directory (FileNullInputFormat)
+      val dir = java.nio.file.Files.createTempDirectory("graft_s17")
+      java.nio.file.Files.writeString(dir.resolve("a.xml"), "<x/>")
+      java.nio.file.Files.writeString(dir.resolve("b.xml"), "<y/>")
+      java.nio.file.Files.writeString(dir.resolve("c.xml"), "<z/>")
+      graft.sources.WikiXml.fileNames(s, dir.toString)
+        .agg(count(lit(1)).as("n_files"))
+    }),
+
+    "s19_split_index" -> ((s, _) => {
+      // S19: the split-index build finds exactly one offset per <page>,
+      // strictly increasing within the file
+      val f = java.nio.file.Files.createTempFile("graft_s19", ".xml")
+      java.nio.file.Files.writeString(f, graft.sources.WikiFixtures.bigXml(60))
+      val idx = graft.sources.IndexSplits.build(s, f.toString)
+      idx.agg(count(lit(1)).as("n_offsets"),
+        countDistinct(col("offset")).as("n_distinct"),
+        (min(col("offset")) >= 0).as("non_negative"))
+    }),
+
+    "st_sessions" -> ((s, _) => {
+      // streaming sessionizer through the gate: deterministic two-batch
+      // trace; sessions close via the later-event gap path (timeout off)
+      implicit val sq = s.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.sessionize(mem.toDS(), gapMs = 60000L,
+          idleTimeout = false)
+        .writeStream.format("memory").queryName("st_sess_out")
+        .outputMode("append").start()
+      // epoch millis directly (Timestamp.valueOf would shift with the
+      // JVM default zone and break the literal oracle)
+      def e(u: Long, ms: Long, v: Double) =
+        EventStreamOps.Event(u, new java.sql.Timestamp(1700000000000L + ms), v)
+      try {
+        mem.addData(e(1, 0L, 1.0), e(1, 30000L, 2.0), e(2, 10000L, 4.0))
+        q.processAllAvailable()
+        mem.addData(e(1, 3600000L, 5.0), e(2, 3600000L, 6.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("st_sess_out")
+        .select(col("user_id"), col("start_ms"), col("end_ms"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    "curate_docs" -> ((s, d) => {
+      // composed training-data curation pipeline: exact-dedup survivors →
+      // quality floor (≥ 20 tokens) → language filter (en) — the same
+      // shape a 100 TB pretraining-corpus pass runs, built entirely from
+      // the proven operator pieces
+      val docs = t(s, d, "documents")
+      val keep = DedupOps.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val quality = TextAnalysisOps.qualityMetrics(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      val lang = TextAnalysisOps.withLangId(docs, "text")
+        .select(col("doc_id"), col("pred_lang"))
+      docs.select(col("doc_id"))
+        .join(keep, Seq("doc_id"))
+        .join(quality, Seq("doc_id")).filter(col("n_tokens") >= 20)
+        .join(lang, Seq("doc_id")).filter(col("pred_lang") === "en")
+        .select(col("doc_id"), col("n_tokens"), col("pred_lang"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -739,6 +824,31 @@ object SparkEntry {
   private val tfSub =
     s"""SELECT doc_id, term, count(*) AS tf FROM ($tokensSub)
        |WHERE term <> '' GROUP BY doc_id, term""".stripMargin
+
+  /** (doc_id, pred_lang) — shared by text_lang_id and curate_docs. */
+  private val langIdSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
+      |   length(regexp_replace(text,
+      |     '[^\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]', '', 'g')) AS cjk,
+      |   length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, cjk, nonspace,
+      |   len(list_filter(toks, x -> x IN ('the','of','and','to','in','is','that','it','was','for','with','as','on','are','this'))) AS en,
+      |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','mit','von','für','auf','den','im','zu'))) AS de,
+      |   len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','est','une','un','dans','pour','que','qui','du','au'))) AS fr,
+      |   len(list_filter(toks, x -> x IN ('el','la','los','las','de','y','es','en','un','una','que','por','con','para','del'))) AS es
+      |  FROM t)
+      |SELECT doc_id, CASE
+      |  WHEN nonspace > 0 AND cjk * 2 > nonspace THEN 'zh'
+      |  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+      |  WHEN en >= greatest(de, fr, es) THEN 'en'
+      |  WHEN de >= greatest(fr, es) THEN 'de'
+      |  WHEN fr >= es THEN 'fr'
+      |  ELSE 'es' END AS pred_lang
+      |FROM c""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1144,29 +1254,7 @@ object SparkEntry {
         |      (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS h
         |  FROM documents)""".stripMargin,
 
-    "text_lang_id" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
-        |   length(regexp_replace(text,
-        |     '[^\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]', '', 'g')) AS cjk,
-        |   length(regexp_replace(text, '\s', '', 'g')) AS nonspace
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, cjk, nonspace,
-        |   len(list_filter(toks, x -> x IN ('the','of','and','to','in','is','that','it','was','for','with','as','on','are','this'))) AS en,
-        |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','mit','von','für','auf','den','im','zu'))) AS de,
-        |   len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','est','une','un','dans','pour','que','qui','du','au'))) AS fr,
-        |   len(list_filter(toks, x -> x IN ('el','la','los','las','de','y','es','en','un','una','que','por','con','para','del'))) AS es
-        |  FROM t)
-        |SELECT doc_id, CASE
-        |  WHEN nonspace > 0 AND cjk * 2 > nonspace THEN 'zh'
-        |  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
-        |  WHEN en >= greatest(de, fr, es) THEN 'en'
-        |  WHEN de >= greatest(fr, es) THEN 'de'
-        |  WHEN fr >= es THEN 'fr'
-        |  ELSE 'es' END AS pred_lang
-        |FROM c""".stripMargin,
+    "text_lang_id" -> langIdSql,
 
     "text_stopword_ratio" ->
       """SELECT doc_id, round(
@@ -1458,6 +1546,39 @@ object SparkEntry {
 
     "s10_time_window_scan" ->
       """SELECT CAST(col0 AS BIGINT) AS rev_id
-        |FROM (VALUES (101), (102)) t""".stripMargin
+        |FROM (VALUES (101), (102)) t""".stripMargin,
+
+    "k2_parquet_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region",
+
+    "k6_compressed_sink" ->
+      "SELECT n_nationkey, n_name FROM nation",
+
+    "s17_file_names" ->
+      "SELECT CAST(3 AS BIGINT) AS n_files",
+
+    "s19_split_index" ->
+      """SELECT CAST(60 AS BIGINT) AS n_offsets, CAST(60 AS BIGINT) AS n_distinct,
+        | TRUE AS non_negative""".stripMargin,
+
+    "st_sessions" ->
+      """SELECT CAST(col0 AS BIGINT) AS user_id, CAST(col1 AS BIGINT) AS start_ms,
+        | CAST(col2 AS BIGINT) AS end_ms, CAST(col3 AS INT) AS n_events,
+        | CAST(col4 AS DOUBLE) AS sum_value
+        |FROM (VALUES
+        | (1, 1700000000000, 1700000030000, 2, 3.0),
+        | (2, 1700000010000, 1700000010000, 1, 4.0)) t""".stripMargin,
+
+    "curate_docs" ->
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |qual AS (
+         |  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    x -> x <> '')) AS INT) AS n_tokens
+         |  FROM documents),
+         |lang AS ($langIdSql)
+         |SELECT k.doc_id, n_tokens, pred_lang
+         |FROM keep k JOIN qual USING (doc_id) JOIN lang USING (doc_id)
+         |WHERE n_tokens >= 20 AND pred_lang = 'en'""".stripMargin
   )
 }
