@@ -761,21 +761,19 @@ object SparkEntry {
     }),
 
     "curate_docs" -> ((s, d) => {
-      // composed training-data curation pipeline: exact-dedup survivors →
-      // quality floor (≥ 20 tokens) → language filter (en) — the same
-      // shape a 100 TB pretraining-corpus pass runs, built entirely from
-      // the proven operator pieces
+      // composed training-data curation pipeline: quality floor (≥ 20
+      // tokens) + language filter (en) computed in ONE map-only pass over
+      // the docs (no metric joins), then a semi-join against the
+      // exact-dedup survivors — the only shuffle besides the dedup
+      // aggregation itself. The shape a 100 TB pretraining-corpus pass
+      // runs; CuratePlanSpec pins it.
       val docs = t(s, d, "documents")
       val keep = DedupOps.exactGroups(docs, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      val quality = TextAnalysisOps.qualityMetrics(docs, "doc_id", "text")
-        .select(col("doc_id"), col("n_tokens"))
-      val lang = TextAnalysisOps.withLangId(docs, "text")
-        .select(col("doc_id"), col("pred_lang"))
-      docs.select(col("doc_id"))
-        .join(keep, Seq("doc_id"))
-        .join(quality, Seq("doc_id")).filter(col("n_tokens") >= 20)
-        .join(lang, Seq("doc_id")).filter(col("pred_lang") === "en")
+      TextAnalysisOps.withLangId(docs, "text")
+        .withColumn("n_tokens", size(TermOps.tokens(col("text"))))
+        .filter(col("n_tokens") >= 20 && col("pred_lang") === "en")
+        .join(keep, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("n_tokens"), col("pred_lang"))
     })
   )

@@ -64,6 +64,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("j6 chain broadcasts both dimension maps (no shuffle joins)") {
+    val p = plan("j6_wikistats")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("curate_docs computes metrics map-only: one semi-join, one agg shuffle") {
+    val p = plan("curate_docs")
+    // quality + lang-id must NOT be joined in — a single projection pass
+    assert("Join".r.findAllIn(p).length == 1, p)
+    assert(p.contains("LeftSemi"), p)
+    // the only hash exchange is the exact-dedup aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
