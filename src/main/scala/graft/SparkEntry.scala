@@ -343,6 +343,38 @@ object SparkEntry {
       TextAnalysisOps.withFingerprint(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("fingerprint"))),
 
+    "text_scrub" -> ((s, d) => {
+      import s.implicits._
+      // planted rows prove the substitutions fire; the organic corpus
+      // proves no false positives
+      val planted = Seq(
+        (9000001L, "contact bob@example.com or https://ex.com/a?b=1 ref 55512345678 end"),
+        (9000002L, "no pii here at all")).toDF("doc_id", "text")
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"), TextAnalysisOps.scrubPii(col("text")).as("scrubbed"))
+    }),
+
+    "text_repetition" -> ((s, d) => {
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "spam spam spam spam spam spam"),
+        (9000002L, "all words here are fully distinct tokens")).toDF("doc_id", "text")
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          TextAnalysisOps.repetitionRatio(col("text")).as("rep_ratio"))
+    }),
+
+    "sample_stratified" -> ((s, d) =>
+      // deterministic stratified sampling: per-language rates via a
+      // hash-threshold on doc_id — reproducible across runs/engines,
+      // map-only, no RNG state
+      t(s, d, "documents")
+        .filter(SimilarityOps.hash32Col(col("doc_id") + lit(1L)) % 100 <
+          when(col("lang") === "en", lit(30)).otherwise(lit(10)))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))),
+
     "mm_bytes" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))),
@@ -1566,6 +1598,49 @@ object SparkEntry {
         |FROM (VALUES
         | (1, 1700000000000, 1700000030000, 2, 3.0),
         | (2, 1700000010000, 1700000010000, 1, 4.0)) t""".stripMargin,
+
+    "text_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(col0 AS BIGINT), col1 FROM (VALUES
+        |   (9000001, 'contact bob@example.com or https://ex.com/a?b=1 ref 55512345678 end'),
+        |   (9000002, 'no pii here at all')) t(col0, col1))
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        |FROM base""".stripMargin,
+
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(col0 AS BIGINT), col1 FROM (VALUES
+        |   (9000001, 'spam spam spam spam spam spam'),
+        |   (9000002, 'all words here are fully distinct tokens')) t(col0, col1)),
+        |arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS a
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |   list_transform(generate_series(1, len(a) - 2),
+        |     i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]) AS s,
+        |   len(a) AS n
+        |  FROM arrs)
+        |SELECT doc_id,
+        | CASE WHEN n < 3 THEN 0.0
+        |      ELSE round(1.0 - len(list_distinct(s)) * 1.0 / len(s), 4)
+        | END AS rep_ratio
+        |FROM sh""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT lang, count(*) AS n_sampled FROM documents
+         |WHERE ${hash32Sql("(doc_id + 1)")} % 100 <
+         |  CASE WHEN lang = 'en' THEN 30 ELSE 10 END
+         |GROUP BY lang""".stripMargin,
 
     "curate_docs" ->
       s"""WITH keep AS (

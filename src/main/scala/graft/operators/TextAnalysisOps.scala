@@ -59,4 +59,29 @@ object TextAnalysisOps {
     * repeated probing; deterministic across JVMs). */
   def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("fingerprint", fingerprintUdf(col(textCol)))
+
+  /** PII/URL scrubbing for training corpora: URLs → `<URL>` (first, so
+    * their digits/at-signs don't half-match later passes), emails →
+    * `<EMAIL>`, long digit runs (phone/account numbers) → `<NUM>`.
+    * Pure regexp_replace chain — codegen'd, and the patterns are shared
+    * RE2/Java syntax so the DuckDB oracle replays them verbatim. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "https?://[^\\s]+", "<URL>"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+
+  /** Within-document repetition ratio (a Gopher-style quality signal):
+    * 1 − distinct/total word 3-shingles; 0 for docs under 3 tokens.
+    * Built-in HOFs only (transform over an index sequence + slice), so
+    * the whole signal stays inside codegen. */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val toks = TermOps.tokens(text)
+    val sh = transform(sequence(lit(0), size(toks) - k),
+      i => array_join(slice(toks, i + 1, lit(k)), " "))
+    when(size(toks) < k, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") /
+        size(sh).cast("double"), 4))
+  }
 }

@@ -211,6 +211,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("b") == Seq(10))
   }
 
+  // ---- TextAnalysisOps: scrub / repetition ----
+
+  test("scrubPii replaces urls, emails and long digit runs, in that order") {
+    val out = Seq(
+      "mail a@b.co now", "see https://x.io/p?q=1 ok", "tel 12345678", "clean")
+      .toDF("t").select(TextAnalysisOps.scrubPii(col("t")).as("s"))
+      .as[String].collect().toSeq
+    assert(out == Seq("mail <EMAIL> now", "see <URL> ok", "tel <NUM>", "clean"))
+  }
+
+  test("repetitionRatio: all-same doc high, distinct doc zero, short doc zero") {
+    val out = Seq((1L, "x x x x x x"), (2L, "a b c d e f"), (3L, "a b"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysisOps.repetitionRatio(col("t")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.75) // 4 shingles, 1 distinct
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+  }
+
+  test("hash-threshold sampling is deterministic and rate-proportional") {
+    val df = (0L until 1000L).toDF("doc_id")
+    def kept() = df.filter(
+      SimilarityOps.hash32Col(col("doc_id") + lit(1L)) % 100 < 20)
+      .as[Long].collect().toSet
+    val k = kept()
+    assert(k == kept())               // deterministic
+    assert(k.size > 120 && k.size < 280) // ~20% of 1000
+  }
+
   // ---- MultimodalOps ----
 
   test("withMediaMeta is deterministic and preserves byte length") {
