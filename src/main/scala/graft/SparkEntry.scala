@@ -379,6 +379,15 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))),
 
+    "mm_frame_sample" -> ((s, d) =>
+      // frame-sampling plumbing over a binary payload: every 32nd-byte
+      // chunk of 16 bytes becomes a (frame_idx, frame_sig) feature row
+      MultimodalOps.sampleFrames(
+          t(s, d, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "payload", frameSize = 16, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("frame_sig"))),
+
     "mm_media_meta" -> ((s, d) =>
       MultimodalOps.withMediaMeta(
           t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
@@ -1143,6 +1152,25 @@ object SparkEntry {
         |FROM sigc a JOIN sigc b ON a.doc_id < b.doc_id
         | AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
         |WHERE bit_count(xor(a.sig, b.sig)) <= 8""".stripMargin,
+
+    // frame chunks replicated in HUGEINT: one row per 32nd-byte offset,
+    // seeded base-31 rolling hash of the 16-byte chunk, signed at the end
+    "mm_frame_sample" ->
+      """WITH fr AS (
+        |  SELECT doc_id, text, i AS off
+        |  FROM documents, unnest(generate_series(0, strlen(text) - 1, 32)) AS t(i)),
+        |h AS (
+        |  SELECT doc_id, off,
+        |   list_reduce(list_prepend(1125899906842597::HUGEINT,
+        |     list_transform(regexp_split_to_array(substr(text, off + 1, 16), ''),
+        |       c -> unicode(c)::HUGEINT)),
+        |     (hh, c) -> (hh * 31 + c) % 18446744073709551616::HUGEINT) AS hv
+        |  FROM fr)
+        |SELECT doc_id, CAST(off // 32 AS INT) AS frame_idx,
+        | CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+        |   THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT)
+        |   AS frame_sig
+        |FROM h""".stripMargin,
 
     // stubDecode replicated in HUGEINT: base-31 rolling hash mod 2^64 over
     // the first 1024 bytes (ASCII text → bytes = codepoints), unsigned
