@@ -178,6 +178,12 @@ object SparkEntry {
     "a5_dictionary" -> ((s, d) =>
       TermOps.dictionary(t(s, d, "documents"), "doc_id", "text", minDf = 5L)),
 
+    "a5_dict_scalable" -> ((s, d) =>
+      // same ids as a5_dictionary, produced by the range-partitioned rank
+      // (no single-task global window) — both run against the same oracle
+      TermOps.dictionaryScalable(t(s, d, "documents"), "doc_id", "text",
+        minDf = 5L, buckets = 8)),
+
     "a7_cooccurrence" -> ((s, d) => {
       val c = t(s, d, "events")
         .groupBy(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
@@ -965,6 +971,11 @@ object SparkEntry {
          |FROM ($tfSub) GROUP BY term HAVING count(*) >= 5""".stripMargin,
 
     "a5_dictionary" ->
+      s"""SELECT term, df, cf, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS id
+         |FROM (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |      FROM ($tfSub) GROUP BY term HAVING count(*) >= 5)""".stripMargin,
+
+    "a5_dict_scalable" ->
       s"""SELECT term, df, cf, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS id
          |FROM (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
          |      FROM ($tfSub) GROUP BY term HAVING count(*) >= 5)""".stripMargin,

@@ -49,6 +49,34 @@ object TermOps {
       .withColumn("id",
         row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
 
+  /** The scale path for `dictionary`'s rank: range-partition the
+    * aggregated term table on the rank order, rank locally per
+    * partition, and add broadcast cumulative offsets — identical ids to
+    * the windowed form (the order (df desc, term asc) is total, so ranks
+    * are partitioning-invariant), but no single-task global window: every
+    * step is bounded by one partition's terms. Use when the vocabulary is
+    * too large for one task (billions of terms); the reference's 1-reducer
+    * BuildDictionary.java:291-293 has the same limit this removes. */
+  def dictionaryScalable(docs: DataFrame, idCol: String, textCol: String,
+                         minDf: Long = 1L, buckets: Int = 32): DataFrame = {
+    val stats = termStats(docs, idCol, textCol, minDf)
+      .repartitionByRange(buckets, col("df").desc, col("term").asc)
+      .sortWithinPartitions(col("df").desc, col("term").asc)
+      .withColumn("pid", spark_partition_id())
+    val offsets = stats.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset") // buckets rows — the tiny side, broadcast
+    stats
+      .withColumn("local_rank", row_number().over(
+        Window.partitionBy("pid").orderBy(col("df").desc, col("term").asc)))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("id", (col("offset") + col("local_rank")).cast("int"))
+      .select("term", "df", "cf", "id")
+  }
+
   /** A10/A11 — TF postings (term → doc, tf), the relational form of the
     * inverted index; materialize grouped lists only at the sink.
     * Reference: experiments/InvertedIndexByBOW.java:28-69,

@@ -211,6 +211,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("b") == Seq(10))
   }
 
+  // ---- TermOps: scalable dictionary rank ----
+
+  test("dictionaryScalable assigns identical ids to the windowed dictionary") {
+    val docs = (1L to 200L).map(i =>
+      (i, s"w${i % 7} w${i % 13} w${i % 29} shared tail")).toDF("doc_id", "text")
+    val a = operators.TermOps.dictionary(docs, "doc_id", "text")
+      .select("term", "df", "cf", "id")
+      .as[(String, Long, Long, Int)].collect().toSet
+    val b = operators.TermOps.dictionaryScalable(docs, "doc_id", "text",
+        minDf = 1L, buckets = 5)
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(a == b)
+    assert(a.map(_._4) == (1 to a.size).toSet) // dense 1..N ids
+  }
+
   // ---- TextAnalysisOps: scrub / repetition ----
 
   test("scrubPii replaces urls, emails and long digit runs, in that order") {
