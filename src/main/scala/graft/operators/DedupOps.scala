@@ -110,13 +110,18 @@ object DedupOps {
                    maxShingleDf: Long = 100L): DataFrame = {
     // shingles travel as 64-bit FNV hashes: ~10× smaller shuffle keys for
     // the inverted-index join; a collision (~2^-64 per pair) would merge
-    // two shingles and is detectable by the exact oracle
-    val shUdf = udf((t: Seq[String]) =>
-      Hashing.shingles(t, shingleK).distinct.map(Hashing.fnv1a))
+    // two shingles and is detectable by the exact oracle. The whole
+    // shingle→hash stage is built-in HOFs + the native fnv64 expression
+    // (same kernel as Hashing.fnv1a), so the per-document hot path stays
+    // inside whole-stage codegen — no UDF.
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
     val shingled = docs
       .select(col(idCol).as("id"), TermOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleK)
-      .select(col("id"), explode(shUdf(col("toks"))).as("sh"))
+      .withColumn("sh_str", array_distinct(transform(
+        sequence(lit(0), size(col("toks")) - shingleK),
+        i => array_join(slice(col("toks"), i + 1, lit(shingleK)), " "))))
+      .select(col("id"), explode(expr("transform(sh_str, x -> fnv64(x))")).as("sh"))
     val kept = shingled.groupBy("sh").agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") <= maxShingleDf).select("sh")
     val shk = shingled.join(kept, Seq("sh"))
