@@ -841,10 +841,14 @@ object SparkEntry {
       s"(sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $a[i] * $a[i])), (acc, x) -> acc + x)) * " +
       s"sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $b[i] * $b[i])), (acc, x) -> acc + x))))"
 
-  /** Mirrors `SimilarityOps.hash32` (multiply/xorshift/multiply, all
-    * intermediates < 2^63 → plain BIGINT SQL) for an arbitrary key expr. */
-  private def hash32Sql(k: String): String =
-    s"((xor((($k * 2654435761) % 4294967296), ((($k * 2654435761) % 4294967296) // 65536)) * 1540483477) % 4294967296)"
+  /** Mirrors `SimilarityOps.hash32` (fold to 32 bits, then
+    * multiply/xorshift/multiply with sub-2^31 constants — all
+    * intermediates < 2^63 → plain BIGINT SQL) for an arbitrary
+    * non-negative key expr. */
+  private def hash32Sql(k: String): String = {
+    val u1 = s"((($k % 4294967296) * 1540483477) % 4294967296)"
+    s"((xor($u1, $u1 // 65536) * 1372383749) % 4294967296)"
+  }
 
   /** Mirrors `SimilarityOps.planeWeight(p, i-1, 64)` for column `p` and
     * 1-based lambda index `i`. */
@@ -1100,19 +1104,24 @@ object SparkEntry {
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin,
 
     // exact computation of what the LSH+verify pipeline approximates: all
-    // pairs with shingle-SET jaccard ≥ 0.4 (docs all have ≥ 10 tokens, so
-    // the <k-token single-shingle rule never fires). A hash match proves
-    // the banded-MinHash candidates had no false negatives on this corpus
-    // and the verify stage computed the exact same jaccard values.
+    // pairs with shingle-SET jaccard ≥ 0.4, mirroring every shingle rule
+    // of Hashing.shingles — docs with 1..k-1 tokens contribute one
+    // whole-doc shingle, and token-less docs (empty shingle sets share
+    // every MinHash bucket and verify at jaccard 1.0) pair with each
+    // other. A hash match proves the banded-MinHash candidates had no
+    // false negatives on this corpus and the verify stage computed the
+    // exact same jaccard values.
     "dedup_minhash_cand" ->
       """WITH arrs AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
         |    x -> x <> '') AS a
         |  FROM documents),
         |sh AS (
-        |  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
-        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 0))) AS t(i)
-        |  WHERE len(a) >= 3),
+        |  SELECT DISTINCT doc_id,
+        |   CASE WHEN len(a) < 3 THEN array_to_string(a, ' ')
+        |        ELSE a[i] || ' ' || a[i+1] || ' ' || a[i+2] END AS sh
+        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 1))) AS t(i)
+        |  WHERE len(a) >= 1),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
@@ -1121,7 +1130,11 @@ object SparkEntry {
         |SELECT ida AS id_a, idb AS id_b,
         | round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
         |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
-        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4""".stripMargin,
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        |UNION ALL
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
+        |FROM arrs a JOIN arrs b ON a.doc_id < b.doc_id
+        |WHERE len(a.a) = 0 AND len(b.a) = 0""".stripMargin,
 
     // full replication of the SimHash kernel: FNV-1a per token in HUGEINT
     // (the xor only ever touches the low 7 bits — ASCII tokens — so it

@@ -118,9 +118,8 @@ object DedupOps {
     val shingled = docs
       .select(col(idCol).as("id"), TermOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleK)
-      .withColumn("sh_str", array_distinct(transform(
-        sequence(lit(0), size(col("toks")) - shingleK),
-        i => array_join(slice(col("toks"), i + 1, lit(shingleK)), " "))))
+      .withColumn("sh_str",
+        array_distinct(TermOps.shingleStrings(col("toks"), shingleK)))
       .select(col("id"), explode(expr("transform(sh_str, x -> fnv64(x))")).as("sh"))
     val kept = shingled.groupBy("sh").agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") <= maxShingleDf).select("sh")

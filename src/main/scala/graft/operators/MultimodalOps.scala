@@ -58,7 +58,9 @@ object MultimodalOps {
 
   /** Frame-sampling plumbing: explode a binary "video" into every `stride`th
     * fixed-size chunk (stand-in for frame extraction), keeping only compact
-    * per-frame features downstream. */
+    * per-frame features downstream. The chunk hash folds *unsigned* bytes
+    * (same convention as `stubDecode`), so the HUGEINT oracle replication
+    * holds for any payload, not just ASCII. */
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int,
                    stride: Int): DataFrame = {
     val frameUdf = udf((bytes: Array[Byte]) =>
@@ -68,7 +70,7 @@ object MultimodalOps {
         (0 until bytes.length by n).map { off =>
           var h = 1125899906842597L
           var i = off
-          while (i < math.min(bytes.length, off + frameSize)) { h = 31 * h + bytes(i); i += 1 }
+          while (i < math.min(bytes.length, off + frameSize)) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
           (off / n, h)
         }
       })

@@ -44,12 +44,15 @@ object SimilarityOps {
   }
 
   /** 32-bit multiply/xorshift/multiply hash. Chosen (over splitmix64) so
-    * the DuckDB oracle can replicate it with plain BIGINT arithmetic: every
-    * intermediate stays below 2^63 (max product (2^32-1)*1540483477), so no
-    * 128-bit math and no unsigned-shift emulation is needed in SQL. */
+    * the DuckDB oracle can replicate it with plain BIGINT arithmetic. The
+    * input is folded into [0, 2^32) FIRST and both multipliers are < 2^31,
+    * so every intermediate stays below 2^63 for ANY Long input — no
+    * 128-bit math in SQL, no ANSI overflow in Spark, no silent wrap in
+    * the scalar form. */
   private[graft] def hash32(k: Long): Long = {
-    val u1 = (k * 2654435761L) & 0xffffffffL
-    ((u1 ^ (u1 >>> 16)) * 1540483477L) & 0xffffffffL
+    val u0 = k & 0xffffffffL
+    val u1 = (u0 * 1540483477L) & 0xffffffffL
+    ((u1 ^ (u1 >>> 16)) * 1372383749L) & 0xffffffffL
   }
 
   /** Deterministic random hyperplanes: plane p, dim d weight =
@@ -58,10 +61,12 @@ object SimilarityOps {
     hash32(p.toLong * dims + d + 1L).toDouble / 2147483648.0 - 1.0
 
   /** Column-side hash32 of an id (same function, usable inside codegen —
-    * no UDF). Operands stay < 2^63 so ANSI overflow checks never fire. */
+    * no UDF). `pmod` folds negatives the same way the scalar `& mask`
+    * does, so both forms agree on every Long. */
   private[graft] def hash32Col(c: Column): Column = {
-    val u1 = (c * lit(2654435761L)) % lit(4294967296L)
-    ((u1.bitwiseXOR(shiftright(u1, 16))) * lit(1540483477L)) % lit(4294967296L)
+    val u0 = pmod(c, lit(4294967296L))
+    val u1 = (u0 * lit(1540483477L)) % lit(4294967296L)
+    ((u1.bitwiseXOR(shiftright(u1, 16))) * lit(1372383749L)) % lit(4294967296L)
   }
 
   private[graft] def signBits(emb: Seq[Double], planes: Int): Long = {

@@ -24,6 +24,14 @@ object TermOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** Word k-shingles of a token-array column as space-joined strings —
+    * the single definition both the dedup operators and the repetition
+    * signal (and their DuckDB oracles) rely on. Assumes the caller has
+    * already guarded `size(toks) >= k`. Pure HOFs: stays in codegen. */
+  def shingleStrings(toks: Column, k: Int): Column =
+    transform(sequence(lit(0), size(toks) - k),
+      i => array_join(slice(toks, i + 1, lit(k)), " "))
+
   /** Exploded (doc, term, tf) — the map phase of everything below. */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -50,31 +58,29 @@ object TermOps {
         row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
 
   /** The scale path for `dictionary`'s rank: range-partition the
-    * aggregated term table on the rank order, rank locally per
-    * partition, and add broadcast cumulative offsets — identical ids to
-    * the windowed form (the order (df desc, term asc) is total, so ranks
-    * are partitioning-invariant), but no single-task global window: every
-    * step is bounded by one partition's terms. Use when the vocabulary is
-    * too large for one task (billions of terms); the reference's 1-reducer
+    * aggregated term table on the rank order, sort within partitions,
+    * and assign ids with `zipWithIndex` — identical ids to the windowed
+    * form (the order (df desc, term asc) is total, so ranks are
+    * partitioning-invariant), but no single-task global window: every
+    * step is bounded by one partition's terms. zipWithIndex runs its
+    * per-partition count job and the final pass over the SAME physical
+    * RDD, so the sampled range boundaries are fixed once — no
+    * double-materialization hazard. Use when the vocabulary is too large
+    * for one task (billions of terms); the reference's 1-reducer
     * BuildDictionary.java:291-293 has the same limit this removes. */
   def dictionaryScalable(docs: DataFrame, idCol: String, textCol: String,
                          minDf: Long = 1L, buckets: Int = 32): DataFrame = {
-    val stats = termStats(docs, idCol, textCol, minDf)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val spark = docs.sparkSession
+    val sorted = termStats(docs, idCol, textCol, minDf)
       .repartitionByRange(buckets, col("df").desc, col("term").asc)
       .sortWithinPartitions(col("df").desc, col("term").asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = stats.groupBy("pid").agg(count(lit(1)).as("n"))
-      .withColumn("offset",
-        coalesce(sum(col("n")).over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("pid", "offset") // buckets rows — the tiny side, broadcast
-    stats
-      .withColumn("local_rank", row_number().over(
-        Window.partitionBy("pid").orderBy(col("df").desc, col("term").asc)))
-      .join(broadcast(offsets), Seq("pid"))
-      .withColumn("id", (col("offset") + col("local_rank")).cast("int"))
-      .select("term", "df", "cf", "id")
+    val schema = sorted.schema.add(StructField("id", IntegerType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+    }
+    spark.createDataFrame(ranked, schema).select("term", "df", "cf", "id")
   }
 
   /** A10/A11 — TF postings (term → doc, tf), the relational form of the

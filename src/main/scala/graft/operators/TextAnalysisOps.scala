@@ -78,8 +78,7 @@ object TextAnalysisOps {
     * the whole signal stays inside codegen. */
   def repetitionRatio(text: Column, k: Int = 3): Column = {
     val toks = TermOps.tokens(text)
-    val sh = transform(sequence(lit(0), size(toks) - k),
-      i => array_join(slice(toks, i + 1, lit(k)), " "))
+    val sh = TermOps.shingleStrings(toks, k)
     when(size(toks) < k, lit(0.0)).otherwise(
       round(lit(1.0) - size(array_distinct(sh)).cast("double") /
         size(sh).cast("double"), 4))

@@ -99,11 +99,22 @@ class WikiSourceSpec extends AnyFunSuite {
     val maxSplit = 4000L
     val indexed = WikiXml.read(spark, f.toString,
       Map("maxSplitBytes" -> maxSplit.toString, "splitIndex" -> idxPath))
-    // the driver plans from the Spark-side aggregate: at most one range
-    // start per maxSplit-sized bucket — never one per page
-    val nParts = indexed.rdd.getNumPartitions
-    assert(nParts <= Files.size(f) / maxSplit + 1)
-    assert(nParts < 120)
+    // the planned partitions must START at the bucketed index offsets
+    // (min page offset per maxSplit-sized bucket) — this fails if the
+    // index were silently ignored, because the fallback chunking starts
+    // at multiples of maxSplit instead of page boundaries
+    val expectedStarts = idx.as[(String, Long)].collect()
+      .map(_._2).groupBy(_ / maxSplit).values.map(_.min).toSeq.sorted
+    val plannedStarts = indexed.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.partitions.map(
+          _.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition]
+            .inputPartitions.head
+            .asInstanceOf[graft.sources.WikiRevisionInputPartition].start)
+    }.flatten.sorted
+    assert(plannedStarts == expectedStarts)
+    assert(plannedStarts.size <= Files.size(f) / maxSplit + 1) // O(ranges)
+    assert(plannedStarts.size < 120)                           // not O(pages)
     val plain = WikiXml.read(spark, f.toString)
     assert(indexed.count() == plain.count())
     assert(indexed.agg(sum("rev_id")).as[Long].head() ==
