@@ -134,9 +134,15 @@ object SimilarityOps {
     val sigUdf = udf((e: Seq[Double]) => signBits(e, planes))
     val keyed = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
-    val a = keyed.select(col("bucket"), col("vec_id").as("id_a"),
+    // enforce the bucket cap BEFORE the self-join: a degenerate bucket
+    // (near-identical corpus mass) would otherwise go quadratic; also
+    // drops singleton buckets, which can't produce a pair anyway
+    val live = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket)).select("bucket")
+    val capped = keyed.join(live, Seq("bucket"), "left_semi")
+    val a = capped.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
-    val b = keyed.select(col("bucket"), col("vec_id").as("id_b"),
+    val b = capped.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("emb_a").cast("array<double>"),
