@@ -131,6 +131,37 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("hash32 column form agrees with the scalar for any Long, incl. huge/negative") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keys = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 200) ++
+      Seq(0L, -1L, 3465735903L, Long.MaxValue, Long.MinValue, 4294967296L)
+    val out = keys.toDF("k")
+      .select(col("k"), operators.SimilarityOps.hash32Col(col("k")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    keys.foreach { k =>
+      assert(out(k) == operators.SimilarityOps.hash32(k), s"key $k")
+      assert(out(k) >= 0 && out(k) < 4294967296L)
+    }
+  }
+
+  test("shingleStrings matches Hashing.shingles for token lists of length >= k") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lists = samples(tokenList.suchThat(_.lengthCompare(3) >= 0), 60)
+      .filter(_.length >= 3)
+    val out = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("id", "toks")
+      .select(col("id"),
+        operators.TermOps.shingleStrings(col("toks"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    lists.zipWithIndex.foreach { case (l, i) =>
+      assert(out(i.toLong) == Hashing.shingles(l, 3), s"list $l")
+    }
+  }
+
   test("fnv64 native expression agrees with the kernel on arbitrary strings") {
     val spark = TestSpark.spark
     import spark.implicits._
