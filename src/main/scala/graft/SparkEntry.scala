@@ -846,7 +846,9 @@ object SparkEntry {
     * intermediates < 2^63 → plain BIGINT SQL) for an arbitrary
     * non-negative key expr. */
   private def hash32Sql(k: String): String = {
-    val u1 = s"((($k % 4294967296) * 1540483477) % 4294967296)"
+    // (k % m + m) % m = pmod: parity with hash32Col for negative keys too
+    val u0 = s"((($k) % 4294967296 + 4294967296) % 4294967296)"
+    val u1 = s"(($u0 * 1540483477) % 4294967296)"
     s"((xor($u1, $u1 // 65536) * 1372383749) % 4294967296)"
   }
 
@@ -1134,7 +1136,8 @@ object SparkEntry {
         |UNION ALL
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
         |FROM arrs a JOIN arrs b ON a.doc_id < b.doc_id
-        |WHERE len(a.a) = 0 AND len(b.a) = 0""".stripMargin,
+        |WHERE len(a.a) = 0 AND len(b.a) = 0
+        |  AND (SELECT count(*) FROM arrs WHERE len(a) = 0) <= 1000""".stripMargin,
 
     // full replication of the SimHash kernel: FNV-1a per token in HUGEINT
     // (the xor only ever touches the low 7 bits — ASCII tokens — so it
@@ -1218,7 +1221,9 @@ object SparkEntry {
     // exact brute-force mirror over corpus ∪ planted vectors: the planted
     // identical pairs are guaranteed same-bucket in the LSH path, so the
     // hash match now proves presence (2 pairs) as well as absence of false
-    // positives across all organic pairs
+    // positives across all organic pairs. (Valid while no LSH bucket
+    // exceeds maxBucket=2000 — trivially true at 505 vectors; the cap's
+    // recall trade is documented on embeddingNearDups.)
     "dedup_embedding" ->
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

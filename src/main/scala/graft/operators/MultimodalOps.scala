@@ -59,8 +59,10 @@ object MultimodalOps {
   /** Frame-sampling plumbing: explode a binary "video" into every `stride`th
     * fixed-size chunk (stand-in for frame extraction), keeping only compact
     * per-frame features downstream. The chunk hash folds *unsigned* bytes
-    * (same convention as `stubDecode`), so the HUGEINT oracle replication
-    * holds for any payload, not just ASCII. */
+    * (same convention as `stubDecode`); the mm_frame_sample oracle
+    * replicates it via codepoints, which coincide with bytes only for
+    * ASCII payloads — binary/non-ASCII payloads would need a byte-level
+    * SQL oracle (blob indexing), not a different kernel. */
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int,
                    stride: Int): DataFrame = {
     val frameUdf = udf((bytes: Array[Byte]) =>

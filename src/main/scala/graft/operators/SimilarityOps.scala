@@ -128,21 +128,28 @@ object SimilarityOps {
   /** Embedding-cosine near-duplicate pairs (driver brief): hyperplane-LSH
     * buckets (few planes → high recall at `threshold` ≈ 1), within-bucket
     * pairs only, exact cosine verification. Complements the text-side
-    * MinHash/Jaccard dedup for semantically-identical documents. */
+    * MinHash/Jaccard dedup for semantically-identical documents.
+    *
+    * `maxBucket` bounds the quadratic self-join: buckets above it are
+    * dropped wholesale — the same deliberate recall/robustness trade the
+    * MinHash/SimHash candidate generators make. A corpus whose identical
+    * mass exceeds the cap should run `DedupOps.exactGroups` first (it
+    * catches identical vectors' documents exactly); the cap exists for
+    * the *near*-identical residue. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
                         planes: Int = 8, maxBucket: Int = 2000): DataFrame = {
     val sigUdf = udf((e: Seq[Double]) => signBits(e, planes))
+    // bucket-size cap via a window count: one signature pass feeds the
+    // single bucket shuffle; singleton buckets (no possible pair) and
+    // over-cap buckets drop before the self-join
     val keyed = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
-    // enforce the bucket cap BEFORE the self-join: a degenerate bucket
-    // (near-identical corpus mass) would otherwise go quadratic; also
-    // drops singleton buckets, which can't produce a pair anyway
-    val live = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
-      .filter(col("bn").between(2, maxBucket)).select("bucket")
-    val capped = keyed.join(live, Seq("bucket"), "left_semi")
-    val a = capped.select(col("bucket"), col("vec_id").as("id_a"),
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("bn").between(2, maxBucket))
+      .drop("bn")
+    val a = keyed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
-    val b = capped.select(col("bucket"), col("vec_id").as("id_b"),
+    val b = keyed.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("emb_a").cast("array<double>"),

@@ -66,8 +66,9 @@ object TermOps {
     * per-partition count job and the final pass over the SAME physical
     * RDD, so the sampled range boundaries are fixed once — no
     * double-materialization hazard. Use when the vocabulary is too large
-    * for one task (billions of terms); the reference's 1-reducer
-    * BuildDictionary.java:291-293 has the same limit this removes. */
+    * for one task; ids stay Int (the dictionary contract — up to ~2.1B
+    * terms, checked loudly). The reference's 1-reducer
+    * BuildDictionary.java:291-293 has the single-task limit this removes. */
   def dictionaryScalable(docs: DataFrame, idCol: String, textCol: String,
                          minDf: Long = 1L, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.Row
@@ -78,6 +79,12 @@ object TermOps {
       .sortWithinPartitions(col("df").desc, col("term").asc)
     val schema = sorted.schema.add(StructField("id", IntegerType, nullable = false))
     val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      // the dictionary id contract is Int (matches `dictionary` and every
+      // consumer); fail loudly rather than wrap if a vocabulary ever
+      // exceeds it
+      if (i >= Int.MaxValue - 1)
+        throw new IllegalStateException(
+          s"dictionaryScalable: vocabulary exceeds Int id space at rank $i")
       Row.fromSeq(r.toSeq :+ (i + 1).toInt)
     }
     spark.createDataFrame(ranked, schema).select("term", "df", "cf", "id")
