@@ -79,8 +79,10 @@ object TextAnalysisOps {
   def repetitionRatio(text: Column, k: Int = 3): Column = {
     val toks = TermOps.tokens(text)
     val sh = TermOps.shingleStrings(toks, k)
+    // total shingles = size(toks) - k + 1 by construction: avoids
+    // materializing the shingle array twice in the expression tree
     when(size(toks) < k, lit(0.0)).otherwise(
       round(lit(1.0) - size(array_distinct(sh)).cast("double") /
-        size(sh).cast("double"), 4))
+        (size(toks) - lit(k - 1)).cast("double"), 4))
   }
 }
