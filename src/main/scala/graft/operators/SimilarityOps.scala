@@ -116,7 +116,10 @@ object SimilarityOps {
     val probes = assign(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       "query_id", "q_emb", keep = nProbe)
-    val scored = cells.join(probes, Seq("cent_id"))
+    // probes = |queries| × nProbe rows — the query set is small by
+    // contract (same reason bruteForceTopK/lshTopK broadcast it), so the
+    // cell join never shuffles the corpus side
+    val scored = cells.join(broadcast(probes), Seq("cent_id"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q_emb"), col("nbr_emb")))
     scored.withColumn("rank", row_number().over(
