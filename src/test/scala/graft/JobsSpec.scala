@@ -33,6 +33,22 @@ class JobsSpec extends AnyFunSuite {
     assert(dict == Map("x" -> 1, "y" -> 2, "z" -> 3))
   }
 
+  test("MatchWikistats CLI resolves redirects and joins ids end-to-end") {
+    val dir = Files.createTempDirectory("mws")
+    Files.writeString(dir.resolve("pv.txt"),
+      "en.z Foo_bar 10 AA10\nen.z Old_name 4 BA4\nen.z Baz 2 BA2\n")
+    Files.writeString(dir.resolve("redirects.tsv"), "Old_name\tBaz\n")
+    Files.writeString(dir.resolve("idmap.tsv"), "Foo_bar\t100\nBaz\t200\n")
+    val out = dir.resolve("out").toString
+    MatchWikistats.main(Array(dir.resolve("pv.txt").toString,
+      dir.resolve("redirects.tsv").toString, dir.resolve("idmap.tsv").toString,
+      "5", out))
+    val rows = spark.read.parquet(out)
+      .select("page_id", "title", "total")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((100L, "Foo_bar", 10L), (200L, "Baz", 6L)))
+  }
+
   test("ExtractTemporalAnchorText samples and extracts over the XML source") {
     val out = Files.createTempDirectory("anchors").toString + "/out"
     ExtractTemporalAnchorText.run(spark, WikiFixtures.graphXmlPath, out)
