@@ -689,6 +689,39 @@ object SparkEntry {
           posexplode(col("daily")).as(Seq("day", "views")))
     }),
 
+    "w4_asof_join" -> ((s, d) => {
+      // as-of join: each purchase picks up the user's latest view at or
+      // before it (right side pre-aggregated to unique (user, ts) for
+      // determinism)
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("last_view_id"))
+      AsofOps.asofJoin(purchases, views, "user_id", "ts", Seq("last_view_id"))
+        .select(col("event_id"), date_format(col("ts"), tsFmt).as("ts_str"),
+          col("last_view_id"))
+    }),
+
+    "w5_range_join" -> ((s, d) => {
+      // bucketed range join: events falling in each signup's 2-day window
+      val ev = t(s, d, "events")
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 DAYS")).as("end_ts"),
+          col("event_id").as("signup_id"))
+      AsofOps.rangeJoin(ev, intervals, "user_id", "ts",
+          "start_ts", "end_ts", bucketMs = 86400000L)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_in_window"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    "search_bm25" -> ((s, d) =>
+      TermOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
+        queryTerms = Seq("scan", "join", "merge"), k = 20)),
+
     "j6_wikistats" -> ((s, _) => {
       // J6 end-to-end: pageview agg → redirect re-merge → re-aggregate →
       // title→id join (reference: etc/match_wikistats.sh:34-41,
@@ -1604,6 +1637,52 @@ object SparkEntry {
         | ('Foo_bar', 17, 3, 0), ('Foo_bar', 17, 4, 0),
         | ('Baz', 2, 0, 0), ('Baz', 2, 1, 2), ('Baz', 2, 2, 0),
         | ('Baz', 2, 3, 0), ('Baz', 2, 4, 0)) t""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the independent implementation of the
+    // same "latest right row at or before left.ts per key" semantics
+    "w4_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+        |views AS (
+        |  SELECT user_id, ts, max(event_id) AS last_view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT p.event_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | v.last_view_id
+        |FROM purchases p ASOF LEFT JOIN views v
+        | ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    // the exact containment join the bucketed form must reproduce
+    "w5_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts AS start_ts, ts + INTERVAL 2 DAY AS end_ts,
+        |   event_id AS signup_id
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT signup_id, count(*) AS n_in_window,
+        | round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN iv
+        | ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        |GROUP BY signup_id""".stripMargin,
+
+    "search_bm25" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, tf FROM ($tfSub)
+         |  WHERE term IN ('scan', 'join', 'merge')),
+         |dfs AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+         |dl AS (
+         |  SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    x -> x <> '')) AS doc_len
+         |  FROM documents),
+         |g AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |   ln(1.0 + (g.n_docs - dfs.term_df + 0.5) / (dfs.term_df + 0.5))
+         |     * tf.tf * 2.2
+         |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / g.avgdl)) AS c
+         |  FROM tf JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN g)
+         |SELECT doc_id, round(sum(c), 4) AS score
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // hand-traced: Foo_bar#x + foo_bar normalize-merge (17 = 10+7, daily
     // 15@d0 + 3@d2); Old_name (4@d1) redirect-resolves into Baz (2@d1) →

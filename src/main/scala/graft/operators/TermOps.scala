@@ -103,6 +103,46 @@ object TermOps {
     docs.select(col(idCol).as("doc_id"),
       size(tokens(col(textCol))).as("doc_len"))
 
+  /** BM25 top-k search over the corpus for a literal query-term set —
+    * completes the inverted-index story (A10 postings → ranked
+    * retrieval; reference experiments:
+    * WikiRevIndex4NonTemporalSearch.java:36-110 build the index this
+    * scores). Robertson idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    *
+    * Scale shape: postings are filtered to the query terms FIRST (the
+    * broadcast-join equivalent of seeking |q| postings lists, never a
+    * corpus-wide score), per-term df is a tiny aggregate, corpus stats
+    * (N, avgdl) are one broadcast row, and the final top-k is
+    * TakeOrderedAndProject. Ranking uses the ROUNDED score with a
+    * doc_id tie-break so the order is reproducible across engines. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queryTerms.toDF("term")
+    val postings = termFrequencies(docs, idCol, textCol)
+      .join(broadcast(q), Seq("term"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("term_df"))
+    val dl = docLengths(docs, idCol, textCol)
+    val global = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("doc_len")).as("avgdl"))
+    val contrib = postings
+      .join(broadcast(dfs), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(global))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("term_df") + lit(0.5)) /
+          (col("term_df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doc_len") / col("avgdl"))))
+    contrib.groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** A6 — dictionary-encoded doc vectors: tokens → sorted distinct dict ids
     * per doc (reference stores compressed int arrays,
     * BuildVByteDocVectors.java:75-165; parquet handles the encoding).

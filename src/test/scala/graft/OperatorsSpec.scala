@@ -211,6 +211,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("b") == Seq(10))
   }
 
+  // ---- AsofOps ----
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val left = Seq((1L, ts(100), 10L), (2L, ts(250), 10L), (3L, ts(50), 20L))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq((10L, ts(100), 7L), (10L, ts(200), 8L), (20L, ts(60), 9L))
+      .toDF("user_id", "ts", "v")
+    val out = AsofOps.asofJoin(left, right, "user_id", "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(7L)) // equal ts matches ("<=")
+    assert(out(2L).contains(8L)) // latest prior, not first
+    assert(out(3L).isEmpty)      // nothing at or before → null
+  }
+
+  test("rangeJoin equals the naive containment join") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val facts = (0L until 200L).map(i => (i, ts(i * 37), i % 5))
+      .toDF("fact_id", "ts", "k")
+    val ivals = Seq((0L, ts(100), ts(900), 100L), (1L, ts(0), ts(50), 101L),
+      (4L, ts(5000), ts(7400), 102L), (2L, ts(7000), ts(7001), 103L))
+      .toDF("k", "start_ts", "end_ts", "ival_id")
+    val got = AsofOps.rangeJoin(facts, ivals, "k", "ts",
+        "start_ts", "end_ts", bucketMs = 1000L)
+      .select("fact_id", "ival_id").as[(Long, Long)].collect().toSet
+    val want = facts.as[(Long, java.sql.Timestamp, Long)].collect().flatMap { f =>
+      ivals.as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+        .filter(iv => iv._1 == f._3 && !f._2.before(iv._2) && f._2.before(iv._3))
+        .map(iv => (f._1, iv._4))
+    }.toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("bm25Search ranks the doc stuffed with the query term first") {
+    val docs = Seq(
+      (1L, "scan scan scan scan filter"),
+      (2L, "scan filter order by key"),
+      (3L, "order by key value line"),
+      (4L, "scan")).toDF("doc_id", "text")
+    val out = TermOps.bm25Search(docs, "doc_id", "text", Seq("scan"), k = 3)
+      .select("doc_id").as[Long].collect()
+    assert(out.head == 1L || out.head == 4L) // highest tf or shortest doc
+    assert(!out.contains(3L))                // no query term → unscored
+  }
+
   // ---- TermOps: scalable dictionary rank ----
 
   test("dictionaryScalable assigns identical ids to the windowed dictionary") {
