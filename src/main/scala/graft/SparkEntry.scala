@@ -722,6 +722,17 @@ object SparkEntry {
       TermOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
         queryTerms = Seq("scan", "join", "merge"), k = 20)),
 
+    "sketch_kmv" -> ((s, d) => {
+      // KMV distinct sketch: k=64 exercises the estimator on user_id
+      // (distinct count > k), k=256 the exact small-set path is avoided
+      // on event_id (every event distinct)
+      val ev = t(s, d, "events")
+      SketchOps.kmvDistinct(ev, "user_id", k = 64)
+        .withColumn("key", lit("user_id"))
+        .unionByName(SketchOps.kmvDistinct(ev, "event_id", k = 256)
+          .withColumn("key", lit("event_id")))
+    }),
+
     "j6_wikistats" -> ((s, _) => {
       // J6 end-to-end: pageview agg → redirect re-merge → re-aggregate →
       // title→id join (reference: etc/match_wikistats.sh:34-41,
@@ -1683,6 +1694,28 @@ object SparkEntry {
          |SELECT doc_id, round(sum(c), 4) AS score
          |FROM contrib GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // the KMV estimate is a deterministic function of the key set under
+    // the shared hash32, so the sketch itself (not just its input) is
+    // replicated: k smallest distinct hashes → (k-1)·2^32 / h_k
+    "sketch_kmv" ->
+      s"""WITH hu AS (
+         |  SELECT DISTINCT ${hash32Sql("(user_id)")} AS h FROM events),
+         |ku AS (SELECT h FROM hu ORDER BY h LIMIT 64),
+         |he AS (
+         |  SELECT DISTINCT ${hash32Sql("(event_id)")} AS h FROM events),
+         |ke AS (SELECT h FROM he ORDER BY h LIMIT 256)
+         |SELECT count(*) AS k_used, max(h) AS kth_hash,
+         | CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |      ELSE round((count(*) - 1) * 4294967296.0 / max(h), 2) END AS estimate,
+         | 'user_id' AS key
+         |FROM ku
+         |UNION ALL
+         |SELECT count(*) AS k_used, max(h) AS kth_hash,
+         | CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+         |      ELSE round((count(*) - 1) * 4294967296.0 / max(h), 2) END AS estimate,
+         | 'event_id' AS key
+         |FROM ke""".stripMargin,
 
     // hand-traced: Foo_bar#x + foo_bar normalize-merge (17 = 10+7, daily
     // 15@d0 + 3@d2); Old_name (4@d1) redirect-resolves into Baz (2@d1) →

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketching (driver brief: sketches as first-class
+  * custom operators). KMV — k minimum values — rather than HLL:
+  * with a fixed hash the k smallest hash values of a set are a
+  * DETERMINISTIC function of the set, so the estimate is reproducible
+  * across engines and oracle-checkable (Spark's approx_count_distinct
+  * HLL++ is not replicable in DuckDB). Estimator: the k-th smallest of
+  * n distinct uniform hashes in [0, M) sits near k·M/n, so
+  * n̂ = (k-1)·M / h_k (the unbiased form; Beyer et al., "On synopses
+  * for distinct-value estimation under multiset operations",
+  * SIGMOD 2007).
+  *
+  * Scale shape: hash is the codegen'd `hash32` column form, the k
+  * smallest distinct hashes come from distinct + orderBy+limit
+  * (TakeOrderedAndProject: per-partition top-k heaps, no global sort),
+  * so the sketch costs one map pass + one k-row collect-free reduce.
+  * Mergeability (union = k smallest of the combined sketches) is what
+  * makes KMV a sketch rather than a sample.
+  */
+object SketchOps {
+
+  /** (k_used, kth_hash, estimate) for the distinct count of `keyCol`.
+    * If the true distinct count is ≤ k the estimate is exact (it is the
+    * count of distinct hashes seen). */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    val hashes = df
+      .select(SimilarityOps.hash32Col(col(keyCol).cast("long")).as("h"))
+      .distinct()
+      .orderBy(col("h").asc)
+      .limit(k)
+    hashes.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      .select(col("k_used"), col("kth_hash"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(round((col("k_used") - 1).cast("double") *
+            lit(4294967296.0) / col("kth_hash"), 2)).as("estimate"))
+  }
+}

@@ -211,6 +211,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("b") == Seq(10))
   }
 
+  // ---- SketchOps ----
+
+  test("kmvDistinct is exact under k and within ~3/sqrt(k) above it") {
+    val small = (0L until 100L).map(i => Tuple1(i * 7)).toDF("k")
+    val smallOut = SketchOps.kmvDistinct(small, "k", k = 256)
+      .select("estimate").as[Double].head()
+    assert(smallOut == 100.0) // below k → exact
+    val big = (0L until 20000L).map(i => Tuple1(i * 13)).toDF("k")
+    val est = SketchOps.kmvDistinct(big, "k", k = 256)
+      .select("estimate").as[Double].head()
+    assert(math.abs(est - 20000.0) / 20000.0 < 3.0 / math.sqrt(256.0), s"est=$est")
+  }
+
   // ---- AsofOps ----
 
   test("asofJoin picks the latest right row at or before each left ts") {
