@@ -1700,10 +1700,12 @@ object SparkEntry {
     // replicated: k smallest distinct hashes → (k-1)·2^32 / h_k
     "sketch_kmv" ->
       s"""WITH hu AS (
-         |  SELECT DISTINCT ${hash32Sql("(user_id)")} AS h FROM events),
+         |  SELECT DISTINCT ${hash32Sql("(user_id)")} AS h FROM events
+         |  WHERE user_id IS NOT NULL),
          |ku AS (SELECT h FROM hu ORDER BY h LIMIT 64),
          |he AS (
-         |  SELECT DISTINCT ${hash32Sql("(event_id)")} AS h FROM events),
+         |  SELECT DISTINCT ${hash32Sql("(event_id)")} AS h FROM events
+         |  WHERE event_id IS NOT NULL),
          |ke AS (SELECT h FROM he ORDER BY h LIMIT 256)
          |SELECT count(*) AS k_used, max(h) AS kth_hash,
          | CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * join (prices at trade time, page metadata at revision time).
   *
   * Implementation is the union+window shape, NOT a per-key sort-merge
-  * UDF: tag both sides, union, and carry the last right-side values
+  * UDF: tag both sides, union, and carry the last right-side ROW
   * forward with `last(ignoreNulls)` over (key, time). One shuffle on the
   * key, streaming window state — the same single-pass behavior Spark
   * gives every other window, so a key with 10^6 rows costs one sorted
@@ -21,33 +21,43 @@ import org.apache.spark.sql.functions._
 object AsofOps {
 
   /** Left rows gain `valueCols` from the latest right row with
-    * `right.ts <= left.ts` on the same `key` (null when none exists).
-    * A right and a left row at the same timestamp match ("<="): ties
-    * order the right row first. For deterministic output the right side
-    * should be unique per (key, ts) — pre-aggregate it otherwise. */
+    * `right.ts <= left.ts` on the same `key` (all null when none
+    * exists). The right ROW is carried as one struct, so a null field in
+    * the latest right row stays null (no falling back to a staler row)
+    * and multiple valueCols always come from the same right row. Right
+    * rows with a null timestamp never match. A right and a left row at
+    * the same timestamp match ("<="): ties order the right row first.
+    * For deterministic output the right side should be unique per
+    * (key, ts) — pre-aggregate it otherwise. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame = {
     val carryCols = left.columns.filterNot(c => c == key || c == ts).toSeq
-    val rightSide = right.select(
-      Seq(col(key), col(ts).as("__ts"), lit(0).as("__side")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")) ++
+    val rvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c.toString)).toArray)
+    val rightSide = right.filter(col(ts).isNotNull).select(
+      Seq(col(key), col(ts).as("__ts"), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__rv")) ++
         carryCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val leftSide = left.select(
-      Seq(col(key), col(ts).as("__ts"), lit(1).as("__side")) ++
-        valueCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__v_$c")) ++
+      Seq(col(key), col(ts).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rvType).as("__rv")) ++
         carryCols.map(col): _*)
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightSide.unionByName(leftSide)
-      .select(
-        Seq(col(key), col("__ts"), col("__side")) ++
-          carryCols.map(col) ++
-          valueCols.map(c =>
-            last(col(s"__v_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .withColumnRenamed("__ts", ts)
-      .drop("__side")
+      .select(
+        Seq(col(key), col("__ts").as(ts)) ++ carryCols.map(col) ++
+          valueCols.map(c => col(s"__rv.$c").as(c)): _*)
+  }
+
+  /** Microsecond-exact floor bucket (negative-safe: pmod makes the
+    * numerator exactly divisible, so the double division is exact —
+    * the repo's "div, not /" epoch-arithmetic convention). */
+  private def floorBucket(c: Column, bucketUs: Long): Column = {
+    val us = unix_micros(c)
+    ((us - pmod(us, lit(bucketUs))) / lit(bucketUs)).cast("long")
   }
 
   /** Range (interval) join: each fact row joins every dimension interval
@@ -59,16 +69,24 @@ object AsofOps {
     * on (key, bucket) equality with a residual containment filter — the
     * standard scale shape when interval lengths are bounded (pick
     * `bucketMs` near the typical interval length to keep the explode
-    * factor small). Millisecond-exact via unix_micros. */
+    * factor small).
+    *
+    * Buckets are computed at MICROSECOND resolution: the interval's top
+    * bucket is the bucket of `end - 1µs` (the last contained instant),
+    * so a fact in the final sub-millisecond slice of an interval is
+    * never missed. Empty or inverted intervals (`end <= start`) explode
+    * to zero buckets rather than a descending junk sequence. */
   def rangeJoin(facts: DataFrame, intervals: DataFrame, key: String,
                 ts: String, startCol: String, endCol: String,
                 bucketMs: Long): DataFrame = {
-    def bucketOf(c: Column): Column =
-      (unix_micros(c) / lit(1000L) / lit(bucketMs)).cast("long")
+    val bucketUs = bucketMs * 1000L
+    val startB = floorBucket(col(startCol), bucketUs)
+    val endB = ((unix_micros(col(endCol)) - 1 -
+      pmod(unix_micros(col(endCol)) - 1, lit(bucketUs))) / lit(bucketUs)).cast("long")
     val ivals = intervals.withColumn("__bucket",
-      explode(sequence(bucketOf(col(startCol)),
-        ((unix_micros(col(endCol)) / lit(1000L) - 1) / lit(bucketMs)).cast("long"))))
-    val keyedFacts = facts.withColumn("__bucket", bucketOf(col(ts)))
+      explode(when(endB >= startB, sequence(startB, endB))
+        .otherwise(array().cast("array<bigint>"))))
+    val keyedFacts = facts.withColumn("__bucket", floorBucket(col(ts), bucketUs))
     keyedFacts.join(ivals, Seq(key, "__bucket"))
       .filter(col(ts) >= col(startCol) && col(ts) < col(endCol))
       .drop("__bucket")

@@ -23,12 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps {
 
-  /** (k_used, kth_hash, estimate) for the distinct count of `keyCol`.
-    * If the true distinct count is ≤ k the estimate is exact (it is the
-    * count of distinct hashes seen). */
+  /** (k_used, kth_hash, estimate) for the distinct count of non-null
+    * `keyCol` values (nulls are excluded, the COUNT(DISTINCT col)
+    * convention). If the true distinct count is < k the estimate is
+    * exact (the count of distinct hashes seen); at ≥ k the (k-1)·M/h_k
+    * estimator applies. Numeric keys hash via the codegen'd hash32;
+    * string keys via the native fnv64 expression folded to 32 bits —
+    * anything else is rejected loudly rather than silently collapsing
+    * under a lossy cast. */
   def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val keyHash = df.schema(keyCol).dataType match {
+      case _: NumericType => SimilarityOps.hash32Col(col(keyCol).cast("long"))
+      case StringType =>
+        graft.plans.GraftSparkExtensions.install(df.sparkSession)
+        pmod(expr(s"fnv64(`$keyCol`)"), lit(4294967296L))
+      case dt => throw new IllegalArgumentException(
+        s"kmvDistinct: unsupported key type ${dt.catalogString} for '$keyCol'")
+    }
     val hashes = df
-      .select(SimilarityOps.hash32Col(col(keyCol).cast("long")).as("h"))
+      .filter(col(keyCol).isNotNull)
+      .select(keyHash.as("h"))
       .distinct()
       .orderBy(col("h").asc)
       .limit(k)

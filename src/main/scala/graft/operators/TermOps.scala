@@ -109,27 +109,28 @@ object TermOps {
     * WikiRevIndex4NonTemporalSearch.java:36-110 build the index this
     * scores). Robertson idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
     *
-    * Scale shape: postings are filtered to the query terms FIRST (the
-    * broadcast-join equivalent of seeking |q| postings lists, never a
-    * corpus-wide score), per-term df is a tiny aggregate, corpus stats
-    * (N, avgdl) are one broadcast row, and the final top-k is
-    * TakeOrderedAndProject. Ranking uses the ROUNDED score with a
-    * doc_id tie-break so the order is reproducible across engines. */
+    * Scale shape: the query-term filter sits INSIDE the token explode
+    * (before any shuffle), and doc length rides along in the same scan,
+    * so only matching docs' query-term tokens ever shuffle — never a
+    * corpus-wide postings build and never a corpus-wide doc-length
+    * join. Per-term df is a tiny aggregate, corpus stats (N, avgdl) are
+    * one broadcast row (the single unavoidable corpus pass), and the
+    * final top-k is TakeOrderedAndProject. Ranking uses the ROUNDED
+    * score with a doc_id tie-break so the order is reproducible across
+    * engines. */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val q = queryTerms.toDF("term")
-    val postings = termFrequencies(docs, idCol, textCol)
-      .join(broadcast(q), Seq("term"))
+    val toks = tokens(col(textCol))
+    val postings = docs
+      .select(col(idCol).as("doc_id"), size(toks).as("doc_len"),
+        explode(filter(toks, t => t.isin(queryTerms: _*))).as("term"))
+      .groupBy("doc_id", "doc_len", "term").agg(count(lit(1)).as("tf"))
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("term_df"))
-    val dl = docLengths(docs, idCol, textCol)
-    val global = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("doc_len")).as("avgdl"))
+    val global = docLengths(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n_docs"), avg(col("doc_len")).as("avgdl"))
     val contrib = postings
       .join(broadcast(dfs), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(global))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("term_df") + lit(0.5)) /

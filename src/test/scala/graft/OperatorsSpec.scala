@@ -239,6 +239,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).isEmpty)      // nothing at or before → null
   }
 
+  test("asofJoin carries the whole latest right row (null fields stay null)") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val left = Seq((1L, ts(300), 10L)).toDF("event_id", "ts", "user_id")
+    val right = Seq((10L, ts(100), Some(5L)), (10L, ts(200), None))
+      .toDF("user_id", "ts", "v")
+    val out = AsofOps.asofJoin(left, right, "user_id", "ts", Seq("v"))
+      .select("v").as[Option[Long]].head()
+    assert(out.isEmpty) // latest right row has v=null — no stale fallback
+  }
+
+  test("rangeJoin catches sub-millisecond interval ends; empty intervals explode to nothing") {
+    def t(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
+    val facts = Seq((1L, t(10000200L), 0L)).toDF("fact_id", "ts", "k")
+    val ivals = Seq(
+      (0L, t(10000000L), t(10000500L), 7L),  // fact in the last sub-ms slice
+      (0L, t(5000000L), t(5000000L), 8L))    // empty interval [t, t)
+      .toDF("k", "start_ts", "end_ts", "ival_id")
+    val got = AsofOps.rangeJoin(facts, ivals, "k", "ts",
+        "start_ts", "end_ts", bucketMs = 1000L)
+      .select("fact_id", "ival_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 7L)))
+  }
+
+  test("kmvDistinct hashes string keys via fnv64 and rejects unsupported types") {
+    val docs = (0 until 100).map(i => Tuple1(s"doc-$i")).toDF("title")
+    val est = SketchOps.kmvDistinct(docs, "title", k = 256)
+      .select("estimate").as[Double].head()
+    assert(est == 100.0)
+    val arr = Seq(Tuple1(Seq(1, 2))).toDF("a")
+    intercept[IllegalArgumentException](SketchOps.kmvDistinct(arr, "a"))
+  }
+
   test("rangeJoin equals the naive containment join") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
     val facts = (0L until 200L).map(i => (i, ts(i * 37), i % 5))
