@@ -291,6 +291,14 @@ object SparkEntry {
       DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
 
+    "dedup_components" -> ((s, d) =>
+      // near-dup clustering: pairwise jaccard output → connected
+      // components (component id = min doc id, the deterministic keeper)
+      DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+            threshold = 0.5))
+        .select(col("node").as("doc_id"), col("component"))),
+
     "dedup_embedding" -> ((s, d) => {
       import s.implicits._
       // planted identical-vector pairs (ids far above the corpus range):
@@ -920,6 +928,29 @@ object SparkEntry {
     s"""SELECT doc_id, term, count(*) AS tf FROM ($tokensSub)
        |WHERE term <> '' GROUP BY doc_id, term""".stripMargin
 
+  /** Exact shingle-multiset jaccard pairs ≥ 0.5 with the df cap —
+    * shared by dedup_jaccard and dedup_components. */
+  private val jaccardPairsSql =
+    """WITH arrs AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> x <> '') AS a
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+      |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 0))) AS t(i)
+      |  WHERE len(a) >= 3),
+      |kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+      |shk AS (SELECT doc_id, sh.sh FROM sh JOIN kept USING (sh)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      |  FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ida AS id_a, idb AS id_b,
+      | round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin
+
   /** (doc_id, pred_lang) — shared by text_lang_id and curate_docs. */
   private val langIdSql =
     """WITH t AS (
@@ -1128,26 +1159,22 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY content_hash""".stripMargin,
 
-    "dedup_jaccard" ->
-      """WITH arrs AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> x <> '') AS a
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
-        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 0))) AS t(i)
-        |  WHERE len(a) >= 3),
-        |kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
-        |shk AS (SELECT doc_id, sh.sh FROM sh JOIN kept USING (sh)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-        |  FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT ida AS id_a, idb AS id_b,
-        | round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-        |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
-        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "dedup_jaccard" -> jaccardPairsSql,
+
+    // components of the jaccard pair graph by transitive reachability
+    // (recursive CTE): component = min reachable doc id — the same
+    // fixpoint the iterative min-label propagation converges to
+    "dedup_components" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u)
+         |SELECT node AS doc_id, min(r) AS component
+         |FROM reach GROUP BY node""".stripMargin,
 
     // exact computation of what the LSH+verify pipeline approximates: all
     // pairs with shingle-SET jaccard ≥ 0.4, mirroring every shingle rule

@@ -138,6 +138,49 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list — the clustering
+    * step that turns pairwise dedup output into "keep one doc per
+    * cluster" (component id = min doc id in the component, so the
+    * representative is deterministic).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds. Every round is one distributed
+    * join + aggregation; the driver only inspects a scalar
+    * changed-count per round (no data collect). Near-dup components
+    * are shallow in practice (dup clusters are cliques or short
+    * chains), so rounds stay single-digit; `maxIter` bounds the
+    * pathological chain. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("component", col("node"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "v")
+          .withColumnRenamed("component", "nbr_label"), Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(min(col("nbr_label")).as("min_nbr"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("min_nbr"), col("component")))
+            .as("component"))
+      next.persist()
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), Seq("node"))
+        .filter(col("component") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup candidates: 64-bit signature split into `chunks`
     * pieces; docs sharing any chunk value are candidates (hamming ≤
     * chunks-1 guaranteed covered). Same explode/groupBy shape as LSH. */

@@ -148,6 +148,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connectedComponents labels chains and separate clusters by min id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (8L, 7L)).toDF("id_a", "id_b")
+    val out = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("ivfTopK finds an identical vector (same cell guaranteed)") {
     def v(i: Int) = Array.tabulate(8)(d =>
       (graft.functions.Hashing.mix(i.toLong * 8 + d) % 1000).toFloat)
