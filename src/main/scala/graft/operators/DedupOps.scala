@@ -153,9 +153,13 @@ object DedupOps {
     * pathological chain. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // the edge list (often the output of an expensive dedup computation)
+    // is re-joined every round — materialize it once instead of
+    // recomputing its whole lineage per iteration
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
+      .persist()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("component", col("node"))
     var iter = 0
