@@ -149,10 +149,13 @@ object DedupOps {
     * join + aggregation; the driver only inspects a scalar
     * changed-count per round (no data collect). Near-dup components
     * are shallow in practice (dup clusters are cliques or short
-    * chains), so rounds stay single-digit; `maxIter` bounds the
-    * pathological chain. */
+    * chains), so rounds stay single-digit; a component whose diameter
+    * exceeds `maxIter` fails LOUDLY rather than returning silently
+    * split components. The returned frame is persisted (it was
+    * materialized by the final convergence check); callers owning
+    * long sessions may unpersist it when done. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
     // the edge list (often the output of an expensive dedup computation)
     // is re-joined every round — materialize it once instead of
     // recomputing its whole lineage per iteration
@@ -170,10 +173,11 @@ object DedupOps {
           .withColumnRenamed("component", "nbr_label"), Seq("v"))
         .groupBy(col("u").as("node"))
         .agg(min(col("nbr_label")).as("min_nbr"))
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
+      // every labeled node has ≥1 neighbor (labels = distinct edge
+      // endpoints), so an inner join is total here
+      val next = labels.join(viaNeighbors, Seq("node"))
         .select(col("node"),
-          least(col("component"), coalesce(col("min_nbr"), col("component")))
-            .as("component"))
+          least(col("component"), col("min_nbr")).as("component"))
       next.persist()
       val changed = next.join(labels.withColumnRenamed("component", "prev"), Seq("node"))
         .filter(col("component") =!= col("prev")).count()
@@ -182,6 +186,11 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise it")
     labels
   }
 
