@@ -380,6 +380,9 @@ object SparkEntry {
           TextAnalysisOps.repetitionRatio(col("text")).as("rep_ratio"))
     }),
 
+    "text_surprisal" -> ((s, d) =>
+      TextAnalysisOps.surprisal(t(s, d, "documents"), "doc_id", "text")),
+
     "sample_stratified" -> ((s, d) =>
       // deterministic stratified sampling: per-language rates via a
       // hash-threshold on doc_id — reproducible across runs/engines,
@@ -1833,6 +1836,16 @@ object SparkEntry {
         |      ELSE round(1.0 - len(list_distinct(s)) * 1.0 / len(s), 4)
         | END AS rep_ratio
         |FROM sh""".stripMargin,
+
+    "text_surprisal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, term FROM ($tokensSub) WHERE term <> ''),
+         |cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+         |g AS (SELECT count(*) AS total FROM toks)
+         |SELECT doc_id,
+         | round(avg(-log2(CAST(cf.cf AS DOUBLE) / g.total)), 4) AS mean_surprisal
+         |FROM toks JOIN cf USING (term) CROSS JOIN g
+         |GROUP BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT lang, count(*) AS n_sampled FROM documents

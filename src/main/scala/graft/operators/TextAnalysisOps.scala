@@ -72,6 +72,29 @@ object TextAnalysisOps {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{7,}", "<NUM>")
 
+  /** Mean unigram surprisal per document — the perplexity-proxy quality
+    * signal training pipelines filter on (gibberish and boilerplate sit
+    * at the distribution tails): avg over token instances of
+    * −log2(cf(term)/total_tokens), with corpus statistics from the data
+    * itself.
+    *
+    * Scale shape: one explode + aggregation builds the unigram table,
+    * the scoring join shuffles on term (the vocabulary can be far past
+    * broadcast size at 100 TB — term-hash partitioning is the honest
+    * shape), then one per-doc aggregation. Rounded to 4dp so the
+    * sum-order and 1-ulp log differences between engines vanish. */
+  def surprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TermOps.tokens(col(textCol))).as("term"))
+    val cf = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(cf, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log2(col("cf").cast("double") / col("total"))), 4)
+        .as("mean_surprisal"))
+  }
+
   /** Within-document repetition ratio (a Gopher-style quality signal):
     * 1 − distinct/total word 3-shingles; 0 for docs under 3 tokens.
     * Built-in HOFs only (transform over an index sequence + slice), so

@@ -344,6 +344,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == 0.0)
   }
 
+  test("surprisal ranks rare-token docs above common-token docs") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "rare1 rare2 rare3 common")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.surprisal(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(out(2L) > out(1L))
+    assert(out(1L) > 0.0) // common ≠ certain: cf < total
+  }
+
   test("hash-threshold sampling is deterministic and rate-proportional") {
     val df = (0L until 1000L).toDF("doc_id")
     def kept() = df.filter(
