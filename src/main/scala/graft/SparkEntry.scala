@@ -1216,7 +1216,8 @@ object SparkEntry {
     // full replication of the SimHash kernel: FNV-1a per token in HUGEINT
     // (the xor only ever touches the low 7 bits — ASCII tokens — so it
     // runs in BIGINT), per-bit majority votes, 16-bit chunk buckets,
-    // hamming over the xor of the signed signatures
+    // hamming over the xor of the signed signatures. Token-less docs get
+    // signature 0 (the empty-vote fixpoint), mirroring Hashing.simHash.
     "dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -1238,7 +1239,11 @@ object SparkEntry {
         |sigs AS (
         |  SELECT doc_id,
         |   sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS su
-        |  FROM bits GROUP BY doc_id),
+        |  FROM bits GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, 0::HUGEINT AS su FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) = 0),
         |sigc AS (
         |  SELECT doc_id,
         |   CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
@@ -1838,13 +1843,13 @@ object SparkEntry {
         |FROM sh""".stripMargin,
 
     "text_surprisal" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, term FROM ($tokensSub) WHERE term <> ''),
-         |cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
-         |g AS (SELECT count(*) AS total FROM toks)
+      s"""WITH tf AS ($tfSub),
+         |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+         |g AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf)
          |SELECT doc_id,
-         | round(avg(-log2(CAST(cf.cf AS DOUBLE) / g.total)), 4) AS mean_surprisal
-         |FROM toks JOIN cf USING (term) CROSS JOIN g
+         | round(sum(tf.tf * -log2(CAST(cf.cf AS DOUBLE) / g.total)) /
+         |   CAST(sum(tf.tf) AS DOUBLE), 4) AS mean_surprisal
+         |FROM tf JOIN cf USING (term) CROSS JOIN g
          |GROUP BY doc_id""".stripMargin,
 
     "sample_stratified" ->

@@ -31,6 +31,7 @@ object AsofOps {
     * (key, ts) — pre-aggregate it otherwise. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame = {
+    requireFree(left, "left"); requireFree(right, "right")
     val carryCols = left.columns.filterNot(c => c == key || c == ts).toSeq
     val rvType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => right.schema(c.toString)).toArray)
@@ -52,13 +53,23 @@ object AsofOps {
           valueCols.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
-  /** Microsecond-exact floor bucket (negative-safe: pmod makes the
-    * numerator exactly divisible, so the double division is exact —
-    * the repo's "div, not /" epoch-arithmetic convention). */
-  private def floorBucket(c: Column, bucketUs: Long): Column = {
-    val us = unix_micros(c)
-    ((us - pmod(us, lit(bucketUs))) / lit(bucketUs)).cast("long")
+  /** Internal working columns — reject inputs that already use them
+    * rather than silently clobbering or ambiguating caller data. */
+  private val reserved = Set("__ts", "__side", "__rv", "__bucket")
+  private def requireFree(df: DataFrame, which: String): Unit = {
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"AsofOps: $which input uses reserved column name(s) ${clash.mkString(", ")}")
   }
+
+  /** Microsecond-exact floor bucket over a micros Column (negative-safe:
+    * pmod makes the numerator exactly divisible, so the double division
+    * is exact — the repo's "div, not /" epoch-arithmetic convention). */
+  private def floorBucketUs(us: Column, bucketUs: Long): Column =
+    ((us - pmod(us, lit(bucketUs))) / lit(bucketUs)).cast("long")
+
+  private def floorBucket(c: Column, bucketUs: Long): Column =
+    floorBucketUs(unix_micros(c), bucketUs)
 
   /** Range (interval) join: each fact row joins every dimension interval
     * `[startCol, endCol)` containing its `ts`, on the same `key`.
@@ -79,10 +90,10 @@ object AsofOps {
   def rangeJoin(facts: DataFrame, intervals: DataFrame, key: String,
                 ts: String, startCol: String, endCol: String,
                 bucketMs: Long): DataFrame = {
+    requireFree(facts, "facts"); requireFree(intervals, "intervals")
     val bucketUs = bucketMs * 1000L
     val startB = floorBucket(col(startCol), bucketUs)
-    val endB = ((unix_micros(col(endCol)) - 1 -
-      pmod(unix_micros(col(endCol)) - 1, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    val endB = floorBucketUs(unix_micros(col(endCol)) - 1, bucketUs)
     val ivals = intervals.withColumn("__bucket",
       explode(when(endB >= startB, sequence(startB, endB))
         .otherwise(array().cast("array<bigint>"))))

@@ -27,14 +27,16 @@ object SketchOps {
     * `keyCol` values (nulls are excluded, the COUNT(DISTINCT col)
     * convention). If the true distinct count is < k the estimate is
     * exact (the count of distinct hashes seen); at ≥ k the (k-1)·M/h_k
-    * estimator applies. Numeric keys hash via the codegen'd hash32;
+    * estimator applies. Integral keys hash via the codegen'd hash32;
     * string keys via the native fnv64 expression folded to 32 bits —
-    * anything else is rejected loudly rather than silently collapsing
-    * under a lossy cast. */
+    * anything else (including fractional numerics, where a cast to long
+    * would merge distinct values) is rejected loudly rather than
+    * silently collapsing under a lossy cast. */
   def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.types.{NumericType, StringType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val keyHash = df.schema(keyCol).dataType match {
-      case _: NumericType => SimilarityOps.hash32Col(col(keyCol).cast("long"))
+      case ByteType | ShortType | IntegerType | LongType =>
+        SimilarityOps.hash32Col(col(keyCol).cast("long"))
       case StringType =>
         graft.plans.GraftSparkExtensions.install(df.sparkSession)
         pmod(expr(s"fnv64(`$keyCol`)"), lit(4294967296L))

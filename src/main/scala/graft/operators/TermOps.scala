@@ -82,7 +82,7 @@ object TermOps {
       // the dictionary id contract is Int (matches `dictionary` and every
       // consumer); fail loudly rather than wrap if a vocabulary ever
       // exceeds it
-      if (i >= Int.MaxValue - 1)
+      if (i + 1 > Int.MaxValue)
         throw new IllegalStateException(
           s"dictionaryScalable: vocabulary exceeds Int id space at rank $i")
       Row.fromSeq(r.toSeq :+ (i + 1).toInt)

@@ -78,21 +78,23 @@ object TextAnalysisOps {
     * −log2(cf(term)/total_tokens), with corpus statistics from the data
     * itself.
     *
-    * Scale shape: one explode + aggregation builds the unigram table,
-    * the scoring join shuffles on term (the vocabulary can be far past
-    * broadcast size at 100 TB — term-hash partitioning is the honest
-    * shape), then one per-doc aggregation. Rounded to 4dp so the
+    * Scale shape: the scoring join runs on the tf-compressed
+    * (doc, term, tf) relation, not per token instance — shuffle volume
+    * is O(doc-term pairs), so repetitive/spam docs (exactly this
+    * signal's targets) can't inflate it. The unigram table shuffles on
+    * term (the vocabulary can be far past broadcast size at 100 TB —
+    * term-hash partitioning is the honest shape). Rounded to 4dp so the
     * sum-order and 1-ulp log differences between engines vanish. */
   def surprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TermOps.tokens(col(textCol))).as("term"))
-    val cf = toks.groupBy("term").agg(count(lit(1)).as("cf"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    toks.join(cf, Seq("term"))
+    val tf = TermOps.termFrequencies(docs, idCol, textCol)
+    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    tf.join(cf, Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(round(avg(-log2(col("cf").cast("double") / col("total"))), 4)
-        .as("mean_surprisal"))
+      .agg(round(
+        sum(col("tf") * -log2(col("cf").cast("double") / col("total"))) /
+          sum(col("tf")).cast("double"), 4).as("mean_surprisal"))
   }
 
   /** Within-document repetition ratio (a Gopher-style quality signal):
