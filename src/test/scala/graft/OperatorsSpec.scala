@@ -279,6 +279,27 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SketchOps.kmvDistinct(arr, "a"))
   }
 
+  test("asofJoin equals the naive per-key latest-at-or-before computation") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // deterministic pseudo-random trace: 120 left rows, 80 right rows,
+    // 6 keys, colliding timestamps included
+    val left = (0L until 120L).map(i => (i, ts((i * 37) % 500), i % 6))
+      .toDF("event_id", "ts", "user_id")
+    val rightRows = (0L until 80L).map(i => ((i * 53) % 6, ts((i * 29) % 500), i))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (key, ts)
+    val right = rightRows.toDF("user_id", "ts", "v")
+    val got = AsofOps.asofJoin(left, right, "user_id", "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toMap
+    val want = (0L until 120L).map { i =>
+      val t = (i * 37) % 500
+      val k = i % 6
+      val candidates = rightRows.filter(r => r._1 == k && r._2.getTime <= t)
+      i -> (if (candidates.isEmpty) None
+            else Some(candidates.maxBy(_._2.getTime)._3))
+    }.toMap
+    assert(got == want)
+  }
+
   test("rangeJoin equals the naive containment join") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
     val facts = (0L until 200L).map(i => (i, ts(i * 37), i % 5))
