@@ -31,7 +31,8 @@ object AsofOps {
     * (key, ts) — pre-aggregate it otherwise. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame = {
-    requireFree(left, "left"); requireFree(right, "right")
+    requireFree(left, "left", asofReserved)
+    requireFree(right, "right", asofReserved)
     val carryCols = left.columns.filterNot(c => c == key || c == ts).toSeq
     val rvType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => right.schema(c.toString)).toArray)
@@ -53,10 +54,13 @@ object AsofOps {
           valueCols.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
-  /** Internal working columns — reject inputs that already use them
-    * rather than silently clobbering or ambiguating caller data. */
-  private val reserved = Set("__ts", "__side", "__rv", "__bucket")
-  private def requireFree(df: DataFrame, which: String): Unit = {
+  /** Internal working columns, per operator — reject inputs that
+    * already use them rather than silently clobbering or ambiguating
+    * caller data (each operator only reserves its own names). */
+  private val asofReserved = Set("__ts", "__side", "__rv")
+  private val rangeReserved = Set("__bucket")
+  private def requireFree(df: DataFrame, which: String,
+                          reserved: Set[String]): Unit = {
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty,
       s"AsofOps: $which input uses reserved column name(s) ${clash.mkString(", ")}")
@@ -90,7 +94,8 @@ object AsofOps {
   def rangeJoin(facts: DataFrame, intervals: DataFrame, key: String,
                 ts: String, startCol: String, endCol: String,
                 bucketMs: Long): DataFrame = {
-    requireFree(facts, "facts"); requireFree(intervals, "intervals")
+    requireFree(facts, "facts", rangeReserved)
+    requireFree(intervals, "intervals", rangeReserved)
     val bucketUs = bucketMs * 1000L
     val startB = floorBucket(col(startCol), bucketUs)
     val endB = floorBucketUs(unix_micros(col(endCol)) - 1, bucketUs)

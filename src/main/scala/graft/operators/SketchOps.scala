@@ -33,9 +33,12 @@ object SketchOps {
     * would merge distinct values) is rejected loudly rather than
     * silently collapsing under a lossy cast. */
   def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType, StringType}
     val keyHash = df.schema(keyCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
+        SimilarityOps.hash32Col(col(keyCol).cast("long"))
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 =>
+        // scale-0 decimals up to 18 digits cast to long losslessly
         SimilarityOps.hash32Col(col(keyCol).cast("long"))
       case StringType =>
         graft.plans.GraftSparkExtensions.install(df.sparkSession)
