@@ -18,7 +18,8 @@ object Bench {
     // warm the JVM/session (codegen, shuffle service, parquet footer cache)
     // so per-query numbers measure the queries, not startup
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q1_pricing_summary").foreach(f => run(f(spark, sfDir)))
+    try SparkEntry.queries.get("q1_pricing_summary").foreach(f => run(f(spark, sfDir)))
+    catch { case _: Throwable => () } // warmup only; the timed run records the error
     // run queries concurrently (Spark schedules concurrent jobs across the
     // local cores, as a shared cluster would); `value` is the true
     // wall-clock of the whole suite, `queries` are per-query latencies
@@ -31,16 +32,29 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a crashed query must surface as an error, not masquerade as a
+        // fast timing — breakage and noise have to stay distinguishable
+        val err = try { run(fn(spark, sfDir)); None } catch {
+          case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf).toMap
+    val results = Await.result(Future.sequence(futures), Duration.Inf)
     pool.shutdown()
     val wall = (System.nanoTime() - wall0) / 1e9
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.collect { case (k, v, None) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":" + jstr(e.take(300)) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
