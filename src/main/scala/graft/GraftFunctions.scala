@@ -16,25 +16,19 @@ import graft.model.{Delta, Link, LinkCtx}
   */
 object GraftFunctions {
 
-  /** Idempotent registration of all named UDFs on a session. */
+  /** Idempotent registration of the engine's SQL surface: the hot text
+    * kernels resolve to native codegen expressions (graft.plans), the
+    * remaining custom scalars stay UDFs. */
   def register(spark: SparkSession): Unit = {
+    // extract_links / extract_links_ctx / extract_refs / extract_templates /
+    // plain_text / rev_diff / added_words (+ fnv64) — native expressions
+    graft.plans.GraftSparkExtensions.install(spark)
     val u = spark.udf
-    u.register("extract_links", (t: String) => TextFunctions.extractLinks(t))
-    u.register("extract_links_ctx",
-      (t: String) => TextFunctions.extractLinksWithContext(t))
-    u.register("extract_refs", (t: String) => TextFunctions.extractReferences(t))
-    u.register("extract_templates",
-      (t: String) => TextFunctions.extractTemplates(t))
-    u.register("plain_text", (t: String) => TextFunctions.plainText(t))
     u.register("normalize_title", (t: String) => TextFunctions.normalizeTitle(t))
     u.register("freebase_encode", (t: String) => TextFunctions.freebaseEncode(t))
     u.register("cut_last", (s: String, n: Int) => TextFunctions.cutLast(s, n))
     u.register("extract_domain", (s: String) => TextFunctions.extractDomain(s))
     u.register("decode_ez", (s: String, days: Int) => EzFunctions.decodeEz(s, days))
-    u.register("rev_diff",
-      (a: Seq[String], b: Seq[String]) => DiffFunctions.diff(a, b))
-    u.register("added_words",
-      (a: Seq[String], b: Seq[String]) => DiffFunctions.addedWords(a, b))
     u.register("minhash_sig",
       (tokens: Seq[String], k: Int, num: Int) =>
         Hashing.minHash(Hashing.shingles(tokens, k).toSet, num))
@@ -47,23 +41,28 @@ object GraftFunctions {
 
   // ---- Column-level helpers (the library API surface) ----
 
-  def extractLinks(c: Column): Column = udf(TextFunctions.extractLinks _).apply(c)
+  // Hot kernels build native codegen expressions directly (no UDF tier,
+  // no registry dependence); see graft.plans.TextKernels for the contract.
+  private def toExpr(c: Column) =
+    org.apache.spark.sql.graftshim.ColumnBridge.expression(c)
+  private def toCol(x: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(x)
+
+  def extractLinks(c: Column): Column = toCol(graft.plans.ExtractLinks(toExpr(c)))
   def extractLinksCtx(c: Column): Column =
-    udf((t: String) => TextFunctions.extractLinksWithContext(t)).apply(c)
-  def extractRefs(c: Column): Column =
-    udf(TextFunctions.extractReferences _).apply(c)
+    toCol(graft.plans.ExtractLinksCtx(toExpr(c)))
+  def extractRefs(c: Column): Column = toCol(graft.plans.ExtractRefs(toExpr(c)))
   def extractTemplates(c: Column): Column =
-    udf(TextFunctions.extractTemplates _).apply(c)
-  def plainText(c: Column): Column = udf(TextFunctions.plainText _).apply(c)
+    toCol(graft.plans.ExtractTemplates(toExpr(c)))
+  def plainText(c: Column): Column = toCol(graft.plans.PlainText(toExpr(c)))
+  def revDiff(a: Column, b: Column): Column =
+    toCol(graft.plans.RevDiff(toExpr(a), toExpr(b)))
+  def addedWords(a: Column, b: Column): Column =
+    toCol(graft.plans.AddedWords(toExpr(a), toExpr(b)))
   def normalizeTitle(c: Column): Column =
     udf(TextFunctions.normalizeTitle _).apply(c)
   def freebaseEncode(c: Column): Column =
     udf(TextFunctions.freebaseEncode _).apply(c)
-  def revDiff(a: Column, b: Column): Column =
-    udf((x: Seq[String], y: Seq[String]) => DiffFunctions.diff(x, y)).apply(a, b)
-  def addedWords(a: Column, b: Column): Column =
-    udf((x: Seq[String], y: Seq[String]) => DiffFunctions.addedWords(x, y))
-      .apply(a, b)
   def langId(c: Column): Column = udf(TextFunctions.langId _).apply(c)
   def decodeEz(c: Column, days: Column): Column =
     udf((s: String, d: Int) => EzFunctions.decodeEz(s, d)).apply(c, days)

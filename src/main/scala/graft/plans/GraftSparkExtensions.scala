@@ -24,10 +24,25 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 object GraftSparkExtensions {
   private type Builder = Seq[Expression] => Expression
 
+  private def unary(name: String, cls: Class[_], b: Expression => Expression)
+      : (String, ExpressionInfo, Builder) =
+    (name, new ExpressionInfo(cls.getName, name),
+      (args: Seq[Expression]) => b(args.head))
+
+  private def binary(name: String, cls: Class[_],
+      b: (Expression, Expression) => Expression): (String, ExpressionInfo, Builder) =
+    (name, new ExpressionInfo(cls.getName, name),
+      (args: Seq[Expression]) => b(args(0), args(1)))
+
   val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
-    ("fnv64",
-      new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),
-      (args: Seq[Expression]) => FnvHash64(args.head)))
+    unary("fnv64", classOf[FnvHash64], FnvHash64),
+    unary("extract_links", classOf[ExtractLinks], ExtractLinks),
+    unary("extract_links_ctx", classOf[ExtractLinksCtx], ExtractLinksCtx),
+    unary("extract_refs", classOf[ExtractRefs], ExtractRefs),
+    unary("extract_templates", classOf[ExtractTemplates], ExtractTemplates),
+    unary("plain_text", classOf[PlainText], PlainText),
+    binary("rev_diff", classOf[RevDiff], RevDiff),
+    binary("added_words", classOf[AddedWords], AddedWords))
 
   /** Runtime registration on an existing session (idempotent). After
     * this, `selectExpr("fnv64(col)")` / `expr("fnv64(col)")` plan the

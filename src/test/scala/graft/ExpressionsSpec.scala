@@ -36,6 +36,87 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("native text kernels match the pure-Scala functions (codegen path)") {
+    import graft.functions.{DiffFunctions, TextFunctions}
+    val texts = Seq(
+      "See [[Spark|the engine]] and [[Scala]] but not [[File:x.png|img]].",
+      "'''Bold''' [[link|word]] <ref>x</ref> {{tmpl}} &amp; http://u.com end",
+      "{{Infobox x|a}} {{cite web|u}} {{Good one}} http://a.io/b done",
+      "", "no markup at all", "日本語 [[リンク|テキスト]] {{テンプレート}}")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("fid", "text")
+      .select(col("fid"), col("text"),
+        GraftFunctions.extractLinks(col("text")).as("links"),
+        GraftFunctions.extractLinksCtx(col("text")).as("ctx"),
+        GraftFunctions.extractRefs(col("text")).as("refs"),
+        GraftFunctions.extractTemplates(col("text")).as("tmpls"),
+        GraftFunctions.plainText(col("text")).as("plain"))
+    df.collect().foreach { r =>
+      val t = r.getString(1)
+      val links = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(x => graft.model.Link(x.getString(0), x.getString(1)))
+      assert(links == TextFunctions.extractLinks(t), s"links for '$t'")
+      val ctx = r.getSeq[org.apache.spark.sql.Row](3)
+        .map(x => graft.model.LinkCtx(x.getString(0), x.getString(1),
+          x.getInt(2), x.getString(3), x.getString(4)))
+      assert(ctx == TextFunctions.extractLinksWithContext(t), s"ctx for '$t'")
+      assert(r.getSeq[String](4) == TextFunctions.extractReferences(t), s"refs for '$t'")
+      assert(r.getSeq[String](5) == TextFunctions.extractTemplates(t), s"tmpls for '$t'")
+      assert(r.getString(6) == TextFunctions.plainText(t), s"plain for '$t'")
+    }
+    // binary kernels: diff + multiset-added-words vs the Scala spec
+    val a = Seq("the", "quick", "fox", "dup", "dup")
+    val b = Seq("a", "quick", "brown", "fox", "dup", "dup", "dup")
+    val row = Seq((a, b)).toDF("o", "r")
+      .select(GraftFunctions.revDiff(col("o"), col("r")).as("d"),
+        GraftFunctions.addedWords(col("o"), col("r")).as("w"))
+      .collect().head
+    val deltas = row.getSeq[org.apache.spark.sql.Row](0).map(x =>
+      graft.model.Delta(x.getString(0), x.getInt(1), x.getInt(2),
+        x.getSeq[String](3), x.getSeq[String](4)))
+    assert(deltas == DiffFunctions.diff(a, b))
+    assert(row.getSeq[String](1) == DiffFunctions.addedWords(a, b))
+  }
+
+  test("native text kernels map null input to empty, never null") {
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(GraftFunctions.extractLinks(col("text")).as("links"),
+        GraftFunctions.plainText(col("text")).as("plain"),
+        GraftFunctions.addedWords(lit(null).cast("array<string>"),
+          lit(null).cast("array<string>")).as("w"))
+      .collect().head
+    assert(r.getSeq[Any](0) == Seq.empty)
+    assert(r.getString(1) == "")
+    assert(r.getSeq[Any](2) == Seq.empty)
+  }
+
+  test("text kernels stay inside whole-stage codegen (no UDF tier)") {
+    val plan = Seq("x [[A|b]]").toDF("text")
+      .select(explode(GraftFunctions.extractLinks(col("text"))).as("l"),
+        GraftFunctions.plainText(col("text")).as("p"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("extract_links("), plan)
+    assert(plan.contains("plain_text("), plan)
+    assert(!plan.toLowerCase.contains("scalaudf") && !plan.contains("UDF("), plan)
+    // the Generate node sits inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Generate"), plan)
+  }
+
+  test("native text kernels resolve in SQL with the same semantics") {
+    GraftSparkExtensions.install(spark)
+    Seq("a [[X|y]] {{cite a}} {{Keep}} http://r.io t ").toDF("t")
+      .createOrReplaceTempView("tk_in")
+    val r = spark.sql(
+      """SELECT size(extract_links(t)) AS nl, size(extract_refs(t)) AS nr,
+        |  extract_templates(t)[0] AS tm, plain_text(t) AS pl,
+        |  size(rev_diff(array('a','b'), array('a','c'))) AS nd,
+        |  added_words(array('a'), array('a','z'))[0] AS aw
+        |FROM tk_in""".stripMargin).collect().head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1)
+    assert(r.getString(2) == "Keep")
+    assert(r.getString(3) == "a y t")
+    assert(r.getInt(4) == 1 && r.getString(5) == "z")
+  }
+
   test("saltedSum equals the direct aggregation") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble))
       .toDF("k", "v")
