@@ -63,21 +63,19 @@ object DedupOps {
       .withColumn("sig", sigUdf(col("toks"), lit(shingleK), lit(num)))
       .withColumn("bucket", explode(bandUdf(col("sig"), lit(bands), lit(rowsPerBand))))
       .select("doc_id", "bucket")
-    val grouped = sigs.groupBy("bucket")
-      .agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) between(2, maxBucket))
-    grouped.select(explode(pairCombinations(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    // within-bucket pairs via an exploded self-join keyed on the bucket —
+    // no collect_list member rows (a capped-but-fat bucket row holds up
+    // to maxBucket ids), no quadratic pair UDF; the id_a < id_b filter
+    // halves the join output and the cap still bounds worst-case fanout
+    val sized = sigs.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket)).select("bucket")
+    val kept = sigs.join(sized, Seq("bucket"))
+    kept.select(col("bucket"), col("doc_id").as("id_a"))
+      .join(kept.select(col("bucket"), col("doc_id").as("id_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
   }
-
-  private val pairCombinations = udf((ids: Seq[Long]) => {
-    val s = ids.distinct.sorted
-    for {
-      i <- s.indices
-      j <- (i + 1) until s.length
-    } yield (s(i), s(j))
-  })
 
   /** Candidates + exact n-gram Jaccard verification ≥ threshold. The
     * verify join fetches each side's tokens by id — two shuffles on ids,
@@ -141,57 +139,91 @@ object DedupOps {
   /** Connected components over a near-dup pair list — the clustering
     * step that turns pairwise dedup output into "keep one doc per
     * cluster" (component id = min doc id in the component, so the
-    * representative is deterministic).
+    * representative is deterministic). Output: (node, component).
     *
-    * Iterative min-label propagation: each round every node takes the
-    * minimum of its own label and its neighbors' labels; converges in
-    * O(component diameter) rounds. Every round is one distributed
-    * join + aggregation; the driver only inspects a scalar
-    * changed-count per round (no data collect). Near-dup components
-    * are shallow in practice (dup clusters are cliques or short
-    * chains), so rounds stay single-digit; a component whose diameter
-    * exceeds `maxIter` fails LOUDLY rather than returning silently
-    * split components. The returned frame is persisted (it was
-    * materialized by the final convergence check); callers owning
-    * long sessions may unpersist it when done. */
+    * Alternating large-star/small-star rounds (the MapReduce
+    * connected-components algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): round counts grow
+    * with log(n), not component diameter, so a 100-link chain closes in
+    * ~7 rounds where min-label propagation needed ~100. Each half-round
+    * is one aggregation (per-node min neighbor) plus one edge join — no
+    * fat neighbor lists, no driver-side data. The edge frame is
+    * `localCheckpoint`ed every round: plan depth stays O(1) across
+    * rounds instead of nesting two joins per round, and each round's
+    * shuffle reads a materialized parent. Convergence is detected by a
+    * (count, hash-sum) fingerprint and then re-verified EXACTLY (set
+    * equality via anti-joins) so a fingerprint collision can never
+    * return silently wrong components; non-convergence within `maxIter`
+    * fails loudly. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
-    // the edge list (often the output of an expensive dedup computation)
-    // is re-joined every round — materialize it once instead of
-    // recomputing its whole lineage per iteration
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .persist()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("component", col("node"))
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("node", "v")
-          .withColumnRenamed("component", "nbr_label"), Seq("v"))
-        .groupBy(col("u").as("node"))
-        .agg(min(col("nbr_label")).as("min_nbr"))
-      // every labeled node has ≥1 neighbor (labels = distinct edge
-      // endpoints), so an inner join is total here
-      val next = labels.join(viaNeighbors, Seq("node"))
-        .select(col("node"),
-          least(col("component"), col("min_nbr")).as("component"))
-      next.persist()
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), Seq("node"))
-        .filter(col("component") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
+                          bCol: String = "id_b", maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** As [[connectedComponents]], also returning the number of
+    * large+small-star rounds until the fixpoint (for round-bound tests). */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 50): (DataFrame, Int) = {
+    def symmetric(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star: every node u attaches its LARGER neighbors to
+    // m = min(neighbors ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = symmetric(e)
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
     }
-    edges.unpersist()
+    // small-star: every node u re-points its SMALLER neighbors (and
+    // itself) at m = min of those neighbors
+    def smallStar(e: DataFrame): DataFrame = {
+      val ob = symmetric(e).filter(col("v") < col("u"))
+      val m = ob.groupBy("u").agg(min(col("v")).as("m"))
+      ob.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // order-insensitive fingerprint: equal edge sets ⇒ equal (count,
+    // xor of per-edge hashes — xor because the edges are a set and it
+    // cannot overflow under ANSI mode); collisions are caught by the
+    // exact check below
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var s = sig(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val ns = sig(next)
+      converged = ns == s
+      e = next; s = ns; rounds += 1
+    }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents: not converged after $maxIter rounds — " +
-          "a component's diameter exceeds maxIter; raise it")
-    labels
+        s"connectedComponents: not converged after $maxIter rounds; raise maxIter")
+    // exact fixpoint verification — one more round compared by set
+    // equality, so the probabilistic fingerprint can never let a wrong
+    // answer through
+    val again = smallStar(largeStar(e))
+    if (again.exceptAll(e).limit(1).count() > 0 ||
+        e.exceptAll(again).limit(1).count() > 0)
+      throw new IllegalStateException(
+        "connectedComponents: fingerprint converged on a non-fixpoint " +
+          "(hash collision); raise maxIter or rerun")
+    // fixpoint = stars: every edge points a member at its component min
+    val labels = e.select(col("u").as("node"), col("v").as("component"))
+      .unionByName(e.select(col("v").as("node"), col("v").as("component"))
+        .distinct())
+    (labels, rounds)
   }
 
   /** SimHash near-dup candidates: 64-bit signature split into `chunks`
@@ -205,20 +237,16 @@ object DedupOps {
     val keyed = docs.select(col(idCol).as("doc_id"),
         simhashUdf(TermOps.tokens(col(textCol))).as("sig"))
       .withColumn("bucket", explode(chunkUdf(col("sig"))))
-    keyed.groupBy("bucket").agg(collect_list(struct("doc_id", "sig")).as("xs"))
-      .filter(size(col("xs")) between(2, maxBucket))
-      .select(explode(simhashPairs(col("xs"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+    // same exploded self-join shape as minhashCandidates: no fat
+    // collect_list rows, hamming as codegen'd bit_count(xor) per pair
+    val sized = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket)).select("bucket")
+    val kept = keyed.join(sized, Seq("bucket"))
+    kept.select(col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      .join(kept.select(col("bucket"), col("doc_id").as("id_b"),
+        col("sig").as("sig_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
-
-  private val simhashPairs = udf((xs: Seq[org.apache.spark.sql.Row]) => {
-    val s = xs.map(r => (r.getLong(0), r.getLong(1))).distinct.sortBy(_._1)
-    for {
-      i <- s.indices
-      j <- (i + 1) until s.length
-    } yield SimPair(s(i)._1, s(j)._1, Hashing.hamming(s(i)._2, s(j)._2))
-  })
 }
-
-case class SimPair(id_a: Long, id_b: Long, hamming: Int)

@@ -105,10 +105,22 @@ object SimilarityOps {
     def assign(df: DataFrame, idCol: String, embCol: String, keep: Int) = {
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("csim", cosine(col(embCol), col("cent_emb")))
-      scored.withColumn("crank", row_number().over(
-          Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id").asc)))
-        .filter(col("crank") <= keep)
-        .drop("cent_emb", "csim", "crank")
+      if (keep == 1)
+        // corpus side: per-id argmax as a hash aggregation — map-side
+        // combine collapses each id's nCentroids rows to one BEFORE the
+        // shuffle (the row_number window it replaces shuffled and sorted
+        // all of them); ties break to the smallest cent_id, matching the
+        // window's (csim desc, cent_id asc) order
+        scored.groupBy(col(idCol))
+          .agg(max_by(struct(col("cent_id"), col(embCol).as("e")),
+            struct(col("csim"), lit(0L) - col("cent_id"))).as("b"))
+          .select(col(idCol), col("b.cent_id").as("cent_id"),
+            col("b.e").as(embCol))
+      else
+        scored.withColumn("crank", row_number().over(
+            Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id").asc)))
+          .filter(col("crank") <= keep)
+          .drop("cent_emb", "csim", "crank")
     }
     val cells = assign(
       corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb")),

@@ -155,6 +155,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents closes a 100-node chain in O(log n) rounds") {
+    // min-label propagation would need ~99 rounds here; the star
+    // algorithm must stay within ~2·log2(n)+2
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = DedupOps.connectedComponentsWithRounds(pairs)
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length == 100 && out.forall(_._2 == 1L), out.sorted.take(10).toSeq)
+    val bound = 2 * math.ceil(math.log(100.0) / math.log(2.0)).toInt + 2
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("connectedComponents matches a local union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    val parent = Array.tabulate(120)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.groupBy(n => find(n.toInt)).values
+      .flatMap { ns => val m = ns.min; ns.map(_ -> m) }.toMap
+    val out = DedupOps.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == expected)
+  }
+
   test("ivfTopK finds an identical vector (same cell guaranteed)") {
     def v(i: Int) = Array.tabulate(8)(d =>
       (graft.functions.Hashing.mix(i.toLong * 8 + d) % 1000).toFloat)

@@ -80,6 +80,23 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("minhash/simhash candidates build no fat bucket rows") {
+    // the exploded self-join shape: bucket membership joins on the bucket
+    // key; no collect_list materializing up-to-maxBucket-wide rows
+    Seq("dedup_minhash_cand", "dedup_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("collect_list"), s"$q: $p")
+    }
+  }
+
+  test("ivf corpus-side cell assignment is a hash aggregation, not a window") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("max_by"), p)
+    // windows remain only on the query side (nProbe probes, final top-k)
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows <= 2, s"$windows windows: $p")
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
