@@ -175,6 +175,17 @@ object SparkEntry {
     "a4_term_stats" -> ((s, d) =>
       TermOps.termStats(t(s, d, "documents"), "doc_id", "text", minDf = 5L)),
 
+    // F17 analyzer seam: the same stats under the unicode-punctuation
+    // tokenizer (each analyzer vs its own oracle)
+    "a4_term_stats_unicode" -> ((s, d) =>
+      TermOps.termStats(t(s, d, "documents"), "doc_id", "text", minDf = 5L,
+        analyzer = TermOps.Unicode)),
+
+    "a10_tf_unicode" -> ((s, d) =>
+      TermOps.tfPostings(t(s, d, "documents"), "doc_id", "text",
+          analyzer = TermOps.Unicode)
+        .filter(col("tf") >= 3)),
+
     "a5_dictionary" -> ((s, d) =>
       TermOps.dictionary(t(s, d, "documents"), "doc_id", "text", minDf = 5L)),
 
@@ -501,6 +512,15 @@ object SparkEntry {
       graft.sources.WikiXml.readHeaders(s, graft.sources.WikiFixtures.standardXmlPath)
         .groupBy(col("page_id"))
         .agg(count(lit(1)).as("n_revs"), max(col("rev_id")).as("max_rev"))),
+
+    // S2: verbatim per-revision XML — fingerprinted (md5 + length) so the
+    // oracle literals stay readable; the expected values are derived from
+    // the fixture file with an independent regex extractor, not this scan
+    "s2_raw_xml" -> ((s, _) =>
+      graft.sources.WikiXml.readRaw(s, graft.sources.WikiFixtures.standardXmlPath)
+        .select(col("page_id"), col("rev_id"),
+          md5(col("revision_xml")).as("xml_md5"),
+          length(col("revision_xml")).as("n_chars"))),
 
     "s5_revision_pairs" -> ((s, _) =>
       RevisionOps.pairs(
@@ -931,6 +951,18 @@ object SparkEntry {
     s"""SELECT doc_id, term, count(*) AS tf FROM ($tokensSub)
        |WHERE term <> '' GROUP BY doc_id, term""".stripMargin
 
+  /** F17 unicode-analyzer tokenization (letter/digit runs) — mirrors
+    * `TermOps.tokens(_, Unicode)`: both RE2 (DuckDB) and Java regex give
+    * Unicode general-category semantics to \p{L} and \p{N}. */
+  private val tokensUnicodeSub =
+    """SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+      | '[^\p{L}\p{N}]+')) AS term
+      |FROM documents""".stripMargin
+
+  private val tfUnicodeSub =
+    s"""SELECT doc_id, term, count(*) AS tf FROM ($tokensUnicodeSub)
+       |WHERE term <> '' GROUP BY doc_id, term""".stripMargin
+
   /** Exact shingle-multiset jaccard pairs ≥ 0.5 with the df cap —
     * shared by dedup_jaccard and dedup_components. */
   private val jaccardPairsSql =
@@ -1096,6 +1128,13 @@ object SparkEntry {
 
     "a10_tf_postings" ->
       s"SELECT doc_id, term, tf FROM ($tfSub) WHERE tf >= 3",
+
+    "a4_term_stats_unicode" ->
+      s"""SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |FROM ($tfUnicodeSub) GROUP BY term HAVING count(*) >= 5""".stripMargin,
+
+    "a10_tf_unicode" ->
+      s"SELECT doc_id, term, tf FROM ($tfUnicodeSub) WHERE tf >= 3",
 
     "a12_doc_length" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -1509,6 +1548,16 @@ object SparkEntry {
       """SELECT CAST(col0 AS BIGINT) AS page_id, CAST(col1 AS BIGINT) AS n_revs,
         | CAST(col2 AS BIGINT) AS max_rev
         |FROM (VALUES (10, 3, 103), (20, 1, 201), (30, 1, 301)) t""".stripMargin,
+
+    "s2_raw_xml" ->
+      """SELECT CAST(col0 AS BIGINT) AS page_id, CAST(col1 AS BIGINT) AS rev_id,
+        | col2 AS xml_md5, CAST(col3 AS INT) AS n_chars
+        |FROM (VALUES
+        | (10, 101, '07bf1d3d0db5553328ce48403d335f69', 407),
+        | (10, 102, '7b487d170bb9ecf91ba0c00c9c7aacb8', 389),
+        | (10, 103, '7697581f578f8f0e79dbd2a1d636919c', 422),
+        | (20, 201, '12ef51f87fafcb86b2937aa86c8d071f', 388),
+        | (30, 301, '440ba765ca2b32b88c60f8c0321b0c29', 375)) t""".stripMargin,
 
     "s5_revision_pairs" ->
       """SELECT CAST(col0 AS BIGINT) AS rev_id, CAST(col1 AS BIGINT) AS prev_rev_id

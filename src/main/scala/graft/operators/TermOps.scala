@@ -20,9 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object TermOps {
 
-  /** Lower-cased whitespace tokens, empties dropped (F17). */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+  /** F17 analyzer names: the default whitespace path and a
+    * unicode-punctuation splitter approximating the reference's Lucene
+    * analyzer variant (BuildVByteDocVectors.java:93-99) with a
+    * deterministic, engine-replicable rule. Both are pure built-ins —
+    * fully codegen'd, no UDF. */
+  val Whitespace = "whitespace"
+  val Unicode = "unicode"
+
+  /** Lower-cased whitespace tokens, empties dropped (F17 default). */
+  def tokens(text: Column): Column = tokens(text, Whitespace)
+
+  /** Tokenization with a selectable analyzer (F17 seam):
+    *  - `"whitespace"`: split on runs of whitespace;
+    *  - `"unicode"`: split on runs of non-letter/non-digit characters
+    *    (punctuation separates tokens, `don't` → `don`,`t`) — the
+    *    closest deterministic stand-in for a Lucene StandardAnalyzer
+    *    pass, so corpora tokenized that way get comparable stats. */
+  def tokens(text: Column, analyzer: String): Column = analyzer match {
+    case Whitespace => filter(split(lower(text), "\\s+"), t => t =!= "")
+    case Unicode =>
+      filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown analyzer '$other' (expected $Whitespace or $Unicode)")
+  }
 
   /** Word k-shingles of a token-array column as space-joined strings —
     * the single definition both the dedup operators and the repetition
@@ -33,17 +55,18 @@ object TermOps {
       i => array_join(slice(toks, i + 1, lit(k)), " "))
 
   /** Exploded (doc, term, tf) — the map phase of everything below. */
-  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
+                      analyzer: String = Whitespace): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("term"))
+        explode(tokens(col(textCol), analyzer)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** A4 — per-term document frequency and collection frequency with a
     * min-df cut (reference: BasicComputeTermStats.java:107-200, MIN_DF
     * :103). */
   def termStats(docs: DataFrame, idCol: String, textCol: String,
-                minDf: Long = 1L): DataFrame =
-    termFrequencies(docs, idCol, textCol)
+                minDf: Long = 1L, analyzer: String = Whitespace): DataFrame =
+    termFrequencies(docs, idCol, textCol, analyzer)
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .filter(col("df") >= minDf)
@@ -94,8 +117,9 @@ object TermOps {
     * inverted index; materialize grouped lists only at the sink.
     * Reference: experiments/InvertedIndexByBOW.java:28-69,
     * WikiRevIndex4NonTemporalSearch.java:36-110. */
-  def tfPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    termFrequencies(docs, idCol, textCol)
+  def tfPostings(docs: DataFrame, idCol: String, textCol: String,
+                 analyzer: String = Whitespace): DataFrame =
+    termFrequencies(docs, idCol, textCol, analyzer)
 
   /** A12 — token count per document (doc length for BM25).
     * Reference: experiments/WikiRevLength.java:31-64. */

@@ -42,7 +42,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class WikiRevisionDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "wikirev"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WikiRevisionSchema.full
+    WikiRevisionSchema.forOptions(options.asScala.toMap)
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new WikiRevisionTable(properties.asScala.toMap)
@@ -64,11 +64,27 @@ object WikiRevisionSchema {
     StructField("text", StringType),
     StructField("minor", BooleanType),
     StructField("redirect", BooleanType)))
+
+  /** S2 raw mode (`rawXml=true`): each revision as its verbatim
+    * `<revision>…</revision>` dump substring plus page context — the
+    * reference's text input format
+    * (io/input/WikiRevisionTextInputFormat.java:17-296). */
+  val raw: StructType = StructType(Seq(
+    StructField("page_id", LongType),
+    StructField("page_title", StringType),
+    StructField("rev_id", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("revision_xml", StringType)))
+
+  def rawMode(props: Map[String, String]): Boolean =
+    props.get("rawXml").exists(_.toBoolean)
+  def forOptions(props: Map[String, String]): StructType =
+    if (rawMode(props)) raw else full
 }
 
 class WikiRevisionTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"wikirev(${props.getOrElse("path", "?")})"
-  override def schema(): StructType = WikiRevisionSchema.full
+  override def schema(): StructType = WikiRevisionSchema.forOptions(props)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -78,7 +94,7 @@ class WikiRevisionTable(props: Map[String, String]) extends Table with SupportsR
 class WikiRevisionScanBuilder(props: Map[String, String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-  private var required: StructType = WikiRevisionSchema.full
+  private var required: StructType = WikiRevisionSchema.forOptions(props)
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =

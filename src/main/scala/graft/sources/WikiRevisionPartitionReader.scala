@@ -33,6 +33,9 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
   private val needText = fields.contains("text")
   private val needComment = fields.contains("comment")
   private val needUser = fields.contains("user") || fields.contains("user_id")
+  // S2 raw mode: the verbatim <revision>…</revision> dump substring
+  // (reference: io/input/WikiRevisionTextInputFormat.java:17-296)
+  private val needRaw = fields.contains("revision_xml")
 
   // Three stream modes:
   //  - uncompressed: seek to part.start, own pages whose tag starts < end;
@@ -185,7 +188,7 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
       case v => v.trim.toLong
     }
 
-    def parseRevision(rev: String): InternalRow = {
+    def parseRevision(rev: String, raw: String): InternalRow = {
       val tsStr = tagValue(rev, "timestamp")
       // absent timestamp → null column (like the other optional fields);
       // the time-range pushdown only applies to present timestamps
@@ -235,6 +238,7 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
         case "text" => if (text == null) null else UTF8String.fromString(text)
         case "minor" => minor
         case "redirect" => redirect
+        case "revision_xml" => UTF8String.fromString(raw)
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
       new GenericInternalRow(values)
@@ -250,7 +254,8 @@ class WikiRevisionPartitionReader(part: WikiRevisionInputPartition,
           val c = block.indexOf("</revision>", o)
           if (c < 0) { cur = block.length; return }
           cur = c + 11
-          nextRow = parseRevision(block.substring(o + 10, c))
+          nextRow = parseRevision(block.substring(o + 10, c),
+            if (needRaw) block.substring(o, c + 11) else null)
         }
       }
       override def hasNext: Boolean = { advance(); nextRow != null }

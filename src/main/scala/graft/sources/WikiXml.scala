@@ -36,6 +36,14 @@ object WikiXml {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(jsonSchema).json(path)
 
+  /** S2: per-revision verbatim `<revision>…</revision>` XML plus page
+    * context (reference: io/input/WikiRevisionTextInputFormat.java:17-296) —
+    * the escape hatch for downstream parsers that want the dump bytes, with
+    * the same page-boundary splits and pushdown as the typed scan. */
+  def readRaw(spark: SparkSession, path: String,
+              options: Map[String, String] = Map.empty): DataFrame =
+    read(spark, path, options + ("rawXml" -> "true"))
+
   def readHeaders(spark: SparkSession, path: String,
                   options: Map[String, String] = Map.empty): DataFrame =
     read(spark, path, options)

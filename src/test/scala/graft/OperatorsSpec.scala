@@ -99,6 +99,19 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- TermOps ----
 
+  test("unicode analyzer splits on punctuation, whitespace analyzer keeps it") {
+    val df = Seq((1L, "Don't stop-the count... 42x it's")).toDF("id", "text")
+    val ws = df.select(TermOps.tokens(col("text")).as("t"))
+      .as[Seq[String]].head()
+    val uni = df.select(TermOps.tokens(col("text"), TermOps.Unicode).as("t"))
+      .as[Seq[String]].head()
+    assert(ws == Seq("don't", "stop-the", "count...", "42x", "it's"))
+    assert(uni == Seq("don", "t", "stop", "the", "count", "42x", "it", "s"))
+    intercept[IllegalArgumentException] {
+      TermOps.tokens(col("text"), "lucene")
+    }
+  }
+
   test("termStats computes df/cf with min-df cut") {
     val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c d")).toDF("doc_id", "text")
     val stats = TermOps.termStats(docs, "doc_id", "text", minDf = 2)

@@ -190,6 +190,31 @@ class WikiSourceSpec extends AnyFunSuite {
     assert(rows(1).getAs[java.sql.Timestamp]("timestamp") == null) // absent ts
   }
 
+  test("raw mode emits each revision's verbatim dump substring") {
+    val rows = WikiXml.readRaw(spark, fixturePath)
+      .orderBy("rev_id").collect()
+    assert(rows.map(_.getAs[Long]("rev_id")).toSeq ==
+      Seq(101L, 102L, 103L, 201L, 301L))
+    // exact substring check against the authored fixture, no re-serialization
+    val fixture = graft.sources.WikiFixtures.standardXml
+    rows.foreach { r =>
+      val raw = r.getAs[String]("revision_xml")
+      assert(raw.startsWith("<revision>") && raw.endsWith("</revision>"), raw.take(40))
+      assert(fixture.contains(raw), s"rev ${r.getAs[Long]("rev_id")} not verbatim")
+    }
+    // page context rides along
+    assert(rows.last.getAs[Long]("page_id") == 30L)
+    assert(rows.last.getAs[String]("page_title") == "Category:Things")
+  }
+
+  test("raw mode composes with pushdown options") {
+    val rows = WikiXml.readRaw(spark, fixturePath,
+        Map("onlyArticles" -> "true", "skipRedirects" -> "true",
+          "beginTime" -> "2020-06-01T00:00:00Z"))
+      .select("rev_id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(102L, 103L))
+  }
+
   test("fileNames source lists files") {
     assert(WikiXml.fileNames(spark, fixturePath).count() == 1)
   }
