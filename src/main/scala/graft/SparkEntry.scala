@@ -882,6 +882,36 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    "st_sessions_event" -> ((s, _) => {
+      // the event-time sessionizer through the gate: same trace as
+      // st_sessions plus a watermark-pushing sentinel key (filtered out)
+      // so every session closes by watermark, not wall clock — the
+      // emitted set is replay-deterministic (see StreamingSpec)
+      implicit val sq = s.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.sessionizeEventTime(mem.toDS(), gapMs = 60000L,
+          watermark = "10 seconds")
+        .writeStream.format("memory").queryName("st_sess_evt_out")
+        .outputMode("append").start()
+      def e(u: Long, ms: Long, v: Double) =
+        EventStreamOps.Event(u, new java.sql.Timestamp(1700000000000L + ms), v)
+      try {
+        mem.addData(e(1, 0L, 1.0), e(1, 30000L, 2.0), e(2, 10000L, 4.0))
+        q.processAllAvailable()
+        mem.addData(e(1, 3600000L, 5.0), e(2, 3600000L, 6.0))
+        q.processAllAvailable()
+        mem.addData(e(9, 10000000L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("st_sess_evt_out")
+        .filter(col("user_id") =!= 9L)
+        .select(col("user_id"), col("start_ms"), col("end_ms"),
+          col("n_events"), col("sum_value"))
+    }),
+
     "curate_docs" -> ((s, d) => {
       // composed training-data curation pipeline: quality floor (≥ 20
       // tokens) + language filter (en) computed in ONE map-only pass over
@@ -1853,6 +1883,18 @@ object SparkEntry {
         |FROM (VALUES
         | (1, 1700000000000, 1700000030000, 2, 3.0),
         | (2, 1700000010000, 1700000010000, 1, 4.0)) t""".stripMargin,
+
+    // event-time variant: watermark-closed, so the batch-2 singletons
+    // also emit (the sentinel pushes the watermark past their gap)
+    "st_sessions_event" ->
+      """SELECT CAST(col0 AS BIGINT) AS user_id, CAST(col1 AS BIGINT) AS start_ms,
+        | CAST(col2 AS BIGINT) AS end_ms, CAST(col3 AS INT) AS n_events,
+        | CAST(col4 AS DOUBLE) AS sum_value
+        |FROM (VALUES
+        | (1, 1700000000000, 1700000030000, 2, 3.0),
+        | (1, 1700003600000, 1700003600000, 1, 5.0),
+        | (2, 1700000010000, 1700000010000, 1, 4.0),
+        | (2, 1700003600000, 1700003600000, 1, 6.0)) t""".stripMargin,
 
     "text_scrub" ->
       """WITH base AS (

@@ -30,6 +30,9 @@ object EventStreamOps {
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,
                      n_events: Int, sum_value: Double)
+  /** Event-time sessionizer state: the key's not-yet-closed events
+    * (parallel ts/value arrays — bounded by the watermark horizon). */
+  case class SessionBuffer(ts: Seq[Long], vs: Seq[Double])
 
   /** Gap-based sessionization: a session closes when a later event for
     * the key falls outside `gapMs`, or (with `idleTimeout`, the
@@ -39,6 +42,64 @@ object EventStreamOps {
     * currently-active keys. Deterministic tests disable the timeout
     * (timer-driven no-data micro-batches busy-loop under a 0 ms
     * trigger); pair it with a real trigger interval in production. */
+  /** Event-time sessionization — the replayable variant of
+    * [[sessionize]]: a session is emitted only once the WATERMARK passes
+    * its close (last event + gap), never on a wall-clock timer. Because
+    * an event that could still extend a session must carry ts ≤ last+gap
+    * ≤ watermark — i.e. it would be late beyond the watermark and
+    * dropped — the emitted session set is a pure function of the event
+    * times, independent of how the stream is chopped into micro-batches
+    * or which order batches deliver (in-watermark out-of-order events
+    * buffer in state and sort by event time). State per key = the open
+    * tail plus sessions awaiting watermark passage: bounded by the
+    * watermark horizon × per-key event rate.
+    *
+    * Mechanics: buffered events sessionize by `gapMs` in event-time
+    * order; the closable prefix (session end + gap ≤ watermark) emits;
+    * the remainder re-buffers with an `EventTimeTimeout` at the first
+    * unclosed session's end + gap, so the flush fires exactly when the
+    * watermark crosses it even if the key never sees data again. */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long,
+                          watermark: String): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val bufEnc = Encoders.product[SessionBuffer]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionBuffer, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuffer]) =>
+          val prev = state.getOption
+            .map(b => b.ts.zip(b.vs)).getOrElse(Seq.empty)
+          val all = (prev ++ it.map(e => (e.ts.getTime, e.value)))
+            .sortBy(_._1)
+          if (all.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            // split the sorted buffer into gap-delimited sessions
+            val sessions = scala.collection.mutable.ArrayBuffer
+              .empty[Seq[(Long, Double)]]
+            var cur = scala.collection.mutable.ArrayBuffer((all.head))
+            all.tail.foreach { e =>
+              if (e._1 - cur.last._1 <= gapMs) cur += e
+              else { sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(e) }
+            }
+            sessions += cur.toSeq
+            // session k+1 starts > session k's end + gap, so closability
+            // (end + gap ≤ watermark) is a prefix property
+            val (closed, open) = sessions.partition(s => s.last._1 + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              val rest = open.flatten.toSeq
+              state.update(SessionBuffer(rest.map(_._1), rest.map(_._2)))
+              // > wm by construction of `open`, as setTimeoutTimestamp demands
+              state.setTimeoutTimestamp(open.head.last._1 + gapMs)
+            }
+            closed.iterator.map(s => Session(userId, s.head._1, s.last._1,
+              s.length, s.map(_._2).sum))
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long,
                  idleTimeout: Boolean = true): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]

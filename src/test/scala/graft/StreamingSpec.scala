@@ -54,6 +54,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeEventTime emits identical sessions under shuffled micro-batch splits") {
+    // the same event set, delivered (a) in order in one batch and (b) out
+    // of order across three batches, must sessionize identically — the
+    // event-time path's whole point
+    def ms(m: Long) = new Timestamp(1700000000000L + m)
+    val evts = Seq(
+      Event(1, ms(0L), 1.0), Event(1, ms(30000L), 2.0),       // session A
+      Event(1, ms(200000L), 5.0), Event(1, ms(210000L), 0.5), // session B
+      Event(2, ms(10000L), 4.0))                              // session C
+    val flush = Event(99, ms(10000000L), 0.0) // watermark pusher
+    def run(name: String, batches: Seq[Seq[Event]]): Set[Session] = {
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val q = EventStreamOps.sessionizeEventTime(mem.toDS(), gapMs = 60000L,
+          watermark = "300 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).as[Session].collect().toSet
+        .filter(_.user_id != 99L)
+    }
+    val inOrder = run("sess_et_a", Seq(evts, Seq(flush)))
+    val shuffled = run("sess_et_b", Seq(
+      Seq(evts(2), evts(4)),          // 200s and user-2 first
+      Seq(evts(0), evts(3), evts(1)), // earlier events arrive later (in-watermark)
+      Seq(flush)))
+    val expected = Set(
+      Session(1, 1700000000000L, 1700000030000L, 2, 3.0),
+      Session(1, 1700000200000L, 1700000210000L, 2, 5.5),
+      Session(2, 1700000010000L, 1700000010000L, 1, 4.0))
+    assert(inOrder == expected)
+    assert(shuffled == expected)
+  }
+
+  test("sessionizeEventTime flushes via timeout when the key sees no more data") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreamOps.sessionizeEventTime(mem.toDS(), gapMs = 60000L,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sess_et_c")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts("2024-01-01 00:00:00"), 1.0))
+      q.processAllAvailable()
+      // a different key pushes the watermark past user 1's session close;
+      // user 1 itself has no new data — only the EventTimeTimeout can emit it
+      mem.addData(Event(2, ts("2024-01-01 02:00:00"), 9.0))
+      q.processAllAvailable()
+      val sessions = spark.sql(
+        "select user_id, n_events, sum_value from sess_et_c where user_id = 1")
+        .as[(Long, Int, Double)].collect()
+      assert(sessions.toSeq == Seq((1L, 1, 1.0)))
+    } finally q.stop()
+  }
+
   test("sinks: tsv, json, parquet, dictionary round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("sinks").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
