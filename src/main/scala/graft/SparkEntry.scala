@@ -425,6 +425,33 @@ object SparkEntry {
           col("media_meta.format").as("format"),
           col("media_meta.n_bytes").as("n_bytes"))),
 
+    "mm_png_meta" -> ((s, _) => {
+      // real-decode path of the multimodal seam: authored PNGs through
+      // javax.imageio; n_bytes is encoder-dependent, so the oracle pins
+      // dimensions and format only
+      import s.implicits._
+      def png(w: Int, h: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) { img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff); y += 1 }
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      MultimodalOps.withMediaMeta(
+          Seq((1L, png(5, 3)), (2L, png(17, 9)), (3L, png(64, 64)))
+            .toDF("doc_id", "payload"),
+          "payload")
+        .select(col("doc_id"), col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.format").as("format"))
+    }),
+
     // ---- golden fixture queries for the UDF kernels ----
     "f1_extract_links" -> ((s, _) =>
       textFixture(s).filter(col("fid") === 1L)
@@ -1350,6 +1377,12 @@ object SparkEntry {
     // stubDecode replicated in HUGEINT: base-31 rolling hash mod 2^64 over
     // the first 1024 bytes (ASCII text → bytes = codepoints), unsigned
     // field extraction
+    "mm_png_meta" ->
+      """SELECT CAST(col0 AS BIGINT) AS doc_id, CAST(col1 AS INT) AS width,
+        | CAST(col2 AS INT) AS height, col3 AS format
+        |FROM (VALUES (1, 5, 3, 'png'), (2, 17, 9, 'png'),
+        | (3, 64, 64, 'png')) t""".stripMargin,
+
     "mm_media_meta" ->
       """WITH h AS (
         |  SELECT doc_id, strlen(text) AS nb,

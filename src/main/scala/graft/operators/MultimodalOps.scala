@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * `binary` columns + typed metadata structs; decode/feature-extraction
   * runs as a partition-wise batch transform.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): `stubDecode` derives deterministic fake metadata from the
-  * bytes. The Spark-side contract — schema, batched per-partition
-  * execution, binary hygiene (never shuffle decoded frames, only compact
-  * features) — is real and tested.
+  * PNG payloads get a REAL decode: magic-number sniff, then a JDK
+  * `javax.imageio` header-only read (no pixel decode) for width/height.
+  * Every other format is STUBBED (no further image/audio libraries in
+  * this environment): `stubDecode` derives deterministic fake metadata
+  * from the bytes. The Spark-side contract — schema, batched
+  * per-partition execution, binary hygiene (never shuffle decoded
+  * frames, only compact features) — is real and tested either way.
   */
 object MultimodalOps {
 
@@ -40,6 +42,41 @@ object MultimodalOps {
     (w, ht, fmt, bytes.length.toLong)
   }
 
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= PngMagic.length &&
+      PngMagic.indices.forall(i => bytes(i) == PngMagic(i))
+
+  /** The decode seam: PNG → real `javax.imageio` header read (width and
+    * height come from the IHDR chunk; `getWidth(0)` never decodes
+    * pixels); anything else (or a corrupt PNG) → the deterministic stub.
+    * Executor-side only: one call per row inside `mapPartitions`. */
+  def decodeMeta(bytes: Array[Byte]): (Int, Int, String, Long) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, "empty", 0L)
+    if (!isPng(bytes)) return stubDecode(bytes)
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) stubDecode(bytes)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            (r.getWidth(0), r.getHeight(0), "png", bytes.length.toLong)
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch {
+      // truncated/corrupt payload behind a valid signature: degrade to
+      // the stub rather than failing the partition
+      case _: Exception => stubDecode(bytes)
+    }
+  }
+
   /** Attach a decoded-metadata struct to a binary column, batch-wise per
     * partition (the mapInPandas-equivalent seam in Scala: mapPartitions,
     * one codec init per partition, streamed rows). */
@@ -50,7 +87,7 @@ object MultimodalOps {
     df.mapPartitions { it =>
       // codec/session init would happen once per partition here
       it.map { r =>
-        val (w, h, fmt, n) = stubDecode(r.getAs[Array[Byte]](binIdx))
+        val (w, h, fmt, n) = decodeMeta(r.getAs[Array[Byte]](binIdx))
         Row.fromSeq(r.toSeq :+ Row(w, h, fmt, n))
       }
     }

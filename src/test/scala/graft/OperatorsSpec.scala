@@ -442,6 +442,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L)._2 == "empty")
   }
 
+  test("decodeMeta really decodes PNG headers and degrades to the stub otherwise") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(MultimodalOps.decodeMeta(png(12, 34))._1 == 12)
+    assert(MultimodalOps.decodeMeta(png(12, 34))._2 == 34)
+    assert(MultimodalOps.decodeMeta(png(12, 34))._3 == "png")
+    // valid signature, truncated body: stub fallback, no exception
+    val corrupt = png(8, 8).take(16)
+    assert(MultimodalOps.decodeMeta(corrupt) == MultimodalOps.stubDecode(corrupt))
+    // non-PNG bytes: stub path unchanged
+    val txt = "not an image".getBytes("UTF-8")
+    assert(MultimodalOps.decodeMeta(txt) == MultimodalOps.stubDecode(txt))
+  }
+
   test("sampleFrames yields one frame per stride chunk") {
     val df = Seq((1L, Array.fill[Byte](100)(7))).toDF("id", "payload")
     val out = MultimodalOps.sampleFrames(df, "payload", frameSize = 10, stride = 3)
