@@ -16,28 +16,11 @@ import graft.model.{Delta, Link, LinkCtx}
   */
 object GraftFunctions {
 
-  /** Idempotent registration of the engine's SQL surface: the hot text
-    * kernels resolve to native codegen expressions (graft.plans), the
-    * remaining custom scalars stay UDFs. */
-  def register(spark: SparkSession): Unit = {
-    // extract_links / extract_links_ctx / extract_refs / extract_templates /
-    // plain_text / rev_diff / added_words (+ fnv64) — native expressions
+  /** Idempotent registration of the engine's SQL surface — every named
+    * function resolves to a native codegen expression (graft.plans); no
+    * UDF tier remains. */
+  def register(spark: SparkSession): Unit =
     graft.plans.GraftSparkExtensions.install(spark)
-    val u = spark.udf
-    u.register("normalize_title", (t: String) => TextFunctions.normalizeTitle(t))
-    u.register("freebase_encode", (t: String) => TextFunctions.freebaseEncode(t))
-    u.register("cut_last", (s: String, n: Int) => TextFunctions.cutLast(s, n))
-    u.register("extract_domain", (s: String) => TextFunctions.extractDomain(s))
-    u.register("decode_ez", (s: String, days: Int) => EzFunctions.decodeEz(s, days))
-    u.register("minhash_sig",
-      (tokens: Seq[String], k: Int, num: Int) =>
-        Hashing.minHash(Hashing.shingles(tokens, k).toSet, num))
-    u.register("simhash64", (tokens: Seq[String]) => Hashing.simHash(tokens))
-    u.register("hamming64", (a: Long, b: Long) => Hashing.hamming(a, b))
-    u.register("rolling_fingerprint", (s: String) => Hashing.rollingHash(s))
-    u.register("seeded_hash", (s: String, seed: Int) => Hashing.seeded(s, seed))
-    u.register("lang_id", (t: String) => TextFunctions.langId(t))
-  }
 
   // ---- Column-level helpers (the library API surface) ----
 
@@ -60,12 +43,26 @@ object GraftFunctions {
   def addedWords(a: Column, b: Column): Column =
     toCol(graft.plans.AddedWords(toExpr(a), toExpr(b)))
   def normalizeTitle(c: Column): Column =
-    udf(TextFunctions.normalizeTitle _).apply(c)
+    toCol(graft.plans.NormalizeTitle(toExpr(c)))
   def freebaseEncode(c: Column): Column =
-    udf(TextFunctions.freebaseEncode _).apply(c)
-  def langId(c: Column): Column = udf(TextFunctions.langId _).apply(c)
+    toCol(graft.plans.FreebaseEncode(toExpr(c)))
+  def langId(c: Column): Column = toCol(graft.plans.LangId(toExpr(c)))
   def decodeEz(c: Column, days: Column): Column =
-    udf((s: String, d: Int) => EzFunctions.decodeEz(s, d)).apply(c, days)
+    toCol(graft.plans.DecodeEz(toExpr(c), toExpr(days)))
+  def cutLast(c: Column, n: Column): Column =
+    toCol(graft.plans.CutLast(toExpr(c), toExpr(n)))
+  def extractDomain(c: Column): Column =
+    toCol(graft.plans.ExtractDomain(toExpr(c)))
+  def minhashSig(toks: Column, k: Column, num: Column): Column =
+    toCol(graft.plans.MinHashSig(toExpr(toks), toExpr(k), toExpr(num)))
+  def simhash64(toks: Column): Column =
+    toCol(graft.plans.SimHash64(toExpr(toks)))
+  def signBitsCol(emb: Column, planes: Column): Column =
+    toCol(graft.plans.SignBits(toExpr(emb), toExpr(planes)))
+  def seededHash(c: Column, seed: Column): Column =
+    toCol(graft.plans.SeededHash(toExpr(c), toExpr(seed)))
+  def rollingFingerprint(c: Column): Column =
+    toCol(graft.plans.RollingFingerprint(toExpr(c)))
 
   /** Whitespace tokenization with lower-casing — the reference's default
     * analyzer path (SURVEY §2.7 F17); single definition in TermOps. */

@@ -480,7 +480,7 @@ object SparkEntry {
         (3L, "not a url"))
         .toDF("fid", "url")
         .select(col("fid"),
-          udf(graft.functions.TextFunctions.extractDomain _).apply(col("url")).as("domain"))
+          GraftFunctions.extractDomain(col("url")).as("domain"))
     }),
 
     "f18_decode_ez" -> ((s, _) => {
@@ -692,7 +692,7 @@ object SparkEntry {
       import s.implicits._
       Seq((1L, "abcdef"), (2L, "ab")).toDF("fid", "v")
         .select(col("fid"),
-          udf(graft.functions.TextFunctions.cutLast _).apply(col("v"), lit(2)).as("cut"))
+          GraftFunctions.cutLast(col("v"), lit(2)).as("cut"))
     }),
 
     "f8_hour_to_day" -> ((s, d) =>

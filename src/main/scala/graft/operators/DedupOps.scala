@@ -20,8 +20,6 @@ import graft.functions.Hashing
   */
 object DedupOps {
 
-  private val sigUdf = udf((toks: Seq[String], k: Int, num: Int) =>
-    Hashing.minHash(Hashing.shingles(toks, k).toSet, num))
   private val bandUdf = udf((sig: Seq[Long], bands: Int, rows: Int) =>
     (0 until bands).map { b =>
       var h = Hashing.FnvOffset
@@ -37,7 +35,6 @@ object DedupOps {
     val union = sa.size + sb.size - inter
     if (union == 0) 1.0 else inter.toDouble / union
   })
-  private val simhashUdf = udf((toks: Seq[String]) => Hashing.simHash(toks))
 
   /** Exact content dedup: group by md5(text); emit (hash, keep_id = min id,
     * dup_count). Downstream `docs.join(result, "doc_id"==keep_id)` keeps one
@@ -60,7 +57,8 @@ object DedupOps {
     val num = bands * rowsPerBand
     val sigs = docs.select(col(idCol).as("doc_id"),
         TermOps.tokens(col(textCol)).as("toks"))
-      .withColumn("sig", sigUdf(col("toks"), lit(shingleK), lit(num)))
+      .withColumn("sig",
+        graft.GraftFunctions.minhashSig(col("toks"), lit(shingleK), lit(num)))
       .withColumn("bucket", explode(bandUdf(col("sig"), lit(bands), lit(rowsPerBand))))
       .select("doc_id", "bucket")
     // within-bucket pairs via an exploded self-join keyed on the bucket —
@@ -235,7 +233,7 @@ object DedupOps {
     val chunkUdf = udf((sig: Long) =>
       (0 until chunks).map(c => (c.toLong << 58) ^ ((sig >>> (c * bits)) & ((1L << bits) - 1))))
     val keyed = docs.select(col(idCol).as("doc_id"),
-        simhashUdf(TermOps.tokens(col(textCol))).as("sig"))
+        graft.GraftFunctions.simhash64(TermOps.tokens(col(textCol))).as("sig"))
       .withColumn("bucket", explode(chunkUdf(col("sig"))))
     // same exploded self-join shape as minhashCandidates: no fat
     // collect_list rows, hamming as codegen'd bit_count(xor) per pair

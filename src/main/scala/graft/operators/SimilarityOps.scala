@@ -153,12 +153,12 @@ object SimilarityOps {
     * the *near*-identical residue. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
                         planes: Int = 8, maxBucket: Int = 2000): DataFrame = {
-    val sigUdf = udf((e: Seq[Double]) => signBits(e, planes))
     // bucket-size cap via a window count: one signature pass feeds the
     // single bucket shuffle; singleton buckets (no possible pair) and
     // over-cap buckets drop before the self-join
     val keyed = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", sigUdf(col("embedding")))
+      .withColumn("bucket",
+        graft.GraftFunctions.signBitsCol(col("embedding"), lit(planes)))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
       .filter(col("bn").between(2, maxBucket))
       .drop("bn")
@@ -181,13 +181,20 @@ object SimilarityOps {
     * misses. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 12, probes: Int = 4): DataFrame = {
-    val sigUdf = udf((e: Seq[Double]) => signBits(e, planes))
-    val probeUdf = udf((sig: Long) =>
-      sig +: (0 until math.min(probes, planes)).map(b => sig ^ (1L << b)))
+    def sig(c: Column) = graft.GraftFunctions.signBitsCol(c, lit(planes))
     val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
-      .withColumn("bucket", sigUdf(col("nbr_emb")))
+      .withColumn("bucket", sig(col("nbr_emb")))
+    // multi-probe bucket list from built-ins: the signature plus its
+    // single-bit-flip neighbors (no UDF on the query side either)
+    val nFlips = math.min(probes, planes)
+    val probeList =
+      if (nFlips <= 0) array(col("sig"))
+      else concat(array(col("sig")),
+        expr(s"transform(sequence(0, ${nFlips - 1}, 1), b -> sig ^ shiftleft(1L, b))"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("bucket", explode(probeUdf(sigUdf(col("q_emb")))))
+      .withColumn("sig", sig(col("q_emb")))
+      .withColumn("bucket", explode(probeList))
+      .drop("sig")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q_emb"), col("nbr_emb")))

@@ -6,14 +6,11 @@ import graft.functions.{Hashing, TextFunctions}
 
 /** Text-analysis operators for training-data pipelines (driver brief):
   * language ID, quality scoring, token counting, fingerprinting.
-  * Everything except the langId/fingerprint kernels is pure built-in
-  * expressions (codegen'd, pushdown-friendly); the two kernels are
-  * deterministic scalar UDFs.
+  * Everything is either pure built-in expressions or the engine's native
+  * codegen kernels (graft.plans) — no UDF tier anywhere on the
+  * per-document path.
   */
 object TextAnalysisOps {
-
-  private val langIdUdf = udf((t: String) => TextFunctions.langId(t))
-  private val fingerprintUdf = udf((t: String) => Hashing.rollingHash(t))
 
   /** BPE-ish token count: word pieces, digit runs, or single non-space
     * symbols — a codegen'd regexp, no UDF. */
@@ -53,12 +50,13 @@ object TextAnalysisOps {
 
   /** Predicted language per document (n-gram/stopword heuristic kernel). */
   def withLangId(docs: DataFrame, textCol: String): DataFrame =
-    docs.withColumn("pred_lang", langIdUdf(col(textCol)))
+    docs.withColumn("pred_lang", graft.GraftFunctions.langId(col(textCol)))
 
   /** Rolling-hash content fingerprint (exact-dup key cheaper than md5 for
     * repeated probing; deterministic across JVMs). */
   def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
-    docs.withColumn("fingerprint", fingerprintUdf(col(textCol)))
+    docs.withColumn("fingerprint",
+      graft.GraftFunctions.rollingFingerprint(col(textCol)))
 
   /** PII/URL scrubbing for training corpora: URLs → `<URL>` (first, so
     * their digits/at-signs don't half-match later passes), emails →

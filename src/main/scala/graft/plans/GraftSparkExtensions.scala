@@ -42,7 +42,27 @@ object GraftSparkExtensions {
     unary("extract_templates", classOf[ExtractTemplates], ExtractTemplates),
     unary("plain_text", classOf[PlainText], PlainText),
     binary("rev_diff", classOf[RevDiff], RevDiff),
-    binary("added_words", classOf[AddedWords], AddedWords))
+    binary("added_words", classOf[AddedWords], AddedWords),
+    unary("simhash64", classOf[SimHash64], SimHash64),
+    unary("lang_id", classOf[LangId], LangId),
+    unary("normalize_title", classOf[NormalizeTitle], NormalizeTitle),
+    unary("freebase_encode", classOf[FreebaseEncode], FreebaseEncode),
+    unary("rolling_fingerprint", classOf[RollingFingerprint], RollingFingerprint),
+    unary("extract_domain", classOf[ExtractDomain], ExtractDomain),
+    binary("seeded_hash", classOf[SeededHash], SeededHash),
+    binary("cut_last", classOf[CutLast], CutLast),
+    binary("decode_ez", classOf[DecodeEz], DecodeEz),
+    binary("sign_bits", classOf[SignBits], SignBits),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), args(1), args(2))),
+    // hamming distance composes from built-ins: popcount(a xor b)
+    ("hamming64",
+      new ExpressionInfo("org.apache.spark.sql.catalyst.expressions.BitwiseCount",
+        "hamming64"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BitwiseCount(
+          org.apache.spark.sql.catalyst.expressions.BitwiseXor(args(0), args(1)))))
 
   /** Runtime registration on an existing session (idempotent). After
     * this, `selectExpr("fnv64(col)")` / `expr("fnv64(col)")` plan the

@@ -1,0 +1,408 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Hashing
+
+/** Static kernels + native expressions for the signature tier of the
+  * dedup/similarity family (MinHash, SimHash, hyperplane sign-bits,
+  * seeded/rolling hashes) and the pageview decode. These sit on the
+  * per-document scan paths that dominate a corpus pass, so like the text
+  * kernels they run as generated-Java calls on `UTF8String`/`ArrayData` —
+  * no UDF boxing, whole-stage codegen intact.
+  *
+  * All hashes stay byte-identical to [[graft.functions.Hashing]] (the
+  * oracle-replicable definitions); where profitable the kernels fold
+  * UTF-8 bytes directly (FNV over token bytes + separator) instead of
+  * materializing shingle Strings — same value as
+  * `Hashing.fnv1a(tokens.mkString(" "))` by construction.
+  */
+object HashKernels {
+
+  /** FNV-1a folded over `toks[start .. start+k)` joined by a single
+    * space — equals `Hashing.fnv1a(mkString(" "))` without building the
+    * String (separator byte 0x20 folded between tokens). */
+  private def fnvShingle(toks: Array[UTF8String], start: Int, k: Int): Long = {
+    var h = Hashing.FnvOffset
+    var t = start
+    while (t < start + k) {
+      val bytes = toks(t).getBytes
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL); h *= Hashing.FnvPrime; i += 1
+      }
+      if (t < start + k - 1) { h ^= 0x20L; h *= Hashing.FnvPrime }
+      t += 1
+    }
+    h
+  }
+
+  private def utf8Tokens(a: ArrayData): Array[UTF8String] = {
+    val n = a.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (a.isNullAt(i)) UTF8String.EMPTY_UTF8 else a.getUTF8String(i)
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature over word k-shingles — same shingle semantics as
+    * `Hashing.shingles` (empty → all-MaxValue signature; shorter than k
+    * → one whole-list shingle) and same seeded family as
+    * `Hashing.minHash`. */
+  def minHashData(a: ArrayData, k: Int, num: Int): ArrayData = {
+    val sig = Array.fill(num)(Long.MaxValue)
+    if (a != null && a.numElements() > 0) {
+      val toks = utf8Tokens(a)
+      val n = toks.length
+      val (shingleCount, width) =
+        if (n < k) (1, n) else (n - k + 1, k)
+      var s = 0
+      while (s < shingleCount) {
+        val base = fnvShingle(toks, s, width)
+        var i = 0
+        while (i < num) {
+          val h = Hashing.mix(base ^ Hashing.mix(i.toLong))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        s += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over the token multiset — bit-identical to
+    * `Hashing.simHash`. */
+  def simHashData(a: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    if (a != null) {
+      val n = a.numElements()
+      var i = 0
+      while (i < n) {
+        val h =
+          if (a.isNullAt(i)) Hashing.fnv1a("")
+          else GraftExpressions.fnv1aUtf8(a.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Hyperplane sign-bit signature of an embedding (float or double
+    * array) — mirrors `SimilarityOps.signBits` including the null → 0L
+    * convention of its UDF wrapper. */
+  def signBitsData(a: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    if (a == null) return 0L
+    val dims = a.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < dims) {
+        val x = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
+        dot += x * graft.operators.SimilarityOps.planeWeight(p, d, dims)
+        d += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def seededData(s: UTF8String, seed: Int): Long =
+    Hashing.mix(GraftExpressions.fnv1aUtf8(s) ^ Hashing.mix(seed.toLong))
+
+  /** Base-31 rolling hash over UTF-16 code units — identical to
+    * `Hashing.rollingHash` on the equivalent String. */
+  def rollingData(s: UTF8String): Long = Hashing.rollingHash(s.toString)
+
+  def langIdData(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      graft.functions.TextFunctions.langId(if (s == null) null else s.toString))
+
+  /** pagecounts-ez decode (F18) — null/absent input decodes to a zeroed
+    * day vector, matching `EzFunctions.decodeEz`. */
+  def decodeEzData(s: UTF8String, days: Int): ArrayData =
+    new GenericArrayData(
+      graft.EzFunctions.decodeEz(if (s == null) null else s.toString, days))
+
+  def normalizeTitleData(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.functions.TextFunctions.normalizeTitle(s.toString))
+
+  def freebaseEncodeData(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.functions.TextFunctions.freebaseEncode(s.toString))
+
+  def cutLastData(s: UTF8String, n: Int): UTF8String =
+    UTF8String.fromString(
+      graft.functions.TextFunctions.cutLast(if (s == null) null else s.toString, n))
+
+  def extractDomainData(s: UTF8String): UTF8String = {
+    val r = graft.functions.TextFunctions.extractDomain(s.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+}
+
+/** `minhash_sig(tokens, k, num)` — k and num must be foldable ints. */
+case class MinHashSig(child: Expression, k: Expression, num: Expression)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(child, k, num)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match {
+      case ArrayType(StringType, _) => false; case _ => true
+    }) TypeCheckResult.TypeCheckFailure("minhash_sig requires array<string>")
+    else if (!k.foldable || !num.foldable ||
+      k.dataType != IntegerType || num.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("minhash_sig requires int literal k/num")
+    else TypeCheckResult.TypeCheckSuccess
+  private lazy val kV = k.eval().asInstanceOf[Int]
+  private lazy val numV = num.eval().asInstanceOf[Int]
+  override def eval(input: InternalRow): Any =
+    HashKernels.minHashData(child.eval(input).asInstanceOf[ArrayData], kV, numV)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nArrayData ${ev.value} = " +
+      code"graft.plans.HashKernels.minHashData(" +
+      code"${c.isNull} ? null : ${c.value}, $kV, $numV);",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashSig =
+    copy(child = newChildren(0), k = newChildren(1), num = newChildren(2))
+}
+
+/** `simhash64(tokens)` → 64-bit SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.catalogString}")
+  }
+  override def eval(input: InternalRow): Any =
+    HashKernels.simHashData(child.eval(input).asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nlong ${ev.value} = " +
+      code"graft.plans.HashKernels.simHashData(${c.isNull} ? null : ${c.value});",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `sign_bits(embedding, planes)` — hyperplane LSH signature; planes must
+  * be a foldable int; accepts array<float> or array<double>. */
+case class SignBits(child: Expression, planes: Expression) extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = planes
+  override def prettyName: String = "sign_bits"
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+      if planes.foldable && planes.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "sign_bits requires array<float|double> and an int literal plane count")
+  }
+  private lazy val planesV = planes.eval().asInstanceOf[Int]
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def eval(input: InternalRow): Any =
+    HashKernels.signBitsData(child.eval(input).asInstanceOf[ArrayData],
+      planesV, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nlong ${ev.value} = " +
+      code"graft.plans.HashKernels.signBitsData(" +
+      code"${c.isNull} ? null : ${c.value}, $planesV, $isFloat);",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignBits =
+    copy(child = newLeft, planes = newRight)
+}
+
+/** `seeded_hash(s, seed)` — seeded FNV/splitmix family (null-safe). */
+case class SeededHash(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "seeded_hash"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("seeded_hash requires (string, int)")
+  override def nullSafeEval(s: Any, seed: Any): Any =
+    HashKernels.seededData(s.asInstanceOf[UTF8String], seed.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, d) => s"graft.plans.HashKernels.seededData($s, $d)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SeededHash =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `rolling_fingerprint(s)` — base-31 rolling hash (null-safe). */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "rolling_fingerprint"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextKernels.requireString(child, prettyName)
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.rollingData(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.HashKernels.rollingData($s)")
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+/** `lang_id(text)` — stopword/char-class language heuristic; null → "und"
+  * (the kernel's convention), never null. */
+case class LangId(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "lang_id"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextKernels.requireString(child, prettyName)
+  override def eval(input: InternalRow): Any =
+    HashKernels.langIdData(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nUTF8String ${ev.value} = " +
+      code"graft.plans.HashKernels.langIdData(${c.isNull} ? null : ${c.value});",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+/** `decode_ez(s, days)` (F18) — pagecounts-ez day vector; null input
+  * decodes to zeros, never null; days must be a foldable int. */
+case class DecodeEz(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "decode_ez"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.foldable &&
+      right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "decode_ez requires (string, int literal)")
+  private lazy val daysV = right.eval().asInstanceOf[Int]
+  override def eval(input: InternalRow): Any =
+    HashKernels.decodeEzData(left.eval(input).asInstanceOf[UTF8String], daysV)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = left.genCode(ctx)
+    ev.copy(code = code"${c.code}\nArrayData ${ev.value} = " +
+      code"graft.plans.HashKernels.decodeEzData(" +
+      code"${c.isNull} ? null : ${c.value}, $daysV);",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecodeEz =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `normalize_title(s)` — wikistats title normalization (null-safe). */
+case class NormalizeTitle(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "normalize_title"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextKernels.requireString(child, prettyName)
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.normalizeTitleData(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.HashKernels.normalizeTitleData($s)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTitle =
+    copy(child = newChild)
+}
+
+/** `freebase_encode(s)` — MQL key encoding (null-safe). */
+case class FreebaseEncode(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "freebase_encode"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextKernels.requireString(child, prettyName)
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.freebaseEncodeData(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.HashKernels.freebaseEncodeData($s)")
+  override protected def withNewChildInternal(newChild: Expression): FreebaseEncode =
+    copy(child = newChild)
+}
+
+/** `cut_last(s, n)` — drop the last n chars; null string → "" (the
+  * kernel's convention), never null. */
+case class CutLast(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "cut_last"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("cut_last requires (string, int)")
+  override def eval(input: InternalRow): Any = {
+    val n = right.eval(input)
+    HashKernels.cutLastData(left.eval(input).asInstanceOf[UTF8String],
+      if (n == null) 0 else n.asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = code"${l.code}\n${r.code}\nUTF8String ${ev.value} = " +
+      code"graft.plans.HashKernels.cutLastData(" +
+      code"${l.isNull} ? null : ${l.value}, ${r.isNull} ? 0 : ${r.value});",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CutLast =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `extract_domain(url)` — PSL-subset domain extraction; malformed input
+  * → null (the kernel's convention). */
+case class ExtractDomain(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "extract_domain"
+  // null for MALFORMED input too, not only null input — the default
+  // child-derived nullability would be wrong on non-null children
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextKernels.requireString(child, prettyName)
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.extractDomainData(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // result can be null for non-null input (malformed url), so the
+    // default defineCodeGen null contract does not apply
+    val c = child.genCode(ctx)
+    val resultTerm = ctx.freshName("domain")
+    ev.copy(code = code"${c.code}\nUTF8String $resultTerm = ${c.isNull} ? " +
+      code"null : graft.plans.HashKernels.extractDomainData(${c.value});\n" +
+      code"boolean ${ev.isNull} = $resultTerm == null;\n" +
+      code"UTF8String ${ev.value} = $resultTerm;")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ExtractDomain =
+    copy(child = newChild)
+}

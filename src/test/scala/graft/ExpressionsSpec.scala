@@ -117,6 +117,76 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 1 && r.getString(5) == "z")
   }
 
+  test("native signature kernels match the Hashing definitions bit-for-bit") {
+    val toks = Seq("the", "quick", "brown", "fox", "jumps", "日本語")
+    val row = Seq(Tuple1(toks)).toDF("toks")
+      .select(GraftFunctions.minhashSig(col("toks"), lit(3), lit(8)).as("mh"),
+        GraftFunctions.simhash64(col("toks")).as("sh"))
+      .collect().head
+    assert(row.getSeq[Long](0) ==
+      Hashing.minHash(Hashing.shingles(toks, 3).toSet, 8).toSeq)
+    assert(row.getLong(1) == Hashing.simHash(toks))
+    // short and empty token lists hit the documented shingle edge cases
+    for (edge <- Seq(Seq("ab"), Seq.empty[String])) {
+      val r = Seq(Tuple1(edge)).toDF("toks")
+        .select(GraftFunctions.minhashSig(col("toks"), lit(3), lit(4)).as("mh"))
+        .collect().head
+      assert(r.getSeq[Long](0) ==
+        Hashing.minHash(Hashing.shingles(edge, 3).toSet, 4).toSeq, edge)
+    }
+    // scalar hashes + sign-bits against their Scala kernels
+    val embF = Seq(0.5f, -0.25f, 0.125f, -1.0f)
+    val r2 = Seq((1L, "seedme", embF)).toDF("id", "s", "emb")
+      .select(GraftFunctions.seededHash(col("s"), lit(7)).as("sh"),
+        GraftFunctions.rollingFingerprint(col("s")).as("rf"),
+        GraftFunctions.signBitsCol(col("emb"), lit(8)).as("sb"),
+        GraftFunctions.signBitsCol(col("emb").cast("array<double>"), lit(8)).as("sbd"))
+      .collect().head
+    assert(r2.getLong(0) == Hashing.seeded("seedme", 7))
+    assert(r2.getLong(1) == Hashing.rollingHash("seedme"))
+    val expectedSig = operators.SimilarityOps.signBits(embF.map(_.toDouble), 8)
+    assert(r2.getLong(2) == expectedSig && r2.getLong(3) == expectedSig)
+  }
+
+  test("scalar text expressions match their kernels incl. null conventions") {
+    import graft.functions.TextFunctions
+    val r = Seq((1L, "foo bar#sec", "http://www.bbc.co.uk/news", "abcdef",
+        "AB5C3,CA1B2", "the cat is on the mat"))
+      .toDF("id", "title", "url", "v", "ez", "txt")
+      .select(GraftFunctions.normalizeTitle(col("title")).as("norm"),
+        GraftFunctions.extractDomain(col("url")).as("dom"),
+        GraftFunctions.cutLast(col("v"), lit(2)).as("cut"),
+        GraftFunctions.decodeEz(col("ez"), lit(5)).as("days"),
+        GraftFunctions.langId(col("txt")).as("lang"),
+        GraftFunctions.freebaseEncode(lit("a b$c")).as("fb"))
+      .collect().head
+    assert(r.getString(0) == TextFunctions.normalizeTitle("foo bar#sec"))
+    assert(r.getString(1) == TextFunctions.extractDomain("http://www.bbc.co.uk/news"))
+    assert(r.getString(2) == "abcd")
+    assert(r.getSeq[Int](3) == EzFunctions.decodeEz("AB5C3,CA1B2", 5).toSeq)
+    assert(r.getString(4) == "en")
+    assert(r.getString(5) == TextFunctions.freebaseEncode("a b$c"))
+    // null conventions: lang_id/decode_ez/cut_last never null; domain and
+    // normalize_title stay null-propagating; malformed url → null
+    val n = Seq(Tuple1(Option.empty[String])).toDF("s")
+      .select(GraftFunctions.langId(col("s")).as("lang"),
+        GraftFunctions.decodeEz(col("s"), lit(3)).as("days"),
+        GraftFunctions.cutLast(col("s"), lit(1)).as("cut"),
+        GraftFunctions.normalizeTitle(col("s")).as("norm"),
+        GraftFunctions.extractDomain(lit("not a url")).as("dom"))
+      .collect().head
+    assert(n.getString(0) == "und")
+    assert(n.getSeq[Int](1) == Seq(0, 0, 0))
+    assert(n.getString(2) == "")
+    assert(n.isNullAt(3) && n.isNullAt(4))
+  }
+
+  test("hamming64 resolves to popcount(xor) in SQL") {
+    GraftSparkExtensions.install(spark)
+    val r = spark.sql("SELECT hamming64(255L, 240L) AS h").collect().head
+    assert(r.getInt(0) == Hashing.hamming(255L, 240L))
+  }
+
   test("saltedSum equals the direct aggregation") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble))
       .toDF("k", "v")
