@@ -57,6 +57,8 @@ object GraftFunctions {
     toCol(graft.plans.MinHashSig(toExpr(toks), toExpr(k), toExpr(num)))
   def simhash64(toks: Column): Column =
     toCol(graft.plans.SimHash64(toExpr(toks)))
+  def bandBuckets(sig: Column, bands: Column, rows: Column): Column =
+    toCol(graft.plans.BandBuckets(toExpr(sig), toExpr(bands), toExpr(rows)))
   def signBitsCol(emb: Column, planes: Column): Column =
     toCol(graft.plans.SignBits(toExpr(emb), toExpr(planes)))
   def seededHash(c: Column, seed: Column): Column =

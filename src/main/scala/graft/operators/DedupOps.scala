@@ -20,21 +20,22 @@ import graft.functions.Hashing
   */
 object DedupOps {
 
-  private val bandUdf = udf((sig: Seq[Long], bands: Int, rows: Int) =>
-    (0 until bands).map { b =>
-      var h = Hashing.FnvOffset
-      var i = b * rows
-      while (i < (b + 1) * rows && i < sig.length) {
-        h ^= sig(i); h *= Hashing.FnvPrime; i += 1
-      }
-      (b.toLong << 56) ^ (h >>> 8) // band id folded into the bucket key
-    })
-  private val jaccardUdf = udf((a: Seq[String], b: Seq[String]) => {
-    val sa = a.toSet; val sb = b.toSet
-    val inter = sa.intersect(sb).size
-    val union = sa.size + sb.size - inter
-    if (union == 0) 1.0 else inter.toDouble / union
-  })
+  /** Set-semantics Jaccard of two (possibly duplicated) shingle arrays,
+    * all built-ins; empty-∪-empty defines similarity 1.0 (two empty docs
+    * are identical). */
+  private def jaccardSet(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("double")
+    val u = size(array_distinct(a)).cast("double") +
+      size(array_distinct(b)).cast("double") - i
+    when(u === 0.0, lit(1.0)).otherwise(i / u)
+  }
+
+  /** `Hashing.shingles` as built-in HOFs, including its short-input edge
+    * cases (empty → no shingles; shorter than k → one joined shingle). */
+  private def shingleCol(toks: Column, k: Int): Column =
+    when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(TermOps.shingleStrings(toks, k))
 
   /** Exact content dedup: group by md5(text); emit (hash, keep_id = min id,
     * dup_count). Downstream `docs.join(result, "doc_id"==keep_id)` keeps one
@@ -59,7 +60,8 @@ object DedupOps {
         TermOps.tokens(col(textCol)).as("toks"))
       .withColumn("sig",
         graft.GraftFunctions.minhashSig(col("toks"), lit(shingleK), lit(num)))
-      .withColumn("bucket", explode(bandUdf(col("sig"), lit(bands), lit(rowsPerBand))))
+      .withColumn("bucket", explode(graft.GraftFunctions.bandBuckets(
+        col("sig"), lit(bands), lit(rowsPerBand))))
       .select("doc_id", "bucket")
     // within-bucket pairs via an exploded self-join keyed on the bucket —
     // no collect_list member rows (a capped-but-fat bucket row holds up
@@ -84,11 +86,11 @@ object DedupOps {
     val toks = docs.select(col(idCol).as("id"),
       TermOps.tokens(col(textCol)).as("toks"))
     val shingled = toks.select(col("id"),
-      udf((t: Seq[String]) => Hashing.shingles(t, shingleK)).apply(col("toks")).as("sh"))
+      shingleCol(col("toks"), shingleK).as("sh"))
     minhashCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSet(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

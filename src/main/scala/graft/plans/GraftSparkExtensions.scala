@@ -56,6 +56,9 @@ object GraftSparkExtensions {
     ("minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args(0), args(1), args(2))),
+    ("band_buckets",
+      new ExpressionInfo(classOf[BandBuckets].getName, "band_buckets"),
+      (args: Seq[Expression]) => BandBuckets(args(0), args(1), args(2))),
     // hamming distance composes from built-ins: popcount(a xor b)
     ("hamming64",
       new ExpressionInfo("org.apache.spark.sql.catalyst.expressions.BitwiseCount",

@@ -127,6 +127,25 @@ object HashKernels {
     sig
   }
 
+  /** Per-band FNV fold of a MinHash signature — bit-identical to the
+    * former band UDF: h ^= sig(i); h *= FnvPrime over each band's rows,
+    * band id folded into the top byte. */
+  def bandBucketsData(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    val n = if (sig == null) 0 else sig.numElements()
+    var b = 0
+    while (b < bands) {
+      var h = Hashing.FnvOffset
+      var i = b * rows
+      while (i < (b + 1) * rows && i < n) {
+        h ^= sig.getLong(i); h *= Hashing.FnvPrime; i += 1
+      }
+      out(b) = (b.toLong << 56) ^ (h >>> 8)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def seededData(s: UTF8String, seed: Int): Long =
     Hashing.mix(GraftExpressions.fnv1aUtf8(s) ^ Hashing.mix(seed.toLong))
 
@@ -158,6 +177,40 @@ object HashKernels {
     val r = graft.functions.TextFunctions.extractDomain(s.toString)
     if (r == null) null else UTF8String.fromString(r)
   }
+}
+
+/** `band_buckets(sig, bands, rows)` — fold a MinHash signature into one
+  * 64-bit bucket key per band (band id in the top byte), the LSH banding
+  * step. Native because the FNV-style fold overflows Long deliberately,
+  * which ANSI-mode built-in arithmetic refuses to do. */
+case class BandBuckets(child: Expression, bands: Expression, rows: Expression)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(child, bands, rows)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_buckets"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if bands.foldable && rows.foldable &&
+      bands.dataType == IntegerType && rows.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "band_buckets requires (array<bigint>, int literal, int literal)")
+  }
+  private lazy val bandsV = bands.eval().asInstanceOf[Int]
+  private lazy val rowsV = rows.eval().asInstanceOf[Int]
+  override def eval(input: InternalRow): Any =
+    HashKernels.bandBucketsData(child.eval(input).asInstanceOf[ArrayData],
+      bandsV, rowsV)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nArrayData ${ev.value} = " +
+      code"graft.plans.HashKernels.bandBucketsData(" +
+      code"${c.isNull} ? null : ${c.value}, $bandsV, $rowsV);",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BandBuckets =
+    copy(child = newChildren(0), bands = newChildren(1), rows = newChildren(2))
 }
 
 /** `minhash_sig(tokens, k, num)` — k and num must be foldable ints. */
