@@ -232,11 +232,16 @@ object DedupOps {
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         chunks: Int = 4, maxBucket: Int = 1000): DataFrame = {
     val bits = 64 / chunks
-    val chunkUdf = udf((sig: Long) =>
-      (0 until chunks).map(c => (c.toLong << 58) ^ ((sig >>> (c * bits)) & ((1L << bits) - 1))))
+    // chunk keys from built-ins (shift/mask/xor never overflow, so ANSI
+    // arithmetic is safe here, unlike the multiplicative folds)
+    val mask = (1L << bits) - 1
+    val chunkKeys = expr(
+      s"transform(sequence(0, ${chunks - 1}, 1), " +
+        s"c -> shiftleft(cast(c AS BIGINT), 58) ^ " +
+        s"(shiftrightunsigned(sig, c * $bits) & ${mask}L))")
     val keyed = docs.select(col(idCol).as("doc_id"),
         graft.GraftFunctions.simhash64(TermOps.tokens(col(textCol))).as("sig"))
-      .withColumn("bucket", explode(chunkUdf(col("sig"))))
+      .withColumn("bucket", explode(chunkKeys))
     // same exploded self-join shape as minhashCandidates: no fat
     // collect_list rows, hamming as codegen'd bit_count(xor) per pair
     val sized = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))

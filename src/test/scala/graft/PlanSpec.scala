@@ -97,11 +97,30 @@ class PlanSpec extends AnyFunSuite {
     assert(windows <= 2, s"$windows windows: $p")
   }
 
+  test("no query plans a ScalaUDF: the whole function surface is codegen-tier") {
+    // excluded: streaming queries and sink round-trips (building them
+    // executes side effects), the two deliberately-imperative seams
+    // (frame sampling UDF over binary, per-file split-offset scan), and
+    // mapPartitions-based multimodal decode (object serde, not a UDF)
+    val excluded = Set("st_windowed_counts", "st_sessions", "st_sessions_event",
+      "k1_tsv_roundtrip", "k2_parquet_roundtrip", "k5_json_roundtrip",
+      "k6_compressed_sink", "k7_dict_roundtrip", "s19_split_index",
+      "mm_frame_sample")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(excluded)
+      .filter { name =>
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        p.contains("ScalaUDF") || p.contains("UDF(")
+      }
+    assert(offenders.isEmpty, s"queries still planning UDFs: $offenders")
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("GraftFunctions.register exposes the UDF surface to SQL") {
+  test("GraftFunctions.register exposes the function surface to SQL") {
     GraftFunctions.register(spark)
     import spark.implicits._
     Seq("See [[A|b]] and http://x.io now {{Tmpl}}").toDF("t")
