@@ -153,15 +153,17 @@ object SimilarityOps {
     * the *near*-identical residue. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
                         planes: Int = 8, maxBucket: Int = 2000): DataFrame = {
-    // bucket-size cap via a window count: one signature pass feeds the
-    // single bucket shuffle; singleton buckets (no possible pair) and
-    // over-cap buckets drop before the self-join
-    val keyed = corpus.select(col("vec_id"), col("embedding"))
+    // bucket-size cap via the same count-aggregate + semi-join shape the
+    // minhash/simhash generators use (an aggregate gets map-side combine
+    // and no per-bucket sort, where a window count would sort each
+    // bucket's rows); singleton buckets (no possible pair) and over-cap
+    // buckets drop before the self-join
+    val sigs = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket",
         graft.GraftFunctions.signBitsCol(col("embedding"), lit(planes)))
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
-      .filter(col("bn").between(2, maxBucket))
-      .drop("bn")
+    val sized = sigs.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket)).select("bucket")
+    val keyed = sigs.join(sized, Seq("bucket"))
     val a = keyed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = keyed.select(col("bucket"), col("vec_id").as("id_b"),
