@@ -172,4 +172,65 @@ class PropertiesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     samples.foreach(s => assert(out(s) == Hashing.fnv1a(s)))
   }
+
+  test("native minhash/simhash/band expressions agree with the Hashing kernels " +
+      "on arbitrary token lists") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val lists = samples(tokenList, 80) :+ List.empty[String] :+ List("solo")
+    val out = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("id", "toks")
+      .select(col("id"),
+        GraftFunctions.minhashSig(col("toks"), lit(3), lit(8)).as("mh"),
+        GraftFunctions.simhash64(col("toks")).as("sh"))
+      .withColumn("bands", GraftFunctions.bandBuckets(col("mh"), lit(2), lit(4)))
+      .as[(Long, Seq[Long], Long, Seq[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    lists.zipWithIndex.foreach { case (l, i) =>
+      val (mh, sh, bands) = out(i.toLong)
+      val expectedMh = Hashing.minHash(Hashing.shingles(l, 3).toSet, 8).toSeq
+      assert(mh == expectedMh, s"minhash for $l")
+      assert(sh == Hashing.simHash(l), s"simhash for $l")
+      // band fold replayed in Scala from the expected signature
+      val expectedBands = (0 until 2).map { b =>
+        var h = Hashing.FnvOffset
+        var j = b * 4
+        while (j < (b + 1) * 4 && j < expectedMh.length) {
+          h ^= expectedMh(j); h *= Hashing.FnvPrime; j += 1
+        }
+        (b.toLong << 56) ^ (h >>> 8)
+      }
+      assert(bands == expectedBands, s"bands for $l")
+    }
+  }
+
+  test("native text expressions agree with the kernels on arbitrary markup-ish strings") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr, word.map(w => s"[[$w|$w]]"), word.map(w => s"{{$w}}"),
+      Gen.const("<ref>r</ref>"), Gen.const("http://x.io/a "), Gen.const("[["),
+      Gen.const("}}"), word)
+    val texts = samples(Gen.listOf(frag).map(_.mkString(" ")), 80)
+    val out = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        GraftFunctions.extractLinks(col("text")).as("l"),
+        GraftFunctions.extractTemplates(col("text")).as("t"),
+        GraftFunctions.extractRefs(col("text")).as("r"),
+        GraftFunctions.plainText(col("text")).as("p"))
+      .collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val r = out(i.toLong)
+      val links = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => graft.model.Link(x.getString(0), x.getString(1)))
+      assert(links == TextFunctions.extractLinks(t), s"links for '$t'")
+      assert(r.getSeq[String](2) == TextFunctions.extractTemplates(t), s"tmpl for '$t'")
+      assert(r.getSeq[String](3) == TextFunctions.extractReferences(t), s"refs for '$t'")
+      assert(r.getString(4) == TextFunctions.plainText(t), s"plain for '$t'")
+    }
+  }
 }
