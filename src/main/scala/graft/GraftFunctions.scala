@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.functions.{DiffFunctions, Hashing, TextFunctions}
 import graft.model.{Delta, Link, LinkCtx}
 
-/** Registers the engine's scalar/table functions as Spark UDFs and exposes
-  * them as `Column` helpers.
+/** Registers the engine's scalar/table functions into the SQL registry
+  * and exposes them as `Column` helpers.
   *
   * Design note (scale): everything that CAN be a built-in
   * `org.apache.spark.sql.functions` call IS one (codegen + pushdown
-  * friendly); only the genuinely custom kernels from the reference
+  * friendly); the genuinely custom kernels from the reference
   * (link/template extraction, markup strip, diff, ez-decode, minhash…)
-  * are UDFs. Reference behavior specs: SURVEY.md §2.7.
+  * are native Catalyst expressions (graft.plans) whose generated Java
+  * calls the pure-Scala kernels' logic on UTF8String/ArrayData — no UDF
+  * tier anywhere. Reference behavior specs: SURVEY.md §2.7.
   */
 object GraftFunctions {
 

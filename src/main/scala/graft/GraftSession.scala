@@ -3,9 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Engine entry point: a SparkSession wired with the engine's native
-  * expressions, registered UDFs, and the scale-tuned defaults used
-  * throughout (AQE with skew-join handling on, UTC, bounded shuffle
-  * parallelism).
+  * expressions and the scale-tuned defaults used throughout (AQE with
+  * skew-join handling on, UTC, bounded shuffle parallelism).
   */
 object GraftSession {
   def build(master: String = "local[*]",

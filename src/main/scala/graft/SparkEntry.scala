@@ -452,7 +452,7 @@ object SparkEntry {
           col("media_meta.format").as("format"))
     }),
 
-    // ---- golden fixture queries for the UDF kernels ----
+    // ---- golden fixture queries for the scalar kernels ----
     "f1_extract_links" -> ((s, _) =>
       textFixture(s).filter(col("fid") === 1L)
         .select(explode(GraftFunctions.extractLinks(col("text"))).as("l"))

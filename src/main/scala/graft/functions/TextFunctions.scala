@@ -5,7 +5,8 @@ import scala.collection.mutable.ArrayBuffer
 
 /** Pure-Scala scalar text functions mirroring the reference's extractors
   * (SURVEY.md §2.7). Each is a plain function so it unit-tests without
-  * Spark; `GraftFunctions` registers them as UDFs.
+  * Spark; the native expressions in `graft.plans` surface them to query
+  * plans (codegen tier), and `GraftFunctions` exposes the Column API.
   *
   * References (behavioral spec only, no code reuse):
   *  - extract_links:  mapreduce/ExtractTemporalAnchorText.java:133-191,
