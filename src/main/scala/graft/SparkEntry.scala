@@ -302,6 +302,15 @@ object SparkEntry {
       DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
 
+    "text_contamination" -> ((s, d) => {
+      // decontamination scan: the two lowest-id documents act as the
+      // "benchmark" probe set; every corpus doc sharing an 8-gram with
+      // them (themselves + their near-dups) surfaces with its count
+      val docs = t(s, d, "documents")
+      TextAnalysisOps.contamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") <= 2), "doc_id", "text", n = 8)
+    }),
+
     "dedup_components" -> ((s, d) =>
       // near-dup clustering: pairwise jaccard output → connected
       // components (component id = min doc id, the deterministic keeper)
@@ -1043,6 +1052,21 @@ object SparkEntry {
       |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin
 
+  /** 8-gram overlap vs the doc_id ≤ 2 probe set (text_contamination). */
+  private val contaminationSql =
+    """WITH arrs AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> x <> '') AS a
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(a[i:i+7], ' ') AS g
+      |  FROM arrs, unnest(generate_series(1, greatest(len(a)-7, 0))) AS t(i)
+      |  WHERE len(a) >= 8),
+      |p AS (SELECT doc_id AS probe_id, g FROM g WHERE doc_id <= 2)
+      |SELECT g.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM g JOIN p USING (g)
+      |GROUP BY 1, 2""".stripMargin
+
   /** (doc_id, pred_lang) — shared by text_lang_id and curate_docs. */
   private val langIdSql =
     """WITH t AS (
@@ -1523,6 +1547,8 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
 
     "text_lang_id" -> langIdSql,
+
+    "text_contamination" -> contaminationSql,
 
     "text_stopword_ratio" ->
       """SELECT doc_id, round(

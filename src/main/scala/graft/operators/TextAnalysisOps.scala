@@ -95,6 +95,32 @@ object TextAnalysisOps {
           sum(col("tf")).cast("double"), 4).as("mean_surprisal"))
   }
 
+  /** Benchmark-contamination scan — the decontamination step of a
+    * training pipeline: for each corpus document sharing at least
+    * `minShared` distinct word n-grams with a probe (benchmark/eval)
+    * document, emit (doc_id, probe_id, n_shared). The canonical use is
+    * dropping or flagging training docs that leak evaluation data.
+    *
+    * Scale shape: both sides explode DISTINCT n-gram fnv64 hashes — 8
+    * bytes per gram travel, never text; the probe side (benchmark
+    * suites, thousands of docs) broadcasts, so the 100 TB corpus side
+    * never shuffles for the join; overlap counts are a hash
+    * aggregation. Never an all-pairs product. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    probes: DataFrame, probeIdCol: String, probeTextCol: String,
+                    n: Int = 8, minShared: Long = 1L): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    def grams(df: DataFrame, id: String, text: String, out: String) =
+      df.select(col(id).as(out), TermOps.tokens(col(text)).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .withColumn("gs", array_distinct(TermOps.shingleStrings(col("toks"), n)))
+        .select(col(out), explode(expr("transform(gs, x -> fnv64(x))")).as("g"))
+    grams(docs, idCol, textCol, "doc_id")
+      .join(broadcast(grams(probes, probeIdCol, probeTextCol, "probe_id")), Seq("g"))
+      .groupBy("doc_id", "probe_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Within-document repetition ratio (a Gopher-style quality signal):
     * 1 − distinct/total word 3-shingles; 0 for docs under 3 tokens.
     * Built-in HOFs only (transform over an index sequence + slice), so

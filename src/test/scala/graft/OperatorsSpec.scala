@@ -99,6 +99,24 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- TermOps ----
 
+  test("contamination flags docs sharing n-grams with the probe set, and only those") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"prefix words here $bench trailing text"),       // leaks the probe
+      (2L, "completely unrelated content with many words present"),
+      (3L, s"$bench"),                                       // verbatim probe copy
+      (4L, "short doc")                                      // under n tokens
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, bench)).toDF("pid", "ptext")
+    val out = TextAnalysisOps.contamination(docs, "doc_id", "text",
+        probes, "pid", "ptext", n = 8)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(out.keySet == Set((1L, 100L), (3L, 100L)))
+    assert(out((3L, 100L)) == 1L) // exactly the one 8-gram
+    assert(out((1L, 100L)) == 1L) // the planted gram, not the prefix/suffix ones
+  }
+
   test("unicode analyzer splits on punctuation, whitespace analyzer keeps it") {
     val df = Seq((1L, "Don't stop-the count... 42x it's")).toDF("id", "text")
     val ws = df.select(TermOps.tokens(col("text")).as("t"))
