@@ -302,6 +302,21 @@ object SparkEntry {
       DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
 
+    "text_boilerplate" -> ((s, _) => {
+      // line-level boilerplate strip over an authored multi-line fixture:
+      // the banner lines repeat across docs (df >= 2) and must vanish,
+      // unique content lines survive in order
+      import s.implicits._
+      Seq(
+        (1L, "unique first line\nsubscribe to our newsletter\nreal content one"),
+        (2L, "subscribe to our newsletter\nreal content two\ncookie banner text"),
+        (3L, "cookie banner text\nreal content three"),
+        (4L, "subscribe to our newsletter\ncookie banner text"))
+        .toDF("doc_id", "text")
+        .transform(df =>
+          TextAnalysisOps.stripBoilerplate(df, "doc_id", "text", minDf = 2L))
+    }),
+
     "text_contamination" -> ((s, d) => {
       // decontamination scan: the two lowest-id documents act as the
       // "benchmark" probe set; every corpus doc sharing an 8-gram with
@@ -1549,6 +1564,13 @@ object SparkEntry {
     "text_lang_id" -> langIdSql,
 
     "text_contamination" -> contaminationSql,
+
+    "text_boilerplate" ->
+      """SELECT CAST(col0 AS BIGINT) AS doc_id, col1 AS clean_text
+        |FROM (VALUES
+        | (1, 'unique first line' || chr(10) || 'real content one'),
+        | (2, 'real content two'),
+        | (3, 'real content three')) t""".stripMargin,
 
     "text_stopword_ratio" ->
       """SELECT doc_id, round(

@@ -121,6 +121,38 @@ object TextAnalysisOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb-style cleanup
+    * step): a line is boilerplate when it appears in at least `minDf`
+    * DISTINCT documents ("subscribe to our newsletter", cookie banners,
+    * nav menus); such lines are stripped from every document, order of
+    * the surviving lines preserved. Documents whose every line is
+    * boilerplate drop out of the result (they carry no signal).
+    *
+    * Scale shape: line df is a hash aggregation over fnv64(line) — 8
+    * bytes per line shuffle for the frequency pass, and the anti-join
+    * that strips lines is keyed on the same hash with the (small)
+    * boilerplate set broadcast. Text only moves once, in the final
+    * per-document reassembly (output-sized by definition). */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       minDf: Long, sep: String = "\n"): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .withColumn("lh", expr("fnv64(line)"))
+    val boiler = lines.select(col("doc_id"), col("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select("lh")
+    lines.join(broadcast(boiler), Seq("lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), sep).as("clean_text"))
+  }
+
   /** Within-document repetition ratio (a Gopher-style quality signal):
     * 1 − distinct/total word 3-shingles; 0 for docs under 3 tokens.
     * Built-in HOFs only (transform over an index sequence + slice), so

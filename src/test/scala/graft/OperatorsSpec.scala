@@ -99,6 +99,19 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- TermOps ----
 
+  test("stripBoilerplate removes high-df lines, keeps order, drops empty docs") {
+    val docs = Seq(
+      (1L, "keep a\nBOILER\nkeep b\nkeep a"),   // duplicate line within one doc
+      (2L, "BOILER\nother"),
+      (3L, "BOILER"))                            // fully boilerplate
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.stripBoilerplate(docs, "doc_id", "text", minDf = 3L)
+      .as[(Long, String)].collect().toMap
+    // BOILER appears in 3 distinct docs; the in-doc duplicate "keep a"
+    // counts once per doc and survives both times, in position order
+    assert(out == Map(1L -> "keep a\nkeep b\nkeep a", 2L -> "other"))
+  }
+
   test("contamination flags docs sharing n-grams with the probe set, and only those") {
     val bench = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val docs = Seq(
