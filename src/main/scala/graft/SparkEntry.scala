@@ -302,6 +302,9 @@ object SparkEntry {
       DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
 
+    "stats_profile" -> ((s, d) =>
+      TextAnalysisOps.corpusProfile(t(s, d, "documents"), "lang", "n_chars")),
+
     "text_boilerplate" -> ((s, _) => {
       // line-level boilerplate strip over an authored multi-line fixture:
       // the banner lines repeat across docs (df >= 2) and must vanish,
@@ -1564,6 +1567,14 @@ object SparkEntry {
     "text_lang_id" -> langIdSql,
 
     "text_contamination" -> contaminationSql,
+
+    "stats_profile" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(n_chars), 4) AS mean_val,
+        | [round(quantile_cont(n_chars, 0.5), 4),
+        |  round(quantile_cont(n_chars, 0.9), 4),
+        |  round(quantile_cont(n_chars, 0.99), 4)] AS quantiles
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "text_boilerplate" ->
       """SELECT CAST(col0 AS BIGINT) AS doc_id, col1 AS clean_text

@@ -121,6 +121,22 @@ object TextAnalysisOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Corpus profile per group: doc count, mean and exact p50/p90/p99 of
+    * a numeric column — the distribution snapshot curation thresholds
+    * (length floors, quality cutoffs) are tuned against. Exact
+    * `percentile` (not approx) so the result is engine-reproducible;
+    * it aggregates per group with a single shuffle. For corpora where
+    * per-group exactness stops mattering, swap `percentile_approx` in —
+    * same plan shape, bounded memory. */
+  def corpusProfile(docs: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col(valueCol)), 4).as("mean_val"),
+        transform(
+          expr(s"percentile(`$valueCol`, array(0.5D, 0.9D, 0.99D))"),
+          q => round(q, 4)).as("quantiles"))
+
   /** Line-level boilerplate removal (the CCNet/RefinedWeb-style cleanup
     * step): a line is boilerplate when it appears in at least `minDf`
     * DISTINCT documents ("subscribe to our newsletter", cookie banners,
