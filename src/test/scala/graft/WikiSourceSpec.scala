@@ -73,6 +73,19 @@ class WikiSourceSpec extends AnyFunSuite {
       whole.agg(sum("rev_id")).as[Long].head())
   }
 
+  test("raw mode is split-invariant: same verbatim revisions at any split size") {
+    val f = Files.createTempFile("bigwiki-raw", ".xml")
+    Files.writeString(f, graft.sources.WikiFixtures.bigXml(60))
+    def fingerprints(opts: Map[String, String]) =
+      WikiXml.readRaw(spark, f.toString, opts)
+        .select(col("rev_id"), md5(col("revision_xml")).as("m"))
+        .as[(Long, String)].collect().toSet
+    val whole = fingerprints(Map.empty)
+    val split = fingerprints(Map("maxSplitBytes" -> "4000"))
+    assert(whole.size == 180)
+    assert(split == whole)
+  }
+
   test("split index aligns partitions on page boundaries") {
     val f = Files.createTempFile("idxwiki", ".xml")
     Files.writeString(f, graft.sources.WikiFixtures.bigXml(60))
