@@ -77,7 +77,21 @@ object KernelBench {
         docs.select(explode(g.revDiff(col("toks"), col("toks2"))).as("d"))
           .select(col("d.op"))),
       "added_words" -> (() =>
-        docs.select(explode(g.addedWords(col("toks"), col("toks2"))).as("w"))))
+        docs.select(explode(g.addedWords(col("toks"), col("toks2"))).as("w"))),
+      "minhash_sig" -> (() =>
+        docs.select(g.minhashSig(col("toks"), lit(3), lit(32)).as("mh"))
+          .select(element_at(col("mh"), 1))),
+      "simhash64" -> (() =>
+        docs.select(g.simhash64(col("toks")).as("sh"))),
+      "band_buckets" -> (() =>
+        docs.select(explode(g.bandBuckets(
+          g.minhashSig(col("toks"), lit(3), lit(32)), lit(8), lit(4))).as("b"))),
+      "lang_id" -> (() =>
+        docs.select(g.langId(col("text")).as("l"))),
+      "normalize_title" -> (() =>
+        docs.select(g.normalizeTitle(col("text")).as("n"))),
+      "rolling_fingerprint" -> (() =>
+        docs.select(g.rollingFingerprint(col("text")).as("f"))))
 
     kernels.foreach { case (n, mk) => run(mk()) } // warm codegen paths
     val results = kernels.map { case (n, mk) => n -> med3(mk) }
