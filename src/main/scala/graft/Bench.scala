@@ -54,7 +54,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":" + jstr(e.take(300)) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver captures only the stdout tail (~4 KB), which truncates the
+    // 114-entry queries map; persist the full line so per-query timings are
+    // never lost to the record
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // stdout already carries the line
     spark.stop()
   }
 }

@@ -1571,9 +1571,9 @@ object SparkEntry {
     "stats_profile" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         | round(avg(n_chars), 4) AS mean_val,
-        | [round(quantile_cont(n_chars, 0.5), 4),
-        |  round(quantile_cont(n_chars, 0.9), 4),
-        |  round(quantile_cont(n_chars, 0.99), 4)] AS quantiles
+        | round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        | round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        | round(quantile_cont(n_chars, 0.99), 4) AS p99
         |FROM documents GROUP BY lang""".stripMargin,
 
     "text_boilerplate" ->

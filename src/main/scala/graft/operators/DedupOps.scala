@@ -139,7 +139,9 @@ object DedupOps {
   /** Connected components over a near-dup pair list — the clustering
     * step that turns pairwise dedup output into "keep one doc per
     * cluster" (component id = min doc id in the component, so the
-    * representative is deterministic). Output: (node, component).
+    * representative is deterministic). Output: (node, component). A
+    * node that appears only in self-pairs (a,a) is emitted as its own
+    * singleton component (a,a).
     *
     * Alternating large-star/small-star rounds (the MapReduce
     * connected-components algorithm of Kiveris et al., "Connected
@@ -223,7 +225,15 @@ object DedupOps {
     val labels = e.select(col("u").as("node"), col("v").as("component"))
       .unionByName(e.select(col("v").as("node"), col("v").as("component"))
         .distinct())
-    (labels, rounds)
+    // nodes appearing ONLY as self-pairs (a,a) have no surviving edge —
+    // emit them as singleton components (node, node) rather than
+    // silently dropping them. The filter keeps the pass proportional to
+    // the self-pair count, not the node count.
+    val singletons = pairs.filter(col(aCol) === col(bCol))
+      .select(col(aCol).as("node")).distinct()
+      .join(labels, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    (labels.unionByName(singletons), rounds)
   }
 
   /** SimHash near-dup candidates: 64-bit signature split into `chunks`

@@ -105,7 +105,15 @@ object TextAnalysisOps {
     * bytes per gram travel, never text; the probe side (benchmark
     * suites, thousands of docs) broadcasts, so the 100 TB corpus side
     * never shuffles for the join; overlap counts are a hash
-    * aggregation. Never an all-pairs product. */
+    * aggregation. Never an all-pairs product.
+    *
+    * Collision tolerance: matching on fnv64(gram) means a 64-bit
+    * collision between a corpus gram and a probe gram can inflate
+    * `n_shared` relative to exact string equality (≈n²/2⁶⁵ expected
+    * colliding pairs — negligible, and conservative in the safe
+    * direction for decontamination: false flags, never false passes).
+    * Re-verify matched (doc, probe) pairs on strings when exactness is
+    * required. */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     probes: DataFrame, probeIdCol: String, probeTextCol: String,
                     n: Int = 8, minShared: Long = 1L): DataFrame = {
@@ -125,17 +133,21 @@ object TextAnalysisOps {
     * a numeric column — the distribution snapshot curation thresholds
     * (length floors, quality cutoffs) are tuned against. Exact
     * `percentile` (not approx) so the result is engine-reproducible;
-    * it aggregates per group with a single shuffle. For corpora where
-    * per-group exactness stops mattering, swap `percentile_approx` in —
-    * same plan shape, bounded memory. */
+    * it aggregates per group with a single shuffle. The three
+    * percentiles come from ONE `percentile(v, array(...))` aggregate
+    * (single pass over the group) and are emitted as scalar columns.
+    * For corpora where per-group exactness stops mattering, swap
+    * `percentile_approx` in — same plan shape, bounded memory. */
   def corpusProfile(docs: DataFrame, groupCol: String,
                     valueCol: String): DataFrame =
     docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col(valueCol)), 4).as("mean_val"),
-        transform(
-          expr(s"percentile(`$valueCol`, array(0.5D, 0.9D, 0.99D))"),
-          q => round(q, 4)).as("quantiles"))
+        expr(s"percentile(`$valueCol`, array(0.5D, 0.9D, 0.99D))").as("qs"))
+      .select(col(groupCol), col("n_docs"), col("mean_val"),
+        round(col("qs").getItem(0), 4).as("p50"),
+        round(col("qs").getItem(1), 4).as("p90"),
+        round(col("qs").getItem(2), 4).as("p99"))
 
   /** Line-level boilerplate removal (the CCNet/RefinedWeb-style cleanup
     * step): a line is boilerplate when it appears in at least `minDf`

@@ -25,6 +25,15 @@ object GraftExpressions {
     }
     h
   }
+
+  /** True iff `e` is a foldable non-null IntegerType — the contract for
+    * compile-time-constant parameters (k, num, bands, rows, planes,
+    * days). The null check matters: these params are later unboxed with
+    * `eval().asInstanceOf[Int]`, so a `cast(null as int)` literal must
+    * fail analysis, not NPE at plan time. */
+  def nonNullIntLiteral(e: Expression): Boolean =
+    e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType &&
+      e.eval() != null
 }
 
 /** `fnv64(string)` — seed hash of the dedup/LSH family as a codegen'd

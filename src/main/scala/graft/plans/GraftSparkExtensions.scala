@@ -24,15 +24,36 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 object GraftSparkExtensions {
   private type Builder = Seq[Expression] => Expression
 
+  // SQL-side arity validation: a mis-called function must surface as an
+  // AnalysisException naming the signature, not an IndexOutOfBounds from
+  // the builder reaching into args
+  private def checkArity(name: String, expected: Int,
+                         args: Seq[Expression]): Unit =
+    if (args.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private def unary(name: String, cls: Class[_], b: Expression => Expression)
       : (String, ExpressionInfo, Builder) =
     (name, new ExpressionInfo(cls.getName, name),
-      (args: Seq[Expression]) => b(args.head))
+      (args: Seq[Expression]) => { checkArity(name, 1, args); b(args.head) })
 
   private def binary(name: String, cls: Class[_],
       b: (Expression, Expression) => Expression): (String, ExpressionInfo, Builder) =
     (name, new ExpressionInfo(cls.getName, name),
-      (args: Seq[Expression]) => b(args(0), args(1)))
+      (args: Seq[Expression]) => { checkArity(name, 2, args); b(args(0), args(1)) })
+
+  private def ternary(name: String, cls: Class[_],
+      b: (Expression, Expression, Expression) => Expression)
+      : (String, ExpressionInfo, Builder) =
+    (name, new ExpressionInfo(cls.getName, name),
+      (args: Seq[Expression]) =>
+        { checkArity(name, 3, args); b(args(0), args(1), args(2)) })
 
   val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     unary("fnv64", classOf[FnvHash64], FnvHash64),
@@ -53,19 +74,14 @@ object GraftSparkExtensions {
     binary("cut_last", classOf[CutLast], CutLast),
     binary("decode_ez", classOf[DecodeEz], DecodeEz),
     binary("sign_bits", classOf[SignBits], SignBits),
-    ("minhash_sig",
-      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0), args(1), args(2))),
-    ("band_buckets",
-      new ExpressionInfo(classOf[BandBuckets].getName, "band_buckets"),
-      (args: Seq[Expression]) => BandBuckets(args(0), args(1), args(2))),
+    ternary("minhash_sig", classOf[MinHashSig], MinHashSig(_, _, _)),
+    ternary("band_buckets", classOf[BandBuckets], BandBuckets(_, _, _)),
     // hamming distance composes from built-ins: popcount(a xor b)
-    ("hamming64",
-      new ExpressionInfo("org.apache.spark.sql.catalyst.expressions.BitwiseCount",
-        "hamming64"),
-      (args: Seq[Expression]) =>
+    binary("hamming64",
+      classOf[org.apache.spark.sql.catalyst.expressions.BitwiseCount],
+      (a, b) =>
         org.apache.spark.sql.catalyst.expressions.BitwiseCount(
-          org.apache.spark.sql.catalyst.expressions.BitwiseXor(args(0), args(1)))))
+          org.apache.spark.sql.catalyst.expressions.BitwiseXor(a, b))))
 
   /** Runtime registration on an existing session (idempotent). After
     * this, `selectExpr("fnv64(col)")` / `expr("fnv64(col)")` plan the

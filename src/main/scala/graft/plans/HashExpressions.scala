@@ -182,7 +182,12 @@ object HashKernels {
 /** `band_buckets(sig, bands, rows)` — fold a MinHash signature into one
   * 64-bit bucket key per band (band id in the top byte), the LSH banding
   * step. Native because the FNV-style fold overflows Long deliberately,
-  * which ANSI-mode built-in arithmetic refuses to do. */
+  * which ANSI-mode built-in arithmetic refuses to do.
+  *
+  * Null convention: a null signature array folds like an EMPTY signature
+  * — each band yields its deterministic empty-fold key. Null signatures
+  * never arise from `minhash_sig` (never-null); feeding externally-built
+  * nullable signatures groups all null rows into the same buckets. */
 case class BandBuckets(child: Expression, bands: Expression, rows: Expression)
     extends Expression {
   override def children: Seq[Expression] = Seq(child, bands, rows)
@@ -190,11 +195,12 @@ case class BandBuckets(child: Expression, bands: Expression, rows: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_buckets"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) if bands.foldable && rows.foldable &&
-      bands.dataType == IntegerType && rows.dataType == IntegerType =>
+    case ArrayType(LongType, _)
+      if GraftExpressions.nonNullIntLiteral(bands) &&
+        GraftExpressions.nonNullIntLiteral(rows) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "band_buckets requires (array<bigint>, int literal, int literal)")
+      "band_buckets requires (array<bigint>, non-null int literal, non-null int literal)")
   }
   private lazy val bandsV = bands.eval().asInstanceOf[Int]
   private lazy val rowsV = rows.eval().asInstanceOf[Int]
@@ -224,9 +230,10 @@ case class MinHashSig(child: Expression, k: Expression, num: Expression)
     if (child.dataType match {
       case ArrayType(StringType, _) => false; case _ => true
     }) TypeCheckResult.TypeCheckFailure("minhash_sig requires array<string>")
-    else if (!k.foldable || !num.foldable ||
-      k.dataType != IntegerType || num.dataType != IntegerType)
-      TypeCheckResult.TypeCheckFailure("minhash_sig requires int literal k/num")
+    else if (!GraftExpressions.nonNullIntLiteral(k) ||
+      !GraftExpressions.nonNullIntLiteral(num))
+      TypeCheckResult.TypeCheckFailure(
+        "minhash_sig requires non-null int literal k/num")
     else TypeCheckResult.TypeCheckSuccess
   private lazy val kV = k.eval().asInstanceOf[Int]
   private lazy val numV = num.eval().asInstanceOf[Int]
@@ -276,10 +283,10 @@ case class SignBits(child: Expression, planes: Expression) extends BinaryExpress
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
-      if planes.foldable && planes.dataType == IntegerType =>
+      if GraftExpressions.nonNullIntLiteral(planes) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "sign_bits requires array<float|double> and an int literal plane count")
+      "sign_bits requires array<float|double> and a non-null int literal plane count")
   }
   private lazy val planesV = planes.eval().asInstanceOf[Int]
   private lazy val isFloat = child.dataType match {
@@ -359,10 +366,10 @@ case class DecodeEz(left: Expression, right: Expression) extends BinaryExpressio
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.foldable &&
-      right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    if (left.dataType == StringType &&
+      GraftExpressions.nonNullIntLiteral(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "decode_ez requires (string, int literal)")
+      "decode_ez requires (string, non-null int literal)")
   private lazy val daysV = right.eval().asInstanceOf[Int]
   override def eval(input: InternalRow): Any =
     HashKernels.decodeEzData(left.eval(input).asInstanceOf[UTF8String], daysV)

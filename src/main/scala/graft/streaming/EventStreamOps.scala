@@ -44,10 +44,13 @@ object EventStreamOps {
     * trigger); pair it with a real trigger interval in production. */
   /** Event-time sessionization — the replayable variant of
     * [[sessionize]]: a session is emitted only once the WATERMARK passes
-    * its close (last event + gap), never on a wall-clock timer. Because
-    * an event that could still extend a session must carry ts ≤ last+gap
-    * ≤ watermark — i.e. it would be late beyond the watermark and
-    * dropped — the emitted session set is a pure function of the event
+    * its close (last event + gap), never on a wall-clock timer. Closing
+    * is STRICT (last + gap < watermark): Spark's late-data filter drops
+    * only events with ts < watermark, so an event at ts == watermark is
+    * still admissible — under a non-strict close it could extend an
+    * already-emitted session. With the strict rule any event that could
+    * extend an emitted session has ts ≤ last+gap < watermark and is
+    * dropped, so the emitted session set is a pure function of the event
     * times, independent of how the stream is chopped into micro-batches
     * or which order batches deliver (in-watermark out-of-order events
     * buffer in state and sort by event time). State per key = the open
@@ -55,7 +58,7 @@ object EventStreamOps {
     * watermark horizon × per-key event rate.
     *
     * Mechanics: buffered events sessionize by `gapMs` in event-time
-    * order; the closable prefix (session end + gap ≤ watermark) emits;
+    * order; the closable prefix (session end + gap < watermark) emits;
     * the remainder re-buffers with an `EventTimeTimeout` at the first
     * unclosed session's end + gap, so the flush fires exactly when the
     * watermark crosses it even if the key never sees data again. */
@@ -85,13 +88,17 @@ object EventStreamOps {
             }
             sessions += cur.toSeq
             // session k+1 starts > session k's end + gap, so closability
-            // (end + gap ≤ watermark) is a prefix property
-            val (closed, open) = sessions.partition(s => s.last._1 + gapMs <= wm)
+            // (end + gap < watermark, strict — ts == wm is still
+            // admissible input) is a prefix property
+            val (closed, open) = sessions.partition(s => s.last._1 + gapMs < wm)
             if (open.isEmpty) state.remove()
             else {
               val rest = open.flatten.toSeq
               state.update(SessionBuffer(rest.map(_._1), rest.map(_._2)))
-              // > wm by construction of `open`, as setTimeoutTimestamp demands
+              // ≥ wm by construction of `open` (setTimeoutTimestamp only
+              // rejects timestamps EARLIER than the watermark); the
+              // timeout fires once the watermark passes it, which is
+              // exactly when the strict close condition starts holding
               state.setTimeoutTimestamp(open.head.last._1 + gapMs)
             }
             closed.iterator.map(s => Session(userId, s.head._1, s.last._1,

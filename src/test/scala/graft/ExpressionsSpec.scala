@@ -36,6 +36,34 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("SQL builders reject wrong arity with an AnalysisException, not IOOBE") {
+    GraftSparkExtensions.install(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(array('a','b'))").collect()
+    }
+    assert(e.getMessage.contains("minhash_sig"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT fnv64('a', 'b')").collect()
+    }
+    assert(e2.getMessage.contains("fnv64"), e2.getMessage)
+  }
+
+  test("null int literals fail analysis instead of NPE at plan time") {
+    GraftSparkExtensions.install(spark)
+    Seq(
+      "SELECT decode_ez('1,2', cast(null AS int))",
+      "SELECT minhash_sig(array('a'), cast(null AS int), 4)",
+      "SELECT band_buckets(array(1L), cast(null AS int), 2)",
+      "SELECT sign_bits(array(cast(1.0 AS float)), cast(null AS int))"
+    ).foreach { q =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(q).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("non-null int literal"),
+        s"$q → ${e.getMessage}")
+    }
+  }
+
   test("native text kernels match the pure-Scala functions (codegen path)") {
     import graft.functions.{DiffFunctions, TextFunctions}
     val texts = Seq(

@@ -199,6 +199,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents emits self-pair-only nodes as singleton components") {
+    // node 5 appears ONLY as (5,5): it must surface as its own singleton
+    // component, not vanish; node 2's self-loop must not duplicate its row
+    val pairs = Seq((2L, 1L), (5L, 5L), (2L, 2L)).toDF("id_a", "id_b")
+    val out = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect()
+    assert(out.length == out.distinct.length, "duplicate label rows")
+    assert(out.toMap == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
+
   test("connectedComponents closes a 100-node chain in O(log n) rounds") {
     // min-label propagation would need ~99 rounds here; the star
     // algorithm must stay within ~2·log2(n)+2
