@@ -95,27 +95,21 @@ object MultimodalOps {
 
   /** Frame-sampling plumbing: explode a binary "video" into every `stride`th
     * fixed-size chunk (stand-in for frame extraction), keeping only compact
-    * per-frame features downstream. The chunk hash folds *unsigned* bytes
-    * (same convention as `stubDecode`); the mm_frame_sample oracle
-    * replicates it via codepoints, which coincide with bytes only for
-    * ASCII payloads — binary/non-ASCII payloads would need a byte-level
-    * SQL oracle (blob indexing), not a different kernel. */
+    * per-frame features downstream. The chunk hasher is the native
+    * `frame_sigs` expression (plans/HashExpressions.scala) — a per-row
+    * hot path on video corpora, so it runs inside whole-stage codegen,
+    * not as a UDF. It folds *unsigned* bytes (same convention as
+    * `stubDecode`); the mm_frame_sample oracle replicates it via
+    * codepoints, which coincide with bytes only for ASCII payloads —
+    * binary/non-ASCII payloads would need a byte-level SQL oracle (blob
+    * indexing), not a different kernel. */
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int,
                    stride: Int): DataFrame = {
-    val frameUdf = udf((bytes: Array[Byte]) =>
-      if (bytes == null) Seq.empty[(Int, Long)]
-      else {
-        val n = math.max(1, frameSize * stride)
-        (0 until bytes.length by n).map { off =>
-          var h = 1125899906842597L
-          var i = off
-          while (i < math.min(bytes.length, off + frameSize)) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
-          (off / n, h)
-        }
-      })
-    df.withColumn("frame", explode(frameUdf(col(binCol))))
-      .withColumn("frame_idx", col("frame._1"))
-      .withColumn("frame_sig", col("frame._2"))
+    graft.plans.GraftSparkExtensions.install(df.sparkSession)
+    df.withColumn("frame",
+        explode(expr(s"frame_sigs(`$binCol`, $frameSize, $stride)")))
+      .withColumn("frame_idx", col("frame.idx"))
+      .withColumn("frame_sig", col("frame.sig"))
       .drop("frame")
   }
 }

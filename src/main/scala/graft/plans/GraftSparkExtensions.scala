@@ -76,6 +76,7 @@ object GraftSparkExtensions {
     binary("sign_bits", classOf[SignBits], SignBits),
     ternary("minhash_sig", classOf[MinHashSig], MinHashSig(_, _, _)),
     ternary("band_buckets", classOf[BandBuckets], BandBuckets(_, _, _)),
+    ternary("frame_sigs", classOf[FrameSigs], FrameSigs(_, _, _)),
     // hamming distance composes from built-ins: popcount(a xor b)
     binary("hamming64",
       classOf[org.apache.spark.sql.catalyst.expressions.BitwiseCount],

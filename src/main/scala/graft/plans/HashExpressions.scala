@@ -177,6 +177,30 @@ object HashKernels {
     val r = graft.functions.TextFunctions.extractDomain(s.toString)
     if (r == null) null else UTF8String.fromString(r)
   }
+
+  private val EmptyFrames = new GenericArrayData(Array.empty[Any])
+
+  /** Per-chunk signatures of a binary payload — the frame-sampling
+    * kernel: every `stride`th `frameSize`-byte chunk gets a base-31
+    * fold over *unsigned* bytes (same convention as the media stub
+    * decode). null/empty input → empty array (no frames). */
+  def frameSigsData(bytes: Array[Byte], frameSize: Int, stride: Int): ArrayData = {
+    if (bytes == null || bytes.length == 0) return EmptyFrames
+    val n = math.max(1, frameSize * stride)
+    val frames = new Array[Any]((bytes.length + n - 1) / n)
+    var f = 0
+    var off = 0
+    while (off < bytes.length) {
+      var h = 1125899906842597L
+      var i = off
+      val end = math.min(bytes.length, off + frameSize)
+      while (i < end) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+      frames(f) = InternalRow(off / n, h)
+      f += 1
+      off += n
+    }
+    new GenericArrayData(frames)
+  }
 }
 
 /** `band_buckets(sig, bands, rows)` — fold a MinHash signature into one
@@ -383,6 +407,47 @@ case class DecodeEz(left: Expression, right: Expression) extends BinaryExpressio
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DecodeEz =
     copy(left = newLeft, right = newRight)
+}
+
+/** `frame_sigs(bin, frame_size, stride)` — one (idx, sig) struct per
+  * sampled fixed-size chunk of a binary payload, the frame-sampling
+  * seam's hot path as a codegen expression (it runs once per row over
+  * video-scale corpora, so no UDF boxing). null/empty payload → empty
+  * array, never null. */
+case class FrameSigs(child: Expression, frameSize: Expression,
+                     stride: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child, frameSize, stride)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("sig", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "frame_sigs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType
+      if GraftExpressions.nonNullIntLiteral(frameSize) &&
+        GraftExpressions.nonNullIntLiteral(stride) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "frame_sigs requires (binary, non-null int literal, non-null int literal)")
+  }
+  private lazy val frameSizeV = frameSize.eval().asInstanceOf[Int]
+  private lazy val strideV = stride.eval().asInstanceOf[Int]
+  override def eval(input: InternalRow): Any =
+    HashKernels.frameSigsData(child.eval(input).asInstanceOf[Array[Byte]],
+      frameSizeV, strideV)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nArrayData ${ev.value} = " +
+      code"graft.plans.HashKernels.frameSigsData(" +
+      code"${c.isNull} ? null : ${c.value}, $frameSizeV, $strideV);",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FrameSigs =
+    copy(child = newChildren(0), frameSize = newChildren(1),
+      stride = newChildren(2))
 }
 
 /** `normalize_title(s)` — wikistats title normalization (null-safe). */

@@ -99,13 +99,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("no query plans a ScalaUDF: the whole function surface is codegen-tier") {
     // excluded: streaming queries and sink round-trips (building them
-    // executes side effects), the two deliberately-imperative seams
-    // (frame sampling UDF over binary, per-file split-offset scan), and
-    // mapPartitions-based multimodal decode (object serde, not a UDF)
+    // executes side effects), the one deliberately-imperative seam
+    // (per-file split-offset scan), and mapPartitions-based multimodal
+    // decode (object serde, not a UDF). Frame sampling is native now
+    // (frame_sigs expression), so mm_frame_sample is swept like any query.
     val excluded = Set("st_windowed_counts", "st_sessions", "st_sessions_event",
       "k1_tsv_roundtrip", "k2_parquet_roundtrip", "k5_json_roundtrip",
-      "k6_compressed_sink", "k7_dict_roundtrip", "s19_split_index",
-      "mm_frame_sample")
+      "k6_compressed_sink", "k7_dict_roundtrip", "s19_split_index")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded)
       .filter { name =>
