@@ -106,6 +106,16 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))),
 
+    // same predicate over the µs-rewritten events table: the production
+    // layout where ts predicates prune parquet row groups (PlanSpec pins
+    // the PushedFilters claim; this row pins value-identity with p3)
+    "p3_time_range_us" -> ((s, d) =>
+      Tables.eventsMicros(s, d)
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-07").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))),
+
     "p4_projection" -> ((s, d) =>
       t(s, d, "documents").filter(col("n_chars") > 200)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
@@ -1129,6 +1139,12 @@ object SparkEntry {
       "SELECT source, count(*) AS n_docs FROM documents WHERE lang='en' GROUP BY source",
 
     "p3_time_range" ->
+      """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-07'
+        |GROUP BY event_type""".stripMargin,
+
+    "p3_time_range_us" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-07'

@@ -22,8 +22,9 @@ object Tables {
       // Known pushdown cost of this workaround: predicates on the derived
       // `ts` cannot reach the parquet scan (row-group stats pruning is
       // lost). A production table written with µs timestamps gets the
-      // pushdown for free; this is a testdata-format artifact, not an
-      // operator-design choice.
+      // pushdown for free — [[eventsMicros]] is that layout, with a
+      // PlanSpec test pinning the PushedFilters claim; this is a
+      // testdata-format artifact, not an operator-design choice.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -32,4 +33,25 @@ object Tables {
   /** Register every test table as a temp view (S18 loader surface). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     All.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** µs-timestamp variant of the events table: rewrites the
+    * TIMESTAMP(NANOS) parquet once per (JVM, sfDir) to a cached
+    * TimestampType (µs) parquet and reads that. This is what a
+    * production writer emits, and it restores the parquet row-group
+    * pruning that the nanos workaround in [[table]] loses — `ts`
+    * predicates reach PushedFilters again (pinned by a PlanSpec test).
+    * The rewrite is one linear pass, amortized across every query in
+    * the JVM. */
+  def eventsMicros(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = Integer.toHexString(
+      new java.io.File(sfDir).getAbsolutePath.hashCode)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-events-us-$key")
+    this.synchronized {
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        table(spark, sfDir, "events")
+          .write.mode("overwrite").parquet(dir.toString)
+    }
+    spark.read.parquet(dir.toString)
+  }
 }

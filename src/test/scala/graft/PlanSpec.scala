@@ -33,6 +33,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)]"), p)
   }
 
+  test("events µs variant restores parquet pushdown for ts predicates") {
+    // the nanos workaround reads raw int64 and derives ts, so its scan
+    // cannot prune row groups on ts…
+    val nanos = plan("p3_time_range")
+    assert(!nanos.contains("GreaterThanOrEqual(ts"), nanos)
+    // …the µs rewrite (production layout) pushes both bounds to the scan
+    val us = plan("p3_time_range_us")
+    assert(us.contains("IsNotNull(ts)") &&
+      us.contains("GreaterThanOrEqual(ts,") && us.contains("LessThan(ts,"), us)
+  }
+
   test("w1 window shuffles once on the partition key") {
     val p = plan("w1_lag_pairs")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
