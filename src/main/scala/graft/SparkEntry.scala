@@ -389,6 +389,17 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // corpus-vs-corpus: the whole embeddings table queries itself through
+    // the non-broadcast shuffle-join path (PlanSpec pins the no-broadcast
+    // plan shape)
+    "ann_lsh_join" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      SimilarityOps.lshTopKJoin(emb, emb, k = 3)
+        .select(col("query_id"), col("nbr_id"), round(col("sim"), 4).as("sim"),
+          col("rank"))
+    }),
+
     "text_quality" -> ((s, d) =>
       TextAnalysisOps.qualityMetrics(t(s, d, "documents"), "doc_id", "text")),
 
@@ -1503,6 +1514,30 @@ object SparkEntry {
          |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
          |WHERE rank <= 5""".stripMargin,
+
+    // the corpus-vs-corpus variant: identical LSH replication, every
+    // vector a query (no vec_id filter), k=3
+    "ann_lsh_join" ->
+      s"""WITH $lshSigSub,
+         |qsig AS (
+         |  SELECT e.vec_id AS query_id, e.emb AS q_emb,
+         |   CASE WHEN b = -1 THEN s.bucket
+         |        ELSE xor(s.bucket, 1::BIGINT << b) END AS bucket
+         |  FROM e JOIN sig s USING (vec_id),
+         |       unnest(generate_series(-1, 3)) AS t(b)),
+         |cand AS (
+         |  SELECT q.query_id, q.q_emb, ce.vec_id AS nbr_id, ce.emb AS nbr_emb
+         |  FROM qsig q JOIN sig c ON q.bucket = c.bucket
+         |       JOIN e ce ON ce.vec_id = c.vec_id
+         |  WHERE c.vec_id <> q.query_id),
+         |scored AS (
+         |  SELECT query_id, nbr_id, ${cosSql("q_emb", "nbr_emb")} AS sim FROM cand),
+         |r AS (
+         |  SELECT query_id, nbr_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
+         |WHERE rank <= 3""".stripMargin,
 
     // full replication of the IVF path: deterministic hashed centroid
     // pick, nearest-cell assignment (keep 1 corpus / 3 probe), cell-local

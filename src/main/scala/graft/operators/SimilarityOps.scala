@@ -182,7 +182,46 @@ object SimilarityOps {
     * `probes` single-bit-flip neighbor buckets to recover near-boundary
     * misses. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 12, probes: Int = 4): DataFrame = {
+              planes: Int = 12, probes: Int = 4): DataFrame =
+    lshCandidateTopK(corpus, queries, k, planes, probes, broadcastQueries = true)
+
+  /** Corpus-vs-corpus ANN top-k — [[lshTopK]] WITHOUT the
+    * broadcast-query contract, for query sets as large as the corpus
+    * (the "join embeddings against themselves" shape). Both sides
+    * shuffle ONCE on the bucket key (sort-merge join, pinned by hint —
+    * fully spill-safe for arbitrarily large sides), and the per-query
+    * top-k runs as a rank window whose `rank <= k` filter Spark rewrites
+    * to WindowGroupLimit: each task keeps only its partial top-k heap
+    * before the window shuffle, so no query's full candidate list ever
+    * materializes.
+    *
+    * Scale controls: bucket population ~ |corpus| / 2^planes — raise
+    * `planes` with corpus size so same-bucket work stays bounded; an
+    * optional `maxBucket > 0` drops over-populated corpus buckets
+    * wholesale (the same deliberate recall trade the dedup candidate
+    * generators make — a hyperplane bucket that big means a dense
+    * near-identical mass better served by `embeddingNearDups`/
+    * `DedupOps.exactGroups` first). Default 0 = exact bucket-join
+    * semantics, which the DuckDB oracle replicates verbatim. */
+  def lshTopKJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+                  planes: Int = 12, probes: Int = 4,
+                  maxBucket: Int = 0): DataFrame = {
+    val capped =
+      if (maxBucket <= 0) corpus
+      else {
+        val sigs = corpus.withColumn("bucket",
+          graft.GraftFunctions.signBitsCol(col("embedding"), lit(planes)))
+        val ok = sigs.groupBy("bucket").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBucket).select("bucket")
+        sigs.join(ok, Seq("bucket"), "left_semi").drop("bucket")
+      }
+    lshCandidateTopK(capped, queries, k, planes, probes,
+      broadcastQueries = false)
+  }
+
+  private def lshCandidateTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                               planes: Int, probes: Int,
+                               broadcastQueries: Boolean): DataFrame = {
     def sig(c: Column) = graft.GraftFunctions.signBitsCol(c, lit(planes))
     val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
       .withColumn("bucket", sig(col("nbr_emb")))
@@ -197,7 +236,10 @@ object SimilarityOps {
       .withColumn("sig", sig(col("q_emb")))
       .withColumn("bucket", explode(probeList))
       .drop("sig")
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    // each (query, nbr) pair joins at most once: a corpus vector owns ONE
+    // bucket and the probe list's values are distinct
+    val scored = (if (broadcastQueries) c.join(broadcast(q), Seq("bucket"))
+                  else c.join(q.hint("merge"), Seq("bucket")))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q_emb"), col("nbr_emb")))
     scored.withColumn("rank", row_number().over(

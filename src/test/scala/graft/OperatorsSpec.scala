@@ -289,6 +289,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(7L)) // identical direction → cosine 1.0, same bucket
   }
 
+  test("lshTopKJoin matches lshTopK row-for-row (same buckets, no broadcast)") {
+    def v(i: Int) = Array.tabulate(8)(d =>
+      (graft.functions.Hashing.mix(i.toLong * 8 + d) % 1000).toFloat)
+    val vecs = (1 to 60).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val bySmall = SimilarityOps.lshTopK(vecs, vecs, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val byJoin = SimilarityOps.lshTopKJoin(vecs, vecs, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(byJoin == bySmall)
+    assert(byJoin.nonEmpty)
+  }
+
+  test("lshTopKJoin maxBucket drops over-populated corpus buckets wholesale") {
+    // 30 identical vectors share one bucket (31 > cap) plus a distinct
+    // pair in another bucket (2 <= cap): only the small bucket survives
+    def v(i: Int) = Array.tabulate(8)(d =>
+      (graft.functions.Hashing.mix(i.toLong * 8 + d) % 1000).toFloat)
+    val dense = (1 to 31).map(i => (i.toLong, v(1)))
+    val sparsePair = Seq((100L, v(9)), (101L, v(9)))
+    val vecs = (dense ++ sparsePair).toDF("vec_id", "embedding")
+    val out = SimilarityOps.lshTopKJoin(vecs, vecs, k = 3, maxBucket = 10)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+    assert(out.forall { case (q, n) => Seq(100L, 101L).contains(n) }, out.toSeq)
+    assert(out.map(_._1).toSet.intersect(Set(100L, 101L)).nonEmpty)
+  }
+
   // ---- Aggregators ----
 
   test("IntVectorSum sums ragged vectors element-wise") {

@@ -100,6 +100,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_lsh_join shuffles on bucket with no broadcast and a group-limit window") {
+    val p = plan("ann_lsh_join")
+    // the whole point of the variant: nothing broadcasts (query set may
+    // be corpus-sized), and no nested-loop fallback sneaks in
+    assert(!p.contains("Broadcast"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    // rank<=k must run as WindowGroupLimit (partial per-task top-k
+    // heaps), not a full per-query sort-then-filter
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("ivf corpus-side cell assignment is a hash aggregation, not a window") {
     val p = plan("ann_ivf_topk")
     assert(p.contains("max_by"), p)
