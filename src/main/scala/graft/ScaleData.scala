@@ -7,20 +7,29 @@ import org.apache.spark.sql.functions._
   * scale probe, since the driver only generates up to sf0.1. Replication
   * is workload-preserving, not a naive copy:
   *
-  *  - documents: 10 copies per doc with fresh ids; copies ≥ 1 get their
-  *    tokens deterministically permuted (sorted by a per-copy hash), so
-  *    term/tf distributions scale exactly ×10 while shingle sets diverge —
-  *    a plain copy would plant 10-deep exact/near-dup clusters everywhere
-  *    and turn the dedup probes into a different (quadratic) workload;
+  *  - documents: 10 copies per doc with fresh ids; copies ≥ 1 get a
+  *    deterministic per-copy token SUBSTITUTION (~1/3 of tokens, keyed
+  *    by (token, new doc id), rewritten to a copy-specific variant).
+  *    Substitution — not the round-6 permutation — because SimHash is
+  *    token-ORDER-insensitive: permuted copies kept identical simhash
+  *    and minhash-band signatures and planted 10-deep near-dup clusters,
+  *    inflating the dedup scaling ratios. With 1/3 of tokens replaced,
+  *    3-shingle Jaccard between copies drops to ~0.2 (below every
+  *    probe threshold) and signatures diverge, while token counts and
+  *    tf shapes stay ×10; the vocabulary grows with corpus size, which
+  *    is what a real corpus does (Heaps' law);
   *  - events: 10 copies with fresh event/user ids and unchanged
   *    timestamps — per-user densities and window shapes stay identical,
   *    the user population grows ×10; `ts` is written as int64
   *    epoch-nanos to match the driver files (Tables.table's nanos shim
   *    applies the same way);
-  *  - embeddings: 10 copies with fresh ids and a small deterministic
-  *    per-copy perturbation on every coordinate, so vectors stay in the
-  *    same region (cell/bucket distributions comparable) without being
-  *    bit-identical.
+  *  - embeddings: 10 copies with fresh ids; copies ≥ 1 mix each
+  *    coordinate with rms-scaled deterministic noise
+  *    (x' = 0.6·x + 0.4·rms·u, u ∈ [−1,1) keyed by (id, dim)), putting
+  *    expected copy-vs-original cosine at ~0.93 — below the 0.99
+  *    near-dup threshold, so embedding-dedup candidate counts reflect
+  *    the algorithm, not planted replicas — while keeping vectors in
+  *    the same magnitude envelope (cell/bucket occupancy comparable).
   *
   * `runMain graft.ScaleData [outDir]` (default /tmp/graft-sf1).
   */
@@ -42,11 +51,14 @@ object ScaleData {
       .withColumn("doc_id", col("doc_id") + col("copy") * lit(100000000L))
       .withColumn("text",
         when(col("copy") === 0, col("text")).otherwise(
-          // permute tokens: sort by a per-(doc,copy) keyed hash
-          array_join(transform(array_sort(transform(
+          // substitute ~1/3 of tokens with a copy-keyed variant (the
+          // doc_id is already copy-shifted, so copies also diverge from
+          // EACH OTHER, not only from the original)
+          array_join(transform(
             filter(split(col("text"), "\\s+"), t => t =!= ""),
-            t => struct(xxhash64(t, col("doc_id")).as("h"), t.as("t")))),
-            s => s.getField("t")), " ")))
+            t => when(pmod(xxhash64(t, col("doc_id")), lit(3L)) === 0L,
+              concat(t, lit("v"), col("copy").cast("string")))
+              .otherwise(t)), " ")))
       .withColumn("n_chars", length(col("text")))
       .select("doc_id", "text", "lang", "source", "n_chars")
     docs.repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
@@ -62,11 +74,17 @@ object ScaleData {
     val embs = Tables.table(spark, src, "embeddings")
       .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
       .withColumn("vec_id", col("vec_id") + col("copy") * lit(100000000L))
+      // per-vector rms sets the noise scale, so the mixture works for
+      // any coordinate magnitude the generator chose
+      .withColumn("rms", sqrt(
+        aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x)
+          / size(col("embedding"))))
       .withColumn("embedding",
-        transform(col("embedding"), (x, i) =>
-          (x + (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("float")
-            / lit(50000.0f) - lit(0.01f)) * col("copy").cast("float"))
-            .cast("float")))
+        when(col("copy") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            (x * lit(0.6d) + col("rms") * lit(0.4d) *
+              (pmod(xxhash64(col("vec_id"), i), lit(2000L)).cast("double")
+                / lit(1000.0d) - lit(1.0d))).cast("float"))))
       .select("vec_id", "embedding", "label")
     embs.repartition(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

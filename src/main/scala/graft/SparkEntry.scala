@@ -909,6 +909,16 @@ object SparkEntry {
         .option("sep", "\t").csv(dir)
     }),
 
+    // S21: WARC web-archive source (reference ClueWeb09WarcLoader) —
+    // typed record fields + body fingerprint over the authored fixture;
+    // oracle literals computed by an independent Python md5 over the
+    // same authored record bodies
+    "s21_warc_scan" -> ((s, _) =>
+      graft.sources.Warc.read(s, graft.sources.WikiFixtures.standardWarcPath)
+        .select(col("record_id"), col("warc_type"), col("trec_id"),
+          md5(col("body")).as("body_md5"),
+          col("content_length"))),
+
     "s17_file_names" -> ((s, _) => {
       // S17: one row per dump file in a directory (FileNullInputFormat)
       val dir = java.nio.file.Files.createTempDirectory("graft_s17")
@@ -2014,6 +2024,19 @@ object SparkEntry {
 
     "s17_file_names" ->
       "SELECT CAST(3 AS BIGINT) AS n_files",
+
+    "s21_warc_scan" ->
+      """SELECT col0 AS record_id, col1 AS warc_type, col2 AS trec_id,
+        | col3 AS body_md5, CAST(col4 AS BIGINT) AS content_length
+        |FROM (VALUES
+        | ('<urn:uuid:0000-info>', 'warcinfo', CAST(NULL AS VARCHAR),
+        |  '6d1d3f3c70f22eaa2c92cb36cc02217a', 61),
+        | ('<urn:uuid:0001-resp>', 'response', 'clueweb09-en0000-00-00001',
+        |  '21dff58ccf724359bca345fc7af03d4a', 91),
+        | ('<urn:uuid:0002-resp>', 'response', 'clueweb09-en0000-00-00002',
+        |  'b2b70db8b4f7280f294306d2475ef75f', 140),
+        | ('<urn:uuid:0003-meta>', 'metadata', 'clueweb09-en0000-00-00002',
+        |  'bc07a97108a08612a6cc4531bc5c5056', 18)) t""".stripMargin,
 
     "s19_split_index" ->
       """SELECT CAST(60 AS BIGINT) AS n_offsets, CAST(60 AS BIGINT) AS n_distinct,

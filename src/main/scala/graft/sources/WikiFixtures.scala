@@ -132,4 +132,76 @@ object WikiFixtures {
 
   def standardXmlPath: String = materialize("testwiki.xml", standardXml)
   def jsonPath: String = materialize("revs.json", jsonLines)
+
+  /** Authored 4-record WARC fixture (warcinfo + 2 responses + metadata),
+    * ClueWeb09-style 0.18 version line and WARC-TREC-ID headers, CRLF
+    * line ends per ISO 28500. Content original. */
+  def warcRecord(version: String, headers: Seq[(String, String)],
+                 body: String): String = {
+    val block = body.getBytes("UTF-8")
+    (s"WARC/$version\r\n" +
+      headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+      s"Content-Length: ${block.length}\r\n\r\n") + body + "\r\n\r\n"
+  }
+
+  def standardWarc: String = {
+    val sb = new StringBuilder
+    sb.append(warcRecord("0.18", Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:uuid:0000-info>",
+      "WARC-Date" -> "2020-03-01T00:00:00Z",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-fixture 1.0\r\nformat: WARC file version 0.18\r\n"))
+    sb.append(warcRecord("0.18", Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:0001-resp>",
+      "WARC-TREC-ID" -> "clueweb09-en0000-00-00001",
+      "WARC-Target-URI" -> "http://example.org/a",
+      "WARC-Date" -> "2020-03-01T00:00:01Z",
+      "Content-Type" -> "application/http;msgtype=response"),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><body>alpha page about dams</body></html>"))
+    sb.append(warcRecord("0.18", Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:0002-resp>",
+      "WARC-TREC-ID" -> "clueweb09-en0000-00-00002",
+      "WARC-Target-URI" -> "http://example.org/b?x=1",
+      "WARC-Date" -> "2020-03-01T00:00:02Z",
+      "Content-Type" -> "application/http;msgtype=response"),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><body>beta page, much longer body text for length variety " +
+        "with several words</body></html>"))
+    sb.append(warcRecord("0.18", Seq(
+      "WARC-Type" -> "metadata",
+      "WARC-Record-ID" -> "<urn:uuid:0003-meta>",
+      "WARC-TREC-ID" -> "clueweb09-en0000-00-00002",
+      "WARC-Target-URI" -> "http://example.org/b?x=1",
+      "WARC-Date" -> "2020-03-01T00:00:03Z",
+      "Content-Type" -> "application/warc-fields"),
+      "fetchTimeMs: 120\r\n"))
+    sb.toString
+  }
+
+  def standardWarcPath: String = materialize("test.warc", standardWarc)
+
+  /** `n` response records with deterministic pseudo-random bodies (for
+    * split tests on plain multi-megabyte WARCs). */
+  def bigWarc(n: Int): String = {
+    val sb = new StringBuilder(n * 2500)
+    var i = 1
+    while (i <= n) {
+      val body = "<html>" + (0 until 150)
+        .map(j => java.lang.Long.toHexString(
+          graft.functions.Hashing.mix(i.toLong * 977 + j)))
+        .mkString(" ") + "</html>"
+      sb.append(warcRecord("1.0", Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> f"<urn:uuid:$i%08d>",
+        "WARC-Target-URI" -> s"http://example.org/p$i",
+        "WARC-Date" -> f"2020-03-${(i % 27) + 1}%02dT00:00:00Z",
+        "Content-Type" -> "application/http;msgtype=response"), body))
+      i += 1
+    }
+    sb.toString
+  }
 }
