@@ -131,19 +131,30 @@ object TextFunctions {
   }
 
   /** Markup → plaintext, regex pipeline approximating the reference's bliki
-    * `PlainTextConverter` chain (strip comments, refs, templates, file/cat
-    * links, link markup, external links, html tags, urls, quotes, then
-    * whitespace-normalize). Documented delta vs bliki: no template
-    * transclusion/rendering. */
+    * `PlainTextConverter` chain (strip comments, refs, templates, tables,
+    * file/cat links, link markup, external links, html tags, urls, quotes,
+    * then whitespace-normalize). Documented delta vs bliki: templates are
+    * STRIPPED (any nesting depth), not transcluded/rendered. */
   def plainText(text: String): String = {
     if (text == null) return ""
     var t = text
     t = "(?s)<!--.*?-->".r.replaceAllIn(t, " ")
     t = "(?s)<ref[^>]*?/>".r.replaceAllIn(t, " ")
     t = "(?s)<ref[^>]*?>.*?</ref>".r.replaceAllIn(t, " ")
-    // two passes handle one level of nesting of {{..{{..}}..}}
-    t = "(?s)\\{\\{[^{}]*\\}\\}".r.replaceAllIn(t, " ")
-    t = "(?s)\\{\\{[^{}]*\\}\\}".r.replaceAllIn(t, " ")
+    // innermost-first to a fixpoint: handles {{..{{..{{..}}..}}..}} and
+    // wikitables (which bliki also drops) at any nesting depth; the
+    // iteration cap bounds adversarial inputs — leftover braces then
+    // fall through as literal text rather than looping forever
+    val template = "(?s)\\{\\{[^{}]*\\}\\}".r
+    val table = "(?s)\\{\\|[^{}]*\\|\\}".r
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 20) {
+      val next = table.replaceAllIn(template.replaceAllIn(t, " "), " ")
+      changed = next != t
+      t = next
+      rounds += 1
+    }
     t = "(?s)\\[\\[[^\\[\\]]*:[^\\[\\]]*\\]\\]".r.replaceAllIn(t, " ") // File:/Category:
     t = "\\[\\[([^\\[\\]|]*)\\|([^\\[\\]]*)\\]\\]".r.replaceAllIn(t, m => java.util.regex.Matcher.quoteReplacement(m.group(2)))
     t = "\\[\\[([^\\[\\]]*)\\]\\]".r.replaceAllIn(t, m => java.util.regex.Matcher.quoteReplacement(m.group(1)))

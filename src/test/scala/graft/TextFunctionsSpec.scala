@@ -44,6 +44,13 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(plainText("nested {{a {{b}} c}} done") == "nested done")
     assert(plainText("[[File:x.png|thumb]] kept [[plain]]") == "kept plain")
     assert(plainText(null) == "")
+    // arbitrary nesting depth strips to a fixpoint (was: two fixed passes)
+    assert(plainText("deep {{a {{b {{c {{d}} e}} f}} g}} done") == "deep done")
+    // wikitables drop like bliki's converter drops them
+    assert(plainText("before {| class=\"wikitable\"\n|-\n| cell {{t}} x\n|} after")
+      == "before after")
+    // unbalanced braces fall through as literal text instead of looping
+    assert(plainText("stray {{ brace") == "stray {{ brace")
   }
 
   test("normalizeTitle") {
