@@ -86,6 +86,23 @@ class WarcSpec extends AnyFunSuite {
     assert(sums == wholeSums)
   }
 
+  test("a record starting exactly on a split boundary is owned exactly once") {
+    // ownership rule: a partition owns records whose version line starts
+    // in (start, end] — place the boundary precisely on record 2's start
+    val records = (1 to 3).map(i => WikiFixtures.warcRecord("1.0", Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> f"<urn:uuid:b$i%04d>",
+      "WARC-Target-URI" -> s"http://example.org/b$i",
+      "Content-Type" -> "text/plain"), s"body-$i " + ("x" * 50)))
+    val content = records.mkString
+    val secondStart = records.head.getBytes("UTF-8").length
+    val p = WikiFixtures.materialize("boundary.warc", content)
+    val df = Warc.read(spark, p, Map("maxSplitBytes" -> secondStart.toString))
+    assert(df.rdd.getNumPartitions >= 2)
+    val ids = df.select("record_id").as[String].collect().sorted.toSeq
+    assert(ids == Seq("<urn:uuid:b0001>", "<urn:uuid:b0002>", "<urn:uuid:b0003>"))
+  }
+
   test("header-only projection never materializes body bytes") {
     val df = Warc.read(spark, fixturePath).select("record_id", "content_length")
     // column pruning reaches the reader: the scan's read schema drops body
