@@ -997,6 +997,78 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    "st_dedup" -> ((s, _) => {
+      // streaming exact dedup through the gate: in-batch and cross-batch
+      // duplicates of a live key drop; a key re-emits once the watermark
+      // evicts its state (within-horizon semantics); a late duplicate
+      // (ts < watermark) never reaches the operator. Sentinel key 9 only
+      // pushes the watermark and is filtered from the result.
+      implicit val sq = s.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.dedupWithinWatermark(mem.toDF(), Seq("user_id"),
+          "ts", "1 minute")
+        .writeStream.format("memory").queryName("st_dedup_out")
+        .outputMode("append").start()
+      def e(u: Long, ms: Long, v: Double) =
+        EventStreamOps.Event(u, new java.sql.Timestamp(1700000000000L + ms), v)
+      try {
+        // batch 1: key 1 duplicated inside the batch (identical rows, so
+        // the surviving copy is unambiguous)
+        mem.addData(e(1, 0L, 1.0), e(1, 0L, 1.0), e(2, 10000L, 2.0))
+        q.processAllAvailable()
+        // batch 2: key 1 again while its state is live -> dropped
+        mem.addData(e(1, 30000L, 9.0), e(3, 40000L, 3.0))
+        q.processAllAvailable()
+        // batch 3: sentinel pushes the watermark to 3_540_000 ms,
+        // evicting every earlier key's state
+        mem.addData(e(9, 3600000L, 0.0))
+        q.processAllAvailable()
+        // batch 4: key 2 re-arrives past its horizon -> re-emitted;
+        // key 3 re-arrives with ts < watermark -> dropped as late
+        mem.addData(e(2, 3600000L, 7.0), e(3, 100000L, 9.9))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("st_dedup_out").filter(col("user_id") =!= 9L)
+        .select(col("user_id"),
+          (unix_millis(col("ts")) - 1700000000000L).as("ts_ms"),
+          col("value").as("v"))
+    }),
+
+    "st_stream_join" -> ((s, _) => {
+      // watermarked stream-stream interval join through the gate:
+      // clicks attribute to same-user impressions at most 30 minutes
+      // older; the out-of-window click matches nothing
+      implicit val sq = s.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val imps = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val clicks = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.intervalJoin(imps.toDF(), clicks.toDF(),
+          "user_id", "ts", "value", "1 minute", "30 minutes")
+        .writeStream.format("memory").queryName("st_join_out")
+        .outputMode("append").start()
+      def e(u: Long, ms: Long, v: Double) =
+        EventStreamOps.Event(u, new java.sql.Timestamp(1700000000000L + ms), v)
+      try {
+        imps.addData(e(1, 0L, 100.0), e(2, 10000L, 200.0))
+        q.processAllAvailable()
+        clicks.addData(e(1, 300000L, 1.0), e(1, 600000L, 2.0),
+          e(2, 2400000L, 3.0)) // user-2 click is 39:50 after the impression
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("st_join_out")
+        .select(col("user_id"),
+          (unix_millis(col("left_ts")) - 1700000000000L).as("imp_ms"),
+          (unix_millis(col("right_ts")) - 1700000000000L).as("click_ms"),
+          col("left_value").as("imp_value"),
+          col("right_value").as("click_value"))
+    }),
+
     "curate_docs" -> ((s, d) => {
       // composed training-data curation pipeline: quality floor (≥ 20
       // tokens) + language filter (en) computed in ONE map-only pass over
@@ -2061,6 +2133,27 @@ object SparkEntry {
         | (1, 1700003600000, 1700003600000, 1, 5.0),
         | (2, 1700000010000, 1700000010000, 1, 4.0),
         | (2, 1700003600000, 1700003600000, 1, 6.0)) t""".stripMargin,
+
+    // streaming dedup: first row per key while in-horizon; key 2
+    // re-emits after watermark eviction; key 3's late replay never lands
+    "st_dedup" ->
+      """SELECT CAST(col0 AS BIGINT) AS user_id, CAST(col1 AS BIGINT) AS ts_ms,
+        | CAST(col2 AS DOUBLE) AS v
+        |FROM (VALUES
+        | (1, 0, 1.0),
+        | (2, 10000, 2.0),
+        | (3, 40000, 3.0),
+        | (2, 3600000, 7.0)) t""".stripMargin,
+
+    // stream-stream interval join: clicks within 30 min of the same
+    // user's impression; the 39:50-delay click matches nothing
+    "st_stream_join" ->
+      """SELECT CAST(col0 AS BIGINT) AS user_id, CAST(col1 AS BIGINT) AS imp_ms,
+        | CAST(col2 AS BIGINT) AS click_ms, CAST(col3 AS DOUBLE) AS imp_value,
+        | CAST(col4 AS DOUBLE) AS click_value
+        |FROM (VALUES
+        | (1, 0, 300000, 100.0, 1.0),
+        | (1, 0, 600000, 100.0, 2.0)) t""".stripMargin,
 
     "text_scrub" ->
       """WITH base AS (

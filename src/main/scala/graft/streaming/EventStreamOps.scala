@@ -107,6 +107,48 @@ object EventStreamOps {
       }
   }
 
+  /** Streaming exact dedup — the ingest-time sibling of the batch
+    * `DedupOps.exactGroups`: keep the first row seen per `keyCols`
+    * while its key is inside the watermark horizon. State is bounded:
+    * a key's entry evicts once the watermark passes its event time, so
+    * memory is horizon × key rate, never corpus size — the property
+    * that makes this runnable forever on a 100 TB/day feed. A
+    * duplicate arriving after its key evicted is re-emitted (by
+    * design: within-horizon dedup, not global); pair with the batch
+    * dedup family for corpus-wide uniqueness.
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked stream-stream interval join: each right-side row
+    * matches left-side rows with the same `key` whose event time is at
+    * most `maxDelay` older (click-attribution shape: click joins the
+    * impressions of the preceding window). The time-range predicate is
+    * what lets Spark evict join state — without it both sides buffer
+    * forever; with it each side's state is bounded by
+    * watermark + maxDelay. Inner matches emit as soon as both rows are
+    * present, so the output set is replay-deterministic.
+    *
+    * Output columns: `key`, `left_ts`, `right_ts`, `left_value`,
+    * `right_value`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsCol: String, valueCol: String,
+                   watermark: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+          col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+          col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $maxDelay"))
+      .select(col(s"l.$key").as(key),
+        col(s"l.$tsCol").as("left_ts"), col(s"r.$tsCol").as("right_ts"),
+        col(s"l.$valueCol").as("left_value"), col(s"r.$valueCol").as("right_value"))
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long,
                  idleTimeout: Boolean = true): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]

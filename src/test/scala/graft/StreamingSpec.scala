@@ -110,6 +110,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops live-key duplicates and re-admits evicted keys") {
+    implicit val sq = spark.sqlContext
+    def ms(m: Long) = new Timestamp(1700000000000L + m)
+    val mem = MemoryStream[Event]
+    val q = EventStreamOps.dedupWithinWatermark(mem.toDF(), Seq("user_id"),
+        "ts", "1 minute")
+      .writeStream.format("memory").queryName("dedup_st")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ms(0L), 1.0), Event(1, ms(0L), 1.0), // in-batch dup
+        Event(2, ms(10000L), 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ms(30000L), 9.0)) // cross-batch dup, state live
+      q.processAllAvailable()
+      val afterDups = spark.table("dedup_st")
+        .as[Event].collect().map(e => (e.user_id, e.value)).sorted.toSeq
+      assert(afterDups == Seq((1L, 1.0), (2L, 2.0)))
+      // watermark pusher evicts both keys' state …
+      mem.addData(Event(9, ms(3600000L), 0.0))
+      q.processAllAvailable()
+      // … so key 2 re-admits, while a late replay of key 1 (ts < wm) drops
+      mem.addData(Event(2, ms(3600000L), 7.0), Event(1, ms(100000L), 9.9))
+      q.processAllAvailable()
+      val finalRows = spark.table("dedup_st").filter($"user_id" =!= 9L)
+        .as[Event].collect().map(e => (e.user_id, e.value)).sorted.toSeq
+      assert(finalRows == Seq((1L, 1.0), (2L, 2.0), (2L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin matches right rows only inside the per-key time window") {
+    implicit val sq = spark.sqlContext
+    def ms(m: Long) = new Timestamp(1700000000000L + m)
+    val imps = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreamOps.intervalJoin(imps.toDF(), clicks.toDF(),
+        "user_id", "ts", "value", "1 minute", "30 minutes")
+      .writeStream.format("memory").queryName("ij_st")
+      .outputMode("append").start()
+    try {
+      imps.addData(Event(1, ms(0L), 100.0), Event(2, ms(10000L), 200.0))
+      q.processAllAvailable()
+      clicks.addData(
+        Event(1, ms(300000L), 1.0),  // 5 min after user-1 impression
+        Event(1, ms(600000L), 2.0),  // 10 min after — also matches
+        Event(2, ms(2400000L), 3.0), // 39:50 after user-2 impression — out
+        Event(3, ms(300000L), 4.0))  // no impression for user 3
+      q.processAllAvailable()
+      val rows = spark.table("ij_st")
+        .select($"user_id", $"right_value").as[(Long, Double)]
+        .collect().sorted.toSeq
+      assert(rows == Seq((1L, 1.0), (1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("sinks: tsv, json, parquet, dictionary round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("sinks").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
