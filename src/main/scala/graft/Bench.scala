@@ -50,19 +50,22 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.collect { case (k, v, None) => s"\"" + k + "\":" + v }
+    // ms precision keeps the full 119-entry line under the driver's ~4 KB
+    // stdout-tail capture (full-precision doubles pushed it past the cut,
+    // leaving the driver's parse null in r5-r7)
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v))
+    val qs = results.collect { case (k, v, None) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":" + jstr(e.take(300)) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
-    // the driver captures only the stdout tail (~4 KB), which truncates the
-    // 114-entry queries map; persist the full line so per-query timings are
-    // never lost to the record
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+    val json = s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // persist first so the JSON line is the last thing on stdout
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // stdout already carries the line
+    catch { case scala.util.control.NonFatal(_) => () } // stdout still carries the line
+    println(json)
     spark.stop()
   }
 }

@@ -43,8 +43,21 @@ object Tables {
     * The rewrite is one linear pass, amortized across every query in
     * the JVM. */
   def eventsMicros(spark: SparkSession, sfDir: String): DataFrame = {
+    // the cache outlives the JVM (tmpdir + _SUCCESS gate), so the key must
+    // change when the SOURCE changes, not just the path — fingerprint the
+    // source parquet's file lengths+mtimes so a regenerated events table
+    // can never be served stale µs data
+    def fingerprint(f: java.io.File): Long = {
+      val self = f.length ^ java.lang.Long.rotateLeft(f.lastModified, 21)
+      val kids = Option(f.listFiles).getOrElse(Array.empty)
+      kids.sortBy(_.getName).foldLeft(self) { (acc, k) =>
+        java.lang.Long.rotateLeft(acc, 7) ^ fingerprint(k)
+      }
+    }
+    val src = new java.io.File(sfDir, "events.parquet")
     val key = Integer.toHexString(
-      new java.io.File(sfDir).getAbsolutePath.hashCode)
+      new java.io.File(sfDir).getAbsolutePath.hashCode) + "-" +
+      java.lang.Long.toHexString(fingerprint(src))
     val dir = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-events-us-$key")
     this.synchronized {

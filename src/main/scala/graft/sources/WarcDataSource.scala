@@ -116,7 +116,13 @@ class WarcScan(props: Map[String, String], required: StructType,
       throw new IllegalArgumentException("warc: 'path' option is required"))
     val maxSplit =
       props.getOrElse("maxSplitBytes", (128L * 1024 * 1024).toString).toLong
-    val fs = FileSystem.get(new java.net.URI(path), hadoopConf)
+    val conf = hadoopConf
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    // splittability must agree with the reader's codec detection: the
+    // reader decompresses whole-stream whenever CompressionCodecFactory
+    // recognizes the file, so a codec file (.gz/.bz2/.deflate/…) split
+    // here would be read in full by EVERY byte-range partition
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
     val statuses = fs.globStatus(new Path(path)) match {
       case null => Array.empty[org.apache.hadoop.fs.FileStatus]
       case s => s.flatMap { st =>
@@ -126,7 +132,7 @@ class WarcScan(props: Map[String, String], required: StructType,
     }
     statuses.flatMap { st =>
       val p = st.getPath.toString
-      val compressed = p.endsWith(".gz") || p.endsWith(".bz2")
+      val compressed = codecs.getCodec(st.getPath) != null
       if (compressed || st.getLen <= maxSplit)
         Seq(WarcInputPartition(p, 0L, Long.MaxValue))
       else {
@@ -283,7 +289,22 @@ class WarcPartitionReader(part: WarcInputPartition, fields: Array[String],
           headers.collectFirst {
             case (k, v) if k.equalsIgnoreCase(name) => v
           }.orNull
-        val len = Option(h("Content-Length")).map(_.toLong).getOrElse(0L)
+        // a malformed length would desync the whole record scan (every
+        // later record in the partition parses garbage), so fail loudly
+        // naming the file/record rather than throwing a bare
+        // NumberFormatException/NegativeArraySizeException deep in the task
+        val len = Option(h("Content-Length")) match {
+          case None => 0L
+          case Some(v) =>
+            val n = try v.trim.toLong catch {
+              case _: NumberFormatException => -1L
+            }
+            if (n < 0 || n > Int.MaxValue)
+              throw new IllegalArgumentException(
+                s"warc: invalid Content-Length '$v' for record " +
+                s"${h("WARC-Record-ID")} in ${part.path}")
+            n
+        }
         val wtype = h("WARC-Type")
         val skip = typeFilter.exists(t => wtype == null || wtype != t)
         val body = readFully(len, keep = !skip && needed("body"))

@@ -103,6 +103,39 @@ class WarcSpec extends AnyFunSuite {
     assert(ids == Seq("<urn:uuid:b0001>", "<urn:uuid:b0002>", "<urn:uuid:b0003>"))
   }
 
+  test("codec-detected files are never split, whatever the extension") {
+    // planner and reader must share one splittability rule: the reader
+    // decompresses whole-stream for ANY CompressionCodecFactory-recognized
+    // file, so a .deflate (DefaultCodec — not .gz/.bz2) exceeding
+    // maxSplitBytes must still plan ONE partition, or every byte-range
+    // partition would re-emit the whole archive
+    val content = WikiFixtures.bigWarc(300).getBytes("UTF-8")
+    val f = Files.createTempFile("test", ".warc.deflate")
+    val out = new java.util.zip.DeflaterOutputStream(Files.newOutputStream(f))
+    out.write(content); out.close()
+    assert(Files.size(f) > 65536) // compressed size alone would split
+    val df = Warc.read(spark, f.toString, Map("maxSplitBytes" -> "65536"))
+    assert(df.rdd.getNumPartitions == 1)
+    val ids = df.select("record_id").as[String].collect()
+    assert(ids.length == 300 && ids.distinct.length == 300)
+    Files.delete(f)
+  }
+
+  test("a malformed Content-Length fails with the file and record named") {
+    val bad = "WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:bad-len>\r\n" +
+      "Content-Length: 12junk\r\n\r\n" +
+      "hello world!\r\n\r\n"
+    val p = WikiFixtures.materialize("badlen.warc", bad)
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.read(spark, p).count()
+    }
+    val msg = e.getCause match { case c if c != null => c.getMessage; case _ => e.getMessage }
+    assert(msg.contains("Content-Length") && msg.contains("badlen.warc") &&
+      msg.contains("<urn:uuid:bad-len>"), msg)
+  }
+
   test("header-only projection never materializes body bytes") {
     val df = Warc.read(spark, fixturePath).select("record_id", "content_length")
     // column pruning reaches the reader: the scan's read schema drops body
