@@ -347,6 +347,45 @@ object SparkEntry {
             threshold = 0.5))
         .select(col("node").as("doc_id"), col("component"))),
 
+    "dedup_canonical" -> ((s, d) => {
+      // the per-document curation decision downstream of clustering:
+      // every doc → (canonical id, keep?) — filter(keep) IS the deduped
+      // corpus, the rest is the redirect map
+      val docs = t(s, d, "documents")
+      DedupOps.canonicalKeepList(docs, "doc_id",
+        DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)))
+    }),
+
+    "dedup_incremental" -> ((s, d) => {
+      // snapshot-over-snapshot exact dedup: even-id docs play the
+      // already-indexed corpus, odd-id docs the new crawl. The organic
+      // corpus has no exact dups, so planted rows (ids above the corpus
+      // range, same convention as dedup_embedding) exercise all three
+      // outcomes: dup-of-index, dup-within-snapshot, genuinely new
+      import s.implicits._
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = Seq(
+        (9000001L, "planted incremental duplicate alpha alpha beta"),
+        (9000002L, "planted incremental duplicate alpha alpha beta"),
+        (9000003L, "planted incremental duplicate gamma delta epsilon"),
+        (9000004L, "planted incremental duplicate gamma delta epsilon"),
+        (9000005L, "planted incremental unique zeta eta theta"))
+        .toDF("doc_id", "text")
+      val indexed = docs.filter(col("doc_id") % 2 === 0)
+        .unionByName(planted.filter(col("doc_id") === 9000001L))
+      val newer = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(planted.filter(col("doc_id") > 9000001L))
+      DedupOps.incrementalExact(newer, "doc_id", "text", indexed)
+    }),
+
+    "pack_sequences" -> ((s, d) =>
+      // per-shard token-budget sequence packing (training-data prep);
+      // shard = source so packing parallelizes by shard, never a global
+      // single-partition window
+      PackOps.packSequences(t(s, d, "documents"), "doc_id", "text",
+        "source", budget = 2048)),
+
     "dedup_embedding" -> ((s, d) => {
       import s.implicits._
       // planted identical-vector pairs (ids far above the corpus range):
@@ -1425,6 +1464,63 @@ object SparkEntry {
          |  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u)
          |SELECT node AS doc_id, min(r) AS component
          |FROM reach GROUP BY node""".stripMargin,
+
+    // same component fixpoint, joined back to every document: canonical =
+    // component min (or self), keep = is-canonical
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         | coalesce(c.component, d.doc_id) AS canonical,
+         | d.doc_id = coalesce(c.component, d.doc_id) AS keep
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH planted(doc_id, text) AS (VALUES
+        |  (CAST(9000001 AS BIGINT), 'planted incremental duplicate alpha alpha beta'),
+        |  (9000002, 'planted incremental duplicate alpha alpha beta'),
+        |  (9000003, 'planted incremental duplicate gamma delta epsilon'),
+        |  (9000004, 'planted incremental duplicate gamma delta epsilon'),
+        |  (9000005, 'planted incremental unique zeta eta theta')),
+        |indexed AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, text FROM planted WHERE doc_id = 9000001),
+        |newer AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id, text FROM planted WHERE doc_id > 9000001),
+        |idx AS (SELECT md5(text) AS content_hash, min(doc_id) AS idx_id
+        |  FROM indexed GROUP BY 1),
+        |h AS (SELECT doc_id, md5(text) AS content_hash FROM newer),
+        |nm AS (SELECT content_hash, min(doc_id) AS new_min FROM h GROUP BY 1)
+        |SELECT h.doc_id, h.content_hash,
+        | coalesce(idx.idx_id,
+        |   CASE WHEN h.doc_id <> nm.new_min THEN nm.new_min END) AS dup_of,
+        | idx.idx_id IS NULL AND h.doc_id = nm.new_min AS keep
+        |FROM h JOIN nm USING (content_hash)
+        |LEFT JOIN idx USING (content_hash)""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source AS shard, doc_id,
+        |   CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS tok_start
+        |  FROM t)
+        |SELECT shard, doc_id, n_tokens, tok_start,
+        | tok_start // 2048 AS seq_id
+        |FROM o""".stripMargin,
 
     // exact computation of what the LSH+verify pipeline approximates: all
     // pairs with shingle-SET jaccard ≥ 0.4, mirroring every shingle rule

@@ -264,4 +264,55 @@ object DedupOps {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
+
+  /** Canonical keep/drop list — the step that turns a near-dup component
+    * map back into a per-document curation decision. Every document gets
+    * `canonical` = its component id (the component's min doc id) or
+    * itself when it sits in no component, and `keep` = whether it IS the
+    * canonical. Downstream: `filter(keep)` materializes the deduped
+    * corpus; the (doc_id → canonical) pairs are the redirect map.
+    *
+    * Scale shape: one left join keyed on the id — components only holds
+    * docs that appeared in a near-dup pair (a small fraction of the
+    * corpus), and the join carries ids only, never text. */
+  def canonicalKeepList(docs: DataFrame, idCol: String,
+                        components: DataFrame): DataFrame = {
+    val canonical = coalesce(col("component"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(components.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), canonical.as("canonical"),
+        (col("doc_id") === canonical).as("keep"))
+  }
+
+  /** Incremental exact dedup — the snapshot-over-snapshot shape: a new
+    * crawl lands next to an already-deduped corpus and only genuinely
+    * new content may enter. A new document is kept iff its content hash
+    * appears nowhere in the index AND it is the min-id holder of that
+    * hash within the new snapshot; `dup_of` names the id it lost to
+    * (from the index first, else the within-snapshot keeper), null for
+    * kept docs.
+    *
+    * Scale shape: the index side collapses to (content_hash, keep_id)
+    * before the join — one hash groupBy per side plus one hash-keyed
+    * left join; document text never shuffles. The index aggregate is
+    * exactly what [[exactGroups]] materializes, so a production run
+    * feeds the PREVIOUS run's output instead of re-reading the old
+    * corpus. */
+  def incrementalExact(newDocs: DataFrame, idCol: String, textCol: String,
+                       indexedDocs: DataFrame): DataFrame = {
+    val index = exactGroups(indexedDocs, idCol, textCol)
+      .select(col("content_hash"), col("keep_id").as("idx_id"))
+    val hashed = newDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("content_hash"))
+    val newMin = hashed.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("new_min"))
+    hashed
+      .join(newMin, Seq("content_hash"))
+      .join(index, Seq("content_hash"), "left_outer")
+      .select(col("doc_id"), col("content_hash"),
+        coalesce(col("idx_id"),
+          when(col("doc_id") =!= col("new_min"), col("new_min"))).as("dup_of"),
+        (col("idx_id").isNull && col("doc_id") === col("new_min")).as("keep"))
+  }
 }

@@ -266,6 +266,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0))
   }
 
+  test("canonicalKeepList keeps component minima and singletons") {
+    val docs = Seq(1L, 2L, 3L, 4L, 7L).toDF("doc_id")
+    val components = Seq((1L, 1L), (2L, 1L), (4L, 4L)) // 3 and 7 uncovered
+      .toDF("node", "component")
+    val out = DedupOps.canonicalKeepList(docs, "doc_id", components)
+      .as[(Long, Long, Boolean)].collect().toSeq.sorted
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true),
+      (4L, 4L, true), (7L, 7L, true)))
+  }
+
+  test("incrementalExact classifies index-dup / snapshot-dup / new") {
+    val indexed = Seq((10L, "old content"), (12L, "shared")).toDF("doc_id", "text")
+    val newer = Seq(
+      (21L, "shared"),       // dup of the index → lose to 12
+      (22L, "fresh fresh"),  // new, min holder → keep
+      (23L, "fresh fresh"),  // dup within snapshot → lose to 22
+      (24L, "only here"))    // new singleton → keep
+      .toDF("doc_id", "text")
+    val out = DedupOps.incrementalExact(newer, "doc_id", "text", indexed)
+      .select("doc_id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map { case (id, d, k) => id -> ((d, k)) }.toMap
+    assert(out(21L) == ((Some(12L), false)))
+    assert(out(22L) == ((None, true)))
+    assert(out(23L) == ((Some(22L), false)))
+    assert(out(24L) == ((None, true)))
+  }
+
+  // ---- PackOps ----
+
+  test("packSequences assigns per-shard running offsets and sequence ids") {
+    val docs = Seq(
+      (1L, "a b c", "s1"),       // 3 tokens, start 0,  seq 0
+      (2L, "d e f g h", "s1"),   // 5 tokens, start 3,  seq 0
+      (3L, "i j", "s1"),         // 2 tokens, start 8,  seq 1
+      (4L, "k l m n", "s2"))     // other shard resets: start 0, seq 0
+      .toDF("doc_id", "text", "source")
+    val out = PackOps.packSequences(docs, "doc_id", "text", "source", budget = 8)
+      .select("shard", "doc_id", "n_tokens", "tok_start", "seq_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("s1", 1L, 3L, 0L, 0L), ("s1", 2L, 5L, 3L, 0L),
+      ("s1", 3L, 2L, 8L, 1L), ("s2", 4L, 4L, 0L, 0L)))
+  }
+
   // ---- SimilarityOps ----
 
   test("bruteForceTopK ranks an identical vector first") {
