@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream forked-run output raw to stdout: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks line-oriented JSON
+// consumers of Bench/Verify output (the driver's bench parse was null
+// in r1-r7 because the JSON line arrived as "[info] {...}").
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -50,22 +50,34 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // ms precision keeps the full 119-entry line under the driver's ~4 KB
-    // stdout-tail capture (full-precision doubles pushed it past the cut,
-    // leaving the driver's parse null in r5-r7)
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(v))
-    val qs = results.collect { case (k, v, None) => s"\"" + k + "\":" + sec(v) }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":" + jstr(e.take(300)) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // persist first so the JSON line is the last thing on stdout
+    def line(entries: Seq[(String, Double)], dropped: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, Some(e)) =>
+        "\"" + k + "\":" + jstr(e.take(300)) }.mkString("{", ",", "}")
+      val drop = if (dropped > 0)
+        s""","queries_dropped":$dropped,"queries_file":"BENCH.json"""" else ""
+      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"queries_total":${results.size}$drop,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    val timings = results.collect { case (k, v, None) => (k, v) }
+    // full-fidelity record → file (tracked in the repo, one line per round)
+    val full = line(timings.sortBy(_._1), 0)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(_) => () } // stdout still carries the line
-    println(json)
+      (full + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () } // stdout still carries a line
+    // stdout → the driver keeps only the last ~2000 chars; 119 query names
+    // alone exceed that, so emit the envelope plus as many slowest-first
+    // queries as fit the budget, with explicit dropped-count + file pointer
+    // (never a silent truncation)
+    val budget = 1850
+    val bySlowest = timings.sortBy(-_._2)
+    val fit = (bySlowest.length to 0 by -1)
+      .find(n => line(bySlowest.take(n), timings.length - n).length <= budget)
+      .getOrElse(0)
+    println(line(bySlowest.take(fit), timings.length - fit))
     spark.stop()
   }
 }
