@@ -386,6 +386,21 @@ object SparkEntry {
       PackOps.packSequences(t(s, d, "documents"), "doc_id", "text",
         "source", budget = 2048)),
 
+    "dedup_spans" -> ((s, d) =>
+      // exact-substring-dedup signal (Lee et al. 2021) at 8-token
+      // window granularity: per-doc duplicated-window fraction
+      DedupOps.duplicatedSpans(t(s, d, "documents"), "doc_id", "text",
+        w = 8, minCount = 2L)),
+
+    "shuffle_epoch" -> ((s, d) =>
+      // deterministic sharded training-order shuffle for 2 epochs
+      PackOps.epochShuffle(t(s, d, "documents"), "doc_id",
+        epochs = 2, shards = 8)),
+
+    "sample_temperature" -> ((s, d) =>
+      // T=2 source rebalancing, integer-exact keep rule
+      PackOps.temperatureResample(t(s, d, "documents"), "doc_id", "source")),
+
     "dedup_embedding" -> ((s, d) => {
       import s.implicits._
       // planted identical-vector pairs (ids far above the corpus range):
@@ -1521,6 +1536,51 @@ object SparkEntry {
         |SELECT shard, doc_id, n_tokens, tok_start,
         | tok_start // 2048 AS seq_id
         |FROM o""".stripMargin,
+
+    // every 8-token window, duplicated = exact content occurs >= 2 times
+    // corpus-wide (positions count, not distinct grams)
+    "dedup_spans" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS a
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(a[i:i+7], ' ') AS gram
+        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-7, 0))) AS t(i)
+        |  WHERE len(a) >= 8),
+        |n AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n_windows,
+        | CAST(sum(CASE WHEN n.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_windows,
+        | round(sum(CASE WHEN n.cnt >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+        |   AS dup_ratio
+        |FROM g JOIN n USING (gram)
+        |GROUP BY g.doc_id""".stripMargin,
+
+    "shuffle_epoch" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, epoch,
+         |   ${hash32Sql(s"(${hash32Sql("(doc_id + 1)")} + epoch)")} AS h
+         |  FROM documents,
+         |   (SELECT CAST(e AS BIGINT) AS epoch FROM (VALUES (1), (2)) t(e)))
+         |SELECT doc_id, epoch, h % 8 AS shard,
+         | row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id)
+         |   AS pos
+         |FROM h""".stripMargin,
+
+    // keep rule sqrt(n_s/n_max) made integer-exact:
+    // h^2 * n_max < n_s * 1024^2 with h = hash32(doc_id+7) % 1024
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |m AS (SELECT max(n_docs) AS n_max FROM c),
+         |h AS (SELECT source, ${hash32Sql("(doc_id + 7)")} % 1024 AS h
+         |  FROM documents),
+         |k AS (SELECT h.source, count(*) AS n_kept
+         |  FROM h JOIN c USING (source), m
+         |  WHERE h.h * h.h * m.n_max < c.n_docs * 1048576
+         |  GROUP BY 1)
+         |SELECT c.source, c.n_docs, coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         |FROM c LEFT JOIN k USING (source)""".stripMargin,
 
     // exact computation of what the LSH+verify pipeline approximates: all
     // pairs with shingle-SET jaccard ≥ 0.4, mirroring every shingle rule

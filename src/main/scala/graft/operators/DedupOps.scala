@@ -265,6 +265,41 @@ object DedupOps {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  /** Duplicated-span profile — the exact-substring-dedup signal of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better") at w-token window granularity: a window is duplicated when
+    * its exact token content occurs ≥ `minCount` times corpus-wide
+    * (other documents or a repeat within the same one). Output is the
+    * per-document profile (window counts + duplicated fraction); a
+    * pipeline drops or trims docs above a `dup_ratio` threshold.
+    *
+    * Scale shape: windows travel as 64-bit FNV hashes, never text, and
+    * collapse to per-(doc, hash) counts BEFORE the corpus-wide
+    * frequency join — the join carries (int64, int64, count) rows on a
+    * hashed key, and the window→hash kernel is pure HOFs + the native
+    * fnv64 expression, all inside whole-stage codegen. No window
+    * functions, no broadcast of corpus-sized state. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int = 8, minCount: Long = 2L): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    val grams = docs
+      .select(col(idCol).as("doc_id"), TermOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .withColumn("grams", TermOps.shingleStrings(col("toks"), w))
+      .select(col("doc_id"),
+        explode(expr("transform(grams, x -> fnv64(x))")).as("gh"))
+    val perDoc = grams.groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+    val dup = perDoc.groupBy("gh").agg(sum("c").as("n"))
+      .filter(col("n") >= minCount).select(col("gh"), lit(1).as("dup"))
+    perDoc.join(dup, Seq("gh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_windows"),
+        sum(when(col("dup").isNotNull, col("c")).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
+  }
+
   /** Canonical keep/drop list — the step that turns a near-dup component
     * map back into a per-document curation decision. Every document gets
     * `canonical` = its component id (the component's min doc id) or

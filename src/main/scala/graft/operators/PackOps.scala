@@ -43,4 +43,64 @@ object PackOps {
       // double's 2^53 exact-integer range, where `/`+cast could misassign
       .withColumn("seq_id", expr(s"tok_start div $budget"))
   }
+
+  /** Deterministic epoch shuffle: every document gets a reproducible
+    * training-order position per epoch — no RNG state, any engine
+    * recomputes the identical order. `h = hash32(hash32(id+1) + epoch)`
+    * (the nested round decorrelates epochs without any multiplication
+    * that could overflow strict-BIGINT engines), `shard = h % shards`,
+    * `pos` = rank of `h` within the shard.
+    *
+    * Scale stance (100 TB): the rank window is partitioned by
+    * (epoch, shard) — shards shuffle in parallel and no global ordering
+    * ever funnels through one task. Shard count is the training job's
+    * file/reader parallelism, so `sortWithinPartitions` on (shard, pos)
+    * after `repartition(shards)` writes ready-to-stream epoch files. */
+  def epochShuffle(docs: DataFrame, idCol: String, epochs: Int,
+                   shards: Int): DataFrame = {
+    require(epochs > 0 && shards > 0, s"need positive epochs/shards")
+    val h = SimilarityOps.hash32Col(
+      SimilarityOps.hash32Col(col("doc_id") + lit(1L)) + col("epoch"))
+    docs.select(col(idCol).as("doc_id"))
+      .crossJoin(broadcast(
+        docs.sparkSession.range(1, epochs + 1).select(col("id").as("epoch"))))
+      .withColumn("h", h)
+      .withColumn("shard", col("h") % shards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select("doc_id", "epoch", "shard", "pos")
+  }
+
+  /** Temperature-based source rebalancing (the multilingual-corpus
+    * mixing rule, T = 2): source s keeps documents with probability
+    * `sqrt(n_s / n_max)` — large sources are downsampled toward the
+    * head, small ones kept whole-ish. Deterministic and integer-exact:
+    * a doc is kept iff `h² · n_max < n_s · res²` with
+    * `h = hash32(id+7) % res`, so no floating-point `sqrt`/`pow` has to
+    * agree across engines. Output is the per-source mixing report
+    * (n_docs, n_kept); the keep set itself is the un-aggregated filter.
+    *
+    * Bounds: `h² ≤ res²` (default 2^20), so the comparison stays inside
+    * int64 for `n_max < 2^43` docs per source — raise `res` only with
+    * that budget in mind. The per-source count table is broadcast (one
+    * row per source; small even at 100 TB). */
+  def temperatureResample(docs: DataFrame, idCol: String, srcCol: String,
+                          res: Int = 1024): DataFrame = {
+    val counts = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nMax = counts.agg(max("n_docs").as("n_max"))
+    val kept = docs
+      .select(col(srcCol).as("source"),
+        pmod(SimilarityOps.hash32Col(col(idCol) + lit(7L)), lit(res.toLong))
+          .as("h"))
+      .join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(nMax))
+      .filter(col("h") * col("h") * col("n_max") <
+        col("n_docs") * lit(res.toLong * res))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    counts.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -294,7 +294,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(24L) == ((None, true)))
   }
 
+  test("duplicatedSpans counts corpus-wide duplicated windows per doc") {
+    // doc 1 and 2 share the exact 4-token span "p q r s"; doc 3 repeats
+    // its own span twice; doc 4 is all-unique
+    val docs = Seq(
+      (1L, "a b c p q r s d"),   // 5 windows, 1 dup (p q r s)
+      (2L, "x p q r s y z w"),   // 5 windows, 1 dup
+      (3L, "m n o t m n o t"),   // 5 windows: "m n o t" twice → 2 dup
+      (4L, "u1 u2 u3 u4 u5"))    // 2 windows, 0 dup
+      .toDF("doc_id", "text")
+    val out = DedupOps.duplicatedSpans(docs, "doc_id", "text", w = 4)
+      .select("doc_id", "n_windows", "n_dup_windows")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, a, b) => id -> ((a, b)) }.toMap
+    assert(out(1L) == ((5L, 1L)))
+    assert(out(2L) == ((5L, 1L)))
+    assert(out(3L) == ((5L, 2L)))
+    assert(out(4L) == ((2L, 0L)))
+  }
+
   // ---- PackOps ----
+
+  test("epochShuffle is a per-epoch permutation with dense shard positions") {
+    val docs = (1L to 100L).toDF("doc_id")
+    val out = PackOps.epochShuffle(docs, "doc_id", epochs = 2, shards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 200)
+    // every (epoch, shard) block has contiguous 1..n positions
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic: same input → identical assignment
+    val again = PackOps.epochShuffle(docs, "doc_id", epochs = 2, shards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // epochs produce different orders (decorrelated hash rounds)
+    val byEpoch = out.groupBy(_._2).map { case (e, rows) =>
+      e -> rows.sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    }
+    assert(byEpoch(1L) != byEpoch(2L))
+  }
+
+  test("temperatureResample keeps the largest source whole-ish and downsamples none above it") {
+    // source A: 400 docs (n_max, rate 1.0 → all kept); B: 100 docs
+    // (rate sqrt(1/4) = 0.5)
+    val docs = ((1L to 400L).map(i => (i, "A")) ++ (401L to 500L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+    val out = PackOps.temperatureResample(docs, "doc_id", "source")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("A") == ((400L, 400L))) // h² · n_max < n_max · res² always
+    val (bTotal, bKept) = out("B")
+    assert(bTotal == 100L)
+    assert(bKept > 30L && bKept < 70L) // hash-thresholded ≈ 50%
+  }
 
   test("packSequences assigns per-shard running offsets and sequence ids") {
     val docs = Seq(

@@ -119,6 +119,28 @@ class PlanSpec extends AnyFunSuite {
     assert(windows <= 2, s"$windows windows: $p")
   }
 
+  test("dedup_spans joins hashed windows, never text, and never cartesian") {
+    val p = plan("dedup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // windows travel as fnv64 hashes: every Exchange partitions on a
+    // doc_id/gh long key, none re-shuffles the gram strings
+    assert(p.contains("fnv64"), p)
+    assert(!"Exchange hashpartitioning\\(gram".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("shuffle_epoch windows per (epoch, shard), never globally") {
+    val p = plan("shuffle_epoch")
+    val spec = "windowspecdefinition\\(([^,]+), ([^,]+),".r.findFirstMatchIn(p)
+      .getOrElse(fail(p))
+    assert(spec.group(1).startsWith("epoch") && spec.group(2).startsWith("shard"), p)
+  }
+
+  test("sample_temperature never shuffle-joins: rate table and max broadcast") {
+    val p = plan("sample_temperature")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("no query plans a ScalaUDF: the whole function surface is codegen-tier") {
     // excluded: streaming queries and sink round-trips (building them
     // executes side effects), the one deliberately-imperative seam
