@@ -401,6 +401,51 @@ object SparkEntry {
       // T=2 source rebalancing, integer-exact keep rule
       PackOps.temperatureResample(t(s, d, "documents"), "doc_id", "source")),
 
+    "graph_pagerank" -> ((s, d) =>
+      // centrality over the supplier→part link graph, 3 power rounds;
+      // the edge relation checkpoints once, only ranks re-shuffle
+      GraphOps.pagerank(
+        t(s, d, "lineitem")
+          .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+          .distinct(),
+        iters = 3)
+        .select(col("node"), round(col("rank"), 8).as("rank"))),
+
+    "stats_skew" -> ((s, d) =>
+      // group-size histogram: the pre-flight skew diagnostic
+      SkewOps.groupSizeHistogram(t(s, d, "lineitem"), "l_partkey")),
+
+    "stats_heavy_keys" -> ((s, d) =>
+      SkewOps.heavyKeys(t(s, d, "events"), "user_id", k = 10)),
+
+    "search_phrase" -> ((s, d) =>
+      TermOps.phraseMatch(t(s, d, "documents"), "doc_id", "text",
+        Seq("batch", "table"))),
+
+    "cluster_kmeans" -> ((s, d) =>
+      ClusterOps.kmeansAssign(
+        t(s, d, "embeddings")
+          .withColumn("embedding", col("embedding").cast("array<double>")),
+        k = 8, iters = 2)),
+
+    "text_perplexity" -> ((s, d) =>
+      TextAnalysisOps.bigramSurprisal(t(s, d, "documents"), "doc_id", "text")),
+
+    "curate_url_dedup" -> ((s, d) =>
+      // canonical-URL dedup over a deterministic URL fixture derived
+      // from the documents table (mixed-case host, default port,
+      // tracking params, fragment — each normalization rule exercised)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/docs/"),
+            pmod(col("doc_id"), lit(50L)), lit("/?utm_source=feed&id="),
+            pmod(col("doc_id"), lit(7L)), lit("&utm_campaign="), col("source"),
+            lit("#sec"), pmod(col("doc_id"), lit(3L))).as("url"))
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.normalizeUrl(col("url")).as("norm_url"))
+        .groupBy("norm_url")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))),
+
     "dedup_embedding" -> ((s, d) => {
       import s.implicits._
       // planted identical-vector pairs (ids far above the corpus range):
@@ -1581,6 +1626,131 @@ object SparkEntry {
          |  GROUP BY 1)
          |SELECT c.source, c.n_docs, coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
          |FROM c LEFT JOIN k USING (source)""".stripMargin,
+
+    // 3 unrolled power-iteration rounds of the same simplified PageRank
+    // recurrence (no dangling redistribution, see GraphOps scaladoc);
+    // (1.0-0.85) is spelled as the subtraction so the teleport constant
+    // is the bit-identical double on both engines
+    "graph_pagerank" ->
+      """WITH edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) u),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank/d.outdeg) AS contrib FROM edges e
+        |       JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, (1.0-0.85)/(SELECT n FROM nn) + 0.85*coalesce(c.contrib, 0.0) AS rank
+        |       FROM nodes LEFT JOIN c1 c ON nodes.node = c.node),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank/d.outdeg) AS contrib FROM edges e
+        |       JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, (1.0-0.85)/(SELECT n FROM nn) + 0.85*coalesce(c.contrib, 0.0) AS rank
+        |       FROM nodes LEFT JOIN c2 c ON nodes.node = c.node),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank/d.outdeg) AS contrib FROM edges e
+        |       JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, (1.0-0.85)/(SELECT n FROM nn) + 0.85*coalesce(c.contrib, 0.0) AS rank
+        |       FROM nodes LEFT JOIN c3 c ON nodes.node = c.node)
+        |SELECT node, round(rank, 8) AS rank FROM r3""".stripMargin,
+
+    "stats_skew" ->
+      """WITH sizes AS (SELECT l_partkey, count(*) AS sz FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(CASE WHEN sz >= 64 THEN 64 WHEN sz >= 32 THEN 32
+        |  WHEN sz >= 16 THEN 16 WHEN sz >= 8 THEN 8 WHEN sz >= 4 THEN 4
+        |  WHEN sz >= 2 THEN 2 ELSE 1 END AS BIGINT) AS bucket_lo,
+        | count(*) AS n_keys, min(sz) AS min_sz, max(sz) AS max_sz,
+        | CAST(sum(sz) AS BIGINT) AS n_rows
+        |FROM sizes GROUP BY 1""".stripMargin,
+
+    "stats_heavy_keys" ->
+      """SELECT user_id, sz FROM
+        | (SELECT user_id, count(*) AS sz FROM events GROUP BY user_id) s
+        |ORDER BY sz DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "search_phrase" ->
+      s"""WITH arrs AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
+         |  FROM documents),
+         |p AS (SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos
+         |      FROM arrs),
+         |t0 AS (SELECT doc_id, pos AS start FROM p WHERE term = 'batch'),
+         |t1 AS (SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'table')
+         |SELECT t0.doc_id AS doc_id, count(*) AS n_hits
+         |FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id AND t0.start = t1.start
+         |GROUP BY t0.doc_id""".stripMargin,
+
+    // deterministic Lloyd: sharded init (vec_id % k), 2 assign rounds
+    // with one centroid recompute between; argmax ordering on the raw
+    // sim with lower-cluster tie-break mirrors ClusterOps.assign
+    "cluster_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |d0 AS (SELECT vec_id % 8 AS cluster, unnest(emb) AS v,
+        |        generate_subscripts(emb, 1) AS dim FROM e),
+        |cent0 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+        |  (SELECT cluster, dim, avg(v) AS cv FROM d0 GROUP BY cluster, dim) g
+        |  GROUP BY cluster),
+        |a0 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
+        |       FROM e CROSS JOIN cent0),
+        |asn0 AS (SELECT vec_id, cluster FROM a0 WHERE rn = 1),
+        |d1 AS (SELECT a.cluster, unnest(e.emb) AS v, generate_subscripts(e.emb, 1) AS dim
+        |       FROM e JOIN asn0 a ON e.vec_id = a.vec_id),
+        |cent1 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+        |  (SELECT cluster, dim, avg(v) AS cv FROM d1 GROUP BY cluster, dim) g
+        |  GROUP BY cluster),
+        |a1 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
+        |       FROM e CROSS JOIN cent1)
+        |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a1 WHERE rn = 1""".stripMargin,
+
+    // add-0.5-smoothed bigram LM, scored on the (doc, bigram, n)
+    // compressed relation exactly as TextAnalysisOps.bigramSurprisal
+    "text_perplexity" ->
+      s"""WITH arrs AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
+         |  FROM documents),
+         |bgs AS (SELECT doc_id, bg, count(*) AS n,
+         |         string_split(bg, ' ')[1] AS w1 FROM
+         |  (SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1),
+         |     i -> a[i] || ' ' || a[i+1])) AS bg
+         |   FROM arrs WHERE len(a) >= 2) x GROUP BY doc_id, bg),
+         |c2 AS (SELECT bg, CAST(sum(n) AS BIGINT) AS c2 FROM bgs GROUP BY bg),
+         |c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM bgs GROUP BY w1),
+         |vv AS (SELECT count(DISTINCT term) AS v FROM ($tokensSub) z
+         |       WHERE term <> '')
+         |SELECT doc_id, count(*) AS n_distinct_bg,
+         | round(sum(n * -ln((c2.c2 + 0.5)/(c1.c1 + 0.5*vv.v))) /
+         |   CAST(sum(n) AS DOUBLE), 4) AS mean_bg_surprisal
+         |FROM bgs JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN vv
+         |GROUP BY doc_id""".stripMargin,
+
+    // the URL fixture is built with identical string concatenation on
+    // both engines; the normalization chain replays UrlFunctions'
+    // patterns verbatim (DuckDB needs the explicit 'g' flag — Spark's
+    // regexp_replace is global by default)
+    "curate_url_dedup" ->
+      """WITH urls AS (SELECT doc_id,
+        |  'HTTPS://WWW.' || source || '.Example.COM:443/docs/' ||
+        |  CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&id=' ||
+        |  CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=' || source ||
+        |  '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url FROM documents),
+        |parts AS (SELECT doc_id, url,
+        |  regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM urls),
+        |comp AS (SELECT doc_id, url,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2)),
+        |    '^www\.', '', 'g'), ':(80|443)$', '', 'g') AS host,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(
+        |      regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 3),
+        |      '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+        |    '[?&]+$', '', 'g'), '\?&', '?', 'g'), '/+\?', '?', 'g'),
+        |    '^(/.*?)/+$', '\1', 'g') AS rest
+        |  FROM parts),
+        |norm AS (SELECT doc_id, CASE WHEN scheme = '' THEN url
+        |  ELSE scheme || '://' || host || rest END AS norm_url FROM comp)
+        |SELECT norm_url, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM norm GROUP BY norm_url""".stripMargin,
 
     // exact computation of what the LSH+verify pipeline approximates: all
     // pairs with shingle-SET jaccard ≥ 0.4, mirroring every shingle rule

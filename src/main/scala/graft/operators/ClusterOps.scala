@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd clustering over an embedding column — the
+  * centroid-training companion to `SimilarityOps.ivfTopK` (which takes
+  * its coarse centroids as given) and the document-clustering step of a
+  * curation pipeline (topic balancing, per-cluster sampling quotas).
+  *
+  * Everything is reproducible by construction: centroids initialize as
+  * the element-wise mean of the vectors with `vec_id % k == cluster`
+  * (no RNG), iterations are a fixed count, and the assignment argmax
+  * tie-breaks on the lower cluster id — rerunning on the same corpus
+  * gives bit-identical assignments on any cluster size.
+  *
+  * Scale shape (100 TB embedding corpus):
+  *  - centroid recomputation is `posexplode` → hash aggregation on
+  *    (cluster, dim) with map-side partial sums: k×d result rows, never
+  *    a per-vector shuffle of full arrays;
+  *  - the k×d centroid table broadcasts (k coarse clusters ≤ a few
+  *    thousand); assignment is a broadcast nested-loop over k rows per
+  *    vector with the cosine kernel inside codegen, reduced by a
+  *    `max_by` hash aggregation — no window over the corpus;
+  *  - iteration count is fixed and small (Lloyd on unit-norm-ish
+  *    embeddings moves little after a few rounds; IVF coarse quantizers
+  *    conventionally train on a sample anyway — pass a sampled
+  *    DataFrame for that).
+  */
+object ClusterOps {
+
+  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(centroids))
+      .withColumn("sim", SimilarityOps.cosine(col("embedding"), col("centroid")))
+    // argmax by (sim, lower-cluster-wins): max of (sim, -cluster)
+    scored.groupBy("vec_id")
+      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster")))
+        .as("cluster"))
+  }
+
+  private def recompute(emb: DataFrame, assigned: DataFrame): DataFrame =
+    emb.join(assigned, "vec_id")
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim").agg(avg(col("v")).as("cv"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+
+  /** Final (vec_id, cluster) assignment after `iters` Lloyd rounds from
+    * the deterministic sharded init. `emb` needs (vec_id: long,
+    * embedding: array<double>). */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    var centroids = recompute(
+      e, e.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("cluster")))
+    var assigned = assign(e, centroids)
+    for (_ <- 1 until iters) {
+      centroids = recompute(e, assigned)
+      assigned = assign(e, centroids)
+    }
+    assigned.select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+  }
+}

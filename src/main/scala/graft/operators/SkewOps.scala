@@ -26,4 +26,30 @@ object SkewOps {
       .agg(sum(col("_partial_sum")).as(s"sum_$valueCol"),
         sum(col("_partial_n")).as("n_rows"))
   }
+
+  /** Key-distribution profiler: per power-of-two group-size bucket, how
+    * many keys land there and the min/max/total rows — the diagnostic
+    * that decides whether a key needs salting, AQE skew splitting, or
+    * nothing, BEFORE the 100 TB job runs. Two hash aggregations with
+    * map-side combine (sizes, then buckets); output is O(log maxSize)
+    * rows. Buckets are exact integer comparisons, not float log2 (whose
+    * 1-ulp drift at exact powers of two is engine-dependent). */
+  def groupSizeHistogram(df: DataFrame, key: String): DataFrame = {
+    val sizes = df.groupBy(col(key)).agg(count(lit(1)).as("sz"))
+    val bucket = when(col("sz") >= 64, lit(64L))
+      .when(col("sz") >= 32, lit(32L)).when(col("sz") >= 16, lit(16L))
+      .when(col("sz") >= 8, lit(8L)).when(col("sz") >= 4, lit(4L))
+      .when(col("sz") >= 2, lit(2L)).otherwise(lit(1L))
+    sizes.groupBy(bucket.as("bucket_lo"))
+      .agg(count(lit(1)).as("n_keys"), min(col("sz")).as("min_sz"),
+        max(col("sz")).as("max_sz"), sum(col("sz")).as("n_rows"))
+  }
+
+  /** The `k` heaviest keys by group size (size desc, key asc tie-break) —
+    * the concrete skew candidates the histogram points at. Aggregation +
+    * TakeOrdered: no full sort materializes. */
+  def heavyKeys(df: DataFrame, key: String, k: Int): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col(key).asc)
+      .limit(k)
 }

@@ -168,6 +168,36 @@ object TermOps {
       .limit(k)
   }
 
+  /** Positional postings (doc_id, pos, term), 0-based — the positional
+    * layer of the inverted index (the reference's index build keeps
+    * term positions implicitly via BOW ordering; phrase retrieval needs
+    * them explicit). */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+
+  /** Exact phrase match via the positional index: docs containing the
+    * token sequence `phrase` and the occurrence count.
+    *
+    * Scale shape: each phrase term's postings are filtered BEFORE the
+    * join (term equality inside the explode — only the phrase terms'
+    * positions ever shuffle, a vanishing corpus fraction), then the
+    * occurrence join is equality on (doc_id, aligned-start-position):
+    * an n-way hash join on identically-distributed keys, never a
+    * corpus-wide window or per-doc loop. */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val p = positionalPostings(docs, idCol, textCol)
+    phrase.zipWithIndex
+      .map { case (term, i) =>
+        p.filter(col("term") === term)
+          .select(col("doc_id"), (col("pos") - i).as("start"))
+      }
+      .reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** A6 — dictionary-encoded doc vectors: tokens → sorted distinct dict ids
     * per doc (reference stores compressed int arrays,
     * BuildVByteDocVectors.java:75-165; parquet handles the encoding).

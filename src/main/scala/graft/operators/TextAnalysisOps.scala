@@ -95,6 +95,45 @@ object TextAnalysisOps {
           sum(col("tf")).cast("double"), 4).as("mean_surprisal"))
   }
 
+  /** Mean bigram surprisal per document — the second-order companion to
+    * `surprisal`: an add-k-smoothed bigram LM trained on the corpus
+    * itself scores each document by avg over its bigrams of
+    * −ln P(w2|w1), with P(w2|w1) = (c(w1 w2) + 0.5) / (c(w1 ·) + 0.5·V).
+    * Catches locally-incoherent text (shuffled words, keyword stuffing)
+    * that unigram statistics can't see; the standard cheap stand-in for
+    * neural perplexity filtering.
+    *
+    * Scale shape: bigrams come from the same codegen'd shingle kernel
+    * the dedup family uses; counts are hash aggregations with map-side
+    * combine. The scoring join shuffles the (doc, bigram, n) relation
+    * on the bigram hash — the bigram table at 100 TB is far past
+    * broadcast size, so bigram-hash partitioning is the honest shape
+    * (same reasoning as `surprisal`'s term join); the (w1) marginal
+    * joins on the same relation's first token. Scores round to 4dp so
+    * sum-order and 1-ulp `ln` differences between engines vanish. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TermOps.tokens(col(textCol))
+    val bgs = docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(TermOps.shingleStrings(col("toks"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c2 = bgs.groupBy("bg").agg(sum(col("n")).as("c2"))
+    val c1 = bgs.groupBy("w1").agg(sum(col("n")).as("c1"))
+    val vocab = docs.select(explode(toks).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    bgs.join(c2, Seq("bg")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_bg"),
+        round(
+          sum(col("n") * -log((col("c2") + lit(0.5)) /
+            (col("c1") + lit(0.5) * col("v")))) /
+            sum(col("n")).cast("double"), 4).as("mean_bg_surprisal"))
+  }
+
   /** Benchmark-contamination scan — the decontamination step of a
     * training pipeline: for each corpus document sharing at least
     * `minShared` distinct word n-grams with a probe (benchmark/eval)

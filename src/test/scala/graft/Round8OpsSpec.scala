@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.UrlFunctions
+
+class Round8OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- GraphOps ----
+
+  test("pagerank matches the hand-computed recurrence on a 3-node graph") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphOps.pagerank(edges, iters = 1)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .as[(Long, Double)].collect().toMap
+    // N=3, r0=1/3 each; contrib(2)=1/6, contrib(3)=1/2; teleport=0.05
+    assert(r(1L) == 0.05)
+    assert(r(2L) == 0.191667) // 0.05 + 0.85/6
+    assert(r(3L) == 0.475)    // 0.05 + 0.85/2
+  }
+
+  test("pagerank mass stays bounded and ordering is stable over rounds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pagerank(edges, iters = 5).as[(Long, Double)].collect().toMap
+    assert(r.values.sum <= 1.0 + 1e-9)
+    assert(r(1L) > r(4L)) // 4 is a source-only node: teleport mass only
+  }
+
+  // ---- SkewOps profiler ----
+
+  test("groupSizeHistogram buckets group sizes into power-of-two rungs") {
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(5)("c"))
+      .toDF("k")
+    val h = SkewOps.groupSizeHistogram(df, "k")
+      .select("bucket_lo", "n_keys", "min_sz", "max_sz", "n_rows")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.toSeq == Seq((1L, 1L, 1L, 1L, 1L), (2L, 1L, 2L, 2L, 2L),
+      (4L, 1L, 5L, 5L, 5L)))
+  }
+
+  test("heavyKeys returns the k largest groups with deterministic ties") {
+    val df = (Seq.fill(3)(10L) ++ Seq.fill(3)(7L) ++ Seq.fill(1)(5L))
+      .toDF("k")
+    val top = SkewOps.heavyKeys(df, "k", 2).as[(Long, Long)].collect()
+    assert(top.toSeq == Seq((7L, 3L), (10L, 3L))) // size tie → lower key first
+  }
+
+  // ---- TermOps phrase search ----
+
+  test("phraseMatch counts aligned positional occurrences") {
+    val docs = Seq((1L, "a b c a b"), (2L, "b a"), (3L, "a a b"))
+      .toDF("doc_id", "text")
+    val hits = TermOps.phraseMatch(docs, "doc_id", "text", Seq("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 2L, 3L -> 1L)) // doc 2 has "b a", not "a b"
+  }
+
+  // ---- ClusterOps ----
+
+  test("kmeansAssign separates two obvious clusters deterministically") {
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(1.0, 0.1)), (3L, Array(0.1, 1.0)))
+      .toDF("vec_id", "embedding")
+    val a = ClusterOps.kmeansAssign(emb, k = 2, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    // sharded init: {0,2} vs {1,3} — already the true clustering
+    assert(a == Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
+    val again = ClusterOps.kmeansAssign(emb, k = 2, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(again == a)
+  }
+
+  // ---- TextAnalysisOps bigram LM ----
+
+  test("bigramSurprisal matches the hand-computed smoothed bigram model") {
+    val docs = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val r = TextAnalysisOps.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    // V=2; c2: "a b"=2,"b a"=1,"a a"=1; c1: a=3, b=1
+    // doc1: (2*-ln(2.5/4) + 1*-ln(1.5/2))/3 = 0.4092
+    // doc2: -ln(1.5/4) = 0.9808
+    assert(r(1L) == ((2L, 0.4092)))
+    assert(r(2L) == ((1L, 0.9808)))
+  }
+
+  // ---- UrlFunctions ----
+
+  test("normalizeUrl canonicalizes scheme/host/port/params/fragment") {
+    val in = Seq(
+      "HTTPS://WWW.Example.COM:443/Docs/3/?utm_source=x&id=5&utm_campaign=y#frag",
+      "http://Host.com:80/",
+      "https://a.b/path/?utm_x=1",
+      "https://a.b/p?gclid=1&q=2&fbclid=3",
+      "not a url").toDF("url")
+    val out = in.select(UrlFunctions.normalizeUrl(col("url"))).as[String].collect()
+    assert(out.toSeq == Seq(
+      "https://example.com/Docs/3?id=5",
+      "http://host.com/",
+      "https://a.b/path",
+      "https://a.b/p?q=2",
+      "not a url"))
+  }
+}
