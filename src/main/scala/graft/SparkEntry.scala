@@ -23,6 +23,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Cloned session for the streaming harness queries (shares the
+    * SparkContext, own SQLConf + temp-view catalog). A stateful streaming
+    * operator instantiates one state store per shuffle partition per
+    * micro-batch; these fixed few-row traces measure operator semantics,
+    * not data parallelism, so 32 partitions would be 8× pure state-store
+    * and task-scheduling overhead. Production sizing guidance stays with
+    * the operators (streaming/EventStreamOps scaladoc): partitions follow
+    * key cardinality × event rate, set once at query start. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss
+  }
+
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** Flagship query — the J1-style broadcast join pipeline:
@@ -646,7 +660,8 @@ object SparkEntry {
       // trace flows through readStream-equivalent MemoryStream into the
       // watermarked windowed-count operator; the finished micro-batch
       // result is the query output
-      implicit val sq = s.sqlContext
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
       import graft.streaming.EventStreamOps
       implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
       val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -663,7 +678,7 @@ object SparkEntry {
           EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:13:00"), 4.0))
         q.processAllAvailable()
       } finally q.stop()
-      s.table("st_wc_out")
+      ss.table("st_wc_out")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("user_id"), col("n_events"))
     }),
@@ -1042,7 +1057,8 @@ object SparkEntry {
     "st_sessions" -> ((s, _) => {
       // streaming sessionizer through the gate: deterministic two-batch
       // trace; sessions close via the later-event gap path (timeout off)
-      implicit val sq = s.sqlContext
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
       import graft.streaming.EventStreamOps
       implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
       val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -1061,7 +1077,7 @@ object SparkEntry {
         mem.addData(e(1, 3600000L, 5.0), e(2, 3600000L, 6.0))
         q.processAllAvailable()
       } finally q.stop()
-      s.table("st_sess_out")
+      ss.table("st_sess_out")
         .select(col("user_id"), col("start_ms"), col("end_ms"),
           col("n_events"), col("sum_value"))
     }),
@@ -1071,7 +1087,8 @@ object SparkEntry {
       // st_sessions plus a watermark-pushing sentinel key (filtered out)
       // so every session closes by watermark, not wall clock — the
       // emitted set is replay-deterministic (see StreamingSpec)
-      implicit val sq = s.sqlContext
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
       import graft.streaming.EventStreamOps
       implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
       val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -1090,7 +1107,7 @@ object SparkEntry {
         mem.addData(e(9, 10000000L, 0.0))
         q.processAllAvailable()
       } finally q.stop()
-      s.table("st_sess_evt_out")
+      ss.table("st_sess_evt_out")
         .filter(col("user_id") =!= 9L)
         .select(col("user_id"), col("start_ms"), col("end_ms"),
           col("n_events"), col("sum_value"))
@@ -1102,7 +1119,8 @@ object SparkEntry {
       // evicts its state (within-horizon semantics); a late duplicate
       // (ts < watermark) never reaches the operator. Sentinel key 9 only
       // pushes the watermark and is filtered from the result.
-      implicit val sq = s.sqlContext
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
       import graft.streaming.EventStreamOps
       implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
       val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -1130,7 +1148,7 @@ object SparkEntry {
         mem.addData(e(2, 3600000L, 7.0), e(3, 100000L, 9.9))
         q.processAllAvailable()
       } finally q.stop()
-      s.table("st_dedup_out").filter(col("user_id") =!= 9L)
+      ss.table("st_dedup_out").filter(col("user_id") =!= 9L)
         .select(col("user_id"),
           (unix_millis(col("ts")) - 1700000000000L).as("ts_ms"),
           col("value").as("v"))
@@ -1140,7 +1158,8 @@ object SparkEntry {
       // watermarked stream-stream interval join through the gate:
       // clicks attribute to same-user impressions at most 30 minutes
       // older; the out-of-window click matches nothing
-      implicit val sq = s.sqlContext
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
       import graft.streaming.EventStreamOps
       implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
       val imps = org.apache.spark.sql.execution.streaming.runtime
@@ -1160,7 +1179,7 @@ object SparkEntry {
           e(2, 2400000L, 3.0)) // user-2 click is 39:50 after the impression
         q.processAllAvailable()
       } finally q.stop()
-      s.table("st_join_out")
+      ss.table("st_join_out")
         .select(col("user_id"),
           (unix_millis(col("left_ts")) - 1700000000000L).as("imp_ms"),
           (unix_millis(col("right_ts")) - 1700000000000L).as("click_ms"),
