@@ -953,6 +953,54 @@ object SparkEntry {
           .withColumn("key", lit("event_id")))
     }),
 
+    "sketch_countmin" -> ((s, d) => {
+      // count-min frequency sketch over event user_ids (3×256 cells,
+      // narrow enough that sf0.01's key set forces real bucket
+      // collisions), estimates answered for every distinct user and
+      // joined to the exact counts — n_est >= n_exact always, equality
+      // where no collision inflated any of the 3 cells
+      val ev = t(s, d, "events")
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      SketchOps.countMinEstimates(ev, "user_id", ev, depth = 3, width = 256)
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("n_est"))
+    }),
+
+    "j7_bloom_prune" -> ((s, d) => {
+      // bloom-pruned scan: keep-set = suppliers of nations 0-4, bitmap
+      // 4096 bits / 3 hashes (deliberately undersized so false positives
+      // occur and the oracle must reproduce them bit-for-bit), big side
+      // filtered map-side with no shuffle/join (PlanSpec pins the shape)
+      val keep = t(s, d, "supplier").filter(col("s_nationkey") < 5)
+      PruneOps.bloomPrune(t(s, d, "lineitem"), "l_suppkey",
+          keep, "s_suppkey", mBits = 4096, k = 3)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+    }),
+
+    "layout_zorder" -> ((s, d) => {
+      // Morton layout: z-value over (user_id low bits, day-of-epoch) —
+      // the write-order key that makes parquet min/max stats prune on
+      // EITHER dimension; the oracle replicates the bit-interleave, and
+      // the aggregate per z-octant shows each octant covers a tight
+      // user×time rectangle (the pruning argument in numbers)
+      val ev = t(s, d, "events")
+      // day-of-epoch via integer div on epoch seconds: timezone-free and
+      // identical in both engines (events are 2024+, always positive)
+      val z = LayoutOps.zValue(
+        col("user_id").bitwiseAND(lit(0xFFFFL)),
+        expr("CAST(ts AS LONG) div 86400"))
+      ev.withColumn("z", z)
+        .withColumn("day", expr("CAST(ts AS LONG) div 86400"))
+        .groupBy(call_function("shiftright", col("z"), lit(8)).as("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+    }),
+
     "j6_wikistats" -> ((s, _) => {
       // J6 end-to-end: pageview agg → redirect re-merge → re-aggregate →
       // title→id join (reference: etc/match_wikistats.sh:34-41,
@@ -1225,6 +1273,17 @@ object SparkEntry {
     * multiply/xorshift/multiply with sub-2^31 constants — all
     * intermediates < 2^63 → plain BIGINT SQL) for an arbitrary
     * non-negative key expr. */
+  /** FNV-1a over the ASCII string expression `ks`, as unsigned HUGEINT
+    * (mirrors Hashing.fnv1a / the native fnv64 expression). The xor of a
+    * full FNV state with a byte only ever touches the low 7 bits for
+    * ASCII inputs, so it runs in BIGINT — the dedup_simhash trick. */
+  private def fnvSql(ks: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |   list_transform(regexp_split_to_array($ks, ''), c -> unicode(c)::HUGEINT)),
+       |   (hh, c) -> ((hh - hh % 128 +
+       |     xor(CAST(hh % 128 AS BIGINT), CAST(c AS BIGINT))::HUGEINT)
+       |     * 1099511628211) % 18446744073709551616::HUGEINT)""".stripMargin
+
   private def hash32Sql(k: String): String = {
     // (k % m + m) % m = pmod: parity with hash32Col for negative keys too
     val u0 = s"((($k) % 4294967296 + 4294967296) % 4294967296)"
@@ -2402,6 +2461,68 @@ object SparkEntry {
          |      ELSE round((count(*) - 1) * 4294967296.0 / max(h), 2) END AS estimate,
          | 'event_id' AS key
          |FROM ke""".stripMargin,
+
+    // full CMS replication: depth 3 / width 256 counter matrix from the
+    // seed-suffixed FNV family, estimate = min over the 3 cells
+    "sketch_countmin" ->
+      s"""WITH seeds AS (SELECT unnest(generate_series(0, 2)) AS j),
+         |h AS (
+         |  SELECT user_id, j,
+         |   ${fnvSql("CAST(user_id AS VARCHAR) || '#' || j")} % 256 AS bucket
+         |  FROM events, seeds),
+         |sketch AS (SELECT j, bucket, count(*) AS cnt FROM h GROUP BY j, bucket),
+         |cpos AS (SELECT DISTINCT user_id, j, bucket FROM h),
+         |est AS (
+         |  SELECT c.user_id, min(s.cnt) AS n_est
+         |  FROM cpos c JOIN sketch s ON c.j = s.j AND c.bucket = s.bucket
+         |  GROUP BY c.user_id),
+         |exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id)
+         |SELECT e.user_id, x.n_exact, CAST(e.n_est AS BIGINT) AS n_est
+         |FROM est e JOIN exact x ON e.user_id = x.user_id""".stripMargin,
+
+    // bit-exact bloom replication: a big-side key passes iff ALL its 3
+    // positions are set by some keep-key — false positives reproduce
+    "j7_bloom_prune" ->
+      s"""WITH seeds AS (SELECT unnest(generate_series(0, 2)) AS i),
+         |spos AS (
+         |  SELECT DISTINCT
+         |   ${fnvSql("CAST(s_suppkey AS VARCHAR) || '#' || i")} % 4096 AS pos
+         |  FROM supplier, seeds WHERE s_nationkey < 5),
+         |bk AS (SELECT DISTINCT l_suppkey FROM lineitem),
+         |bh AS (
+         |  SELECT l_suppkey,
+         |   ${fnvSql("CAST(l_suppkey AS VARCHAR) || '#' || i")} % 4096 AS pos
+         |  FROM bk, seeds),
+         |chk AS (SELECT l_suppkey, pos IN (SELECT pos FROM spos) AS hit FROM bh),
+         |pass AS (SELECT l_suppkey FROM chk GROUP BY l_suppkey HAVING bool_and(hit))
+         |SELECT l.l_returnflag, count(*) AS n_rows,
+         | round(sum(l.l_quantity), 2) AS sum_qty,
+         | count(DISTINCT l.l_suppkey) AS n_supp
+         |FROM lineitem l JOIN pass p ON l.l_suppkey = p.l_suppkey
+         |GROUP BY l.l_returnflag""".stripMargin,
+
+    // Morton replication: the 4-step spread-bits chain per dimension,
+    // day via epoch_us floor-div (tz-free, matches Spark's CAST AS LONG)
+    "layout_zorder" ->
+      """WITH b0 AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   user_id & 65535 AS x,
+        |   (epoch_us(ts) // 1000000 // 86400) & 65535 AS y
+        |  FROM events),
+        |b1 AS (SELECT *, ((x | (x << 8)) & 16711935) AS x1,
+        |  ((y | (y << 8)) & 16711935) AS y1 FROM b0),
+        |b2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2,
+        |  ((y1 | (y1 << 4)) & 252645135) AS y2 FROM b1),
+        |b3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3,
+        |  ((y2 | (y2 << 2)) & 858993459) AS y3 FROM b2),
+        |b4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4,
+        |  ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM b3),
+        |zz AS (SELECT user_id, day, (x4 | (y4 << 1)) AS z FROM b4)
+        |SELECT z // 256 AS zbucket, count(*) AS n_rows,
+        | min(user_id) AS min_user, max(user_id) AS max_user,
+        | min(day) AS min_day, max(day) AS max_day,
+        | min(z) AS min_z, max(z) AS max_z
+        |FROM zz GROUP BY 1""".stripMargin,
 
     // hand-traced: Foo_bar#x + foo_bar normalize-merge (17 = 10+7, daily
     // 15@d0 + 3@d2); Old_name (4@d1) redirect-resolves into Baz (2@d1) →

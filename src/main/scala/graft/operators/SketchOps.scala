@@ -58,4 +58,58 @@ object SketchOps {
           .otherwise(round((col("k_used") - 1).cast("double") *
             lit(4294967296.0) / col("kth_hash"), 2)).as("estimate"))
   }
+
+  /** Count-min sketch of `keyCol` frequencies: a depth×width counter
+    * matrix where row j counts by bucket `fnv1a(key ++ "#" ++ j)` masked
+    * to `width` (power of two — same seed-suffix FNV family as
+    * `PruneOps`, so the whole sketch is oracle-replicable). The sketch is
+    * O(depth·width) regardless of key cardinality — THE point at 100 TB,
+    * where exact per-key counts (SkewOps.heavyKeys) shuffle every
+    * distinct key and a sketch shuffles ≤ depth·width cells (map-side
+    * combine collapses each partition to the same bounded matrix first).
+    * Cormode & Muthukrishnan, "An improved data stream summary: the
+    * count-min sketch and its applications", J. Algorithms 55 (2005).
+    *
+    * Output: (j, bucket, cnt) — mergeable across shards/days by summing
+    * matching cells. */
+  def countMin(df: DataFrame, keyCol: String,
+               depth: Int = 3, width: Int = 256): DataFrame = {
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    graft.plans.GraftSparkExtensions.install(df.sparkSession)
+    val buckets = (0 until depth).map { j =>
+      call_function("fnv64", concat(col(keyCol).cast("string"), lit(s"#$j")))
+        .bitwiseAND(lit((width - 1).toLong))
+    }
+    df.filter(col(keyCol).isNotNull)
+      .select(posexplode(array(buckets: _*)))
+      .toDF("j", "bucket")
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from the sketch for a candidate key set: each
+    * candidate's estimate is the MIN over its depth cells (collisions
+    * only ever inflate a cell, so the min is the tightest upper bound;
+    * est ≥ true count always). The sketch side is ≤ depth·width rows —
+    * broadcast — so estimating any number of candidates is one map-side
+    * join + a min-agg on (key, depth) rows. Candidates come from the
+    * caller (a sample, a watchlist, yesterday's heavy hitters): a CMS
+    * cannot enumerate keys, only answer them. */
+  def countMinEstimates(df: DataFrame, keyCol: String, candidates: DataFrame,
+                        depth: Int = 3, width: Int = 256): DataFrame = {
+    val sketch = countMin(df, keyCol, depth, width)
+    val buckets = (0 until depth).map { j =>
+      call_function("fnv64", concat(col(keyCol).cast("string"), lit(s"#$j")))
+        .bitwiseAND(lit((width - 1).toLong))
+    }
+    candidates.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+      .select(col(keyCol), posexplode(array(buckets: _*)))
+      .toDF(keyCol, "j", "bucket")
+      .join(broadcast(sketch), Seq("j", "bucket"), "left_outer")
+      .groupBy(col(keyCol))
+      // a candidate absent from the data has an all-null (or missing)
+      // cell row on some path -> estimate 0
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
 }

@@ -160,6 +160,14 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"queries still planning UDFs: $offenders")
   }
 
+  test("j7 bloom prune keeps the fact side join-free") {
+    // the whole point of the operator: membership is a codegen'd filter
+    // against a bitmap literal, so the only exchange in the query is the
+    // final tiny aggregation — never a join on the fact table
+    val p = plan("j7_bloom_prune")
+    assert(!p.contains("Join"), p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -104,4 +104,80 @@ class Round8OpsSpec extends AnyFunSuite {
       "https://a.b/p?q=2",
       "not a url"))
   }
+
+  // ---- PruneOps bloom filter ----
+
+  test("bloomPrune never drops a true key and is deterministic") {
+    val small = Seq(1L, 5L, 9L).toDF("k")
+    val big = (0L to 63L).toDF("bk")
+    val kept = PruneOps.bloomPrune(big, "bk", small, "k", mBits = 64, k = 3)
+      .as[Long].collect().toSet
+    assert(Set(1L, 5L, 9L).subsetOf(kept))
+    val again = PruneOps.bloomPrune(big, "bk", small, "k", mBits = 64, k = 3)
+      .as[Long].collect().toSet
+    assert(kept == again)
+  }
+
+  test("well-sized bloomPrune equals the exact semi-join on this key space") {
+    val small = (0L until 50L).filter(_ % 7 == 0).toDF("k")
+    val big = (0L until 1000L).toDF("bk")
+    val kept = PruneOps
+      .bloomPrune(big, "bk", small, "k", mBits = 1 << 16, k = 5)
+      .as[Long].collect().toSet
+    // fp probability per candidate ~ (8*5/65536)^5 ≈ 8e-17: exact here
+    assert(kept == (0L until 1000L).filter(k => k < 50 && k % 7 == 0).toSet)
+  }
+
+  test("bloomPrune of the big side plans as scan+filter: no join, no exchange") {
+    val small = Seq(1L).toDF("k")
+    val big = spark.range(100).toDF("bk")
+    val p = PruneOps.bloomPrune(big, "bk", small, "k", 256, 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  // ---- SketchOps count-min ----
+
+  test("countMin estimates are upper bounds, tight for the heavy key") {
+    val df = (Seq.fill(100)("hot") ++ (1 to 50).map(i => s"k$i")).toDF("k")
+    val exact = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    val est = SketchOps
+      .countMinEstimates(df, "k", df.select("k"), depth = 3, width = 16)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"underestimated $k") }
+    // the heavy key's min-cell can absorb at most every other row
+    assert(est("hot") <= 150L)
+  }
+
+  test("countMin sketch stays depth*width cells whatever the key cardinality") {
+    val df = (1 to 2000).map(i => s"k$i").toDF("k")
+    val sk = SketchOps.countMin(df, "k", depth = 4, width = 32)
+    assert(sk.count() <= 4 * 32)
+    assert(sk.agg(sum(col("cnt"))).as[Long].head() == 4L * 2000)
+  }
+
+  // ---- LayoutOps z-order ----
+
+  test("zValue interleaves bits (Morton code)") {
+    val df = Seq((3L, 5L), (0L, 0L), (65535L, 0L), (0L, 65535L)).toDF("x", "y")
+    val z = df.select(LayoutOps.zValue(col("x"), col("y"))).as[Long].collect()
+    assert(z.toSeq == Seq(39L, 0L, 0x55555555L, 0xAAAAAAAAL))
+  }
+
+  test("zorder range partitions cover disjoint z intervals") {
+    val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val parts = LayoutOps.zorder(df, col("x"), col("y"), 8)
+      .select(spark_partition_id().as("p"),
+        LayoutOps.zValue(col("x"), col("y")).as("z"))
+      .groupBy(col("p")).agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._2)
+    assert(parts.length > 1)
+    parts.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"overlap: $a vs $b")
+      case _ => ()
+    }
+  }
 }
