@@ -953,6 +953,27 @@ object SparkEntry {
           .withColumn("key", lit("event_id")))
     }),
 
+    "w6_sessionize" -> ((s, d) =>
+      // gap-based batch sessionization (6h gap over the events table):
+      // one key-shuffle window + a reused-partitioning aggregation; the
+      // streaming sibling (st_sessions_event) emits the same shape
+      SessionOps.sessionize(t(s, d, "events"), "user_id", "ts", "value",
+          gapMs = 21600000L)
+        .withColumn("sum_value", round(col("sum_value"), 2))),
+
+    "o6_salted_join" -> ((s, d) =>
+      // salted shuffle join: every part key's lineitem rows split across
+      // 8 salts; result is exactly the plain equi-join (the oracle IS
+      // the plain join), PlanSpec pins that no broadcast happens
+      SkewOps.saltedJoin(
+          t(s, d, "lineitem").select(col("l_partkey"), col("l_quantity")),
+          t(s, d, "part").select(col("p_partkey").as("l_partkey"),
+            col("p_brand")),
+          "l_partkey", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
     "sketch_countmin" -> ((s, d) => {
       // count-min frequency sketch over event user_ids (3×256 cells,
       // narrow enough that sf0.01's key set forces real bucket
@@ -2461,6 +2482,35 @@ object SparkEntry {
          |      ELSE round((count(*) - 1) * 4294967296.0 / max(h), 2) END AS estimate,
          | 'event_id' AS key
          |FROM ke""".stripMargin,
+
+    // session boundaries replicated with the same lag/cumsum windows;
+    // ties are safe (gap 0 keeps tied rows in one session, aggregates
+    // order-invariant), epoch_ms truncates like Spark's unix_millis
+    "w6_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, value FROM events),
+        |f AS (
+        |  SELECT user_id, tms, value,
+        |   CASE WHEN lag(tms) OVER w IS NULL
+        |          OR tms - lag(tms) OVER w > 21600000
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+        |g AS (
+        |  SELECT user_id, tms, value,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY tms
+        |     ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+        | min(tms) AS start_ms, max(tms) AS end_ms,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+
+    // the salted join is EXACTLY the plain equi-join — that equality is
+    // the correctness claim
+    "o6_salted_join" ->
+      """SELECT p.p_brand, count(*) AS n_rows,
+        | round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand""".stripMargin,
 
     // full CMS replication: depth 3 / width 256 counter matrix from the
     // seed-suffixed FNV family, estimate = min over the 3 cells

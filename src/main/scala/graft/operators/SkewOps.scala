@@ -52,4 +52,24 @@ object SkewOps {
     df.groupBy(col(key)).agg(count(lit(1)).as("sz"))
       .orderBy(col("sz").desc, col(key).asc)
       .limit(k)
+
+  /** Salted SHUFFLE JOIN for pathological key skew — the join-side
+    * counterpart of [[saltedSum]], for when the small side is still too
+    * big to broadcast (the case AQE's broadcast demotion can't rescue)
+    * and one hot key would otherwise pin a whole join task. The big side
+    * takes a per-row salt in [0, salts); the small side replicates each
+    * row across ALL salts; joining on (key, salt) splits every hot key's
+    * rows over `salts` tasks and is EXACTLY the plain equi-join (each
+    * big row meets each matching small row exactly once, at its own
+    * salt). Cost: small side × salts shuffle volume — the standard trade.
+    * The shuffle_hash hint pins the shuffled-join strategy so the salt
+    * column isn't wasted on a plan that would broadcast anyway. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 8): DataFrame = {
+    val sb = big.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val ss = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    sb.join(ss.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -168,6 +168,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("w6 batch sessionize shuffles once: agg reuses the window partitioning") {
+    val p = plan("w6_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("o6 salted join plans a shuffled join, never a broadcast") {
+    val p = plan("o6_salted_join")
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

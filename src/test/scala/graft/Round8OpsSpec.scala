@@ -166,6 +166,44 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(z.toSeq == Seq(39L, 0L, 0x55555555L, 0xAAAAAAAAL))
   }
 
+  test("batch sessionize agrees with the event-time streaming sessionizer") {
+    import graft.streaming.EventStreamOps
+    // the st_sessions trace: user 1 -> [0, 30s] then [1h]; user 2 -> two
+    // singleton sessions an hour apart (gap 60s)
+    val rows = Seq((1L, 0L, 1.0), (1L, 30000L, 2.0), (2L, 10000L, 4.0),
+      (1L, 3600000L, 5.0), (2L, 3600000L, 6.0))
+    val df = rows.map { case (u, ms, v) =>
+      (u, new java.sql.Timestamp(1700000000000L + ms), v)
+    }.toDF("user_id", "ts", "value")
+    val batch = SessionOps.sessionize(df, "user_id", "ts", "value", 60000L)
+      .select(col("user_id"), col("start_ms") - 1700000000000L,
+        col("end_ms") - 1700000000000L, col("n_events"), col("sum_value"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(batch == Set((1L, 0L, 30000L, 2L, 3.0), (1L, 3600000L, 3600000L, 1L, 5.0),
+      (2L, 10000L, 10000L, 1L, 4.0), (2L, 3600000L, 3600000L, 1L, 6.0)))
+    // session_idx numbers sessions 1..n in time order per key
+    val idx = SessionOps.sessionize(df, "user_id", "ts", "value", 60000L)
+      .select(col("user_id"), col("session_idx"), col("start_ms") - 1700000000000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(idx == Set((1L, 1L, 0L), (1L, 2L, 3600000L),
+      (2L, 1L, 10000L), (2L, 2L, 3600000L)))
+  }
+
+  test("saltedJoin is exactly the plain equi-join and never broadcasts") {
+    val big = Seq((1L, 10.0), (1L, 20.0), (1L, 30.0), (2L, 5.0), (3L, 7.0))
+      .toDF("k", "v")
+    val small = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("k", "name")
+    val salted = SkewOps.saltedJoin(big, small, "k", salts = 4)
+    val plain = big.join(small, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "v", "name").as[(Long, Double, String)]
+      .collect().sorted.toSeq ==
+      plain.select("k", "v", "name").as[(Long, Double, String)]
+        .collect().sorted.toSeq)
+    val p = salted.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("zorder range partitions cover disjoint z intervals") {
     val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
       .toDF("x", "y")
