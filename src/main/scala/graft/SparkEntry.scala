@@ -974,6 +974,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    "t4_rolling" -> ((s, d) => {
+      // rolling 1-hour window per user (RANGE frame on epoch seconds):
+      // the time-series primitive the dense-series family lacked; one
+      // key shuffle, frames slide within partitions
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+        .rangeBetween(-3600L, 0L)
+      // rolling SUM, not avg: a sum of 2-decimal inputs is an exact
+      // 2-decimal number, so the rounding can never sit on a boundary
+      // (an avg CAN land exactly on .xx5 — e.g. mean of two values —
+      // where the engines' last-ulp difference flips the rounded digit)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("tsec"), col("value"))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("sum_win", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("tsec"),
+          col("n_win"), col("sum_win"))
+    }),
+
+    "o7_topk_group" -> ((s, d) => {
+      // group-wise top-k: top-3 highest-price lineitems per supplier.
+      // Spark plans a WindowGroupLimit (per-task top-k heaps BEFORE the
+      // key exchange — pinned in PlanSpec), so no group's full row set
+      // ever shuffles: the group-wise sibling of TakeOrderedAndProject
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rn"))
+    }),
+
+    "sketch_kmv_grouped" -> ((s, d) =>
+      // per-group KMV distinct: approx distinct users per event type with
+      // O(k) state per group — k=64 keeps sf0.01 (150 users) on the
+      // estimator path and sf0.001 (15 users) on the exact-count path
+      SketchOps.kmvDistinctByKey(t(s, d, "events"), "event_type",
+        "user_id", k = 64)),
+
     "sketch_countmin" -> ((s, d) => {
       // count-min frequency sketch over event user_ids (3×256 cells,
       // narrow enough that sf0.01's key set forces real bucket
@@ -2511,6 +2552,47 @@ object SparkEntry {
         | round(sum(l.l_quantity), 2) AS sum_qty
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY p.p_brand""".stripMargin,
+
+    // RANGE frame on epoch seconds; ties are symmetric on both engines
+    // (every tied row sees the identical frame); rolling sum, not avg —
+    // a 2-decimal-exact total can't sit on the rounding boundary
+    "t4_rolling" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS tsec, value
+        |  FROM events)
+        |SELECT event_id, user_id, tsec,
+        | count(*) OVER w AS n_win,
+        | round(sum(value) OVER w, 2) AS sum_win
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // full tie-break (price desc, orderkey, linenumber) makes row_number
+    // deterministic on both engines
+    "o7_topk_group" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        | CAST(rn AS INT) AS rn
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |   row_number() OVER (PARTITION BY l_suppkey
+        |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3""".stripMargin,
+
+    // per-group KMV with the same hash32 replication as sketch_kmv
+    "sketch_kmv_grouped" ->
+      s"""WITH hu AS (
+         |  SELECT DISTINCT event_type, ${hash32Sql("(user_id)")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, h,
+         |   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hu)
+         |SELECT event_type, count(*) AS k_used, max(h) AS kth_hash,
+         | CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |      ELSE round((count(*) - 1) * 4294967296.0 / max(h), 2)
+         | END AS estimate
+         |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin,
 
     // full CMS replication: depth 3 / width 256 counter matrix from the
     // seed-suffixed FNV family, estimate = min over the 3 cells

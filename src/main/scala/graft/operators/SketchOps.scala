@@ -32,9 +32,9 @@ object SketchOps {
     * anything else (including fractional numerics, where a cast to long
     * would merge distinct values) is rejected loudly rather than
     * silently collapsing under a lossy cast. */
-  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+  private def keyHashCol(df: DataFrame, keyCol: String): Column = {
     import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType, StringType}
-    val keyHash = df.schema(keyCol).dataType match {
+    df.schema(keyCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         SimilarityOps.hash32Col(col(keyCol).cast("long"))
       case d: DecimalType if d.scale == 0 && d.precision <= 18 =>
@@ -46,6 +46,10 @@ object SketchOps {
       case dt => throw new IllegalArgumentException(
         s"kmvDistinct: unsupported key type ${dt.catalogString} for '$keyCol'")
     }
+  }
+
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    val keyHash = keyHashCol(df, keyCol)
     val hashes = df
       .filter(col(keyCol).isNotNull)
       .select(keyHash.as("h"))
@@ -54,6 +58,32 @@ object SketchOps {
       .limit(k)
     hashes.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
       .select(col("k_used"), col("kth_hash"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(round((col("k_used") - 1).cast("double") *
+            lit(4294967296.0) / col("kth_hash"), 2)).as("estimate"))
+  }
+
+  /** Per-group KMV: the [[kmvDistinct]] estimator per `groupCol` value —
+    * approx distinct cardinality per group with O(k) state per group
+    * instead of the O(distinct) an exact count needs. Shape: one
+    * (group, hash) distinct (map-side combine), one group-partitioned
+    * window keeping the k smallest hashes (rank, no global sort), one
+    * agg. The estimator switches to the exact small-set count below k,
+    * per group. */
+  def kmvDistinctByKey(df: DataFrame, groupCol: String, keyCol: String,
+                       k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df
+      .filter(col(keyCol).isNotNull)
+      .select(col(groupCol), keyHashCol(df, keyCol).as("h"))
+      .distinct()
+    hashes
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col(groupCol)).orderBy(col("h").asc)))
+      .filter(col("rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      .select(col(groupCol), col("k_used"), col("kth_hash"),
         when(col("k_used") < k, col("k_used").cast("double"))
           .otherwise(round((col("k_used") - 1).cast("double") *
             lit(4294967296.0) / col("kth_hash"), 2)).as("estimate"))

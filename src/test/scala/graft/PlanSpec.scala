@@ -179,6 +179,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("o7 group-wise top-k plans a WindowGroupLimit (pre-shuffle heaps)") {
+    val p = plan("o7_topk_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -158,6 +158,17 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(sk.agg(sum(col("cnt"))).as[Long].head() == 4L * 2000)
   }
 
+  test("kmvDistinctByKey is exact below k and bounded-error above") {
+    val df = (for (g <- Seq("a", "b"); i <- 1 to (if (g == "a") 5 else 900))
+      yield (g, i.toLong)).toDF("g", "key")
+    val r = SketchOps.kmvDistinctByKey(df, "g", "key", k = 64)
+      .select(col("g"), col("k_used"), col("estimate"))
+      .as[(String, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r("a")._2 == 5L && r("a")._3 == 5.0) // exact small-set path
+    assert(r("b")._2 == 64L)
+    assert(math.abs(r("b")._3 - 900.0) / 900.0 < 0.35) // KMV k=64 error
+  }
+
   // ---- LayoutOps z-order ----
 
   test("zValue interleaves bits (Morton code)") {
