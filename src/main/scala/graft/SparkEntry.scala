@@ -1123,6 +1123,15 @@ object SparkEntry {
       s.read.parquet(dir)
     }),
 
+    "k8_orc_roundtrip" -> ((s, d) => {
+      // K2b: the ORC columnar sink round-trips with schema and values
+      val dir = java.nio.file.Files.createTempDirectory("graft_k8").toString
+      graft.sources.GraftSinks.writeOrc(
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        dir, compression = "zlib")
+      s.read.orc(dir)
+    }),
+
     "k6_compressed_sink" -> ((s, d) => {
       // K6: compression option on the TSV sink (gzip), transparent on read
       val dir = java.nio.file.Files.createTempDirectory("graft_k6").toString
@@ -2688,6 +2697,9 @@ object SparkEntry {
 
     "k2_parquet_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region",
+
+    "k8_orc_roundtrip" ->
+      "SELECT c_custkey, c_mktsegment FROM customer",
 
     "k6_compressed_sink" ->
       "SELECT n_nationkey, n_name FROM nation",

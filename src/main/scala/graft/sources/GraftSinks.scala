@@ -30,6 +30,15 @@ object GraftSinks {
     compression.fold(w)(c => w.option("compression", c)).json(path)
   }
 
+  /** K2b — ORC output: the second columnar format Spark ships natively.
+    * Interop surface for warehouses standardized on ORC (Hive-lineage
+    * clusters); same predicate-pushdown/column-pruning contract as the
+    * parquet path. */
+  def writeOrc(df: DataFrame, path: String,
+               compression: String = "snappy"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression).orc(path)
+
   /** K4 — count-only terminal action (the reference's NullOutputFormat +
     * Hadoop-counter result, CountAnchor.java:48-56). */
   def countOnly(df: DataFrame): Long = df.count()
