@@ -50,7 +50,11 @@ object PruneOps {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
       s"mBits must be a power of two >= 64, got $mBits")
     graft.plans.GraftSparkExtensions.install(small.sparkSession)
+    // null keys contribute no positions (semi-join convention) — and must
+    // be dropped BEFORE the word aggregation: a null position row would
+    // read as word 0 / bits 0 at collect time and overwrite real bits
     val pos = small
+      .filter(col(smallKey).isNotNull)
       .select(explode(array(positions(col(smallKey), mBits, k): _*)).as("pos"))
       .distinct()
     val words = pos

@@ -28,6 +28,9 @@ object SessionOps {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_tms"))
     val prev = lag(col("_tms"), 1).over(w)
     events
+      // a null key or timestamp belongs to no session (and a null _tms
+      // would sort first and silently seed a bogus leading session)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol), unix_millis(col(tsCol)).as("_tms"),
         col(valueCol).as("_v"))
       .withColumn("_new",

@@ -118,6 +118,33 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(kept == again)
   }
 
+  test("bloomPrune ignores null keys on both sides") {
+    val small = Seq(Some(1L), None, Some(9L)).toDF("k")
+    val big = Seq(Some(1L), Some(2L), None, Some(9L)).toDF("bk")
+    val kept = PruneOps.bloomPrune(big, "bk", small, "k", mBits = 64, k = 3)
+      .as[Option[Long]].collect().flatten.toSet
+    // null never passes; the null small-side row must not corrupt word 0
+    // (a corrupted bitmap would drop 1 or 9, or admit extra low keys
+    // whose positions land in word 0)
+    assert(kept.contains(1L) && kept.contains(9L))
+    val noNull = PruneOps.bloomPrune(big, "bk",
+      Seq(1L, 9L).toDF("k"), "k", mBits = 64, k = 3)
+      .as[Option[Long]].collect().flatten.toSet
+    assert(kept == noNull)
+  }
+
+  test("sessionize drops null keys and timestamps instead of seeding sessions") {
+    val df = Seq(
+      (Option(1L), Option(new java.sql.Timestamp(1700000000000L)), 1.0),
+      (Option(1L), None, 2.0),
+      (None, Option(new java.sql.Timestamp(1700000005000L)), 3.0))
+      .toDF("user_id", "ts", "value")
+    val out = SessionOps.sessionize(df, "user_id", "ts", "value", 60000L)
+      .select(col("user_id"), col("n_events"), col("sum_value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1.0)))
+  }
+
   test("well-sized bloomPrune equals the exact semi-join on this key space") {
     val small = (0L until 50L).filter(_ % 7 == 0).toDF("k")
     val big = (0L until 1000L).toDF("bk")
