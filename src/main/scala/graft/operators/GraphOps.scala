@@ -36,17 +36,22 @@ object GraphOps {
   /** PageRank over `edges` (`src: long, dst: long`; parallel edges should
     * be pre-deduplicated by the caller if unweighted semantics are
     * intended). Returns (node, rank). */
-  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               checkpointEvery: Int = 5): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    // checkpointed like `weighted`: `nodes` appears in EVERY iteration's
+    // plan (the teleport re-join), so without materialization the
+    // union+distinct over the raw edge relation — the widest scan in the
+    // operator — would recompute once per round
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
     // one co-partitioned (src, dst, outdeg) relation reused every round
     val weighted = e.join(outdeg, "src").localCheckpoint()
     val n = nodes.count().toDouble
     val teleport = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = weighted
         .join(ranks, weighted("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
@@ -55,6 +60,10 @@ object GraphOps {
         .select(col("node"),
           (lit(teleport) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
+      // truncate the per-round join lineage before it compounds (the
+      // rank table is O(N) (long, double) rows — cheap to materialize)
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
