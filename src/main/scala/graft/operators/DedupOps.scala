@@ -198,7 +198,12 @@ object DedupOps {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // materialize the raw pair relation ONCE: both the edge set below
+    // and the singleton pass at the end read it, and without this the
+    // whole upstream candidate pipeline (LSH/shingle joins — the
+    // expensive part) would execute a second time for the self-pair scan
+    val p = pairs.select(col(aCol), col(bCol)).localCheckpoint()
+    var e = p.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var s = sig(e)
     var rounds = 0
@@ -229,7 +234,7 @@ object DedupOps {
     // emit them as singleton components (node, node) rather than
     // silently dropping them. The filter keeps the pass proportional to
     // the self-pair count, not the node count.
-    val singletons = pairs.filter(col(aCol) === col(bCol))
+    val singletons = p.filter(col(aCol) === col(bCol))
       .select(col(aCol).as("node")).distinct()
       .join(labels, Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
