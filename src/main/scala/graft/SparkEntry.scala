@@ -326,6 +326,20 @@ object SparkEntry {
       DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
 
+    "dedup_containment" -> ((s, d) => {
+      // planted boilerplate-wrapped supersets: every 97th doc reappears
+      // embedded in a wrapper page, so (doc, wrapper) pairs score ~1.0
+      // containment regardless of how small the doc is relative to the
+      // page — the asymmetric-dup case symmetric jaccard under-scores
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val wrapped = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("begin wrapper header "), col("text"),
+            lit(" end wrapper footer")).as("text"))
+      DedupOps.containmentPairs(docs.unionByName(wrapped), "doc_id", "text",
+        threshold = 0.9)
+    }),
+
     "stats_profile" -> ((s, d) =>
       TextAnalysisOps.corpusProfile(t(s, d, "documents"), "lang", "n_chars")),
 
@@ -1421,6 +1435,37 @@ object SparkEntry {
       |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin
 
+  /** Planted-wrapper containment pairs ≥ 0.9 (dedup_containment): the
+    * same shingle / df-cap chain as [[jaccardPairsSql]], over documents
+    * plus a boilerplate-wrapped copy of every 97th doc, scored with
+    * Broder containment i/min(na,nb) instead of symmetric jaccard. */
+  private val containmentPairsSql =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |   'begin wrapper header ' || text || ' end wrapper footer'
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |arrs AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> x <> '') AS a
+      |  FROM docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+      |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 0))) AS t(i)
+      |  WHERE len(a) >= 3),
+      |kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+      |shk AS (SELECT doc_id, sh.sh FROM sh JOIN kept USING (sh)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      |  FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ida AS id_a, idb AS id_b,
+      | round(i * 1.0 / least(sa.n, sb.n), 4) AS containment
+      |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+      |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9""".stripMargin
+
   /** 8-gram overlap vs the doc_id ≤ 2 probe set (text_contamination). */
   private val contaminationSql =
     """WITH arrs AS (
@@ -1658,6 +1703,8 @@ object SparkEntry {
         |FROM documents GROUP BY content_hash""".stripMargin,
 
     "dedup_jaccard" -> jaccardPairsSql,
+
+    "dedup_containment" -> containmentPairsSql,
 
     // components of the jaccard pair graph by transitive reachability
     // (recursive CTE): component = min reachable doc id — the same

@@ -112,6 +112,20 @@ object DedupOps {
     // shingle→hash stage is built-in HOFs + the native fnv64 expression
     // (same kernel as Hashing.fnv1a), so the per-document hot path stays
     // inside whole-stage codegen — no UDF.
+    shinglePairStats(docs, idCol, textCol, shingleK, maxShingleDf)
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Shared shingle-inverted-index pair machinery behind
+    * [[jaccardPairs]] and [[containmentPairs]]: distinct word-shingle
+    * sets (as 64-bit FNV keys), the df cap, and the candidate self-join
+    * — yielding (id_a, id_b, i, na, nb) with id_a < id_b. */
+  private def shinglePairStats(docs: DataFrame, idCol: String,
+                               textCol: String, shingleK: Int,
+                               maxShingleDf: Long): DataFrame = {
     graft.plans.GraftSparkExtensions.install(docs.sparkSession)
     val shingled = docs
       .select(col(idCol).as("id"), TermOps.tokens(col(textCol)).as("toks"))
@@ -130,11 +144,27 @@ object DedupOps {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) over the same
+    * shingle sets as [[jaccardPairs]]. Containment catches what
+    * symmetric Jaccard structurally misses — a document EMBEDDED in a
+    * larger one (boilerplate-wrapped copies, quote-expanded reposts):
+    * a 10-shingle doc inside a 200-shingle page has jaccard ≈ 0.05 but
+    * containment 1.0 (Broder's "containment" companion metric to
+    * resemblance, SEQUENCES'97). Which side is the superset is
+    * recoverable from the pair's sizes downstream; the df cap and
+    * inverted-index join keep the candidate set identical to the
+    * jaccard path — same 100 TB shape, different final metric. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleK: Int = 3,
+                       maxShingleDf: Long = 100L): DataFrame =
+    shinglePairStats(docs, idCol, textCol, shingleK, maxShingleDf)
+      .withColumn("containment",
+        col("i").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment"))
 
   /** Connected components over a near-dup pair list — the clustering
     * step that turns pairwise dedup output into "keep one doc per

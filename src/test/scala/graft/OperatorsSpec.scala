@@ -192,6 +192,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentPairs catches an embedded doc that jaccard misses") {
+    val small = (1 to 12).map("tok" + _).mkString(" ")
+    val page = "intro words here " + small + " plus " +
+      (300 to 380).map("w" + _).mkString(" ")
+    val docs = Seq((1L, small), (2L, page),
+      (3L, (500 to 560).map("z" + _).mkString(" "))).toDF("doc_id", "text")
+    val c = DedupOps.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    val m = c.map(p => (p._1, p._2) -> p._3).toMap
+    // all 10 shingles of doc 1 appear contiguously inside doc 2
+    assert(m((1L, 2L)) == 1.0)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // symmetric jaccard on the same pair: 10/(10+95-10) ≈ 0.105 — missed
+    val j = DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(!j.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
   test("connectedComponents labels chains and separate clusters by min id") {
     val pairs = Seq((2L, 1L), (2L, 3L), (8L, 7L)).toDF("id_a", "id_b")
     val out = DedupOps.connectedComponents(pairs)
