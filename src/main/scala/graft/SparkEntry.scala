@@ -1007,6 +1007,83 @@ object SparkEntry {
           col("n_win"), col("sum_win"))
     }),
 
+    "t5_locf" -> ((s, d) => {
+      // dense (event_type × day) grid with last-observation-carried-
+      // forward fill — the resample/gap-fill primitive. Grid = distinct
+      // types × the global day span (both tiny: broadcast); fill = the
+      // grouped-max-over-cumulative-count trick: grp counts observed
+      // days so far, so every gap row shares its grp with exactly one
+      // observed row and max() carries that value forward. Both windows
+      // and the final shape ride ONE exchange on event_type (the
+      // (event_type, grp) window re-uses the event_type hash
+      // partitioning — subset-clustering satisfies the distribution)
+      val ev = t(s, d, "events").select(col("event_type"),
+        expr("CAST(ts AS LONG) div 86400").as("day"), col("value"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_obs"), round(sum(col("value")), 2).as("day_sum"))
+      val days = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val grid = ev.select("event_type").distinct().crossJoin(days)
+      grid.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("grp", count(col("day_sum"))
+          .over(Window.partitionBy("event_type").orderBy("day")))
+        .withColumn("locf_sum",
+          max(col("day_sum")).over(Window.partitionBy("event_type", "grp")))
+        .select(col("event_type"), col("day"),
+          coalesce(col("n_obs"), lit(0L)).as("n_events"),
+          coalesce(col("locf_sum"), lit(0.0)).as("locf_sum"))
+    }),
+
+    "a14_rollup" -> ((s, d) =>
+      // multi-level aggregation in one pass: ROLLUP plans a single
+      // Expand over 3 grouping sets — (type, day), (type), () — feeding
+      // one partial+final hash aggregate, so subtotals and the grand
+      // total cost one shuffle instead of three queries; null grouping
+      // keys go out as sentinels to keep the compare null-free
+      t(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"), col("value"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit(-1L)).as("day"),
+          col("n_events"), col("sum_value"))),
+
+    "stats_group_quantiles" -> ((s, d) => {
+      // exact per-group quantiles via the explicit lower-quantile_disc
+      // rule (element at row floor((n-1)·p)+1 of the ascending sort):
+      // rank and group size come from two frames of the same window
+      // family and the groupBy re-uses the lang partitioning, so the
+      // whole query is ONE exchange. Exact-by-rule beats
+      // percentile_approx here: the rule is engine-replicable, an
+      // approx sketch never hash-matches. (For a pathological single
+      // giant group the same shape holds — the sort is within-group
+      // range-partitioned, not single-task.)
+      val wRank = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val wAll = Window.partitionBy(col("lang"))
+      t(s, d, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("r", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n_docs"),
+          max(when(col("r") === floor((col("n") - 1) * 0.5) + 1,
+            col("n_chars"))).as("p50_chars"),
+          max(when(col("r") === floor((col("n") - 1) * 0.9) + 1,
+            col("n_chars"))).as("p90_chars"))
+    }),
+
+    "search_boolean" -> ((s, d) =>
+      TermOps.booleanSearch(t(s, d, "documents"), "doc_id", "text",
+        Seq("scan", "join", "merge"))),
+
+    "funnel_steps" -> ((s, d) =>
+      // 3-step first-touch funnel view → click → purchase; per-step
+      // frontier = one row per surviving user, joins keyed on user_id
+      FunnelOps.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
     "o7_topk_group" -> ((s, d) => {
       // group-wise top-k: top-3 highest-price lineitems per supplier.
       // Spark plans a WindowGroupLimit (per-task top-k heaps BEFORE the
@@ -2622,6 +2699,81 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY tsec
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "t5_locf" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day, value
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day, count(*) AS n_obs,
+        |   round(sum(value), 2) AS day_sum
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |grid AS (
+        |  SELECT t.event_type, d.day
+        |  FROM (SELECT DISTINCT event_type FROM ev) t,
+        |       (SELECT unnest(generate_series(d0, d1)) AS day FROM span) d),
+        |f AS (
+        |  SELECT g.event_type, g.day, daily.n_obs, daily.day_sum,
+        |   count(daily.day_sum) OVER (PARTITION BY g.event_type
+        |     ORDER BY g.day) AS grp
+        |  FROM grid g LEFT JOIN daily
+        |    ON g.event_type = daily.event_type AND g.day = daily.day)
+        |SELECT event_type, day, COALESCE(n_obs, 0) AS n_events,
+        | COALESCE(max(day_sum) OVER (PARTITION BY event_type, grp), 0.0)
+        |   AS locf_sum
+        |FROM f""".stripMargin,
+
+    "a14_rollup" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day, value
+        |  FROM events)
+        |SELECT COALESCE(event_type, 'ALL') AS event_type,
+        | COALESCE(day, -1) AS day,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM ev GROUP BY ROLLUP (event_type, day)""".stripMargin,
+
+    // explicit lower-quantile_disc rule (row floor((n-1)*p)+1 of the
+    // ascending (n_chars, doc_id) sort) — engine-replicable, unlike any
+    // approx-percentile sketch
+    "stats_group_quantiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY n_chars, doc_id) AS r,
+        |   count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, max(n) AS n_docs,
+        | max(CASE WHEN r = CAST(floor((n-1)*0.5) AS BIGINT) + 1
+        |   THEN n_chars END) AS p50_chars,
+        | max(CASE WHEN r = CAST(floor((n-1)*0.9) AS BIGINT) + 1
+        |   THEN n_chars END) AS p90_chars
+        |FROM r GROUP BY lang""".stripMargin,
+
+    "search_boolean" ->
+      s"""SELECT doc_id, count(*) AS total_tf
+         |FROM ($tokensSub)
+         |WHERE term IN ('scan', 'join', 'merge')
+         |GROUP BY doc_id
+         |HAVING count(DISTINCT term) = 3""".stripMargin,
+
+    // first-touch funnel: frontier CTEs mirror FunnelOps.funnel's
+    // earliest-completion chaining at micro-second resolution
+    "funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |f1 AS (SELECT user_id, min(tus) AS t FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(e.tus) AS t FROM ev e
+        |  JOIN f1 ON e.user_id = f1.user_id AND e.tus > f1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(e.tus) AS t FROM ev e
+        |  JOIN f2 ON e.user_id = f2.user_id AND e.tus > f2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |  (SELECT count(*) FROM f1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)""".stripMargin,
 
     // full tie-break (price desc, orderkey, linenumber) makes row_number
     // deterministic on both engines

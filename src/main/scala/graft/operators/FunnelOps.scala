@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-event funnel analysis: how many users performed step 1, then
+  * step 2 strictly after their earliest step-1 completion, then step 3
+  * after that, and so on (first-touch chaining — taking the EARLIEST
+  * qualifying time at each step is the greedy-optimal rule: it can only
+  * enlarge the set of events eligible for the next step, so a user is
+  * counted iff ANY strictly-increasing assignment of their events to the
+  * step sequence exists).
+  *
+  * Scale shape: per-step state is one row per surviving user — the
+  * frontier (user_id, earliest completion time) — never the raw event
+  * list. Each step is filter(type) → join(frontier) on user_id →
+  * groupBy(user_id).min, so step k costs a filtered scan plus a keyed
+  * join against a monotonically shrinking frontier; once survivors fit
+  * in a broadcast, AQE demotes the shuffle join automatically. Time
+  * comparisons run on integral epoch-micros so the rule is replicable
+  * at a fixed resolution in any engine.
+  *
+  * No reference analogue (nearest are the per-page revision chains in
+  * experiments/ExtractTemporalTFDF.java:40-88); built for the events
+  * table as large-pipeline analytics surface.
+  */
+object FunnelOps {
+
+  /** Per-step reach counts over `steps` event types, in order:
+    * (step 1-based, event_type, n_users). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("event_type"), unix_micros(col(tsCol)).as("tus"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("tus")).as("frontier"))
+    val frontiers = steps.tail.foldLeft(List(first)) { (acc, step) =>
+      val next = ev.filter(col("event_type") === step)
+        .join(acc.head, "user_id")
+        .filter(col("tus") > col("frontier"))
+        .groupBy("user_id").agg(min(col("tus")).as("frontier"))
+      next :: acc
+    }.reverse
+    frontiers.zip(steps).zipWithIndex.map { case ((frontier, step), i) =>
+      frontier.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -168,6 +168,30 @@ object TermOps {
       .limit(k)
   }
 
+  /** Conjunctive (AND) boolean retrieval: docs containing EVERY query
+    * term, with the total occurrence count of query terms as a simple
+    * rank signal — the unscored companion to [[bm25Search]] (reference
+    * retrieval surface: WikiRevIndex4NonTemporalSearch.java:36-110
+    * builds the index both consume).
+    *
+    * Scale shape: the term filter runs INSIDE the explode, so only
+    * occurrences of the |Q| query terms ever leave the scan (a
+    * vanishing corpus fraction); the intersection is the two-phase
+    * distinct aggregation on doc_id — count distinct terms == |Q| —
+    * never a |Q|-way self-join of postings lists. */
+  def booleanSearch(docs: DataFrame, idCol: String, textCol: String,
+                    queryTerms: Seq[String]): DataFrame = {
+    val terms = queryTerms.distinct
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+        explode(filter(toks, t => t.isin(terms: _*))).as("term"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("total_tf"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
   /** Positional postings (doc_id, pos, term), 0-based — the positional
     * layer of the inverted index (the reference's index build keeps
     * term positions implicitly via BOW ordering; phrase retrieval needs

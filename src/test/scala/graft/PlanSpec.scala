@@ -49,6 +49,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("a14 rollup plans one Expand feeding a single aggregate exchange") {
+    val p = plan("a14_rollup")
+    assert(p.contains("Expand"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("group quantiles ride one exchange (rank, size and agg share it)") {
+    val p = plan("stats_group_quantiles")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("wikirev scan prunes text when only headers are projected") {
     val df = graft.sources.WikiXml.readHeaders(spark,
       graft.sources.WikiFixtures.standardXmlPath)

@@ -48,6 +48,38 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq((7L, 3L), (10L, 3L))) // size tie → lower key first
   }
 
+  // ---- FunnelOps ----
+
+  test("funnel counts only strictly-ordered step completions") {
+    // user 1 completes view→click→purchase in order; user 2's clicks are
+    // at or before their first view (same-micro tie must NOT count);
+    // user 3 stops after view
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "click", 100L), (2L, "view", 200L), (2L, "click", 200L),
+      (3L, "view", 50L)
+    ).toDF("user_id", "event_type", "tus")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("tus")).as("ts"))
+    val out = FunnelOps.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect()
+    assert(out.map(r => r._1 -> r._3).toMap ==
+      Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(1 -> "view", 2 -> "click", 3 -> "purchase"))
+  }
+
+  // ---- TermOps boolean search ----
+
+  test("booleanSearch requires every term and totals occurrences") {
+    val docs = Seq((1L, "scan join scan"), (2L, "scan scan"), (3L, "join"))
+      .toDF("doc_id", "text")
+    val r = TermOps.booleanSearch(docs, "doc_id", "text", Seq("scan", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L)) // docs 2 and 3 miss a term
+  }
+
   // ---- TermOps phrase search ----
 
   test("phraseMatch counts aligned positional occurrences") {
