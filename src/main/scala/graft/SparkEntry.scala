@@ -1084,6 +1084,74 @@ object SparkEntry {
       FunnelOps.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
 
+    "a15_pivot" -> ((s, d) => {
+      // wide-format pivot via conditional aggregates over an EXPLICIT
+      // value list: long-to-wide for ONE aggregation exchange (pinned).
+      // Dataset.pivot would plan a two-phase aggregate — a pre-agg on
+      // (dow, event_type) plus a PivotFirst pass, i.e. a second keyed
+      // shuffle — which a fixed value list makes unnecessary; count of
+      // a when() is never null, so no fill pass either
+      val vals = Seq("click", "error", "purchase", "signup", "view")
+      t(s, d, "events")
+        .select(expr("(CAST(ts AS LONG) div 86400) % 7").as("dow"),
+          col("event_type"))
+        .groupBy("dow")
+        .agg(count(when(col("event_type") === vals.head, 1)).as(vals.head),
+          vals.tail.map(v =>
+            count(when(col("event_type") === v, 1)).as(v)): _*)
+    }),
+
+    "stats_corr" -> ((s, d) => {
+      // per-lang Pearson correlation of chars vs tokens from exact
+      // integer co-moments: the five sums are exact longs on both
+      // engines (int products < 2^63, far under the 2^53 double-exact
+      // bound after the closed-form differences), so the final corr is
+      // ONE fixed double expression over identical inputs. Spark's
+      // built-in corr() keeps incremental double co-moments —
+      // summation-order-dependent, it could never hash-match an oracle
+      val base = t(s, d, "documents").select(col("lang"),
+        col("n_chars").as("x"),
+        size(TermOps.tokens(col("text"))).cast("long").as("y"))
+      base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lang"), col("n").as("n_docs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 4)
+            .as("corr_chars_tokens"))
+    }),
+
+    "sample_bottomk" -> ((s, d) =>
+      // deterministic uniform sample: bottom-100 docs by keyed hash —
+      // the reproducible form of reservoir sampling (same rows whatever
+      // the partitioning/order/cluster), TakeOrderedAndProject plan
+      SketchOps.bottomKSample(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", 100, "bk")),
+
+    "k9_upsert" -> ((s, d) => {
+      // MERGE-shaped incremental maintenance round-trip: every 10th doc
+      // re-scored (lang→'xx', n_chars bumped), one new doc appended;
+      // updates override, unmatched base rows pass through, and the
+      // merged corpus round-trips through the parquet sink
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val rescored = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"),
+          (col("n_chars") + 1000000L).as("n_chars"))
+      val inserted = base.agg(max(col("doc_id")).as("doc_id"))
+        .select((col("doc_id") + 1L).as("doc_id"),
+          lit("new").as("lang"), lit(1L).as("n_chars"))
+      val merged = MergeOps.upsert(base,
+        rescored.unionByName(inserted), "doc_id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_k9").toString
+      graft.sources.GraftSinks.writeParquet(merged, dir, compression = "zstd")
+      s.read.parquet(dir)
+    }),
+
     "o7_topk_group" -> ((s, d) => {
       // group-wise top-k: top-3 highest-price lineitems per supplier.
       // Spark plans a WindowGroupLimit (per-task top-k heaps BEFORE the
@@ -2774,6 +2842,62 @@ object SparkEntry {
         |  (SELECT count(*) FROM f1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)""".stripMargin,
+
+    "a15_pivot" ->
+      """SELECT (epoch_us(ts) // 1000000 // 86400) % 7 AS dow,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // exact integer co-moments -> identical BIGINTs on both engines;
+    // corr is then one fixed double expression (see the query comment)
+    "stats_corr" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars AS x,
+        |   len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     s -> s <> '')) AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, count(*) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x*y) AS BIGINT) AS sxy,
+        |   CAST(sum(x*x) AS BIGINT) AS sxx,
+        |   CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n AS n_docs,
+        | round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |   sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |        CAST(n*syy - sy*sy AS DOUBLE)), 4) AS corr_chars_tokens
+        |FROM a""".stripMargin,
+
+    // unsigned HUGEINT FNV folded to Spark's signed-long order before
+    // the bottom-k
+    "sample_bottomk" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, ${fnvSql("doc_id::VARCHAR || '#bk'")} AS fu
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |   CAST(CASE WHEN fu >= 9223372036854775808::HUGEINT
+         |     THEN fu - 18446744073709551616::HUGEINT ELSE fu END
+         |     AS BIGINT) AS h
+         |  FROM f)
+         |SELECT doc_id, h FROM h ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    "k9_upsert" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |upd AS (
+        |  SELECT doc_id, 'xx' AS lang, n_chars + 1000000 AS n_chars
+        |  FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT (SELECT max(doc_id) + 1 FROM base), 'new', 1)
+        |SELECT COALESCE(u.doc_id, b.doc_id) AS doc_id,
+        | COALESCE(u.lang, b.lang) AS lang,
+        | COALESCE(u.n_chars, b.n_chars) AS n_chars
+        |FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id""".stripMargin,
 
     // full tie-break (price desc, orderkey, linenumber) makes row_number
     // deterministic on both engines

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE-shaped incremental maintenance: `upsert` applies a batch of
+  * updated/new rows onto a base table — matched keys are overridden by
+  * the update side, unmatched base rows pass through, unmatched update
+  * rows append. The primitive behind periodic corpus refresh
+  * (re-crawled pages, re-scored quality, backfilled metadata) without
+  * rewriting pipelines as full recomputes.
+  *
+  * Scale shape: ONE full-outer shuffle join on the key; the delta side
+  * is typically a small fraction of the base, so with a bucketed or
+  * pre-partitioned base layout the exchange reduces to the delta side
+  * and the join is local. Column resolution is per-column coalesce
+  * (update wins), which keeps the whole merge inside whole-stage
+  * codegen — no row-level merge UDF.
+  *
+  * Caveat (documented, standard for coalescing upserts): an update row
+  * cannot set a column to NULL — NULL in the update side means "keep
+  * the base value".
+  */
+object MergeOps {
+
+  /** Merge `updates` onto `base` by `keyCol`; both inputs must share
+    * the same schema. */
+  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
+    require(base.columns.toSeq == updates.columns.toSeq,
+      s"upsert needs identical schemas, got ${base.columns.toSeq} vs ${updates.columns.toSeq}")
+    val dataCols = base.columns.toSeq.filterNot(_ == keyCol)
+    val b = dataCols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
+    val u = dataCols.foldLeft(updates)((df, c) => df.withColumnRenamed(c, s"__u_$c"))
+    b.join(u, Seq(keyCol), "full_outer")
+      .select(col(keyCol) +: dataCols.map(c =>
+        coalesce(col(s"__u_$c"), col(s"__b_$c")).as(c)): _*)
+  }
+}

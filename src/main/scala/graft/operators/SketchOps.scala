@@ -142,4 +142,22 @@ object SketchOps {
       // cell row on some path -> estimate 0
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
+
+  /** Deterministic uniform sample: the k rows whose keyed FNV hash is
+    * smallest — reproducible reservoir sampling. Unlike rand()-based
+    * sampling, the selected set is a pure function of (key set, salt):
+    * invariant to partitioning, row order, cluster size and retries,
+    * which is what makes a 100 TB sample auditable and re-runnable.
+    * Plans as TakeOrderedAndProject — an O(k) heap per task and k rows
+    * over the wire, never a global sort. Different `salt` values give
+    * independent samples. Output: input columns + the `h` ordering key
+    * (also the proof-of-selection witness). */
+  def bottomKSample(df: DataFrame, keyCol: String, k: Int,
+                    salt: String = ""): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(df.sparkSession)
+    df.withColumn("h", call_function("fnv64",
+        concat(col(keyCol).cast("string"), lit(s"#$salt"))))
+      .orderBy(col("h").asc, col(keyCol).asc)
+      .limit(k)
+  }
 }

@@ -60,6 +60,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("a15 pivot with explicit values costs one aggregation exchange") {
+    val p = plan("a15_pivot")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("bottom-k sample plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("sample_bottomk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("wikirev scan prunes text when only headers are projected") {
     val df = graft.sources.WikiXml.readHeaders(spark,
       graft.sources.WikiFixtures.standardXmlPath)

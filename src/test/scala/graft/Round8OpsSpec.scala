@@ -70,6 +70,31 @@ class Round8OpsSpec extends AnyFunSuite {
       Map(1 -> "view", 2 -> "click", 3 -> "purchase"))
   }
 
+  // ---- MergeOps ----
+
+  test("upsert overrides matched keys, appends new, passes the rest") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "lang", "n")
+    val upd = Seq((2L, "B", 200L), (3L, "c", 30L)).toDF("id", "lang", "n")
+    val out = MergeOps.upsert(base, upd, "id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L)))
+  }
+
+  // ---- SketchOps bottom-k sample ----
+
+  test("bottomKSample is invariant to partitioning and input order") {
+    val df = (1L to 500L).toDF("k")
+    val a = SketchOps.bottomKSample(df.repartition(13), "k", 20)
+      .select("k").as[Long].collect().toSet
+    val b = SketchOps.bottomKSample(df.orderBy(col("k").desc).coalesce(1), "k", 20)
+      .select("k").as[Long].collect().toSet
+    assert(a == b && a.size == 20)
+    // a different salt draws an (almost surely) different sample
+    val c = SketchOps.bottomKSample(df, "k", 20, salt = "other")
+      .select("k").as[Long].collect().toSet
+    assert(a != c)
+  }
+
   // ---- TermOps boolean search ----
 
   test("booleanSearch requires every term and totals occurrences") {
