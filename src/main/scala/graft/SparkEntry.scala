@@ -1132,6 +1132,45 @@ object SparkEntry {
       SketchOps.bottomKSample(
         t(s, d, "documents").select(col("doc_id")), "doc_id", 100, "bk")),
 
+    "t6_sliding_distinct" -> ((s, d) => {
+      // trailing-7-day distinct users per day with BOUNDED fanout: the
+      // scalable form of sliding count-distinct. (day,user) distinct
+      // first (shrinks to active-pairs), explode each pair into the ≤7
+      // window-days it serves, distinct again, count — state is never
+      // a per-window user list, and every stage is a keyed exchange
+      // over at most 7× the active-pair count. A window-function
+      // count-distinct doesn't exist; recomputing each window from raw
+      // events would be 7 full passes
+      val ev = t(s, d, "events")
+        .select(expr("CAST(ts AS LONG) div 86400").as("day"), col("user_id"))
+        .distinct()
+      val mx = ev.agg(max("day").as("m"))
+      ev.select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .distinct()
+        .crossJoin(broadcast(mx))
+        .filter(col("day") <= col("m"))
+        .groupBy("day").agg(count(lit(1)).as("n_users_7d"))
+    }),
+
+    "stats_histogram" -> ((s, d) => {
+      // fixed-width binned value profile with cumulative fraction — the
+      // ONE-PASS MERGEABLE complement to the exact rank-rule quantiles:
+      // bin counts merge by sum across any partitioning (the 100 TB
+      // profile is agg-only), and quantile read-off is the first bin
+      // with cum_frac ≥ p. The global window runs on O(bins) rows, not
+      // O(events); cum/n is a ratio of exact longs so the rounded
+      // fraction is engine-identical
+      val bins = t(s, d, "events")
+        .select(floor(col("value") / 8.0).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val n = bins.agg(sum("cnt").as("n"))
+      bins.withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+        .crossJoin(broadcast(n))
+        .select(col("bin"), (col("bin") * 8.0).as("lo"), col("cnt"),
+          round(col("cum").cast("double") / col("n"), 4).as("cum_frac"))
+    }),
+
     "k9_upsert" -> ((s, d) => {
       // MERGE-shaped incremental maintenance round-trip: every 10th doc
       // re-scored (lang→'xx', n_chars bumped), one new doc appended;
@@ -2886,6 +2925,27 @@ object SparkEntry {
          |     AS BIGINT) AS h
          |  FROM f)
          |SELECT doc_id, h FROM h ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    "t6_sliding_distinct" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT epoch_us(ts) // 1000000 // 86400 AS day, user_id
+        |  FROM events),
+        |ex AS (
+        |  SELECT DISTINCT day + i AS day, user_id
+        |  FROM ev, unnest(generate_series(0, 6)) AS t(i)),
+        |mx AS (SELECT max(day) AS m FROM ev)
+        |SELECT day, count(*) AS n_users_7d
+        |FROM ex, mx WHERE day <= m GROUP BY day""".stripMargin,
+
+    "stats_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value / 8.0) AS BIGINT) AS bin, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b)
+        |SELECT bin, bin * 8.0 AS lo, cnt,
+        | round(CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) * 1.0 / n.n, 4)
+        |   AS cum_frac
+        |FROM b, n""".stripMargin,
 
     "k9_upsert" ->
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
