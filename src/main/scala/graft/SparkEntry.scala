@@ -1171,6 +1171,16 @@ object SparkEntry {
           round(col("cum").cast("double") / col("n"), 4).as("cum_frac"))
     }),
 
+    "k10_seqfile_roundtrip" -> ((s, d) => {
+      // K2c: the reference's native SequenceFile container round-trips
+      // — existing Hadoop consumers could read this output unchanged
+      val dir = java.nio.file.Files.createTempDirectory("graft_k10")
+        .toString + "/seq"
+      graft.sources.GraftSinks.writeSequenceFile(
+        t(s, d, "documents").select(col("doc_id"), col("text")), dir)
+      graft.sources.GraftSinks.readSequenceFile(s, dir, "doc_id", "text")
+    }),
+
     "k9_upsert" -> ((s, d) => {
       // MERGE-shaped incremental maintenance round-trip: every 10th doc
       // re-scored (lang→'xx', n_chars bumped), one new doc appended;
@@ -2946,6 +2956,9 @@ object SparkEntry {
         | round(CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) * 1.0 / n.n, 4)
         |   AS cum_frac
         |FROM b, n""".stripMargin,
+
+    "k10_seqfile_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
 
     "k9_upsert" ->
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),

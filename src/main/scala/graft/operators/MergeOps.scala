@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * (update wins), which keeps the whole merge inside whole-stage
   * codegen — no row-level merge UDF.
   *
-  * Caveat (documented, standard for coalescing upserts): an update row
-  * cannot set a column to NULL — NULL in the update side means "keep
-  * the base value".
+  * Caveats (documented, standard for coalescing upserts): an update
+  * row cannot set a column to NULL — NULL in the update side means
+  * "keep the base value" — and both sides must be unique on the key
+  * (duplicate keys would multiply through the join, as in SQL MERGE,
+  * where they are a runtime error).
   */
 object MergeOps {
 

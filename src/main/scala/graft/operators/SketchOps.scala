@@ -155,7 +155,12 @@ object SketchOps {
   def bottomKSample(df: DataFrame, keyCol: String, k: Int,
                     salt: String = ""): DataFrame = {
     graft.plans.GraftSparkExtensions.install(df.sparkSession)
-    df.withColumn("h", call_function("fnv64",
+    // null keys are excluded rather than hashed: a null key would get a
+    // null hash and engines disagree on null sort position (Spark
+    // NULLS FIRST vs others' NULLS LAST), which would silently make
+    // the "deterministic" sample engine-dependent
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("h", call_function("fnv64",
         concat(col(keyCol).cast("string"), lit(s"#$salt"))))
       .orderBy(col("h").asc, col(keyCol).asc)
       .limit(k)

@@ -53,4 +53,31 @@ object GraftSinks {
     * an optional optimization artifact (SURVEY §2.1 S19). */
   def writeSplitIndex(index: DataFrame, path: String): Unit =
     writeParquet(index, path)
+
+  /** K2c — Hadoop SequenceFile interop sink for a (long key, string
+    * value) frame: the reference's NATIVE output container
+    * (SequenceFileOutputFormat throughout its jobs), so existing
+    * MapReduce/Pig consumers can read this engine's output unchanged.
+    * RDD API is justified here — Spark has no DataFrame writer for
+    * SequenceFile, and the conversion is a per-partition map with no
+    * driver involvement; parquet stays the engine-internal format. */
+  def writeSequenceFile(df: DataFrame, path: String,
+                        codec: Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]] = None): Unit = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.spark.rdd.RDD._
+    val rdd = df.rdd.map(r => (new LongWritable(r.getLong(0)), new Text(r.getString(1))))
+    codec match {
+      case Some(c) => rdd.saveAsSequenceFile(path, Some(c))
+      case None    => rdd.saveAsSequenceFile(path)
+    }
+  }
+
+  /** K2c read side: SequenceFile[LongWritable, Text] → (key, value)
+    * frame. Splittable the Hadoop way (block boundaries), so partition
+    * planning matches what the reference's jobs saw. */
+  def readSequenceFile(spark: org.apache.spark.sql.SparkSession, path: String,
+                       keyCol: String = "key", valueCol: String = "value"): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[Long, String](path).toDF(keyCol, valueCol)
+  }
 }

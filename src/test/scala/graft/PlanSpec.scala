@@ -163,23 +163,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
-  test("no query plans a ScalaUDF: the whole function surface is codegen-tier") {
-    // excluded: streaming queries and sink round-trips (building them
-    // executes side effects), the one deliberately-imperative seam
-    // (per-file split-offset scan), and mapPartitions-based multimodal
-    // decode (object serde, not a UDF). Frame sampling is native now
-    // (frame_sigs expression), so mm_frame_sample is swept like any query.
-    val excluded = Set("st_windowed_counts", "st_sessions", "st_sessions_event",
-      "k1_tsv_roundtrip", "k2_parquet_roundtrip", "k5_json_roundtrip",
-      "k6_compressed_sink", "k7_dict_roundtrip", "s19_split_index")
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(excluded)
-      .filter { name =>
-        val p = SparkEntry.queries(name)(spark, sf)
+  // excluded from whole-suite sweeps: streaming queries and sink round-
+  // trips (building them executes side effects), the one deliberately-
+  // imperative seam (per-file split-offset scan), and mapPartitions-
+  // based multimodal decode (object serde, not a UDF). Frame sampling
+  // is native now (frame_sigs expression), so mm_frame_sample is swept
+  // like any query.
+  private val sweepExcluded = Set("st_windowed_counts", "st_sessions",
+    "st_sessions_event", "k1_tsv_roundtrip", "k2_parquet_roundtrip",
+    "k5_json_roundtrip", "k6_compressed_sink", "k7_dict_roundtrip",
+    "s19_split_index")
+
+  private lazy val sweepPlans: Seq[(String, String)] =
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(sweepExcluded)
+      .map { name =>
+        name -> SparkEntry.queries(name)(spark, sf)
           .queryExecution.executedPlan.toString
-        p.contains("ScalaUDF") || p.contains("UDF(")
       }
+
+  test("no query plans a ScalaUDF: the whole function surface is codegen-tier") {
+    val offenders = sweepPlans.collect {
+      case (name, p) if p.contains("ScalaUDF") || p.contains("UDF(") => name
+    }
     assert(offenders.isEmpty, s"queries still planning UDFs: $offenders")
+  }
+
+  test("no query plans a CartesianProduct: every cross is a tiny broadcast") {
+    // a crossJoin against a broadcast-sized side plans BroadcastNested-
+    // LoopJoin (fine: one side is O(1)); CartesianProductExec means an
+    // unbounded pairwise blow-up reached the planner — always a bug at
+    // 100 TB
+    val offenders = sweepPlans.collect {
+      case (name, p) if p.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"queries planning cartesian products: $offenders")
   }
 
   test("j7 bloom prune keeps the fact side join-free") {

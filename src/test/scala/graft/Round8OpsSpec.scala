@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.functions.UrlFunctions
+import graft.sources.GraftSinks
 
 class Round8OpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -68,6 +69,23 @@ class Round8OpsSpec extends AnyFunSuite {
       Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
     assert(out.map(r => r._1 -> r._2).toMap ==
       Map(1 -> "view", 2 -> "click", 3 -> "purchase"))
+  }
+
+  // ---- GraftSinks SequenceFile interop ----
+
+  test("sequence file round-trips, including bzip2 block compression") {
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "")).toDF("k", "v")
+    val plain = java.nio.file.Files.createTempDirectory("seqrt").toString + "/p"
+    GraftSinks.writeSequenceFile(df, plain)
+    assert(GraftSinks.readSequenceFile(spark, plain)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (2L, "beta"), (3L, "")))
+    val bz = java.nio.file.Files.createTempDirectory("seqrt").toString + "/b"
+    GraftSinks.writeSequenceFile(df, bz,
+      Some(classOf[org.apache.hadoop.io.compress.BZip2Codec]))
+    assert(GraftSinks.readSequenceFile(spark, bz)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (2L, "beta"), (3L, "")))
   }
 
   // ---- MergeOps ----
