@@ -247,4 +247,87 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "sim", "rank")
   }
+
+  /** Squared-L2 distance as a SEQUENTIAL left fold (zip_with +
+    * aggregate): fixed evaluation order makes the double bit-replicable
+    * in an oracle engine, same contract as [[cosine]]. */
+  private[graft] def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011): the
+    * memory-bound scale path the brute/IVF/LSH family lacks. The
+    * 64-dim corpus compresses to `m` small codes per vector (8 codes ×
+    * 16 centroids = 8 half-bytes vs 512 bytes of floats — the reason a
+    * 100 TB embedding corpus can be searched from RAM); queries score
+    * via asymmetric distance computation (ADC): per query, an m×codes
+    * lookup table of subspace distances, then each corpus vector costs
+    * m table lookups instead of a d-dim dot product.
+    *
+    * Deterministic by construction, like [[ClusterOps.kmeansAssign]]:
+    * per-subspace codebooks train with the same no-RNG Lloyd recipe
+    * (init = vec_id % codes, fixed 2 rounds, argmin ties to the lower
+    * code), and every distance is the [[l2sq]] ordered fold, so the
+    * whole pipeline — codebooks, codes, ADC distances — replays
+    * exactly in SQL.
+    *
+    * Scale shape: codebooks (m × codes × dsub doubles) and the per-
+    * query ADC tables (queries × m × codes rows) broadcast; the corpus
+    * never re-shuffles — encoding is a broadcast join + argmin hash
+    * aggregation on (vec_id, s), and the ADC scan is a broadcast
+    * lookup join + one hash aggregation per (query, vec). Compose with
+    * IVF coarse cells (ivfTopK) for IVFPQ when even the O(corpus ×
+    * queries) table-lookup scan is too much.
+    *
+    * Output: (query_id, nbr_id, adc, rank) — adc ascending (smaller =
+    * closer), self-matches excluded. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val dsub = dims / m
+    def subvectors(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        posexplode(array((0 until m).map(s =>
+          slice(col("embedding"), s * dsub + 1, dsub)): _*)).as(Seq("s", "sub")))
+
+    val subs = subvectors(corpus, "vec_id")
+    // centroid table (s, code, cent) from an assignment (vec_id, s, code)
+    def recompute(assigned: DataFrame): DataFrame =
+      subs.join(assigned, Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("dim", "v")))
+        .groupBy("s", "code", "dim").agg(avg(col("v")).as("cv"))
+        .groupBy("s", "code")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("cent"))
+    // nearest-code assignment (argmin l2sq, ties to the lower code)
+    def assign(cent: DataFrame): DataFrame =
+      subs.join(broadcast(cent), Seq("s"))
+        .withColumn("d", l2sq(col("sub"), col("cent")))
+        .groupBy("vec_id", "s")
+        .agg(max_by(col("code"), struct(-col("d"), -col("code"))).as("code"))
+
+    val init = subs.select(col("vec_id"), col("s"),
+      pmod(col("vec_id"), lit(codes.toLong)).as("code"))
+    val cent1 = recompute(init)
+    val cent2 = recompute(assign(cent1))
+    val encoded = assign(cent2) // (vec_id, s, code): the compressed corpus
+
+    // ADC tables: distance from each query subvector to every centroid
+    val qtab = subvectors(queries, "query_id")
+      .join(broadcast(cent2), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        l2sq(col("sub"), col("cent")).as("d"))
+    val adist = encoded.join(broadcast(qtab), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(collect_list(struct(col("s"), col("d"))).as("ds"))
+      // ordered fold over subspaces: engine-replicable sum
+      .withColumn("adc", aggregate(
+        transform(array_sort(col("ds")), x => x.getField("d")),
+        lit(0.0d), (acc, x) => acc + x))
+    adist.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"), col("adc"), col("rank"))
+  }
 }

@@ -71,6 +71,23 @@ class Round8OpsSpec extends AnyFunSuite {
       Map(1 -> "view", 2 -> "click", 3 -> "purchase"))
   }
 
+  // ---- SimilarityOps product quantization ----
+
+  test("pqTopK ranks same-cluster vectors first on a planted corpus") {
+    // two tight groups in 8-dim space; PQ codes must separate them
+    val vecs = (1L to 20L).map { id =>
+      val base = if (id <= 10) 1.0 else 9.0
+      (id, Array.tabulate(8)(j => base + 0.01 * ((id + j) % 5)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = SimilarityOps.pqTopK(df, df.filter(col("vec_id").isin(1L, 15L)),
+      k = 3, m = 2, codes = 4, dims = 8)
+      .select("query_id", "nbr_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ(1L).size == 3 && byQ(1L).forall(_._2 <= 10))
+    assert(byQ(15L).size == 3 && byQ(15L).forall(_._2 > 10))
+  }
+
   // ---- GraftSinks SequenceFile interop ----
 
   test("sequence file round-trips, including bzip2 block compression") {
