@@ -308,8 +308,12 @@ object SimilarityOps {
 
     val init = subs.select(col("vec_id"), col("s"),
       pmod(col("vec_id"), lit(codes.toLong)).as("code"))
-    val cent1 = recompute(init)
-    val cent2 = recompute(assign(cent1))
+    // codebooks are m×codes rows — localCheckpoint them so the training
+    // subtree runs ONCE instead of re-executing inside every consumer
+    // branch (encoding, the ADC tables); same lineage-truncation move
+    // as GraphOps/connectedComponents
+    val cent1 = recompute(init).localCheckpoint()
+    val cent2 = recompute(assign(cent1)).localCheckpoint()
     val encoded = assign(cent2) // (vec_id, s, code): the compressed corpus
 
     // ADC tables: distance from each query subvector to every centroid
