@@ -1451,6 +1451,40 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    "st_static_join" -> ((s, d) => {
+      // stream-static enrichment through the gate: the live feed joins a
+      // dim table derived from the batch events table (tier = user_id%3)
+      // and aggregates per (10-min window, tier); the second batch
+      // updates an existing window in complete mode
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val dim = t(ss, d, "events").select(col("user_id")).distinct()
+        .withColumn("tier",
+          concat(lit("t"), pmod(col("user_id"), lit(3L)).cast("string")))
+      val q = EventStreamOps.enrichedWindowedSums(mem.toDF(), dim, "user_id",
+          "tier", "ts", "10 minutes")
+        .writeStream.format("memory").queryName("st_sj_out")
+        .outputMode("complete").start()
+      def e(u: Long, t: String, v: Double) =
+        EventStreamOps.Event(u, java.sql.Timestamp.valueOf(t), v)
+      try {
+        mem.addData(
+          e(1, "2024-01-01 00:01:00", 1.5), // tier t1, window 00:00
+          e(4, "2024-01-01 00:04:00", 2.5), // tier t1, same window
+          e(2, "2024-01-01 00:12:00", 3.0)) // tier t2, window 00:10
+        q.processAllAvailable()
+        mem.addData(e(1, "2024-01-01 00:13:00", 4.0)) // t1 joins window 00:10
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_sj_out")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("w_start"), col("tier"), col("n_events"), col("sum_value"))
+    }),
+
     "st_dedup" -> ((s, _) => {
       // streaming exact dedup through the gate: in-batch and cross-batch
       // duplicates of a live key drop; a key re-emits once the watermark
@@ -2568,6 +2602,15 @@ object SparkEntry {
         | CAST(col2 AS BIGINT) AS n_events
         |FROM (VALUES ('2024-01-01 00:00:00', 1, 2),
         | ('2024-01-01 00:10:00', 2, 1), ('2024-01-01 00:10:00', 1, 1)) t""".stripMargin,
+
+    // golden trace: tiers t1 (users 1,4) and t2 (user 2) from the
+    // user_id%3 dim; window 00:10 accumulates across two micro-batches
+    "st_static_join" ->
+      """SELECT col0 AS w_start, col1 AS tier, CAST(col2 AS BIGINT) AS n_events,
+        | CAST(col3 AS DOUBLE) AS sum_value
+        |FROM (VALUES ('2024-01-01 00:00:00', 't1', 2, 4.0),
+        | ('2024-01-01 00:10:00', 't2', 1, 3.0),
+        | ('2024-01-01 00:10:00', 't1', 1, 4.0)) t""".stripMargin,
 
     "s3_xml_scan" ->
       """SELECT CAST(col0 AS BIGINT) AS page_id, CAST(col1 AS BIGINT) AS rev_id,

@@ -26,6 +26,26 @@ object EventStreamOps {
       .select(col(s"window.start").as("window_start"),
         col(s"window.end").as("window_end"), col(keyCol), col("n_events"))
 
+  /** Stream-static enrichment join + windowed per-tier aggregation:
+    * every micro-batch joins the live stream against a STATIC dimension
+    * and aggregates into event-time windows. The dim side holds no
+    * streaming state — unlike a stream-stream join there is no
+    * watermark buffer for it, and broadcast keeps it off the shuffle
+    * path entirely; the static relation re-plans per micro-batch, so a
+    * refreshed dimension table is picked up between batches (the
+    * slowly-changing-metadata pattern for attaching user/doc tiers to
+    * a live event feed). Left join: an unknown key flows through with a
+    * null tier instead of silently dropping events. */
+  def enrichedWindowedSums(events: DataFrame, dim: DataFrame, key: String,
+                           tierCol: String, tsCol: String,
+                           win: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), win),
+        col(tierCol))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(tierCol),
+        col("n_events"), col("sum_value"))
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,
