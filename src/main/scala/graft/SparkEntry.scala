@@ -519,6 +519,17 @@ object SparkEntry {
           round(col("adc"), 4).as("adc"), col("rank"))
     }),
 
+    "ann_ivfpq_topk" -> ((s, d) => {
+      // IVFPQ: coarse cells prune to ~nProbe/nCentroids of the corpus,
+      // PQ ADC answers distances inside the pruned set — the
+      // billion-vector recipe, fully deterministic (see SimilarityOps)
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      SimilarityOps.ivfpqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("adc"), 4).as("adc"), col("rank"))
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -1592,6 +1603,78 @@ object SparkEntry {
     s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, $d), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
 
+  /** The PQ oracle chain (shared by ann_pq_topk and ann_ivfpq_topk):
+    * per-subspace Lloyd training, encoding, ADC tables and the
+    * ordered-fold distance sums, mirroring SimilarityOps.pqAdcRank.
+    * `ivfPruned` restricts the scored set to the IVF coarse cells the
+    * query probes (SimilarityOps.ivfpqTopK). */
+  private def pqAdcOracleSql(ivfPruned: Boolean): String = {
+    def centFrom(assigned: String) =
+      s"""SELECT s, code, list(cv ORDER BY dim) AS cent FROM (
+         |   SELECT u.s AS s, u.code AS code, u.dim AS dim, avg(u.v) AS cv FROM (
+         |     SELECT sub.s, a.code, unnest(sub.sub) AS v,
+         |            generate_subscripts(sub.sub, 1) AS dim
+         |     FROM sub JOIN $assigned a USING (vec_id, s)) u
+         |   GROUP BY s, code, dim) g
+         | GROUP BY s, code""".stripMargin
+    def assignFrom(cent: String) =
+      s"""SELECT sub.vec_id, sub.s, $cent.code,
+         |  row_number() OVER (PARTITION BY sub.vec_id, sub.s
+         |    ORDER BY ${l2sqSql("sub.sub", s"$cent.cent", 8)} ASC,
+         |             $cent.code ASC) AS rn
+         | FROM sub JOIN $cent ON sub.s = $cent.s""".stripMargin
+    val ivfCtes =
+      s"""cents AS (
+         |  SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+         |  ORDER BY ${hash32Sql("(vec_id + 1)")}, vec_id LIMIT 16),
+         |csc AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cosSql("e.emb", "c.cent_emb")} DESC, c.cent_id ASC) AS rn
+         |  FROM e CROSS JOIN cents c),
+         |cells AS (SELECT vec_id, cent_id FROM csc WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id FROM csc
+         |           WHERE vec_id < 10 AND rn <= 3),
+         |cand AS (SELECT p.query_id, c.vec_id
+         |         FROM cells c JOIN probes p USING (cent_id)
+         |         WHERE c.vec_id <> p.query_id),""".stripMargin
+    val sc =
+      if (ivfPruned)
+        """sc AS (SELECT cand.query_id, cand.vec_id, a2.s, qt.d
+          |       FROM cand JOIN a2 ON cand.vec_id = a2.vec_id
+          |       JOIN qt ON qt.query_id = cand.query_id
+          |         AND qt.s = a2.s AND qt.code = a2.code)""".stripMargin
+      else
+        """sc AS (SELECT qt.query_id, a2.vec_id, qt.s, qt.d
+          |       FROM a2 JOIN qt ON a2.s = qt.s AND a2.code = qt.code
+          |       WHERE a2.vec_id <> qt.query_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |${if (ivfPruned) ivfCtes else ""}
+       |sub AS (SELECT vec_id, s, emb[(s*8+1):(s*8+8)] AS sub
+       |        FROM e, unnest(generate_series(0, 7)) AS t(s)),
+       |a0 AS (SELECT vec_id, s, vec_id % 16 AS code FROM sub),
+       |c1 AS (${centFrom("a0")}),
+       |d1 AS (${assignFrom("c1")}),
+       |a1 AS (SELECT vec_id, s, code FROM d1 WHERE rn = 1),
+       |c2 AS (${centFrom("a1")}),
+       |d2 AS (${assignFrom("c2")}),
+       |a2 AS (SELECT vec_id, s, code FROM d2 WHERE rn = 1),
+       |qt AS (SELECT sub.vec_id AS query_id, sub.s, c2.code,
+       |        ${l2sqSql("sub.sub", "c2.cent", 8)} AS d
+       |       FROM sub JOIN c2 ON sub.s = c2.s WHERE sub.vec_id < 10),
+       |$sc,
+       |ad AS (SELECT query_id, vec_id,
+       |        list_reduce(list_prepend(0.0, list(d ORDER BY s)),
+       |          (acc, x) -> acc + x) AS adc
+       |       FROM sc GROUP BY query_id, vec_id),
+       |r AS (SELECT query_id, vec_id AS nbr_id, adc,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc ASC, vec_id ASC) AS INT) AS rank FROM ad)
+       |SELECT query_id, nbr_id, round(adc, 4) AS adc, rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   /** Mirrors `SimilarityOps.cosine` op-for-op (sequential left-fold dot and
     * norms over 64-dim double arrays, then dot/(na*nb)) so DuckDB produces
     * bit-identical doubles. */
@@ -2424,48 +2507,11 @@ object SparkEntry {
 
     // full PQ replay: per-subspace Lloyd (2 rounds, init vec_id%16,
     // argmin ties to lower code), ADC tables, ordered-fold distance sums
-    "ann_pq_topk" -> {
-      def centFrom(assigned: String) =
-        s"""SELECT s, code, list(cv ORDER BY dim) AS cent FROM (
-           |   SELECT u.s AS s, u.code AS code, u.dim AS dim, avg(u.v) AS cv FROM (
-           |     SELECT sub.s, a.code, unnest(sub.sub) AS v,
-           |            generate_subscripts(sub.sub, 1) AS dim
-           |     FROM sub JOIN $assigned a USING (vec_id, s)) u
-           |   GROUP BY s, code, dim) g
-           | GROUP BY s, code""".stripMargin
-      def assignFrom(cent: String) =
-        s"""SELECT sub.vec_id, sub.s, $cent.code,
-           |  row_number() OVER (PARTITION BY sub.vec_id, sub.s
-           |    ORDER BY ${l2sqSql("sub.sub", s"$cent.cent", 8)} ASC,
-           |             $cent.code ASC) AS rn
-           | FROM sub JOIN $cent ON sub.s = $cent.s""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |           FROM embeddings),
-         |sub AS (SELECT vec_id, s, emb[(s*8+1):(s*8+8)] AS sub
-         |        FROM e, unnest(generate_series(0, 7)) AS t(s)),
-         |a0 AS (SELECT vec_id, s, vec_id % 16 AS code FROM sub),
-         |c1 AS (${centFrom("a0")}),
-         |d1 AS (${assignFrom("c1")}),
-         |a1 AS (SELECT vec_id, s, code FROM d1 WHERE rn = 1),
-         |c2 AS (${centFrom("a1")}),
-         |d2 AS (${assignFrom("c2")}),
-         |a2 AS (SELECT vec_id, s, code FROM d2 WHERE rn = 1),
-         |qt AS (SELECT sub.vec_id AS query_id, sub.s, c2.code,
-         |        ${l2sqSql("sub.sub", "c2.cent", 8)} AS d
-         |       FROM sub JOIN c2 ON sub.s = c2.s WHERE sub.vec_id < 10),
-         |sc AS (SELECT qt.query_id, a2.vec_id, qt.s, qt.d
-         |       FROM a2 JOIN qt ON a2.s = qt.s AND a2.code = qt.code
-         |       WHERE a2.vec_id <> qt.query_id),
-         |ad AS (SELECT query_id, vec_id,
-         |        list_reduce(list_prepend(0.0, list(d ORDER BY s)),
-         |          (acc, x) -> acc + x) AS adc
-         |       FROM sc GROUP BY query_id, vec_id),
-         |r AS (SELECT query_id, vec_id AS nbr_id, adc,
-         |       CAST(row_number() OVER (PARTITION BY query_id
-         |         ORDER BY adc ASC, vec_id ASC) AS INT) AS rank FROM ad)
-         |SELECT query_id, nbr_id, round(adc, 4) AS adc, rank
-         |FROM r WHERE rank <= 5""".stripMargin
-    },
+    "ann_pq_topk" -> pqAdcOracleSql(ivfPruned = false),
+
+    // the same PQ chain with the scored set restricted to IVF coarse
+    // cells (nProbe=3 of 16) — the IVFPQ composition
+    "ann_ivfpq_topk" -> pqAdcOracleSql(ivfPruned = true),
 
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -282,7 +282,48 @@ object SimilarityOps {
     * Output: (query_id, nbr_id, adc, rank) — adc ascending (smaller =
     * closer), self-matches excluded. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame = {
+             m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame =
+    pqAdcRank(corpus, queries, k, m, codes, dims, candidates = None)
+
+  /** IVFPQ: IVF coarse cells prune the candidate set, PQ codes answer
+    * the distances — the composition both halves' scaladocs promise,
+    * and the standard recipe for billion-vector search: the coarse
+    * quantizer shrinks the scanned fraction to ~nProbe/nCentroids, and
+    * within it every distance is m table lookups against the broadcast
+    * ADC tables. The candidate relation joins the compressed corpus
+    * keyed on vec_id (never re-shuffling full vectors), then the
+    * broadcast ADC lookup attaches per-subspace distances. Same
+    * deterministic contracts as [[ivfTopK]] and [[pqTopK]], so the
+    * whole composition replays in SQL. */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 3,
+                m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame = {
+    val cents = corpus
+      .orderBy(hash32Col(col("vec_id") + lit(1L)), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val cscore = corpus.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("embedding"), col("cent_emb")))
+    val cells = cscore.groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("csim"), lit(0L) - col("cent_id")))
+        .as("cent_id"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("cent_id"))
+    val candidates = cells.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    pqAdcRank(corpus, queries, k, m, codes, dims, Some(candidates))
+  }
+
+  private def pqAdcRank(corpus: DataFrame, queries: DataFrame, k: Int,
+                        m: Int, codes: Int, dims: Int,
+                        candidates: Option[DataFrame]): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
     def subvectors(df: DataFrame, idAs: String): DataFrame =
@@ -321,8 +362,18 @@ object SimilarityOps {
       .join(broadcast(cent2), Seq("s"))
       .select(col("query_id"), col("s"), col("code"),
         l2sq(col("sub"), col("cent")).as("d"))
-    val adist = encoded.join(broadcast(qtab), Seq("s", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val scored = candidates match {
+      case None =>
+        // exhaustive ADC: every (query, vec) pair gets m lookups
+        encoded.join(broadcast(qtab), Seq("s", "code"))
+          .filter(col("vec_id") =!= col("query_id"))
+      case Some(cand) =>
+        // pruned ADC: candidates fan out to their m codes (join keyed on
+        // vec_id), then the broadcast table lookup attaches distances
+        cand.join(encoded, Seq("vec_id"))
+          .join(broadcast(qtab), Seq("query_id", "s", "code"))
+    }
+    val adist = scored
       .groupBy("query_id", "vec_id")
       .agg(collect_list(struct(col("s"), col("d"))).as("ds"))
       // ordered fold over subspaces: engine-replicable sum

@@ -88,6 +88,22 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(byQ(15L).size == 3 && byQ(15L).forall(_._2 > 10))
   }
 
+  test("ivfpqTopK with every cell probed equals exhaustive pqTopK") {
+    val vecs = (1L to 20L).map { id =>
+      val base = if (id <= 10) 1.0 else 9.0
+      (id, Array.tabulate(8)(j => base + 0.01 * ((id + j) % 5)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id").isin(1L, 15L))
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.select(col("query_id"), col("nbr_id"), round(col("adc"), 6), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val pq = rows(SimilarityOps.pqTopK(df, q, k = 3, m = 2, codes = 4, dims = 8))
+    val ivfpq = rows(SimilarityOps.ivfpqTopK(df, q, k = 3,
+      nCentroids = 4, nProbe = 4, m = 2, codes = 4, dims = 8))
+    assert(ivfpq == pq) // probing all cells removes the pruning entirely
+  }
+
   // ---- GraftSinks SequenceFile interop ----
 
   test("sequence file round-trips, including bzip2 block compression") {
