@@ -439,6 +439,18 @@ object SparkEntry {
         iters = 3)
         .select(col("node"), round(col("rank"), 8).as("rank"))),
 
+    "graph_triangles" -> ((s, d) => {
+      // triangle census over the part co-order graph (parts sharing an
+      // order); degree-ordered orientation keeps the wedge set O(m^1.5)
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .distinct()
+      GraphOps.triangleStats(edges)
+    }),
+
     "stats_skew" -> ((s, d) =>
       // group-size histogram: the pre-flight skew diagnostic
       SkewOps.groupSizeHistogram(t(s, d, "lineitem"), "l_partkey")),
@@ -2156,6 +2168,29 @@ object SparkEntry {
     // recurrence (no dangling redistribution, see GraphOps scaladoc);
     // (1.0-0.85) is spelled as the subtraction so the teleport constant
     // is the bit-identical double on both engines
+    // degree-ordered orientation replayed with row-value comparisons;
+    // each triangle closes exactly one wedge at its smallest vertex
+    "graph_triangles" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) n
+        |  GROUP BY node),
+        |ori AS (
+        |  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+        |         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v
+        |  FROM edges e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+        |w AS (SELECT e1.v AS x, e2.v AS y FROM ori e1 JOIN ori e2
+        |      ON e1.u = e2.u AND e1.v < e2.v),
+        |t AS (SELECT count(*) AS n FROM w
+        |      JOIN edges ON w.x = edges.a AND w.y = edges.b)
+        |SELECT (SELECT count(*) FROM edges) AS n_edges,
+        |       (SELECT count(*) FROM w) AS n_wedges,
+        |       t.n AS n_triangles
+        |FROM t""".stripMargin,
+
     "graph_pagerank" ->
       """WITH edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
         |nodes AS (SELECT DISTINCT node FROM

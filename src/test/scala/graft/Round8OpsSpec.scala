@@ -30,6 +30,19 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(r(1L) > r(4L)) // 4 is a source-only node: teleport mass only
   }
 
+  test("triangleStats counts a known census exactly once per triangle") {
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant 5 and a duplicate +
+    // reversed + self edge that must all canonicalize away
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (2L, 1L), (1L, 2L), (3L, 3L)))
+      .toDF("src", "dst")
+    val r = GraphOps.triangleStats(edges)
+      .as[(Long, Long, Long)].collect().head
+    assert(r._1 == 7)  // 6 K4 edges + the pendant
+    assert(r._3 == 4)  // C(4,3) triangles, each counted once
+    assert(r._2 >= r._3)
+  }
+
   // ---- SkewOps profiler ----
 
   test("groupSizeHistogram buckets group sizes into power-of-two rungs") {
