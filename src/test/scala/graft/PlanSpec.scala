@@ -97,6 +97,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("upsert over a bucketed base shuffles only the delta side") {
+    // the k9 scale claim made checkable: with the base table bucketed on
+    // the merge key, the full-outer merge join reads the base exchange-
+    // free and only the (small) update batch shuffles
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    operators.BucketedTables.writeBucketed(docs, "b_docs_upsert", "doc_id", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = spark.table("b_docs_upsert")
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"), col("n_chars"))
+      val p = operators.MergeOps.upsert(base, updates, "doc_id")
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+      assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("j6 chain broadcasts both dimension maps (no shuffle joins)") {
     val p = plan("j6_wikistats")
     assert(!p.contains("SortMergeJoin"), p)
