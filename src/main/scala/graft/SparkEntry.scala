@@ -1164,6 +1164,29 @@ object SparkEntry {
             .as("corr_chars_tokens"))
     }),
 
+    "stats_moments" -> ((s, d) => {
+      // per-lang skewness of doc length from exact integer co-moments
+      // (sx, sxx, sxxx stay exact longs: 5000^3 × 5e5 rows < 2^63), then
+      // ONE fixed-order double expression — same engine-replicability
+      // contract as stats_corr; sqrt(m2)*m2 instead of pow(m2,1.5) so
+      // both engines run the identical IEEE op sequence. Kurtosis is
+      // deliberately out: x^4 sums overflow long at corpus scale
+      val agg = t(s, d, "documents")
+        .select(col("lang"), col("n_chars").as("x"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("x") * col("x")).as("sxxx"))
+      val mean = col("sx").cast("double") / col("n")
+      val m2 = col("sxx").cast("double") / col("n") - mean * mean
+      val m3 = col("sxxx").cast("double") / col("n") -
+        lit(3.0) * mean * (col("sxx").cast("double") / col("n")) +
+        lit(2.0) * mean * mean * mean
+      agg.select(col("lang"), col("n").as("n_docs"),
+        round(mean, 4).as("mean_chars"),
+        round(m3 / (sqrt(m2) * m2), 4).as("skew_chars"))
+    }),
+
     "sample_bottomk" -> ((s, d) =>
       // deterministic uniform sample: bottom-100 docs by keyed hash —
       // the reproducible form of reservoir sampling (same rows whatever
@@ -3114,6 +3137,26 @@ object SparkEntry {
         |   sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
         |        CAST(n*syy - sy*sy AS DOUBLE)), 4) AS corr_chars_tokens
         |FROM a""".stripMargin,
+
+    // exact long co-moments -> one fixed-order double expression
+    // (sqrt(m2)*m2, not pow) — see stats_corr
+    "stats_moments" ->
+      """WITH a AS (
+        |  SELECT lang, count(*) AS n,
+        |   CAST(sum(n_chars) AS BIGINT) AS sx,
+        |   CAST(sum(n_chars*n_chars) AS BIGINT) AS sxx,
+        |   CAST(sum(n_chars*n_chars*n_chars) AS BIGINT) AS sxxx
+        |  FROM documents GROUP BY lang),
+        |m AS (
+        |  SELECT lang, n, CAST(sx AS DOUBLE) / n AS mean,
+        |   CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS m2,
+        |   CAST(sxxx AS DOUBLE) / n
+        |     - 3.0 * (CAST(sx AS DOUBLE) / n) * (CAST(sxx AS DOUBLE) / n)
+        |     + 2.0 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS m3
+        |  FROM a)
+        |SELECT lang, n AS n_docs, round(mean, 4) AS mean_chars,
+        | round(m3 / (sqrt(m2) * m2), 4) AS skew_chars
+        |FROM m""".stripMargin,
 
     // unsigned HUGEINT FNV folded to Spark's signed-long order before
     // the bottom-k
