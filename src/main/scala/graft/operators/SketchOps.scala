@@ -154,6 +154,8 @@ object SketchOps {
     * (also the proof-of-selection witness). */
   def bottomKSample(df: DataFrame, keyCol: String, k: Int,
                     salt: String = ""): DataFrame = {
+    require(!df.columns.contains("h"),
+      "bottomKSample appends an 'h' column; rename the existing one first")
     graft.plans.GraftSparkExtensions.install(df.sparkSession)
     // null keys are excluded rather than hashed: a null key would get a
     // null hash and engines disagree on null sort position (Spark

@@ -37,12 +37,13 @@ object EventStreamOps {
     * a live event feed). Left join: an unknown key flows through with a
     * null tier instead of silently dropping events. */
   def enrichedWindowedSums(events: DataFrame, dim: DataFrame, key: String,
-                           tierCol: String, tsCol: String,
-                           win: String): DataFrame =
+                           tierCol: String, tsCol: String, win: String,
+                           valueCol: String = "value"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), win),
         col(tierCol))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col(tierCol),
         col("n_events"), col("sum_value"))
 
