@@ -1073,6 +1073,40 @@ object SparkEntry {
           coalesce(col("locf_sum"), lit(0.0)).as("locf_sum"))
     }),
 
+    "t7_interp" -> ((s, d) => {
+      // linear-interpolation gap-fill — the smooth companion to t5's
+      // LOCF. Same dense grid; each gap day takes
+      // pv + (nv-pv)·(day-pd)/(nd-pd) between its bracketing
+      // observations, found with the grouped-max trick run in BOTH
+      // directions (forward grp for prev, backward grp for next); both
+      // directions and the final projection ride the one event_type
+      // partitioning. Leading/trailing gaps fall back to the nearest
+      // observation (coalesce), so the series is total
+      val ev = t(s, d, "events").select(col("event_type"),
+        expr("CAST(ts AS LONG) div 86400").as("day"), col("value"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(round(sum(col("value")), 2).as("day_sum"))
+      val days = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val grid = ev.select("event_type").distinct().crossJoin(days)
+      val wF = Window.partitionBy("event_type").orderBy(col("day"))
+      val wB = Window.partitionBy("event_type").orderBy(col("day").desc)
+      val g = grid.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("gf", count(col("day_sum")).over(wF))
+        .withColumn("gb", count(col("day_sum")).over(wB))
+      val pv = max(col("day_sum")).over(Window.partitionBy("event_type", "gf"))
+      val pd = min(col("day")).over(Window.partitionBy("event_type", "gf"))
+      val nv = max(col("day_sum")).over(Window.partitionBy("event_type", "gb"))
+      val nd = max(col("day")).over(Window.partitionBy("event_type", "gb"))
+      g.withColumn("pv", pv).withColumn("pd", pd)
+        .withColumn("nv", nv).withColumn("nd", nd)
+        .select(col("event_type"), col("day"),
+          round(coalesce(col("day_sum"),
+            col("pv") + (col("nv") - col("pv")) * (col("day") - col("pd")) /
+              (col("nd") - col("pd")),
+            col("pv"), col("nv")), 4).as("interp_sum"))
+    }),
+
     "a14_rollup" -> ((s, d) =>
       // multi-level aggregation in one pass: ROLLUP plans a single
       // Expand over 3 grouping sets — (type, day), (type), () — feeding
@@ -3056,6 +3090,38 @@ object SparkEntry {
         | COALESCE(max(day_sum) OVER (PARTITION BY event_type, grp), 0.0)
         |   AS locf_sum
         |FROM f""".stripMargin,
+
+    "t7_interp" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day, value
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day, round(sum(value), 2) AS day_sum
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |grid AS (
+        |  SELECT t.event_type, d.day
+        |  FROM (SELECT DISTINCT event_type FROM ev) t,
+        |       (SELECT unnest(generate_series(d0, d1)) AS day FROM span) d),
+        |g AS (
+        |  SELECT g.event_type, g.day, daily.day_sum,
+        |   count(daily.day_sum) OVER (PARTITION BY g.event_type
+        |     ORDER BY g.day) AS gf,
+        |   count(daily.day_sum) OVER (PARTITION BY g.event_type
+        |     ORDER BY g.day DESC) AS gb
+        |  FROM grid g LEFT JOIN daily
+        |    ON g.event_type = daily.event_type AND g.day = daily.day),
+        |h AS (
+        |  SELECT event_type, day, day_sum,
+        |   max(day_sum) OVER (PARTITION BY event_type, gf) AS pv,
+        |   min(day) OVER (PARTITION BY event_type, gf) AS pd,
+        |   max(day_sum) OVER (PARTITION BY event_type, gb) AS nv,
+        |   max(day) OVER (PARTITION BY event_type, gb) AS nd
+        |  FROM g)
+        |SELECT event_type, day,
+        | round(COALESCE(day_sum,
+        |   pv + (nv - pv) * (day - pd) / (nd - pd), pv, nv), 4) AS interp_sum
+        |FROM h""".stripMargin,
 
     "a14_rollup" ->
       """WITH ev AS (
