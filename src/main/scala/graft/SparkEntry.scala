@@ -1267,6 +1267,24 @@ object SparkEntry {
           round(col("cum").cast("double") / col("n"), 4).as("cum_frac"))
     }),
 
+    "k11_vbyte_roundtrip" -> ((s, d) => {
+      // the reference's compressed doc-vector container (closes the
+      // "parquet replaces the VByte blobs" delta): sorted dictionary ids
+      // per doc encode into VByteDocVector bytes — Hadoop VInts via
+      // WritableUtils, byte-parity by construction — and decode back.
+      // Output = exploded (doc_id, id) plus the blob byte length, whose
+      // oracle recomputes the VInt length rule arithmetically, so a
+      // codec defect in either direction cannot hash-match
+      graft.plans.GraftSparkExtensions.install(s)
+      val docs = t(s, d, "documents")
+      val dict = TermOps.dictionary(docs, "doc_id", "text", minDf = 5L)
+      TermOps.docVectors(docs, "doc_id", "text", dict)
+        .select(col("doc_id"),
+          expr("vbyte_encode(transform(term_ids, x -> bigint(x)))").as("vec"))
+        .select(col("doc_id"), length(col("vec")).cast("long").as("n_bytes"),
+          explode(expr("vbyte_decode(vec)")).as("id"))
+    }),
+
     "k10_seqfile_roundtrip" -> ((s, d) => {
       // K2c: the reference's native SequenceFile container round-trips
       // — existing Hadoop consumers could read this output unchanged
@@ -3261,6 +3279,25 @@ object SparkEntry {
 
     "k10_seqfile_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    // Hadoop-VInt length rule replayed arithmetically: one byte for
+    // 0..127, else 1 marker + 1/2/3/4 big-endian magnitude bytes
+    "k11_vbyte_roundtrip" ->
+      s"""WITH tf AS ($tfSub),
+         |d AS (SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS id
+         |      FROM (SELECT term, count(*) AS df FROM tf
+         |            GROUP BY term HAVING count(*) >= 5) z),
+         |ids AS (SELECT DISTINCT tf.doc_id, d.id FROM tf JOIN d USING (term)),
+         |per AS (SELECT doc_id, count(*) AS n,
+         |  CAST(sum(CASE WHEN id <= 127 THEN 1 WHEN id < 256 THEN 2
+         |    WHEN id < 65536 THEN 3 WHEN id < 16777216 THEN 4 ELSE 5 END)
+         |    AS BIGINT) AS idb
+         |  FROM ids GROUP BY doc_id)
+         |SELECT ids.doc_id,
+         | per.idb + CASE WHEN per.n <= 127 THEN 1 WHEN per.n < 256 THEN 2
+         |   WHEN per.n < 65536 THEN 3 ELSE 4 END AS n_bytes,
+         | ids.id
+         |FROM ids JOIN per USING (doc_id)""".stripMargin,
 
     "k9_upsert" ->
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),

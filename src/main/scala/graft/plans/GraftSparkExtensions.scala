@@ -57,6 +57,8 @@ object GraftSparkExtensions {
 
   val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     unary("fnv64", classOf[FnvHash64], FnvHash64),
+    unary("vbyte_encode", classOf[VByteEncode], VByteEncode),
+    unary("vbyte_decode", classOf[VByteDecode], VByteDecode),
     unary("extract_links", classOf[ExtractLinks], ExtractLinks),
     unary("extract_links_ctx", classOf[ExtractLinksCtx], ExtractLinksCtx),
     unary("extract_refs", classOf[ExtractRefs], ExtractRefs),

@@ -117,6 +117,25 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(ivfpq == pq) // probing all cells removes the pruning entirely
   }
 
+  // ---- VByte doc-vector codec ----
+
+  test("VByteCodec round-trips and matches the Hadoop VInt byte layout") {
+    import graft.functions.VByteCodec
+    val ids = Array(0L, 1L, 127L, 128L, 255L, 256L, 65535L, 65536L, 16777216L)
+    assert(VByteCodec.decode(VByteCodec.encode(ids)).toSeq == ids.toSeq)
+    // count byte + value byte, single-byte range
+    assert(VByteCodec.encode(Array(1L)).toSeq == Seq[Byte](1, 1))
+    // 200 needs the -113 marker + one magnitude byte (0xC8)
+    assert(VByteCodec.encode(Array(200L)).toSeq == Seq[Byte](1, -113, -56))
+    assert(VByteCodec.decode(VByteCodec.encode(Array.empty[Long])).isEmpty)
+    // the SQL surface agrees with the kernel
+    graft.plans.GraftSparkExtensions.install(spark)
+    val back = spark.sql(
+      "SELECT vbyte_decode(vbyte_encode(array(3L, 900L, 70000L))) AS a")
+      .as[Seq[Long]].collect().head
+    assert(back == Seq(3L, 900L, 70000L))
+  }
+
   // ---- GraftSinks SequenceFile interop ----
 
   test("sequence file round-trips, including bzip2 block compression") {
