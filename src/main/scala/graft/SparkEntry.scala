@@ -1285,6 +1285,21 @@ object SparkEntry {
           explode(expr("vbyte_decode(vec)")).as("id"))
     }),
 
+    "k12_partitioned_scan" -> ((s, d) => {
+      // hive-style partitioned layout + partition pruning: events
+      // written partitionBy(event_type), read back filtered to one
+      // value — the scan plans PartitionFilters and touches ONE
+      // directory (pinned in PlanSpec), the bedrock layout move for
+      // selective scans over 100 TB tables (the z-order file-level
+      // pruning in layout_zorder is its within-partition complement)
+      val dir = java.nio.file.Files.createTempDirectory("graft_k12")
+        .toString + "/t"
+      t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+        .write.partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir).filter(col("event_type") === "click")
+        .select(col("event_id"), round(col("value"), 2).as("value"))
+    }),
+
     "k10_seqfile_roundtrip" -> ((s, d) => {
       // K2c: the reference's native SequenceFile container round-trips
       // — existing Hadoop consumers could read this output unchanged
@@ -3279,6 +3294,10 @@ object SparkEntry {
 
     "k10_seqfile_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "k12_partitioned_scan" ->
+      """SELECT event_id, round(value, 2) AS value
+        |FROM events WHERE event_type = 'click'""".stripMargin,
 
     // Hadoop-VInt length rule replayed arithmetically: one byte for
     // 0..127, else 1 marker + 1/2/3/4 big-endian magnitude bytes

@@ -65,6 +65,12 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("partitioned layout prunes the scan to one directory") {
+    val p = plan("k12_partitioned_scan")
+    assert(p.contains("PartitionFilters:"), p)
+    assert(p.contains("= click"), p)
+  }
+
   test("bottom-k sample plans TakeOrderedAndProject, not a global sort") {
     val p = plan("sample_bottomk")
     assert(p.contains("TakeOrderedAndProject"), p)
