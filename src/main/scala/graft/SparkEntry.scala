@@ -555,6 +555,48 @@ object SparkEntry {
           col("rank"))
     }),
 
+    "ann_recall" -> ((s, d) => {
+      // recall@5 per pruned path vs the brute-force truth — the answer-
+      // quality number every pruned 100 TB ANN deployment must watch.
+      // The brute set is 50 rows; localCheckpoint so the four semi-joins
+      // read a materialized relation instead of re-running the scan.
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = SimilarityOps.bruteForceTopK(emb, q, k = 5)
+        .select("query_id", "nbr_id").localCheckpoint()
+      def rec(name: String, df: DataFrame): DataFrame =
+        df.select("query_id", "nbr_id")
+          .join(brute, Seq("query_id", "nbr_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(name).as("path"), col("n_hits"),
+            round(col("n_hits") / lit(50.0), 4).as("recall_at_5"))
+      rec("ivf", SimilarityOps.ivfTopK(emb, q, k = 5))
+        .unionByName(rec("lsh", SimilarityOps.lshTopK(emb, q, k = 5)))
+        .unionByName(rec("pq", SimilarityOps.pqTopK(emb, q, k = 5)))
+        .unionByName(rec("ivfpq", SimilarityOps.ivfpqTopK(emb, q, k = 5)))
+    }),
+
+    "dedup_semantic" -> ((s, d) => {
+      import s.implicits._
+      // SemDeDup composition: k-means clusters + within-cluster cosine
+      // pruning (DedupOps.semanticDedup). Same planted near-identical
+      // vectors as dedup_embedding — the organic corpus has no pair
+      // ≥ 0.99, so without them the gate would only prove absence.
+      def v(f: Int => Float) = (0 until 64).map(f).toArray
+      val planted = Seq(
+        (9000001L, v(i => (i + 1).toFloat)),
+        (9000002L, v(i => (i + 1).toFloat)),
+        (9000003L, v(i => ((i * 37) % 64 + 1).toFloat)),
+        (9000004L, v(i => ((i * 37) % 64 + 1).toFloat)),
+        (9000005L, v(i => ((i * 11) % 64 + 1).toFloat))
+      ).toDF("vec_id", "embedding")
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+        .unionByName(planted)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      DedupOps.semanticDedup(emb, k = 8, iters = 2, threshold = 0.99)
+    }),
+
     // corpus-vs-corpus: the whole embeddings table queries itself through
     // the non-broadcast shuffle-join path (PlanSpec pins the no-broadcast
     // plan shape)
@@ -1267,6 +1309,25 @@ object SparkEntry {
           round(col("cum").cast("double") / col("n"), 4).as("cum_frac"))
     }),
 
+    "stats_histogram_grouped" -> ((s, d) => {
+      // per-GROUP mergeable histogram — the per-source/lang distribution
+      // profile a mixture planner reads: same fixed bins as
+      // stats_histogram but keyed by event_type, counts mergeable by sum
+      // across any partitioning, output O(groups × bins) rows, and the
+      // cumulative window runs per group on those O(bins) rows only
+      val bins = t(s, d, "events")
+        .select(col("event_type"),
+          floor(col("value") / 8.0).cast("long").as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+      val n = bins.groupBy("event_type").agg(sum("cnt").as("n"))
+      bins.withColumn("cum",
+          sum("cnt").over(Window.partitionBy("event_type").orderBy("bin")))
+        .join(broadcast(n), Seq("event_type"))
+        .select(col("event_type"), col("bin"), (col("bin") * 8.0).as("lo"),
+          col("cnt"),
+          round(col("cum").cast("double") / col("n"), 4).as("cum_frac"))
+    }),
+
     "k11_vbyte_roundtrip" -> ((s, d) => {
       // the reference's compressed doc-vector container (closes the
       // "parquet replaces the VByte blobs" delta): sorted dictionary ids
@@ -1298,6 +1359,37 @@ object SparkEntry {
         .write.partitionBy("event_type").parquet(dir)
       s.read.parquet(dir).filter(col("event_type") === "click")
         .select(col("event_id"), round(col("value"), 2).as("value"))
+    }),
+
+    "k13_compaction" -> ((s, d) => {
+      // small-file compaction round-trip: events land as 64 small files
+      // (hive-partitioned by g = event_id % 64 — the post-ingest mess),
+      // then CompactionOps packs them into target-sized bins and the
+      // partitionBy(bin) rewrite emits ONE file per bin (n_files pins
+      // it). Row counts stand in for byte sizes so the DuckDB oracle
+      // can replay the bin assignment — same packer either way.
+      val smallDir = java.nio.file.Files.createTempDirectory("graft_k13")
+        .toString + "/small"
+      val outDir = java.nio.file.Files.createTempDirectory("graft_k13")
+        .toString + "/compacted"
+      t(s, d, "events").withColumn("g", pmod(col("event_id"), lit(64L)))
+        .write.partitionBy("g").parquet(smallDir)
+      // partition-column type inference reads g back as INT; re-derive
+      // it from content so the bin map joins on a stable long key
+      val small = s.read.parquet(smallDir).drop("g")
+        .withColumn("g", pmod(col("event_id"), lit(64L)))
+      val stats = small.groupBy("g").agg(count(lit(1)).as("sz"))
+      val bins = CompactionOps.assignBins(stats, "g", "sz", target = 1500L)
+      CompactionOps.compact(small, "g", bins)
+        .write.partitionBy("bin").parquet(outDir)
+      s.read.parquet(outDir)
+        .withColumn("f", input_file_name())
+        .groupBy(col("bin").cast("long").as("bin"))
+        .agg(countDistinct(col("f")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
     }),
 
     "k10_seqfile_roundtrip" -> ((s, d) => {
@@ -1644,6 +1736,58 @@ object SparkEntry {
           col("value").as("v"))
     }),
 
+    "st_neardup" -> ((s, _) => {
+      // streaming MinHash near-dup dedup through the gate: a case/
+      // whitespace variant (identical token stream → all bands match)
+      // and a one-token edit (shares a band) both drop against a live
+      // original; unrelated docs pass; after watermark eviction a
+      // near-dup re-emits; a late near-dup (ts < watermark) never
+      // reaches the operator. Band buckets for the trace texts are
+      // pinned in StreamingSpec against the batch minhash kernel.
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[EventStreamOps.DocEvent]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.DocEvent]
+      val q = EventStreamOps.neardupWithinWatermark(mem.toDF(), "text", "ts",
+          "1 minute")
+        .writeStream.format("memory").queryName("st_neardup_out")
+        .outputMode("append").start()
+      def e(id: Long, ms: Long, text: String) = EventStreamOps.DocEvent(
+        id, text, new java.sql.Timestamp(1700000000000L + ms))
+      val fox = "the quick brown fox jumps over the lazy dog"
+      try {
+        // batch 1: two unrelated docs -> both emit
+        mem.addData(e(1, 0L, fox),
+          e(2, 10000L, "completely unrelated payload about parquet row groups"))
+        q.processAllAvailable()
+        // batch 2: doc 3 = case/whitespace variant of doc 1 (all bands
+        // equal), doc 4 = one-token edit (shares band 2) -> both drop;
+        // doc 5 is fresh -> emits
+        mem.addData(
+          e(3, 20000L, "The  Quick Brown FOX jumps over the LAZY dog"),
+          e(4, 30000L, "the quick brown fox leaps over the lazy dog"),
+          e(5, 40000L, "another fully distinct sentence mentioning shuffle exchanges"))
+        q.processAllAvailable()
+        // batch 3: sentinel pushes the watermark to 3_540_000 ms,
+        // evicting every claimed bucket
+        mem.addData(e(9, 3600000L, "watermark sentinel advancing event time"))
+        q.processAllAvailable()
+        // batch 4: doc 6 is a near-dup of the (evicted) doc 1 -> re-emits
+        // (within-horizon semantics); doc 7 replays doc 3's text with
+        // ts < watermark -> dropped as late
+        mem.addData(
+          e(6, 3600000L, "the quick brown fox jumps over the lazy cat"),
+          e(7, 100000L, "The  Quick Brown FOX jumps over the LAZY dog"))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_neardup_out").filter(col("doc_id") =!= 9L)
+        .select(col("doc_id"),
+          (unix_millis(col("ts")) - 1700000000000L).as("ts_ms"))
+    }),
+
     "st_stream_join" -> ((s, _) => {
       // watermarked stream-stream interval join through the gate:
       // clicks attribute to same-user impressions at most 30 minutes
@@ -1780,6 +1924,92 @@ object SparkEntry {
        |         ORDER BY adc ASC, vec_id ASC) AS INT) AS rank FROM ad)
        |SELECT query_id, nbr_id, round(adc, 4) AS adc, rank
        |FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** The brute-force / IVF / LSH oracle chains as vals: each gates its
+    * own query AND feeds the recall harness ([[annRecallSql]]) as a
+    * subquery, so both gates replay literally identical SQL. */
+  private lazy val annBruteSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT query_id, vec_id AS nbr_id,
+      |       list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
+      |      FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, nbr_id, sim,
+      |       CAST(row_number() OVER (PARTITION BY query_id
+      |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM s)
+      |SELECT query_id, nbr_id, round(sim,4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
+
+  private lazy val annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+       |  ORDER BY ${hash32Sql("(vec_id + 1)")}, vec_id LIMIT 16),
+       |cscore AS (
+       |  SELECT e.vec_id, e.emb, c.cent_id,
+       |   ${cosSql("e.emb", "c.cent_emb")} AS csim
+       |  FROM e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT vec_id, emb, cent_id,
+       |   row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY csim DESC, cent_id ASC) AS crank
+       |  FROM cscore),
+       |cells AS (SELECT vec_id AS nbr_id, emb AS nbr_emb, cent_id
+       |          FROM ranked WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, emb AS q_emb, cent_id
+       |           FROM ranked WHERE vec_id < 10 AND crank <= 3),
+       |scored AS (
+       |  SELECT p.query_id, n.nbr_id,
+       |   ${cosSql("p.q_emb", "n.nbr_emb")} AS sim
+       |  FROM cells n JOIN probes p USING (cent_id)
+       |  WHERE n.nbr_id <> p.query_id),
+       |r AS (
+       |  SELECT query_id, nbr_id, sim,
+       |   CAST(row_number() OVER (PARTITION BY query_id
+       |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+       |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
+       |WHERE rank <= 5""".stripMargin
+
+  private lazy val annLshSql: String =
+    s"""WITH $lshSigSub,
+       |qsig AS (
+       |  SELECT e.vec_id AS query_id, e.emb AS q_emb,
+       |   CASE WHEN b = -1 THEN s.bucket
+       |        ELSE xor(s.bucket, 1::BIGINT << b) END AS bucket
+       |  FROM e JOIN sig s USING (vec_id),
+       |       unnest(generate_series(-1, 3)) AS t(b)
+       |  WHERE e.vec_id < 10),
+       |cand AS (
+       |  SELECT q.query_id, q.q_emb, ce.vec_id AS nbr_id, ce.emb AS nbr_emb
+       |  FROM qsig q JOIN sig c ON q.bucket = c.bucket
+       |       JOIN e ce ON ce.vec_id = c.vec_id
+       |  WHERE c.vec_id <> q.query_id),
+       |scored AS (
+       |  SELECT query_id, nbr_id, ${cosSql("q_emb", "nbr_emb")} AS sim FROM cand),
+       |r AS (
+       |  SELECT query_id, nbr_id, sim,
+       |   CAST(row_number() OVER (PARTITION BY query_id
+       |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+       |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
+       |WHERE rank <= 5""".stripMargin
+
+  /** Recall@5 per pruned ANN path vs the brute-force truth: each path's
+    * full oracle SQL runs as a subquery (DuckDB allows CTEs inside
+    * derived tables), the (query_id, nbr_id) sets intersect, and
+    * recall = hits / (10 queries × k=5). */
+  private lazy val annRecallSql: String = {
+    def ids(sql: String) = s"SELECT query_id, nbr_id FROM (\n$sql\n) pp"
+    def row(name: String, sql: String) =
+      s"""SELECT '$name' AS path,
+         | (SELECT count(*) FROM (${ids(sql)}) p
+         |    JOIN (${ids(annBruteSql)}) b USING (query_id, nbr_id)) AS n_hits""".stripMargin
+    val rows = Seq(
+      "ivf" -> annIvfSql, "lsh" -> annLshSql,
+      "pq" -> pqAdcOracleSql(ivfPruned = false),
+      "ivfpq" -> pqAdcOracleSql(ivfPruned = true))
+      .map { case (n, q) => row(n, q) }.mkString("\nUNION ALL\n")
+    s"""SELECT path, n_hits, round(n_hits / 50.0, 4) AS recall_at_5
+       |FROM (\n$rows\n) u""".stripMargin
   }
 
   /** Mirrors `SimilarityOps.cosine` op-for-op (sequential left-fold dot and
@@ -2553,31 +2783,53 @@ object SparkEntry {
          |FROM base a JOIN base b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.emb", "b.emb")} >= 0.99""".stripMargin,
 
+    // SemDeDup replay: the same planted-union base as dedup_embedding,
+    // the same deterministic Lloyd chain as cluster_kmeans (sharded
+    // init, 2 assign rounds, argmax ties to the lower cluster — the
+    // ranking is ulp-robust, proven by cluster_kmeans), then the keep
+    // rule: drop iff a smaller-id same-cluster vector has exact-fold
+    // cosine ≥ 0.99 (cosSql mirrors SimilarityOps.cosine bit-for-bit)
+    "dedup_semantic" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT 9000000 + j AS vec_id,
+         |   list_transform(generate_series(0, 63), i -> CAST(
+         |     CASE WHEN j <= 2 THEN i + 1
+         |          WHEN j <= 4 THEN (i * 37) % 64 + 1
+         |          ELSE (i * 11) % 64 + 1 END AS DOUBLE)) AS emb
+         |  FROM unnest(generate_series(1, 5)) AS t(j)),
+         |d0 AS (SELECT vec_id % 8 AS cluster, unnest(emb) AS v,
+         |        generate_subscripts(emb, 1) AS dim FROM base),
+         |cent0 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+         |  (SELECT cluster, dim, avg(v) AS cv FROM d0 GROUP BY cluster, dim) g
+         |  GROUP BY cluster),
+         |a0 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
+         |       FROM base CROSS JOIN cent0),
+         |asn0 AS (SELECT vec_id, cluster FROM a0 WHERE rn = 1),
+         |d1 AS (SELECT a.cluster, unnest(e.emb) AS v, generate_subscripts(e.emb, 1) AS dim
+         |       FROM base e JOIN asn0 a ON e.vec_id = a.vec_id),
+         |cent1 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+         |  (SELECT cluster, dim, avg(v) AS cv FROM d1 GROUP BY cluster, dim) g
+         |  GROUP BY cluster),
+         |a1 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
+         |       FROM base CROSS JOIN cent1),
+         |asn AS (SELECT vec_id, cluster FROM a1 WHERE rn = 1),
+         |v AS (SELECT b.vec_id, b.emb, a.cluster FROM base b JOIN asn a USING (vec_id)),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id FROM v a JOIN v b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.99)
+         |SELECT v.vec_id, CAST(v.cluster AS INT) AS cluster,
+         | (d.vec_id IS NULL) AS keep
+         |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id""".stripMargin,
+
     // full replication of the hyperplane-LSH path: signatures, the 5
     // probe buckets (original + single-bit flips of bits 0-3), bucket
     // join, exact cosine, per-query rank
-    "ann_lsh_topk" ->
-      s"""WITH $lshSigSub,
-         |qsig AS (
-         |  SELECT e.vec_id AS query_id, e.emb AS q_emb,
-         |   CASE WHEN b = -1 THEN s.bucket
-         |        ELSE xor(s.bucket, 1::BIGINT << b) END AS bucket
-         |  FROM e JOIN sig s USING (vec_id),
-         |       unnest(generate_series(-1, 3)) AS t(b)
-         |  WHERE e.vec_id < 10),
-         |cand AS (
-         |  SELECT q.query_id, q.q_emb, ce.vec_id AS nbr_id, ce.emb AS nbr_emb
-         |  FROM qsig q JOIN sig c ON q.bucket = c.bucket
-         |       JOIN e ce ON ce.vec_id = c.vec_id
-         |  WHERE c.vec_id <> q.query_id),
-         |scored AS (
-         |  SELECT query_id, nbr_id, ${cosSql("q_emb", "nbr_emb")} AS sim FROM cand),
-         |r AS (
-         |  SELECT query_id, nbr_id, sim,
-         |   CAST(row_number() OVER (PARTITION BY query_id
-         |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
-         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
-         |WHERE rank <= 5""".stripMargin,
+    "ann_lsh_topk" -> annLshSql,
 
     // the corpus-vs-corpus variant: identical LSH replication, every
     // vector a query (no vec_id filter), k=3
@@ -2606,35 +2858,7 @@ object SparkEntry {
     // full replication of the IVF path: deterministic hashed centroid
     // pick, nearest-cell assignment (keep 1 corpus / 3 probe), cell-local
     // scoring, per-query rank
-    "ann_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, emb AS cent_emb FROM e
-         |  ORDER BY ${hash32Sql("(vec_id + 1)")}, vec_id LIMIT 16),
-         |cscore AS (
-         |  SELECT e.vec_id, e.emb, c.cent_id,
-         |   ${cosSql("e.emb", "c.cent_emb")} AS csim
-         |  FROM e CROSS JOIN cents c),
-         |ranked AS (
-         |  SELECT vec_id, emb, cent_id,
-         |   row_number() OVER (PARTITION BY vec_id
-         |     ORDER BY csim DESC, cent_id ASC) AS crank
-         |  FROM cscore),
-         |cells AS (SELECT vec_id AS nbr_id, emb AS nbr_emb, cent_id
-         |          FROM ranked WHERE crank = 1),
-         |probes AS (SELECT vec_id AS query_id, emb AS q_emb, cent_id
-         |           FROM ranked WHERE vec_id < 10 AND crank <= 3),
-         |scored AS (
-         |  SELECT p.query_id, n.nbr_id,
-         |   ${cosSql("p.q_emb", "n.nbr_emb")} AS sim
-         |  FROM cells n JOIN probes p USING (cent_id)
-         |  WHERE n.nbr_id <> p.query_id),
-         |r AS (
-         |  SELECT query_id, nbr_id, sim,
-         |   CAST(row_number() OVER (PARTITION BY query_id
-         |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
-         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
-         |WHERE rank <= 5""".stripMargin,
+    "ann_ivf_topk" -> annIvfSql,
 
     // full PQ replay: per-subspace Lloyd (2 rounds, init vec_id%16,
     // argmin ties to lower code), ADC tables, ordered-fold distance sums
@@ -2644,16 +2868,15 @@ object SparkEntry {
     // cells (nProbe=3 of 16) — the IVFPQ composition
     "ann_ivfpq_topk" -> pqAdcOracleSql(ivfPruned = true),
 
-    "ann_brute_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-        |           FROM embeddings WHERE vec_id < 10),
-        |s AS (SELECT query_id, vec_id AS nbr_id,
-        |       list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
-        |      FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
-        |r AS (SELECT query_id, nbr_id, sim,
-        |       CAST(row_number() OVER (PARTITION BY query_id
-        |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM s)
-        |SELECT query_id, nbr_id, round(sim,4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    "ann_brute_topk" -> annBruteSql,
+
+    // recall@5 harness: each pruned path's (query, nbr) set intersected
+    // with the exact brute-force top-5 — the number a 100 TB ANN
+    // deployment must watch (what the IVF/LSH/PQ pruning actually costs
+    // in answer quality). Each path's CTE is the SAME oracle SQL that
+    // gates the path's own query, so a recall mismatch can only come
+    // from the intersection arithmetic.
+    "ann_recall" -> annRecallSql,
 
     "text_quality" ->
       """SELECT doc_id,
@@ -3292,6 +3515,35 @@ object SparkEntry {
         |   AS cum_frac
         |FROM b, n""".stripMargin,
 
+    "stats_histogram_grouped" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value / 8.0) AS BIGINT) AS bin,
+        |   count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |      FROM b GROUP BY 1)
+        |SELECT b.event_type, bin, bin * 8.0 AS lo, cnt,
+        | round(CAST(sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin)
+        |   AS BIGINT) * 1.0 / n.n, 4) AS cum_frac
+        |FROM b JOIN n USING (event_type)""".stripMargin,
+
+    // bin assignment replayed: per-file row counts, (size desc, file
+    // asc) order, exclusive-running-sum div target; n_files = 1 is the
+    // pinned one-file-per-bin rewrite invariant
+    "k13_compaction" ->
+      """WITH g AS (
+        |  SELECT event_id % 64 AS g, count(*) AS sz FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT g, CAST((CAST(sum(sz) OVER (ORDER BY sz DESC, g ASC)
+        |    AS BIGINT) - sz) // 1500 AS BIGINT) AS bin
+        |  FROM g),
+        |r AS (SELECT e.event_id, b.bin FROM events e
+        |      JOIN b ON e.event_id % 64 = b.g)
+        |SELECT bin, CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,
+        | CAST(sum(event_id) AS BIGINT) AS sum_id,
+        | min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM r GROUP BY bin""".stripMargin,
+
     "k10_seqfile_roundtrip" ->
       "SELECT doc_id, text FROM documents",
 
@@ -3497,6 +3749,17 @@ object SparkEntry {
         | (1, 1700003600000, 1700003600000, 1, 5.0),
         | (2, 1700000010000, 1700000010000, 1, 4.0),
         | (2, 1700003600000, 1700003600000, 1, 6.0)) t""".stripMargin,
+
+    // streaming near-dup dedup: the all-bands variant (doc 3) and the
+    // shared-band edit (doc 4) drop against the live doc 1; doc 6
+    // re-emits after watermark eviction; doc 7's late replay never lands
+    "st_neardup" ->
+      """SELECT CAST(col0 AS BIGINT) AS doc_id, CAST(col1 AS BIGINT) AS ts_ms
+        |FROM (VALUES
+        | (1, 0),
+        | (2, 10000),
+        | (5, 40000),
+        | (6, 3600000)) t""".stripMargin,
 
     // streaming dedup: first row per key while in-horizon; key 2
     // re-emits after watermark eviction; key 3's late replay never lands

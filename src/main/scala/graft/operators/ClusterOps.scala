@@ -51,11 +51,18 @@ object ClusterOps {
     * embedding: array<double>). */
   def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
+    // centroids are k×d rows — tiny — so localCheckpoint each Lloyd
+    // round: every round's training subtree materializes ONCE instead of
+    // nesting the prior round's full plan inside the next broadcast, so
+    // plan depth and nested broadcast-job count stay O(1) in `iters`
+    // (the lineage-truncation move of SimilarityOps' PQ codebooks and
+    // GraphOps' rank iteration; ClusterPlanSpec pins constant depth).
     var centroids = recompute(
       e, e.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("cluster")))
+      .localCheckpoint()
     var assigned = assign(e, centroids)
     for (_ <- 1 until iters) {
-      centroids = recompute(e, assigned)
+      centroids = recompute(e, assigned).localCheckpoint()
       assigned = assign(e, centroids)
     }
     assigned.select(col("vec_id"), col("cluster").cast("int").as("cluster"))

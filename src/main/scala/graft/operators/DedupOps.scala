@@ -355,6 +355,53 @@ object DedupOps {
         (col("doc_id") === canonical).as("keep"))
   }
 
+  /** Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * k-means-cluster the embedding corpus, then prune near-duplicates
+    * WITHIN each cluster by exact cosine — the dedup family member that
+    * catches semantically-identical documents whose text-level shingles
+    * share nothing (translations, paraphrases, re-renderings).
+    *
+    * Deterministic by construction: clustering is
+    * [[ClusterOps.kmeansAssign]] (no-RNG sharded init, fixed `iters`,
+    * argmax ties to the lower cluster), and the keep rule is "drop a
+    * vector iff a SMALLER-id vector in the same cluster has cosine ≥
+    * `threshold` to it" (SemDeDup keeps one member per near-dup group;
+    * min-id is the reproducible choice of which). Note the rule is
+    * per-pair, not transitive-closure: b can drop against a while c
+    * drops against b — the conservative variant that never needs a
+    * component computation.
+    *
+    * Scale shape (100 TB embedding corpus): the pair generation joins
+    * the corpus to itself keyed ON THE CLUSTER ID — never all-pairs
+    * (PlanSpec pins no-cartesian). Within-cluster work is O(Σ cluster²),
+    * which is the SemDeDup design point: `k` is chosen large enough
+    * (50k clusters for 100 TB in the paper) that clusters fit the
+    * quadratic budget; the cosine kernel runs inside codegen.
+    *
+    * Output: (vec_id, cluster, keep). `filter(keep)` materializes the
+    * semantically-deduped corpus. */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int,
+                    threshold: Double): DataFrame = {
+    // assignments are 2 longs per vector — localCheckpoint so the Lloyd
+    // training chain runs once, not once per downstream branch (the
+    // pair join reads it twice)
+    val assigned = ClusterOps.kmeansAssign(emb, k, iters).localCheckpoint()
+    val v = emb.select(col("vec_id"), col("embedding"))
+      .join(assigned, "vec_id")
+    val a = v.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = v.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(SimilarityOps.cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("_drop").isNull.as("keep"))
+  }
+
   /** Incremental exact dedup — the snapshot-over-snapshot shape: a new
     * crawl lands next to an already-deduped corpus and only genuinely
     * new content may enter. A new document is kept iff its content hash

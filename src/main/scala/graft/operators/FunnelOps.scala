@@ -33,13 +33,19 @@ object FunnelOps {
     require(steps.nonEmpty, "funnel needs at least one step")
     val ev = events.select(col(userCol).as("user_id"),
       col(typeCol).as("event_type"), unix_micros(col(tsCol)).as("tus"))
+    // localCheckpoint each frontier (one row per surviving user — tiny):
+    // without it, counting step k re-executes the whole filter/join
+    // chain for steps 1..k — O(steps²) scans of the events relation.
+    // Same lineage-truncation move as GraphOps/DedupOps.
     val first = ev.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(col("tus")).as("frontier"))
+      .localCheckpoint()
     val frontiers = steps.tail.foldLeft(List(first)) { (acc, step) =>
       val next = ev.filter(col("event_type") === step)
         .join(acc.head, "user_id")
         .filter(col("tus") > col("frontier"))
         .groupBy("user_id").agg(min(col("tus")).as("frontier"))
+        .localCheckpoint()
       next :: acc
     }.reverse
     frontiers.zip(steps).zipWithIndex.map { case ((frontier, step), i) =>

@@ -43,6 +43,11 @@ object LayoutOps {
     * (sampled boundaries, no skew pile-up on hot rectangles) + in-memory
     * partition sorts; no global sort materializes. */
   def zorder(df: DataFrame, x: Column, y: Column, numFiles: Int): DataFrame = {
+    // withColumn would silently REPLACE a pre-existing `_z` and the final
+    // drop would then delete user data — same appended-column guard as
+    // SketchOps.bottomKSample
+    require(!df.columns.contains("_z"),
+      "zorder: input already has a `_z` column; rename it first")
     val z = zValue(x, y)
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))

@@ -18,8 +18,16 @@ object SkewOps {
 
   def saltedSum(df: DataFrame, key: String, valueCol: String,
                 salts: Int = 16): DataFrame = {
+    // salt from STABLE row content, never monotonically_increasing_id:
+    // the salt is a shuffle key, and a nondeterministic key makes the
+    // map stage indeterminate — on a fetch-failure retry Spark must roll
+    // the whole stage back (and result-stage retries can abort the job),
+    // exactly the failure mode that matters when retries are routine at
+    // 100 TB. xxhash64 over every column reproduces identical salts on
+    // recomputation; exact-duplicate rows sharing a salt skews nothing
+    // (they'd land in one reducer under any content-hash scheme).
     val salted = df.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
     salted.groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial_sum"), count(lit(1)).as("_partial_n"))
       .groupBy(col(key))
@@ -66,8 +74,13 @@ object SkewOps {
     * column isn't wasted on a plan that would broadcast anyway. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 8): DataFrame = {
+    // deterministic content-derived salt — see the saltedSum comment:
+    // a monotonically_increasing_id-based salt is a nondeterministic
+    // shuffle join key, which forces whole-stage rollbacks (or worse)
+    // on task retry. Hashing the full row spreads a hot key's rows
+    // across salts exactly as well, and retried tasks reproduce it.
     val sb = big.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
     val ss = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sb.join(ss.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")

@@ -144,6 +144,48 @@ object EventStreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** Streaming MinHash NEAR-dup dedup — the ingest-time sibling of the
+    * batch `DedupOps.minhashCandidates`, sharing its exact signature
+    * kernel (`minhash_sig` → banded bucket keys): an arriving document
+    * drops when ANY of its `bands` band buckets matches one claimed by
+    * an earlier in-horizon document — catching reordered/lightly-edited
+    * and normalization-level near-dups that exact-key dedup
+    * ([[dedupWithinWatermark]]) misses.
+    *
+    * Mechanics: the signature computes once per row inside codegen; the
+    * band buckets become `bands` key columns and the OR-match chains
+    * `bands` `dropDuplicatesWithinWatermark` operators (multiple
+    * stateful operators in one append-mode query — supported since
+    * Spark 3.5). Claim semantics are sequential: a document dropped at
+    * band i never registers its later bands, so each bucket's claimant
+    * is the first SURVIVING document that carried it — deterministic
+    * for any arrival order across micro-batches.
+    *
+    * State: `bands` stores × horizon × doc rate, each entry one
+    * (bucket-hash, timestamp) pair — bounded exactly like the exact
+    * dedup, never corpus-sized. A near-dup arriving after its buckets
+    * evicted re-emits (within-horizon semantics by design; corpus-wide
+    * near-dup is the batch family's job). */
+  def neardupWithinWatermark(docs: DataFrame, textCol: String,
+                             tsCol: String, watermark: String,
+                             shingleK: Int = 2, bands: Int = 4,
+                             rowsPerBand: Int = 2): DataFrame = {
+    val num = bands * rowsPerBand
+    val sig = graft.GraftFunctions.minhashSig(
+      graft.operators.TermOps.tokens(col(textCol)), lit(shingleK), lit(num))
+    val bks = graft.GraftFunctions.bandBuckets(
+      col("_sig"), lit(bands), lit(rowsPerBand))
+    var df = docs.withColumn("_sig", sig).withColumn("_bks", bks)
+    for (i <- 0 until bands)
+      df = df.withColumn(s"_b$i", element_at(col("_bks"), i + 1))
+    df = df.drop("_sig", "_bks").withWatermark(tsCol, watermark)
+    for (i <- 0 until bands)
+      df = df.dropDuplicatesWithinWatermark(Seq(s"_b$i"))
+    df.drop((0 until bands).map(i => s"_b$i"): _*)
+  }
+
   /** Watermarked stream-stream interval join: each right-side row
     * matches left-side rows with the same `key` whose event time is at
     * most `maxDelay` older (click-attribution shape: click joins the

@@ -191,15 +191,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   // excluded from whole-suite sweeps: streaming queries and sink round-
-  // trips (building them executes side effects), the one deliberately-
-  // imperative seam (per-file split-offset scan), and mapPartitions-
-  // based multimodal decode (object serde, not a UDF). Frame sampling
-  // is native now (frame_sigs expression), so mm_frame_sample is swept
-  // like any query.
+  // trips (building them executes side effects — writes, temp dirs,
+  // full streaming traces), the one deliberately-imperative seam
+  // (per-file split-offset scan), and mapPartitions-based multimodal
+  // decode (object serde, not a UDF). Frame sampling is native now
+  // (frame_sigs expression), so mm_frame_sample is swept like any query.
   private val sweepExcluded = Set("st_windowed_counts", "st_sessions",
-    "st_sessions_event", "k1_tsv_roundtrip", "k2_parquet_roundtrip",
+    "st_sessions_event", "st_dedup", "st_neardup", "st_stream_join",
+    "st_static_join", "k1_tsv_roundtrip", "k2_parquet_roundtrip",
     "k5_json_roundtrip", "k6_compressed_sink", "k7_dict_roundtrip",
-    "s19_split_index")
+    "k8_orc_roundtrip", "k9_upsert", "k10_seqfile_roundtrip",
+    "k12_partitioned_scan", "k13_compaction", "s19_split_index")
 
   private lazy val sweepPlans: Seq[(String, String)] =
     SparkEntry.queries.keys.toSeq.sorted

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class Round9OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- DedupOps.semanticDedup ----
+
+  test("semanticDedup keeps the min-id member of each within-cluster near-dup group") {
+    // two DIRECTIONALLY separated groups (cosine is scale-invariant, so
+    // groups must differ in direction, not magnitude); each contains an
+    // identical pair that must collapse to its min id
+    val vA = Array.tabulate(8)(i => if (i % 2 == 0) 1.0 else 0.1)
+    val vB = Array.tabulate(8)(i => if (i % 2 == 0) 0.1 else 1.0)
+    val vA2 = vA.clone(); vA2(1) = 0.4 // same direction-ish, cos ≈ 0.99
+    val emb = Seq(
+      (1L, vA), (2L, vA),   // identical pair, group A
+      (3L, vA2),            // group A, below the threshold
+      (10L, vB), (11L, vB)  // identical pair, group B
+    ).toDF("vec_id", "embedding")
+    val out = DedupOps.semanticDedup(emb, k = 2, iters = 2, threshold = 0.999999)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L))   // 2 drops against identical 1
+    assert(out(10L) && !out(11L)) // 11 drops against identical 10
+    assert(out(3L))               // similar-but-below-threshold survives
+    // identical vectors must land in the same cluster
+    val cl = DedupOps.semanticDedup(emb, k = 2, iters = 2, threshold = 0.999999)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(cl(1L) == cl(2L) && cl(10L) == cl(11L))
+  }
+
+  test("semanticDedup pair generation joins on the cluster key, never all-pairs") {
+    val emb = (1L to 20L).map(id => (id, Array.tabulate(8)(i => id * 1.0 + i)))
+      .toDF("vec_id", "embedding")
+    val p = DedupOps.semanticDedup(emb, k = 2, iters = 1, threshold = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert("Exchange hashpartitioning\\(cluster".r.findFirstIn(p).isDefined, p)
+  }
+
+  // ---- ClusterOps plan-depth invariance (lineage truncation) ----
+
+  test("kmeansAssign plan size is constant in iters (centroids checkpoint per round)") {
+    val emb = (1L to 12L).map(id => (id, Array.tabulate(4)(i => (id % 3) * 5.0 + i)))
+      .toDF("vec_id", "embedding")
+    def planNodes(iters: Int): Int =
+      ClusterOps.kmeansAssign(emb, k = 2, iters = iters)
+        .queryExecution.optimizedPlan.collect { case n => n }.size
+    assert(planNodes(4) == planNodes(2))
+  }
+
+  // ---- CompactionOps ----
+
+  test("assignBins packs size-desc sequential-fill bins deterministically") {
+    val stats = Seq(("a", 10L), ("b", 7L), ("c", 5L), ("d", 3L)).toDF("f", "sz")
+    val bins = CompactionOps.assignBins(stats, "f", "sz", target = 12L)
+      .select("f", "bin").as[(String, Long)].collect().toMap
+    // excl cumsums in (sz desc, f asc) order: a=0, b=10, c=17, d=22
+    assert(bins == Map("a" -> 0L, "b" -> 0L, "c" -> 1L, "d" -> 1L))
+  }
+
+  test("assignBins ties break on the file id") {
+    val stats = Seq(("y", 5L), ("x", 5L), ("z", 5L)).toDF("f", "sz")
+    val bins = CompactionOps.assignBins(stats, "f", "sz", target = 10L)
+      .select("f", "bin").as[(String, Long)].collect().toMap
+    // order x, y, z -> excl cumsums 0, 5, 10 -> bins 0, 0, 1
+    assert(bins == Map("x" -> 0L, "y" -> 0L, "z" -> 1L))
+  }
+
+  test("compact routing moves data through exactly one hash exchange, on bin") {
+    val df = (1L to 100L).map(id => (id % 8, id)).toDF("g", "event_id")
+    // stats arrive as the file-level metadata relation they are (one row
+    // per file — recomputing them here would add an unrelated exchange)
+    val stats = (0L to 7L).map(g => (g, 12L + g % 2)).toDF("g", "sz")
+    val bins = CompactionOps.assignBins(stats, "g", "sz", target = 40L)
+    val p = CompactionOps.compact(df, "g", bins)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx == Seq("bin"), s"hash exchanges on: $hashEx\n$p")
+  }
+
+  // ---- LayoutOps guard ----
+
+  test("zorder refuses an input that already carries a _z column") {
+    val df = Seq((1L, 2L, 3L)).toDF("x", "y", "_z")
+    val e = intercept[IllegalArgumentException] {
+      LayoutOps.zorder(df, col("x"), col("y"), numFiles = 2)
+    }
+    assert(e.getMessage.contains("_z"))
+  }
+
+  // ---- SkewOps deterministic salts ----
+
+  test("saltedJoin salts are stable under recomputation and results exact") {
+    val big = (1L to 60L).map(i => (i % 3, i)).toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "tag")
+    val salted = SkewOps.saltedJoin(big, small, "k", salts = 4)
+      .select("k", "v", "tag")
+    val plain = big.join(small, "k").select("k", "v", "tag")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // no nondeterministic expressions anywhere in the plan
+    val lp = salted.queryExecution.optimizedPlan
+    assert(lp.expressions.forall(_.deterministic))
+  }
+
+  // ---- streaming near-dup trace assumptions ----
+
+  test("st_neardup trace texts have the pinned band-bucket relationships") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated payload about parquet row groups"),
+      (3L, "The  Quick Brown FOX jumps over the LAZY dog"),
+      (4L, "the quick brown fox leaps over the lazy dog"),
+      (5L, "another fully distinct sentence mentioning shuffle exchanges"),
+      (6L, "the quick brown fox jumps over the lazy cat"),
+      (9L, "watermark sentinel advancing event time")
+    ).toDF("doc_id", "text")
+    val b = texts
+      .withColumn("sig", GraftFunctions.minhashSig(
+        TermOps.tokens(col("text")), lit(2), lit(8)))
+      .withColumn("bks", GraftFunctions.bandBuckets(col("sig"), lit(4), lit(2)))
+      .select(col("doc_id"), col("bks"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def shared(a: Long, c: Long) = b(a).toSet.intersect(b(c).toSet).size
+    assert(shared(1L, 3L) == 4)  // case/ws variant: identical signature
+    assert(shared(1L, 4L) >= 1)  // one-token edit shares a band
+    assert(shared(1L, 6L) >= 1)  // the re-emit doc is a genuine near-dup
+    // unrelated docs and the sentinel share nothing with anyone
+    for (u <- Seq(2L, 5L, 9L); o <- b.keys if o != u)
+      assert(shared(u, o) == 0, s"doc $u unexpectedly shares a band with $o")
+  }
+}
