@@ -555,6 +555,18 @@ object SparkEntry {
           col("rank"))
     }),
 
+    "ann_ivfpq_residual" -> ((s, d) => {
+      // FAISS-standard residual IVFPQ: PQ codes quantize the residual
+      // against the assigned coarse centroid — sharper codes at the
+      // same bits (see SimilarityOps.ivfpqResidualTopK; ann_recall
+      // measures the gap vs plain IVFPQ)
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      SimilarityOps.ivfpqResidualTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("adc"), 4).as("adc"), col("rank"))
+    }),
+
     "ann_recall" -> ((s, d) => {
       // recall@5 per pruned path vs the brute-force truth — the answer-
       // quality number every pruned 100 TB ANN deployment must watch.
@@ -575,6 +587,8 @@ object SparkEntry {
         .unionByName(rec("lsh", SimilarityOps.lshTopK(emb, q, k = 5)))
         .unionByName(rec("pq", SimilarityOps.pqTopK(emb, q, k = 5)))
         .unionByName(rec("ivfpq", SimilarityOps.ivfpqTopK(emb, q, k = 5)))
+        .unionByName(rec("ivfpq_res",
+          SimilarityOps.ivfpqResidualTopK(emb, q, k = 5)))
     }),
 
     "dedup_semantic" -> ((s, d) => {
@@ -1926,6 +1940,93 @@ object SparkEntry {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** Residual-IVFPQ replay (SimilarityOps.ivfpqResidualTopK): the same
+    * coarse-cell and Lloyd chains as [[pqAdcOracleSql]], but the `sub`
+    * relation slices RESIDUALS (vector − assigned centroid), queries
+    * form one residual per probed cell, and the ADC lookup keys on
+    * (query, cell, subspace, code). */
+  private lazy val pqResidualOracleSql: String = {
+    def centFrom(assigned: String) =
+      s"""SELECT s, code, list(cv ORDER BY dim) AS cent FROM (
+         |   SELECT u.s AS s, u.code AS code, u.dim AS dim, avg(u.v) AS cv FROM (
+         |     SELECT sub.s, a.code, unnest(sub.sub) AS v,
+         |            generate_subscripts(sub.sub, 1) AS dim
+         |     FROM sub JOIN $assigned a USING (vec_id, s)) u
+         |   GROUP BY s, code, dim) g
+         | GROUP BY s, code""".stripMargin
+    def assignFrom(cent: String) =
+      s"""SELECT sub.vec_id, sub.s, $cent.code,
+         |  row_number() OVER (PARTITION BY sub.vec_id, sub.s
+         |    ORDER BY ${l2sqSql("sub.sub", s"$cent.cent", 8)} ASC,
+         |             $cent.code ASC) AS rn
+         | FROM sub JOIN $cent ON sub.s = $cent.s""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |kd0 AS (SELECT vec_id % 16 AS cluster, unnest(emb) AS v,
+       |        generate_subscripts(emb, 1) AS dim FROM e),
+       |kcent0 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+       |  (SELECT cluster, dim, avg(v) AS cv FROM kd0 GROUP BY cluster, dim) g
+       |  GROUP BY cluster),
+       |kar0 AS (SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id
+       |         ORDER BY ${cosSql("e.emb", "c.centroid")} DESC, c.cluster ASC) AS rn
+       |        FROM e CROSS JOIN kcent0 c),
+       |kasn0 AS (SELECT vec_id, cluster FROM kar0 WHERE rn = 1),
+       |kd1 AS (SELECT a.cluster, unnest(e2.emb) AS v,
+       |        generate_subscripts(e2.emb, 1) AS dim
+       |       FROM e e2 JOIN kasn0 a ON e2.vec_id = a.vec_id),
+       |kcent1 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+       |  (SELECT cluster, dim, avg(v) AS cv FROM kd1 GROUP BY cluster, dim) g
+       |  GROUP BY cluster),
+       |cents AS (SELECT cluster AS cent_id, centroid AS cent_emb FROM kcent1),
+       |csc AS (
+       |  SELECT e.vec_id, e.emb, c.cent_id, c.cent_emb,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${cosSql("e.emb", "c.cent_emb")} DESC, c.cent_id ASC) AS rn
+       |  FROM e CROSS JOIN cents c),
+       |cellsfull AS (SELECT vec_id, cent_id, cent_emb, emb
+       |              FROM csc WHERE rn = 1),
+       |resid AS (SELECT vec_id, cent_id,
+       |           list_transform(generate_series(1, 64),
+       |             i -> emb[i] - cent_emb[i]) AS emb
+       |          FROM cellsfull),
+       |sub AS (SELECT vec_id, s, emb[(s*8+1):(s*8+8)] AS sub
+       |        FROM resid, unnest(generate_series(0, 7)) AS t(s)),
+       |a0 AS (SELECT vec_id, s, vec_id % 16 AS code FROM sub),
+       |c1 AS (${centFrom("a0")}),
+       |d1 AS (${assignFrom("c1")}),
+       |a1 AS (SELECT vec_id, s, code FROM d1 WHERE rn = 1),
+       |c2 AS (${centFrom("a1")}),
+       |d2 AS (${assignFrom("c2")}),
+       |a2 AS (SELECT vec_id, s, code FROM d2 WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id,
+       |            list_transform(generate_series(1, 64),
+       |              i -> emb[i] - cent_emb[i]) AS q_res
+       |           FROM csc WHERE vec_id < 10 AND rn <= 3),
+       |qsub AS (SELECT query_id, cent_id, s,
+       |          q_res[(s*8+1):(s*8+8)] AS sub
+       |         FROM probes, unnest(generate_series(0, 7)) AS t(s)),
+       |qt AS (SELECT qsub.query_id, qsub.cent_id, qsub.s, c2.code,
+       |        ${l2sqSql("qsub.sub", "c2.cent", 8)} AS d
+       |       FROM qsub JOIN c2 ON qsub.s = c2.s),
+       |cand AS (SELECT p.query_id, c.vec_id, c.cent_id
+       |         FROM cellsfull c JOIN probes p USING (cent_id)
+       |         WHERE c.vec_id <> p.query_id),
+       |sc AS (SELECT cand.query_id, cand.vec_id, a2.s, qt.d
+       |       FROM cand JOIN a2 ON cand.vec_id = a2.vec_id
+       |       JOIN qt ON qt.query_id = cand.query_id
+       |         AND qt.cent_id = cand.cent_id
+       |         AND qt.s = a2.s AND qt.code = a2.code),
+       |ad AS (SELECT query_id, vec_id,
+       |        list_reduce(list_prepend(0.0, list(d ORDER BY s)),
+       |          (acc, x) -> acc + x) AS adc
+       |       FROM sc GROUP BY query_id, vec_id),
+       |r AS (SELECT query_id, vec_id AS nbr_id, adc,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc ASC, vec_id ASC) AS INT) AS rank FROM ad)
+       |SELECT query_id, nbr_id, round(adc, 4) AS adc, rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   /** The brute-force / IVF / LSH oracle chains as vals: each gates its
     * own query AND feeds the recall harness ([[annRecallSql]]) as a
     * subquery, so both gates replay literally identical SQL. */
@@ -2006,7 +2107,8 @@ object SparkEntry {
     val rows = Seq(
       "ivf" -> annIvfSql, "lsh" -> annLshSql,
       "pq" -> pqAdcOracleSql(ivfPruned = false),
-      "ivfpq" -> pqAdcOracleSql(ivfPruned = true))
+      "ivfpq" -> pqAdcOracleSql(ivfPruned = true),
+      "ivfpq_res" -> pqResidualOracleSql)
       .map { case (n, q) => row(n, q) }.mkString("\nUNION ALL\n")
     s"""SELECT path, n_hits, round(n_hits / 50.0, 4) AS recall_at_5
        |FROM (\n$rows\n) u""".stripMargin
@@ -2867,6 +2969,10 @@ object SparkEntry {
     // the same PQ chain with the scored set restricted to IVF coarse
     // cells (nProbe=3 of 16) — the IVFPQ composition
     "ann_ivfpq_topk" -> pqAdcOracleSql(ivfPruned = true),
+
+    // residual variant: codes quantize vector − assigned-centroid,
+    // queries score per probed cell's frame (FAISS IndexIVFPQ recipe)
+    "ann_ivfpq_residual" -> pqResidualOracleSql,
 
     "ann_brute_topk" -> annBruteSql,
 

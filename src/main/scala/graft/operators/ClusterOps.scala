@@ -46,17 +46,20 @@ object ClusterOps {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x.getField("cv")).as("centroid"))
 
-  /** Final (vec_id, cluster) assignment after `iters` Lloyd rounds from
-    * the deterministic sharded init. `emb` needs (vec_id: long,
-    * embedding: array<double>). */
-  def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The trained model form: (centroids (cluster, centroid), assignment
+    * (vec_id, cluster)) after `iters` Lloyd rounds from the
+    * deterministic sharded init — for consumers that need the centroid
+    * VECTORS themselves (residual quantization in
+    * `SimilarityOps.ivfpqResidualTopK`), not just the labels.
+    *
+    * Centroids are k×d rows — tiny — so localCheckpoint each Lloyd
+    * round: every round's training subtree materializes ONCE instead of
+    * nesting the prior round's full plan inside the next broadcast, so
+    * plan depth and nested broadcast-job count stay O(1) in `iters`
+    * (the lineage-truncation move of SimilarityOps' PQ codebooks and
+    * GraphOps' rank iteration; Round9OpsSpec pins constant depth). */
+  def kmeansModel(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    // centroids are k×d rows — tiny — so localCheckpoint each Lloyd
-    // round: every round's training subtree materializes ONCE instead of
-    // nesting the prior round's full plan inside the next broadcast, so
-    // plan depth and nested broadcast-job count stay O(1) in `iters`
-    // (the lineage-truncation move of SimilarityOps' PQ codebooks and
-    // GraphOps' rank iteration; ClusterPlanSpec pins constant depth).
     var centroids = recompute(
       e, e.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("cluster")))
       .localCheckpoint()
@@ -65,6 +68,13 @@ object ClusterOps {
       centroids = recompute(e, assigned).localCheckpoint()
       assigned = assign(e, centroids)
     }
-    assigned.select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+    (centroids, assigned)
   }
+
+  /** Final (vec_id, cluster) assignment after `iters` Lloyd rounds from
+    * the deterministic sharded init. `emb` needs (vec_id: long,
+    * embedding: array<double>). */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansModel(emb, k, iters)._2
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
 }

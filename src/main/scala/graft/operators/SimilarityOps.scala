@@ -321,17 +321,26 @@ object SimilarityOps {
     pqAdcRank(corpus, queries, k, m, codes, dims, Some(candidates))
   }
 
-  private def pqAdcRank(corpus: DataFrame, queries: DataFrame, k: Int,
-                        m: Int, codes: Int, dims: Int,
-                        candidates: Option[DataFrame]): DataFrame = {
+  /** (vec_id → idAs, s, sub): the m per-subspace slices of `embedding`. */
+  private def pqSubvectors(df: DataFrame, idAs: String, m: Int,
+                           dsub: Int): DataFrame =
+    df.select(col("vec_id").as(idAs),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * dsub + 1, dsub)): _*)).as(Seq("s", "sub")))
+
+  /** Deterministic per-subspace Lloyd codebook training + encoding over
+    * a (vec_id, embedding) relation (init = vec_id % codes, 2 rounds,
+    * argmin ties to the lower code — the pqTopK recipe, shared by the
+    * plain and residual PQ paths). Returns (codebook (s, code, cent),
+    * encoded (vec_id, s, code)). Codebooks are m×codes rows —
+    * localCheckpoint'ed so the training subtree runs ONCE instead of
+    * re-executing inside every consumer branch (encoding, the ADC
+    * tables); same lineage-truncation move as GraphOps. */
+  private def pqCodebookEncode(vectors: DataFrame, m: Int, codes: Int,
+                               dims: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
-    def subvectors(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs),
-        posexplode(array((0 until m).map(s =>
-          slice(col("embedding"), s * dsub + 1, dsub)): _*)).as(Seq("s", "sub")))
-
-    val subs = subvectors(corpus, "vec_id")
+    val subs = pqSubvectors(vectors, "vec_id", m, dsub)
     // centroid table (s, code, cent) from an assignment (vec_id, s, code)
     def recompute(assigned: DataFrame): DataFrame =
       subs.join(assigned, Seq("vec_id", "s"))
@@ -349,16 +358,21 @@ object SimilarityOps {
 
     val init = subs.select(col("vec_id"), col("s"),
       pmod(col("vec_id"), lit(codes.toLong)).as("code"))
-    // codebooks are m×codes rows — localCheckpoint them so the training
-    // subtree runs ONCE instead of re-executing inside every consumer
-    // branch (encoding, the ADC tables); same lineage-truncation move
-    // as GraphOps/connectedComponents
     val cent1 = recompute(init).localCheckpoint()
     val cent2 = recompute(assign(cent1)).localCheckpoint()
-    val encoded = assign(cent2) // (vec_id, s, code): the compressed corpus
+    (cent2, assign(cent2))
+  }
+
+  private def pqAdcRank(corpus: DataFrame, queries: DataFrame, k: Int,
+                        m: Int, codes: Int, dims: Int,
+                        candidates: Option[DataFrame]): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val dsub = dims / m
+    val (cent2, encoded) = pqCodebookEncode(
+      corpus.select(col("vec_id"), col("embedding")), m, codes, dims)
 
     // ADC tables: distance from each query subvector to every centroid
-    val qtab = subvectors(queries, "query_id")
+    val qtab = pqSubvectors(queries, "query_id", m, dsub)
       .join(broadcast(cent2), Seq("s"))
       .select(col("query_id"), col("s"), col("code"),
         l2sq(col("sub"), col("cent")).as("d"))
@@ -377,6 +391,98 @@ object SimilarityOps {
       .groupBy("query_id", "vec_id")
       .agg(collect_list(struct(col("s"), col("d"))).as("ds"))
       // ordered fold over subspaces: engine-replicable sum
+      .withColumn("adc", aggregate(
+        transform(array_sort(col("ds")), x => x.getField("d")),
+        lit(0.0d), (acc, x) => acc + x))
+    adist.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"), col("adc"), col("rank"))
+  }
+
+  /** Residual IVFPQ (the FAISS-standard IndexIVFPQ recipe): PQ codes
+    * encode the RESIDUAL of each vector against its assigned coarse
+    * centroid, not the raw vector (Jégou et al., TPAMI 2011 §IV.C;
+    * `ann_recall` measures the gap vs [[ivfpqTopK]]).
+    *
+    * Unlike the sampled-vector coarse cells of [[ivfTopK]]/[[ivfpqTopK]],
+    * the coarse quantizer here is TRAINED ([[ClusterOps.kmeansModel]],
+    * the same deterministic no-RNG Lloyd) — that is what makes residuals
+    * work: against a cell MEAN, residual variance is the within-cell
+    * variance (≤ total variance by the k-means objective), so the same
+    * code budget quantizes a strictly smaller spread. Against a sampled
+    * corpus vector the subtraction ADDS variance on weakly-clustered
+    * data (var(x−c) ≈ var(x) + var(c)) and recall drops — measured and
+    * documented via `ann_recall` on the synthetic corpus.
+    *
+    * Query side mirrors the encoder's frame: for each of its `nProbe`
+    * probed cells the query forms the residual against THAT cell's
+    * centroid, and the ADC table is keyed (query, cell, subspace, code).
+    *
+    * Determinism: trained centroids, cell argmax, Lloyd codebooks, and
+    * the ordered-fold distances all reuse the existing no-RNG recipes;
+    * the residual subtraction is elementwise double arithmetic — the
+    * whole chain replays in SQL (`ann_ivfpq_residual`).
+    *
+    * Scale shape: [[ivfpqTopK]] plus the k-means training passes (run
+    * them on a sample at 100 TB — pass a sampled `corpus` to
+    * kmeansModel via the same recipe IVF quantizers conventionally use)
+    * and one elementwise subtraction before encoding — the corpus-wide
+    * (vec, cell, residual) relation is localCheckpoint'ed so the
+    * assignment pass runs once (training, encoding and candidate
+    * generation all read it); the ADC tables grow nProbe-fold
+    * (queries × nProbe × m × codes rows) and still broadcast. */
+  def ivfpqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nCentroids: Int = 16, nProbe: Int = 3,
+                        m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val dsub = dims / m
+    // trained coarse quantizer: k-means cell means (2 Lloyd rounds),
+    // already localCheckpoint'ed per round inside kmeansModel
+    val cents = ClusterOps.kmeansModel(corpus, nCentroids, iters = 2)._1
+      .select(col("cluster").as("cent_id"), col("centroid").as("cent_emb"))
+    // nearest cell per corpus vector, WITH the residual vs its centroid
+    val cellsFull = corpus.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("embedding"), col("cent_emb")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("cent_emb"), col("embedding")),
+        struct(col("csim"), lit(0L) - col("cent_id"))).as("b"))
+      .select(col("vec_id"), col("b.cent_id").as("cent_id"),
+        zip_with(col("b.embedding"), col("b.cent_emb"),
+          (a, b) => a - b).as("resid"))
+      .localCheckpoint()
+    val (cent2, encoded) = pqCodebookEncode(
+      cellsFull.select(col("vec_id"), col("resid").as("embedding")),
+      m, codes, dims)
+
+    // query probes: nProbe nearest cells, one residual per probed cell
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("cent_id"),
+        zip_with(col("q_emb"), col("cent_emb"), (a, b) => a - b).as("q_res"))
+    // per-(query, probed-cell) ADC tables against the shared codebook
+    val qtab = probes.select(col("query_id"), col("cent_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("q_res"), s * dsub + 1, dsub)): _*)).as(Seq("s", "sub")))
+      .join(broadcast(cent2), Seq("s"))
+      .select(col("query_id"), col("cent_id"), col("s"), col("code"),
+        l2sq(col("sub"), col("cent")).as("d"))
+    val cand = cellsFull.select(col("vec_id"), col("cent_id"))
+      .join(broadcast(probes.select(col("query_id"), col("cent_id"))),
+        Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    // candidates fan out to their m codes (join keyed on vec_id), then
+    // the broadcast table lookup attaches the cell-frame distances
+    val scored = cand.join(encoded, Seq("vec_id"))
+      .join(broadcast(qtab), Seq("query_id", "cent_id", "s", "code"))
+    val adist = scored
+      .groupBy("query_id", "vec_id")
+      .agg(collect_list(struct(col("s"), col("d"))).as("ds"))
       .withColumn("adc", aggregate(
         transform(array_sort(col("ds")), x => x.getField("d")),
         lit(0.0d), (acc, x) => acc + x))

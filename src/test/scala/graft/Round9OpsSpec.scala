@@ -84,6 +84,25 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(hashEx == Seq("bin"), s"hash exchanges on: $hashEx\n$p")
   }
 
+  // ---- SimilarityOps residual IVFPQ ----
+
+  test("ivfpqResidualTopK separates planted groups like the plain PQ paths") {
+    // two directionally distinct tight groups in 8-dim space
+    val vecs = (1L to 20L).map { id =>
+      val hot = if (id <= 10) 0 else 1
+      (id, Array.tabulate(8)(j =>
+        (if (j % 2 == hot) 5.0 else 0.5) + 0.01 * ((id + j) % 5)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfpqResidualTopK(df,
+      df.filter(col("vec_id").isin(1L, 15L)), k = 3,
+      nCentroids = 4, nProbe = 2, m = 2, codes = 4, dims = 8)
+      .select("query_id", "nbr_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ(1L).size == 3 && byQ(1L).forall(_._2 <= 10))
+    assert(byQ(15L).size == 3 && byQ(15L).forall(_._2 > 10))
+  }
+
   // ---- LayoutOps guard ----
 
   test("zorder refuses an input that already carries a _z column") {
