@@ -792,6 +792,40 @@ object SparkEntry {
           col("user_id"), col("n_events"))
     }),
 
+    "st_cms" -> ((s, _) => {
+      // streaming count-min: each finalized window emits its bounded
+      // depth×width cells (append mode), which merge cell-wise with the
+      // batch sketch — same seed-suffixed FNV bucket family as
+      // SketchOps.countMin. The sentinel advances the watermark past both
+      // data windows; its own window stays open and unemitted
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.countMinCells(mem.toDF(), "ts", "user_id",
+          "10 minutes", "10 minutes", depth = 2, width = 256)
+        .writeStream.format("memory").queryName("st_cms_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1.0),
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 2.0),
+          EventStreamOps.Event(2, java.sql.Timestamp.valueOf("2024-01-01 00:12:00"), 3.0),
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:13:00"), 4.0))
+        q.processAllAvailable()
+        // watermark sentinel: 00:40 − 10 min closes the 00:00 and 00:10
+        // windows
+        mem.addData(EventStreamOps.Event(99,
+          java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_cms_out")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("j"), col("bucket"), col("cnt"))
+    }),
+
     "s8_sampler_events" -> ((s, d) =>
       // the sampler at data scale: keyed by user, "length" = value column
       RevisionOps.changeRatioSample(t(s, d, "events"), "user_id", "ts", "value",
@@ -1469,6 +1503,77 @@ object SparkEntry {
       SketchOps.countMinEstimates(ev, "user_id", ev, depth = 3, width = 256)
         .join(exact, Seq("user_id"))
         .select(col("user_id"), col("n_exact"), col("n_est"))
+    }),
+
+    "sketch_hll" -> ((s, d) =>
+      // HyperLogLog distinct-user summary: 64 registers, exact-integer
+      // register sum, linear-counting small-range correction — sf0.001
+      // (15 users) lands on the LC branch, sf0.1 (1500) on the raw one
+      SketchOps.hllSummary(t(s, d, "events"), "user_id")),
+
+    "sketch_hll_merge" -> ((s, d) => {
+      // the merge law through the gate: registers computed per shard and
+      // merged by cell-wise MAX must equal the whole-set registers — the
+      // oracle computes them globally, so a hash match proves that
+      // distributed/incremental HLL maintenance loses nothing
+      val ev = t(s, d, "events")
+      (0 until 4)
+        .map(i => SketchOps.hllRegisters(
+          ev.filter(col("event_id") % 4 === i), "user_id"))
+        .reduce(_ unionByName _)
+        .groupBy("bucket").agg(max(col("rho")).as("rho"))
+    }),
+
+    "stats_quantile_est" -> ((s, d) =>
+      // approximate per-type quantiles read off the mergeable fixed-bin
+      // histogram (error <= bin width): the O(groups×bins) sketch path
+      // beside the exact rank-rule stats_group_quantiles
+      SketchOps.histogramQuantiles(t(s, d, "events"), "event_type", "value",
+        binWidth = 8.0, probs = Seq(0.5, 0.9, 0.99))),
+
+    "sample_mixture" -> ((s, d) =>
+      // exact-count training-mix sampling: per-lang targets, lowest-hash
+      // rank per domain; fr excluded by the spec, es target above the
+      // group size at sf<=0.01 -> the take-all clamp path
+      PackOps.mixtureSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 50L, "de" -> 40L, "es" -> 100L, "zh" -> 20L))),
+
+    "k14_bucketed_join" -> ((s, d) => {
+      // co-located bucketed join: both sides written bucketBy(8) on the
+      // join key, so the merge join AND the downstream per-order
+      // aggregation run with ZERO exchanges (pinned in Round9OpsSpec) —
+      // the shuffle is paid once at write time and amortized over every
+      // later join on the key
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      BucketedTables.writeBucketed(li, "k14_lineitem", "l_orderkey", 8)
+      BucketedTables.writeBucketed(ord, "k14_orders", "o_orderkey", 8)
+      s.table("k14_lineitem").hint("merge")
+        .join(s.table("k14_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
+    "k15_manifest_skip" -> ((s, d) => {
+      // zone-map file skipping: range layout by event_id, per-file
+      // min/max manifest, then scan ONLY the files intersecting the
+      // middle [max/4, max/2] band; the oracle's full-scan filter proves
+      // pruning dropped nothing (files-read < files-total is pinned in
+      // Round9OpsSpec)
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_k15")
+        .toString + "/ev"
+      LayoutOps.writeRangeLayout(ev, "event_id", dir, numFiles = 8)
+      val mx = ev.agg(max(col("event_id"))).first().getLong(0)
+      val (pruned, _, _) =
+        LayoutOps.manifestPrunedScan(s, dir, "event_id", mx / 4, mx / 2)
+      pruned.agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        round(sum(col("value")), 2).as("sum_value"))
     }),
 
     "j7_bloom_prune" -> ((s, d) => {
@@ -3632,6 +3737,126 @@ object SparkEntry {
         | round(CAST(sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin)
         |   AS BIGINT) * 1.0 / n.n, 4) AS cum_frac
         |FROM b JOIN n USING (event_type)""".stripMargin,
+
+    // HLL replayed bit-for-bit: 32-bit FNV fold, bucket = low 6 bits,
+    // rho from length(bin(rest)) (integer-exact leftmost-bit position),
+    // register sum scaled to exact BIGINT, double math only in the final
+    // division chain / ln — every float op spelled identically on both
+    // engines (::DOUBLE everywhere: DuckDB parses bare float literals as
+    // DECIMAL, whose arithmetic diverges from Spark's doubles)
+    "sketch_hll" ->
+      s"""WITH b AS (
+         |  SELECT CAST(fu % 64 AS BIGINT) AS bucket,
+         |   CAST(fu // 64 AS BIGINT) AS rest
+         |  FROM (SELECT ${fnvSql("CAST(user_id AS VARCHAR) || '#hll'")}
+         |          % 4294967296::HUGEINT AS fu
+         |        FROM events WHERE user_id IS NOT NULL)),
+         |r AS (
+         |  SELECT bucket,
+         |   max(CASE WHEN rest = 0 THEN 27
+         |       ELSE 27 - CAST(length(bin(rest)) AS INT) END) AS rho
+         |  FROM b GROUP BY bucket),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m_used,
+         |   CAST(sum(1::BIGINT << (30 - rho)) AS BIGINT) AS s_present
+         |  FROM r),
+         |t AS (
+         |  SELECT 64 - m_used AS v_zero,
+         |   s_present + (64 - m_used) * 1073741824 AS s_scaled
+         |  FROM s)
+         |SELECT v_zero, s_scaled,
+         | round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE)
+         |   * 4096.0::DOUBLE * 1073741824.0::DOUBLE / s_scaled, 2) AS est_raw,
+         | CASE WHEN 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE)
+         |       * 4096.0::DOUBLE * 1073741824.0::DOUBLE / s_scaled <= 160.0::DOUBLE
+         |      AND v_zero > 0
+         |   THEN round(64.0::DOUBLE * ln(64.0::DOUBLE / v_zero), 2)
+         |   ELSE round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE)
+         |     * 4096.0::DOUBLE * 1073741824.0::DOUBLE / s_scaled, 2)
+         | END AS est
+         |FROM t""".stripMargin,
+
+    // the oracle computes the registers GLOBALLY; Spark computes them per
+    // shard and max-merges — a hash match proves the merge law
+    "sketch_hll_merge" ->
+      s"""WITH b AS (
+         |  SELECT CAST(fu % 64 AS BIGINT) AS bucket,
+         |   CAST(fu // 64 AS BIGINT) AS rest
+         |  FROM (SELECT ${fnvSql("CAST(user_id AS VARCHAR) || '#hll'")}
+         |          % 4294967296::HUGEINT AS fu
+         |        FROM events WHERE user_id IS NOT NULL))
+         |SELECT bucket,
+         | max(CASE WHEN rest = 0 THEN 27
+         |     ELSE 27 - CAST(length(bin(rest)) AS INT) END) AS rho
+         |FROM b GROUP BY bucket""".stripMargin,
+
+    "stats_quantile_est" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value / 8.0) AS BIGINT) AS bin,
+        |   count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bin, CAST(cnt AS BIGINT) AS cnt,
+        |   CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+        |     AS BIGINT) AS cum
+        |  FROM b),
+        |n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |      FROM b GROUP BY 1),
+        |p(p) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE))
+        |SELECT c.event_type, p.p,
+        | round(CAST(c.bin AS DOUBLE) * 8.0::DOUBLE + 8.0::DOUBLE *
+        |   (p.p * CAST(n.n AS DOUBLE) - CAST(c.cum - c.cnt AS DOUBLE)) /
+        |   CAST(c.cnt AS DOUBLE), 4) AS q_est
+        |FROM c JOIN n USING (event_type), p
+        |WHERE CAST(c.cum AS DOUBLE) >= p.p * CAST(n.n AS DOUBLE)
+        |  AND CAST(c.cum - c.cnt AS DOUBLE) < p.p * CAST(n.n AS DOUBLE)""".stripMargin,
+
+    // unsigned HUGEINT FNV folded to Spark's signed-long order before the
+    // per-domain rank (the sample_bottomk convention)
+    "sample_mixture" ->
+      s"""WITH t(domain, tgt) AS (VALUES ('de', 40), ('en', 50), ('es', 100), ('zh', 20)),
+         |f AS (SELECT doc_id, lang AS domain,
+         |   ${fnvSql("doc_id::VARCHAR || '#mix'")} AS fu
+         |  FROM documents),
+         |h AS (SELECT doc_id, domain,
+         |   CAST(CASE WHEN fu >= 9223372036854775808::HUGEINT
+         |     THEN fu - 18446744073709551616::HUGEINT ELSE fu END AS BIGINT) AS h
+         |  FROM f),
+         |r AS (SELECT domain, doc_id,
+         |   row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn
+         |  FROM h JOIN t USING (domain))
+         |SELECT domain, doc_id, CAST(rn AS BIGINT) AS rn
+         |FROM r JOIN t USING (domain) WHERE rn <= tgt""".stripMargin,
+
+    "k14_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the full-scan filter IS the pruning-safety oracle: if the manifest
+    // scan skipped a file containing in-range rows, these aggregates
+    // cannot match
+    "k15_manifest_skip" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events)
+        |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_id,
+        | min(event_id) AS min_id, max(event_id) AS max_id,
+        | round(sum(value), 2) AS sum_value
+        |FROM events, m
+        |WHERE event_id >= mx // 4 AND event_id <= mx // 2""".stripMargin,
+
+    // golden trace (buckets = fnv64(user#j) & 255: user 1 -> 135/212,
+    // user 2 -> 54/233; no collisions)
+    "st_cms" ->
+      """SELECT col0 AS w_start, CAST(col1 AS INT) AS j,
+        | CAST(col2 AS BIGINT) AS bucket, CAST(col3 AS BIGINT) AS cnt
+        |FROM (VALUES ('2024-01-01 00:00:00', 0, 135, 2),
+        | ('2024-01-01 00:00:00', 1, 212, 2),
+        | ('2024-01-01 00:10:00', 0, 54, 1),
+        | ('2024-01-01 00:10:00', 1, 233, 1),
+        | ('2024-01-01 00:10:00', 0, 135, 1),
+        | ('2024-01-01 00:10:00', 1, 212, 1)) t""".stripMargin,
 
     // bin assignment replayed: per-file row counts, (size desc, file
     // asc) order, exclusive-running-sum div target; n_files = 1 is the

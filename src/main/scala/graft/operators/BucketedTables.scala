@@ -13,12 +13,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object BucketedTables {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // the warehouse directory outlives the in-memory catalog: a table
+    // written by a previous JVM is an unknown-but-present location that
+    // makes saveAsTable fail — drop what the catalog knows, then clear
+    // any orphaned location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key — planner elides both
     * exchanges when bucket counts match. */

@@ -54,4 +54,53 @@ object LayoutOps {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
   }
+
+  /** Range layout on one key: one sampled range exchange, each output
+    * file covering a contiguous, near-disjoint `keyCol` interval — the
+    * precondition that makes file-level min/max skipping
+    * ([[manifestPrunedScan]]) effective. The single-dimension sibling of
+    * [[zorder]]. */
+  def writeRangeLayout(df: DataFrame, keyCol: String, path: String,
+                       numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(keyCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Per-file min/max manifest (zone map) for `keyCol`: the table-level
+    * skipping index Iceberg/Delta keep in metadata, built here with ONE
+    * aggregation over `input_file_name()`. At 100 TB the manifest is
+    * written once per layout job (or maintained incrementally on append)
+    * and amortizes over every subsequent range query. */
+  def fileManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                   keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("min_k"), max(col(keyCol)).as("max_k"),
+        count(lit(1)).as("n_rows"))
+
+  /** Manifest-pruned range scan: read ONLY the files whose [min,max]
+    * intersects [lo,hi], then apply the exact predicate. Returns the
+    * pruned frame plus (files read, files total) so callers can assert
+    * skipping happened. The manifest collect is metadata-scale (one row
+    * per FILE — the same driver-safe planning tier as
+    * `IndexSplits.build`); a deployment with millions of files keeps the
+    * manifest as a table and intersects per scan unit instead of
+    * collecting, but the reader API here takes explicit paths. The
+    * residual filter stays because file ranges OVERLAP the query range at
+    * the edges — pruning must never drop rows, which is exactly what the
+    * oracle's full-scan filter checks. */
+  def manifestPrunedScan(spark: org.apache.spark.sql.SparkSession,
+                         path: String, keyCol: String,
+                         lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val mf = fileManifest(spark, path, keyCol)
+      .select(col("file"), col("min_k").cast("long"), col("max_k").cast("long"))
+      .collect()
+    val keep = mf.filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0))
+    val pruned =
+      if (keep.isEmpty) // preserve schema; the filter makes it empty
+        spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    (pruned, keep.length, mf.length)
+  }
 }

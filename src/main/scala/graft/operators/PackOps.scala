@@ -72,6 +72,46 @@ object PackOps {
       .select("doc_id", "epoch", "shard", "pos")
   }
 
+  /** Exact-count mixture sampling: a training-mix spec gives per-domain
+    * TARGET counts ("50 en docs, 40 de, …"); each domain contributes its
+    * `tgt` lowest-hash documents — the per-group generalization of
+    * `SketchOps.bottomKSample`, and the counted complement of the
+    * rate-based stratified sampler (`sample_stratified`): a mix budget is
+    * a count, not a rate, so the planner needs exact sizes. Domains
+    * absent from `targets` are excluded (inner join); a domain smaller
+    * than its target contributes everything it has (rn never exceeds the
+    * group size — the take-all clamp a real mix hits on scarce
+    * languages).
+    *
+    * Deterministic: selection is a pure function of (id set, salt) —
+    * invariant to partitioning, retries and cluster size, so the mix is
+    * auditable and re-runnable. Scale shape: one hash projection, a
+    * broadcast join against the O(domains) target table, and a rank
+    * window partitioned by domain — domains rank in parallel; no global
+    * ordering materializes. For a heavily-skewed domain the window's
+    * per-key sort is the cost; at that point pre-filter with a hash
+    * threshold (bottomKSample's TakeOrderedAndProject shape) per domain
+    * first. */
+  def mixtureSample(docs: DataFrame, idCol: String, domainCol: String,
+                    targets: Map[String, Long], salt: String = "mix"): DataFrame = {
+    require(targets.nonEmpty, "mixtureSample needs at least one target")
+    require(targets.values.forall(_ > 0), "targets must be positive")
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val tdf = targets.toSeq.sortBy(_._1).toDF("domain", "tgt")
+    docs
+      .select(col(domainCol).as("domain"), col(idCol).as("doc_id"),
+        call_function("fnv64",
+          concat(col(idCol).cast("string"), lit(s"#$salt"))).as("h"))
+      .join(broadcast(tdf), Seq("domain"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rn") <= col("tgt"))
+      .select(col("domain"), col("doc_id"), col("rn"))
+  }
+
   /** Temperature-based source rebalancing (the multilingual-corpus
     * mixing rule, T = 2): source s keeps documents with probability
     * `sqrt(n_s / n_max)` — large sources are downsampled toward the

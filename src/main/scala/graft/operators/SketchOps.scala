@@ -143,6 +143,98 @@ object SketchOps {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
+  /** HyperLogLog registers over `keyCol` (Flajolet et al., "HyperLogLog:
+    * the analysis of a near-optimal cardinality estimation algorithm",
+    * AofA 2007) — the industry-standard mergeable distinct sketch, built
+    * deterministically so the oracle replays it: hash = fnv64(key # hll)
+    * folded to 32 bits, bucket = low `p` bits, and the register is the
+    * MAX over the bucket's rows of rho = 1 + leading zero count of the
+    * remaining (32-p) bits. rho comes from `length(bin(rest))` — an
+    * integer-exact leftmost-bit position both Spark and DuckDB compute
+    * from the same builtin, no float log anywhere.
+    *
+    * Scale shape: one map pass + one aggregation to AT MOST 2^p rows,
+    * regardless of key cardinality; registers merge across shards/days by
+    * cell-wise MAX (max of maxes = max of the union — the law
+    * `sketch_hll_merge` proves through the gate). KMV ([[kmvDistinct]])
+    * stays the precision sibling; HLL is the O(2^p)-state one a 100 TB
+    * profile job actually ships per (day, source) cell. */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 12, s"hll precision p must be in [2,12], got $p")
+    graft.plans.GraftSparkExtensions.install(df.sparkSession)
+    val m = 1L << p
+    val h = pmod(call_function("fnv64",
+      concat(col(keyCol).cast("string"), lit("#hll"))), lit(4294967296L))
+    df.filter(col(keyCol).isNotNull)
+      .select(h.bitwiseAND(lit(m - 1)).as("bucket"),
+        shiftright(h, p).as("rest"))
+      .select(col("bucket"),
+        when(col("rest") === 0, lit(33 - p))
+          .otherwise(lit(33 - p) - length(bin(col("rest")))).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+  }
+
+  /** One-row HLL summary from [[hllRegisters]]: the standard estimator
+    * with small-range (linear-counting) correction. The register sum
+    * Σ 2^-rho is kept EXACT by scaling to integers (Σ 2^(30-rho) — rho ≤
+    * 31 so every term and the ≤ 2^p-term sum fit a long), so the only
+    * floats are one final division chain and the linear-counting ln,
+    * computed by the identical expression on both engines. */
+  def hllSummary(df: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+    val m = 1L << p
+    val mD = m.toDouble
+    // alpha_m * m^2, spelled as the arithmetic both engines fold the
+    // same way (left-assoc, double literals)
+    val num = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD)) *
+      lit(mD * mD) * lit(1073741824.0)
+    hllRegisters(df, keyCol, p)
+      .agg(count(lit(1)).as("m_used"),
+        sum(expr("shiftleft(cast(1 as bigint), 30 - rho)")).as("s_present"))
+      .select((lit(m) - col("m_used")).as("v_zero"),
+        (col("s_present") + (lit(m) - col("m_used")) * lit(1L << 30))
+          .as("s_scaled"))
+      .select(col("v_zero"), col("s_scaled"),
+        round(num / col("s_scaled"), 2).as("est_raw"),
+        when(num / col("s_scaled") <= lit(2.5 * mD) && col("v_zero") > 0,
+            round(lit(mD) * log(lit(mD) / col("v_zero")), 2))
+          .otherwise(round(num / col("s_scaled"), 2)).as("est"))
+  }
+
+  /** Per-group quantile estimates read off the mergeable fixed-bin
+    * histogram (the `stats_histogram_grouped` profile): for each
+    * probability the unique bin with cum_prev < p·n ≤ cum, linearly
+    * interpolated within the bin. This is the APPROXIMATE quantile path a
+    * 100 TB profile uses — the histogram cells merge by sum across
+    * shards/days and the read-off runs on O(groups × bins) rows, where
+    * the exact rank-rule quantiles (`stats_group_quantiles`) shuffle
+    * every row. Error ≤ binWidth by construction. All interpolation
+    * arithmetic is ratios of exact longs (plus the p·n product), so both
+    * engines compute bit-identical doubles. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                         binWidth: Double, probs: Seq[Double]): DataFrame = {
+    require(binWidth > 0 && probs.nonEmpty && probs.forall(q => q > 0 && q < 1),
+      s"need positive binWidth and probs in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val sp = df.sparkSession
+    import sp.implicits._
+    val bins = df
+      .select(col(groupCol), floor(col(valCol) / binWidth).cast("long").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("cnt"))
+    val n = bins.groupBy(col(groupCol)).agg(sum("cnt").as("n"))
+    val target = col("p") * col("n").cast("double")
+    bins
+      .withColumn("cum", sum("cnt")
+        .over(Window.partitionBy(col(groupCol)).orderBy(col("bin"))))
+      .join(broadcast(n), Seq(groupCol))
+      .crossJoin(broadcast(probs.toDF("p")))
+      .filter(col("cum").cast("double") >= target &&
+        (col("cum") - col("cnt")).cast("double") < target)
+      .select(col(groupCol), col("p"),
+        round(col("bin").cast("double") * lit(binWidth) + lit(binWidth) *
+          (target - (col("cum") - col("cnt")).cast("double")) /
+          col("cnt").cast("double"), 4).as("q_est"))
+  }
+
   /** Deterministic uniform sample: the k rows whose keyed FNV hash is
     * smallest — reproducible reservoir sampling. Unlike rand()-based
     * sampling, the selected set is a pure function of (key set, salt):

@@ -47,6 +47,39 @@ object EventStreamOps {
       .select(col("window.start").as("window_start"), col(tierCol),
         col("n_events"), col("sum_value"))
 
+  /** Streaming count-min sketch: per event-time window, the finalized
+    * depth×width cell counts of the key stream — the stream-side half of
+    * the lambda pattern. Cells use the SAME seed-suffixed FNV bucket
+    * family as the batch sketch (`SketchOps.countMin`), so a closed
+    * window's cells merge cell-wise (sum) with — or stand in for — the
+    * batch sketch of the same hours. State per open window is ≤
+    * depth×width counter cells REGARDLESS of key cardinality (the whole
+    * point: a per-key streaming count would hold every hot key in state),
+    * and watermark expiry bounds the number of open windows. Append mode
+    * emits only finalized windows — the mergeable, immutable cells a
+    * downstream profile job reads. */
+  def countMinCells(events: DataFrame, tsCol: String, keyCol: String,
+                    window: String, watermark: String,
+                    depth: Int = 2, width: Int = 256): DataFrame = {
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    require(depth >= 1, s"depth must be positive, got $depth")
+    graft.plans.GraftSparkExtensions.install(events.sparkSession)
+    val buckets = (0 until depth).map { j =>
+      call_function("fnv64",
+        concat(col(keyCol).cast("string"), lit(s"#$j")))
+        .bitwiseAND(lit((width - 1).toLong))
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), posexplode(array(buckets: _*)).as(Seq("j", "bucket")))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("j"),
+        col("bucket"), col("cnt"))
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,

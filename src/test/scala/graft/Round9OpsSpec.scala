@@ -127,6 +127,93 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(lp.expressions.forall(_.deterministic))
   }
 
+  // ---- SketchOps HLL ----
+
+  test("hll registers merge by cell-wise max across shards to the global registers") {
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("k", "shard")
+    val global = SketchOps.hllRegisters(df, "k")
+    val merged = (0L to 6L)
+      .map(sh => SketchOps.hllRegisters(df.filter(col("shard") === sh), "k"))
+      .reduce(_ unionByName _)
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+    assert(merged.exceptAll(global).isEmpty && global.exceptAll(merged).isEmpty)
+  }
+
+  test("hll estimate lands in the expected error band on both branches") {
+    val est = SketchOps.hllSummary((1L to 2000L).toDF("k"), "k")
+      .select("est").as[Double].collect().head
+    // sigma ≈ 1.04/sqrt(64) ≈ 13%; allow 3 sigma
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.4, s"est=$est")
+    // a small set lands on the linear-counting branch, near-exact
+    val estS = SketchOps.hllSummary((1L to 20L).toDF("k"), "k")
+      .select("est").as[Double].collect().head
+    assert(math.abs(estS - 20.0) < 5.0, s"est=$estS")
+  }
+
+  // ---- SketchOps.histogramQuantiles ----
+
+  test("histogram quantile read-off lands within one bin of the exact rank") {
+    val df = (0 until 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val q = SketchOps.histogramQuantiles(df, "g", "v", 8.0, Seq(0.5, 0.9))
+      .select("p", "q_est").as[(Double, Double)].collect().toMap
+    assert(math.abs(q(0.5) - 500.0) <= 8.0, q.toString)
+    assert(math.abs(q(0.9) - 900.0) <= 8.0, q.toString)
+  }
+
+  // ---- PackOps.mixtureSample ----
+
+  test("mixtureSample hits exact targets, clamps scarce domains, drops unlisted ones") {
+    val docs = ((1L to 50L).map(i => (i, "en")) ++
+      (51L to 53L).map(i => (i, "de")) ++
+      (54L to 60L).map(i => (i, "fr"))).toDF("id", "lang")
+    val out = PackOps.mixtureSample(docs, "id", "lang",
+        Map("en" -> 10L, "de" -> 5L))
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("en" -> 10L, "de" -> 3L)) // de clamps; fr excluded
+    // deterministic: a re-run selects the identical id set
+    val a = PackOps.mixtureSample(docs, "id", "lang", Map("en" -> 10L))
+      .select("doc_id").as[Long].collect().toSet
+    val b = PackOps.mixtureSample(docs, "id", "lang", Map("en" -> 10L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 10)
+  }
+
+  // ---- LayoutOps manifest skipping ----
+
+  test("manifestPrunedScan reads a strict file subset and loses no rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_mf")
+      .toString + "/t"
+    val df = (1L to 400L).map(i => (i, i % 5)).toDF("id", "g")
+    LayoutOps.writeRangeLayout(df, "id", dir, numFiles = 8)
+    val (pruned, nRead, nTotal) =
+      LayoutOps.manifestPrunedScan(spark, dir, "id", 100L, 180L)
+    assert(nRead < nTotal && nRead > 0, s"read $nRead of $nTotal files")
+    assert(pruned.select("id").as[Long].collect().toSet == (100L to 180L).toSet)
+  }
+
+  // ---- k14 bucketed join + downstream agg: zero exchanges ----
+
+  test("k14 bucketed join and its downstream aggregation plan zero exchanges") {
+    val out = SparkEntry.queries("k14_bucketed_join")(
+      spark, "/root/testdata/sf0.001")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  // ---- streaming CMS bucket goldens ----
+
+  test("st_cms trace buckets match the batch count-min bucket family") {
+    graft.plans.GraftSparkExtensions.install(spark)
+    val rows = Seq("1", "2").toDF("k")
+      .select(col("k"), expr("fnv64(concat(k, '#0')) & 255").as("b0"),
+        expr("fnv64(concat(k, '#1')) & 255").as("b1"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows == Map("1" -> (135L, 212L), "2" -> (54L, 233L)))
+  }
+
   // ---- streaming near-dup trace assumptions ----
 
   test("st_neardup trace texts have the pinned band-bucket relationships") {
