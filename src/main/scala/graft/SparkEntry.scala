@@ -1576,6 +1576,50 @@ object SparkEntry {
         round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    "sample_priority" -> ((s, d) =>
+      // DLT priority sampling: weight = n_chars, top-100 priorities with
+      // the (k+1)-th-priority estimator weights; the priority is one
+      // IEEE multiply + divide per row (no libm), so both engines select
+      // the identical sample and agree on w_est bit-for-bit pre-round
+      SketchOps.prioritySample(t(s, d, "documents"), "doc_id", "n_chars",
+          k = 100)
+        .select(col("doc_id"), col("w"),
+          round(col("priority"), 4).as("priority"),
+          round(col("w_est"), 4).as("w_est"))),
+
+    "stats_expectations" -> ((s, d) =>
+      // Deequ-style declarative data-quality gate: six checks in ONE
+      // aggregation pass (uniqueness rides the same Aggregate via
+      // Expand); the text-length reconciliation is a real cross-column
+      // constraint on the driver data
+      ValidationOps.expectations(t(s, d, "documents"),
+        Seq(
+          "doc_id_not_null" -> col("doc_id").isNull,
+          "lang_in_domain" -> (col("lang").isNull ||
+            !col("lang").isin("en", "de", "es", "fr", "zh")),
+          "n_chars_positive" -> (col("n_chars") <= 0L),
+          "text_nonempty" -> (length(col("text")) === 0),
+          "n_chars_matches_text" ->
+            (length(col("text")).cast("long") =!= col("n_chars"))),
+        uniqueKeys = Seq("doc_id_unique" -> "doc_id"))),
+
+    "k16_incr_agg" -> ((s, d) => {
+      // incremental aggregation maintenance: per-user state from the 70%
+      // base batch (localCheckpoint = the materialized state table)
+      // merges with the 30% delta batch's partial state — base data is
+      // never rescanned; the oracle recomputes from scratch, so the hash
+      // match proves the merge law
+      val ev = t(s, d, "events")
+      val state = MergeOps.aggState(
+        ev.filter(col("event_id") % 10 < 7), "user_id", "value")
+        .localCheckpoint()
+      MergeOps.mergeAggState(state,
+          MergeOps.aggState(ev.filter(col("event_id") % 10 >= 7),
+            "user_id", "value"), "user_id")
+        .select(col("user_id"), col("n"), round(col("sum_v"), 2).as("sum_v"),
+          col("min_v"), col("max_v"))
+    }),
+
     "j7_bloom_prune" -> ((s, d) => {
       // bloom-pruned scan: keep-set = suppliers of nations 0-4, bitmap
       // 4096 bits / 3 hashes (deliberately undersized so false positives
@@ -3857,6 +3901,50 @@ object SparkEntry {
         | ('2024-01-01 00:10:00', 1, 233, 1),
         | ('2024-01-01 00:10:00', 0, 135, 1),
         | ('2024-01-01 00:10:00', 1, 212, 1)) t""".stripMargin,
+
+    // the priority is one IEEE multiply + divide from the hashed
+    // uniform — exact-rounded ops, so both engines agree on selection
+    // and the (k+1)-th-priority threshold without any rounding tricks
+    "sample_priority" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         |   CAST(n_chars AS DOUBLE) * 4294967296.0::DOUBLE /
+         |     CAST((${fnvSql("doc_id::VARCHAR || '#p'")}
+         |       % 4294967296::HUGEINT) + 1 AS DOUBLE) AS pr
+         |  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0),
+         |c AS (SELECT * FROM f ORDER BY pr DESC, doc_id LIMIT 101),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS nc, min(pr) AS mn FROM c),
+         |r AS (SELECT doc_id, w, pr,
+         |   row_number() OVER (ORDER BY pr DESC, doc_id) AS rn FROM c)
+         |SELECT doc_id, w, round(pr, 4) AS priority,
+         | round(greatest(w,
+         |   CASE WHEN m.nc <= 100 THEN 0.0::DOUBLE ELSE m.mn END), 4) AS w_est
+         |FROM r, m WHERE rn <= 100""".stripMargin,
+
+    "stats_expectations" ->
+      """WITH v(check_name, n_violations) AS (
+        | SELECT 'doc_id_not_null',
+        |   CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) FROM documents
+        | UNION ALL SELECT 'lang_in_domain',
+        |   CAST(count(*) FILTER (WHERE lang IS NULL
+        |     OR lang NOT IN ('en','de','es','fr','zh')) AS BIGINT) FROM documents
+        | UNION ALL SELECT 'n_chars_positive',
+        |   CAST(count(*) FILTER (WHERE n_chars <= 0) AS BIGINT) FROM documents
+        | UNION ALL SELECT 'text_nonempty',
+        |   CAST(count(*) FILTER (WHERE length(text) = 0) AS BIGINT) FROM documents
+        | UNION ALL SELECT 'n_chars_matches_text',
+        |   CAST(count(*) FILTER (WHERE length(text) <> n_chars) AS BIGINT) FROM documents
+        | UNION ALL SELECT 'doc_id_unique',
+        |   CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) FROM documents)
+        |SELECT check_name, n_violations, n_violations = 0 AS pass FROM v""".stripMargin,
+
+    // from-scratch recompute: the Spark side merges base state with the
+    // delta batch's partial state without rescanning base — the hash
+    // match proves incremental == full
+    "k16_incr_agg" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_v,
+        | min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
 
     // bin assignment replayed: per-file row counts, (size desc, file
     // asc) order, exclusive-running-sum div target; n_files = 1 is the

@@ -25,6 +25,37 @@ import org.apache.spark.sql.functions._
   */
 object MergeOps {
 
+  /** Per-key mergeable aggregate state over `valCol`:
+    * (key, n, sum_v, min_v, max_v). The partial-aggregate tier of
+    * [[mergeAggState]] — compute it on each new batch only. */
+  def aggState(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valCol)).as("sum_v"),
+        min(col(valCol)).as("min_v"), max(col(valCol)).as("max_v"))
+
+  /** Incremental aggregation maintenance — the daily-rollup pattern: the
+    * running state table holds per-key MERGEABLE aggregates, each new
+    * batch contributes its own partial state ([[aggState]] over the
+    * batch only), and the refresh is a union + re-aggregation over
+    * O(keys) STATE rows. The base data is never rescanned — at 100 TB
+    * that is the difference between an incremental refresh costing
+    * O(batch + keys) and a full recompute costing O(history).
+    * Count/sum merge by sum, min/max by min/max; the same shape extends
+    * to any commutative monoid (the KMV/HLL sketches merge the same way
+    * — `sketch_hll_merge` proves that law separately).
+    *
+    * The k16 gate query replays this against a from-scratch oracle: a
+    * hash match proves incremental maintenance loses nothing. */
+  def mergeAggState(state: DataFrame, deltaState: DataFrame,
+                    keyCol: String): DataFrame = {
+    require(state.columns.toSeq == deltaState.columns.toSeq,
+      s"state schemas differ: ${state.columns.toSeq} vs ${deltaState.columns.toSeq}")
+    state.unionByName(deltaState)
+      .groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
+
   /** Merge `updates` onto `base` by `keyCol`; both inputs must share
     * the same schema. */
   def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {

@@ -244,6 +244,52 @@ object SketchOps {
     * over the wire, never a global sort. Different `salt` values give
     * independent samples. Output: input columns + the `h` ordering key
     * (also the proof-of-selection witness). */
+  /** Deterministic weighted priority sampling (Duffield, Lund & Thorup,
+    * "Priority sampling for estimation of arbitrary subset sums", JACM
+    * 54(6), 2007): priority q_i = w_i / u_i with u_i = (h_i+1)/2^32
+    * uniform from the keyed FNV hash; keep the k highest-priority rows
+    * and set each kept row's estimator weight to max(w_i, tau), where
+    * tau is the (k+1)-th priority. Σ w_est over the sample is an
+    * unbiased estimator of Σ w over ANY subset — the property that lets
+    * a k-row sample answer weighted questions about a 100 TB corpus.
+    *
+    * Deterministic and oracle-exact: u comes from the hash (pure
+    * function of key+salt, invariant to partitioning/retries) and the
+    * priority is ONE IEEE multiply + ONE divide — exact-rounded ops both
+    * engines compute bit-identically, no libm anywhere. Plans as
+    * TakeOrderedAndProject (per-task heaps of k+1) + a (k+1)-row window:
+    * O(k) per task, never a global sort.
+    *
+    * Output: (key, weight, priority, w_est); rows with non-positive
+    * weight are excluded (zero-weight rows have priority 0 and can never
+    * be sampled; negative weights are outside the estimator's domain). */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    graft.plans.GraftSparkExtensions.install(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(call_function("fnv64",
+      concat(col(keyCol).cast("string"), lit(s"#p$salt"))), lit(4294967296L))
+    val cand = df
+      .filter(col(keyCol).isNotNull && col(weightCol) > 0)
+      .select(col(keyCol), col(weightCol).cast("double").as("w"),
+        (col(weightCol).cast("double") * lit(4294967296.0) /
+          (h + lit(1L)).cast("double")).as("priority"))
+      .orderBy(col("priority").desc, col(keyCol).asc)
+      .limit(k + 1)
+    cand
+      // with fewer than k+1 candidates the whole population is the
+      // sample and the estimator is exact: tau = 0 (DLT's n <= k case)
+      .withColumn("tau",
+        when(count(lit(1)).over(Window.partitionBy()) <= k, lit(0.0))
+          .otherwise(min(col("priority")).over(Window.partitionBy())))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("priority").desc, col(keyCol).asc)))
+      .filter(col("rn") <= k)
+      .select(col(keyCol), col("w"), col("priority"),
+        greatest(col("w"), col("tau")).as("w_est"))
+  }
+
   def bottomKSample(df: DataFrame, keyCol: String, k: Int,
                     salt: String = ""): DataFrame = {
     require(!df.columns.contains("h"),

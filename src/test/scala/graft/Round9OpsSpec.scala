@@ -214,6 +214,74 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rows == Map("1" -> (135L, 212L), "2" -> (54L, 233L)))
   }
 
+  // ---- SketchOps.prioritySample ----
+
+  test("prioritySample is partition-invariant and exact below k") {
+    val docs = (1L to 300L).map(i => (i, i % 50 + 1)).toDF("id", "w")
+    val a = SketchOps.prioritySample(docs, "id", "w", k = 40)
+      .select("id").as[Long].collect().toSet
+    val b = SketchOps.prioritySample(docs.repartition(13), "id", "w", k = 40)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 40)
+    // population smaller than k: everything sampled, estimator exact
+    val small = Seq((1L, 5L), (2L, 7L), (3L, 2L)).toDF("id", "w")
+    val est = SketchOps.prioritySample(small, "id", "w", k = 10)
+      .select("w", "w_est").as[(Double, Double)].collect()
+    assert(est.length == 3 && est.forall { case (w, e) => e == w })
+  }
+
+  test("prioritySample estimator weight is max(w, tau) with tau the k+1-th priority") {
+    val docs = (1L to 50L).map(i => (i, 10L)).toDF("id", "w")
+    val out = SketchOps.prioritySample(docs, "id", "w", k = 5)
+      .select("priority", "w_est").as[(Double, Double)].collect()
+    assert(out.length == 5)
+    // equal weights: tau < every selected priority, and tau > w exactly
+    // when the 6th priority exceeds the weight
+    val full = SketchOps.prioritySample(docs, "id", "w", k = 49)
+      .select("priority").as[Double].collect().sorted.reverse
+    val tau = full(5) // 6th-highest priority
+    assert(out.forall { case (p, e) => p > tau && e == math.max(10.0, tau) })
+  }
+
+  // ---- ValidationOps.expectations ----
+
+  test("expectations counts violations per check in one pass") {
+    val df = Seq(
+      (Some(1L), "en", 10L), (Some(2L), "xx", 20L), (Some(2L), "de", -3L),
+      (None, "en", 5L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = ValidationOps.expectations(df,
+      Seq(
+        "id_not_null" -> col("doc_id").isNull,
+        "lang_known" -> !col("lang").isin("en", "de"),
+        "chars_positive" -> (col("n_chars") <= 0L)),
+      uniqueKeys = Seq("id_unique" -> "doc_id"))
+      .select("check_name", "n_violations").as[(String, Long)].collect().toMap
+    assert(out == Map("id_not_null" -> 1L, "lang_known" -> 1L,
+      "chars_positive" -> 1L, "id_unique" -> 1L))
+    // single aggregation pass: exactly one scan of the input relation
+    val plan = ValidationOps.expectations(df,
+        Seq("id_not_null" -> col("doc_id").isNull))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  // ---- MergeOps incremental aggregate state ----
+
+  test("mergeAggState over batch partials equals the from-scratch aggregate") {
+    val ev = (1L to 200L).map(i => (i % 9, (i % 13).toDouble)).toDF("k", "v")
+    val full = MergeOps.aggState(ev, "k", "v")
+    val base = (1L to 120L).map(i => (i % 9, (i % 13).toDouble)).toDF("k", "v")
+    val delta = (121L to 200L).map(i => (i % 9, (i % 13).toDouble)).toDF("k", "v")
+    val m2 = MergeOps.mergeAggState(
+      MergeOps.aggState(base, "k", "v"), MergeOps.aggState(delta, "k", "v"), "k")
+    val f = full.select("k", "n", "min_v", "max_v").as[(Long, Long, Double, Double)]
+      .collect().toSet
+    val g = m2.select("k", "n", "min_v", "max_v").as[(Long, Long, Double, Double)]
+      .collect().toSet
+    assert(f == g)
+  }
+
   // ---- streaming near-dup trace assumptions ----
 
   test("st_neardup trace texts have the pinned band-bucket relationships") {
