@@ -1603,6 +1603,30 @@ object SparkEntry {
             (length(col("text")).cast("long") =!= col("n_chars"))),
         uniqueKeys = Seq("doc_id_unique" -> "doc_id"))),
 
+    "graph_bfs" -> ((s, d) => {
+      // multi-source frontier BFS over the undirected supplier—part
+      // graph (parts offset into their own id space): exact hop
+      // distances ≤ 2 from the nation<5 suppliers; the oracle replays
+      // the expansion as a recursive CTE with UNION dedup
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 1000000L).as("dst"))
+        .distinct()
+      val edges = li.unionByName(
+        li.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, d, "supplier").filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey").as("node"))
+      GraphOps.bfs(edges, seeds, maxHops = 2)
+    }),
+
+    "stats_drift" -> ((s, d) =>
+      // two-sample KS drift per event type: even event_ids are the
+      // reference batch, odd the new batch — rank-exact ECDF gap, no
+      // approximation, the distribution-shift monitor beside the
+      // constraint-based stats_expectations
+      ValidationOps.ksDrift(t(s, d, "events"), "event_type", "value",
+        col("event_id") % 2 === 1)),
+
     "k16_incr_agg" -> ((s, d) => {
       // incremental aggregation maintenance: per-user state from the 70%
       // base batch (localCheckpoint = the materialized state table)
@@ -3937,6 +3961,43 @@ object SparkEntry {
         | UNION ALL SELECT 'doc_id_unique',
         |   CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) FROM documents)
         |SELECT check_name, n_violations, n_violations = 0 AS pass FROM v""".stripMargin,
+
+    // level-bounded recursive expansion with UNION dedup; min(dist)
+    // per node = first-reached level, matching the frontier BFS
+    "graph_bfs" ->
+      """WITH RECURSIVE eu AS (
+        |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM eu UNION SELECT dst, src FROM eu),
+        |walk(node, dist) AS (
+        |  SELECT s_suppkey, 0 FROM supplier WHERE s_nationkey < 5
+        |  UNION
+        |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.dist < 2)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node""".stripMargin,
+
+    // per-(group, value) cells are distinct, so the cumulative window
+    // has no tie ambiguity; ks = max over ratios of exact longs
+    "stats_drift" ->
+      """WITH cells AS (
+        |  SELECT event_type, value AS v,
+        |   CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS ca,
+        |   CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+        |   CAST(sum(cb) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+        |c AS (SELECT event_type,
+        |   CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+        |     AS BIGINT) AS cuma,
+        |   CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+        |     AS BIGINT) AS cumb
+        |  FROM cells)
+        |SELECT c.event_type, t.n_a, t.n_b,
+        | round(max(abs(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |   - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))), 6) AS ks
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // from-scratch recompute: the Spark side merges base state with the
     // delta batch's partial state without rescanning base — the hash

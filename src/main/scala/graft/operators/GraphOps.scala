@@ -33,6 +33,43 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Multi-source frontier BFS: shortest hop distance from any seed,
+    * bounded by `maxHops` rounds — seed-set reachability and distance
+    * labeling (the crawl-frontier / influence-radius primitive; pair
+    * with a reversed edge relation for undirected semantics).
+    * Level-synchronous: a node first reached in round k has distance
+    * exactly k, so each round joins only the FRONTIER (nodes discovered
+    * last round) against the edges, anti-joins out everything already
+    * reached, and appends.
+    *
+    * Scale shape: per round, one join of the O(frontier) relation
+    * against the edge relation + one anti-join against O(reached); the
+    * edge relation localCheckpoints ONCE (hash-partitioned,
+    * lineage-truncated — the pagerank discipline) and never re-shuffles;
+    * frontier and dist localCheckpoint per round, so plan depth stays
+    * constant in `maxHops` (the lever this repo applies to every
+    * iterative operator). Rounds after the frontier empties are cheap
+    * no-ops — fixed `maxHops` avoids a per-round driver count action.
+    * Unreached nodes are simply absent: at 100 TB the unreached
+    * complement is the bigger relation.
+    *
+    * Returns (node, dist), dist ∈ [0, maxHops]. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    for (_ <- 1 to maxHops) {
+      val reached = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      frontier = reached.join(dist, Seq("node"), "left_anti").localCheckpoint()
+      dist = dist.unionByName(frontier).localCheckpoint()
+    }
+    dist
+  }
+
   /** PageRank over `edges` (`src: long, dst: long`; parallel edges should
     * be pre-deduplicated by the caller if unweighted semantics are
     * intended). Returns (node, rank). */

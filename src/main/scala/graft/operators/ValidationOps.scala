@@ -47,4 +47,45 @@ object ValidationOps {
         col("e.n_violations").as("n_violations"),
         (col("e.n_violations") === 0L).as("pass"))
   }
+
+  /** Two-sample Kolmogorov-Smirnov drift statistic per group: the max
+    * absolute gap between the empirical CDFs of side A (`sideB` false)
+    * and side B (true) — the standard distribution-shift monitor between
+    * a reference batch and a new batch (expectations catch CONSTRAINT
+    * violations; this catches the distribution moving while every
+    * constraint still passes).
+    *
+    * Rank-exact and engine-replayable: both ECDFs are cumulative counts
+    * over the per-value cells, so the statistic is a max over ratios of
+    * exact longs — no approximation, no libm. Shape: one aggregation to
+    * (group, value) cells with per-side conditional counts, one
+    * per-group cumulative window over those cells, one max-agg. Cell
+    * count = distinct values per group; for high-cardinality continuous
+    * columns compose with the fixed-bin histogram first (the KS of the
+    * binned ECDFs bounds the true KS within one bin's mass).
+    *
+    * Output: (group, n_a, n_b, ks). Groups present on only one side
+    * produce a degenerate 0/0 division — keep both batches non-empty
+    * per group (the monitoring use case guarantees it). */
+  def ksDrift(df: DataFrame, groupCol: String, valCol: String,
+              sideB: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .select(col(groupCol), col(valCol).as("v"),
+        when(sideB, lit(1L)).otherwise(lit(0L)).as("b"))
+      .groupBy(col(groupCol), col("v"))
+      .agg(sum(lit(1L) - col("b")).as("ca"), sum(col("b")).as("cb"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+    cells
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        abs(col("cuma").cast("double") / col("n_a").cast("double") -
+          col("cumb").cast("double") / col("n_b").cast("double")).as("d"))
+      .groupBy(col(groupCol), col("n_a"), col("n_b"))
+      .agg(round(max(col("d")), 6).as("ks"))
+  }
 }

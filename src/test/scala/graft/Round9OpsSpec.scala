@@ -282,6 +282,56 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(f == g)
   }
 
+  // ---- GraphOps.bfs ----
+
+  test("bfs labels exact hop distances, multi-source, bounded by maxHops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val out = GraphOps.bfs(edges, Seq(1L, 10L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 0L, 11L -> 1L))
+    // node 4 is 3 hops out: beyond the bound, absent
+    assert(!out.contains(4L))
+    // a node reachable two ways gets the SHORTER distance
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val d = GraphOps.bfs(tri, Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d(3L) == 1L)
+  }
+
+  test("bfs plan size is constant in maxHops (frontier checkpoints per round)") {
+    val edges = (1L to 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    def planNodes(h: Int): Int =
+      GraphOps.bfs(edges, Seq(1L).toDF("node"), maxHops = h)
+        .queryExecution.optimizedPlan.collect { case n => n }.size
+    assert(planNodes(4) == planNodes(2))
+  }
+
+  // ---- ValidationOps.ksDrift ----
+
+  test("ksDrift is 0 on identical distributions and 1 on disjoint ones") {
+    val same = (1 to 100).flatMap(i =>
+      Seq(("g", i % 10, 0L), ("g", i % 10, 1L)))
+      .toDF("grp", "v", "side")
+    val ks0 = ValidationOps.ksDrift(same, "grp", "v", col("side") === 1L)
+      .select("ks").as[Double].collect().head
+    assert(ks0 == 0.0)
+    val apart = ((1 to 50).map(i => ("g", i, 0L)) ++
+      (101 to 150).map(i => ("g", i, 1L))).toDF("grp", "v", "side")
+    val ks1 = ValidationOps.ksDrift(apart, "grp", "v", col("side") === 1L)
+      .select("ks").as[Double].collect().head
+    assert(ks1 == 1.0)
+  }
+
+  test("ksDrift matches the hand-computed statistic on a small fixture") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: max ECDF gap = 1/2 at v=2 (and v=4)
+    val df = (Seq(1, 2, 3, 4).map(v => ("g", v, 0L)) ++
+      Seq(3, 4, 5, 6).map(v => ("g", v, 1L))).toDF("grp", "v", "side")
+    val ks = ValidationOps.ksDrift(df, "grp", "v", col("side") === 1L)
+      .select("ks").as[Double].collect().head
+    assert(ks == 0.5)
+  }
+
   // ---- streaming near-dup trace assumptions ----
 
   test("st_neardup trace texts have the pinned band-bucket relationships") {
