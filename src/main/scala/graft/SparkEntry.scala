@@ -577,6 +577,11 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
       val brute = SimilarityOps.bruteForceTopK(emb, q, k = 5)
         .select("query_id", "nbr_id").localCheckpoint()
+      // train the PQ model ONCE; the exhaustive and coarse-pruned paths
+      // reuse it (training is deterministic, so results are unchanged —
+      // only the cost moves). The residual path necessarily trains its
+      // own codebooks on residuals.
+      val model = Some(SimilarityOps.pqTrain(emb))
       def rec(name: String, df: DataFrame): DataFrame =
         df.select("query_id", "nbr_id")
           .join(brute, Seq("query_id", "nbr_id"), "left_semi")
@@ -585,8 +590,10 @@ object SparkEntry {
             round(col("n_hits") / lit(50.0), 4).as("recall_at_5"))
       rec("ivf", SimilarityOps.ivfTopK(emb, q, k = 5))
         .unionByName(rec("lsh", SimilarityOps.lshTopK(emb, q, k = 5)))
-        .unionByName(rec("pq", SimilarityOps.pqTopK(emb, q, k = 5)))
-        .unionByName(rec("ivfpq", SimilarityOps.ivfpqTopK(emb, q, k = 5)))
+        .unionByName(rec("pq", SimilarityOps.pqTopK(emb, q, k = 5,
+          model = model)))
+        .unionByName(rec("ivfpq", SimilarityOps.ivfpqTopK(emb, q, k = 5,
+          model = model)))
         .unionByName(rec("ivfpq_res",
           SimilarityOps.ivfpqResidualTopK(emb, q, k = 5)))
     }),

@@ -282,8 +282,10 @@ object SimilarityOps {
     * Output: (query_id, nbr_id, adc, rank) — adc ascending (smaller =
     * closer), self-matches excluded. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame =
-    pqAdcRank(corpus, queries, k, m, codes, dims, candidates = None)
+             m: Int = 8, codes: Int = 16, dims: Int = 64,
+             model: Option[(DataFrame, DataFrame)] = None): DataFrame =
+    pqAdcRank(corpus, queries, k, m, codes, dims, candidates = None,
+      model = model)
 
   /** IVFPQ: IVF coarse cells prune the candidate set, PQ codes answer
     * the distances — the composition both halves' scaladocs promise,
@@ -297,7 +299,8 @@ object SimilarityOps {
     * whole composition replays in SQL. */
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nCentroids: Int = 16, nProbe: Int = 3,
-                m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame = {
+                m: Int = 8, codes: Int = 16, dims: Int = 64,
+                model: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val cents = corpus
       .orderBy(hash32Col(col("vec_id") + lit(1L)), col("vec_id"))
       .limit(nCentroids)
@@ -318,7 +321,7 @@ object SimilarityOps {
     val candidates = cells.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    pqAdcRank(corpus, queries, k, m, codes, dims, Some(candidates))
+    pqAdcRank(corpus, queries, k, m, codes, dims, Some(candidates), model)
   }
 
   /** (vec_id → idAs, s, sub): the m per-subspace slices of `embedding`. */
@@ -336,6 +339,22 @@ object SimilarityOps {
     * localCheckpoint'ed so the training subtree runs ONCE instead of
     * re-executing inside every consumer branch (encoding, the ADC
     * tables); same lineage-truncation move as GraphOps. */
+  /** Train a PQ model ONCE and share it across search paths: returns
+    * (codebook, encoded corpus) with the encoded relation
+    * localCheckpoint'ed, for the `model` parameter of [[pqTopK]] /
+    * [[ivfpqTopK]]. Training is deterministic, so passing a shared
+    * model changes nothing about the results — only where the training
+    * cost is paid. This IS the deployment shape at 100 TB: codebooks
+    * train offline (on a sample) and every query batch reuses them;
+    * `ann_recall` uses it to score the exhaustive and coarse-pruned
+    * paths against one training run. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, codes: Int = 16,
+              dims: Int = 64): (DataFrame, DataFrame) = {
+    val (cb, enc) = pqCodebookEncode(
+      corpus.select(col("vec_id"), col("embedding")), m, codes, dims)
+    (cb, enc.localCheckpoint())
+  }
+
   private def pqCodebookEncode(vectors: DataFrame, m: Int, codes: Int,
                                dims: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
@@ -365,11 +384,12 @@ object SimilarityOps {
 
   private def pqAdcRank(corpus: DataFrame, queries: DataFrame, k: Int,
                         m: Int, codes: Int, dims: Int,
-                        candidates: Option[DataFrame]): DataFrame = {
+                        candidates: Option[DataFrame],
+                        model: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
-    val (cent2, encoded) = pqCodebookEncode(
-      corpus.select(col("vec_id"), col("embedding")), m, codes, dims)
+    val (cent2, encoded) = model.getOrElse(pqCodebookEncode(
+      corpus.select(col("vec_id"), col("embedding")), m, codes, dims))
 
     // ADC tables: distance from each query subvector to every centroid
     val qtab = pqSubvectors(queries, "query_id", m, dsub)
