@@ -833,6 +833,40 @@ object SparkEntry {
           col("j"), col("bucket"), col("cnt"))
     }),
 
+    "st_expectations" -> ((s, _) => {
+      // streaming data-quality monitor: per finalized window, violation
+      // counts of the declared checks (negative value; user id outside
+      // the known range) — the ingest-time sibling of stats_expectations
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.windowedExpectations(mem.toDF(), "ts",
+          "10 minutes", "10 minutes",
+          Seq("n_value_negative" -> (col("value") < 0),
+            "n_user_unknown" -> (col("user_id") > 2)))
+        .writeStream.format("memory").queryName("st_exp_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1.0),
+          EventStreamOps.Event(2, java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), -2.0),
+          EventStreamOps.Event(5, java.sql.Timestamp.valueOf("2024-01-01 00:12:00"), 3.0),
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:13:00"), -1.0))
+        q.processAllAvailable()
+        // sentinel closes the 00:00 and 00:10 windows; its own window
+        // (00:40) stays open and unemitted
+        mem.addData(EventStreamOps.Event(2,
+          java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_exp_out")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("n_value_negative"), col("n_user_unknown"))
+    }),
+
     "s8_sampler_events" -> ((s, d) =>
       // the sampler at data scale: keyed by user, "length" = value column
       RevisionOps.changeRatioSample(t(s, d, "events"), "user_id", "ts", "value",
@@ -3968,6 +4002,15 @@ object SparkEntry {
         | UNION ALL SELECT 'doc_id_unique',
         |   CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) FROM documents)
         |SELECT check_name, n_violations, n_violations = 0 AS pass FROM v""".stripMargin,
+
+    // golden trace: window 00:00 = {v=1.0 (u1), v=-2.0 (u2)} -> one
+    // negative value, no unknown user; window 00:10 = {v=3.0 (u5),
+    // v=-1.0 (u1)} -> one of each; the sentinel's window never closes
+    "st_expectations" ->
+      """SELECT col0 AS w_start, CAST(col1 AS BIGINT) AS n_value_negative,
+        | CAST(col2 AS BIGINT) AS n_user_unknown
+        |FROM (VALUES ('2024-01-01 00:00:00', 1, 0),
+        | ('2024-01-01 00:10:00', 1, 1)) t""".stripMargin,
 
     // level-bounded recursive expansion with UNION dedup; min(dist)
     // per node = first-reached level, matching the frontier BFS

@@ -80,6 +80,30 @@ object EventStreamOps {
         col("bucket"), col("cnt"))
   }
 
+  /** Streaming data-quality monitor: per finalized event-time window,
+    * the violation counts of a declarative check list — the streaming
+    * sibling of `ValidationOps.expectations`, watching the same
+    * constraints at INGEST time so a broken upstream feed pages before
+    * the nightly batch job ever sees it. Row-level checks only (each is
+    * a conditional-count aggregate; state per open window = one counter
+    * per check); uniqueness-style checks need per-key state and live
+    * with [[dedupWithinWatermark]]. Append mode emits each window's
+    * counts once, after the watermark closes it. */
+  def windowedExpectations(events: DataFrame, tsCol: String,
+                           window: String, watermark: String,
+                           checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val aggs = checks.map { case (n, viol) =>
+      sum(when(viol, lit(1L)).otherwise(lit(0L))).as(n)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +:
+        checks.map { case (n, _) => col(n) }: _*)
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,
