@@ -1644,6 +1644,48 @@ object SparkEntry {
             (length(col("text")).cast("long") =!= col("n_chars"))),
         uniqueKeys = Seq("doc_id_unique" -> "doc_id"))),
 
+    "k17_snapshot" -> ((s, d) => {
+      // time-travel reads over an append-only versioned history: v1 =
+      // base corpus, v2 = every 10th doc rescored, v3 = every 97th doc
+      // tombstoned; the as-of-2 and as-of-3 snapshots differ exactly by
+      // the deletions, and any past state stays reproducible
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v1 = base.withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+      val v2 = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"),
+          (col("n_chars") + 1000000L).as("n_chars"))
+        .withColumn("version", lit(2L)).withColumn("deleted", lit(false))
+      val v3 = base.filter(col("doc_id") % 97 === 0)
+        .withColumn("version", lit(3L)).withColumn("deleted", lit(true))
+      val hist = v1.unionByName(v2).unionByName(v3).localCheckpoint()
+      Seq(2L, 3L).map(v =>
+          MergeOps.snapshotAsOf(hist, "doc_id", "version", v)
+            .withColumn("as_of", lit(v)))
+        .reduce(_ unionByName _)
+        .select(col("as_of"), col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    "k18_cdc" -> ((s, d) => {
+      // change-data-capture between the base corpus and its next
+      // release: every 10th doc rescored (update), every 101st dropped
+      // (delete), one appended (insert) — unchanged rows never leave
+      // the one full-outer join; the diff is |changes|-sized
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val rescored = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"),
+          (col("n_chars") + 1000000L).as("n_chars"))
+      val inserted = base.agg(max(col("doc_id")).as("doc_id"))
+        .select((col("doc_id") + 1L).as("doc_id"),
+          lit("new").as("lang"), lit(1L).as("n_chars"))
+      val newSnap = MergeOps.upsert(base,
+          rescored.unionByName(inserted), "doc_id")
+        .filter(col("doc_id") % 101 =!= 0)
+      MergeOps.cdcDiff(base, newSnap, "doc_id")
+    }),
+
     "graph_bfs" -> ((s, d) => {
       // multi-source frontier BFS over the undirected supplier—part
       // graph (parts offset into their own id space): exact hop
@@ -4011,6 +4053,57 @@ object SparkEntry {
         | CAST(col2 AS BIGINT) AS n_user_unknown
         |FROM (VALUES ('2024-01-01 00:00:00', 1, 0),
         | ('2024-01-01 00:10:00', 1, 1)) t""".stripMargin,
+
+    // latest-version-wins per (as_of, key), tombstones filtered after —
+    // the snapshotAsOf read replayed with a rank window
+    "k17_snapshot" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars, 1 AS version, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'xx', n_chars + 1000000, 2, false
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 3, true
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |snap AS (
+        |  SELECT a.as_of, h.doc_id, h.lang, h.n_chars, h.deleted,
+        |   row_number() OVER (PARTITION BY a.as_of, h.doc_id
+        |     ORDER BY h.version DESC) AS rn
+        |  FROM h, (VALUES (2), (3)) a(as_of)
+        |  WHERE h.version <= a.as_of)
+        |SELECT CAST(as_of AS BIGINT) AS as_of, doc_id, lang, n_chars
+        |FROM snap WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // the new snapshot replayed rowwise (transform + delete filter +
+    // insert), then a null-safe full-outer diff; unchanged rows drop
+    "k18_cdc" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |newsnap AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id,
+        |     CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+        |     CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000000
+        |          ELSE n_chars END AS n_chars
+        |    FROM base
+        |    UNION ALL
+        |    SELECT (SELECT max(doc_id) + 1 FROM base), 'new',
+        |     CAST(1 AS BIGINT))
+        |  WHERE doc_id % 101 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |      WHEN n.doc_id IS NULL THEN 'delete'
+        |      WHEN NOT (o.lang IS NOT DISTINCT FROM n.lang
+        |            AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
+        |        THEN 'update' END AS change,
+        | coalesce(n.lang, o.lang) AS lang,
+        | coalesce(n.n_chars, o.n_chars) AS n_chars
+        |FROM base o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+        |WHERE (CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |      WHEN n.doc_id IS NULL THEN 'delete'
+        |      WHEN NOT (o.lang IS NOT DISTINCT FROM n.lang
+        |            AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
+        |        THEN 'update' END) IS NOT NULL""".stripMargin,
 
     // level-bounded recursive expansion with UNION dedup; min(dist)
     // per node = first-reached level, matching the frontier BFS

@@ -56,6 +56,63 @@ object MergeOps {
         min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
   }
 
+  /** Snapshot-as-of read over an append-only versioned history
+    * (key, version, payload…, deleted): the latest version ≤ `asOf` per
+    * key wins, tombstoned keys drop out — the time-travel read Delta/
+    * Iceberg expose, on a plain keyed history table. Writers only ever
+    * APPEND (version, rows); readers pick their version — no
+    * read-modify-write races, and any past state stays reproducible
+    * (the provenance property a training-data pipeline needs when a
+    * model must be traced back to the exact corpus snapshot).
+    *
+    * Scale shape: one filter (version pushdown reaches the scan — with
+    * the history partitioned by version, directory pruning) + one
+    * per-key window on the surviving versions. `deletedCol` rows are
+    * tombstones: kept in history (the append-only contract), filtered
+    * at read time AFTER latest-wins. */
+  def snapshotAsOf(history: DataFrame, keyCol: String, versionCol: String,
+                   asOf: Long, deletedCol: String = "deleted"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(history.columns.contains(deletedCol),
+      s"history needs a '$deletedCol' tombstone column")
+    history.filter(col(versionCol) <= asOf)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)))
+      .filter(col("_rn") === 1 && !col(deletedCol))
+      .drop("_rn", deletedCol)
+  }
+
+  /** Change-data-capture diff of two snapshots of a keyed table: emits
+    * (key, change ∈ insert|delete|update, payload columns from the NEW
+    * side, old payload for updates/deletes nulled per column semantics)
+    * — unchanged rows are OMITTED, which is the point at 100 TB: the
+    * diff relation is |changes|, not |table|, and downstream consumers
+    * (upsert, audit, replication) process only it. Column comparison is
+    * null-safe (`<=>` per column), so NULL→value and value→NULL count
+    * as updates. ONE full-outer shuffle join on the key; with both
+    * snapshots bucketed on the key it is exchange-free like the k9
+    * upsert. */
+  def cdcDiff(oldSnap: DataFrame, newSnap: DataFrame,
+              keyCol: String): DataFrame = {
+    require(oldSnap.columns.toSeq == newSnap.columns.toSeq,
+      s"snapshot schemas differ: ${oldSnap.columns.toSeq} vs ${newSnap.columns.toSeq}")
+    val dataCols = oldSnap.columns.toSeq.filterNot(_ == keyCol)
+    val o = dataCols.foldLeft(oldSnap)((df, c) => df.withColumnRenamed(c, s"__o_$c"))
+      .withColumn("__in_old", lit(true))
+    val n = dataCols.foldLeft(newSnap)((df, c) => df.withColumnRenamed(c, s"__n_$c"))
+      .withColumn("__in_new", lit(true))
+    val same = dataCols.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+      .reduce(_ && _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(!same, lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col(keyCol) +: col("change") +: dataCols.map(c =>
+        coalesce(col(s"__n_$c"), col(s"__o_$c")).as(c)): _*)
+  }
+
   /** Merge `updates` onto `base` by `keyCol`; both inputs must share
     * the same schema. */
   def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {

@@ -332,6 +332,39 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(ks == 0.5)
   }
 
+  // ---- MergeOps snapshot / CDC ----
+
+  test("snapshotAsOf picks latest-version-wins and honors tombstones") {
+    val hist = Seq(
+      (1L, "a", 1L, false), (1L, "b", 2L, false), // updated at v2
+      (2L, "c", 1L, false), (2L, "c", 3L, true),  // deleted at v3
+      (3L, "d", 2L, false))                       // born at v2
+      .toDF("k", "v", "version", "deleted")
+    def snap(asOf: Long) =
+      MergeOps.snapshotAsOf(hist, "k", "version", asOf)
+        .select("k", "v").as[(Long, String)].collect().toMap
+    assert(snap(1L) == Map(1L -> "a", 2L -> "c"))
+    assert(snap(2L) == Map(1L -> "b", 2L -> "c", 3L -> "d"))
+    assert(snap(3L) == Map(1L -> "b", 3L -> "d")) // 2 tombstoned
+  }
+
+  test("cdcDiff emits insert/update/delete and omits unchanged rows") {
+    val old = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, Option.empty[String].orNull, 40L)).toDF("k", "v", "n")
+    val neu = Seq((1L, "a", 10L),   // unchanged
+      (2L, "B", 20L),               // update
+      (4L, "now-set", 40L),         // null -> value is an update
+      (5L, "e", 50L))               // insert; 3 deleted
+      .toDF("k", "v", "n")
+    val out = MergeOps.cdcDiff(old, neu, "k")
+      .select("k", "change", "v").as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(
+      2L -> ("update", "B"), 3L -> ("delete", "c"),
+      4L -> ("update", "now-set"), 5L -> ("insert", "e")))
+    assert(!out.contains(1L))
+  }
+
   // ---- streaming near-dup trace assumptions ----
 
   test("st_neardup trace texts have the pinned band-bucket relationships") {
