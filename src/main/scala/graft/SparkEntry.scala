@@ -693,6 +693,16 @@ object SparkEntry {
           "payload", frameSize = 16, stride = 2)
         .select(col("doc_id"), col("frame_idx"), col("frame_sig"))),
 
+    "mm_patches" -> ((s, d) =>
+      // 2D patch grid over the payload-as-byte-matrix (width 64, 8×8
+      // patches): the ViT patch-extraction shape with the native
+      // patch_sigs kernel standing in for the embedding batch
+      MultimodalOps.samplePatches(
+          t(s, d, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "payload", width = 64, patch = 8)
+        .select(col("doc_id"), col("pr"), col("pc"), col("patch_sig"))),
+
     "mm_media_meta" -> ((s, d) =>
       MultimodalOps.withMediaMeta(
           t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
@@ -3093,6 +3103,41 @@ object SparkEntry {
         | CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
         |   THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT)
         |   AS frame_sig
+        |FROM h""".stripMargin,
+
+    // the 2D patch fold replayed: each (pr, pc) block's bytes gather as
+    // concatenated row slices (row-major order = the kernel's fold
+    // order); w=64 divides into 8-wide columns exactly, so only the
+    // final image ROW is ragged, which substr truncation reproduces;
+    // zero-byte corner patches are filtered on both sides
+    "mm_patches" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |   CAST(ceil(strlen(text) / 64.0) AS INT) AS rows
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, rows, pr.i AS pr, pc.j AS pc
+        |  FROM p,
+        |   unnest(generate_series(0, CAST(ceil(rows / 8.0) AS INT) - 1)) AS pr(i),
+        |   unnest(generate_series(0, 7)) AS pc(j)),
+        |s AS (
+        |  SELECT doc_id, pr, pc,
+        |   list_reduce(list_prepend('', list_transform(
+        |     generate_series(pr * 8, least(rows, pr * 8 + 8) - 1),
+        |     r -> substr(text, r * 64 + pc * 8 + 1, 8))),
+        |    (acc, x) -> acc || x) AS patch
+        |  FROM g),
+        |h AS (
+        |  SELECT doc_id, pr, pc,
+        |   list_reduce(list_prepend(1125899906842597::HUGEINT,
+        |     list_transform(regexp_split_to_array(patch, ''),
+        |       c -> unicode(c)::HUGEINT)),
+        |     (hh, c) -> (hh * 31 + c) % 18446744073709551616::HUGEINT) AS hv
+        |  FROM s WHERE patch <> '')
+        |SELECT doc_id, CAST(pr AS INT) AS pr, CAST(pc AS INT) AS pc,
+        | CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+        |   THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT)
+        |   AS patch_sig
         |FROM h""".stripMargin,
 
     // stubDecode replicated in HUGEINT: base-31 rolling hash mod 2^64 over

@@ -112,4 +112,22 @@ object MultimodalOps {
       .withColumn("frame_sig", col("frame.sig"))
       .drop("frame")
   }
+
+  /** ViT-style 2D patch extraction plumbing: the payload read as a
+    * row-major `width`-column byte matrix explodes into its
+    * `patch`×`patch` grid blocks, each reduced to a compact signature
+    * (native `patch_sigs` expression — the per-byte fold stays in
+    * whole-stage codegen). The real pipeline swaps the signature for a
+    * patch-embedding UDF batch; the Spark-side contract — grid
+    * indexing, ragged-edge handling, explode shape, binary hygiene
+    * (signatures shuffle, pixels don't) — is what this operator pins. */
+  def samplePatches(df: DataFrame, binCol: String, width: Int,
+                    patch: Int): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(df.sparkSession)
+    df.withColumn("p", explode(expr(s"patch_sigs(`$binCol`, $width, $patch)")))
+      .withColumn("pr", col("p.pr"))
+      .withColumn("pc", col("p.pc"))
+      .withColumn("patch_sig", col("p.sig"))
+      .drop("p")
+  }
 }

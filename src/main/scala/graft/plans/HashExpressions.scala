@@ -180,6 +180,51 @@ object HashKernels {
 
   private val EmptyFrames = new GenericArrayData(Array.empty[Any])
 
+  /** 2D patch-grid signatures of a binary payload interpreted as a
+    * row-major byte matrix of `width` columns — the ViT-style patch
+    * extraction kernel: patch (pr, pc) folds its `patch`×`patch` byte
+    * block (base-31 over unsigned bytes, the frame/stub convention) in
+    * row-major order. The final image row may be ragged (len % width);
+    * missing bytes simply don't fold, and a corner patch with ZERO bytes
+    * is not emitted (so the output matches "patches that contain data",
+    * which the SQL replay can express as patch <> ''). */
+  def patchSigsData(bytes: Array[Byte], width: Int, patch: Int): ArrayData = {
+    if (bytes == null || bytes.length == 0) return EmptyFrames
+    val w = math.max(1, width)
+    val p = math.max(1, patch)
+    val rows = (bytes.length + w - 1) / w
+    val prN = (rows + p - 1) / p
+    val pcN = (w + p - 1) / p
+    val out = new Array[Any](prN * pcN)
+    var k = 0
+    var pr = 0
+    while (pr < prN) {
+      var pc = 0
+      while (pc < pcN) {
+        var h = 1125899906842597L
+        var folded = false
+        var r = pr * p
+        val rEnd = math.min(rows, pr * p + p)
+        while (r < rEnd) {
+          var c = pc * p
+          val cEnd = math.min(w, pc * p + p)
+          while (c < cEnd) {
+            val idx = r * w + c
+            if (idx < bytes.length) { h = 31 * h + (bytes(idx) & 0xff); folded = true }
+            c += 1
+          }
+          r += 1
+        }
+        if (folded) { out(k) = InternalRow(pr, pc, h); k += 1 }
+        pc += 1
+      }
+      pr += 1
+    }
+    if (k == out.length) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(
+      out.asInstanceOf[Array[AnyRef]], k))
+  }
+
   /** Per-chunk signatures of a binary payload — the frame-sampling
     * kernel: every `stride`th `frameSize`-byte chunk gets a base-31
     * fold over *unsigned* bytes (same convention as the media stub
@@ -448,6 +493,50 @@ case class FrameSigs(child: Expression, frameSize: Expression,
       newChildren: IndexedSeq[Expression]): FrameSigs =
     copy(child = newChildren(0), frameSize = newChildren(1),
       stride = newChildren(2))
+}
+
+/** `patch_sigs(bin, width, patch)` — one (pr, pc, sig) struct per
+  * non-empty patch of the payload read as a row-major `width`-column
+  * byte matrix: the 2D sibling of [[FrameSigs]] (ViT-style patch
+  * extraction plumbing). Native for the same reason: a per-byte fold
+  * over image-scale payloads is a hot path that must stay inside
+  * whole-stage codegen, and the deliberate Long overflow is outside
+  * ANSI-mode built-in arithmetic. */
+case class PatchSigs(child: Expression, width: Expression,
+                     patch: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child, width, patch)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pr", IntegerType, nullable = false),
+      StructField("pc", IntegerType, nullable = false),
+      StructField("sig", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "patch_sigs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType
+      if GraftExpressions.nonNullIntLiteral(width) &&
+        GraftExpressions.nonNullIntLiteral(patch) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "patch_sigs requires (binary, non-null int literal, non-null int literal)")
+  }
+  private lazy val widthV = width.eval().asInstanceOf[Int]
+  private lazy val patchV = patch.eval().asInstanceOf[Int]
+  override def eval(input: InternalRow): Any =
+    HashKernels.patchSigsData(child.eval(input).asInstanceOf[Array[Byte]],
+      widthV, patchV)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nArrayData ${ev.value} = " +
+      code"graft.plans.HashKernels.patchSigsData(" +
+      code"${c.isNull} ? null : ${c.value}, $widthV, $patchV);",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PatchSigs =
+    copy(child = newChildren(0), width = newChildren(1),
+      patch = newChildren(2))
 }
 
 /** `normalize_title(s)` — wikistats title normalization (null-safe). */

@@ -124,6 +124,30 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("cdcDiff over two bucketed snapshots plans zero exchanges") {
+    // the k18 scale claim made checkable: with both snapshots bucketed
+    // on the key, the full-outer diff join is co-located — the nightly
+    // CDC between two table versions never shuffles either side
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    operators.BucketedTables.writeBucketed(docs, "b_cdc_old", "doc_id", 4)
+    operators.BucketedTables.writeBucketed(
+      docs.filter(col("doc_id") % 7 =!= 0), "b_cdc_new", "doc_id", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = operators.MergeOps.cdcDiff(
+        spark.table("b_cdc_old"), spark.table("b_cdc_new"), "doc_id")
+      val p = diff.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+      // every emitted row is a delete of a %7 doc
+      assert(diff.select("change").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("delete"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("j6 chain broadcasts both dimension maps (no shuffle joins)") {
     val p = plan("j6_wikistats")
     assert(!p.contains("SortMergeJoin"), p)

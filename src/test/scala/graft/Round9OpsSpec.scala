@@ -365,6 +365,30 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(!out.contains(1L))
   }
 
+  // ---- MultimodalOps.samplePatches / patch_sigs kernel ----
+
+  test("patch_sigs lays out the grid row-major and hashes ragged edges correctly") {
+    // 2x2 patches over a 4-column matrix of 10 bytes: rows = 3 (last
+    // ragged with 2 bytes), grid = 2x2 patches
+    val payload = Array.tabulate(10)(i => ('a' + i).toByte)
+    val df = Seq((1L, payload)).toDF("id", "payload")
+    val out = MultimodalOps.samplePatches(df, "payload", width = 4, patch = 2)
+      .select("pr", "pc", "patch_sig").as[(Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def fold(bs: Seq[Char]): Long =
+      bs.foldLeft(1125899906842597L)((h, b) => 31 * h + (b & 0xff))
+    // patch (0,0) = bytes a,b,e,f; (0,1) = c,d,g,h; (1,0) = i,j; (1,1) empty
+    assert(out == Map(
+      (0, 0) -> fold("abef"), (0, 1) -> fold("cdgh"), (1, 0) -> fold("ij")))
+  }
+
+  test("samplePatches plans the native expression, no UDF") {
+    val df = Seq((1L, "x".getBytes)).toDF("id", "payload")
+    val p = MultimodalOps.samplePatches(df, "payload", 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("patch_sigs") && !p.contains("ScalaUDF"), p)
+  }
+
   // ---- streaming near-dup trace assumptions ----
 
   test("st_neardup trace texts have the pinned band-bucket relationships") {
