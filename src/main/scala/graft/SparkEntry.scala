@@ -1147,6 +1147,36 @@ object SparkEntry {
           .withColumn("key", lit("event_id")))
     }),
 
+    "sketch_kmv_pairs" -> ((s, d) =>
+      // cross-corpus overlap matrix from sketches alone: per-lang term
+      // vocabularies → k=128 KMV sketches → pairwise jaccard / union /
+      // intersection estimates on groups×k rows — the corpora never
+      // meet in a key join (Beyer et al. SIGMOD'07 multiset estimators)
+      SketchOps.kmvPairwise(
+          t(s, d, "documents").select(col("lang"),
+            explode(TermOps.tokens(col("text"))).as("term")),
+          "lang", "term", k = 128)
+        .select(col("g_a").as("lang_a"), col("g_b").as("lang_b"),
+          col("k_union"), col("rho"), col("union_est"), col("inter_est"))),
+
+    "a16_feature_hash" -> ((s, d) =>
+      // hashing-trick vectorization (dim 256): fixed-dimension sparse
+      // features with NO dictionary pass — the deterministic 1-in-13
+      // doc slice bounds the matrix rows across scale factors
+      TermOps.featureHash(
+        t(s, d, "documents").filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", dim = 256)),
+
+    "text_overlap_frac" -> ((s, d) => {
+      // graded decontamination: every 97th doc plays the benchmark set;
+      // each corpus doc reports the fraction of its distinct 8-grams
+      // that are benchmark-tainted (bench docs themselves score 1.0 —
+      // the self-hit sanity rows)
+      val docs = t(s, d, "documents")
+      TextAnalysisOps.overlapFraction(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 8)
+    }),
+
     "w6_sessionize" -> ((s, d) =>
       // gap-based batch sessionization (6h gap over the events table):
       // one key-shuffle window + a reused-partitioning aggregation; the
@@ -1185,6 +1215,30 @@ object SparkEntry {
         .withColumn("sum_win", round(sum(col("value")).over(w), 2))
         .select(col("event_id"), col("user_id"), col("tsec"),
           col("n_win"), col("sum_win"))
+    }),
+
+    "t8_ewma" -> ((s, d) => {
+      // bounded-horizon EWMA (adjusted form, alpha = 1/2, horizon 8):
+      // each row's smoothed value is a fixed dot product over its last
+      // 8 observations — truncating the geometric tail (< 2^-8) turns
+      // the sequential recurrence into ONE window pass (a single key
+      // shuffle), and the 2^-j weights are exact binary fractions, so
+      // any engine replays the arithmetic bit-identically
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsec"), col("event_id"))
+      val xs = (0 until 8).map(j =>
+        if (j == 0) col("value") else lag(col("value"), j).over(w))
+      val num = xs.zipWithIndex.map { case (x, j) =>
+        when(x.isNotNull, x * lit(math.pow(0.5, j))).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      val den = xs.zipWithIndex.map { case (x, j) =>
+        when(x.isNotNull, lit(math.pow(0.5, j))).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("tsec"), col("value"))
+        .withColumn("ewma", round(num / den, 4))
+        .drop("value")
     }),
 
     "t5_locf" -> ((s, d) => {
@@ -3687,6 +3741,94 @@ object SparkEntry {
          | 'event_id' AS key
          |FROM ke""".stripMargin,
 
+    // the KMV pair estimators replayed: per-lang distinct 32-bit term
+    // hashes (fnv64 folded, low 32 bits — power-of-two modulus, so the
+    // unsigned HUGEINT low bits equal Spark's pmod), rank ≤ k per lang,
+    // union re-rank per pair; hash collisions collapse identically on
+    // both sides (same hash), so DISTINCT keeps the relations equal
+    "sketch_kmv_pairs" ->
+      s"""WITH ts AS (
+         |  SELECT lang, unnest(list_filter(
+         |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |vocab AS (SELECT DISTINCT lang AS g, term FROM ts),
+         |hh AS (
+         |  SELECT DISTINCT g,
+         |   CAST(${fnvSql("term")} % 4294967296 AS BIGINT) AS h
+         |  FROM vocab),
+         |sk AS (
+         |  SELECT g, h FROM (
+         |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+         |    FROM hh) WHERE rn <= 128),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |pairs AS (
+         |  SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+         |tag AS (
+         |  SELECT ga, gb, h, max(fa) AS fa, max(fb) AS fb FROM (
+         |    SELECT p.ga, p.gb, s.h, 1 AS fa, 0 AS fb
+         |    FROM pairs p JOIN sk s ON s.g = p.ga
+         |    UNION ALL
+         |    SELECT p.ga, p.gb, s.h, 0 AS fa, 1 AS fb
+         |    FROM pairs p JOIN sk s ON s.g = p.gb)
+         |  GROUP BY ga, gb, h),
+         |uni AS (
+         |  SELECT * FROM (
+         |    SELECT ga, gb, h, fa, fb,
+         |     row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+         |    FROM tag) WHERE rn <= 128),
+         |agg AS (
+         |  SELECT ga, gb, count(*) AS k_union, max(h) AS kth,
+         |   sum(fa * fb) AS n_both
+         |  FROM uni GROUP BY ga, gb)
+         |SELECT ga AS lang_a, gb AS lang_b, CAST(k_union AS BIGINT) AS k_union,
+         | round(CAST(n_both AS DOUBLE) / k_union, 4) AS rho,
+         | round(CASE WHEN k_union < 128 THEN CAST(k_union AS DOUBLE)
+         |   ELSE (k_union - 1) * 4294967296.0 / kth END, 2) AS union_est,
+         | round((CAST(n_both AS DOUBLE) / k_union) *
+         |  (CASE WHEN k_union < 128 THEN CAST(k_union AS DOUBLE)
+         |    ELSE (k_union - 1) * 4294967296.0 / kth END), 2) AS inter_est
+         |FROM agg""".stripMargin,
+
+    // the hashing trick replayed: bucket = low 8 hash bits (power-of-two
+    // modulus — unsigned HUGEINT % agrees with Spark's signed &), sign =
+    // bit 8; weights are exact integer sums
+    "a16_feature_hash" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+         |    FROM documents WHERE doc_id % 13 = 0)
+         |  GROUP BY doc_id, term),
+         |h AS (SELECT doc_id, tf, ${fnvSql("term")} AS h FROM tf),
+         |b AS (
+         |  SELECT doc_id, CAST(h % 256 AS INT) AS bucket,
+         |   CASE WHEN (h // 256) % 2 = 1 THEN tf ELSE -tf END AS w
+         |  FROM h)
+         |SELECT doc_id, bucket, CAST(sum(w) AS BIGINT) AS weight
+         |FROM b GROUP BY doc_id, bucket""".stripMargin,
+
+    // per-doc distinct 8-grams left-joined against the benchmark gram
+    // set (string equality here; Spark probes 64-bit gram hashes — equal
+    // relations barring an fnv64 collision, the contamination precedent)
+    "text_overlap_frac" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS a
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(a[i:i+7], ' ') AS g
+        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-7, 0))) AS t(i)
+        |  WHERE len(a) >= 8),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |j AS (
+        |  SELECT g.doc_id, count(*) AS n_grams, count(b.g) AS n_hits
+        |  FROM g LEFT JOIN b USING (g)
+        |  GROUP BY g.doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        | CAST(n_hits AS BIGINT) AS n_hits,
+        | round(n_hits * 1.0 / n_grams, 4) AS frac
+        |FROM j""".stripMargin,
+
     // session boundaries replicated with the same lag/cumsum windows;
     // ties are safe (gap 0 keeps tied rows in one session, aggregates
     // order-invariant), epoch_ms truncates like Spark's unix_millis
@@ -3729,6 +3871,41 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY tsec
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // the truncated-EWMA dot product replayed term by term: the + chain
+    // is written in the same left-associated order, the 2^-j weights are
+    // exact binary fractions, and every operand is the same IEEE double
+    // on both engines — so the division and the rounding agree exactly
+    "t8_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS tsec, value
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, tsec, value AS x0,
+        |   lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2,
+        |   lag(value, 3) OVER w AS x3, lag(value, 4) OVER w AS x4,
+        |   lag(value, 5) OVER w AS x5, lag(value, 6) OVER w AS x6,
+        |   lag(value, 7) OVER w AS x7
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
+        |SELECT event_id, user_id, tsec,
+        | round((CASE WHEN x0 IS NOT NULL THEN x0 * 1.0::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x1 IS NOT NULL THEN x1 * 0.5::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x2 IS NOT NULL THEN x2 * 0.25::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x3 IS NOT NULL THEN x3 * 0.125::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x4 IS NOT NULL THEN x4 * 0.0625::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x5 IS NOT NULL THEN x5 * 0.03125::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x6 IS NOT NULL THEN x6 * 0.015625::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x7 IS NOT NULL THEN x7 * 0.0078125::DOUBLE ELSE 0.0::DOUBLE END)
+        | / (CASE WHEN x0 IS NOT NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x1 IS NOT NULL THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x2 IS NOT NULL THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x3 IS NOT NULL THEN 0.125::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x4 IS NOT NULL THEN 0.0625::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x5 IS NOT NULL THEN 0.03125::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x6 IS NOT NULL THEN 0.015625::DOUBLE ELSE 0.0::DOUBLE END
+        |  + CASE WHEN x7 IS NOT NULL THEN 0.0078125::DOUBLE ELSE 0.0::DOUBLE END), 4)
+        | AS ewma
+        |FROM l""".stripMargin,
 
     "t5_locf" ->
       """WITH ev AS (

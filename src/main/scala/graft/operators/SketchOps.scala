@@ -89,6 +89,55 @@ object SketchOps {
             lit(4294967296.0) / col("kth_hash"), 2)).as("estimate"))
   }
 
+  /** KMV set-operation estimators between keyed corpora (Beyer et al.,
+    * SIGMOD 2007, §4 multiset operations): for every unordered pair of
+    * `groupCol` values, estimate the Jaccard similarity, union and
+    * intersection cardinalities of their `keyCol` sets FROM THE
+    * SKETCHES ALONE. K_∪ = the k smallest of K_A ∪ K_B; the match rate
+    * ρ = |{h ∈ K_∪ : h ∈ K_A ∧ h ∈ K_B}| / |K_∪| estimates Jaccard;
+    * D_∪ comes off K_∪'s k-th smallest (the [[kmvDistinct]] estimator);
+    * D_∩ = ρ·D_∪. Below k the sketches ARE the sets and every figure is
+    * exact. The 100 TB property: after one map pass builds O(k)-row
+    * per-group sketches, the full pairwise overlap matrix is computed
+    * on groups×k rows — the corpora never meet in a key join. */
+  def kmvPairwise(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = df
+      .filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), keyHashCol(df, keyCol).as("h"))
+      .distinct()
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("g")).orderBy(col("h").asc)))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("h"))
+      // groups×k rows, read three times below — truncate once
+      .localCheckpoint()
+    val pairs = sk.select(col("g").as("g_a")).distinct()
+      .crossJoin(broadcast(sk.select(col("g").as("g_b")).distinct()))
+      .filter(col("g_a") < col("g_b"))
+    val tagged = pairs.join(sk.withColumnRenamed("g", "g_a"), Seq("g_a"))
+        .withColumn("fa", lit(1L)).withColumn("fb", lit(0L))
+      .unionByName(pairs.join(sk.withColumnRenamed("g", "g_b"), Seq("g_b"))
+        .withColumn("fa", lit(0L)).withColumn("fb", lit(1L)))
+    val uni = tagged.groupBy(col("g_a"), col("g_b"), col("h"))
+      .agg(max(col("fa")).as("fa"), max(col("fb")).as("fb"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("g_a"), col("g_b")).orderBy(col("h").asc)))
+      .filter(col("rn") <= k)
+    val agg = uni.groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("k_union"), max(col("h")).as("kth"),
+        sum(col("fa") * col("fb")).as("n_both"))
+    val rhoRaw = col("n_both").cast("double") / col("k_union")
+    val unionRaw = when(col("k_union") < k, col("k_union").cast("double"))
+      .otherwise((col("k_union") - 1).cast("double") * lit(4294967296.0) /
+        col("kth"))
+    agg.select(col("g_a"), col("g_b"), col("k_union"),
+      round(rhoRaw, 4).as("rho"),
+      round(unionRaw, 2).as("union_est"),
+      round(rhoRaw * unionRaw, 2).as("inter_est"))
+  }
+
   /** Count-min sketch of `keyCol` frequencies: a depth×width counter
     * matrix where row j counts by bucket `fnv1a(key ++ "#" ++ j)` masked
     * to `width` (power of two — same seed-suffix FNV family as

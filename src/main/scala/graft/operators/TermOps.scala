@@ -61,6 +61,40 @@ object TermOps {
         explode(tokens(col(textCol), analyzer)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** Feature-hashed bag-of-words vectorization — the "hashing trick"
+    * (Weinberger et al., "Feature hashing for large scale multitask
+    * learning", ICML 2009): every term maps straight to bucket
+    * `fnv64(term) & (dim-1)` with a ±1 sign drawn from the next hash
+    * bit, and the per-(doc, bucket) weight is the signed tf sum. No
+    * vocabulary, no dictionary build, no second pass over the corpus —
+    * which is exactly why this is the text-vectorization shape that
+    * holds at 100 TB, where the [[dictionary]] route needs a global
+    * df-rank before a single vector exists. Output is the sparse
+    * (doc_id, bucket, weight) matrix in fixed dimension `dim`.
+    * Plan: one explode + ONE hash aggregation straight to
+    * (doc, bucket) — the signed sum over raw token occurrences equals
+    * the signed tf sum, so no intermediate per-term aggregation (and
+    * no second shuffle) is needed; map-side partial aggregation bounds
+    * the shuffle at docs×dim rows. The hash/mask/sign chain is all
+    * codegen (native fnv64 + bitwise built-ins). */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 256, analyzer: String = Whitespace): DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two, got $dim")
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    val shift = java.lang.Integer.numberOfTrailingZeros(dim)
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol), analyzer)).as("term"))
+      .withColumn("h", expr("fnv64(term)"))
+      // low log2(dim) bits pick the bucket; the next bit the sign (the
+      // signed variant keeps hash collisions unbiased in expectation)
+      .withColumn("bucket", col("h").bitwiseAND(lit(dim - 1L)).cast("int"))
+      .withColumn("sgn",
+        shiftright(col("h"), shift).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+  }
+
   /** A4 — per-term document frequency and collection frequency with a
     * min-df cut (reference: BasicComputeTermStats.java:107-200, MIN_DF
     * :103). */

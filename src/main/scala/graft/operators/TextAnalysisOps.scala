@@ -168,6 +168,38 @@ object TextAnalysisOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Graded decontamination: each document's fraction of distinct
+    * n-grams that appear anywhere in a benchmark corpus.
+    * [[contamination]] reports per-probe shared-gram counts; curation
+    * thresholds want the per-doc taint FRACTION (the n-gram-overlap
+    * decontamination rule of Brown et al., "Language models are
+    * few-shot learners", NeurIPS 2020, appendix C). Benchmark grams
+    * hash-distinct into one small relation regardless of benchmark text
+    * size, then broadcast; corpus grams probe it map-side — the corpus
+    * (the 100 TB side) never shuffles its text, only (doc_id, hit)
+    * pairs reach the per-doc aggregation. Docs with fewer than n tokens
+    * have no grams and are absent (no 0/0 rows). */
+  def overlapFraction(docs: DataFrame, idCol: String, textCol: String,
+                      bench: DataFrame, benchTextCol: String,
+                      n: Int = 8): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    def grams(df: DataFrame, text: String, idSel: Column*) =
+      df.select(idSel :+ TermOps.tokens(col(text)).as("toks"): _*)
+        .filter(size(col("toks")) >= n)
+        .withColumn("gs", array_distinct(TermOps.shingleStrings(col("toks"), n)))
+        .withColumn("gh", explode(expr("transform(gs, x -> fnv64(x))")))
+    val benchG = grams(bench, benchTextCol)
+      .select(col("gh")).distinct().withColumn("hit", lit(1L))
+    grams(docs, textCol, col(idCol).as("doc_id"))
+      .select(col("doc_id"), col("gh"))
+      .join(broadcast(benchG), Seq("gh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits") / col("n_grams"), 4).as("frac"))
+  }
+
   /** Corpus profile per group: doc count, mean and exact p50/p90/p99 of
     * a numeric column — the distribution snapshot curation thresholds
     * (length floors, quality cutoffs) are tuned against. Exact

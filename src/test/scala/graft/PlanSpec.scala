@@ -148,6 +148,21 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("a16 feature hash plans exactly one exchange (no per-term pre-aggregation)") {
+    // the hashing trick's scale property: raw token occurrences
+    // aggregate straight to (doc, bucket) — one shuffle bounded at
+    // docs×dim rows by the map-side partial aggregation
+    val p = plan("a16_feature_hash")
+    assert(p.split("Exchange").length - 1 == 1, p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("text_overlap_frac probes benchmark grams by broadcast (corpus side never shuffles text)") {
+    val p = plan("text_overlap_frac")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("j6 chain broadcasts both dimension maps (no shuffle joins)") {
     val p = plan("j6_wikistats")
     assert(!p.contains("SortMergeJoin"), p)

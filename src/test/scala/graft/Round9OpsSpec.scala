@@ -389,6 +389,72 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(p.contains("patch_sigs") && !p.contains("ScalaUDF"), p)
   }
 
+  // ---- featureHash / kmvPairwise / overlapFraction (batch 8) ----
+
+  test("featureHash reproduces the hand-computed signed bucket sums") {
+    val df = Seq((1L, "apple apple banana"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val out = TermOps.featureHash(df, "doc_id", "text", dim = 4)
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def bs(term: String): (Int, Long) = {
+      val h = graft.functions.Hashing.fnv1a(term)
+      ((h & 3L).toInt, ((h >> 2) & 1L) * 2 - 1)
+    }
+    val expected = Seq((1L, "apple"), (1L, "apple"), (1L, "banana"),
+        (2L, "banana"), (2L, "cherry"))
+      .map { case (id, term) => val (b, sgn) = bs(term); ((id, b), sgn) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(out == expected)
+  }
+
+  test("featureHash rejects a non-power-of-two dimension") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TermOps.featureHash(df, "doc_id", "text", dim = 100)
+    }
+  }
+
+  test("kmvPairwise below k is exact: jaccard, union and intersection") {
+    val rows = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (6 to 15).map(i => ("b", i.toLong))).toDF("g", "k")
+    val out = SketchOps.kmvPairwise(rows, "g", "k", k = 128)
+      .select("g_a", "g_b", "k_union", "rho", "union_est", "inter_est")
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    assert(out.length == 1)
+    val (ga, gb, ku, rho, ue, ie) = out.head
+    assert(ga == "a" && gb == "b" && ku == 15L)
+    assert(rho == 0.3333 && ue == 15.0 && ie == 5.0)
+  }
+
+  test("kmvPairwise disjoint groups estimate zero intersection") {
+    val rows = ((1 to 20).map(i => ("a", i.toLong)) ++
+      (100 to 119).map(i => ("b", i.toLong))).toDF("g", "k")
+    val out = SketchOps.kmvPairwise(rows, "g", "k", k = 64)
+      .select("rho", "inter_est").as[(Double, Double)].collect().head
+    assert(out == ((0.0, 0.0)))
+  }
+
+  test("overlapFraction grades docs against the benchmark gram set") {
+    val toks = (1 to 20).map(i => s"w$i")
+    val bench = Seq((100L, toks.take(10).mkString(" "))).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, toks.take(10).mkString(" ")),     // identical to bench: 1.0
+      (2L, toks.slice(2, 14).mkString(" ")), // w3..w14: 5 grams, 1 hit
+      (3L, toks.slice(10, 20).mkString(" ")), // disjoint: 0.0
+      (4L, "short doc")                      // < 8 tokens: absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysisOps.overlapFraction(docs, "doc_id", "text",
+        bench, "text")
+      .select("doc_id", "n_grams", "n_hits", "frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((5L, 1L, 0.2)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    assert(!out.contains(4L))
+  }
+
   // ---- streaming near-dup trace assumptions ----
 
   test("st_neardup trace texts have the pinned band-bucket relationships") {
