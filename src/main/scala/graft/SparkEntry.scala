@@ -385,6 +385,20 @@ object SparkEntry {
           DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)))
     }),
 
+    "dedup_cluster_profile" -> ((s, d) =>
+      // dedup QA scorecard: the duplicate-cluster size distribution —
+      // (cluster size → #clusters, #docs bound up in them). The number
+      // a curation run eyeballs before trusting a dedup pass: a fat
+      // tail here means a boilerplate template is gluing the corpus
+      // together. O(dup docs) input, O(distinct sizes) output.
+      DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+            threshold = 0.5))
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs_in"))),
+
     "dedup_incremental" -> ((s, d) => {
       // snapshot-over-snapshot exact dedup: even-id docs play the
       // already-indexed corpus, odd-id docs the new crawl. The organic
@@ -516,6 +530,26 @@ object SparkEntry {
         .select(col("query_id"), col("nbr_id"), round(col("sim"), 4).as("sim"),
           col("rank"))
     }),
+
+    "embed_project" -> ((s, d) =>
+      // JL random projection 64 → 8 dims as a pure map (plan-time
+      // weight literals, sequential fold): the pre-ANN shrink step —
+      // no training job, no model state, embarrassingly parallel
+      SimilarityOps.project(t(s, d, "embeddings"), "vec_id", "embedding",
+        inDims = 64, outDims = 8)),
+
+    "embed_quality" -> ((s, d) =>
+      // embedding QA: per-vector dimensionality + L2 norm (ordered
+      // fold) + degenerate-vector flag — the gate that catches the
+      // zero vectors and wrong-width rows an upstream encoder bug
+      // ships before they poison every cosine downstream
+      t(s, d, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).as("n_dims"),
+          aggregate(col("embedding").cast("array<double>"), lit(0.0d),
+            (acc, x) => acc + x * x).as("sq"))
+        .select(col("vec_id"), col("n_dims"),
+          round(sqrt(col("sq")), 4).as("l2_norm"),
+          (col("sq") === lit(0.0d)).as("is_zero"))),
 
     "ann_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1340,6 +1374,34 @@ object SparkEntry {
             col("n_chars"))).as("p50_chars"),
           max(when(col("r") === floor((col("n") - 1) * 0.9) + 1,
             col("n_chars"))).as("p90_chars"))
+    }),
+
+    "stats_winsorize" -> ((s, d) => {
+      // per-group winsorized aggregates: clamp at the exact rank-rule
+      // p05/p95 (the stats_group_quantiles convention), then sum the
+      // clamped values — the robust corpus statistic outliers can't
+      // drag. Rank, group size, both bounds and the final aggregation
+      // all share the lang partitioning: ONE exchange end-to-end, and
+      // every output is an exact integer (no float boundary risk)
+      val wRank = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val wAll = Window.partitionBy(col("lang"))
+      t(s, d, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("r", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("lo", max(when(col("r") ===
+          floor((col("n") - 1) * 0.05) + 1, col("n_chars"))).over(wAll))
+        .withColumn("hi", max(when(col("r") ===
+          floor((col("n") - 1) * 0.95) + 1, col("n_chars"))).over(wAll))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(greatest(least(col("n_chars"), col("hi")), col("lo")))
+            .as("sum_winsorized"),
+          sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L))
+            .as("n_clamped_low"),
+          sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L))
+            .as("n_clamped_high"))
     }),
 
     "search_boolean" -> ((s, d) =>
@@ -2809,6 +2871,24 @@ object SparkEntry {
          |SELECT node AS doc_id, min(r) AS component
          |FROM reach GROUP BY node""".stripMargin,
 
+    // same component fixpoint, rolled up twice: component → size →
+    // (size → cluster count, docs bound up)
+    "dedup_cluster_profile" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |szs AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+         |SELECT CAST(sz AS BIGINT) AS sz,
+         | CAST(count(*) AS BIGINT) AS n_clusters,
+         | CAST(sz * count(*) AS BIGINT) AS n_docs_in
+         |FROM szs GROUP BY sz""".stripMargin,
+
     // same component fixpoint, joined back to every document: canonical =
     // component min (or self), keep = is-canonical
     "dedup_canonical" ->
@@ -3328,6 +3408,37 @@ object SparkEntry {
     // residual variant: codes quantize vector − assigned-centroid,
     // queries score per probed cell's frame (FAISS IndexIVFPQ recipe)
     "ann_ivfpq_residual" -> pqResidualOracleSql,
+
+    // the JL projection replayed: the same hash32-derived plane weights
+    // (1-based i ⇒ p*64 + i = planeWeight's p*dims + d + 1), the same
+    // sequential left fold over the array — identical IEEE doubles
+    "embed_project" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |g AS (
+         |  SELECT vec_id, emb, t.p FROM e,
+         |   unnest(generate_series(0, 7)) AS t(p)),
+         |v AS (
+         |  SELECT vec_id, p AS dim,
+         |   list_reduce(list_prepend(0.0, list_transform(
+         |     generate_series(1, 64),
+         |     i -> emb[i] * ($planeWeightSql))),
+         |    (acc, x) -> acc + x) AS value
+         |  FROM g)
+         |SELECT vec_id, CAST(dim AS INT) AS dim, round(value, 4) AS value
+         |FROM v""".stripMargin,
+
+    "embed_quality" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, len(emb) AS n_dims,
+        |   list_reduce(list_prepend(0.0, list_transform(emb, x -> x * x)),
+        |    (acc, x) -> acc + x) AS sq
+        |  FROM e)
+        |SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
+        | round(sqrt(sq), 4) AS l2_norm, sq = 0.0::DOUBLE AS is_zero
+        |FROM s""".stripMargin,
 
     "ann_brute_topk" -> annBruteSql,
 
@@ -3988,6 +4099,28 @@ object SparkEntry {
         | max(CASE WHEN r = CAST(floor((n-1)*0.9) AS BIGINT) + 1
         |   THEN n_chars END) AS p90_chars
         |FROM r GROUP BY lang""".stripMargin,
+
+    // winsorized clamp replayed with the same lower-quantile_disc rank
+    // rule; every output is an exact integer
+    "stats_winsorize" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars, doc_id,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY n_chars, doc_id) AS r,
+        |   count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, n_chars,
+        |   max(CASE WHEN r = CAST(floor((n-1)*0.05) AS BIGINT) + 1
+        |     THEN n_chars END) OVER (PARTITION BY lang) AS lo,
+        |   max(CASE WHEN r = CAST(floor((n-1)*0.95) AS BIGINT) + 1
+        |     THEN n_chars END) OVER (PARTITION BY lang) AS hi
+        |  FROM r)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(greatest(least(n_chars, hi), lo)) AS BIGINT) AS sum_winsorized,
+        | CAST(count(*) FILTER (WHERE n_chars < lo) AS BIGINT) AS n_clamped_low,
+        | CAST(count(*) FILTER (WHERE n_chars > hi) AS BIGINT) AS n_clamped_high
+        |FROM b GROUP BY lang""".stripMargin,
 
     "search_boolean" ->
       s"""SELECT doc_id, count(*) AS total_tf

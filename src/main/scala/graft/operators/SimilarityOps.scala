@@ -30,6 +30,31 @@ object SimilarityOps {
     dot / (na * nb)
   }
 
+  /** Johnson-Lindenstrauss random projection of an embedding column to
+    * `outDims` dimensions, using the same deterministic hash-derived
+    * hyperplane weights the LSH path uses ([[planeWeight]]: hash32 in
+    * [-1, 1)). Dimensionality reduction as a PURE MAP — no training
+    * pass, no model state, every vector projects independently, which
+    * is what makes it the pre-ANN shrink step that needs zero extra
+    * jobs at 100 TB (the dense sibling of Achlioptas' database-friendly
+    * projections, JCSS 2003). Output is long-form (vec_id, dim, value)
+    * scalar rows — oracle-comparable and trivially re-pivoted. Each
+    * per-dim dot product is a SEQUENTIAL left fold (zip_with +
+    * aggregate, codegen) so any engine replays it bit-identically in
+    * array order; the weight vectors are plan-time literals. */
+  def project(emb: DataFrame, idCol: String, embCol: String,
+              inDims: Int, outDims: Int): DataFrame = {
+    val projCols = (0 until outDims).map { p =>
+      val w = array((0 until inDims).map(d =>
+        lit(planeWeight(p, d, inDims))): _*)
+      aggregate(zip_with(col(embCol).cast("array<double>"), w,
+        (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    }
+    emb.select(col(idCol).as("vec_id"),
+        posexplode(array(projCols: _*)).as(Seq("dim", "value")))
+      .select(col("vec_id"), col("dim"), round(col("value"), 4).as("value"))
+  }
+
   /** Exact top-k neighbors for each query vector (queries broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))

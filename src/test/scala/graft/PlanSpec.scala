@@ -163,6 +163,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("embed_project is a pure map: zero exchanges") {
+    // JL projection must stay embarrassingly parallel — weight vectors
+    // are plan-time literals, nothing shuffles
+    val p = plan("embed_project")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("stats_winsorize runs rank, bounds and rollup on one exchange") {
+    val p = plan("stats_winsorize")
+    assert(p.split("Exchange").length - 1 == 1, p)
+  }
+
   test("j6 chain broadcasts both dimension maps (no shuffle joins)") {
     val p = plan("j6_wikistats")
     assert(!p.contains("SortMergeJoin"), p)

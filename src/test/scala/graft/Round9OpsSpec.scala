@@ -455,6 +455,33 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  // ---- project / cluster profile (batch 9) ----
+
+  test("project of a basis vector reads off the plane-weight matrix") {
+    val e3 = Array.tabulate(8)(i => if (i == 3) 1.0f else 0.0f)
+    val df = Seq((1L, e3)).toDF("vec_id", "embedding")
+    val out = SimilarityOps.project(df, "vec_id", "embedding",
+        inDims = 8, outDims = 4)
+      .as[(Long, Int, Double)].collect().map(r => r._2 -> r._3).toMap
+    (0 until 4).foreach { p =>
+      val w = BigDecimal(SimilarityOps.planeWeight(p, 3, 8))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(p) == w, s"plane $p")
+    }
+  }
+
+  test("cluster-size profile rolls up components correctly") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val prof = DedupOps.connectedComponents(pairs)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs_in"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prof == Set((3L, 1L, 3L), (2L, 1L, 2L)))
+  }
+
   // ---- streaming near-dup trace assumptions ----
 
   test("st_neardup trace texts have the pinned band-bucket relationships") {
