@@ -453,6 +453,23 @@ object SparkEntry {
         iters = 3)
         .select(col("node"), round(col("rank"), 8).as("rank"))),
 
+    "graph_degree_profile" -> ((s, d) => {
+      // graph QA scorecard: log2-bucketed in/out-degree histogram of
+      // the supplier→part link graph. Bucketing is integer-exact
+      // (bin-string length, no float log); output is O(log maxdeg)
+      // rows per side — the shape check run before any graph job
+      val edges = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      def profile(side: String, keyCol: String) =
+        edges.groupBy(col(keyCol)).agg(count(lit(1)).as("deg"))
+          .select(lit(side).as("side"),
+            (length(bin(col("deg"))) - 1).as("log2_deg"))
+          .groupBy(col("side"), col("log2_deg"))
+          .agg(count(lit(1)).as("n_nodes"))
+      profile("out", "src").unionByName(profile("in", "dst"))
+    }),
+
     "graph_triangles" -> ((s, d) => {
       // triangle census over the part co-order graph (parts sharing an
       // order); degree-ordered orientation keeps the wedge set O(m^1.5).
@@ -877,6 +894,42 @@ object SparkEntry {
           col("j"), col("bucket"), col("cnt"))
     }),
 
+    "st_hll" -> ((s, _) => {
+      // streaming distinct-count sketch: each finalized window emits its
+      // ≤ 2^p HLL registers (append mode), max-mergeable across windows
+      // and with the batch sketch_hll registers — the distinct-count
+      // half of the lambda pattern (st_cms is the frequency half).
+      // User 1 appears twice in window 0: one register, max'd
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.hllCells(mem.toDF(), "ts", "user_id",
+          "10 minutes", "10 minutes", p = 6)
+        .writeStream.format("memory").queryName("st_hll_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1.0),
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 2.0),
+          EventStreamOps.Event(2, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 3.0),
+          EventStreamOps.Event(3, java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), 4.0),
+          EventStreamOps.Event(2, java.sql.Timestamp.valueOf("2024-01-01 00:12:00"), 5.0),
+          EventStreamOps.Event(3, java.sql.Timestamp.valueOf("2024-01-01 00:13:00"), 6.0))
+        q.processAllAvailable()
+        // watermark sentinel: 00:40 − 10 min closes both data windows;
+        // its own window stays open and unemitted
+        mem.addData(EventStreamOps.Event(99,
+          java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_hll_out")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("bucket"), col("rho"))
+    }),
+
     "st_expectations" -> ((s, _) => {
       // streaming data-quality monitor: per finalized window, violation
       // counts of the declared checks (negative value; user id outside
@@ -1200,6 +1253,49 @@ object SparkEntry {
       TermOps.featureHash(
         t(s, d, "documents").filter(col("doc_id") % 13 === 0),
         "doc_id", "text", dim = 256)),
+
+    "text_distinctive" -> ((s, d) => {
+      // per-lang distinctive terms: rank by lang-tf / corpus-df — the
+      // integer-rational tf-idf proxy (one exact-rounded division, so
+      // rank order replays identically in any engine; ties break on
+      // term). The per-source vocabulary fingerprint a mixture planner
+      // reads next to the KMV overlap matrix
+      val toks = t(s, d, "documents").select(col("lang"), col("doc_id"),
+        explode(TermOps.tokens(col("text"))).as("term"))
+      val langTf = toks.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf_lang"))
+      val dfc = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df_corpus"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy((col("tf_lang").cast("double") / col("df_corpus")).desc,
+          col("term").asc)
+      langTf.join(dfc, Seq("term"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("lang"), col("term"), col("tf_lang"), col("df_corpus"),
+          col("rank"))
+    }),
+
+    "sample_split" -> ((s, d) => {
+      // deterministic train/val/test assignment (the canonical ML
+      // split): hash-bucket each doc id 90/5/5, emitted as the
+      // per-(split, lang) balance table a pipeline audits — membership
+      // is a pure function of the id, so reruns, late-arriving shards
+      // and incremental refreshes all agree
+      graft.plans.GraftSparkExtensions.install(s)
+      // fold to the low 32 bits FIRST (power-of-two, so signed &
+      // unsigned agree), then take the non-power-of-two bucket modulus
+      // of that non-negative value — % 100 straight off the signed
+      // 64-bit hash would disagree with an unsigned replay
+      t(s, d, "documents")
+        .withColumn("b", pmod(
+          expr("fnv64(concat(cast(doc_id as string), '#split'))")
+            .bitwiseAND(lit(4294967295L)), lit(100L)))
+        .withColumn("split", when(col("b") < 90, "train")
+          .when(col("b") < 95, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
 
     "text_overlap_frac" -> ((s, d) => {
       // graded decontamination: every 97th doc plays the benchmark set;
@@ -4363,6 +4459,71 @@ object SparkEntry {
         | ('2024-01-01 00:10:00', 1, 233, 1),
         | ('2024-01-01 00:10:00', 0, 135, 1),
         | ('2024-01-01 00:10:00', 1, 212, 1)) t""".stripMargin,
+
+    // the per-window registers recomputed from the trace via the SAME
+    // fnv/rho chain as the batch sketch_hll oracle — derived, not
+    // golden-copied; the sentinel's own window never closes
+    "st_hll" ->
+      s"""WITH tr(w_start, uid) AS (VALUES
+         |  ('2024-01-01 00:00:00', '1'), ('2024-01-01 00:00:00', '1'),
+         |  ('2024-01-01 00:00:00', '2'), ('2024-01-01 00:00:00', '3'),
+         |  ('2024-01-01 00:10:00', '2'), ('2024-01-01 00:10:00', '3')),
+         |b AS (
+         |  SELECT w_start, CAST(fu % 64 AS BIGINT) AS bucket,
+         |   CAST(fu // 64 AS BIGINT) AS rest
+         |  FROM (SELECT w_start, ${fnvSql("uid || '#hll'")}
+         |          % 4294967296::HUGEINT AS fu
+         |        FROM tr))
+         |SELECT w_start, bucket,
+         | CAST(max(CASE WHEN rest = 0 THEN 27
+         |   ELSE 27 - CAST(length(bin(rest)) AS INT) END) AS INT) AS rho
+         |FROM b GROUP BY w_start, bucket""".stripMargin,
+
+    // degree histogram with integer-exact log2 bucketing (bin-string
+    // length, the sketch_hll rho convention — no float log anywhere)
+    "graph_degree_profile" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |o AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |i AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst)
+        |SELECT 'out' AS side, CAST(length(bin(deg)) - 1 AS INT) AS log2_deg,
+        | CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM o GROUP BY log2_deg
+        |UNION ALL
+        |SELECT 'in' AS side, CAST(length(bin(deg)) - 1 AS INT) AS log2_deg,
+        | CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM i GROUP BY log2_deg""".stripMargin,
+
+    "text_distinctive" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tt AS (
+        |  SELECT lang, term, count(*) AS tf_lang FROM toks GROUP BY lang, term),
+        |dfc AS (
+        |  SELECT term, count(*) AS df_corpus
+        |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |r AS (
+        |  SELECT lang, tt.term, tf_lang, df_corpus,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY CAST(tf_lang AS DOUBLE) / df_corpus DESC, tt.term)
+        |     AS rank
+        |  FROM tt JOIN dfc ON tt.term = dfc.term)
+        |SELECT lang, term, CAST(tf_lang AS BIGINT) AS tf_lang,
+        | CAST(df_corpus AS BIGINT) AS df_corpus, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // hash-bucket membership replayed in HUGEINT FNV; 90/5/5 buckets
+    "sample_split" ->
+      s"""WITH b AS (
+         |  SELECT lang, CAST(${fnvSql("doc_id::VARCHAR || '#split'")}
+         |    % 4294967296::HUGEINT AS BIGINT) % 100 AS b
+         |  FROM documents)
+         |SELECT CASE WHEN b < 90 THEN 'train'
+         |  WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+         | lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM b GROUP BY split, lang""".stripMargin,
 
     // the priority is one IEEE multiply + divide from the hashed
     // uniform — exact-rounded ops, so both engines agree on selection

@@ -80,6 +80,36 @@ object EventStreamOps {
         col("bucket"), col("cnt"))
   }
 
+  /** Streaming HLL registers per finalized event-time window: bucket →
+    * max rho with the IDENTICAL hash/rho chain as
+    * `SketchOps.hllRegisters`, so a window's registers max-merge with
+    * neighbouring windows and with the batch sketch — the
+    * distinct-count half of the lambda pattern ([[countMinCells]] is
+    * the frequency half). State per open window is ≤ 2^p registers
+    * regardless of key cardinality; append mode emits each window's
+    * finalized registers once. */
+  def hllCells(events: DataFrame, tsCol: String, keyCol: String,
+               window: String, watermark: String, p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 12, s"hll precision p must be in [2,12], got $p")
+    graft.plans.GraftSparkExtensions.install(events.sparkSession)
+    val m = 1L << p
+    val h = pmod(call_function("fnv64",
+      concat(col(keyCol).cast("string"), lit("#hll"))), lit(4294967296L))
+    events
+      .withWatermark(tsCol, watermark)
+      .filter(col(keyCol).isNotNull)
+      .select(col(tsCol), h.bitwiseAND(lit(m - 1)).as("bucket"),
+        shiftright(h, p).as("rest"))
+      .select(col(tsCol), col("bucket"),
+        when(col("rest") === 0, lit(33 - p))
+          .otherwise(lit(33 - p) - length(bin(col("rest")))).as("rho"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("rho"))
+  }
+
   /** Streaming data-quality monitor: per finalized event-time window,
     * the violation counts of a declarative check list — the streaming
     * sibling of `ValidationOps.expectations`, watching the same

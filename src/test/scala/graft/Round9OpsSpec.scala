@@ -482,6 +482,32 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(prof == Set((3L, 1L, 3L), (2L, 1L, 2L)))
   }
 
+  // ---- st_hll merge law / degree-profile bucketing (batch 10) ----
+
+  test("window HLL registers max-merge to the batch union sketch") {
+    // the lambda-pattern property st_hll's cells exist for: per-window
+    // registers (same hash/rho chain) max-merged == one batch sketch
+    // over the union of the windows' keys
+    val w0 = Seq(1L, 1L, 2L, 3L).toDF("user_id")
+    val w1 = Seq(2L, 3L).toDF("user_id")
+    val m0 = SketchOps.hllRegisters(w0, "user_id").withColumnRenamed("rho", "r0")
+    val m1 = SketchOps.hllRegisters(w1, "user_id").withColumnRenamed("rho", "r1")
+    val merged = m0.join(m1, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        greatest(coalesce(col("r0"), lit(0)), coalesce(col("r1"), lit(0)))
+          .as("rho"))
+      .as[(Long, Int)].collect().toSet
+    val union = SketchOps.hllRegisters(Seq(1L, 2L, 3L).toDF("user_id"),
+      "user_id").as[(Long, Int)].collect().toSet
+    assert(merged == union)
+  }
+
+  test("degree-profile log2 bucketing is integer-exact") {
+    val b = Seq(1L, 2L, 3L, 4L, 1023L, 1024L).toDF("deg")
+      .select((length(bin(col("deg"))) - 1).as("b")).as[Int].collect()
+    assert(b.toSeq == Seq(0, 1, 1, 2, 9, 10))
+  }
+
   // ---- streaming near-dup trace assumptions ----
 
   test("st_neardup trace texts have the pinned band-bucket relationships") {
