@@ -385,6 +385,15 @@ object SparkEntry {
           DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)))
     }),
 
+    "dedup_jaccard_prefix" -> ((s, d) =>
+      // lossless prefix-filtered all-pairs join (Bayardo et al.
+      // WWW'07): byte-identical result to dedup_jaccard — the oracle
+      // IS the full-join SQL — but candidates come from joining only
+      // each doc's rarest shingles, so the fat inverted-index buckets
+      // never fan out
+      DedupOps.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5)),
+
     "dedup_cluster_profile" -> ((s, d) =>
       // dedup QA scorecard: the duplicate-cluster size distribution —
       // (cluster size → #clusters, #docs bound up in them). The number
@@ -1232,6 +1241,52 @@ object SparkEntry {
         .withColumn("key", lit("user_id"))
         .unionByName(SketchOps.kmvDistinct(ev, "event_id", k = 256)
           .withColumn("key", lit("event_id")))
+    }),
+
+    "sketch_join_size" -> ((s, d) => {
+      // join-cardinality estimation from sketches: |A ⋈ B on user_id|
+      // estimated by the CMS inner product min_j Σ_b A_j[b]·B_j[b]
+      // (the AGMS/count-min join-size estimator, Alon et al. '99 /
+      // Cormode-Muthukrishnan '05) — the optimizer-grade statistic.
+      // Exact needs a per-key join; the sketch answer costs O(d·w)
+      // cells no matter how many keys. est ≥ exact (collisions add)
+      val ev = t(s, d, "events")
+      val a = ev.filter(col("event_id") % 2 === 0)
+      val b = ev.filter(col("event_id") % 2 =!= 0)
+      val exact = a.groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("cb")),
+          Seq("user_id"))
+        .agg(sum(col("ca") * col("cb")).as("exact_size"))
+      val est = SketchOps.countMin(a, "user_id", depth = 3, width = 256)
+        .withColumnRenamed("cnt", "ca")
+        .join(SketchOps.countMin(b, "user_id", depth = 3, width = 256)
+          .withColumnRenamed("cnt", "cb"), Seq("j", "bucket"))
+        .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min(col("ip")).as("cms_est"))
+      exact.crossJoin(est)
+        .select(col("exact_size"), col("cms_est"),
+          round(col("cms_est").cast("double") / col("exact_size"), 4)
+            .as("inflation"))
+    }),
+
+    "layout_range_bounds" -> ((s, d) => {
+      // exact equi-depth range-partitioner bounds (8 buckets over
+      // n_chars): what a range-layout writer feeds its partitioner.
+      // Spark's own RangePartitioner samples; this computes the bounds
+      // EXACTLY at the same scale safety by running the cumulative
+      // window over the compressed (value → count) histogram —
+      // O(distinct values) rows, never O(rows)
+      val h = t(s, d, "documents").groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(col("v"))
+      val wAll = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = h.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+      cum.agg(max(col("total")).as("n_rows"),
+        (1 until 8).map(i =>
+          min(when(col("cum") >= expr(s"(total - 1) * $i div 8") + 1,
+            col("v"))).as(s"b$i")): _*)
     }),
 
     "sketch_kmv_pairs" -> ((s, d) =>
@@ -2950,6 +3005,11 @@ object SparkEntry {
 
     "dedup_jaccard" -> jaccardPairsSql,
 
+    // prefix filtering is LOSSLESS, so the pruned path's oracle is the
+    // full-join SQL itself — passing means the Bayardo prefix join
+    // returned byte-identical pairs to the exhaustive index join
+    "dedup_jaccard_prefix" -> jaccardPairsSql,
+
     "dedup_containment" -> containmentPairsSql,
 
     // components of the jaccard pair graph by transitive reachability
@@ -3947,6 +4007,55 @@ object SparkEntry {
          |      ELSE round((count(*) - 1) * 4294967296.0 / max(h), 2) END AS estimate,
          | 'event_id' AS key
          |FROM ke""".stripMargin,
+
+    // the CMS inner-product estimator replayed with the same
+    // seed-suffixed FNV bucket family; exact side is a plain key join
+    "sketch_join_size" ->
+      s"""WITH a AS (
+         |  SELECT user_id FROM events WHERE event_id % 2 = 0),
+         |b AS (SELECT user_id FROM events WHERE event_id % 2 <> 0),
+         |ex AS (
+         |  SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_size
+         |  FROM (SELECT user_id, count(*) AS ca FROM a GROUP BY user_id) x
+         |  JOIN (SELECT user_id, count(*) AS cb FROM b GROUP BY user_id) y
+         |   USING (user_id)),
+         |seeds AS (SELECT unnest(generate_series(0, 2)) AS j),
+         |sa AS (
+         |  SELECT j, bucket, count(*) AS ca FROM (
+         |   SELECT j, ${fnvSql("CAST(user_id AS VARCHAR) || '#' || j")}
+         |     % 256 AS bucket
+         |   FROM a, seeds) GROUP BY j, bucket),
+         |sb AS (
+         |  SELECT j, bucket, count(*) AS cb FROM (
+         |   SELECT j, ${fnvSql("CAST(user_id AS VARCHAR) || '#' || j")}
+         |     % 256 AS bucket
+         |   FROM b, seeds) GROUP BY j, bucket),
+         |ipj AS (
+         |  SELECT sa.j, sum(sa.ca * sb.cb) AS ip
+         |  FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+         |  GROUP BY sa.j),
+         |es AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM ipj)
+         |SELECT exact_size, cms_est,
+         | round(CAST(cms_est AS DOUBLE) / exact_size, 4) AS inflation
+         |FROM ex, es""".stripMargin,
+
+    // equi-depth bounds off the compressed histogram: bound_i = the
+    // value at rank ((n-1)*i)//8 + 1 (the group-quantile rank rule)
+    "layout_range_bounds" ->
+      """WITH h AS (
+        |  SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars),
+        |c AS (
+        |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+        |   sum(cnt) OVER () AS total FROM h)
+        |SELECT CAST(max(total) AS BIGINT) AS n_rows,
+        | min(CASE WHEN cum >= (total - 1) * 1 // 8 + 1 THEN v END) AS b1,
+        | min(CASE WHEN cum >= (total - 1) * 2 // 8 + 1 THEN v END) AS b2,
+        | min(CASE WHEN cum >= (total - 1) * 3 // 8 + 1 THEN v END) AS b3,
+        | min(CASE WHEN cum >= (total - 1) * 4 // 8 + 1 THEN v END) AS b4,
+        | min(CASE WHEN cum >= (total - 1) * 5 // 8 + 1 THEN v END) AS b5,
+        | min(CASE WHEN cum >= (total - 1) * 6 // 8 + 1 THEN v END) AS b6,
+        | min(CASE WHEN cum >= (total - 1) * 7 // 8 + 1 THEN v END) AS b7
+        |FROM c""".stripMargin,
 
     // the KMV pair estimators replayed: per-lang distinct 32-bit term
     // hashes (fnv64 folded, low 32 bits — power-of-two modulus, so the

@@ -146,6 +146,65 @@ object DedupOps {
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
   }
 
+  /** Prefix-filtered EXACT all-pairs Jaccard join (Bayardo, Ma &
+    * Srikant, "Scaling up all pairs similarity search", WWW 2007):
+    * order each document's shingles by global rarity (df asc, hash
+    * tie-break); a pair with J ≥ t MUST share at least one of each
+    * side's first |d| − ⌈t·|d|⌉ + 1 shingles — if it shared none, its
+    * overlap would be ≤ ⌈t·|d|⌉ − 1 < t·|d| ≤ t·|a∪b|, contradicting
+    * J ≥ t. Joining PREFIXES only is therefore a LOSSLESS candidate
+    * generator: the output equals [[jaccardPairs]] exactly, and the
+    * gate proves it (the oracle IS the full-join SQL). Exact
+    * verification counts intersections for candidate pairs only.
+    * The 100 TB property: the frequent shingles that fan the full
+    * inverted-index join out are precisely the ones prefixes exclude —
+    * candidate volume tracks the rare-shingle tail, not the hot head. */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleK: Int = 3,
+                         maxShingleDf: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    val shingled = docs
+      .select(col(idCol).as("id"), TermOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+      .withColumn("sh_str",
+        array_distinct(TermOps.shingleStrings(col("toks"), shingleK)))
+      .select(col("id"),
+        explode(expr("transform(sh_str, x -> fnv64(x))")).as("sh"))
+    val sdf = shingled.groupBy("sh").agg(count(lit(1)).as("sdf"))
+    // materialize the df-capped index ONCE: prefix selection, the
+    // candidate join and exact verification all read it (the
+    // production pattern — at real scale this relation is written out
+    // and shared; lazily it would re-tokenize the corpus three times)
+    val shk = shingled.join(sdf.filter(col("sdf") <= maxShingleDf), Seq("sh"))
+      .localCheckpoint()
+    val sizes = shk.groupBy("id").agg(count(lit(1)).as("n"))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("sdf").asc, col("sh").asc)
+    val pref = shk.withColumn("pos", row_number().over(byRarity))
+      .join(sizes, Seq("id"))
+      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("sh"), col("id"))
+    val cand = pref.select(col("sh"), col("id").as("id_a"))
+      .join(pref.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(shk.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(shk.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard", col("i").cast("double") /
+        (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) over the same
     * shingle sets as [[jaccardPairs]]. Containment catches what
     * symmetric Jaccard structurally misses — a document EMBEDDED in a

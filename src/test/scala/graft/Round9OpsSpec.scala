@@ -508,6 +508,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(b.toSeq == Seq(0, 1, 1, 2, 9, 10))
   }
 
+  // ---- prefix-filtered all-pairs join (batch 11) ----
+
+  test("jaccardPairsPrefix equals the exhaustive index join on a planted corpus") {
+    // overlapping token runs plant pairs above and below the 0.5
+    // threshold; lossless prefix filtering must reproduce the full
+    // join's result EXACTLY
+    val mk = (lo: Int, hi: Int) => (lo to hi).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk(0, 19)), (2L, mk(0, 19)),   // identical: J = 1.0
+      (3L, mk(0, 21)),                     // J(1,3) high
+      (4L, mk(10, 29)),                    // partial overlap
+      (5L, mk(40, 59)), (6L, mk(40, 49))   // contained run
+    ).toDF("doc_id", "text")
+    val full = DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = DedupOps.jaccardPairsPrefix(docs, "doc_id", "text",
+      threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty && pref == full)
+  }
+
   // ---- streaming near-dup trace assumptions ----
 
   test("st_neardup trace texts have the pinned band-bucket relationships") {
