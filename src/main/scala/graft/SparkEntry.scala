@@ -385,6 +385,64 @@ object SparkEntry {
           DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)))
     }),
 
+    "dedup_minhash_eval" -> ((s, d) => {
+      // the approximation-cost gauge for the LSH text-dedup path (the
+      // ann_recall of the dedup family): exact-jaccard truth pairs vs
+      // the banded-MinHash pipeline's verified candidates — recall =
+      // the fraction of true near-dups the banding didn't lose
+      val docs = t(s, d, "documents")
+      val truth = DedupOps.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5).select(col("id_a"), col("id_b"), lit(1L).as("tr"))
+      val cand = DedupOps.verifiedNearDups(docs, "doc_id", "text",
+        threshold = 0.4).select(col("id_a"), col("id_b"), lit(1L).as("cd"))
+      truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(when(col("tr").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("cd").isNotNull, 1L).otherwise(0L)).as("n_candidates"),
+          sum(when(col("tr").isNotNull && col("cd").isNotNull, 1L)
+            .otherwise(0L)).as("n_hits"))
+        .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4)
+            .as("recall"))
+    }),
+
+    "curate_e2e" -> ((s, d) => {
+      // the full curation decision table — every document gets exactly
+      // one verdict by fixed precedence: quality floor → benchmark
+      // contamination (integer threshold: 2·hits ≥ grams ⟺ frac ≥ 0.5,
+      // no rounding boundary) → exact-dup loser → near-dup non-
+      // canonical → train/val/test hash split. The one relation a
+      // downstream trainer consumes; each stage is the already-gated
+      // operator, composed
+      graft.plans.GraftSparkExtensions.install(s)
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"),
+        (size(TermOps.tokens(col("text"))) < 20).as("low_q"),
+        pmod(expr("fnv64(concat(cast(doc_id as string), '#split'))")
+          .bitwiseAND(lit(4294967295L)), lit(100L)).as("b"))
+      val contam = TextAnalysisOps.overlapFraction(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", n = 8)
+        .select(col("doc_id"),
+          (col("n_hits") * 2 >= col("n_grams")).as("contam"))
+      val exactKeep = DedupOps.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), lit(true).as("e_keep"))
+      val nearKeep = DedupOps.canonicalKeepList(docs, "doc_id",
+          DedupOps.connectedComponents(
+            DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)))
+        .select(col("doc_id"), col("keep").as("n_keep"))
+      base
+        .join(contam, Seq("doc_id"), "left_outer")
+        .join(exactKeep, Seq("doc_id"), "left_outer")
+        .join(nearKeep, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("low_q"), "low_quality")
+            .when(coalesce(col("contam"), lit(false)), "contaminated")
+            .when(col("e_keep").isNull, "dup_exact")
+            .when(!col("n_keep"), "dup_near")
+            .when(col("b") < 90, "train")
+            .when(col("b") < 95, "val")
+            .otherwise("test").as("decision"))
+    }),
+
     "dedup_jaccard_prefix" -> ((s, d) =>
       // lossless prefix-filtered all-pairs join (Bayardo et al.
       // WWW'07): byte-identical result to dedup_jaccard — the oracle
@@ -2713,6 +2771,35 @@ object SparkEntry {
     s"""SELECT doc_id, term, count(*) AS tf FROM ($tokensUnicodeSub)
        |WHERE term <> '' GROUP BY doc_id, term""".stripMargin
 
+  /** Verified MinHash-candidate pairs (exact jaccard ≥ 0.4 on the
+    * uncapped shingle sets) — gates dedup_minhash_cand and feeds the
+    * recall harness (dedup_minhash_eval) as a subquery. */
+  private val minhashVerifiedSql =
+    """WITH arrs AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> x <> '') AS a
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |   CASE WHEN len(a) < 3 THEN array_to_string(a, ' ')
+      |        ELSE a[i] || ' ' || a[i+1] || ' ' || a[i+2] END AS sh
+      |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 1))) AS t(i)
+      |  WHERE len(a) >= 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ida AS id_a, idb AS id_b,
+      | round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+      |UNION ALL
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
+      |FROM arrs a JOIN arrs b ON a.doc_id < b.doc_id
+      |WHERE len(a.a) = 0 AND len(b.a) = 0
+      |  AND (SELECT count(*) FROM arrs WHERE len(a) = 0) <= 1000""".stripMargin
+
   /** Exact shingle-multiset jaccard pairs ≥ 0.5 with the df cap —
     * shared by dedup_jaccard and dedup_components. */
   private val jaccardPairsSql =
@@ -3027,6 +3114,67 @@ object SparkEntry {
          |SELECT node AS doc_id, min(r) AS component
          |FROM reach GROUP BY node""".stripMargin,
 
+    // truth pairs and verified LSH candidates replayed from their own
+    // gate SQLs (the ann_recall nesting pattern), intersected on pairs
+    "dedup_minhash_eval" ->
+      s"""WITH t AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |c AS (SELECT id_a, id_b FROM ($minhashVerifiedSql)),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM t),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM c),
+         |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |       FROM t JOIN c USING (id_a, id_b))
+         |SELECT n_truth, n_candidates, n_hits,
+         | round(CAST(n_hits AS DOUBLE) / n_truth, 4) AS recall
+         |FROM nt, nc, nh""".stripMargin,
+
+    // the full decision table: every stage is its own gate's SQL,
+    // composed under one precedence CASE; contamination threshold is
+    // the integer form 2·hits ≥ grams (no rounding boundary)
+    "curate_e2e" ->
+      s"""WITH RECURSIVE
+         |toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    x -> x <> '') AS a
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, array_to_string(a[i:i+7], ' ') AS g
+         |  FROM toks, unnest(generate_series(1, greatest(len(a)-7, 0))) AS t(i)
+         |  WHERE len(a) >= 8),
+         |bm AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         |cf AS (
+         |  SELECT g.doc_id, count(*) AS ng, count(bm.g) AS nh
+         |  FROM g LEFT JOIN bm USING (g) GROUP BY g.doc_id),
+         |ekk AS (
+         |  SELECT doc_id, true AS e_keep FROM
+         |   (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))),
+         |p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges) tt
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |sb AS (
+         |  SELECT doc_id, CAST(${fnvSql("doc_id::VARCHAR || '#split'")}
+         |    % 4294967296::HUGEINT AS BIGINT) % 100 AS b
+         |  FROM documents)
+         |SELECT d.doc_id,
+         | CASE WHEN len(t.a) < 20 THEN 'low_quality'
+         |  WHEN coalesce(cf.nh * 2 >= cf.ng, false) THEN 'contaminated'
+         |  WHEN ekk.e_keep IS NULL THEN 'dup_exact'
+         |  WHEN d.doc_id <> coalesce(comp.component, d.doc_id) THEN 'dup_near'
+         |  WHEN sb.b < 90 THEN 'train'
+         |  WHEN sb.b < 95 THEN 'val'
+         |  ELSE 'test' END AS decision
+         |FROM documents d
+         |JOIN toks t USING (doc_id)
+         |LEFT JOIN cf USING (doc_id)
+         |LEFT JOIN ekk USING (doc_id)
+         |LEFT JOIN comp ON d.doc_id = comp.node
+         |JOIN sb USING (doc_id)""".stripMargin,
+
     // same component fixpoint, rolled up twice: component → size →
     // (size → cluster count, docs bound up)
     "dedup_cluster_profile" ->
@@ -3304,31 +3452,7 @@ object SparkEntry {
     // other. A hash match proves the banded-MinHash candidates had no
     // false negatives on this corpus and the verify stage computed the
     // exact same jaccard values.
-    "dedup_minhash_cand" ->
-      """WITH arrs AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> x <> '') AS a
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |   CASE WHEN len(a) < 3 THEN array_to_string(a, ' ')
-        |        ELSE a[i] || ' ' || a[i+1] || ' ' || a[i+2] END AS sh
-        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 1))) AS t(i)
-        |  WHERE len(a) >= 1),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT ida AS id_a, idb AS id_b,
-        | round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-        |FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
-        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
-        |UNION ALL
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
-        |FROM arrs a JOIN arrs b ON a.doc_id < b.doc_id
-        |WHERE len(a.a) = 0 AND len(b.a) = 0
-        |  AND (SELECT count(*) FROM arrs WHERE len(a) = 0) <= 1000""".stripMargin,
+    "dedup_minhash_cand" -> minhashVerifiedSql,
 
     // full replication of the SimHash kernel: FNV-1a per token in HUGEINT
     // (the xor only ever touches the low 7 bits — ASCII tokens — so it
