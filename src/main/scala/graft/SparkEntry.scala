@@ -520,6 +520,33 @@ object SparkEntry {
         iters = 3)
         .select(col("node"), round(col("rank"), 8).as("rank"))),
 
+    "graph_label_prop" -> ((s, d) => {
+      // two-round label propagation over the bipartite supplier→part
+      // graph: parts take the majority nation of their suppliers, then
+      // suppliers re-label from their parts — each round is ONE count
+      // aggregation + one rank window, ties break to the smaller label
+      // (fully deterministic). The semi-supervised labeling shape at
+      // scale: rounds touch bounded relations, never per-pair state
+      val edges = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("src"), col("s_nationkey").as("label"))
+      def majority(df: DataFrame, key: String) = {
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("cnt").desc, col("label").asc)
+        df.groupBy(col(key), col("label")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col(key), col("label"))
+      }
+      val partLab = majority(edges.join(sup, Seq("src")), "dst")
+      val supLab = majority(edges.join(partLab, Seq("dst")), "src")
+      partLab.select(lit("part").as("node_type"), col("dst").as("node_id"),
+          col("label"))
+        .unionByName(supLab.select(lit("supplier").as("node_type"),
+          col("src").as("node_id"), col("label")))
+    }),
+
     "graph_degree_profile" -> ((s, d) => {
       // graph QA scorecard: log2-bucketed in/out-degree histogram of
       // the supplier→part link graph. Bucketing is integer-exact
@@ -810,6 +837,16 @@ object SparkEntry {
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
           "payload", frameSize = 16, stride = 2)
         .select(col("doc_id"), col("frame_idx"), col("frame_sig"))),
+
+    "mm_frame_energy" -> ((s, d) =>
+      // frame level metering over the payload (16-byte frames, every
+      // 2nd sampled): exact integer energy + peak per frame — the
+      // silence/VAD gate a media pipeline applies before decoding
+      MultimodalOps.frameEnergy(
+          t(s, d, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "payload", frameSize = 16, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("energy"), col("peak"))),
 
     "mm_patches" -> ((s, d) =>
       // 2D patch grid over the payload-as-byte-matrix (width 64, 8×8
@@ -1482,6 +1519,27 @@ object SparkEntry {
           col("ts").cast("long").as("tsec"), col("value"))
         .withColumn("ewma", round(num / den, 4))
         .drop("value")
+    }),
+
+    "t9_interval_union" -> ((s, d) => {
+      // interval-union length per user (sweep line): every event opens
+      // a 15-min half-open interval; union length = Σ of inter-point
+      // gaps where the running open-count is positive. One key shuffle,
+      // all integer-second arithmetic; zero-length tie segments make
+      // the point ordering ambiguity harmless
+      val pts = t(s, d, "events")
+        .select(col("user_id"), col("ts").cast("long").as("st"))
+        .select(col("user_id"), explode(array(
+          struct(col("st").as("t"), lit(1).as("delta")),
+          struct((col("st") + 900).as("t"), lit(-1).as("delta")))).as("p"))
+        .select(col("user_id"), col("p.t").as("t"), col("p.delta").as("delta"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("delta"))
+      pts.withColumn("active", sum(col("delta")).over(w))
+        .withColumn("nxt", lead(col("t"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("active") > 0 && col("nxt").isNotNull,
+            col("nxt") - col("t")).otherwise(0L)).as("union_sec"),
+          sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_intervals"))
     }),
 
     "t5_locf" -> ((s, d) => {
@@ -4711,6 +4769,69 @@ object SparkEntry {
          | CAST(max(CASE WHEN rest = 0 THEN 27
          |   ELSE 27 - CAST(length(bin(rest)) AS INT) END) AS INT) AS rho
          |FROM b GROUP BY w_start, bucket""".stripMargin,
+
+    // frame energies replayed: Σ codepoint² per sampled 16-byte chunk
+    // (ASCII text ⇒ bytes = codepoints), greatest-fold for the peak
+    "mm_frame_energy" ->
+      """WITH fr AS (
+        |  SELECT doc_id, text, i AS off
+        |  FROM documents, unnest(generate_series(0, strlen(text) - 1, 32)) AS t(i)),
+        |e AS (
+        |  SELECT doc_id, off,
+        |   list_reduce(list_prepend(0::BIGINT, list_transform(
+        |     regexp_split_to_array(substr(text, off + 1, 16), ''),
+        |     c -> unicode(c)::BIGINT * unicode(c)::BIGINT)),
+        |    (a, b) -> a + b) AS energy,
+        |   list_reduce(list_prepend(0::BIGINT, list_transform(
+        |     regexp_split_to_array(substr(text, off + 1, 16), ''),
+        |     c -> unicode(c)::BIGINT)),
+        |    (a, b) -> greatest(a, b)) AS peak
+        |  FROM fr)
+        |SELECT doc_id, CAST(off // 32 AS INT) AS frame_idx,
+        | energy, CAST(peak AS INT) AS peak
+        |FROM e""".stripMargin,
+
+    // sweep line replayed with the same (t, delta) point ordering; all
+    // ambiguous tie segments are zero-length, so both engines agree
+    "t9_interval_union" ->
+      """WITH pts AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) // 1000000 + 900, -1 FROM events),
+        |c AS (
+        |  SELECT user_id, t, delta,
+        |   sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta) AS active,
+        |   lead(t, 1) OVER (PARTITION BY user_id ORDER BY t, delta) AS nxt
+        |  FROM pts)
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN active > 0 AND nxt IS NOT NULL
+        |   THEN nxt - t ELSE 0 END) AS BIGINT) AS union_sec,
+        | CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_intervals
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    // both propagation rounds replayed with the same majority-rank
+    // windows (count desc, label asc — deterministic ties)
+    "graph_label_prop" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |sup AS (SELECT s_suppkey AS src, s_nationkey AS label FROM supplier),
+        |p1 AS (
+        |  SELECT dst, label, count(*) AS cnt
+        |  FROM e JOIN sup USING (src) GROUP BY dst, label),
+        |pl AS (
+        |  SELECT dst, label FROM (
+        |   SELECT dst, label, row_number() OVER (PARTITION BY dst
+        |     ORDER BY cnt DESC, label) AS rn FROM p1) WHERE rn = 1),
+        |s1 AS (
+        |  SELECT src, pl.label, count(*) AS cnt
+        |  FROM e JOIN pl USING (dst) GROUP BY src, pl.label),
+        |sl AS (
+        |  SELECT src, label FROM (
+        |   SELECT src, label, row_number() OVER (PARTITION BY src
+        |     ORDER BY cnt DESC, label) AS rn FROM s1) WHERE rn = 1)
+        |SELECT 'part' AS node_type, dst AS node_id, label FROM pl
+        |UNION ALL
+        |SELECT 'supplier' AS node_type, src AS node_id, label FROM sl""".stripMargin,
 
     // degree histogram with integer-exact log2 bucketing (bin-string
     // length, the sketch_hll rho convention — no float log anywhere)

@@ -113,6 +113,24 @@ object MultimodalOps {
       .drop("frame")
   }
 
+  /** Audio-style frame level metering: the frame-sampling chunk
+    * geometry with level stats instead of content signatures — exact
+    * integer energy (Σ byte², never floats) and peak byte per sampled
+    * frame, via the native `frame_energy` expression (per-byte work
+    * stays in whole-stage codegen). The VAD / silence-trim plumbing: a
+    * real pipeline thresholds energy to drop dead frames BEFORE the
+    * expensive decode step ever runs. */
+  def frameEnergy(df: DataFrame, binCol: String, frameSize: Int,
+                  stride: Int): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(df.sparkSession)
+    df.withColumn("fr",
+        explode(expr(s"frame_energy(`$binCol`, $frameSize, $stride)")))
+      .withColumn("frame_idx", col("fr.idx"))
+      .withColumn("energy", col("fr.energy"))
+      .withColumn("peak", col("fr.peak"))
+      .drop("fr")
+  }
+
   /** ViT-style 2D patch extraction plumbing: the payload read as a
     * row-major `width`-column byte matrix explodes into its
     * `patch`×`patch` grid blocks, each reduced to a compact signature

@@ -225,6 +225,37 @@ object HashKernels {
       out.asInstanceOf[Array[AnyRef]], k))
   }
 
+  /** Per-frame energy stats of a binary payload — the audio
+    * feature-extraction / silence-detection (VAD) plumbing: the same
+    * chunk geometry as [[frameSigsData]], but each sampled frame emits
+    * its exact integer energy (sum of squared unsigned bytes) and peak
+    * byte value instead of a content signature. Energy of a 2^31-byte
+    * frame still fits a long (255² · 2^31 < 2^48). */
+  def frameEnergyData(bytes: Array[Byte], frameSize: Int,
+                      stride: Int): ArrayData = {
+    if (bytes == null || bytes.length == 0) return EmptyFrames
+    val n = math.max(1, frameSize * stride)
+    val frames = new Array[Any]((bytes.length + n - 1) / n)
+    var f = 0
+    var off = 0
+    while (off < bytes.length) {
+      var e = 0L
+      var p = 0
+      var i = off
+      val end = math.min(bytes.length, off + frameSize)
+      while (i < end) {
+        val b = bytes(i) & 0xff
+        e += b.toLong * b
+        if (b > p) p = b
+        i += 1
+      }
+      frames(f) = InternalRow(off / n, e, p)
+      f += 1
+      off += n
+    }
+    new GenericArrayData(frames)
+  }
+
   /** Per-chunk signatures of a binary payload — the frame-sampling
     * kernel: every `stride`th `frameSize`-byte chunk gets a base-31
     * fold over *unsigned* bytes (same convention as the media stub
@@ -491,6 +522,48 @@ case class FrameSigs(child: Expression, frameSize: Expression,
   }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): FrameSigs =
+    copy(child = newChildren(0), frameSize = newChildren(1),
+      stride = newChildren(2))
+}
+
+/** `frame_energy(bin, frameSize, stride)` — one (idx, energy, peak)
+  * struct per sampled frame: the feature-stat sibling of [[FrameSigs]]
+  * (audio VAD / level-metering plumbing). Native so the per-byte
+  * square-and-sum stays inside whole-stage codegen on media-scale
+  * payloads; all arithmetic is exact integer. */
+case class FrameEnergy(child: Expression, frameSize: Expression,
+                       stride: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child, frameSize, stride)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "frame_energy"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType
+      if GraftExpressions.nonNullIntLiteral(frameSize) &&
+        GraftExpressions.nonNullIntLiteral(stride) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "frame_energy requires (binary, non-null int literal, non-null int literal)")
+  }
+  private lazy val frameSizeV = frameSize.eval().asInstanceOf[Int]
+  private lazy val strideV = stride.eval().asInstanceOf[Int]
+  override def eval(input: InternalRow): Any =
+    HashKernels.frameEnergyData(child.eval(input).asInstanceOf[Array[Byte]],
+      frameSizeV, strideV)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nArrayData ${ev.value} = " +
+      code"graft.plans.HashKernels.frameEnergyData(" +
+      code"${c.isNull} ? null : ${c.value}, $frameSizeV, $strideV);",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FrameEnergy =
     copy(child = newChildren(0), frameSize = newChildren(1),
       stride = newChildren(2))
 }

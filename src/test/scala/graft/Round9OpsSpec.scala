@@ -528,6 +528,25 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(full.nonEmpty && pref == full)
   }
 
+  // ---- frame energy kernel (batch 13) ----
+
+  test("frameEnergy meters sampled frames with exact integer stats") {
+    // 10 bytes, frameSize 4, stride 2: frames start at 0 and 8; frame 0
+    // covers bytes 0-3, frame 1 covers the ragged tail 8-9
+    val payload = Array.tabulate(10)(i => (i + 1).toByte)
+    val df = Seq((1L, payload)).toDF("id", "payload")
+    val out = MultimodalOps.frameEnergy(df, "payload", frameSize = 4,
+        stride = 2)
+      .select("frame_idx", "energy", "peak").as[(Int, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      0 -> ((1L + 4 + 9 + 16, 4)),     // bytes 1,2,3,4
+      1 -> ((81L + 100, 10))))         // bytes 9,10
+    val p = MultimodalOps.frameEnergy(df, "payload", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("frame_energy") && !p.contains("ScalaUDF"), p)
+  }
+
   // ---- streaming near-dup trace assumptions ----
 
   test("st_neardup trace texts have the pinned band-bucket relationships") {
