@@ -1396,6 +1396,49 @@ object SparkEntry {
         .select(col("g_a").as("lang_a"), col("g_b").as("lang_b"),
           col("k_union"), col("rho"), col("union_est"), col("inter_est"))),
 
+    "a17_cube" -> ((s, d) =>
+      // the full grouping lattice over (lang, source) — CUBE plans ONE
+      // Expand over 4 grouping sets feeding one partial+final hash
+      // aggregate (the a14 ROLLUP story completed): every marginal a
+      // mixture dashboard reads, for one shuffle. Null keys out as
+      // sentinels to keep the compare null-free
+      t(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("sum_chars"))),
+
+    "k19_inverted_index" -> ((s, d) => {
+      // the reference's core build-then-serve shape (dictionary + doc
+      // vectors, Hedera's BuildVByteDocVectors lineage) as a bucketed
+      // table: postings written bucketed+sorted BY TERM, so an
+      // index-served term lookup aggregates with ZERO exchanges — the
+      // shuffle was paid once at build time. The oracle recomputes from
+      // raw documents: equality proves the index round-trip faithful
+      val postings = TermOps.tfPostings(t(s, d, "documents"), "doc_id", "text")
+      operators.BucketedTables.writeBucketed(postings, "k19_idx", "term", 4)
+      s.table("k19_idx")
+        .filter(col("term").isin("scan", "join", "merge"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    }),
+
+    "stats_benford" -> ((s, d) => {
+      // leading-digit distribution of n_chars (the Benford profile):
+      // the anomaly scan over numeric corpus metadata — synthetic or
+      // truncated data shows up as a digit-histogram distortion long
+      // before anyone reads a document. Integer counts + one ratio
+      val digits = t(s, d, "documents")
+        .select(substring(col("n_chars").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      digits.withColumn("frac",
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy()), 4))
+        .select(col("digit"), col("n"), col("frac"))
+    }),
+
     "a16_feature_hash" -> ((s, d) =>
       // hashing-trick vectorization (dim 256): fixed-dimension sparse
       // features with NO dictionary pass — the deterministic 1-in-13
@@ -4286,6 +4329,31 @@ object SparkEntry {
          |  (CASE WHEN k_union < 128 THEN CAST(k_union AS DOUBLE)
          |    ELSE (k_union - 1) * 4294967296.0 / kth END), 2) AS inter_est
          |FROM agg""".stripMargin,
+
+    "a17_cube" ->
+      """SELECT COALESCE(lang, 'ALL') AS lang,
+        | COALESCE(source, 'ALL') AS source,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+
+    // recomputed from raw documents — matching the index-served answer
+    // proves the persisted postings table faithful
+    "k19_inverted_index" ->
+      s"""SELECT term, CAST(count(*) AS BIGINT) AS df,
+         | CAST(sum(tf) AS BIGINT) AS cf
+         |FROM (SELECT doc_id, term, count(*) AS tf FROM ($tokensSub)
+         |      GROUP BY doc_id, term)
+         |WHERE term IN ('scan', 'join', 'merge')
+         |GROUP BY term""".stripMargin,
+
+    "stats_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM documents),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+        |SELECT digit, n,
+        | round(CAST(n AS DOUBLE) / sum(n) OVER (), 4) AS frac
+        |FROM c""".stripMargin,
 
     // the hashing trick replayed: bucket = low 8 hash bits (power-of-two
     // modulus — unsigned HUGEINT % agrees with Spark's signed &), sign =

@@ -163,6 +163,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("k19 index-served term lookup plans zero exchanges") {
+    // the build-then-serve property: postings bucketed by term mean the
+    // term aggregation's shuffle was paid once at build time
+    val served = SparkEntry.queries("k19_inverted_index")(spark, sf)
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(served.count() > 0)
+  }
+
   test("embed_project is a pure map: zero exchanges") {
     // JL projection must stay embarrassingly parallel — weight vectors
     // are plan-time literals, nothing shuffles
@@ -254,7 +263,7 @@ class PlanSpec extends AnyFunSuite {
     "k8_orc_roundtrip", "k9_upsert", "k10_seqfile_roundtrip",
     "k12_partitioned_scan", "k13_compaction", "k14_bucketed_join",
     "k15_manifest_skip", "st_cms", "st_expectations", "st_hll",
-    "s19_split_index")
+    "k19_inverted_index", "s19_split_index")
 
   private lazy val sweepPlans: Seq[(String, String)] =
     SparkEntry.queries.keys.toSeq.sorted
