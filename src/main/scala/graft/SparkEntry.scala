@@ -581,6 +581,39 @@ object SparkEntry {
       GraphOps.triangleStats(edges)
     }),
 
+    "graph_node_sim" -> ((s, d) =>
+      // neighbor-set Jaccard between suppliers via shared parts —
+      // link-based node similarity; pairs only through a shared dst
+      // with the hub cut, never node × node
+      GraphOps.nodeSimilarity(
+        t(s, d, "lineitem").select(col("l_suppkey").as("src"),
+          col("l_partkey").as("dst")))),
+
+    "stats_chisq" -> ((s, d) =>
+      // is language independent of source? chi² over the lang×source
+      // contingency table, zero-cells included, ordered-fold sum
+      ValidationOps.chiSquare(t(s, d, "documents"), "lang", "source")),
+
+    "stats_entropy" -> ((s, d) => {
+      // per-source language-mix entropy — the diversity profile a
+      // mixture planner reads next to stats_histogram_grouped: H = 0
+      // means a single-language source, ln(n_langs) means uniform.
+      // Counts exact; the −Σ p·ln p sum is an ordered fold over the
+      // lang-sorted cell array (engine-identical IEEE order)
+      val c = t(s, d, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      c.groupBy(col("source"))
+        .agg(sum("n").as("n_docs"),
+          count(lit(1)).cast("int").as("n_langs"),
+          array_sort(collect_list(struct(col("lang"), col("n")))).as("arr"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          round(aggregate(col("arr"), lit(0.0d), (acc, x) =>
+            acc - (x.getField("n").cast("double") /
+                col("n_docs").cast("double")) *
+              log(x.getField("n").cast("double") /
+                col("n_docs").cast("double"))), 6).as("entropy"))
+    }),
+
     "stats_skew" -> ((s, d) =>
       // group-size histogram: the pre-flight skew diagnostic
       SkewOps.groupSizeHistogram(t(s, d, "lineitem"), "l_partkey")),
@@ -679,6 +712,43 @@ object SparkEntry {
       SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("nbr_id"),
           round(col("adc"), 4).as("adc"), col("rank"))
+    }),
+
+    "ann_sq_topk" -> ((s, d) => {
+      // scalar-quantization (SQ8) search: 1 byte/dim against the
+      // per-dim min/max envelope, midpoint reconstruction, full scan —
+      // the no-training compression rung between brute and PQ
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      SimilarityOps.sqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("sim"), 4).as("sim"), col("rank"))
+    }),
+
+    "ann_filtered_topk" -> ((s, d) => {
+      // filtered ANN — top-k among vectors sharing the query's label
+      // (the metadata-constrained search every vector store fields).
+      // PRE-filter strategy: the label equi-join prunes before any
+      // distance math, so recall within the class is exact by
+      // construction — the post-filter alternative (global top-k, then
+      // filter) silently returns < k when the class is rare. The label
+      // join hash-partitions the corpus; queries broadcast
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val c = emb.select(col("vec_id").as("nbr_id"), col("label"),
+        col("embedding").as("nbr_emb"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("embedding").as("q_emb"))
+      c.join(broadcast(q), Seq("label"))
+        .filter(col("nbr_id") =!= col("query_id"))
+        .withColumn("sim", SimilarityOps.cosine(col("q_emb"), col("nbr_emb")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc,
+            col("nbr_id").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("label"), col("nbr_id"),
+          round(col("sim"), 4).as("sim"), col("rank"))
     }),
 
     "ann_ivfpq_topk" -> ((s, d) => {
@@ -996,6 +1066,52 @@ object SparkEntry {
       ss.table("st_cms_out")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("j"), col("bucket"), col("cnt"))
+    }),
+
+    "st_throttle" -> ((s, _) => {
+      // event-time admission control (≤ 2 events per user per 10-min
+      // window, chosen in EVENT-TIME order): the out-of-order 00:06
+      // arrival in the second batch still beats the already-arrived
+      // 00:07 event — admission is a function of event times, not
+      // arrival. (00:06 > the 00:02 watermark after batch 1 — an
+      // arrival AT the watermark is dropped as late by the stateful-op
+      // filter, so the trace keeps a strict margin.) The sentinel
+      // advances the watermark past both data windows
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.throttleEventTime(mem.toDS(),
+          windowMs = 600000L, maxPerWindow = 2, watermark = "10 minutes")
+        .toDF()
+        .writeStream.format("memory").queryName("st_throttle_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 3.0),
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), 4.0),
+          EventStreamOps.Event(2, java.sql.Timestamp.valueOf("2024-01-01 00:12:00"), 5.0))
+        q.processAllAvailable()
+        // within-watermark out-of-order arrival + a second-window event
+        mem.addData(
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:06:00"), 3.5),
+          EventStreamOps.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:14:00"), 6.0))
+        q.processAllAvailable()
+        // sentinel: watermark 00:40 − 10 min = 00:30 closes both windows
+        mem.addData(EventStreamOps.Event(99,
+          java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_throttle_out")
+        .select(col("user_id"),
+          date_format(timestamp_millis(col("w_start_ms")),
+            "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("seq"),
+          date_format(timestamp_millis(col("ts_ms")),
+            "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value"))
     }),
 
     "st_hll" -> ((s, _) => {
@@ -1585,6 +1701,16 @@ object SparkEntry {
           sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_intervals"))
     }),
 
+    "t10_anomaly" -> ((s, d) => {
+      // per-type daily volume anomalies: trailing-week z-score from
+      // exact integer sums (ValidationOps.rollingZScore) — the spike
+      // monitor over the same daily grid t5 fills
+      val daily = t(s, d, "events")
+        .select(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      ValidationOps.rollingZScore(daily, "event_type", "day", "n")
+    }),
+
     "t5_locf" -> ((s, d) => {
       // dense (event_type × day) grid with last-observation-carried-
       // forward fill — the resample/gap-fill primitive. Grid = distinct
@@ -1717,6 +1843,49 @@ object SparkEntry {
     "search_boolean" -> ((s, d) =>
       TermOps.booleanSearch(t(s, d, "documents"), "doc_id", "text",
         Seq("scan", "join", "merge"))),
+
+    "search_fuzzy" -> ((s, d) => {
+      // SymSpell deletion-neighborhood fuzzy lookup: typo'd queries are
+      // DERIVED from the corpus (top-20 df terms with the 2nd char
+      // dropped — self-contained ground truth), matched back against
+      // the vocabulary via the deletion index + levenshtein verify.
+      // Never an O(vocab) scan per query.
+      val dict = TermOps.termStats(t(s, d, "documents"), "doc_id", "text",
+          minDf = 1L)
+        .filter(length(col("term")) >= 4)
+        .select(col("term"), col("df"))
+      val typos = dict.orderBy(col("df").desc, col("term").asc).limit(20)
+        .select(concat(col("term").substr(lit(1), lit(1)),
+          col("term").substr(lit(3), length(col("term")))).as("typo"))
+        .distinct()
+      TermOps.fuzzyLookup(typos, dict)
+    }),
+
+    "search_rrf" -> ((s, d) => {
+      // hybrid retrieval: BM25 lexical ranking ⊕ embedding cosine
+      // ranking fused by reciprocal-rank fusion (Cormack et al., SIGIR
+      // 2009: Σ 1/(60 + rank) — rank-only fusion needs no score
+      // calibration between the two systems, which is why it's the
+      // default hybrid in RAG stacks). Both legs are this repo's own
+      // gated operators; doc_id ≡ vec_id aligns the corpora. Integer
+      // ranks → the fused score is two exact divisions, engine-stable
+      val text = TermOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
+          queryTerms = Seq("scan", "join", "merge"), k = 20)
+        .withColumn("text_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        .select(col("doc_id"), col("text_rank"))
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val vec = SimilarityOps.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0L), k = 20)
+        .select(col("nbr_id").as("doc_id"), col("rank").as("vec_rank"))
+      text.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          round(coalesce(lit(1.0) / (lit(60) + col("text_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), col("text_rank"), col("vec_rank"), col("rrf"))
+    }),
 
     "funnel_steps" -> ((s, d) =>
       // 3-step first-touch funnel view → click → purchase; per-step
@@ -2103,6 +2272,27 @@ object SparkEntry {
         .select(col("as_of"), col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    "k20_vacuum" -> ((s, d) => {
+      // retention vacuum over the k17 history: expire below version 2 —
+      // per-key chains collapse to one compacted base row, horizon
+      // tombstones vanish, the tail passes through. As-of reads at ≥ 2
+      // stay exactly reproducible (Round9OpsSpec pins the equivalence)
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v1 = base.withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+      val v2 = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"),
+          (col("n_chars") + 1000000L).as("n_chars"))
+        .withColumn("version", lit(2L)).withColumn("deleted", lit(false))
+      val v3 = base.filter(col("doc_id") % 97 === 0)
+        .withColumn("version", lit(3L)).withColumn("deleted", lit(true))
+      val hist = v1.unionByName(v2).unionByName(v3).localCheckpoint()
+      MergeOps.expireVersions(hist, "doc_id", "version", minVersion = 2L)
+        .select(col("version"), col("doc_id"), col("lang"),
+          col("n_chars"), col("deleted"))
+    }),
+
     "k18_cdc" -> ((s, d) => {
       // change-data-capture between the base corpus and its next
       // release: every 10th doc rescored (update), every 101st dropped
@@ -2145,6 +2335,15 @@ object SparkEntry {
       // constraint-based stats_expectations
       ValidationOps.ksDrift(t(s, d, "events"), "event_type", "value",
         col("event_id") % 2 === 1)),
+
+    "stats_auc" -> ((s, d) =>
+      // does doc length separate English from non-English? Probably not
+      // (AUC ≈ 0.5) — and that NUMBER is the point: the ranking-metric
+      // harness a quality-classifier score gets evaluated with before it
+      // gates a corpus. Tie-corrected Mann-Whitney, integer-exact until
+      // one final division
+      ValidationOps.rocAuc(t(s, d, "documents"), col("n_chars"),
+        col("lang") === "en")),
 
     "k16_incr_agg" -> ((s, d) => {
       // incremental aggregation maintenance: per-user state from the 70%
@@ -2527,6 +2726,32 @@ object SparkEntry {
           col("right_value").as("click_value"))
     }),
 
+    "curate_classifier" -> ((s, d) => {
+      // model-based quality gating plumbing (the fastText/DCLM-filter
+      // shape): hashed bag-of-words features × a broadcast weight
+      // vector → logit → sigmoid → keep. Weights here are
+      // deterministic hash stand-ins (training happens offline; at
+      // serve time a linear scorer IS just this broadcast dot product
+      // — a pure map over the corpus after one explode+agg). The logit
+      // is an ordered fold over the bucket-sorted feature array, so
+      // the keep decision (z ≥ 0, evaluated on the unrounded logit) is
+      // engine-exact; only the displayed sigmoid touches libm
+      val feats = TermOps.featureHash(t(s, d, "documents"), "doc_id",
+        "text", dim = 256)
+      val z = feats.groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("bucket"), col("weight"))))
+          .as("arr"))
+        .select(col("doc_id"),
+          aggregate(col("arr"), lit(0.0d), (acc, x) =>
+            acc + (SimilarityOps.hash32Col(x.getField("bucket")
+                .cast("long") + lit(1L)).cast("double") /
+                lit(2147483648.0) - lit(1.0)) *
+              x.getField("weight").cast("double")).as("z"))
+      z.select(col("doc_id"), round(col("z"), 4).as("z"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
+        (col("z") >= 0.0).as("keep"))
+    }),
+
     "curate_docs" -> ((s, d) => {
       // composed training-data curation pipeline: quality floor (≥ 20
       // tokens) + language filter (en) computed in ONE map-only pass over
@@ -2722,6 +2947,49 @@ object SparkEntry {
   /** The brute-force / IVF / LSH oracle chains as vals: each gates its
     * own query AND feeds the recall harness ([[annRecallSql]]) as a
     * subquery, so both gates replay literally identical SQL. */
+  /** Feature-hash oracle chain (the hashing trick replayed: bucket =
+    * low 8 hash bits, sign = bit 8, exact integer weight sums) — gates
+    * `a16_feature_hash` and feeds `curate_classifier`; `docFilter` is a
+    * WHERE clause ('' = whole corpus). */
+  private def featureHashSql(docFilter: String): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(
+       |      regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+       |    FROM documents $docFilter)
+       |  GROUP BY doc_id, term),
+       |h AS (SELECT doc_id, tf, ${fnvSql("term")} AS h FROM tf),
+       |b AS (
+       |  SELECT doc_id, CAST(h % 256 AS INT) AS bucket,
+       |   CASE WHEN (h // 256) % 2 = 1 THEN tf ELSE -tf END AS w
+       |  FROM h)
+       |SELECT doc_id, bucket, CAST(sum(w) AS BIGINT) AS weight
+       |FROM b GROUP BY doc_id, bucket""".stripMargin
+
+  /** BM25 oracle chain — gates `search_bm25` and feeds the RRF fusion
+    * ([[oracleSql]] `search_rrf`) as a CTE, so both replay literally
+    * identical SQL. */
+  private lazy val bm25Sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, tf FROM ($tfSub)
+       |  WHERE term IN ('scan', 'join', 'merge')),
+       |dfs AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+       |dl AS (
+       |  SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> x <> '')) AS doc_len
+       |  FROM documents),
+       |g AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |   ln(1.0 + (g.n_docs - dfs.term_df + 0.5) / (dfs.term_df + 0.5))
+       |     * tf.tf * 2.2
+       |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / g.avgdl)) AS c
+       |  FROM tf JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN g)
+       |SELECT doc_id, round(sum(c), 4) AS score
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   private lazy val annBruteSql: String =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
       |           FROM embeddings WHERE vec_id < 10),
@@ -3823,6 +4091,52 @@ object SparkEntry {
 
     "ann_brute_topk" -> annBruteSql,
 
+    // SQ8 replayed: per-dim envelope as dim-ordered lists, the same
+    // quantize → midpoint-reconstruct chain inside an index lambda
+    // (every float literal ::DOUBLE — bare decimals parse as DECIMAL),
+    // then the ordered-fold cosine
+    "ann_sq_topk" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |            FROM embeddings),
+         |dimstat AS (
+         |  SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+         |  FROM emb, unnest(generate_series(1, 64)) AS t(i) GROUP BY i),
+         |st AS (SELECT list(mn ORDER BY i) AS mns,
+         |        list(mx ORDER BY i) AS mxs FROM dimstat),
+         |rec AS (
+         |  SELECT vec_id AS nbr_id,
+         |   list_transform(e, (x, i) -> CASE WHEN mxs[i] = mns[i] THEN mns[i]
+         |     ELSE mns[i] + (least(255.0::DOUBLE, greatest(0.0::DOUBLE,
+         |       floor((x - mns[i]) * 255.0::DOUBLE / (mxs[i] - mns[i]))))
+         |       + 0.5::DOUBLE) * (mxs[i] - mns[i]) / 256.0::DOUBLE END) AS re
+         |  FROM emb, st),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM emb
+         |      WHERE vec_id < 10),
+         |sc AS (SELECT query_id, nbr_id, ${cosSql("qe", "re")} AS sim
+         |       FROM rec CROSS JOIN q WHERE nbr_id <> query_id),
+         |r AS (SELECT query_id, nbr_id, sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM sc)
+         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    // pre-filter replay: the label equi-join prunes before any cosine
+    "ann_filtered_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label, emb AS qe FROM e
+         |      WHERE vec_id < 10),
+         |sc AS (SELECT q.query_id, q.label, e.vec_id AS nbr_id,
+         |        ${cosSql("q.qe", "e.emb")} AS sim
+         |       FROM e JOIN q ON e.label = q.label
+         |       WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, label, nbr_id, sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM sc)
+         |SELECT query_id, CAST(label AS INT) AS label, nbr_id,
+         | round(sim, 4) AS sim, rank
+         |FROM r WHERE rank <= 5""".stripMargin,
+
     // recall@5 harness: each pruned path's (query, nbr) set intersected
     // with the exact brute-force top-5 — the number a 100 TB ANN
     // deployment must watch (what the IVF/LSH/PQ pruning actually costs
@@ -4188,26 +4502,7 @@ object SparkEntry {
         | ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
         |GROUP BY signup_id""".stripMargin,
 
-    "search_bm25" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, term, tf FROM ($tfSub)
-         |  WHERE term IN ('scan', 'join', 'merge')),
-         |dfs AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
-         |dl AS (
-         |  SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |    x -> x <> '')) AS doc_len
-         |  FROM documents),
-         |g AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-         |contrib AS (
-         |  SELECT tf.doc_id,
-         |   ln(1.0 + (g.n_docs - dfs.term_df + 0.5) / (dfs.term_df + 0.5))
-         |     * tf.tf * 2.2
-         |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / g.avgdl)) AS c
-         |  FROM tf JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
-         |  CROSS JOIN g)
-         |SELECT doc_id, round(sum(c), 4) AS score
-         |FROM contrib GROUP BY doc_id
-         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "search_bm25" -> bm25Sql,
 
     // the KMV estimate is a deterministic function of the key set under
     // the shared hash32, so the sketch itself (not just its input) is
@@ -4358,20 +4653,25 @@ object SparkEntry {
     // the hashing trick replayed: bucket = low 8 hash bits (power-of-two
     // modulus — unsigned HUGEINT % agrees with Spark's signed &), sign =
     // bit 8; weights are exact integer sums
-    "a16_feature_hash" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(list_filter(
-         |      regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
-         |    FROM documents WHERE doc_id % 13 = 0)
-         |  GROUP BY doc_id, term),
-         |h AS (SELECT doc_id, tf, ${fnvSql("term")} AS h FROM tf),
-         |b AS (
-         |  SELECT doc_id, CAST(h % 256 AS INT) AS bucket,
-         |   CASE WHEN (h // 256) % 2 = 1 THEN tf ELSE -tf END AS w
-         |  FROM h)
-         |SELECT doc_id, bucket, CAST(sum(w) AS BIGINT) AS weight
-         |FROM b GROUP BY doc_id, bucket""".stripMargin,
+    "a16_feature_hash" -> featureHashSql("WHERE doc_id % 13 = 0"),
+
+    // the hashed-linear scorer replayed: hash32 stand-in weights, the
+    // same bucket-ordered fold for the logit, keep decided on the
+    // UNROUNDED z (bit-identical by fold order); only sigmoid's exp
+    // touches libm and it lands behind round(4)
+    "curate_classifier" ->
+      s"""WITH w AS (SELECT doc_id, bucket, weight,
+         |       (${hash32Sql("(bucket + 1)")} / 2147483648.0::DOUBLE
+         |         - 1.0::DOUBLE) * weight AS term
+         |      FROM (${featureHashSql("")}) f),
+         |z AS (SELECT doc_id,
+         |       list_reduce(list_prepend(0.0::DOUBLE,
+         |         list(term ORDER BY bucket)), (acc, x) -> acc + x) AS z
+         |      FROM w GROUP BY doc_id)
+         |SELECT doc_id, round(z, 4) AS z,
+         | round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 4) AS score,
+         | z >= 0.0::DOUBLE AS keep
+         |FROM z""".stripMargin,
 
     // per-doc distinct 8-grams left-joined against the benchmark gram
     // set (string equality here; Spark probes 64-bit gram hashes — equal
@@ -4583,6 +4883,57 @@ object SparkEntry {
          |WHERE term IN ('scan', 'join', 'merge')
          |GROUP BY doc_id
          |HAVING count(DISTINCT term) = 3""".stripMargin,
+
+    // the deletion neighborhoods replayed with list_transform/range;
+    // candidates via the variant equi-join, then the same levenshtein
+    // verify (both engines implement plain Levenshtein distance)
+    "search_fuzzy" ->
+      s"""WITH df AS (
+         |  SELECT term, count(*) AS df FROM ($tfSub)
+         |  WHERE length(term) >= 4 GROUP BY term),
+         |top AS (SELECT term FROM df ORDER BY df DESC, term ASC LIMIT 20),
+         |q AS (SELECT DISTINCT substr(term, 1, 1) || substr(term, 3) AS typo
+         |      FROM top),
+         |qv AS (
+         |  SELECT typo, unnest(list_transform(range(0, length(typo) + 1),
+         |    i -> CASE WHEN i = 0 THEN typo
+         |         ELSE substr(typo, 1, i - 1) || substr(typo, i + 1) END))
+         |    AS variant
+         |  FROM q),
+         |dv AS (
+         |  SELECT term, df, unnest(list_transform(range(0, length(term) + 1),
+         |    i -> CASE WHEN i = 0 THEN term
+         |         ELSE substr(term, 1, i - 1) || substr(term, i + 1) END))
+         |    AS variant
+         |  FROM df),
+         |cand AS (SELECT DISTINCT typo, term, df FROM dv JOIN qv USING (variant))
+         |SELECT typo, term, df FROM cand
+         |WHERE levenshtein(typo, term) <= 1""".stripMargin,
+
+    // both legs are this suite's own gated chains (bm25Sql verbatim;
+    // the brute-cosine leg restricted to query 0, k=20), fused by the
+    // exact-integer-rank RRF formula
+    "search_rrf" ->
+      s"""WITH tr AS (SELECT doc_id, CAST(row_number() OVER (
+         |        ORDER BY score DESC, doc_id ASC) AS INT) AS text_rank
+         |       FROM ($bm25Sql) b),
+         |vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |       FROM embeddings),
+         |qv AS (SELECT e AS qe FROM vb WHERE vec_id = 0),
+         |sc AS (SELECT vb.vec_id AS doc_id, ${cosSql("qe", "vb.e")} AS sim
+         |       FROM vb CROSS JOIN qv WHERE vb.vec_id <> 0),
+         |vr AS (SELECT doc_id, text_rank_v AS vec_rank FROM (
+         |        SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY sim DESC, doc_id ASC) AS INT) AS text_rank_v
+         |        FROM sc) WHERE text_rank_v <= 20),
+         |f AS (SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+         |       text_rank, vec_rank
+         |      FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+         |SELECT doc_id, text_rank, vec_rank,
+         | round(coalesce(1.0::DOUBLE / (60 + text_rank), 0.0::DOUBLE) +
+         |   coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0::DOUBLE), 6) AS rrf
+         |FROM f
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     // first-touch funnel: frontier CTEs mirror FunnelOps.funnel's
     // earliest-completion chaining at micro-second resolution
@@ -4819,6 +5170,27 @@ object SparkEntry {
         | ('2024-01-01 00:10:00', 0, 135, 1),
         | ('2024-01-01 00:10:00', 1, 212, 1)) t""".stripMargin,
 
+    // admission replayed FROM THE INPUT TRACE (not golden outputs):
+    // first 2 per (user, window) in (ts, value) order — the event-time
+    // rule the operator promises, independent of arrival
+    "st_throttle" ->
+      """WITH ev(user_id, ts, value) AS (VALUES
+        |  (1, TIMESTAMP '2024-01-01 00:05:00', 3.0::DOUBLE),
+        |  (1, TIMESTAMP '2024-01-01 00:07:00', 4.0::DOUBLE),
+        |  (2, TIMESTAMP '2024-01-01 00:12:00', 5.0::DOUBLE),
+        |  (1, TIMESTAMP '2024-01-01 00:06:00', 3.5::DOUBLE),
+        |  (1, TIMESTAMP '2024-01-01 00:14:00', 6.0::DOUBLE)),
+        |w AS (SELECT user_id, ts, value,
+        |       epoch_ms(ts) // 600000 * 600000 AS wms FROM ev),
+        |r AS (SELECT user_id, wms, ts, value,
+        |       CAST(row_number() OVER (PARTITION BY user_id, wms
+        |         ORDER BY ts, value) AS INT) AS seq FROM w)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        | strftime(make_timestamp(wms * 1000), '%Y-%m-%d %H:%M:%S')
+        |   AS w_start,
+        | seq, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value
+        |FROM r WHERE seq <= 2""".stripMargin,
+
     // the per-window registers recomputed from the trace via the SAME
     // fnv/rho chain as the batch sketch_hll oracle — derived, not
     // golden-copied; the sentinel's own window never closes
@@ -4877,6 +5249,31 @@ object SparkEntry {
         | CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_intervals
         |FROM c GROUP BY user_id""".stripMargin,
 
+    // mean/variance replayed from the same exact integer frame sums,
+    // z as the identical fixed-order double expression
+    "t10_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |   count(*) OVER fr AS cnt, sum(n) OVER fr AS s1,
+        |   sum(n*n) OVER fr AS s2
+        |  FROM c
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, day, n,
+        |   CASE WHEN cnt >= 3 AND s2*cnt - s1*s1 > 0 THEN
+        |    round((CAST(n*cnt - s1 AS DOUBLE) / cnt) /
+        |          sqrt(CAST(s2*cnt - s1*s1 AS DOUBLE) / (cnt*(cnt-1))), 4)
+        |   END AS z
+        |  FROM w)
+        |SELECT event_type, day, n, z,
+        | coalesce(abs(z) >= 3.0, false) AS anomaly
+        |FROM z""".stripMargin,
+
     // both propagation rounds replayed with the same majority-rank
     // windows (count desc, label asc — deterministic ties)
     "graph_label_prop" ->
@@ -4900,6 +5297,25 @@ object SparkEntry {
         |SELECT 'part' AS node_type, dst AS node_id, label FROM pl
         |UNION ALL
         |SELECT 'supplier' AS node_type, src AS node_id, label FROM sl""".stripMargin,
+
+    // supplier pairs only via a shared sub-hub part (df ≤ 64), exact
+    // integer counts, one final division
+    "graph_node_sim" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |keep AS (SELECT dst FROM (
+        |  SELECT dst, count(*) AS ddf FROM e GROUP BY dst) WHERE ddf <= 64),
+        |se AS (SELECT src, dst FROM e JOIN keep USING (dst)),
+        |deg AS (SELECT src, count(*) AS deg FROM se GROUP BY src),
+        |com AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+        |        FROM se a JOIN se b ON a.dst = b.dst AND a.src < b.src
+        |        GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+        | CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+        | round(CAST(n_common AS DOUBLE) /
+        |   (da.deg + db.deg - n_common), 6) AS jaccard
+        |FROM com JOIN deg da ON com.src_a = da.src
+        |JOIN deg db ON com.src_b = db.src""".stripMargin,
 
     // degree histogram with integer-exact log2 bucketing (bin-string
     // length, the sketch_hll rho convention — no float log anywhere)
@@ -5013,6 +5429,30 @@ object SparkEntry {
         |SELECT CAST(as_of AS BIGINT) AS as_of, doc_id, lang, n_chars
         |FROM snap WHERE rn = 1 AND NOT deleted""".stripMargin,
 
+    // compacted base = latest-wins at the horizon (tombstoned keys
+    // vanish) stamped version 2, plus the untouched > 2 tail
+    "k20_vacuum" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars, 1 AS version, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'xx', n_chars + 1000000, 2, false
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 3, true
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |cb AS (
+        |  SELECT doc_id, lang, n_chars, deleted FROM (
+        |    SELECT h.*, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY version DESC) AS rn
+        |    FROM h WHERE version <= 2)
+        |  WHERE rn = 1 AND NOT deleted)
+        |SELECT CAST(2 AS BIGINT) AS version, doc_id, lang, n_chars, deleted
+        |FROM cb
+        |UNION ALL
+        |SELECT CAST(version AS BIGINT), doc_id, lang, n_chars, deleted
+        |FROM h WHERE version > 2""".stripMargin,
+
     // the new snapshot replayed rowwise (transform + delete filter +
     // insert), then a null-safe full-outer diff; unchanged rows drop
     "k18_cdc" ->
@@ -5079,6 +5519,64 @@ object SparkEntry {
         |   - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))), 6) AS ks
         |FROM c JOIN t USING (event_type)
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // tie-group average ranks carried as 2×rank (integer-exact): r2 =
+    // 2·cum − n + 1; AUC = (ΣR2⁺ − np(np+1)) / (2·np·nn), one final
+    // double division on both engines
+    "stats_auc" ->
+      """WITH cells AS (
+        |  SELECT n_chars AS v, count(*) AS n,
+        |   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT n, npos,
+        |   2*sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) - n + 1 AS r2
+        |  FROM cells)
+        |SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+        | CAST(sum(n - npos) AS BIGINT) AS n_neg,
+        | round(CAST(sum(npos*r2) - sum(npos)*(sum(npos)+1) AS DOUBLE) /
+        |       (2.0 * sum(npos) * sum(n - npos)), 6) AS auc
+        |FROM r""".stripMargin,
+
+    // fraction-cleared cell terms ((n·N − ra·cb)²/(N·ra·cb)), squared
+    // AFTER the exact-integer difference casts to double; summed by the
+    // same (a, b)-ordered fold Spark's sorted-array aggregate runs
+    "stats_chisq" ->
+      """WITH obs AS (SELECT lang AS a, source AS b, count(*) AS n
+        |             FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(n) AS ra FROM obs GROUP BY a),
+        |cb AS (SELECT b, sum(n) AS cb FROM obs GROUP BY b),
+        |tot AS (SELECT sum(n) AS nn FROM obs),
+        |grid AS (SELECT a, b, ra, cb, nn, coalesce(n, 0) AS n
+        |         FROM ra CROSS JOIN cb CROSS JOIN tot
+        |         LEFT JOIN obs USING (a, b)),
+        |terms AS (SELECT a, b,
+        |  CAST(n*nn - ra*cb AS DOUBLE) * CAST(n*nn - ra*cb AS DOUBLE)
+        |    / CAST(nn*ra*cb AS DOUBLE) AS t
+        |  FROM grid)
+        |SELECT CAST(count(*) AS INT) AS n_cells,
+        | CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS INT)
+        |   AS dof,
+        | round(list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY a, b)),
+        |   (acc, x) -> acc + x), 4) AS chi2
+        |FROM terms""".stripMargin,
+
+    // −Σ p·ln p replayed over the same lang-ordered cells; (−p)*ln(p)
+    // vs Spark's acc − p·ln(p): negation is IEEE-exact, identical sums
+    "stats_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS INT) AS n_langs,
+        |       list(n ORDER BY lang) AS arr
+        |      FROM c GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        | round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(arr,
+        |   n -> -(CAST(n AS DOUBLE) / n_docs)
+        |        * ln(CAST(n AS DOUBLE) / n_docs))),
+        |   (acc, x) -> acc + x), 6) AS entropy
+        |FROM g""".stripMargin,
 
     // from-scratch recompute: the Spark side merges base state with the
     // delta batch's partial state without rescanning base — the hash

@@ -105,6 +105,50 @@ object GraphOps {
     ranks
   }
 
+  /** Neighbor-set Jaccard similarity between node pairs of a bipartite
+    * (src → dst) edge relation — link-based node similarity: two
+    * suppliers are similar when they serve overlapping part sets, two
+    * users when they touch overlapping items (the item-item /
+    * collaborative-filtering primitive, and the graph-side sibling of
+    * the shingle-based document Jaccard in DedupOps).
+    *
+    * Same 100 TB candidate discipline as the dedup inverted index:
+    * pairs generate ONLY through a shared dst (self-join on dst with
+    * src_a < src_b — never node × node), and hub dsts with more than
+    * `maxDf` sources are excluded first (a dst shared by everyone
+    * contributes ~nothing to similarity but ~all of the pair
+    * blow-up; same argument as the high-df shingle cut). Counts and
+    * degrees are exact integers; Jaccard |∩| / (|A| + |B| − |∩|) is
+    * one final division.
+    *
+    * Output: (src_a, src_b, n_common, deg_a, deg_b, jaccard) for pairs
+    * with `minCommon`+ shared dsts. Degrees count only sub-maxDf dsts,
+    * keeping numerator and denominator in the same universe (a pair
+    * sharing exclusively hub dsts shows 0 common, not a skewed ratio). */
+  def nodeSimilarity(edges: DataFrame, maxDf: Int = 64,
+                     minCommon: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val small = e.join(
+      e.groupBy("dst").agg(count(lit(1)).as("ddf"))
+        .filter(col("ddf") <= maxDf).select("dst"),
+      Seq("dst"))
+    val deg = small.groupBy("src").agg(count(lit(1)).as("deg"))
+    val common = small.as("a")
+      .join(small.as("b"), col("a.dst") === col("b.dst") &&
+        col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    common
+      .join(deg.select(col("src").as("src_a"), col("deg").as("deg_a")), "src_a")
+      .join(deg.select(col("src").as("src_b"), col("deg").as("deg_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"), col("deg_a"),
+        col("deg_b"),
+        round(col("n_common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Triangle census over an undirected edge list — (n_edges, n_wedges,
     * n_triangles) in one row. Degree-ordered orientation (Schank &
     * Wagner's node-iterator / Suri & Vassilvitskii's MR formulation):

@@ -113,6 +113,38 @@ object MergeOps {
         coalesce(col(s"__n_$c"), col(s"__o_$c")).as(c)): _*)
   }
 
+  /** Retention vacuum for an append-only versioned history (the
+    * [[snapshotAsOf]] storage layout): expire everything older than
+    * `minVersion` while keeping every as-of read at `minVersion` or
+    * later EXACTLY reproducible. Old per-key version chains collapse to
+    * one compacted base row (each key's latest-wins state at
+    * `minVersion`, stamped with version = `minVersion`); keys whose
+    * state at the horizon is a tombstone vanish entirely (nothing after
+    * the horizon can resurrect them — later versions carry their own
+    * rows); every row newer than the horizon passes through untouched.
+    *
+    * This is the nightly operational rewrite every snapshot store needs
+    * at 100 TB: history grows per-change forever, but reads only ever
+    * need the compacted base + the retained tail, and the rewrite is
+    * ONE shuffle on the key (the rank window) over the sub-horizon
+    * slice plus a pass-through union — never a join against the tail.
+    * The trade is explicit: as-of reads BEFORE `minVersion` are gone
+    * (that's what retention means). */
+  def expireVersions(history: DataFrame, keyCol: String, versionCol: String,
+                     minVersion: Long, deletedCol: String = "deleted")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(history.columns.contains(deletedCol),
+      s"history needs a '$deletedCol' tombstone column")
+    val base = history.filter(col(versionCol) <= minVersion)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)))
+      .filter(col("_rn") === 1 && !col(deletedCol))
+      .drop("_rn")
+      .withColumn(versionCol, lit(minVersion))
+    base.unionByName(history.filter(col(versionCol) > minVersion))
+  }
+
   /** Merge `updates` onto `base` by `keyCol`; both inputs must share
     * the same schema. */
   def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {

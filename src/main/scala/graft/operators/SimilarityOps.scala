@@ -280,6 +280,57 @@ object SimilarityOps {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x)
 
+  /** Scalar-quantization ANN (the SQ8 recipe of FAISS's
+    * ScalarQuantizer): every dimension maps affinely to an 8-bit code
+    * against the corpus-wide per-dim [min, max] envelope — 4 bytes/dim
+    * → 1 byte/dim with NO training iteration and no codebook, the
+    * cheapest compression rung on the brute → SQ → PQ ladder. Search
+    * scores the full-precision query against each vector's midpoint
+    * reconstruction (code + 0.5), so recall loss is quantization error
+    * only: unlike IVF/LSH there is no candidate pruning and no missed
+    * candidate, and unlike PQ the error is per-dimension, not
+    * per-subspace.
+    *
+    * Scale shape: the envelope is 2·d numbers from ONE posexplode
+    * aggregation (map-side combined), broadcast everywhere after;
+    * encode/reconstruct is a pure map in codegen (`transform` with
+    * index — no UDF, no shuffle); scoring is the same broadcast-query
+    * scan + per-partition top-k heap as brute force. The quantize →
+    * reconstruct chain is fixed-order IEEE arithmetic, so any engine
+    * replays it bit-identically; constant dimensions (mx == mn) code
+    * to 0 and reconstruct exactly at the envelope point. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+    val recon = corpus.crossJoin(broadcast(stats))
+      .select(col("vec_id").as("nbr_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mns"), i + lit(1))
+          val mx = element_at(col("mxs"), i + lit(1))
+          val code = when(mx === mn, lit(0.0d))
+            .otherwise(least(lit(255.0d), greatest(lit(0.0d),
+              floor((x - mn) * lit(255.0d) / (mx - mn)))))
+          mn + (code + lit(0.5d)) * (mx - mn) / lit(256.0d)
+        }).as("nbr_emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    recon.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("nbr_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc,
+          col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "sim", "rank")
+  }
+
   /** Product-quantization ANN (Jégou et al., TPAMI 2011): the
     * memory-bound scale path the brute/IVF/LSH family lacks. The
     * 64-dim corpus compresses to `m` small codes per vector (8 codes ×

@@ -268,4 +268,41 @@ object TermOps {
       .join(broadcast(dict.select("term", "id")), Seq("term"))
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("id"))).as("term_ids"))
+
+  /** The 1-deletion neighborhood of `termCol`, exploded: the term itself
+    * (i = 0) plus every string obtained by deleting one character
+    * (i = 1..len). O(len) variants per term, generated inside codegen
+    * (`transform` over a `sequence`, no UDF). */
+  def deletionVariants(df: DataFrame, termCol: String): DataFrame =
+    df.withColumn("variant",
+      explode(transform(sequence(lit(0), length(col(termCol))), i =>
+        when(i === 0, col(termCol)).otherwise(concat(
+          col(termCol).substr(lit(1), i - lit(1)),
+          col(termCol).substr(i + lit(1), length(col(termCol))))))))
+
+  /** SymSpell-style fuzzy term lookup (Garbe's symmetric-delete idea):
+    * two strings within edit distance 1 always share a member of each
+    * other's 1-deletion neighborhood (substitution at position i →
+    * both lose position i; insertion/deletion → the shorter string IS a
+    * deletion variant of the longer), so joining query variants against
+    * dictionary variants yields every distance-≤1 match as a candidate
+    * (plus distance-2 noise), and exact `levenshtein` — built-in,
+    * codegen — verifies only those candidates.
+    *
+    * The 100 TB shape: the dictionary's deletion index is
+    * O(vocab × term length) rows, built in one pass and materialize-
+    * once/probe-many; a query batch broadcasts its own variants and the
+    * per-candidate verify touches candidates only. A naive fuzzy match
+    * is an O(vocab) edit-distance scan PER QUERY — the thing this
+    * operator exists to avoid.
+    *
+    * `queries` needs (typo: string); `dict` needs (term, df). Output:
+    * distinct (typo, term, df) with levenshtein(typo, term) ≤ 1. */
+  def fuzzyLookup(queries: DataFrame, dict: DataFrame): DataFrame = {
+    val qv = deletionVariants(queries.select(col("typo")), "typo")
+    val dv = deletionVariants(dict.select(col("term"), col("df")), "term")
+    dv.join(broadcast(qv), Seq("variant"))
+      .select(col("typo"), col("term"), col("df")).distinct()
+      .filter(levenshtein(col("typo"), col("term")) <= 1)
+  }
 }

@@ -88,4 +88,127 @@ object ValidationOps {
       .groupBy(col(groupCol), col("n_a"), col("n_b"))
       .agg(round(max(col("d")), 6).as("ks"))
   }
+
+  /** Pearson chi-squared statistic of independence between two
+    * categorical columns — the association monitor beside [[ksDrift]]:
+    * KS watches ONE distribution move between batches; this watches two
+    * attributes COUPLE (is language independent of source? did the
+    * lang×source mix shift structurally?). A large chi² against the
+    * (|A|−1)(|B|−1) dof says the contingency table's cells diverge from
+    * the margins' product.
+    *
+    * Exactness contract: observed counts and margins are exact longs;
+    * each cell's term is ((n·N − rₐ·c_b)²) / (N·rₐ·c_b) — the
+    * expected-count form cleared of fractions — with the square taken
+    * AFTER one exact-integer difference converts to double (n·N and
+    * N·rₐ·c_b stay in long up to ~3·10⁹ rows; beyond that, test on a
+    * stratified sample). The cell terms are summed by an ORDERED fold
+    * over the (a, b)-sorted cell array — the contingency table is
+    * |A|×|B| cells, tiny by construction — so both engines add the
+    * same doubles in the same order. Absent cells enter as n = 0 via
+    * the margins' cross product (required: their expected counts still
+    * contribute).
+    *
+    * Output: one row (n_cells, dof, chi2). */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val obs = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val ra = obs.groupBy("a").agg(sum("n").as("ra"))
+    val cb = obs.groupBy("b").agg(sum("n").as("cb"))
+    val tot = obs.agg(sum("n").as("nn"))
+    val grid = ra.crossJoin(broadcast(cb)).crossJoin(broadcast(tot))
+      .join(obs, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("ra"), col("cb"), col("nn"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val dnum = (col("n") * col("nn") - col("ra") * col("cb")).cast("double")
+    val terms = grid.select(struct(col("a"), col("b"),
+      (dnum * dnum / (col("nn") * col("ra") * col("cb")).cast("double"))
+        .as("t")).as("s"))
+    terms
+      .agg(countDistinct(col("s.a")).as("na"),
+        countDistinct(col("s.b")).as("nb"),
+        array_sort(collect_list(col("s"))).as("arr"))
+      .select(size(col("arr")).as("n_cells"),
+        ((col("na") - 1L) * (col("nb") - 1L)).cast("int").as("dof"),
+        round(aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + x.getField("t")), 4).as("chi2"))
+  }
+
+  /** ROC AUC of a score against a boolean label — the standard ranking
+    * metric for evaluating a quality classifier / filter score before it
+    * gates a corpus (does the score actually separate the class?). The
+    * drift/expectations monitors above watch the DATA; this watches the
+    * MODEL output that curation decisions hang off.
+    *
+    * Computed as the tie-corrected Mann-Whitney U: aggregate to per-value
+    * cells (n, n_pos), one cumulative window over the ORDERED DISTINCT
+    * score values for tie-group average ranks, then a single aggregate.
+    * `r2` holds 2× the average rank so every intermediate stays an exact
+    * integer — the whole statistic is integer arithmetic until one final
+    * double division, which any engine replays bit-identically. The
+    * unpartitioned window runs on the value-aggregated relation (distinct
+    * scores ≪ rows — the ksDrift/dictionary-rank precedent), and the
+    * integer form holds to ~2^31 rows per evaluation (r2pos ≤ 2N²);
+    * beyond that, evaluate per-stratum and average.
+    *
+    * Output: one row (n_pos, n_neg, auc). AUC 0.5 = no separation;
+    * degenerate single-class input yields null (0/0 division). */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .select(score.as("v"), when(label, lit(1L)).otherwise(lit(0L)).as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 2 × (average rank of the tie group at value v) = 2·cum − n + 1
+    val ranked = cells.withColumn("r2",
+      lit(2L) * sum(col("n")).over(w) - col("n") + lit(1L))
+    ranked
+      .agg(sum(col("npos") * col("r2")).as("r2pos"),
+        sum(col("npos")).as("np"), sum(col("n") - col("npos")).as("nn"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        round((col("r2pos") - col("np") * (col("np") + lit(1L))).cast("double")
+          / (lit(2.0) * col("np").cast("double") * col("nn").cast("double")),
+          6).as("auc"))
+  }
+
+  /** Rolling z-score anomaly detection over a per-(group, tick) series —
+    * the volume-spike monitor (did today's event count jump > 3σ off its
+    * trailing week?). The trailing frame excludes the current row, so a
+    * spike can't mask itself by inflating its own baseline.
+    *
+    * Mean and variance come from exact integer sums (Σx, Σx²) over a
+    * ROWS frame; z is ONE fixed-order double expression over those
+    * integers — engine-replayable, unlike stddev_samp whose internal
+    * accumulation order differs per engine. Integer-exact guard
+    * `s2·cnt − s1² > 0` (variance strictly positive) and `cnt ≥ minPts`
+    * gate the division, so a flat baseline yields null, never NaN/Inf.
+    * Shape: one shuffle on the group key, then per-partition sorted
+    * frames; state per row is O(1). Long-exactness bound: x²·lookback
+    * per frame — holds to ~10⁹ events/tick/group.
+    *
+    * Output: (group, tick, n, z, anomaly) for every input row; `anomaly`
+    * = |z| ≥ 3 (false where z is null). */
+  def rollingZScore(counts: DataFrame, groupCol: String, tickCol: String,
+                    nCol: String, lookback: Int = 7, minPts: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(tickCol))
+      .rowsBetween(-lookback, -1)
+    counts
+      .withColumn("s1", sum(col(nCol)).over(w))
+      .withColumn("s2", sum(col(nCol) * col(nCol)).over(w))
+      .withColumn("cnt", count(col(nCol)).over(w))
+      .withColumn("z",
+        when(col("cnt") >= minPts &&
+            col("s2") * col("cnt") - col("s1") * col("s1") > 0L,
+          round((((col(nCol) * col("cnt") - col("s1")).cast("double")) /
+              col("cnt").cast("double")) /
+            sqrt((col("s2") * col("cnt") - col("s1") * col("s1"))
+              .cast("double") /
+              (col("cnt") * (col("cnt") - lit(1L))).cast("double")), 4)))
+      .select(col(groupCol), col(tickCol), col(nCol), col("z"),
+        coalesce(abs(col("z")) >= 3.0, lit(false)).as("anomaly"))
+  }
 }

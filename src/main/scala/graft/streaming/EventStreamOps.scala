@@ -215,6 +215,61 @@ object EventStreamOps {
       }
   }
 
+  case class Admitted(user_id: Long, w_start_ms: Long, seq: Int,
+                      ts_ms: Long, value: Double)
+
+  /** Event-time admission control: at most `maxPerWindow` events per
+    * (key, tumbling window) are admitted, chosen in EVENT-TIME order —
+    * the ingest throttle / per-tenant quota operator. Emission follows
+    * the [[sessionizeEventTime]] replayability contract: a window's
+    * admissions emit only once the watermark passes its end, so the
+    * admitted set is a pure function of the event times — invariant
+    * under micro-batch re-splits and arrival reorderings — not of
+    * arrival order (the usual processing-order token bucket admits
+    * whatever raced in first; that is neither replayable nor fair).
+    * Close is safe at w_end ≤ wm: any event that could still arrive
+    * has ts ≥ wm ≥ w_end, which lands in a later window by
+    * construction.
+    *
+    * State per key = the events of still-open windows (bounded by the
+    * watermark horizon × per-key rate); an `EventTimeTimeout` at the
+    * first open window's end guarantees the flush even if the key goes
+    * quiet. Ties on ts break by value — the full sort key is (ts,
+    * value), deterministic for any trace without exact duplicates. */
+  def throttleEventTime(events: Dataset[Event], windowMs: Long,
+                        maxPerWindow: Int, watermark: String)
+      : Dataset[Admitted] = {
+    implicit val admitEnc = Encoders.product[Admitted]
+    implicit val bufEnc = Encoders.product[SessionBuffer]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionBuffer, Admitted](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuffer]) =>
+          val prev = state.getOption
+            .map(b => b.ts.zip(b.vs)).getOrElse(Seq.empty)
+          val all = (prev ++ it.map(e => (e.ts.getTime, e.value))).sorted
+          if (all.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val byWindow = all.groupBy(e => (e._1 / windowMs) * windowMs)
+              .toSeq.sortBy(_._1)
+            val (closed, open) = byWindow
+              .partition { case (ws, _) => ws + windowMs <= wm }
+            if (open.isEmpty) state.remove()
+            else {
+              val rest = open.flatMap(_._2)
+              state.update(SessionBuffer(rest.map(_._1), rest.map(_._2)))
+              state.setTimeoutTimestamp(open.head._1 + windowMs)
+            }
+            closed.iterator.flatMap { case (ws, evs) =>
+              evs.take(maxPerWindow).zipWithIndex.map { case ((t, v), i) =>
+                Admitted(userId, ws, i + 1, t, v) }
+            }
+          }
+      }
+  }
+
   /** Streaming exact dedup — the ingest-time sibling of the batch
     * `DedupOps.exactGroups`: keep the first row seen per `keyCols`
     * while its key is inside the watermark horizon. State is bounded:

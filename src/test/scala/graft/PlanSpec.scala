@@ -263,7 +263,7 @@ class PlanSpec extends AnyFunSuite {
     "k8_orc_roundtrip", "k9_upsert", "k10_seqfile_roundtrip",
     "k12_partitioned_scan", "k13_compaction", "k14_bucketed_join",
     "k15_manifest_skip", "st_cms", "st_expectations", "st_hll",
-    "k19_inverted_index", "s19_split_index")
+    "st_throttle", "k19_inverted_index", "s19_split_index")
 
   private lazy val sweepPlans: Seq[(String, String)] =
     SparkEntry.queries.keys.toSeq.sorted

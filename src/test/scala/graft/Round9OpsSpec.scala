@@ -573,4 +573,244 @@ class Round9OpsSpec extends AnyFunSuite {
     for (u <- Seq(2L, 5L, 9L); o <- b.keys if o != u)
       assert(shared(u, o) == 0, s"doc $u unexpectedly shares a band with $o")
   }
+
+  // ---- TermOps.fuzzyLookup (SymSpell deletion neighborhood) ----
+
+  test("fuzzyLookup finds every distance-1 term and nothing farther") {
+    val dict = Seq(("table", 5L), ("tale", 1L), ("cable", 2L), ("zzzz", 1L))
+      .toDF("term", "df")
+    val typos = Seq(Tuple1("tble")).toDF("typo")
+    val out = TermOps.fuzzyLookup(typos, dict)
+      .select("typo", "term", "df").as[(String, String, Long)]
+      .collect().toSet
+    // "tble": insertion→"table" (d=1), substitution b→a→"tale" (d=1);
+    // "cable" is d=2 (candidate via shared variants, killed by verify)
+    assert(out == Set(("tble", "table", 5L), ("tble", "tale", 1L)))
+  }
+
+  test("fuzzyLookup broadcasts the query variants — dict side never shuffles for a join") {
+    val dict = Seq(("table", 5L)).toDF("term", "df")
+    val typos = Seq(Tuple1("tble")).toDF("typo")
+    val p = TermOps.fuzzyLookup(typos, dict)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  // ---- ValidationOps.rocAuc ----
+
+  test("rocAuc is exact on hand-computed separable and tied cases") {
+    // perfect separation → 1.0
+    val sep = Seq((1, false), (2, false), (3, true), (4, true))
+      .toDF("x", "y")
+    val a1 = ValidationOps.rocAuc(sep, col("x"), col("y"))
+      .select("n_pos", "n_neg", "auc").as[(Long, Long, Double)].head()
+    assert(a1 == ((2L, 2L, 1.0)))
+    // full ties across classes → 0.5 via tie-corrected average ranks
+    val tied = Seq((1, false), (1, true), (2, false), (2, true))
+      .toDF("x", "y")
+    val a2 = ValidationOps.rocAuc(tied, col("x"), col("y"))
+      .select("auc").as[Double].head()
+    assert(a2 == 0.5)
+    // anti-predictor → 0.0
+    val anti = Seq((1, true), (2, false)).toDF("x", "y")
+    assert(ValidationOps.rocAuc(anti, col("x"), col("y"))
+      .select("auc").as[Double].head() == 0.0)
+  }
+
+  // ---- ValidationOps.rollingZScore ----
+
+  test("rollingZScore flags a spike against its trailing window, nulls the warmup") {
+    val counts = (Seq.tabulate(7)(i =>
+        ("a", i.toLong, if (i % 2 == 0) 10L else 11L)) :+ (("a", 7L, 100L)))
+      .toDF("g", "tick", "n")
+    val out = ValidationOps.rollingZScore(counts, "g", "tick", "n")
+      .select("tick", "z", "anomaly")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((None, false)))          // cnt = 0
+    assert(out(1L) == ((None, false)))          // cnt = 1 < minPts
+    assert(out(2L) == ((None, false)))          // cnt = 2 < minPts
+    val (z7, flag7) = out(7L)
+    assert(flag7 && z7.exists(_ > 100),         // ~168σ spike
+      s"expected a flagged spike, got $z7")
+    val (z3, flag3) = out(3L)                   // in-pattern point: |z| small
+    assert(!flag3 && z3.exists(z => math.abs(z) < 3), s"got $z3")
+  }
+
+  test("rollingZScore never divides on a flat baseline (null z, not NaN)") {
+    val counts = (0L to 5L).map(t => ("a", t, 10L)) :+ (("a", 6L, 99L))
+    val out = ValidationOps.rollingZScore(counts.toDF("g", "tick", "n"),
+        "g", "tick", "n")
+      .select("tick", "z", "anomaly").as[(Long, Option[Double], Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // variance of the all-10 frame is exactly 0 → guarded to null
+    assert(out(6L) == ((None, false)))
+  }
+
+  // ---- SimilarityOps.sqTopK ----
+
+  test("sqTopK ranks by quantized cosine and preserves well-separated neighbors") {
+    // axis-aligned directions: quantization can't confuse them
+    def v(hot: Int) = Array.tabulate(8)(i => if (i == hot) 10.0 else 0.0)
+    val emb = Seq((0L, v(0)), (1L, v(0).map(_ * 0.9)), (2L, v(4)),
+        (3L, v(4).map(_ * 0.8)), (4L, v(7)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.sqTopK(emb, emb.filter(col("vec_id") === 0L), k = 2)
+      .select("nbr_id", "rank").as[(Long, Int)].collect().toMap
+    // vec 1 is the same direction as the query — must be rank 1
+    assert(out.find(_._2 == 1).map(_._1).contains(1L), out.toString)
+  }
+
+  test("sqTopK constant dimensions reconstruct exactly at the envelope point") {
+    // dim 1 is constant 5.0 across the corpus; reconstruction must not
+    // produce NaN (mx == mn guard) and sims must stay finite
+    val emb = Seq((0L, Array(1.0, 5.0)), (1L, Array(2.0, 5.0)),
+        (2L, Array(3.0, 5.0))).toDF("vec_id", "embedding")
+    val sims = SimilarityOps.sqTopK(emb, emb.filter(col("vec_id") === 0L), 2)
+      .select("sim").as[Double].collect()
+    assert(sims.nonEmpty && sims.forall(s => !s.isNaN && !s.isInfinite))
+  }
+
+  // ---- ValidationOps.chiSquare ----
+
+  test("chiSquare is 0 for an independent table and N for a diagonal one") {
+    val ind = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r1 = ValidationOps.chiSquare(ind.toDF("u", "v"), "u", "v")
+      .select("n_cells", "dof", "chi2").as[(Int, Int, Double)].head()
+    assert(r1 == ((4, 1, 0.0)))
+    // perfect association: chi² = N; the two absent cells enter as n=0
+    val dia = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r2 = ValidationOps.chiSquare(dia.toDF("u", "v"), "u", "v")
+      .select("n_cells", "dof", "chi2").as[(Int, Int, Double)].head()
+    assert(r2 == ((4, 1, 20.0)))
+  }
+
+  // ---- GraphOps.nodeSimilarity ----
+
+  test("nodeSimilarity computes pair Jaccard through shared dsts with the hub cut") {
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L),
+        (2L, 13L), (3L, 99L), (1L, 50L), (2L, 50L), (3L, 50L))
+      .toDF("src", "dst")
+    // maxDf=2 excludes dst 50 (df 3); pair (1,2) shares {11,12}
+    val out = GraphOps.nodeSimilarity(edges.toDF, maxDf = 2, minCommon = 2)
+      .select("src_a", "src_b", "n_common", "deg_a", "deg_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 2L, 3L, 3L, 0.5)))
+  }
+
+  // ---- MergeOps.expireVersions ----
+
+  test("expireVersions keeps every as-of read at/after the horizon identical") {
+    val hist = Seq(
+      (1L, "a", 1L, false), (1L, "b", 2L, false), (1L, "c", 4L, false),
+      (2L, "x", 1L, false), (2L, "y", 3L, true),   // deleted after horizon
+      (3L, "m", 1L, false), (3L, "n", 2L, true),   // tombstone AT horizon
+      (4L, "q", 3L, false)                         // born after horizon
+    ).toDF("k", "payload", "version", "deleted")
+    val vac = MergeOps.expireVersions(hist, "k", "version", minVersion = 2L)
+    // key 3's chain vanishes entirely (latest-at-horizon is a tombstone)
+    val kept = vac.select("k", "version").as[(Long, Long)].collect().toSet
+    assert(!kept.exists(_._1 == 3L), kept.toString)
+    assert(kept == Set((1L, 2L), (1L, 4L), (2L, 2L), (2L, 3L), (4L, 3L)))
+    // semantic pin: as-of 2, 3, 4 agree between full and vacuumed history
+    for (v <- Seq(2L, 3L, 4L)) {
+      val full = MergeOps.snapshotAsOf(hist, "k", "version", v)
+        .select("k", "payload").as[(Long, String)].collect().toSet
+      val compact = MergeOps.snapshotAsOf(vac, "k", "version", v)
+        .select("k", "payload").as[(Long, String)].collect().toSet
+      assert(full == compact, s"as-of $v diverged: $full vs $compact")
+    }
+  }
+
+  // ---- EventStreamOps.throttleEventTime ----
+
+  test("throttleEventTime admits in event-time order regardless of batch split") {
+    import graft.streaming.EventStreamOps
+    import EventStreamOps.Event
+    def ts(m: Int) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val evs = Seq(
+      Event(1, ts(1), 1.0), Event(1, ts(3), 2.0), Event(1, ts(5), 3.0),
+      Event(1, ts(2), 1.5), Event(2, ts(12), 5.0))
+    val sentinel = Event(99, ts(40), 0.0)
+    // two different micro-batch splits must admit the same set
+    val results = Seq(evs.splitAt(2), evs.splitAt(4)).map { case (b1, b2) =>
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sq = ss.sqlContext
+      implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Event]
+      val name = s"throttle_t_${b1.size}"
+      val q = EventStreamOps.throttleEventTime(mem.toDS(), 600000L, 2,
+          "10 minutes")
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        mem.addData(sentinel); q.processAllAvailable()
+      } finally q.stop()
+      ss.table(name).select("user_id", "w_start_ms", "seq", "ts_ms")
+        .as[(Long, Long, Int, Long)].collect().toSet
+    }
+    assert(results(0) == results(1))
+    // event-time rule: 00:01 and 00:02 admitted, 00:03 and 00:05 not
+    val u1 = results(0).filter(_._1 == 1L).map(r => (r._3, r._4)).toSeq.sorted
+    assert(u1 == Seq((1, ts(1).getTime), (2, ts(2).getTime)), u1.toString)
+    // user 2's window [00:10, 00:20) closed by the 00:40 sentinel
+    assert(results(0).exists(r => r._1 == 2L && r._3 == 1))
+  }
+
+  // ---- hashed-linear classifier scoring (curate_classifier shape) ----
+
+  test("classifier logit is invariant to input row order (ordered fold)") {
+    def score(docs: Seq[(Long, String)]) = {
+      val feats = TermOps.featureHash(docs.toDF("doc_id", "text"),
+        "doc_id", "text", dim = 256)
+      feats.groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("bucket"), col("weight"))))
+          .as("arr"))
+        .select(col("doc_id"),
+          aggregate(col("arr"), lit(0.0d), (acc, x) =>
+            acc + (SimilarityOps.hash32Col(x.getField("bucket")
+                .cast("long") + lit(1L)).cast("double") /
+                lit(2147483648.0) - lit(1.0)) *
+              x.getField("weight").cast("double")).as("z"))
+        .as[(Long, Double)].collect().toMap
+    }
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta beta"),
+      (3L, "zeta eta theta iota kappa"))
+    val a = score(docs)
+    val b = score(docs.reverse)
+    assert(a == b)          // bit-identical, not approximately equal
+    assert(a.size == 3 && a.values.forall(z => !z.isNaN))
+  }
+
+  test("ann filtered search returns only same-label neighbors with dense ranks") {
+    val emb = (0L to 29L).map(id => (id, (id % 3).toInt,
+        Array.tabulate(8)(i => (id * 7 % 13) * 1.0 + i)))
+      .toDF("vec_id", "label", "embedding")
+    val c = emb.select(col("vec_id").as("nbr_id"), col("label"),
+      col("embedding").as("nbr_emb"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("embedding").as("q_emb"))
+    val out = c.join(broadcast(q), Seq("label"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", SimilarityOps.cosine(col("q_emb"), col("nbr_emb")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= 5)
+      .select("query_id", "label", "nbr_id", "rank")
+      .as[(Long, Int, Long, Int)].collect()
+    // labels partition ids mod 3 → every neighbor must match its query
+    assert(out.forall { case (qid, lbl, nid, _) =>
+      lbl == (qid % 3) && (nid % 3) == (qid % 3) })
+    // each query gets exactly ranks 1..5 (class size 10 ≥ 5+self)
+    val byQ = out.groupBy(_._1).view.mapValues(_.map(_._4).sorted.toSeq)
+    assert(byQ.values.forall(_ == (1 to 5)), byQ.toMap.toString)
+  }
 }
