@@ -895,6 +895,34 @@ object SparkEntry {
           when(col("lang") === "en", lit(30)).otherwise(lit(10)))
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))),
 
+    "sample_neyman" -> ((s, d) => {
+      // Neyman allocation (n_h ∝ N_h·S_h): the DESIGN table a 1000-doc
+      // stratified draw starts from — high-variance strata get more
+      // budget than proportional allocation would give. S_h from exact
+      // integer co-moments (stats_moments convention); the Σ N_h·S_h
+      // normalizer is an ordered fold over the lang-sorted strata;
+      // allocations floor, so the output is engine-exact
+      val agg = t(s, d, "documents")
+        .select(col("lang"), col("n_chars").as("x"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("nh"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val wh = agg.select(col("lang"), col("nh"),
+          sqrt((col("sxx") * col("nh") - col("sx") * col("sx"))
+            .cast("double") /
+            (col("nh") * (col("nh") - lit(1L))).cast("double")).as("sd"))
+        .withColumn("w", col("nh").cast("double") * col("sd"))
+      val tot = wh
+        .agg(array_sort(collect_list(struct(col("lang"), col("w"))))
+          .as("arr"))
+        .select(aggregate(col("arr"), lit(0.0d),
+          (a, x) => a + x.getField("w")).as("W"))
+      wh.crossJoin(broadcast(tot))
+        .select(col("lang"), col("nh").as("n_rows"),
+          round(col("sd"), 4).as("stddev"),
+          floor(lit(1000.0) * col("w") / col("W")).cast("long").as("alloc"))
+    }),
+
     "mm_bytes" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))),
@@ -927,6 +955,16 @@ object SparkEntry {
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
           "payload", width = 64, patch = 8)
         .select(col("doc_id"), col("pr"), col("pc"), col("patch_sig"))),
+
+    "mm_neardup" -> ((s, d) =>
+      // perceptual near-dup pairs over the payload patch grid: ≥ 4/5 of
+      // aligned sub-hub patch signatures coincide — the image-side
+      // dedup family member (localized edits only kill their own
+      // patches); integer accept test, inverted-index candidates only
+      MultimodalOps.nearDupImages(
+        t(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", width = 64, patch = 8)),
 
     "mm_media_meta" -> ((s, d) =>
       MultimodalOps.withMediaMeta(
@@ -1709,6 +1747,30 @@ object SparkEntry {
         .select(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
       ValidationOps.rollingZScore(daily, "event_type", "day", "n")
+    }),
+
+    "t11_seasonal" -> ((s, d) => {
+      // day-of-week seasonal profile per event type (index = dow mean /
+      // overall daily mean): the calendar-period decomposition the
+      // anomaly monitor (t10) normalizes against when traffic has a
+      // weekly shape. All counts exact; the index is ONE division of
+      // integer products ((Σ_dow·days_all)/(days_dow·Σ_all))
+      val daily = t(s, d, "events")
+        .select(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val dow = daily
+        .withColumn("dow", pmod(col("day"), lit(7L)).cast("int"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_days"), sum("n").as("sum_n"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("days_all"), sum("n").as("sum_all"))
+      dow.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"),
+          round(col("sum_n").cast("double") /
+            col("n_days").cast("double"), 4).as("mean_n"),
+          round((col("sum_n") * col("days_all")).cast("double") /
+            (col("n_days") * col("sum_all")).cast("double"), 6)
+            .as("seasonal_idx"))
     }),
 
     "t5_locf" -> ((s, d) => {
@@ -2947,6 +3009,39 @@ object SparkEntry {
   /** The brute-force / IVF / LSH oracle chains as vals: each gates its
     * own query AND feeds the recall harness ([[annRecallSql]]) as a
     * subquery, so both gates replay literally identical SQL. */
+  /** Patch-signature oracle chain (the 2D patch grid with the base-31
+    * fold in HUGEINT, zero-byte corner patches excluded) — gates
+    * `mm_patches` and feeds the image near-dup chain (`mm_neardup`). */
+  private lazy val patchSigSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, text,
+      |   CAST(ceil(strlen(text) / 64.0) AS INT) AS rows
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, text, rows, pr.i AS pr, pc.j AS pc
+      |  FROM p,
+      |   unnest(generate_series(0, CAST(ceil(rows / 8.0) AS INT) - 1)) AS pr(i),
+      |   unnest(generate_series(0, 7)) AS pc(j)),
+      |s AS (
+      |  SELECT doc_id, pr, pc,
+      |   list_reduce(list_prepend('', list_transform(
+      |     generate_series(pr * 8, least(rows, pr * 8 + 8) - 1),
+      |     r -> substr(text, r * 64 + pc * 8 + 1, 8))),
+      |    (acc, x) -> acc || x) AS patch
+      |  FROM g),
+      |h AS (
+      |  SELECT doc_id, pr, pc,
+      |   list_reduce(list_prepend(1125899906842597::HUGEINT,
+      |     list_transform(regexp_split_to_array(patch, ''),
+      |       c -> unicode(c)::HUGEINT)),
+      |     (hh, c) -> (hh * 31 + c) % 18446744073709551616::HUGEINT) AS hv
+      |  FROM s WHERE patch <> '')
+      |SELECT doc_id, CAST(pr AS INT) AS pr, CAST(pc AS INT) AS pc,
+      | CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+      |   THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT)
+      |   AS patch_sig
+      |FROM h""".stripMargin
+
   /** Feature-hash oracle chain (the hashing trick replayed: bucket =
     * low 8 hash bits, sign = bit 8, exact integer weight sums) — gates
     * `a16_feature_hash` and feeds `curate_classifier`; `docFilter` is a
@@ -3893,35 +3988,33 @@ object SparkEntry {
     // order); w=64 divides into 8-wide columns exactly, so only the
     // final image ROW is ragged, which substr truncation reproduces;
     // zero-byte corner patches are filtered on both sides
-    "mm_patches" ->
-      """WITH p AS (
-        |  SELECT doc_id, text,
-        |   CAST(ceil(strlen(text) / 64.0) AS INT) AS rows
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, text, rows, pr.i AS pr, pc.j AS pc
-        |  FROM p,
-        |   unnest(generate_series(0, CAST(ceil(rows / 8.0) AS INT) - 1)) AS pr(i),
-        |   unnest(generate_series(0, 7)) AS pc(j)),
-        |s AS (
-        |  SELECT doc_id, pr, pc,
-        |   list_reduce(list_prepend('', list_transform(
-        |     generate_series(pr * 8, least(rows, pr * 8 + 8) - 1),
-        |     r -> substr(text, r * 64 + pc * 8 + 1, 8))),
-        |    (acc, x) -> acc || x) AS patch
-        |  FROM g),
-        |h AS (
-        |  SELECT doc_id, pr, pc,
-        |   list_reduce(list_prepend(1125899906842597::HUGEINT,
-        |     list_transform(regexp_split_to_array(patch, ''),
-        |       c -> unicode(c)::HUGEINT)),
-        |     (hh, c) -> (hh * 31 + c) % 18446744073709551616::HUGEINT) AS hv
-        |  FROM s WHERE patch <> '')
-        |SELECT doc_id, CAST(pr AS INT) AS pr, CAST(pc AS INT) AS pc,
-        | CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
-        |   THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT)
-        |   AS patch_sig
-        |FROM h""".stripMargin,
+    "mm_patches" -> patchSigSql,
+
+    // candidates only via shared (position, signature) postings with
+    // the df ≤ 20 hub cut; the accept test is integer (5·shared ≥
+    // 4·max) — the rounded fraction is display-only
+    "mm_neardup" ->
+      s"""WITH sg AS (SELECT doc_id, pr, pc, patch_sig
+         |            FROM ($patchSigSql) t),
+         |pdf AS (SELECT pr, pc, patch_sig, count(*) AS sdf
+         |        FROM sg GROUP BY 1, 2, 3),
+         |keyed AS (SELECT sg.doc_id, sg.pr, sg.pc, sg.patch_sig
+         |          FROM sg JOIN pdf ON sg.pr = pdf.pr AND sg.pc = pdf.pc
+         |            AND sg.patch_sig = pdf.patch_sig
+         |          WHERE pdf.sdf <= 20),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM keyed GROUP BY doc_id),
+         |pr2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         count(*) AS n_shared
+         |        FROM keyed a JOIN keyed b ON a.pr = b.pr AND a.pc = b.pc
+         |          AND a.patch_sig = b.patch_sig AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+         | CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+         | round(CAST(n_shared AS DOUBLE) / greatest(ca.n, cb.n), 6)
+         |   AS overlap_frac
+         |FROM pr2 JOIN cnt ca ON pr2.doc_a = ca.doc_id
+         |JOIN cnt cb ON pr2.doc_b = cb.doc_id
+         |WHERE n_shared * 5 >= greatest(ca.n, cb.n) * 4""".stripMargin,
 
     // stubDecode replicated in HUGEINT: base-31 rolling hash mod 2^64 over
     // the first 1024 bytes (ASCII text → bytes = codepoints), unsigned
@@ -5274,6 +5367,25 @@ object SparkEntry {
         | coalesce(abs(z) >= 3.0, false) AS anomaly
         |FROM z""".stripMargin,
 
+    // exact-count seasonal index: one division of integer products
+    "t11_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT event_type, CAST(day % 7 AS INT) AS dow,
+        |   count(*) AS n_days, sum(n) AS sum_n
+        |  FROM daily GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, count(*) AS days_all, sum(n) AS sum_all
+        |  FROM daily GROUP BY 1)
+        |SELECT dw.event_type, dow, CAST(n_days AS BIGINT) AS n_days,
+        | round(CAST(sum_n AS DOUBLE) / n_days, 4) AS mean_n,
+        | round(CAST(sum_n * days_all AS DOUBLE) /
+        |   CAST(n_days * sum_all AS DOUBLE), 6) AS seasonal_idx
+        |FROM dw JOIN tot ON dw.event_type = tot.event_type""".stripMargin,
+
     // both propagation rounds replayed with the same majority-rank
     // windows (count desc, label asc — deterministic ties)
     "graph_label_prop" ->
@@ -5893,6 +6005,27 @@ object SparkEntry {
          |WHERE ${hash32Sql("(doc_id + 1)")} % 100 <
          |  CASE WHEN lang = 'en' THEN 30 ELSE 10 END
          |GROUP BY lang""".stripMargin,
+
+    // N_h·S_h weights from the same exact co-moments, lang-ordered fold
+    // for the normalizer, floored allocations
+    "sample_neyman" ->
+      """WITH a AS (
+        |  SELECT lang, count(*) AS nh, sum(n_chars) AS sx,
+        |   sum(n_chars*n_chars) AS sxx
+        |  FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, nh, sd, nh * sd AS w FROM (
+        |    SELECT lang, nh,
+        |     sqrt(CAST(sxx*nh - sx*sx AS DOUBLE) /
+        |          CAST(nh*(nh-1) AS DOUBLE)) AS sd
+        |    FROM a) t),
+        |tot AS (
+        |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(w ORDER BY lang)), (acc, x) -> acc + x) AS W
+        |  FROM w)
+        |SELECT lang, CAST(nh AS BIGINT) AS n_rows, round(sd, 4) AS stddev,
+        | CAST(floor(1000.0::DOUBLE * w / W) AS BIGINT) AS alloc
+        |FROM w CROSS JOIN tot""".stripMargin,
 
     "curate_docs" ->
       s"""WITH keep AS (

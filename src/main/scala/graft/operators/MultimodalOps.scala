@@ -148,4 +148,54 @@ object MultimodalOps {
       .withColumn("patch_sig", col("p.sig"))
       .drop("p")
   }
+
+  /** Perceptual near-duplicate detection over binary payloads — the
+    * image-side member of the dedup family: two payloads are near-dups
+    * when ≥ `minFracNum`/`minFracDen` of their aligned patch signatures
+    * ([[samplePatches]]) coincide. Tolerant of localized edits (a
+    * changed region kills only its own patches — the property pixel
+    * hashes lack) while exact on position: the candidate key is
+    * (pr, pc, sig), so a shifted copy is NOT matched (that's the
+    * embedding path's job).
+    *
+    * Same 100 TB discipline as DedupOps' shingle index: pairs generate
+    * only through a shared (position, signature) posting with hub
+    * postings (> `maxDf` payloads — letterbox bars, flat color blocks)
+    * excluded first, so candidate work is bounded by posting-list
+    * sizes, never payloads². The accept test multiplies integers
+    * (`den·shared ≥ num·max(n_a, n_b)`) — no float boundary; the
+    * reported fraction is display-only. Patch universes are the
+    * sub-maxDf postings on BOTH sides of the ratio (numerator and
+    * denominator count the same thing). */
+  def nearDupImages(images: DataFrame, idCol: String, payloadCol: String,
+                    width: Int, patch: Int, maxDf: Int = 20,
+                    minFracNum: Int = 4, minFracDen: Int = 5): DataFrame = {
+    val sigs = samplePatches(
+        images.select(col(idCol).as("doc_id"), col(payloadCol)),
+        payloadCol, width, patch)
+      .select(col("doc_id"), col("pr"), col("pc"), col("patch_sig"))
+    val keyed = sigs.join(
+      sigs.groupBy("pr", "pc", "patch_sig").agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") <= maxDf).select("pr", "pc", "patch_sig"),
+      Seq("pr", "pc", "patch_sig"))
+    val counts = keyed.groupBy("doc_id").agg(count(lit(1)).as("n_patches"))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.pr") === col("b.pr") && col("a.pc") === col("b.pc") &&
+          col("a.patch_sig") === col("b.patch_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("n_patches").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("n_patches").as("n_b")), "doc_b")
+      .filter(col("n_shared") * minFracDen >=
+        greatest(col("n_a"), col("n_b")) * minFracNum)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared").cast("double") /
+          greatest(col("n_a"), col("n_b")).cast("double"), 6)
+          .as("overlap_frac"))
+  }
 }

@@ -813,4 +813,25 @@ class Round9OpsSpec extends AnyFunSuite {
     val byQ = out.groupBy(_._1).view.mapValues(_.map(_._4).sorted.toSeq)
     assert(byQ.values.forall(_ == (1 to 5)), byQ.toMap.toString)
   }
+
+  // ---- MultimodalOps.nearDupImages ----
+
+  test("nearDupImages pairs payloads sharing >= 4/5 aligned patches") {
+    // 128-byte payloads → one 8-patch row in the 64-wide matrix; C
+    // differs from A only in bytes 0-7 (patch pc=0), so A~C share 7/8;
+    // D is disjoint content
+    val a = "a" * 128
+    val c = "XXXXXXXX" + ("a" * 120)
+    val dd = "z0z1z2z3" * 16
+    val imgs = Seq((1L, a), (2L, a), (3L, c), (4L, dd)).toDF("doc_id", "txt")
+      .select(col("doc_id"), encode(col("txt"), "UTF-8").as("payload"))
+    val out = MultimodalOps.nearDupImages(imgs, "doc_id", "payload",
+        width = 64, patch = 8)
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "overlap_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 8L, 8L, 8L, 1.0),      // identical payloads
+      (1L, 3L, 7L, 8L, 8L, 0.875),    // localized edit: 7/8 ≥ 4/5
+      (2L, 3L, 7L, 8L, 8L, 0.875)), out.toString)
+  }
 }
