@@ -912,15 +912,18 @@ object SparkEntry {
             .cast("double") /
             (col("nh") * (col("nh") - lit(1L))).cast("double")).as("sd"))
         .withColumn("w", col("nh").cast("double") * col("sd"))
+      // tot derives from wh, so alias both sides — a bare crossJoin
+      // leaves `w` ambiguous between the branch and its own subtree
       val tot = wh
         .agg(array_sort(collect_list(struct(col("lang"), col("w"))))
           .as("arr"))
         .select(aggregate(col("arr"), lit(0.0d),
           (a, x) => a + x.getField("w")).as("W"))
-      wh.crossJoin(broadcast(tot))
-        .select(col("lang"), col("nh").as("n_rows"),
-          round(col("sd"), 4).as("stddev"),
-          floor(lit(1000.0) * col("w") / col("W")).cast("long").as("alloc"))
+      wh.alias("wh").crossJoin(broadcast(tot).alias("tt"))
+        .select(col("wh.lang").as("lang"), col("wh.nh").as("n_rows"),
+          round(col("wh.sd"), 4).as("stddev"),
+          floor(lit(1000.0) * col("wh.w") / col("tt.W")).cast("long")
+            .as("alloc"))
     }),
 
     "mm_bytes" -> ((s, d) =>
@@ -6013,19 +6016,19 @@ object SparkEntry {
         |  SELECT lang, count(*) AS nh, sum(n_chars) AS sx,
         |   sum(n_chars*n_chars) AS sxx
         |  FROM documents GROUP BY lang),
-        |w AS (
-        |  SELECT lang, nh, sd, nh * sd AS w FROM (
+        |wh AS (
+        |  SELECT lang, nh, sd, nh * sd AS wt FROM (
         |    SELECT lang, nh,
         |     sqrt(CAST(sxx*nh - sx*sx AS DOUBLE) /
         |          CAST(nh*(nh-1) AS DOUBLE)) AS sd
         |    FROM a) t),
         |tot AS (
         |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
-        |    list(w ORDER BY lang)), (acc, x) -> acc + x) AS W
-        |  FROM w)
+        |    list(wt ORDER BY lang)), (acc, x) -> acc + x) AS tw
+        |  FROM wh)
         |SELECT lang, CAST(nh AS BIGINT) AS n_rows, round(sd, 4) AS stddev,
-        | CAST(floor(1000.0::DOUBLE * w / W) AS BIGINT) AS alloc
-        |FROM w CROSS JOIN tot""".stripMargin,
+        | CAST(floor(1000.0::DOUBLE * wt / tw) AS BIGINT) AS alloc
+        |FROM wh CROSS JOIN tot""".stripMargin,
 
     "curate_docs" ->
       s"""WITH keep AS (

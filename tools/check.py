@@ -31,10 +31,12 @@ def norm(df):
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 ok = fail = 0
-for name in sorted(os.listdir(out_dir)):
+# iterate the ORACLE keys ∪ present dirs: a query whose Verify write
+# failed entirely (no dir at all) must count as a failure, not vanish
+dirs = {d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d))}
+for name in sorted(dirs | set(oracle)):
     path = os.path.join(out_dir, name)
-    if not os.path.isdir(path):
-        continue
     files = glob.glob(f"{path}/*.parquet")
     if not files:
         print(f"MISSING-OUT  {name}")
