@@ -589,6 +589,26 @@ object SparkEntry {
         t(s, d, "lineitem").select(col("l_suppkey").as("src"),
           col("l_partkey").as("dst")))),
 
+    "graph_hits" -> ((s, d) => {
+      // two integer HITS rounds on the supplier→part graph (hub⁰ = 1):
+      // auth¹ = in-degree, hub¹ = Σ auth¹ over a supplier's parts,
+      // auth² = Σ hub¹ over a part's suppliers — mutual-reinforcement
+      // ranking with every score an exact integer sum (the float
+      // normalization HITS usually carries rescales but never reorders,
+      // so it's omitted); top-20 parts by (auth², id)
+      val e = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      val auth1 = e.groupBy("dst").agg(count(lit(1)).as("auth1"))
+      val hub1 = e.join(auth1, "dst").groupBy("src")
+        .agg(sum("auth1").as("hub1"))
+      val auth2 = e.join(hub1, "src").groupBy("dst")
+        .agg(sum("hub1").as("auth2"))
+      auth2.join(auth1, "dst")
+        .orderBy(col("auth2").desc, col("dst").asc).limit(20)
+        .select(col("dst").as("node_id"), col("auth1"), col("auth2"))
+    }),
+
     "stats_chisq" -> ((s, d) =>
       // is language independent of source? chi² over the lang×source
       // contingency table, zero-cells included, ordered-fold sum
@@ -1776,6 +1796,16 @@ object SparkEntry {
             .as("seasonal_idx"))
     }),
 
+    "t12_cusum" -> ((s, d) => {
+      // CUSUM changepoint per event type over the daily series: where
+      // did the baseline volume shift? (t10 flags local spikes; this
+      // locates the level change.) All-integer argmax
+      val daily = t(s, d, "events")
+        .select(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      ValidationOps.cusumChangepoint(daily, "event_type", "day", "n")
+    }),
+
     "t5_locf" -> ((s, d) => {
       // dense (event_type × day) grid with last-observation-carried-
       // forward fill — the resample/gap-fill primitive. Grid = distinct
@@ -2815,6 +2845,24 @@ object SparkEntry {
       z.select(col("doc_id"), round(col("z"), 4).as("z"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
         (col("z") >= 0.0).as("keep"))
+    }),
+
+    "curate_budget" -> ((s, d) => {
+      // budget-constrained selection: per lang, rank docs longest-first
+      // (deterministic doc_id tie-break) and keep while the cumulative
+      // token count stays within a 2000-token stratum budget — the
+      // greedy fill a token-budgeted mixture draw runs. One exchange on
+      // lang; integers throughout
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(TermOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 2000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("cum_tokens")).as("n_tokens_kept"))
     }),
 
     "curate_docs" -> ((s, d) => {
@@ -5389,6 +5437,34 @@ object SparkEntry {
         |   CAST(n_days * sum_all AS DOUBLE), 6) AS seasonal_idx
         |FROM dw JOIN tot ON dw.event_type = tot.event_type""".stripMargin,
 
+    // |N·C_t − t·T| replayed as exact integers; argmax via the same
+    // (sdev desc, day asc) rank
+    "t12_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day, n,
+        |   CAST(row_number() OVER w AS BIGINT) AS tindex,
+        |   sum(n) OVER w AS ct
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |tot AS (
+        |  SELECT event_type, count(*) AS nn, sum(n) AS tt
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT c.event_type, day, n, nn,
+        |   abs(ct*nn - tindex*tt) AS sdev
+        |  FROM c JOIN tot ON c.event_type = tot.event_type),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY sdev DESC, day ASC) AS rn FROM dev)
+        |SELECT event_type, day AS cp_tick, CAST(n AS BIGINT) AS n_at_cp,
+        | CAST(sdev AS BIGINT) AS scaled_dev,
+        | round(CAST(sdev AS DOUBLE) / nn, 4) AS max_dev
+        |FROM r WHERE rn = 1""".stripMargin,
+
     // both propagation rounds replayed with the same majority-rank
     // windows (count desc, label asc — deterministic ties)
     "graph_label_prop" ->
@@ -5431,6 +5507,20 @@ object SparkEntry {
         |   (da.deg + db.deg - n_common), 6) AS jaccard
         |FROM com JOIN deg da ON com.src_a = da.src
         |JOIN deg db ON com.src_b = db.src""".stripMargin,
+
+    // the two integer HITS rounds replayed join-for-join
+    "graph_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |a1 AS (SELECT dst, count(*) AS auth1 FROM e GROUP BY dst),
+        |h1 AS (SELECT src, sum(auth1) AS hub1
+        |       FROM e JOIN a1 USING (dst) GROUP BY src),
+        |a2 AS (SELECT dst, sum(hub1) AS auth2
+        |       FROM e JOIN h1 USING (src) GROUP BY dst)
+        |SELECT dst AS node_id, CAST(auth1 AS BIGINT) AS auth1,
+        | CAST(auth2 AS BIGINT) AS auth2
+        |FROM a2 JOIN a1 USING (dst)
+        |ORDER BY auth2 DESC, dst ASC LIMIT 20""".stripMargin,
 
     // degree histogram with integer-exact log2 bucketing (bin-string
     // length, the sketch_hll rho convention — no float log anywhere)
@@ -6029,6 +6119,23 @@ object SparkEntry {
         |SELECT lang, CAST(nh AS BIGINT) AS n_rows, round(sd, 4) AS stddev,
         | CAST(floor(1000.0::DOUBLE * wt / tw) AS BIGINT) AS alloc
         |FROM wh CROSS JOIN tot""".stripMargin,
+
+    // longest-first greedy fill replayed with the same cumulative
+    // window (unique (n_tokens desc, doc_id) order → RANGE == ROWS)
+    "curate_budget" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |   CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY lang
+        |     ORDER BY n_tokens DESC, doc_id) AS cum
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(max(cum) AS BIGINT) AS n_tokens_kept
+        |FROM c WHERE cum <= 2000 GROUP BY lang""".stripMargin,
 
     "curate_docs" ->
       s"""WITH keep AS (

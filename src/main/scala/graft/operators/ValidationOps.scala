@@ -89,6 +89,46 @@ object ValidationOps {
       .agg(round(max(col("d")), 6).as("ks"))
   }
 
+  /** CUSUM changepoint locator over a per-(group, tick) count series:
+    * the tick t* maximizing |S_t|, S_t = Σ_{i≤t}(x_i − μ) — where the
+    * cumulative deviation from the series mean peaks, i.e. the
+    * maximum-likelihood location of a single mean shift. The
+    * level-shift sibling of [[rollingZScore]] (which flags local
+    * spikes; CUSUM finds WHERE the baseline moved — the "did the feed
+    * change on the 14th?" question).
+    *
+    * Exactness: μ = T/N never materializes — the statistic is scaled
+    * by N (|N·C_t − t·T|, C_t the cumulative count), so every compared
+    * value is an exact integer product and the argmax (ties → earlier
+    * tick) is engine-exact. Shape: one exchange on the group key
+    * (cumulative window + rank window share it); the per-group totals
+    * broadcast. Long bound: N·C_t ≤ days × total — safe to ~10⁹ rows
+    * per group-tick series.
+    *
+    * Output: (group, cp_tick, n_at_cp, scaled_dev, max_dev) — one row
+    * per group; max_dev = scaled_dev / N is the unscaled |S_t*|. */
+  def cusumChangepoint(counts: DataFrame, groupCol: String,
+                       tickCol: String, nCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(tickCol))
+    val cum = counts
+      .withColumn("tindex", row_number().over(w).cast("long"))
+      .withColumn("ct", sum(col(nCol)).over(w))
+    val tot = counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("nn"), sum(col(nCol)).as("tt"))
+    cum.join(broadcast(tot), Seq(groupCol))
+      .withColumn("sdev",
+        abs(col("ct") * col("nn") - col("tindex") * col("tt")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("sdev").desc,
+          col(tickCol).asc)))
+      .filter(col("rn") === 1)
+      .select(col(groupCol), col(tickCol).as("cp_tick"),
+        col(nCol).as("n_at_cp"), col("sdev").as("scaled_dev"),
+        round(col("sdev").cast("double") / col("nn").cast("double"), 4)
+          .as("max_dev"))
+  }
+
   /** Pearson chi-squared statistic of independence between two
     * categorical columns — the association monitor beside [[ksDrift]]:
     * KS watches ONE distribution move between batches; this watches two

@@ -814,6 +814,25 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(byQ.values.forall(_ == (1 to 5)), byQ.toMap.toString)
   }
 
+  // ---- ValidationOps.cusumChangepoint ----
+
+  test("cusumChangepoint locates a hand-traced mean shift exactly") {
+    // counts [1,1,1,9,9,9]: N=6, T=30; |6·C_t − t·30| peaks at t=3
+    // (value 72) — the last tick before the jump
+    val counts = Seq(("a", 0L, 1L), ("a", 1L, 1L), ("a", 2L, 1L),
+      ("a", 3L, 9L), ("a", 4L, 9L), ("a", 5L, 9L)).toDF("g", "tick", "n")
+    val r = ValidationOps.cusumChangepoint(counts, "g", "tick", "n")
+      .select("g", "cp_tick", "n_at_cp", "scaled_dev", "max_dev")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(("a", 2L, 1L, 72L, 12.0)))
+    // flat series: sdev is 0 everywhere → earliest tick wins the tie
+    val flat = Seq(("b", 0L, 5L), ("b", 1L, 5L), ("b", 2L, 5L))
+      .toDF("g", "tick", "n")
+    val f = ValidationOps.cusumChangepoint(flat, "g", "tick", "n")
+      .select("cp_tick", "scaled_dev").as[(Long, Long)].collect()
+    assert(f.toSeq == Seq((0L, 0L)))
+  }
+
   // ---- MultimodalOps.nearDupImages ----
 
   test("nearDupImages pairs payloads sharing >= 4/5 aligned patches") {
