@@ -803,10 +803,12 @@ object SparkEntry {
     }),
 
     "ann_recall" -> ((s, d) => {
-      // recall@5 per pruned path vs the brute-force truth — the answer-
-      // quality number every pruned 100 TB ANN deployment must watch.
-      // The brute set is 50 rows; localCheckpoint so the four semi-joins
-      // read a materialized relation instead of re-running the scan.
+      // recall@5 per approximate path vs the brute-force truth — the
+      // answer-quality number every approximate 100 TB ANN deployment
+      // must watch (sq included: quantization error is its only loss
+      // source, so its recall bounds the pruned paths'). The brute set
+      // is 50 rows; localCheckpoint so the per-path semi-joins read a
+      // materialized relation instead of re-running the scan.
       val emb = t(s, d, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = emb.filter(col("vec_id") < 10)
@@ -825,6 +827,7 @@ object SparkEntry {
             round(col("n_hits") / lit(50.0), 4).as("recall_at_5"))
       rec("ivf", SimilarityOps.ivfTopK(emb, q, k = 5))
         .unionByName(rec("lsh", SimilarityOps.lshTopK(emb, q, k = 5)))
+        .unionByName(rec("sq", SimilarityOps.sqTopK(emb, q, k = 5)))
         .unionByName(rec("pq", SimilarityOps.pqTopK(emb, q, k = 5,
           model = model)))
         .unionByName(rec("ivfpq", SimilarityOps.ivfpqTopK(emb, q, k = 5,
@@ -3204,6 +3207,36 @@ object SparkEntry {
     * full oracle SQL runs as a subquery (DuckDB allows CTEs inside
     * derived tables), the (query_id, nbr_id) sets intersect, and
     * recall = hits / (10 queries × k=5). */
+  /** SQ8 oracle chain: per-dim envelope as dim-ordered lists, the same
+    * quantize → midpoint-reconstruct chain inside an index lambda
+    * (every float literal ::DOUBLE — bare decimals parse as DECIMAL),
+    * then the ordered-fold cosine. Gates `ann_sq_topk` and feeds the
+    * recall harness. */
+  private lazy val annSqSql: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings),
+       |dimstat AS (
+       |  SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+       |  FROM emb, unnest(generate_series(1, 64)) AS t(i) GROUP BY i),
+       |st AS (SELECT list(mn ORDER BY i) AS mns,
+       |        list(mx ORDER BY i) AS mxs FROM dimstat),
+       |rec AS (
+       |  SELECT vec_id AS nbr_id,
+       |   list_transform(e, (x, i) -> CASE WHEN mxs[i] = mns[i] THEN mns[i]
+       |     ELSE mns[i] + (least(255.0::DOUBLE, greatest(0.0::DOUBLE,
+       |       floor((x - mns[i]) * 255.0::DOUBLE / (mxs[i] - mns[i]))))
+       |       + 0.5::DOUBLE) * (mxs[i] - mns[i]) / 256.0::DOUBLE END) AS re
+       |  FROM emb, st),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM emb
+       |      WHERE vec_id < 10),
+       |sc AS (SELECT query_id, nbr_id, ${cosSql("qe", "re")} AS sim
+       |       FROM rec CROSS JOIN q WHERE nbr_id <> query_id),
+       |r AS (SELECT query_id, nbr_id, sim,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM sc)
+       |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
+       |WHERE rank <= 5""".stripMargin
+
   private lazy val annRecallSql: String = {
     def ids(sql: String) = s"SELECT query_id, nbr_id FROM (\n$sql\n) pp"
     def row(name: String, sql: String) =
@@ -3211,7 +3244,7 @@ object SparkEntry {
          | (SELECT count(*) FROM (${ids(sql)}) p
          |    JOIN (${ids(annBruteSql)}) b USING (query_id, nbr_id)) AS n_hits""".stripMargin
     val rows = Seq(
-      "ivf" -> annIvfSql, "lsh" -> annLshSql,
+      "ivf" -> annIvfSql, "lsh" -> annLshSql, "sq" -> annSqSql,
       "pq" -> pqAdcOracleSql(ivfPruned = false),
       "ivfpq" -> pqAdcOracleSql(ivfPruned = true),
       "ivfpq_res" -> pqResidualOracleSql)
@@ -4235,34 +4268,7 @@ object SparkEntry {
 
     "ann_brute_topk" -> annBruteSql,
 
-    // SQ8 replayed: per-dim envelope as dim-ordered lists, the same
-    // quantize → midpoint-reconstruct chain inside an index lambda
-    // (every float literal ::DOUBLE — bare decimals parse as DECIMAL),
-    // then the ordered-fold cosine
-    "ann_sq_topk" ->
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |            FROM embeddings),
-         |dimstat AS (
-         |  SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
-         |  FROM emb, unnest(generate_series(1, 64)) AS t(i) GROUP BY i),
-         |st AS (SELECT list(mn ORDER BY i) AS mns,
-         |        list(mx ORDER BY i) AS mxs FROM dimstat),
-         |rec AS (
-         |  SELECT vec_id AS nbr_id,
-         |   list_transform(e, (x, i) -> CASE WHEN mxs[i] = mns[i] THEN mns[i]
-         |     ELSE mns[i] + (least(255.0::DOUBLE, greatest(0.0::DOUBLE,
-         |       floor((x - mns[i]) * 255.0::DOUBLE / (mxs[i] - mns[i]))))
-         |       + 0.5::DOUBLE) * (mxs[i] - mns[i]) / 256.0::DOUBLE END) AS re
-         |  FROM emb, st),
-         |q AS (SELECT vec_id AS query_id, e AS qe FROM emb
-         |      WHERE vec_id < 10),
-         |sc AS (SELECT query_id, nbr_id, ${cosSql("qe", "re")} AS sim
-         |       FROM rec CROSS JOIN q WHERE nbr_id <> query_id),
-         |r AS (SELECT query_id, nbr_id, sim,
-         |       CAST(row_number() OVER (PARTITION BY query_id
-         |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM sc)
-         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
-         |WHERE rank <= 5""".stripMargin,
+    "ann_sq_topk" -> annSqSql,
 
     // pre-filter replay: the label equi-join prunes before any cosine
     "ann_filtered_topk" ->
