@@ -614,6 +614,35 @@ object SparkEntry {
       // contingency table, zero-cells included, ordered-fold sum
       ValidationOps.chiSquare(t(s, d, "documents"), "lang", "source")),
 
+    "stats_mad" -> ((s, d) => {
+      // median absolute deviation per lang — the robust scale estimate
+      // beside stats_winsorize (one wild outlier moves stddev; MAD
+      // doesn't). Both medians use the exact lower-quantile_disc rule
+      // (stats_group_quantiles convention) on integer n_chars, so the
+      // whole statistic is integer-exact; the deviation pass re-uses
+      // the lang hash partitioning
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+      val wA = Window.partitionBy(col("lang"))
+      val med = docs
+        .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(wA))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n_docs"),
+          max(when(col("r") === floor((col("n") - 1) * 0.5) + 1,
+            col("n_chars"))).as("med"))
+      docs.join(broadcast(med), "lang")
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+        .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("dev"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(wA))
+        .groupBy(col("lang"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("med")).as("median"),
+          max(when(col("r") === floor((col("n") - 1) * 0.5) + 1,
+            col("dev"))).as("mad"))
+    }),
+
     "stats_entropy" -> ((s, d) => {
       // per-source language-mix entropy — the diversity profile a
       // mixture planner reads next to stats_histogram_grouped: H = 0
@@ -1807,6 +1836,34 @@ object SparkEntry {
         .select(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
       ValidationOps.cusumChangepoint(daily, "event_type", "day", "n")
+    }),
+
+    "t13_twa" -> ((s, d) => {
+      // time-weighted average per user (each value holds until the next
+      // event): Σ v·Δt / Σ Δt over the ordered series — the standard
+      // irregular-series aggregate (sensor/price data), where a plain
+      // avg over-weights bursts. Δt is exact integer seconds from one
+      // lead window; the float Σ v·Δt runs as an ordered fold over the
+      // user's ts-sorted contributions so engines agree bit-exactly.
+      // Per-user array state is the same bounded-horizon contract as
+      // the sessionizer buffers
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsec"), col("event_id"))
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(ts AS LONG)").as("tsec"), col("value"))
+        .withColumn("dt", lead(col("tsec"), 1).over(w) - col("tsec"))
+        .filter(col("dt").isNotNull)
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("dt")).as("span_sec"),
+          array_sort(collect_list(struct(col("tsec"), col("event_id"),
+            (col("value") * col("dt").cast("double")).as("vdt"))))
+            .as("arr"))
+        .select(col("user_id"), col("n_holds"), col("span_sec"),
+          round(aggregate(col("arr"), lit(0.0d),
+              (a, x) => a + x.getField("vdt")) /
+            col("span_sec").cast("double"), 6).as("twa"))
     }),
 
     "t5_locf" -> ((s, d) => {
@@ -5471,6 +5528,27 @@ object SparkEntry {
         | round(CAST(sdev AS DOUBLE) / nn, 4) AS max_dev
         |FROM r WHERE rn = 1""".stripMargin,
 
+    // Δt from the same lead window; Σ v·Δt replayed as the identical
+    // (tsec, event_id)-ordered fold
+    "t13_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec, value
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, tsec, value,
+        |   lead(tsec, 1) OVER (PARTITION BY user_id
+        |     ORDER BY tsec, event_id) - tsec AS dt
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, tsec, dt,
+        |       value * CAST(dt AS DOUBLE) AS vdt
+        |      FROM l WHERE dt IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+        | CAST(sum(dt) AS BIGINT) AS span_sec,
+        | round(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list(vdt ORDER BY tsec, event_id)), (a, x) -> a + x)
+        |   / sum(dt), 6) AS twa
+        |FROM f GROUP BY user_id""".stripMargin,
+
     // both propagation rounds replayed with the same majority-rank
     // windows (count desc, label asc — deterministic ties)
     "graph_label_prop" ->
@@ -5772,6 +5850,34 @@ object SparkEntry {
         | round(list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY a, b)),
         |   (acc, x) -> acc + x), 4) AS chi2
         |FROM terms""".stripMargin,
+
+    // both medians via the exact lower-quantile_disc rule — the whole
+    // statistic is integer arithmetic
+    "stats_mad" ->
+      """WITH d AS (SELECT lang, n_chars, doc_id FROM documents),
+        |r1 AS (
+        |  SELECT lang, n_chars,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY n_chars, doc_id) AS r,
+        |   count(*) OVER (PARTITION BY lang) AS n
+        |  FROM d),
+        |m AS (
+        |  SELECT lang, max(n) AS n_docs,
+        |   max(CASE WHEN r = floor((n-1) * 0.5) + 1 THEN n_chars END) AS med
+        |  FROM r1 GROUP BY lang),
+        |r2 AS (
+        |  SELECT d.lang, d.doc_id, abs(n_chars - med) AS dev, med, n_docs
+        |  FROM d JOIN m ON d.lang = m.lang),
+        |r3 AS (
+        |  SELECT lang, dev, med, n_docs,
+        |   row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS r,
+        |   count(*) OVER (PARTITION BY lang) AS n
+        |  FROM r2)
+        |SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        | CAST(max(med) AS BIGINT) AS median,
+        | CAST(max(CASE WHEN r = floor((n-1) * 0.5) + 1 THEN dev END)
+        |   AS BIGINT) AS mad
+        |FROM r3 GROUP BY lang""".stripMargin,
 
     // −Σ p·ln p replayed over the same lang-ordered cells; (−p)*ln(p)
     // vs Spark's acc − p·ln(p): negation is IEEE-exact, identical sums

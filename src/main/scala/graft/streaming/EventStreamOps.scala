@@ -153,10 +153,12 @@ object EventStreamOps {
   /** Event-time sessionization — the replayable variant of
     * [[sessionize]]: a session is emitted only once the WATERMARK passes
     * its close (last event + gap), never on a wall-clock timer. Closing
-    * is STRICT (last + gap < watermark): Spark's late-data filter drops
-    * only events with ts < watermark, so an event at ts == watermark is
-    * still admissible — under a non-strict close it could extend an
-    * already-emitted session. With the strict rule any event that could
+    * is STRICT (last + gap < watermark): treat an event at ts ==
+    * watermark as potentially admissible — observed Spark 4 behavior on
+    * this path actually DROPS the boundary event (see the st_throttle
+    * trace lesson in the verify skill), but strict closing stays correct
+    * under either filter, which is the point of choosing it. With the
+    * strict rule any event that could
     * extend an emitted session has ts ≤ last+gap < watermark and is
     * dropped, so the emitted session set is a pure function of the event
     * times, independent of how the stream is chopped into micro-batches
