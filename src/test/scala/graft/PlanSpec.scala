@@ -60,6 +60,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("budget fill rides one exchange (cumulative window and agg share lang)") {
+    val p = plan("curate_budget")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("time-weighted average rides one exchange on user_id") {
+    val p = plan("t13_twa")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("a15 pivot with explicit values costs one aggregation exchange") {
     val p = plan("a15_pivot")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
