@@ -2360,18 +2360,21 @@ object SparkEntry {
 
     "k15_manifest_skip" -> ((s, d) => {
       // zone-map file skipping: range layout by event_id, per-file
-      // min/max manifest, then scan ONLY the files intersecting the
-      // middle [max/4, max/2] band; the oracle's full-scan filter proves
-      // pruning dropped nothing (files-read < files-total is pinned in
-      // Round9OpsSpec)
+      // min/max manifest persisted as a TABLE next to the data, then scan
+      // ONLY the files intersecting the middle [max/4, max/2] band — the
+      // intersection runs as a distributed filter over the manifest table
+      // (LayoutOps.manifestPrunedScanTable), so the driver only ever sees
+      // the matched paths; the oracle's full-scan filter proves pruning
+      // dropped nothing (files-read < files-total pinned in Round9OpsSpec)
       val ev = t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("value"))
       val dir = java.nio.file.Files.createTempDirectory("graft_k15")
         .toString + "/ev"
       LayoutOps.writeRangeLayout(ev, "event_id", dir, numFiles = 8)
+      LayoutOps.writeManifestTable(s, dir, "event_id")
       val mx = ev.agg(max(col("event_id"))).first().getLong(0)
-      val (pruned, _, _) =
-        LayoutOps.manifestPrunedScan(s, dir, "event_id", mx / 4, mx / 2)
+      val (pruned, _) =
+        LayoutOps.manifestPrunedScanTable(s, dir, "event_id", mx / 4, mx / 2)
       pruned.agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
         round(sum(col("value")), 2).as("sum_value"))

@@ -13,22 +13,54 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Layout-compat confs, applied on every load so timestamp typing is
+    * deterministic regardless of which table a session touches first:
+    * nanosAsLong surfaces legacy TIMESTAMP(NANOS) files as int64 instead
+    * of erroring; inferTimestampNTZ=false reads µs timestamps written
+    * with isAdjustedToUTC=false as TimestampType (session tz is UTC
+    * everywhere, so values are identical) — keeping filter pushdown and
+    * the engine's historical timestamp semantics. */
+  private def compatConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    compatConfs(spark)
     if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-      // rejects; read the raw int64 nanos and truncate to microseconds
-      // (TimestampType precision — `div`, not `/`, since epoch-nanos
-      // exceed double's 2^53 integer range).
-      // Known pushdown cost of this workaround: predicates on the derived
-      // `ts` cannot reach the parquet scan (row-group stats pruning is
-      // lost). A production table written with µs timestamps gets the
-      // pushdown for free — [[eventsMicros]] is that layout, with a
-      // PlanSpec test pinning the PushedFilters claim; this is a
-      // testdata-format artifact, not an operator-design choice.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // The events table has shipped in two layouts: TIMESTAMP(NANOS)
+      // (which Spark's reader rejects unless surfaced as raw int64 via
+      // nanosAsLong) and a standard µs timestamp. Adapt to whichever is
+      // on disk instead of assuming one.
+      //  - nanosAsLong=true: a nanos file reads as LongType; truncate to
+      //    µs (`div`, not `/` — epoch-nanos exceed double's 2^53 range).
+      //    Pushdown cost: `ts` predicates can't reach the scan; the
+      //    [[eventsMicros]] rewrite restores that.
+      //  - inferTimestampNTZ=false: a µs file without isAdjustedToUTC
+      //    reads as TimestampType (session tz is UTC everywhere), keeping
+      //    the pre-existing query semantics AND scan-level pushdown —
+      //    no cast sits between the filter and the parquet scan.
+      val raw = eventsRaw(spark, sfDir)
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** True when the on-disk events table uses the legacy TIMESTAMP(NANOS)
+    * layout (surfaced as int64 by nanosAsLong) rather than standard µs. */
+  def eventsIsNanos(spark: SparkSession, sfDir: String): Boolean =
+    eventsRaw(spark, sfDir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+
+  /** Raw events read with both layout-compat confs set; `ts` comes back
+    * as LongType (nanos file) or TimestampType (µs file). */
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    compatConfs(spark)
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
 
   /** Register every test table as a temp view (S18 loader surface). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
@@ -54,6 +86,11 @@ object Tables {
         java.lang.Long.rotateLeft(acc, 7) ^ fingerprint(k)
       }
     }
+    // If the on-disk table is already µs-timestamped, the direct read IS
+    // the production layout — pushdown works, no rewrite needed.
+    val raw = eventsRaw(spark, sfDir)
+    if (raw.schema("ts").dataType !=
+        org.apache.spark.sql.types.LongType) return raw
     val src = new java.io.File(sfDir, "events.parquet")
     val key = Integer.toHexString(
       new java.io.File(sfDir).getAbsolutePath.hashCode) + "-" +

@@ -33,15 +33,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)]"), p)
   }
 
-  test("events µs variant restores parquet pushdown for ts predicates") {
-    // the nanos workaround reads raw int64 and derives ts, so its scan
-    // cannot prune row groups on ts…
-    val nanos = plan("p3_time_range")
-    assert(!nanos.contains("GreaterThanOrEqual(ts"), nanos)
-    // …the µs rewrite (production layout) pushes both bounds to the scan
+  test("events ts predicates reach the parquet scan (µs path)") {
+    // µs-layout scan (direct read or eventsMicros rewrite) pushes both
+    // bounds to the scan — row-group stats pruning works
     val us = plan("p3_time_range_us")
     assert(us.contains("IsNotNull(ts)") &&
       us.contains("GreaterThanOrEqual(ts,") && us.contains("LessThan(ts,"), us)
+    val direct = plan("p3_time_range")
+    if (Tables.eventsIsNanos(spark, sf)) {
+      // legacy nanos layout: ts is derived from raw int64, so the direct
+      // scan cannot prune on it — only the rewrite above can
+      assert(!direct.contains("GreaterThanOrEqual(ts"), direct)
+    } else {
+      // µs layout on disk: the direct read pushes down too
+      assert(direct.contains("GreaterThanOrEqual(ts,"), direct)
+    }
   }
 
   test("w1 window shuffles once on the partition key") {
