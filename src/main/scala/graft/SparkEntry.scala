@@ -838,29 +838,49 @@ object SparkEntry {
       // source, so its recall bounds the pruned paths'). The brute set
       // is 50 rows; localCheckpoint so the per-path semi-joins read a
       // materialized relation instead of re-running the scan.
+      // the corpus is read ONCE: localCheckpoint materializes the cast
+      // vectors so each of the seven path subtrees (brute + six
+      // approximate) scans in-memory blocks instead of re-running the
+      // parquet scan + cast — results unchanged, only the cost moves.
+      // ALL checkpoints here are LAZY (eager = false): they still
+      // materialize once (local checkpointing caches partitions on
+      // first compute), but inside the single result job instead of as
+      // a string of eager scheduling-overhead-bound mini-jobs —
+      // measured best of the eager/lazy/hybrid variants at sf0.1
+      // (6.2 s vs 7.1-7.4 s; PLANS.md round-10 entry).
       val emb = t(s, d, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
+        .localCheckpoint(eager = false)
       val q = emb.filter(col("vec_id") < 10)
       val brute = SimilarityOps.bruteForceTopK(emb, q, k = 5)
-        .select("query_id", "nbr_id").localCheckpoint()
-      // train the PQ model ONCE; the exhaustive and coarse-pruned paths
-      // reuse it (training is deterministic, so results are unchanged —
-      // only the cost moves). The residual path necessarily trains its
-      // own codebooks on residuals.
+        .select("query_id", "nbr_id").localCheckpoint(eager = false)
+      // shared stages across paths (all deterministic, so results are
+      // identical — only the cost moves): the PQ model trains ONCE for
+      // the exhaustive and coarse-pruned ADC paths (the residual path
+      // necessarily trains its own codebooks on residuals), and the IVF
+      // coarse-centroid pick is computed once for ivf + ivfpq
       val model = Some(SimilarityOps.pqTrain(emb))
+      val centsDf = SimilarityOps.ivfCentroids(emb)
+        .localCheckpoint(eager = false)
+      val cents = Some(centsDf)
+      // cell assignment is also shared: one corpus×centroids cosine pass
+      // serves both the ivf and ivfpq paths
+      val cells = Some(SimilarityOps.ivfCellAssign(emb, centsDf)
+        .localCheckpoint(eager = false))
       def rec(name: String, df: DataFrame): DataFrame =
         df.select("query_id", "nbr_id")
           .join(brute, Seq("query_id", "nbr_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(name).as("path"), col("n_hits"),
             round(col("n_hits") / lit(50.0), 4).as("recall_at_5"))
-      rec("ivf", SimilarityOps.ivfTopK(emb, q, k = 5))
+      rec("ivf", SimilarityOps.ivfTopK(emb, q, k = 5, cents0 = cents,
+        cells0 = cells))
         .unionByName(rec("lsh", SimilarityOps.lshTopK(emb, q, k = 5)))
         .unionByName(rec("sq", SimilarityOps.sqTopK(emb, q, k = 5)))
         .unionByName(rec("pq", SimilarityOps.pqTopK(emb, q, k = 5,
           model = model)))
         .unionByName(rec("ivfpq", SimilarityOps.ivfpqTopK(emb, q, k = 5,
-          model = model)))
+          model = model, cents0 = cents, cells0 = cells)))
         .unionByName(rec("ivfpq_res",
           SimilarityOps.ivfpqResidualTopK(emb, q, k = 5)))
     }),

@@ -62,10 +62,10 @@ object ClusterOps {
     val e = emb.select(col("vec_id"), col("embedding"))
     var centroids = recompute(
       e, e.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("cluster")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var assigned = assign(e, centroids)
     for (_ <- 1 until iters) {
-      centroids = recompute(e, assigned).localCheckpoint()
+      centroids = recompute(e, assigned).localCheckpoint(eager = false)
       assigned = assign(e, centroids)
     }
     (centroids, assigned)

@@ -117,16 +117,40 @@ object SimilarityOps {
     * partition the corpus, so the scored set shrinks by ~nCentroids/nProbe.
     * (Deterministic centroid choice — every ~N/nCentroids-th vector —
     * keeps results reproducible without a k-means iteration.) */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 3): DataFrame = {
-    // deterministic pseudo-random centroid pick with no assumptions about
-    // id density: order by a hash of the id and take the first
-    // nCentroids — orderBy+limit plans as TakeOrderedAndProject (one
-    // pass, per-partition top-k heaps), no global sort shuffle
-    val cents = corpus
+  /** Deterministic pseudo-random IVF coarse-centroid pick with no
+    * assumptions about id density: order by a hash of the id and take
+    * the first nCentroids — orderBy+limit plans as
+    * TakeOrderedAndProject (one pass, per-partition top-k heaps), no
+    * global sort shuffle. Shared by [[ivfTopK]]/[[ivfpqTopK]]; callers
+    * composing several paths over one corpus (ann_recall) compute it
+    * once and pass it to both via `cents` — results are unchanged
+    * (same deterministic pick), only the cost moves. */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int = 16): DataFrame =
+    corpus
       .orderBy(hash32Col(col("vec_id") + lit(1L)), col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
+  /** Corpus-side nearest-cell assignment (vec_id, cent_id, embedding):
+    * one broadcast cosine pass + per-id argmax hash aggregation
+    * (map-side combine collapses each id's nCentroids rows BEFORE the
+    * shuffle; ties break to the smallest cent_id). Shared by
+    * [[ivfTopK]]/[[ivfpqTopK]] via their `cells0` parameter so a
+    * multi-path composition (ann_recall) assigns cells once. */
+  def ivfCellAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("embedding"), col("cent_emb")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("embedding").as("e")),
+        struct(col("csim"), lit(0L) - col("cent_id"))).as("b"))
+      .select(col("vec_id"), col("b.cent_id").as("cent_id"),
+        col("b.e").as("embedding"))
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 3,
+              cents0: Option[DataFrame] = None,
+              cells0: Option[DataFrame] = None): DataFrame = {
+    val cents = cents0.getOrElse(ivfCentroids(corpus, nCentroids))
     def assign(df: DataFrame, idCol: String, embCol: String, keep: Int) = {
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("csim", cosine(col(embCol), col("cent_emb")))
@@ -147,9 +171,12 @@ object SimilarityOps {
           .filter(col("crank") <= keep)
           .drop("cent_emb", "csim", "crank")
     }
-    val cells = assign(
-      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb")),
-      "nbr_id", "nbr_emb", keep = 1)
+    val cells = cells0
+      .map(_.select(col("vec_id").as("nbr_id"), col("cent_id"),
+        col("embedding").as("nbr_emb")))
+      .getOrElse(assign(
+        corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb")),
+        "nbr_id", "nbr_emb", keep = 1))
     val probes = assign(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       "query_id", "q_emb", keep = nProbe)
@@ -376,16 +403,18 @@ object SimilarityOps {
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nCentroids: Int = 16, nProbe: Int = 3,
                 m: Int = 8, codes: Int = 16, dims: Int = 64,
-                model: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    val cents = corpus
-      .orderBy(hash32Col(col("vec_id") + lit(1L)), col("vec_id"))
-      .limit(nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    val cscore = corpus.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("embedding"), col("cent_emb")))
-    val cells = cscore.groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(col("csim"), lit(0L) - col("cent_id")))
-        .as("cent_id"))
+                model: Option[(DataFrame, DataFrame)] = None,
+                cents0: Option[DataFrame] = None,
+                cells0: Option[DataFrame] = None): DataFrame = {
+    val cents = cents0.getOrElse(ivfCentroids(corpus, nCentroids))
+    val cells = cells0.map(_.select(col("vec_id"), col("cent_id")))
+      .getOrElse {
+        corpus.crossJoin(broadcast(cents))
+          .withColumn("csim", cosine(col("embedding"), col("cent_emb")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cent_id"),
+            struct(col("csim"), lit(0L) - col("cent_id"))).as("cent_id"))
+      }
     val probes = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
       .crossJoin(broadcast(cents))
@@ -428,7 +457,7 @@ object SimilarityOps {
               dims: Int = 64): (DataFrame, DataFrame) = {
     val (cb, enc) = pqCodebookEncode(
       corpus.select(col("vec_id"), col("embedding")), m, codes, dims)
-    (cb, enc.localCheckpoint())
+    (cb, enc.localCheckpoint(eager = false))
   }
 
   private def pqCodebookEncode(vectors: DataFrame, m: Int, codes: Int,
@@ -453,8 +482,8 @@ object SimilarityOps {
 
     val init = subs.select(col("vec_id"), col("s"),
       pmod(col("vec_id"), lit(codes.toLong)).as("code"))
-    val cent1 = recompute(init).localCheckpoint()
-    val cent2 = recompute(assign(cent1)).localCheckpoint()
+    val cent1 = recompute(init).localCheckpoint(eager = false)
+    val cent2 = recompute(assign(cent1)).localCheckpoint(eager = false)
     (cent2, assign(cent2))
   }
 
@@ -546,7 +575,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("b.cent_id").as("cent_id"),
         zip_with(col("b.embedding"), col("b.cent_emb"),
           (a, b) => a - b).as("resid"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val (cent2, encoded) = pqCodebookEncode(
       cellsFull.select(col("vec_id"), col("resid").as("embedding")),
       m, codes, dims)
