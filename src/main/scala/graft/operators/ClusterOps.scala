@@ -62,10 +62,10 @@ object ClusterOps {
     val e = emb.select(col("vec_id"), col("embedding"))
     var centroids = recompute(
       e, e.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("cluster")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var assigned = assign(e, centroids)
     for (_ <- 1 until iters) {
-      centroids = recompute(e, assigned).localCheckpoint(eager = false)
+      centroids = recompute(e, assigned).localCheckpoint()
       assigned = assign(e, centroids)
     }
     (centroids, assigned)
