@@ -414,7 +414,12 @@ object SparkEntry {
       // downstream trainer consumes; each stage is the already-gated
       // operator, composed
       graft.plans.GraftSparkExtensions.install(s)
-      val docs = t(s, d, "documents")
+      // the document relation feeds four gate subtrees (quality base,
+      // contamination, exact dedup, near-dup CC) — materialize the scan
+      // once, eagerly: the CC fixpoint runs per-round jobs, so the
+      // shared input must be cached BEFORE concurrent consumers race to
+      // compute it (same lesson as the k-means round checkpoints)
+      val docs = t(s, d, "documents").localCheckpoint()
       val base = docs.select(col("doc_id"),
         (size(TermOps.tokens(col("text"))) < 20).as("low_q"),
         pmod(expr("fnv64(concat(cast(doc_id as string), '#split'))")

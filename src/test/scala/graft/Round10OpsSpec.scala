@@ -47,4 +47,26 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(nRead == 0 && pruned.count() == 0)
     assert(pruned.columns.toSeq == Seq("id", "g"))
   }
+
+  // ---- shared IVF stages: the cents0/cells0 fast path is an identity ----
+
+  test("ivfTopK and ivfpqTopK return identical results with and without " +
+    "shared cents/cells (the ann_recall sharing refactor is a no-op on " +
+    "values)") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") < 10)
+    val cents = SimilarityOps.ivfCentroids(emb).localCheckpoint()
+    val cells = SimilarityOps.ivfCellAssign(emb, cents).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("nbr_id"), col("rank"))
+        .collect().map(_.toSeq).toSet
+    assert(rows(SimilarityOps.ivfTopK(emb, q, k = 5)) ==
+      rows(SimilarityOps.ivfTopK(emb, q, k = 5,
+        cents0 = Some(cents), cells0 = Some(cells))))
+    assert(rows(SimilarityOps.ivfpqTopK(emb, q, k = 5)) ==
+      rows(SimilarityOps.ivfpqTopK(emb, q, k = 5,
+        cents0 = Some(cents), cells0 = Some(cells))))
+  }
 }
