@@ -500,6 +500,13 @@ object SparkEntry {
       PackOps.packSequences(t(s, d, "documents"), "doc_id", "text",
         "source", budget = 2048)),
 
+    "pack_chunks" -> ((s, d) =>
+      // sliding-window chunking (RAG / long-context windows): 64-token
+      // windows advancing by 48 (16-token overlap), tail covered by the
+      // start grid; pure map + generator — zero exchanges (PlanSpec pin)
+      PackOps.chunkWindows(t(s, d, "documents"), "doc_id", "text",
+        winTokens = 64, strideTokens = 48)),
+
     "dedup_spans" -> ((s, d) =>
       // exact-substring-dedup signal (Lee et al. 2021) at 8-token
       // window granularity: per-doc duplicated-window fraction
@@ -3882,6 +3889,26 @@ object SparkEntry {
         |SELECT shard, doc_id, n_tokens, tok_start,
         | tok_start // 2048 AS seq_id
         |FROM o""".stripMargin,
+
+    // win=64 stride=48; DuckDB list slice tk[a:b] is 1-based inclusive
+    // and clamps past the end, matching Spark's slice(toks, start, len)
+    "pack_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     x -> x <> '') AS tk
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+        |starts AS (
+        |  SELECT doc_id, tk,
+        |   unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS i
+        |  FROM base)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        | CAST(i * 48 AS INT) AS tok_start,
+        | CAST(len(tk[i*48+1 : i*48+64]) AS INT) AS n_tokens,
+        | array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
+        |FROM starts""".stripMargin,
 
     // every 8-token window, duplicated = exact content occurs >= 2 times
     // corpus-wide (positions count, not distinct grams)

@@ -143,4 +143,42 @@ object PackOps {
       .select(col("source"), col("n_docs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** Sliding-window document chunking — the RAG-retrieval / long-context
+    * training-window op: each document's token array is cut into windows
+    * of `winTokens` tokens advancing by `strideTokens` (overlap =
+    * win − stride), with the LAST window anchored so the tail is always
+    * covered: starts are 0, s, 2s, …, ceil(max(0, n−win)/s)·s.
+    * Documents with no tokens produce no chunks.
+    *
+    * Pure map + generator — tokenize, build the start list with
+    * `sequence`, `posexplode`, `slice` — zero exchanges, zero UDFs
+    * (pinned in PlanSpec), so it scales as a linear pass like
+    * embed_project. Deterministic closed-form start rule (no
+    * accumulated state), so any engine replays the identical chunking —
+    * the property that keeps retrieval indexes and training shards
+    * rebuildable from scratch.
+    *
+    * Output: (doc_id, chunk_idx, tok_start, n_tokens, chunk_text). */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   winTokens: Int, strideTokens: Int): DataFrame = {
+    require(winTokens > 0 && strideTokens > 0 && strideTokens <= winTokens,
+      s"need 0 < stride <= win, got win=$winTokens stride=$strideTokens")
+    val toks = TermOps.tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      // last start covers the tail: ceil(max(0, n-win)/stride), integral
+      .withColumn("starts", sequence(lit(0),
+        expr(s"(greatest(n - $winTokens, 0) + $strideTokens - 1) div $strideTokens")))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(col("starts"),
+          i => slice(col("toks"), i * strideTokens + 1, lit(winTokens))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * strideTokens).as("tok_start"),
+        size(col("chunk")).as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
 }

@@ -50,6 +50,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_chunks is a pure map + generator: zero exchanges") {
+    val p = plan("pack_chunks")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("w1 window shuffles once on the partition key") {
     val p = plan("w1_lag_pairs")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)

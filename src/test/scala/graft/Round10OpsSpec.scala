@@ -69,4 +69,26 @@ class Round10OpsSpec extends AnyFunSuite {
       rows(SimilarityOps.ivfpqTopK(emb, q, k = 5,
         cents0 = Some(cents), cells0 = Some(cells))))
   }
+
+  // ---- sliding-window chunking ----
+
+  test("chunkWindows covers every token, honors the stride grid, and " +
+    "skips empty docs") {
+    import graft.operators.PackOps
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10: start grid 0,4
+      (2L, "a b c"),                                  // n=3 < win: one chunk
+      (3L, ""),                                       // empty: no chunks
+      (4L, (1 to 8).map(i => s"u$i").mkString(" ")))  // n=8=win: one chunk
+      .toDF("doc_id", "text")
+    val out = PackOps.chunkWindows(docs, "doc_id", "text",
+      winTokens = 8, strideTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).toList.sorted
+    assert(out == List(
+      (1L, 0, 0, 8, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (1L, 1, 4, 6, "t5 t6 t7 t8 t9 t10"),
+      (2L, 0, 0, 3, "a b c"),
+      (4L, 0, 0, 8, "u1 u2 u3 u4 u5 u6 u7 u8")), out.toString)
+  }
 }
