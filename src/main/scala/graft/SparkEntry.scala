@@ -1688,6 +1688,17 @@ object SparkEntry {
         t(s, d, "documents").filter(col("doc_id") % 13 === 0),
         "doc_id", "text", dim = 256)),
 
+    "text_oov_rate" -> ((s, d) => {
+      // tokenizer-vocabulary coverage: OOV fraction per doc against the
+      // corpus dictionary (minDf ≥ 5) — the go/no-go before committing
+      // a tokenizer; vocab is bounded so it broadcasts, corpus pays one
+      // doc-keyed exchange
+      val docs = t(s, d, "documents")
+      TextAnalysisOps.oovProfile(docs, "doc_id", "text",
+        TermOps.termStats(docs, "doc_id", "text", minDf = 5L)
+          .select(col("term")))
+    }),
+
     "text_distinctive" -> ((s, d) => {
       // per-lang distinctive terms: rank by lang-tf / corpus-df — the
       // integer-rational tf-idf proxy (one exact-rounded division, so
@@ -5675,6 +5686,21 @@ object SparkEntry {
         |SELECT 'in' AS side, CAST(length(bin(deg)) - 1 AS INT) AS log2_deg,
         | CAST(count(*) AS BIGINT) AS n_nodes
         |FROM i GROUP BY log2_deg""".stripMargin,
+
+    "text_oov_rate" ->
+      s"""WITH dict AS (
+         |  SELECT term FROM ($tfSub) GROUP BY term HAVING count(*) >= 5),
+         |toks AS (
+         |  SELECT doc_id, term FROM ($tokensSub) WHERE term <> ''),
+         |j AS (
+         |  SELECT t.doc_id,
+         |   CASE WHEN d.term IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM toks t LEFT JOIN dict d USING (term))
+         |SELECT doc_id, count(*) AS n_tokens,
+         | CAST(sum(oov) AS BIGINT) AS n_oov,
+         | round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+         |  AS oov_rate
+         |FROM j GROUP BY doc_id""".stripMargin,
 
     "text_distinctive" ->
       """WITH toks AS (

@@ -265,4 +265,33 @@ object TextAnalysisOps {
       round(lit(1.0) - size(array_distinct(sh)).cast("double") /
         (size(toks) - lit(k - 1)).cast("double"), 4))
   }
+
+  /** Tokenizer-vocabulary coverage per document (OOV-rate profile): the
+    * fraction of a doc's tokens outside `vocab` — the go/no-go check
+    * before committing a tokenizer to a corpus (a high-OOV shard wastes
+    * context on byte-fallback tokens, and a rising OOV rate on fresh
+    * crawls signals vocabulary drift).
+    *
+    * Scale shape: a tokenizer vocabulary is bounded (10^4-10^6 terms)
+    * regardless of corpus size, so it BROADCASTS; the corpus side is one
+    * explode + broadcast left join + one doc-keyed aggregation exchange.
+    * The rate divides two exact integers, so both engines compute the
+    * identical double before rounding.
+    *
+    * Output: (doc_id, n_tokens, n_oov, oov_rate). Token-less docs drop
+    * out (no explode rows), mirroring the oracle's inner token set. */
+  def oovProfile(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TermOps.tokens(col(textCol))).as("term"))
+    val v = vocab.select(col("term")).distinct()
+      .withColumn("in_v", lit(1))
+    toks.join(broadcast(v), Seq("term"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") /
+          col("n_tokens").cast("double"), 4).as("oov_rate"))
+  }
 }

@@ -50,6 +50,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text_oov_rate broadcasts the vocabulary: corpus tokens never " +
+    "shuffle for the membership join") {
+    val p = plan("text_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // three hash exchanges total, ALL on bounded/rolled-up relations:
+    // the vocab build's (doc,term) distinct + term df agg, and the
+    // final doc-keyed rollup — the exploded corpus token stream itself
+    // joins map-side and never shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p)
+  }
+
   test("pack_chunks is a pure map + generator: zero exchanges") {
     val p = plan("pack_chunks")
     assert(!p.contains("Exchange"), p)
