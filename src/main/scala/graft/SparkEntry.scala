@@ -1688,6 +1688,13 @@ object SparkEntry {
         t(s, d, "documents").filter(col("doc_id") % 13 === 0),
         "doc_id", "text", dim = 256)),
 
+    "sample_dsir" -> ((s, d) =>
+      // DSIR importance weights: raw corpus vs the deterministic
+      // doc_id % 7 target slice (stand-in for the curated/in-domain
+      // corpus a production run would point at); selection = top-weight
+      TextAnalysisOps.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("doc_id") % 7 === 0)),
+
     "text_oov_rate" -> ((s, d) => {
       // tokenizer-vocabulary coverage: OOV fraction per doc against the
       // corpus dictionary (minDf ≥ 5) — the go/no-go before committing
@@ -5686,6 +5693,33 @@ object SparkEntry {
         |SELECT 'in' AS side, CAST(length(bin(deg)) - 1 AS INT) AS log2_deg,
         | CAST(count(*) AS BIGINT) AS n_nodes
         |FROM i GROUP BY log2_deg""".stripMargin,
+
+    // dim=256; add-one smoothing; ln on identical doubles both sides.
+    // Bucket convention shared with featureHashSql (h % 256 == the
+    // Spark side's fnv64 & 255 — h is the non-negative folded FNV)
+    "sample_dsir" ->
+      s"""WITH tf AS ($tfSub),
+         |hb AS (SELECT doc_id, CAST(${fnvSql("term")} % 256 AS INT)
+         |         AS bucket, tf FROM tf),
+         |tb AS (SELECT doc_id, bucket, CAST(sum(tf) AS BIGINT) AS c
+         |       FROM hb GROUP BY doc_id, bucket),
+         |rawb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS rc
+         |         FROM tb GROUP BY bucket),
+         |tgtb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS tc
+         |         FROM tb WHERE doc_id % 7 = 0 GROUP BY bucket),
+         |cnts AS (SELECT r.bucket, r.rc, coalesce(t.tc, 0) AS tc
+         |         FROM rawb r LEFT JOIN tgtb t USING (bucket)),
+         |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+         |         CAST(sum(tc) AS BIGINT) AS ttot FROM cnts),
+         |lr AS (SELECT bucket,
+         |        ln(CAST(tc + 1 AS DOUBLE) / CAST(ttot + 256 AS DOUBLE)) -
+         |        ln(CAST(rc + 1 AS DOUBLE) / CAST(rtot + 256 AS DOUBLE))
+         |         AS lr
+         |       FROM cnts CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         | round(sum(CAST(c AS DOUBLE) * lr) / CAST(sum(c) AS DOUBLE), 4)
+         |  AS dsir_w
+         |FROM tb JOIN lr USING (bucket) GROUP BY doc_id""".stripMargin,
 
     "text_oov_rate" ->
       s"""WITH dict AS (

@@ -280,6 +280,55 @@ object TextAnalysisOps {
     *
     * Output: (doc_id, n_tokens, n_oov, oov_rate). Token-less docs drop
     * out (no explode rows), mirroring the oracle's inner token set. */
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): per-document mean log-likelihood ratio between a
+    * TARGET distribution (the high-quality / in-domain corpus you want
+    * more of) and the RAW corpus, both modeled as hashed-unigram bags
+    * with add-one smoothing. Selecting top-weight (or
+    * weight-proportional) documents tilts the raw corpus toward the
+    * target — the standard cheap alternative to classifier-based
+    * selection.
+    *
+    * Scale shape: both bucket tables and their totals are bounded by
+    * `dim` regardless of corpus size, so the log-ratio table BROADCASTS;
+    * the corpus pays one (doc, bucket) aggregation (map-side combined —
+    * ≤ dim rows per doc survive the partial agg) and one doc-keyed
+    * rollup. All counts are exact integers; the two `log` calls run on
+    * identical doubles in any engine (`fnv64` bucket convention shared
+    * with [[TermOps.featureHash]]).
+    *
+    * Output: (doc_id, n_tokens, dsir_w) — dsir_w is the mean per-token
+    * log ratio, rounded; > 0 reads "more target-like than raw". */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, dim: Int = 256): DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two, got $dim")
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    val tb = docs.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+        explode(TermOps.tokens(col(textCol))).as("term"))
+      .withColumn("bucket",
+        expr("fnv64(term)").bitwiseAND(lit(dim - 1L)).cast("int"))
+      .groupBy(col("doc_id"), col("tgt"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val rawB = tb.groupBy(col("bucket")).agg(sum(col("c")).as("rc"))
+    val tgtB = tb.filter(col("tgt"))
+      .groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
+    val counts = rawB.join(tgtB, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("tc"))
+    val tot = counts.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
+    val lr = counts.crossJoin(broadcast(tot)).select(col("bucket"),
+      (log((col("tc") + lit(1L)).cast("double") /
+           (col("ttot") + lit(dim.toLong)).cast("double")) -
+       log((col("rc") + lit(1L)).cast("double") /
+           (col("rtot") + lit(dim.toLong)).cast("double"))).as("lr"))
+    tb.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("c").cast("double") * col("lr")) /
+          sum(col("c")).cast("double"), 4).as("dsir_w"))
+  }
+
   def oovProfile(docs: DataFrame, idCol: String, textCol: String,
                  vocab: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

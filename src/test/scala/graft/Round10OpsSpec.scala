@@ -91,4 +91,27 @@ class Round10OpsSpec extends AnyFunSuite {
       (2L, 0, 0, 3, "a b c"),
       (4L, 0, 0, 8, "u1 u2 u3 u4 u5 u6 u7 u8")), out.toString)
   }
+
+  // ---- DSIR importance weights ----
+
+  test("dsirWeights ranks every target-vocabulary document above every " +
+    "raw-only one, and weights are target-sign-correct") {
+    import graft.operators.TextAnalysisOps
+    // target slice (doc_id % 4 == 0) speaks a distinctive vocabulary;
+    // the rest of the corpus speaks filler — importance weights must
+    // separate the two populations with positive target-side weights
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 4 == 0) "quantum flux lattice gauge boson"
+          else "common filler words appear here often")
+    }.toDF("doc_id", "text")
+    val m = TextAnalysisOps.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("doc_id") % 4 === 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m.size == 40)
+    val tgt = (1L to 40L).filter(_ % 4 == 0).map(m)
+    val raw = (1L to 40L).filter(_ % 4 != 0).map(m)
+    assert(tgt.min > raw.max,
+      s"target min ${tgt.min} should exceed raw max ${raw.max}")
+    assert(tgt.forall(_ > 0) && raw.forall(_ < 0), m.toString)
+  }
 }
