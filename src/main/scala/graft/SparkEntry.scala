@@ -1695,6 +1695,19 @@ object SparkEntry {
       TextAnalysisOps.dsirWeights(t(s, d, "documents"), "doc_id", "text",
         isTarget = col("doc_id") % 7 === 0)),
 
+    "text_token_count" -> ((s, d) => {
+      // token-budget estimation per doc: whitespace words vs the
+      // GPT-2-ish pre-tokenizer split (TermOps.Bpe) — the context-window
+      // planning number; pure map, zero exchanges
+      val ws = size(TermOps.tokens(col("text")))
+      val bpe = size(TermOps.tokens(col("text"), TermOps.Bpe))
+      t(s, d, "documents").select(col("doc_id"),
+        ws.as("n_ws"), bpe.as("n_bpe"),
+        when(ws === 0, lit(0.0))
+          .otherwise(round(bpe.cast("double") / ws.cast("double"), 4))
+          .as("bpe_per_ws"))
+    }),
+
     "text_oov_rate" -> ((s, d) => {
       // tokenizer-vocabulary coverage: OOV fraction per doc against the
       // corpus dictionary (minDf ≥ 5) — the go/no-go before committing
@@ -5693,6 +5706,24 @@ object SparkEntry {
         |SELECT 'in' AS side, CAST(length(bin(deg)) - 1 AS INT) AS log2_deg,
         | CAST(count(*) AS BIGINT) AS n_nodes
         |FROM i GROUP BY log2_deg""".stripMargin,
+
+    // same lookahead-free GPT-2-ish pattern (TermOps.BpePattern) — Java
+    // regex and RE2 both run it with leftmost-first alternation
+    "text_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |   x -> x <> '')) AS INT) AS n_ws,
+        | CAST(len(list_filter(regexp_extract_all(lower(text),
+        |   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+        |   x -> x <> '')) AS INT) AS n_bpe,
+        | CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |   x -> x <> '')) = 0 THEN 0.0
+        |  ELSE round(CAST(len(list_filter(regexp_extract_all(lower(text),
+        |   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+        |   x -> x <> '')) AS DOUBLE) /
+        |   CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |   x -> x <> '')) AS DOUBLE), 4) END AS bpe_per_ws
+        |FROM documents""".stripMargin,
 
     // dim=256; add-one smoothing; ln on identical doubles both sides.
     // Bucket convention shared with featureHashSql (h % 256 == the

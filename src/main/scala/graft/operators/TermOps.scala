@@ -27,6 +27,21 @@ object TermOps {
     * fully codegen'd, no UDF. */
   val Whitespace = "whitespace"
   val Unicode = "unicode"
+  val Bpe = "bpe"
+
+  /** GPT-2-style pre-tokenizer pattern, lookahead-free so the SAME
+    * regex runs under Java regex (Spark) and RE2 (DuckDB): contraction
+    * suffixes, then optional-leading-space letter runs / digit runs /
+    * punctuation runs, then whitespace runs. Both engines use
+    * leftmost-first alternation, so the split is identical. The
+    * canonical GPT-2 pattern's `\s+(?!\S)` lookahead (hold back the
+    * space that prefixes the next word) is the one part RE2 cannot
+    * express; this variant glues that space to the FOLLOWING run
+    * instead, which changes token boundaries only around runs of
+    * multiple spaces — counts stay deterministic, which is what the
+    * budget estimator needs. */
+  private[graft] val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
   /** Lower-cased whitespace tokens, empties dropped (F17 default). */
   def tokens(text: Column): Column = tokens(text, Whitespace)
@@ -41,9 +56,18 @@ object TermOps {
     case Whitespace => filter(split(lower(text), "\\s+"), t => t =!= "")
     case Unicode =>
       filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+    case Bpe =>
+      // regexp_extract_all(_, pattern, 0): every match of the GPT-2-ish
+      // pre-tokenizer, in order — token COUNT under this split is the
+      // context-budget estimate the brief asks for (a real BPE merges
+      // within these pieces, so this count upper-bounds word pieces
+      // from the same vocabulary family)
+      filter(regexp_extract_all(lower(text), lit(BpePattern), lit(0)),
+        t => t =!= "")
     case other =>
       throw new IllegalArgumentException(
-        s"unknown analyzer '$other' (expected $Whitespace or $Unicode)")
+        s"unknown analyzer '$other' (expected $Whitespace, $Unicode " +
+          s"or $Bpe)")
   }
 
   /** Word k-shingles of a token-array column as space-joined strings —

@@ -68,6 +68,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
   }
 
+  test("text_token_count is a pure map: zero exchanges, no UDF") {
+    val p = plan("text_token_count")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("w1 window shuffles once on the partition key") {
     val p = plan("w1_lag_pairs")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)

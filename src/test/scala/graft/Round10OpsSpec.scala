@@ -114,4 +114,19 @@ class Round10OpsSpec extends AnyFunSuite {
       s"target min ${tgt.min} should exceed raw max ${raw.max}")
     assert(tgt.forall(_ > 0) && raw.forall(_ < 0), m.toString)
   }
+
+  // ---- BPE-ish pre-tokenizer analyzer ----
+
+  test("Bpe analyzer splits contractions, glues leading spaces, and " +
+    "separates letter/digit/punct runs") {
+    import graft.operators.TermOps
+    val out = Seq("Don't add 42 items... now!")
+      .toDF("text")
+      .select(TermOps.tokens(col("text"), TermOps.Bpe).as("t"))
+      .first().getSeq[String](0).toList
+    // lowercased; "don" + "'t"; " 42" digit run with its leading space;
+    // "..." one punct run; "!" glued to its space
+    assert(out == List("don", "'t", " add", " 42", " items", "...",
+      " now", "!"), out.toString)
+  }
 }
