@@ -95,5 +95,16 @@ class FixtureParitySpec extends AnyFunSuite {
       "state" -> 1, "of" -> 1, "art" -> 1, "café" -> 1, "at" -> 1,
       "3" -> 1, "14" -> 1, "pm" -> 1, "naïve" -> 1, "user" -> 2,
       "s" -> 1, "2nd" -> 1, "try" -> 1, "x" -> 1))
+    // …and the BPE-ish pre-tokenizer splits contraction suffixes,
+    // glues each token's leading space, and separates letter/digit/
+    // punct runs — the exact sequence is pinned (order matters for a
+    // pre-tokenizer, unlike the bag-of-words analyzers above)
+    val bpe = Seq(sentence).toDF("text")
+      .select(TermOps.tokens(col("text"), TermOps.Bpe).as("t"))
+      .first().getSeq[String](0).toList
+    assert(bpe == List("don", "'t", " re", "-", "enter", " the",
+      " state", "-", "of", "-", "the", "-", "art", " café", " at",
+      " 3", ".", "14", " pm", " —", " [[", "naïve", "_", "user", "|",
+      "user", "]]'", "s", " 2", "nd", " try", "_", "x"), bpe.toString)
   }
 }
