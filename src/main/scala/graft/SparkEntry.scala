@@ -385,6 +385,25 @@ object SparkEntry {
           DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)))
     }),
 
+    "sample_split_leakfree" -> ((s, d) => {
+      // leakage-free train/val/test split: a near-dup CLUSTER lands in
+      // exactly one split — membership hashes the cluster's canonical
+      // representative, not the doc, so a test doc can never have a
+      // near-duplicate in train (the classic eval-contamination bug a
+      // doc-keyed split like sample_split permits). Same 90/5/5 hash
+      // convention as sample_split; singletons hash their own id.
+      graft.plans.GraftSparkExtensions.install(s)
+      val docs = t(s, d, "documents")
+      val canon = DedupOps.canonicalKeepList(docs, "doc_id",
+        DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)))
+      val b = pmod(expr("fnv64(concat(cast(canonical as string), '#split'))")
+        .bitwiseAND(lit(4294967295L)), lit(100L))
+      canon.select(col("doc_id"), col("canonical"),
+        when(b < 90, "train").when(b < 95, "val").otherwise("test")
+          .as("split"))
+    }),
+
     "dedup_minhash_eval" -> ((s, d) => {
       // the approximation-cost gauge for the LSH text-dedup path (the
       // ann_recall of the dedup family): exact-jaccard truth pairs vs
@@ -3880,6 +3899,31 @@ object SparkEntry {
          | coalesce(c.component, d.doc_id) AS canonical,
          | d.doc_id = coalesce(c.component, d.doc_id) AS keep
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
+
+    // component representative = dedup_canonical's `canonical`; the
+    // split hash is sample_split's convention applied to it
+    "sample_split_leakfree" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |canon AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |b AS (
+         |  SELECT doc_id, canonical,
+         |   CAST(${fnvSql("canonical::VARCHAR || '#split'")}
+         |     % 4294967296::HUGEINT AS BIGINT) % 100 AS b
+         |  FROM canon)
+         |SELECT doc_id, canonical,
+         | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM b""".stripMargin,
 
     "dedup_incremental" ->
       """WITH planted(doc_id, text) AS (VALUES

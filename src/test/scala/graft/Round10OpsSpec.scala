@@ -115,6 +115,34 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(tgt.forall(_ > 0) && raw.forall(_ < 0), m.toString)
   }
 
+  // ---- leakage-free split ----
+
+  test("sample_split_leakfree never splits a near-dup cluster, even when " +
+    "doc-keyed hashing would") {
+    val out = SparkEntry.queries("sample_split_leakfree")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every doc present exactly once
+    assert(out.length == 500 && out.map(_._1).distinct.length == 500)
+    // the leakage property: one split per canonical representative
+    val perCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    assert(perCluster.values.forall(_.length == 1),
+      perCluster.filter(_._2.length > 1).toMap.toString)
+    // and the property is not vacuous: at least one multi-doc cluster
+    // exists whose members' DOC-keyed buckets differ (a doc-hash split
+    // would have torn it across splits)
+    def bucket(id: Long): Long = {
+      val h = graft.functions.Hashing.fnv1a(id.toString + "#split")
+      java.lang.Math.floorMod(h & 0xffffffffL, 100L)
+    }
+    def split(b: Long) = if (b < 90) "train" else if (b < 95) "val" else "test"
+    val torn = out.groupBy(_._2).filter(_._2.length > 1)
+      .filter { case (_, ms) => ms.map(m => split(bucket(m._1))).distinct.length > 1 }
+    assert(torn.nonEmpty,
+      "fixture has no cluster that a doc-keyed split would tear — " +
+        "property check is vacuous")
+  }
+
   // ---- BPE-ish pre-tokenizer analyzer ----
 
   test("Bpe analyzer splits contractions, glues leading spaces, and " +
