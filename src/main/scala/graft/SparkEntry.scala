@@ -532,6 +532,97 @@ object SparkEntry {
       DedupOps.duplicatedSpans(t(s, d, "documents"), "doc_id", "text",
         w = 8, minCount = 2L)),
 
+    "dedup_paragraph" -> ((s, d) => {
+      import s.implicits._
+      // line-level corpus dedup + in-order reconstruction (the C4/CCNet
+      // boilerplate rule: a line survives only at its globally-first
+      // occurrence). Organic docs are single-line — the exact-dedup
+      // degenerate case; the planted multi-line docs prove first-wins
+      // election across AND within docs, ordered reconstruction, and a
+      // doc losing every line (n_kept = 0)
+      val planted = Seq(
+        (9000001L, "alpha beta\ncommon boilerplate line\ngamma"),
+        (9000002L, "common boilerplate line\ndelta\ncommon boilerplate line"),
+        (9000003L, "common boilerplate line")).toDF("doc_id", "text")
+      DedupOps.dedupLines(
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionByName(planted), "doc_id", "text")
+    }),
+
+    "pack_shards" -> ((s, d) =>
+      // balanced training-shard manifests: snake (boustrophedon) deal
+      // over the size-descending EXACT rank — the LPT approximation a
+      // distributed engine can run; the rank comes from the compressed-
+      // histogram two-phase (PackOps.exactRank), so no global-sort
+      // window ever owns the corpus. Per-shard totals are the artifact
+      PackOps.snakeShards(t(s, d, "documents"), "doc_id", "n_chars",
+          nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("size")).as("sum_chars"),
+          min(col("size")).as("min_chars"),
+          max(col("size")).as("max_chars"))),
+
+    "sample_curriculum" -> ((s, d) => {
+      // curriculum schedule: ntile(4) phases over (n_chars, doc_id)
+      // difficulty order with SQL-standard tile sizing, computed from
+      // the distributed exact rank instead of a single-task ntile
+      // window; the per-phase language mix is the designer's audit
+      val docs = t(s, d, "documents")
+      PackOps.curriculumPhases(docs, "doc_id", "n_chars", phases = 4)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("phase"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("difficulty")).as("min_chars"),
+          max(col("difficulty")).as("max_chars"))
+    }),
+
+    "search_rbo" -> ((s, d) => {
+      // rank-biased overlap (Webber et al., TOIS 2010) between the BM25
+      // lexical top-20 and the dense cosine top-20 — the retriever-
+      // agreement audit run before trusting either as the other's
+      // teacher. A common doc enters at depth g = max(rank_a, rank_b);
+      // truncated RBO_.9 = Σ_{d=1..20} 0.1·0.9^(d-1)·|A_d∩B_d|/d via a
+      // 20-row depth table (non-equi join against literals, never the
+      // corpus). Both legs are this repo's own gated operators
+      val text = TermOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
+          queryTerms = Seq("scan", "join", "merge"), k = 20)
+        .withColumn("text_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        .select(col("doc_id"), col("text_rank"))
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val vec = SimilarityOps.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0L), k = 20)
+        .select(col("nbr_id").as("doc_id"), col("rank").as("vec_rank"))
+      TermOps.rankOverlapByDepth(text, vec, "doc_id",
+          "text_rank", "vec_rank", depth = 20)
+        .agg(
+          round(coalesce(sum(lit(0.1) * pow(lit(0.9), col("d") - 1) *
+            col("a_d") / col("d")), lit(0.0)), 6).as("rbo"),
+          coalesce(max(when(col("d") === 10, col("a_d"))), lit(0L))
+            .as("overlap_at_10"),
+          coalesce(max(when(col("d") === 20, col("a_d"))), lit(0L))
+            .as("overlap_at_20"))
+    }),
+
+    "stats_gini" -> ((s, d) => {
+      // Gini concentration of per-user event counts — the "is my corpus
+      // owned by a few heavy keys" balance audit. G = 2·Σ i·cᵢ/(n·Σc) −
+      // (n+1)/n over ascending-sorted counts: integer sums until ONE
+      // final division, and the rank comes from PackOps.exactRank so
+      // even the O(keys) aggregate never needs a global-sort window
+      val counts = t(s, d, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      PackOps.exactRank(counts, "c", "user_id")
+        .agg(count(lit(1)).as("n_users"), sum(col("c")).as("total"),
+          sum(col("rank") * col("c")).as("ic"))
+        .select(col("n_users"), col("total"),
+          round(lit(2.0) * col("ic") / (col("n_users") * col("total")) -
+            (col("n_users") + 1).cast("double") / col("n_users"), 6)
+            .as("gini"))
+    }),
+
     "shuffle_epoch" -> ((s, d) =>
       // deterministic sharded training-order shuffle for 2 epochs
       PackOps.epochShuffle(t(s, d, "documents"), "doc_id",
@@ -4005,6 +4096,68 @@ object SparkEntry {
         |FROM g JOIN n USING (gram)
         |GROUP BY g.doc_id""".stripMargin,
 
+    // first-wins line election mirrors min(struct(doc_id, idx)); planted
+    // docs exercise cross-doc AND within-doc dup lines + the all-lost doc
+    "dedup_paragraph" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(col0 AS BIGINT), col1 FROM (VALUES
+        |   (9000001, 'alpha beta' || chr(10) || 'common boilerplate line' || chr(10) || 'gamma'),
+        |   (9000002, 'common boilerplate line' || chr(10) || 'delta' || chr(10) || 'common boilerplate line'),
+        |   (9000003, 'common boilerplate line')) t(col0, col1)),
+        |lines AS (
+        |  SELECT doc_id, CAST(generate_subscripts(a, 1) - 1 AS INT) AS idx,
+        |   unnest(a) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS a FROM base)),
+        |kept AS (
+        |  SELECT doc_id, idx, line FROM (
+        |    SELECT doc_id, idx, line,
+        |     row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |    FROM lines) WHERE rn = 1),
+        |cnt AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+        |rec AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(line, chr(10) ORDER BY idx) AS text_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT c.doc_id, c.n_lines, coalesce(r.n_kept, 0) AS n_kept,
+        | coalesce(r.text_kept, '') AS text_kept
+        |FROM cnt c LEFT JOIN rec r USING (doc_id)""".stripMargin,
+
+    // snake deal over the size-descending exact rank; the oracle's
+    // one-window row_number is the semantics the distributed two-phase
+    // rank must reproduce bit-for-bit
+    "pack_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |a AS (SELECT n_chars, (rk-1) // 8 AS p, (rk-1) % 8 AS q FROM r)
+        |SELECT CAST(CASE WHEN p % 2 = 0 THEN q ELSE 7 - q END AS INT) AS shard,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM a GROUP BY 1""".stripMargin,
+
+    // the oracle uses the engine's own ntile; the Spark side must match
+    // SQL-standard tile sizing from the distributed rank
+    "sample_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INT) AS phase
+        |  FROM documents)
+        |SELECT phase, lang, count(*) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // Gini over per-user activity: integer sums, one final division;
+    // 2.0·Σic/(n·Σc) − (n+1)/n with identical operation order
+    "stats_gini" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM c)
+        |SELECT count(*) AS n_users, CAST(sum(c) AS BIGINT) AS total,
+        | round(2.0 * sum(i * c) / (count(*) * sum(c)) -
+        |   (count(*) + 1) * 1.0 / count(*), 6) AS gini
+        |FROM r""".stripMargin,
+
     "shuffle_epoch" ->
       s"""WITH h AS (
          |  SELECT doc_id, epoch,
@@ -5271,6 +5424,34 @@ object SparkEntry {
          |   coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0::DOUBLE), 6) AS rrf
          |FROM f
          |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // truncated RBO_.9 at depth 20 between the same two legs the RRF
+    // oracle replays; each common doc enters at g = max(rank_a, rank_b)
+    "search_rbo" ->
+      s"""WITH tr AS (SELECT doc_id, CAST(row_number() OVER (
+         |        ORDER BY score DESC, doc_id ASC) AS INT) AS text_rank
+         |       FROM ($bm25Sql) b),
+         |vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |       FROM embeddings),
+         |qv AS (SELECT e AS qe FROM vb WHERE vec_id = 0),
+         |sc AS (SELECT vb.vec_id AS doc_id, ${cosSql("qe", "vb.e")} AS sim
+         |       FROM vb CROSS JOIN qv WHERE vb.vec_id <> 0),
+         |vr AS (SELECT doc_id, vrk AS vec_rank FROM (
+         |        SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY sim DESC, doc_id ASC) AS INT) AS vrk FROM sc)
+         |       WHERE vrk <= 20),
+         |pairs AS (SELECT greatest(text_rank, vec_rank) AS g
+         |          FROM tr JOIN vr USING (doc_id)),
+         |ad AS (SELECT d, count(*) AS a_d
+         |       FROM pairs JOIN (FROM range(1, 21) t(d)) ON g <= d
+         |       GROUP BY d)
+         |SELECT round(coalesce(sum(0.1 * pow(0.9, d-1) * a_d / d),
+         |   0.0), 6) AS rbo,
+         | coalesce(CAST(max(CASE WHEN d = 10 THEN a_d END) AS BIGINT), 0)
+         |   AS overlap_at_10,
+         | coalesce(CAST(max(CASE WHEN d = 20 THEN a_d END) AS BIGINT), 0)
+         |   AS overlap_at_20
+         |FROM ad""".stripMargin,
 
     // first-touch funnel: frontier CTEs mirror FunnelOps.funnel's
     // earliest-completion chaining at micro-second resolution

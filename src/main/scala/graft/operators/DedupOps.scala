@@ -491,4 +491,42 @@ object DedupOps {
           when(col("doc_id") =!= col("new_min"), col("new_min"))).as("dup_of"),
         (col("idx_id").isNull && col("doc_id") === col("new_min")).as("keep"))
   }
+
+  /** Line-level corpus dedup with document reconstruction — the C4 /
+    * CCNet boilerplate-removal rule: every distinct line is kept exactly
+    * once corpus-wide, at its globally-first occurrence (min (doc_id,
+    * position)); every later occurrence is dropped and the surviving
+    * lines are re-joined in original order. Docs whose every line lost
+    * come back with `n_kept` = 0 and empty text — the caller's drop set.
+    *
+    * Output: (doc_id, n_lines, n_kept, text_kept).
+    *
+    * Scale shape: first-occurrence election is a partial-aggregating
+    * `groupBy(line).agg(min(struct(doc_id, idx)))` — ONE shuffle keyed
+    * on the line, with map-side combine collapsing within-partition
+    * repeats before the exchange (a window `row_number` over the same
+    * key would sort every occurrence instead). The winners list then
+    * semi-joins back on the same key, and reconstruction is one
+    * groupBy(doc_id) whose `array_sort(collect_list(struct(idx, line)))`
+    * re-establishes order without any window. Nothing global, nothing
+    * driver-side; state per line key is O(1). */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+    val winners = lines.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("line"), col("w.doc_id").as("doc_id"),
+        col("w.idx").as("idx"))
+    val kept = lines.join(winners, Seq("line", "doc_id", "idx"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x("line")), "\n").as("text_kept"))
+    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
 }

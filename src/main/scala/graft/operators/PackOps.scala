@@ -181,4 +181,78 @@ object PackOps {
         size(col("chunk")).as("n_tokens"),
         array_join(col("chunk"), " ").as("chunk_text"))
   }
+
+  /** Exact global `row_number() OVER (ORDER BY value [DESC], id)` WITHOUT
+    * a global sort: the ranking a 100 TB corpus cannot pay one task for.
+    *
+    * Two-phase, the same compressed-histogram move as
+    * `layout_range_bounds`: (1) the value histogram — O(distinct values)
+    * rows — gets a cumulative window for each value's rank base; (2) each
+    * row's intra-value position is a window PARTITIONED by value (ordered
+    * by the unique id), so no partition ever holds more than one value's
+    * rows. rank = base + position. The only single-partition window runs
+    * over the histogram, which is already thousands of times smaller than
+    * the data; a value-skewed corpus can salt phase (2)'s key. */
+  def exactRank(df: DataFrame, valueCol: String, idCol: String,
+                descending: Boolean = false): DataFrame = {
+    val v = col(valueCol)
+    val hist = df.groupBy(v.as("__v")).agg(count(lit(1)).as("__n"))
+      .withColumn("__base", coalesce(sum(col("__n")).over(
+        Window.orderBy(if (descending) col("__v").desc else col("__v").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__v"), col("__base"))
+    df.join(hist, v === col("__v"))
+      .withColumn("rank", col("__base") + row_number().over(
+        Window.partitionBy(v).orderBy(col(idCol))).cast("long"))
+      .drop("__v", "__base")
+  }
+
+  /** Balanced shard assignment by snake (boustrophedon) order over the
+    * size-descending exact rank: rank r goes to pass p = (r-1)/S, slot
+    * q = (r-1)%S, shard = q on even passes and S-1-q on odd — each pass
+    * deals the S currently-largest docs one per shard, and reversing
+    * alternate passes cancels the within-pass bias, the classic
+    * LPT-approximation a distributed engine can actually run (true LPT
+    * is inherently sequential). Deterministic: same corpus → same
+    * shards, so a training run's shard manifests are reproducible.
+    *
+    * Output: (doc_id, size, rank, shard). */
+  def snakeShards(docs: DataFrame, idCol: String, sizeCol: String,
+                  nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    exactRank(docs.select(col(idCol), col(sizeCol).as("size")),
+        "size", idCol, descending = true)
+      .withColumn("__p", expr(s"(rank - 1) div $nShards"))
+      .withColumn("__q", (col("rank") - 1) % nShards)
+      .withColumn("shard",
+        when(col("__p") % 2 === 0, col("__q"))
+          .otherwise(lit(nShards - 1) - col("__q")).cast("int"))
+      .select(col(idCol), col("size"), col("rank"), col("shard"))
+  }
+
+  /** Curriculum phase assignment: ntile(`phases`) over (difficulty, id)
+    * — SQL-standard ntile semantics (the first N mod P tiles take the
+    * ceiling size) computed from [[exactRank]], so the global sort that
+    * `ntile() OVER (ORDER BY …)` would plan (one task owning the corpus)
+    * never happens. Ascending difficulty: phase 1 is the easy opener,
+    * the last phase the hard tail — the standard curriculum schedule.
+    *
+    * Output: (doc_id, difficulty, phase ∈ [1, phases]). */
+  def curriculumPhases(docs: DataFrame, idCol: String, diffCol: String,
+                       phases: Int): DataFrame = {
+    require(phases > 0, s"phases must be positive, got $phases")
+    val n = docs.count()
+    val big = n % phases        // tiles 1..big take size base+1
+    val base = n / phases
+    exactRank(docs.select(col(idCol), col(diffCol).as("difficulty")),
+        "difficulty", idCol)
+      .withColumn("phase",
+        when(lit(base) === 0, col("rank").cast("int")) // n < phases
+          .when(col("rank") <= lit(big * (base + 1)),
+            expr(s"(rank - 1) div ${base + 1} + 1").cast("int"))
+          .otherwise(
+            expr(s"(rank - 1 - ${big * (base + 1)}) div $base + $big + 1")
+              .cast("int")))
+      .select(col(idCol), col("difficulty"), col("phase"))
+  }
 }

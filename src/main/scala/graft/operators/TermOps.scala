@@ -329,4 +329,27 @@ object TermOps {
       .select(col("typo"), col("term"), col("df")).distinct()
       .filter(levenshtein(col("typo"), col("term")) <= 1)
   }
+
+  /** Per-depth intersection sizes of two rankings — the building block
+    * of truncated rank-biased overlap (Webber et al., TOIS 2010):
+    * RBO_p@D = (1-p)·Σ_{d=1..D} p^(d-1)·a_d/d over this output.
+    *
+    * A doc present in both lists enters every prefix pair from depth
+    * g = max(rank_a, rank_b) on, so a_d = |{docs : g ≤ d}| — computed by
+    * a non-equi join of the (tiny) common-doc set against a D-row depth
+    * table, never touching the corpus. Depths with zero overlap have no
+    * row (callers coalesce).
+    *
+    * Output: (d, a_d) for d ∈ [1, depth] with a_d > 0. */
+  def rankOverlapByDepth(a: DataFrame, b: DataFrame, idCol: String,
+                         rankACol: String, rankBCol: String,
+                         depth: Int): DataFrame = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    val pairs = a.join(b, Seq(idCol))
+      .select(greatest(col(rankACol), col(rankBCol)).as("g"))
+    val depths = a.sparkSession.range(1, depth + 1)
+      .select(col("id").as("d"))
+    pairs.join(depths, col("g") <= col("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("a_d"))
+  }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, PackOps, TermOps}
+
+/** Round-10 second-batch operator pins: line-level dedup with
+  * reconstruction, distributed exact rank (snake shards / curriculum
+  * ntile), and rank-overlap (RBO). */
+class Round10bOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- line-level dedup + reconstruction (C4/CCNet rule) ----
+
+  test("dedupLines keeps each line only at its globally-first " +
+    "occurrence and reconstructs surviving lines in order") {
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma\nshared"), // cross-doc AND within-doc dup
+      (3L, "shared"),                // loses its only line
+      (4L, "delta\ndelta\nepsilon")  // within-doc dup only
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 3L, "alpha\nshared\nbeta")))
+    assert(out(2L) == ((3L, 1L, "gamma")))
+    assert(out(3L) == ((1L, 0L, "")))
+    assert(out(4L) == ((3L, 2L, "delta\nepsilon")))
+  }
+
+  test("dedupLines drops nothing from an all-distinct corpus") {
+    val docs = Seq((1L, "a\nb"), (2L, "c"), (3L, "d\ne\nf"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.dedupLines(docs, "doc_id", "text")
+    assert(out.filter(col("n_kept") =!= col("n_lines")).count() == 0)
+  }
+
+  // ---- distributed exact rank ----
+
+  test("exactRank matches a global row_number window, asc and desc, " +
+    "with heavy value ties") {
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("id", "v")
+    for (desc <- Seq(true, false)) {
+      val ord = if (desc) col("v").desc else col("v").asc
+      val expected = df.withColumn("rank",
+        row_number().over(Window.orderBy(ord, col("id"))).cast("long"))
+      val got = PackOps.exactRank(df, "v", "id", descending = desc)
+      assert(got.select("id", "rank").except(
+        expected.select("id", "rank")).count() == 0, s"desc=$desc")
+      assert(got.count() == 500)
+    }
+  }
+
+  test("snakeShards assigns every doc once, shards in range, and " +
+    "balances sums to within one max-size item") {
+    val df = (1L to 403L).map(i => (i, (i * 37) % 211 + 1))
+      .toDF("doc_id", "sz")
+    val a = PackOps.snakeShards(df, "doc_id", "sz", nShards = 8)
+    assert(a.count() == 403)
+    assert(a.select("doc_id").distinct().count() == 403)
+    assert(a.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    val sums = a.groupBy("shard").agg(sum("size").as("s"))
+      .select("s").as[Long].collect()
+    assert(sums.length == 8)
+    val maxItem = df.agg(max("sz")).as[Long].head()
+    assert(sums.max - sums.min <= maxItem,
+      s"spread ${sums.max - sums.min} > max item $maxItem")
+  }
+
+  test("curriculumPhases reproduces SQL-standard ntile from the " +
+    "distributed rank (N not divisible by phases)") {
+    val df = (1L to 402L).map(i => (i, (i * 13) % 50)).toDF("id", "diff")
+    val got = PackOps.curriculumPhases(df, "id", "diff", phases = 4)
+    val expected = df.withColumn("phase",
+      ntile(4).over(Window.orderBy(col("diff"), col("id"))))
+    assert(got.select(col("id"), col("phase")).except(
+      expected.select(col("id"), col("phase"))).count() == 0)
+    // first 402 % 4 = 2 tiles take ceil(402/4) = 101 rows
+    val sizes = got.groupBy("phase").count().orderBy("phase")
+      .select("count").as[Long].collect().toSeq
+    assert(sizes == Seq(101L, 101L, 100L, 100L))
+  }
+
+  test("curriculumPhases with fewer rows than phases gives each row " +
+    "its own leading phase") {
+    val df = Seq((10L, 5L), (20L, 1L)).toDF("id", "diff")
+    val got = PackOps.curriculumPhases(df, "id", "diff", phases = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(20L -> 1, 10L -> 2))
+  }
+
+  // ---- rank-biased overlap ----
+
+  test("rankOverlapByDepth on identical rankings gives a_d = d, so " +
+    "RBO_.9@20 = 1 - 0.9^20") {
+    val a = (1 to 20).map(i => (i.toLong, i)).toDF("doc_id", "ra")
+    val b = (1 to 20).map(i => (i.toLong, i)).toDF("doc_id", "rb")
+    val od = TermOps.rankOverlapByDepth(a, b, "doc_id", "ra", "rb", 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(od == (1L to 20L).map(d => d -> d).toMap)
+    val rbo = od.map { case (d, ad) =>
+      0.1 * math.pow(0.9, (d - 1).toDouble) * ad / d }.sum
+    assert(math.abs(rbo - (1.0 - math.pow(0.9, 20))) < 1e-12)
+  }
+
+  test("rankOverlapByDepth on disjoint rankings is empty") {
+    val a = (1 to 10).map(i => (i.toLong, i)).toDF("doc_id", "ra")
+    val b = (1 to 10).map(i => (i + 100L, i)).toDF("doc_id", "rb")
+    assert(TermOps.rankOverlapByDepth(a, b, "doc_id", "ra", "rb", 20)
+      .count() == 0)
+  }
+
+  // ---- registered-query invariants on real data ----
+
+  test("stats_gini and search_rbo registered queries return bounded " +
+    "metrics at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val g = SparkEntry.queries("stats_gini")(spark, sf).collect().head
+    val gini = g.getDouble(g.fieldIndex("gini"))
+    assert(gini >= 0.0 && gini < 1.0, s"gini=$gini")
+    val r = SparkEntry.queries("search_rbo")(spark, sf).collect().head
+    val rbo = r.getDouble(r.fieldIndex("rbo"))
+    val o10 = r.getLong(r.fieldIndex("overlap_at_10"))
+    val o20 = r.getLong(r.fieldIndex("overlap_at_20"))
+    assert(rbo >= 0.0 && rbo <= 1.0, s"rbo=$rbo")
+    assert(o10 >= 0L && o10 <= 10L && o20 >= o10 && o20 <= 20L)
+  }
+}
