@@ -623,6 +623,80 @@ object SparkEntry {
             .as("gini"))
     }),
 
+    "stats_qnorm" -> ((s, d) => {
+      // cross-source quantile calibration: a quality threshold tuned on
+      // one source transfers only if "top 10% of src3" means the same
+      // thing globally — pr_src is the within-source percent_rank
+      // (partitioned window, scale-safe), pr_global comes from the
+      // distributed exactRank, and delta is the calibration gap a
+      // curation gate must correct for
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      val n = docs.count()
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      PackOps.exactRank(docs, "n_chars", "doc_id")
+        .withColumn("pr_src", percent_rank().over(wSrc))
+        .select(col("doc_id"), col("source"),
+          round(col("pr_src"), 6).as("pr_src"),
+          round((col("rank") - 1).cast("double") / lit((n - 1).toDouble), 6)
+            .as("pr_global"))
+        .withColumn("delta", round(col("pr_src") - col("pr_global"), 6))
+    }),
+
+    "stats_bootstrap" -> ((s, d) => {
+      // Poisson bootstrap (the distributed resampling scheme: per-doc
+      // resample weights ~ Poisson(1), no global sampling state) for
+      // the mean doc length, 32 resamples. Weights come from an integer
+      // inverse-CDF: hash32(doc_id·32+b+1) against floor(CDF·2³²)
+      // thresholds — all-integer branch, engine-exact; Σw and Σw·x are
+      // integers, mean_b is one double division. One (b)-keyed exchange
+      // after map-side combine; B multiplies map work, not shuffle keys
+      val T = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+        4279248373L, 4292415291L)
+      t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("h",
+          SimilarityOps.hash32Col(col("doc_id") * 32 + col("b") + 1))
+        .withColumn("w",
+          when(col("h") < T(0), 0L).when(col("h") < T(1), 1L)
+            .when(col("h") < T(2), 2L).when(col("h") < T(3), 3L)
+            .when(col("h") < T(4), 4L).when(col("h") < T(5), 5L)
+            .otherwise(6L))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("sum_w"),
+          sum(col("w") * col("n_chars")).as("sum_wx"))
+        .select(col("b"), col("sum_w"), col("sum_wx"),
+          round(col("sum_wx").cast("double") / col("sum_w"), 6)
+            .as("mean_b"))
+    }),
+
+    "stats_divergence" -> ((s, d) =>
+      // corpus-slice divergence: KL/JS between English and the rest
+      // over the DSIR bucket convention — the audit that quantifies how
+      // non-representative a slice is before mixture reweighting
+      TextAnalysisOps.unigramDivergence(t(s, d, "documents"), "text",
+        col("lang") === "en", dim = 64)),
+
+    "pack_e2e" -> ((s, d) => {
+      // end-to-end corpus → training-shards composition: token counts →
+      // snake-balanced shards (by token size) → per-shard contiguous
+      // 2048-token sequence packing — each stage is its own gated
+      // operator; this pins the composed artifact a shard writer emits
+      val tc = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("nt"))
+      val sh = PackOps.snakeShards(tc, "doc_id", "nt", nShards = 8)
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sh.withColumn("cb", coalesce(sum(col("size")).over(w), lit(0L)))
+        .withColumn("seq", expr("cb div 2048"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("sum_tokens"),
+          (max(col("seq")) + 1).as("n_seqs"))
+    }),
+
     "shuffle_epoch" -> ((s, d) =>
       // deterministic sharded training-order shuffle for 2 epochs
       PackOps.epochShuffle(t(s, d, "documents"), "doc_id",
@@ -4157,6 +4231,113 @@ object SparkEntry {
         | round(2.0 * sum(i * c) / (count(*) * sum(c)) -
         |   (count(*) + 1) * 1.0 / count(*), 6) AS gini
         |FROM r""".stripMargin,
+
+    // delta compares the ROUNDED percentiles (the Spark side rounds
+    // before differencing), so the oracle mirrors round(round − round)
+    "stats_qnorm" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |   percent_rank() OVER (PARTITION BY source
+        |     ORDER BY n_chars, doc_id) AS pr_src,
+        |   (CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS DOUBLE)
+        |     - 1) / (count(*) OVER () - 1) AS prg
+        |  FROM documents)
+        |SELECT doc_id, source, round(pr_src, 6) AS pr_src,
+        | round(prg, 6) AS pr_global,
+        | round(round(pr_src, 6) - round(prg, 6), 6) AS delta
+        |FROM g""".stripMargin,
+
+    // Poisson(1) inverse-CDF on INTEGER thresholds floor(CDF·2^32) —
+    // the branch is integer-exact on both engines; only mean_b divides
+    "stats_bootstrap" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, n_chars, unnest(range(0, 32)) AS b
+         |  FROM documents),
+         |h AS (SELECT b, n_chars,
+         |       ${hash32Sql("(doc_id*32 + b + 1)")} AS h FROM e),
+         |w AS (SELECT b, n_chars,
+         |  CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+         |       WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+         |       WHEN h < 4279248373 THEN 4 WHEN h < 4292415291 THEN 5
+         |       ELSE 6 END AS w FROM h)
+         |SELECT CAST(b AS INT) AS b, CAST(sum(w) AS BIGINT) AS sum_w,
+         | CAST(sum(w * n_chars) AS BIGINT) AS sum_wx,
+         | round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 6) AS mean_b
+         |FROM w GROUP BY 1""".stripMargin,
+
+    // DSIR bucket convention (fnv64 % 64); the three Σ p·log2(p/q)
+    // reductions are bucket-ordered folds with ln(x)/ln(2.0) exactly as
+    // Spark computes log base 2
+    "stats_divergence" ->
+      s"""WITH toks AS (
+         |  SELECT (lang = 'en') AS a,
+         |   unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents),
+         |tb AS (SELECT a, CAST(${fnvSql("term")} % 64 AS INT) AS bucket
+         |       FROM toks WHERE term <> ''),
+         |cells AS (SELECT bucket,
+         |   CAST(count(*) FILTER (a) AS BIGINT) AS ca,
+         |   CAST(count(*) FILTER (NOT a) AS BIGINT) AS cb
+         |  FROM tb GROUP BY bucket),
+         |grid AS (SELECT g.bucket, coalesce(c.ca, 0) AS ca,
+         |         coalesce(c.cb, 0) AS cb
+         |  FROM (SELECT unnest(range(0, 64)) AS bucket) g
+         |  LEFT JOIN cells c USING (bucket)),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |         CAST(sum(cb) AS BIGINT) AS n_b,
+         |         list(ca ORDER BY bucket) AS la,
+         |         list(cb ORDER BY bucket) AS lb FROM grid)
+         |SELECT n_a, n_b,
+         | round(list_reduce(list_prepend(0.0::DOUBLE,
+         |   list_transform(range(1, 65), i ->
+         |    (CAST(la[i]+1 AS DOUBLE)/CAST(n_a+64 AS DOUBLE)) *
+         |    (ln((CAST(la[i]+1 AS DOUBLE)/CAST(n_a+64 AS DOUBLE)) /
+         |        (CAST(lb[i]+1 AS DOUBLE)/CAST(n_b+64 AS DOUBLE)))
+         |     / ln(2.0::DOUBLE)))),
+         |   (acc, x) -> acc + x), 6) AS kl_ab,
+         | round(list_reduce(list_prepend(0.0::DOUBLE,
+         |   list_transform(range(1, 65), i ->
+         |    (CAST(lb[i]+1 AS DOUBLE)/CAST(n_b+64 AS DOUBLE)) *
+         |    (ln((CAST(lb[i]+1 AS DOUBLE)/CAST(n_b+64 AS DOUBLE)) /
+         |        (CAST(la[i]+1 AS DOUBLE)/CAST(n_a+64 AS DOUBLE)))
+         |     / ln(2.0::DOUBLE)))),
+         |   (acc, x) -> acc + x), 6) AS kl_ba,
+         | round(list_reduce(list_prepend(0.0::DOUBLE,
+         |   list_transform(range(1, 65), i ->
+         |    ((CAST(la[i]+1 AS DOUBLE)/CAST(n_a+64 AS DOUBLE)) *
+         |     (ln((CAST(la[i]+1 AS DOUBLE)/CAST(n_a+64 AS DOUBLE)) /
+         |         ((CAST(la[i]+1 AS DOUBLE)/CAST(n_a+64 AS DOUBLE) +
+         |           CAST(lb[i]+1 AS DOUBLE)/CAST(n_b+64 AS DOUBLE)) / 2.0))
+         |      / ln(2.0::DOUBLE)) +
+         |     (CAST(lb[i]+1 AS DOUBLE)/CAST(n_b+64 AS DOUBLE)) *
+         |     (ln((CAST(lb[i]+1 AS DOUBLE)/CAST(n_b+64 AS DOUBLE)) /
+         |         ((CAST(la[i]+1 AS DOUBLE)/CAST(n_a+64 AS DOUBLE) +
+         |           CAST(lb[i]+1 AS DOUBLE)/CAST(n_b+64 AS DOUBLE)) / 2.0))
+         |      / ln(2.0::DOUBLE))) / 2.0)),
+         |   (acc, x) -> acc + x), 6) AS js
+         |FROM tot""".stripMargin,
+
+    // composed chain: whitespace token counts → snake shards by size →
+    // per-shard contiguous packing at budget 2048
+    "pack_e2e" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |   len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     x -> x <> '')) AS nt
+        |  FROM documents),
+        |r AS (SELECT doc_id, nt,
+        |       row_number() OVER (ORDER BY nt DESC, doc_id) AS rk FROM tc),
+        |a AS (SELECT doc_id, nt,
+        |  CASE WHEN ((rk-1) // 8) % 2 = 0 THEN (rk-1) % 8
+        |       ELSE 7 - (rk-1) % 8 END AS shard FROM r),
+        |o AS (SELECT shard, nt,
+        |  coalesce(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM a)
+        |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        | CAST(max(cb // 2048) + 1 AS BIGINT) AS n_seqs
+        |FROM o GROUP BY 1""".stripMargin,
 
     "shuffle_epoch" ->
       s"""WITH h AS (

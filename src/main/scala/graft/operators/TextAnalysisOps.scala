@@ -329,6 +329,57 @@ object TextAnalysisOps {
           sum(col("c")).cast("double"), 4).as("dsir_w"))
   }
 
+  /** Corpus-level distribution divergence between two document classes
+    * over hashed-unigram buckets: KL(A‖B), KL(B‖A) and the symmetric
+    * bounded Jensen-Shannon divergence, in bits — the "how different is
+    * this slice from the rest" audit a mixture planner reads next to
+    * [[dsirWeights]] (which scores per-DOC; this scores the corpus).
+    *
+    * Same bucket convention as DSIR (`fnv64(term) & (dim-1)`), add-one
+    * smoothing over the full bucket grid so zero cells stay finite.
+    * Exact integer counts; the three Σ p·log2(p/q) reductions are
+    * ordered folds over the bucket-sorted cell array (engine-identical
+    * IEEE order). One token-bucket aggregation over the corpus, then
+    * O(dim) arithmetic — the corpus shuffles once, on (bucket).
+    *
+    * Output: one row (n_a, n_b, kl_ab, kl_ba, js). */
+  def unigramDivergence(docs: DataFrame, textCol: String,
+                        isA: Column, dim: Int = 64): DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two, got $dim")
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    val cells = docs.select(isA.as("a"),
+        explode(TermOps.tokens(col(textCol))).as("term"))
+      .withColumn("bucket",
+        expr("fnv64(term)").bitwiseAND(lit(dim - 1L)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+    val grid = docs.sparkSession.range(0, dim)
+      .select(col("id").cast("int").as("bucket"))
+      .join(cells, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val D = lit(dim.toLong)
+    val folded = grid.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      array_sort(collect_list(struct(col("bucket"), col("ca"), col("cb"))))
+        .as("arr"))
+    def pa(x: Column) = (x.getField("ca") + lit(1L)).cast("double") /
+      (col("n_a") + D).cast("double")
+    def pb(x: Column) = (x.getField("cb") + lit(1L)).cast("double") /
+      (col("n_b") + D).cast("double")
+    val ln2 = log(lit(2.0))
+    folded.select(col("n_a"), col("n_b"),
+      round(aggregate(col("arr"), lit(0.0d), (acc, x) =>
+        acc + pa(x) * (log(pa(x) / pb(x)) / ln2)), 6).as("kl_ab"),
+      round(aggregate(col("arr"), lit(0.0d), (acc, x) =>
+        acc + pb(x) * (log(pb(x) / pa(x)) / ln2)), 6).as("kl_ba"),
+      round(aggregate(col("arr"), lit(0.0d), (acc, x) => {
+        val m = (pa(x) + pb(x)) / lit(2.0)
+        acc + (pa(x) * (log(pa(x) / m) / ln2) +
+               pb(x) * (log(pb(x) / m) / ln2)) / lit(2.0)
+      }), 6).as("js"))
+  }
+
   def oovProfile(docs: DataFrame, idCol: String, textCol: String,
                  vocab: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

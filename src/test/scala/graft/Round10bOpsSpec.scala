@@ -113,6 +113,75 @@ class Round10bOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  // ---- corpus divergence ----
+
+  test("unigramDivergence is exactly zero between identical class " +
+    "distributions and positive + bounded for disjoint vocabularies") {
+    import graft.operators.TextAnalysisOps
+    val texts = Seq("alpha beta gamma", "delta epsilon", "alpha zeta")
+    val same = (texts.map((_, true)) ++ texts.map((_, false)))
+      .toDF("text", "a")
+    val s0 = TextAnalysisOps.unigramDivergence(same, "text", col("a"))
+      .collect().head
+    assert(s0.getLong(0) == s0.getLong(1))
+    assert(s0.getDouble(2) == 0.0 && s0.getDouble(3) == 0.0 &&
+      s0.getDouble(4) == 0.0)
+    val disjoint = (Seq("aa bb cc dd", "ee ff gg").map((_, true)) ++
+      Seq("hh ii jj kk", "ll mm nn").map((_, false))).toDF("text", "a")
+    val s1 = TextAnalysisOps.unigramDivergence(disjoint, "text", col("a"))
+      .collect().head
+    assert(s1.getDouble(2) > 0.0 && s1.getDouble(3) > 0.0)
+    // JS is bounded by 1 bit and by both KLs' average
+    assert(s1.getDouble(4) > 0.0 && s1.getDouble(4) <= 1.0)
+  }
+
+  // ---- Poisson bootstrap ----
+
+  test("stats_bootstrap resample weights average to ~1 doc-weight and " +
+    "resample means bracket the true mean at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("stats_bootstrap")(spark, sf).collect()
+    assert(rows.length == 32)
+    val n = Tables.table(spark, sf, "documents").count()
+    val trueMean = Tables.table(spark, sf, "documents")
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sumW = rows.map(_.getLong(1))
+    // E[Σw] = n, sd = √n: allow ±5√n
+    assert(sumW.forall(w =>
+      math.abs(w - n) <= 5 * math.sqrt(n.toDouble)), sumW.toSeq)
+    val means = rows.map(r => r.getDouble(3))
+    assert(means.min < trueMean && trueMean < means.max)
+    assert(means.forall(m => math.abs(m - trueMean) < 0.2 * trueMean))
+  }
+
+  // ---- end-to-end packing composition ----
+
+  test("pack_e2e shard summaries are consistent: docs and tokens " +
+    "conserved, sequence counts bounded by the token budget") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("pack_e2e")(spark, sf).collect()
+    assert(rows.length == 8)
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == Tables.table(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val (sum, nSeqs) = (r.getLong(2), r.getLong(3))
+      assert(nSeqs >= 1 && nSeqs <= sum / 2048 + 1, r.toString)
+    }
+  }
+
+  // ---- cross-source quantile calibration ----
+
+  test("stats_qnorm percentiles are in [0,1] and reach 1 at the top of " +
+    "each source and globally") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("stats_qnorm")(spark, sf)
+    assert(out.filter(col("pr_src") < 0 || col("pr_src") > 1 ||
+      col("pr_global") < 0 || col("pr_global") > 1).count() == 0)
+    assert(out.agg(max("pr_global")).head().getDouble(0) == 1.0)
+    val perSrcMax = out.groupBy("source").agg(max("pr_src").as("m"))
+    assert(perSrcMax.filter(col("m") =!= 1.0).count() == 0)
+  }
+
   // ---- registered-query invariants on real data ----
 
   test("stats_gini and search_rbo registered queries return bounded " +
