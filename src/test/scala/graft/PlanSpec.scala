@@ -355,6 +355,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("dedup_paragraph line election is aggregation-based: no window " +
+    "operator anywhere in the plan") {
+    val p = plan("dedup_paragraph")
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("exactRank consumers keep their only unpartitioned window on " +
+    "the O(distinct) value histogram, never the corpus") {
+    for (q <- Seq("pack_shards", "sample_curriculum", "stats_gini",
+        "stats_qnorm", "pack_e2e")) {
+      val p = plan(q)
+      val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
+      // Window prints `[exprs], [order]` unpartitioned and
+      // `[exprs], [partition], [order]` partitioned
+      val unpart = wins.filter(l => "\\], \\[".r.findAllIn(l).length == 1)
+      assert(unpart.size == 1, s"$q:\n${wins.mkString("\n")}")
+      assert(unpart.head.contains("__v"), s"$q: ${unpart.head}")
+    }
+  }
+
+  test("stats_bootstrap shuffles only the 32 resample keys, not the " +
+    "exploded corpus") {
+    val p = plan("stats_bootstrap")
+    // one aggregation exchange on b; the explode stays map-side
+    val exchanges = "Exchange hashpartitioning\\(b".r.findAllIn(p).length
+    assert(exchanges == 1, p)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
