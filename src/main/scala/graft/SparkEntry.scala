@@ -697,6 +697,73 @@ object SparkEntry {
           (max(col("seq")) + 1).as("n_seqs"))
     }),
 
+    "search_ndcg" -> ((s, d) => {
+      // nDCG@20 of the BM25 ranking against dense-top-20 membership as
+      // binary relevance — completes the retrieval-eval trio (RRF fuses,
+      // RBO measures agreement, nDCG grades one list by the other).
+      // DCG sums rel/log2(rank+1) over the 20-row BM25 list; IDCG is
+      // the all-relevant prefix — corpus only appears in the two legs
+      val text = TermOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
+          queryTerms = Seq("scan", "join", "merge"), k = 20)
+        .withColumn("text_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        .select(col("doc_id"), col("text_rank"))
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val vec = SimilarityOps.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0L), k = 20)
+        .select(col("nbr_id").as("doc_id"), col("rank").as("vec_rank"))
+      val ln2 = log(lit(2.0))
+      val dcg = text.join(vec, Seq("doc_id"), "left_outer")
+        .agg(sum(when(col("vec_rank").isNotNull, 1L).otherwise(0L))
+            .as("n_rel"),
+          sum(when(col("vec_rank").isNotNull,
+            lit(1.0) / (log(col("text_rank") + 1) / ln2))
+            .otherwise(lit(0.0))).as("dcg0"))
+      val idcg = s.range(1, 21)
+        .agg(sum(lit(1.0) / (log(col("id") + 1) / ln2)).as("idcg0"))
+      dcg.crossJoin(idcg).select(col("n_rel"),
+        round(col("dcg0"), 6).as("dcg"), round(col("idcg0"), 6).as("idcg"),
+        round(col("dcg0") / col("idcg0"), 6).as("ndcg"))
+    }),
+
+    "graph_cc_incremental" -> ((s, d) => {
+      // warm-start clustering maintenance: CC over 2/3 of the near-dup
+      // pairs becomes the PREVIOUS labeling; the remaining 1/3 arrive
+      // as the new batch and fold in via incrementalComponents. The
+      // oracle replays from-scratch CC over ALL pairs — equivalence of
+      // incremental and full recompute IS the gate
+      // the pair set feeds both the warm labeling and the new batch —
+      // materialize it once (eager: two consumers, per the recorded
+      // eager-vs-lazy law) instead of running the jaccard chain twice
+      val pairs = DedupOps.jaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", threshold = 0.5).localCheckpoint()
+      val warm = pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) =!= 0)
+      val fresh = pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === 0)
+      DedupOps.incrementalComponents(
+          DedupOps.connectedComponents(warm), fresh)
+        .select(col("node").as("doc_id"), col("component"))
+    }),
+
+    "k21_schema_evolve" -> ((s, d) => {
+      // schema-evolution-tolerant scan: an old batch without `lang` and
+      // a new batch with it land in one dataset; mergeSchema widens the
+      // read schema and back-fills nulls — the contract a long-lived
+      // 100 TB corpus dir depends on as columns accrete
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_k21").toString
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(dir + "/b1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(dir + "/b2")
+      s.read.option("mergeSchema", "true")
+        .parquet(dir + "/b1", dir + "/b2")
+        .groupBy(coalesce(col("lang"), lit("_missing")).as("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     "shuffle_epoch" -> ((s, d) =>
       // deterministic sharded training-order shuffle for 2 epochs
       PackOps.epochShuffle(t(s, d, "documents"), "doc_id",
@@ -4338,6 +4405,58 @@ object SparkEntry {
         | CAST(sum(nt) AS BIGINT) AS sum_tokens,
         | CAST(max(cb // 2048) + 1 AS BIGINT) AS n_seqs
         |FROM o GROUP BY 1""".stripMargin,
+
+    // binary relevance = dense-top-20 membership; ln(x)/ln(2.0) matches
+    // Spark's log2 lowering; every float literal ::DOUBLE
+    "search_ndcg" ->
+      s"""WITH tr AS (SELECT doc_id, CAST(row_number() OVER (
+         |        ORDER BY score DESC, doc_id ASC) AS INT) AS text_rank
+         |       FROM ($bm25Sql) b),
+         |vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |       FROM embeddings),
+         |qv AS (SELECT e AS qe FROM vb WHERE vec_id = 0),
+         |sc AS (SELECT vb.vec_id AS doc_id, ${cosSql("qe", "vb.e")} AS sim
+         |       FROM vb CROSS JOIN qv WHERE vb.vec_id <> 0),
+         |vr AS (SELECT doc_id FROM (
+         |        SELECT doc_id, row_number() OVER (
+         |          ORDER BY sim DESC, doc_id ASC) AS vrk FROM sc)
+         |       WHERE vrk <= 20),
+         |j AS (SELECT tr.doc_id, tr.text_rank,
+         |       vr.doc_id IS NOT NULL AS rel
+         |      FROM tr LEFT JOIN vr ON tr.doc_id = vr.doc_id),
+         |dd AS (SELECT CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_rel,
+         |       sum(CASE WHEN rel THEN
+         |         1.0::DOUBLE / (ln(text_rank + 1) / ln(2.0::DOUBLE))
+         |         ELSE 0.0::DOUBLE END) AS dcg0 FROM j),
+         |ii AS (SELECT sum(1.0::DOUBLE /
+         |         (ln(d + 1) / ln(2.0::DOUBLE))) AS idcg0
+         |       FROM range(1, 21) t(d))
+         |SELECT n_rel, round(dcg0, 6) AS dcg, round(idcg0, 6) AS idcg,
+         | round(dcg0 / idcg0, 6) AS ndcg
+         |FROM dd, ii""".stripMargin,
+
+    // incremental must equal from-scratch: the oracle IS the full
+    // recursive CC over every pair (the dedup_components chain)
+    "graph_cc_incremental" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u)
+         |SELECT node AS doc_id, min(r) AS component
+         |FROM reach GROUP BY node""".stripMargin,
+
+    // the merged-schema read back-fills lang = NULL for the old batch;
+    // the oracle derives the same partition from the split rule
+    "k21_schema_evolve" ->
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang
+        |  ELSE '_missing' END AS lang,
+        | count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "shuffle_epoch" ->
       s"""WITH h AS (

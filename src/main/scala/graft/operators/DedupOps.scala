@@ -492,6 +492,26 @@ object DedupOps {
         (col("idx_id").isNull && col("doc_id") === col("new_min")).as("keep"))
   }
 
+  /** Incremental connected components: fold a batch of NEW edges into an
+    * EXISTING labeling without re-reading the old edge set — the daily
+    * crawl update to a near-dup cluster graph. The previous run's
+    * (node, component) labels act as star edges (component ids are
+    * member min-ids, so they are graph nodes and min survives merges);
+    * self-loop rows (the roots) drop, and the fixpoint runs over
+    * O(old nodes + new edges) rows instead of O(all edges).
+    *
+    * The result is exactly `connectedComponents(old ∪ new)` — the
+    * registered query's oracle replays the from-scratch recursive SQL
+    * over the FULL pair set, so equivalence is the gate itself. */
+  def incrementalComponents(prevLabels: DataFrame, newPairs: DataFrame,
+                            aCol: String = "id_a",
+                            bCol: String = "id_b"): DataFrame =
+    connectedComponents(
+      prevLabels.select(col("component").as(aCol), col("node").as(bCol))
+        .filter(col(aCol) =!= col(bCol))
+        .unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol)
+
   /** Line-level corpus dedup with document reconstruction — the C4 /
     * CCNet boilerplate-removal rule: every distinct line is kept exactly
     * once corpus-wide, at its globally-first occurrence (min (doc_id,

@@ -182,6 +182,40 @@ class Round10bOpsSpec extends AnyFunSuite {
     assert(perSrcMax.filter(col("m") =!= 1.0).count() == 0)
   }
 
+  // ---- incremental connected components ----
+
+  test("incrementalComponents equals from-scratch CC on a planted " +
+    "graph where a new edge MERGES two old components") {
+    import graft.operators.DedupOps
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    // 5-6 is a brand-new component; 3-10 merges {1,2,3} with {10,11}
+    val fresh = Seq((3L, 10L), (5L, 6L)).toDF("id_a", "id_b")
+    val inc = DedupOps.incrementalComponents(
+        DedupOps.connectedComponents(old), fresh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupOps.connectedComponents(old.unionByName(fresh))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    assert(inc(11L) == 1L && inc(21L) == 20L && inc(6L) == 5L)
+  }
+
+  // ---- nDCG ----
+
+  test("search_ndcg is 1.0 when relevance covers the whole list and " +
+    "n_rel/idcg are consistent at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("search_ndcg")(spark, sf).collect().head
+    val (nRel, dcg, idcg, ndcg) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    assert(nRel >= 0 && nRel <= 20)
+    assert(dcg <= idcg && ndcg >= 0.0 && ndcg <= 1.0)
+    // closed form: idcg@20 = Σ 1/log2(d+1), d = 1..20
+    val expIdcg = (1 to 20).map(d =>
+      1.0 / (math.log(d + 1.0) / math.log(2.0))).sum
+    assert(math.abs(idcg - expIdcg) < 1e-6)
+  }
+
   // ---- registered-query invariants on real data ----
 
   test("stats_gini and search_rbo registered queries return bounded " +
