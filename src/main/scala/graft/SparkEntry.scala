@@ -745,6 +745,89 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("component"))
     }),
 
+    "ann_mrr" -> ((s, d) => {
+      // MRR@5 of the IVF path against brute-force truth: for each of
+      // the 10 standard query vectors, the reciprocal rank of the TRUE
+      // nearest neighbor inside the IVF top-5 (0 when cell pruning
+      // evicted it) — the rank-position quality metric recall@k cannot
+      // see. Both legs are the gated operators with their exact params
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 10)
+      val truth = SimilarityOps.bruteForceTopK(emb, q, k = 1)
+        .select(col("query_id"), col("nbr_id"))
+      val ivf = SimilarityOps.ivfTopK(emb, q, k = 5)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+      truth.join(ivf, Seq("query_id", "nbr_id"), "left_outer")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+          round(sum(coalesce(lit(1.0) / col("rank"), lit(0.0))) /
+            count(lit(1)), 6).as("mrr"))
+    }),
+
+    "t14_holt" -> ((s, d) => {
+      // Holt's linear (level+trend) smoothing per user over the
+      // day-aggregated value series, α=1/2 β=1/4 (binary fractions).
+      // Daily sums are exact INTEGER cents, so the fold starts from
+      // identical doubles on any engine; the recurrence is one ordered
+      // fold over each user's day-sorted array (state O(1), arrays
+      // bounded by a user's active days); forecast = level + trend
+      val daily = t(s, d, "events")
+        .select(col("user_id"),
+          expr("CAST(ts AS LONG) div 86400").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("c"))
+      daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          array_sort(collect_list(struct(col("day"), col("c")))).as("a"))
+        .withColumn("xs", expr("transform(a, p -> CAST(p.c AS DOUBLE) / 100.0D)"))
+        .withColumn("st", expr(
+          """aggregate(slice(xs, 2, size(xs) - 1),
+            |  named_struct('l', element_at(xs, 1), 'b', CAST(0.0 AS DOUBLE)),
+            |  (acc, x) -> named_struct(
+            |    'l', 0.5D * x + 0.5D * (acc.l + acc.b),
+            |    'b', 0.25D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l)
+            |         + 0.75D * acc.b))""".stripMargin))
+        .select(col("user_id"), col("n_days"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round(col("st.l") + col("st.b"), 6).as("forecast"))
+    }),
+
+    "curate_card" -> ((s, d) => {
+      // the one-row corpus health card a dataset release ships with:
+      // size, source/language diversity (entropy over the lang mix),
+      // exact-duplicate rate, mean length, and PII incidence — every
+      // number derived by this engine's own gated kernels
+      val docs = t(s, d, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("text").rlike(
+            "https?://[^\\s]+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{7,}"),
+          1L).otherwise(0L)).as("n_pii"))
+      val ent = t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("nn"),
+          array_sort(collect_list(struct(col("lang"), col("n")))).as("arr"))
+        .select(round(aggregate(col("arr"), lit(0.0d), (acc, x) =>
+          acc - (x.getField("n").cast("double") / col("nn").cast("double")) *
+            log(x.getField("n").cast("double") / col("nn").cast("double"))),
+          6).as("lang_entropy"))
+      base.crossJoin(ent).select(col("n_docs"), col("n_sources"),
+        col("n_langs"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 6)
+          .as("mean_chars"),
+        round(col("n_pii").cast("double") / col("n_docs"), 6).as("pii_rate"),
+        col("lang_entropy"))
+    }),
+
     "k21_schema_evolve" -> ((s, d) => {
       // schema-evolution-tolerant scan: an old batch without `lang` and
       // a new batch with it land in one dataset; mergeSchema widens the
@@ -4449,6 +4532,74 @@ object SparkEntry {
          |  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u)
          |SELECT node AS doc_id, min(r) AS component
          |FROM reach GROUP BY node""".stripMargin,
+
+    // truth = brute rank 1; candidates = the IVF gate's own top-5 chain
+    "ann_mrr" ->
+      s"""WITH t AS (SELECT query_id, nbr_id FROM ($annBruteSql) b
+         |           WHERE rank = 1),
+         |c AS (SELECT query_id, nbr_id, rank FROM ($annIvfSql) v),
+         |j AS (SELECT t.query_id, c.rank
+         |      FROM t LEFT JOIN c USING (query_id, nbr_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         | CAST(sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_hit,
+         | round(sum(coalesce(1.0::DOUBLE / rank, 0.0::DOUBLE))
+         |   / count(*), 6) AS mrr
+         |FROM j""".stripMargin,
+
+    // exact integer cents make the fold's starting doubles identical.
+    // State rides a 2-element DOUBLE list [level, trend]: this DuckDB's
+    // list_reduce evaluates STRUCT-state fields non-independently (a
+    // {'s': f(acc), 't': acc.s} fold returns t == s), while list-state
+    // folds are correct — probed before wiring
+    "t14_holt" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, count(*) AS n_days,
+        |       list(CAST(c AS DOUBLE) / 100.0::DOUBLE ORDER BY day) AS xs
+        |      FROM daily GROUP BY 1),
+        |f AS (SELECT user_id, n_days,
+        |  list_reduce(list_prepend([xs[1], 0.0::DOUBLE],
+        |    list_transform(xs[2:], x -> [x, 0.0::DOUBLE])),
+        |    (acc, x) -> [
+        |      0.5::DOUBLE * x[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+        |      0.25::DOUBLE * ((0.5::DOUBLE * x[1] +
+        |        0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+        |      + 0.75::DOUBLE * acc[2]]) AS st
+        |  FROM s)
+        |SELECT user_id, n_days, round(st[1], 6) AS level,
+        | round(st[2], 6) AS trend, round(st[1] + st[2], 6) AS forecast
+        |FROM f""".stripMargin,
+
+    // the release card: exact counts, ordered-fold entropy, and the
+    // scrub regex surfaced as an incidence flag
+    "curate_card" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_docs,
+        |   count(DISTINCT source) AS n_sources,
+        |   count(DISTINCT lang) AS n_langs,
+        |   count(DISTINCT md5(text)) AS n_distinct,
+        |   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |   CAST(sum(CASE WHEN regexp_matches(text,
+        |     'https?://[^\s]+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{7,}')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |       list(n ORDER BY lang) AS arr FROM c),
+        |ent AS (SELECT round(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(arr, n -> -(CAST(n AS DOUBLE) / nn)
+        |        * ln(CAST(n AS DOUBLE) / nn))),
+        |   (acc, x) -> acc + x), 6) AS lang_entropy FROM g)
+        |SELECT n_docs, n_sources, n_langs,
+        | round(1.0::DOUBLE - CAST(n_distinct AS DOUBLE) / n_docs, 6)
+        |   AS dup_rate,
+        | round(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS mean_chars,
+        | round(CAST(n_pii AS DOUBLE) / n_docs, 6) AS pii_rate,
+        | lang_entropy
+        |FROM base, ent""".stripMargin,
 
     // the merged-schema read back-fills lang = NULL for the old batch;
     // the oracle derives the same partition from the split rule

