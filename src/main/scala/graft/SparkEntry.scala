@@ -828,6 +828,258 @@ object SparkEntry {
         col("lang_entropy"))
     }),
 
+    "stats_spearman" -> ((s, d) => {
+      // monotone drift audit: Spearman rank correlation between event
+      // VALUE and event TIME per event_type — "is this metric trending"
+      // without assuming linearity. Ranks are the doubled average ranks
+      // from PackOps.avgRank2 (integral even under ties; Pearson is
+      // scale-invariant so ρ is unchanged), which keeps every sum an
+      // exact integer: the only doubles are in the one final expression,
+      // written operand-for-operand the same on both engines. Plan shape:
+      // two O(distinct)-histogram builds with PARTITIONED cumulative
+      // windows, two join-backs on (type, value), one final group-agg.
+      val ev = t(s, d, "events").select(col("event_type"),
+        expr("CAST(ts AS LONG)").as("tsec"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val rx = PackOps.avgRank2(ev, "event_type", "tsec")
+        .withColumnRenamed("r2", "r2x")
+      val ry = PackOps.avgRank2(ev, "event_type", "cents")
+        .withColumnRenamed("r2", "r2y")
+      ev.join(rx, Seq("event_type", "tsec"))
+        .join(ry, Seq("event_type", "cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+          sum(col("r2x") * col("r2y")).as("sxy"),
+          sum(col("r2x") * col("r2x")).as("sxx"),
+          sum(col("r2y") * col("r2y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          round((col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+            (sqrt(col("n").cast("double") * col("sxx") -
+                col("sx").cast("double") * col("sx")) *
+              sqrt(col("n").cast("double") * col("syy") -
+                col("sy").cast("double") * col("sy"))), 6).as("spearman"))
+    }),
+
+    "t15_acf" -> ((s, d) => {
+      // autocorrelation of the DAILY event-count series per event_type at
+      // lags 1..7 — the periodicity detector behind the t11 seasonal
+      // profile (a weekly cycle shows as an acf peak at k=7). Series is
+      // the dense day grid (missing days count 0, as a counting process
+      // must); the standard estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x−x̄)²
+      // is cleared of the rational x̄ by scaling num and den by n², so
+      // every aggregate is an exact integer and the one double division
+      // replays bit-identically. Lag pairs come from an equi-join of the
+      // grid against itself on (type, day+k) — dense grid ⇒ exactly the
+      // t ≤ n−k pairs — never a window over the series.
+      val daily = t(s, d, "events")
+        .select(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .localCheckpoint() // reused by the base stats and the lag pairs
+      val base = grid.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("q"))
+      val pairs = grid
+        .select(col("event_type"), col("day"), col("c"),
+          explode(sequence(lit(1), lit(7))).as("k"))
+        .withColumn("day2", col("day") + col("k"))
+        .join(grid.select(col("event_type"), col("day").as("day2"),
+          col("c").as("c2")), Seq("event_type", "day2"))
+        .groupBy("event_type", "k")
+        .agg(sum(col("c") * col("c2")).as("sxy"),
+          sum(col("c")).as("sh"), sum(col("c2")).as("st"))
+      pairs.join(base, "event_type")
+        .withColumn("num", (col("n") * col("n")).cast("double") * col("sxy") -
+          col("n").cast("double") * col("s") * (col("sh") + col("st")) +
+          (col("n") - col("k")).cast("double") * col("s") * col("s"))
+        .withColumn("den", (col("n") * col("n")).cast("double") * col("q") -
+          col("n").cast("double") * col("s") * col("s"))
+        .filter(col("den") > 0)
+        .select(col("event_type"), col("k"), col("n"),
+          round(col("num") / col("den"), 6).as("acf"))
+    }),
+
+    "t16_decay" -> ((s, d) => {
+      // recency-weighted engagement per user: Σ cents·2^(20−age_days)
+      // over a 20-day horizon with a 1-day half-life — the freshness
+      // score feeds retention triage. Weights are integral POWERS OF TWO
+      // (pow(2, k) is exact for integer k), so the weighted sum is one
+      // exact LONG and the final /2^20 division is the only double. The
+      // "now" anchor is the corpus max day: a one-row broadcast, not a
+      // driver round-trip.
+      val ev = t(s, d, "events").select(col("user_id"),
+        expr("CAST(ts AS LONG) div 86400").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val now = ev.agg(max("day").as("now_day"))
+      ev.crossJoin(broadcast(now))
+        .withColumn("age", col("now_day") - col("day"))
+        .filter(col("age") <= 20)
+        .withColumn("w", expr("CAST(pow(2, 20 - age) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_recent"),
+          sum(col("cents") * col("w")).as("raw"))
+        .select(col("user_id"), col("n_recent"),
+          round(col("raw").cast("double") / lit(1048576.0), 6).as("decayed"))
+    }),
+
+    "stats_analyze" -> ((s, d) => {
+      // ANALYZE-style one-pass column statistics — rows, nulls, exact
+      // NDV, min/max per column: the CBO inputs every engine collects
+      // before planning. ONE aggregation pass (the four distinct counts
+      // share a single Expand+shuffle); the per-column long format is an
+      // explode over the already-aggregated single row, so no second
+      // scan and no per-column job.
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_type"))
+      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val one = ev.agg(count(lit(1)).as("n_rows"),
+        nulls("event_id").as("u1"), countDistinct(col("event_id")).as("d1"),
+        min("event_id").as("mi1"), max("event_id").as("ma1"),
+        nulls("user_id").as("u2"), countDistinct(col("user_id")).as("d2"),
+        min("user_id").as("mi2"), max("user_id").as("ma2"),
+        nulls("cents").as("u3"), countDistinct(col("cents")).as("d3"),
+        min("cents").as("mi3"), max("cents").as("ma3"),
+        nulls("event_type").as("u4"), countDistinct(col("event_type")).as("d4"))
+      one.select(col("n_rows"), explode(array(
+          struct(lit("event_id").as("col_name"), col("u1").as("n_nulls"),
+            col("d1").as("ndv"), col("mi1").as("min_v"), col("ma1").as("max_v")),
+          struct(lit("user_id").as("col_name"), col("u2").as("n_nulls"),
+            col("d2").as("ndv"), col("mi2").as("min_v"), col("ma2").as("max_v")),
+          struct(lit("cents").as("col_name"), col("u3").as("n_nulls"),
+            col("d3").as("ndv"), col("mi3").as("min_v"), col("ma3").as("max_v")),
+          struct(lit("event_type").as("col_name"), col("u4").as("n_nulls"),
+            col("d4").as("ndv"), lit(null).cast("long").as("min_v"),
+            lit(null).cast("long").as("max_v")))).as("c"))
+        .select(col("c.col_name").as("col_name"), col("n_rows"),
+          col("c.n_nulls").as("n_nulls"), col("c.ndv").as("ndv"),
+          col("c.min_v").as("min_v"), col("c.max_v").as("max_v"))
+    }),
+
+    "text_ttr" -> ((s, d) =>
+      // lexical diversity per doc: type-token ratio off the whitespace
+      // analyzer (F17 seam) — the vocabulary-collapse signal that
+      // catches template/generated text the repetition scorer's fixed
+      // n-gram window can miss. Pure map: tokenize, distinct within the
+      // row's own array, two sizes and one division — zero exchanges.
+      t(s, d, "documents")
+        .select(col("doc_id"), TermOps.tokens(col("text")).as("tok"))
+        .select(col("doc_id"), size(col("tok")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tok"))).cast("long").as("n_types"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("ttr",
+          round(col("n_types").cast("double") / col("n_tokens"), 6))),
+
+    "embed_drift" -> ((s, d) => {
+      // per-label embedding centroid vs the global centroid — the
+      // encoder-drift audit run before trusting cosine across slices
+      // (a label whose centroid points away from the corpus mean needs
+      // its own calibration). One (label, pos)-keyed exchange builds the
+      // per-label per-dim sums; the GLOBAL centroid re-aggregates those
+      // O(labels × 64) sums — the corpus is scanned once. Output is one
+      // row per label: n, centroid L2 norm, cosine to the global mean.
+      val e = t(s, d, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+      val byLabel = e.groupBy("label", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .withColumn("mu", col("sx") / col("n"))
+        .localCheckpoint() // feeds both the global re-agg and the cosine
+      val global = byLabel.groupBy("pos")
+        .agg((sum(col("sx")) / sum(col("n"))).as("gmu"))
+      byLabel.join(global, "pos")
+        .groupBy("label")
+        .agg(max("n").as("n_vecs"),
+          sum(col("mu") * col("gmu")).as("dot"),
+          sum(col("mu") * col("mu")).as("nl"),
+          sum(col("gmu") * col("gmu")).as("ng"))
+        .select(col("label"), col("n_vecs"),
+          round(sqrt(col("nl")), 6).as("centroid_norm"),
+          round(col("dot") / (sqrt(col("nl")) * sqrt(col("ng"))), 6)
+            .as("cos_to_global"))
+    }),
+
+    "graph_clustering" -> ((s, d) => {
+      // local clustering coefficient over the part co-order graph (same
+      // deterministic %4 node subsample as the census) — the
+      // community-structure audit per node: how much of each node's
+      // neighborhood is itself connected. Triangles are found once each
+      // by the degree-ordered orientation and credit all three corners
+      // via a 3-row explode; coeff = 2T/(d(d−1)) is one double division
+      // over exact integers.
+      val li = t(s, d, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      GraphOps.clusteringCoefficient(edges)
+    }),
+
+    "graph_kcore" -> ((s, d) => {
+      // 4-round 3-core peel of the part co-order graph — the dense-core
+      // extractor (spam/bot rings, tight co-citation cores). Bounded-
+      // round semantics like the two-round HITS: engine and oracle both
+      // run EXACTLY 4 "drop degree<3 nodes and their edges" passes, so
+      // the result is deterministic whether or not the peel converged;
+      // each round is one degree count + two semi-joins, edge list
+      // checkpointed so plan depth stays O(1).
+      val li = t(s, d, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      GraphOps.kcore(edges, k = 3, rounds = 4)
+    }),
+
+    "st_topk" -> ((s, _) => {
+      // continuous per-window heavy hitters: the streaming windowed
+      // aggregation materializes (window, key, count) — bounded state,
+      // same operator as st_windowed_counts — and the SERVING read ranks
+      // within each finalized window (the lambda read side; ranking
+      // windows aren't streamable, so the top-k lives where it belongs:
+      // on the materialized view, partitioned by window).
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.windowedCounts(mem.toDF(), "ts", "user_id",
+          "10 minutes", "5 minutes")
+        .writeStream.format("memory").queryName("st_topk_out")
+        .outputMode("complete").start()
+      def ev(u: Long, t: String) =
+        EventStreamOps.Event(u, java.sql.Timestamp.valueOf(t), 1.0)
+      try {
+        mem.addData(
+          ev(1, "2024-01-01 00:01:00"), ev(1, "2024-01-01 00:02:00"),
+          ev(1, "2024-01-01 00:03:00"), ev(2, "2024-01-01 00:04:00"),
+          ev(2, "2024-01-01 00:05:00"), ev(3, "2024-01-01 00:06:00"),
+          ev(2, "2024-01-01 00:11:00"), ev(2, "2024-01-01 00:12:00"),
+          ev(3, "2024-01-01 00:13:00"))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_topk_out")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("window_start"))
+            .orderBy(col("n_events").desc, col("user_id").asc)).cast("long"))
+        .filter(col("rk") <= 2)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("w_start"),
+          col("user_id"), col("n_events"), col("rk"))
+    }),
+
     "k21_schema_evolve" -> ((s, d) => {
       // schema-evolution-tolerant scan: an old batch without `lang` and
       // a new batch with it land in one dataset; mergeSchema widens the
@@ -4600,6 +4852,200 @@ object SparkEntry {
         | round(CAST(n_pii AS DOUBLE) / n_docs, 6) AS pii_rate,
         | lang_entropy
         |FROM base, ent""".stripMargin,
+
+    // doubled average ranks (2·rank + ties − 1) keep every sum integral;
+    // the final expression is written operand-for-operand as the engine's
+    "stats_spearman" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 1000000 AS tsec,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type,
+        |   2 * rank() OVER (PARTITION BY event_type ORDER BY tsec)
+        |     + count(*) OVER (PARTITION BY event_type, tsec) - 1 AS r2x,
+        |   2 * rank() OVER (PARTITION BY event_type ORDER BY cents)
+        |     + count(*) OVER (PARTITION BY event_type, cents) - 1 AS r2y
+        |  FROM ev),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
+        |   CAST(sum(r2x * r2y) AS BIGINT) AS sxy,
+        |   CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+        |   CAST(sum(r2y * r2y) AS BIGINT) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        | round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |   (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |    sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |   AS spearman
+        |FROM a""".stripMargin,
+
+    // num and den are the n²-scaled exact-integer forms of the standard
+    // acf estimator; the dense grid makes the lag join exactly t ≤ n−k
+    "t15_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+        |  FROM (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |        FROM spans) g
+        |  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day),
+        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM grid GROUP BY 1),
+        |pairs AS (
+        |  SELECT g1.event_type, k.k,
+        |   CAST(sum(g1.c * g2.c) AS BIGINT) AS sxy,
+        |   CAST(sum(g1.c) AS BIGINT) AS sh, CAST(sum(g2.c) AS BIGINT) AS st
+        |  FROM grid g1,
+        |   (SELECT unnest(generate_series(1, 7)) AS k) k,
+        |   grid g2
+        |  WHERE g1.event_type = g2.event_type AND g2.day = g1.day + k.k
+        |  GROUP BY 1, 2),
+        |f AS (SELECT p.event_type, p.k, b.n,
+        |   CAST(b.n * b.n AS DOUBLE) * p.sxy
+        |     - CAST(b.n AS DOUBLE) * b.s * (p.sh + p.st)
+        |     + CAST(b.n - p.k AS DOUBLE) * b.s * b.s AS num,
+        |   CAST(b.n * b.n AS DOUBLE) * b.q
+        |     - CAST(b.n AS DOUBLE) * b.s * b.s AS den
+        |  FROM pairs p JOIN base b ON p.event_type = b.event_type)
+        |SELECT event_type, k, n, round(num / den, 6) AS acf
+        |FROM f WHERE den > 0""".stripMargin,
+
+    // integral power-of-two weights: pow(2, k) is exact, the weighted
+    // sum is one exact BIGINT, /2^20 is the only double
+    "t16_decay" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT max(day) AS now_day FROM ev),
+        |w AS (SELECT user_id, cents,
+        |    CAST(pow(2, 20 - (now_day - day)) AS BIGINT) AS w
+        |  FROM ev, m WHERE now_day - day <= 20)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+        | round(CAST(sum(cents * w) AS DOUBLE) / 1048576.0::DOUBLE, 6)
+        |   AS decayed
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // the engine's one-pass ANALYZE, replayed as one aggregate + unpivot
+    "stats_analyze" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_type
+        |  FROM events),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+        |  count(DISTINCT event_id) AS d1, min(event_id) AS mi1, max(event_id) AS ma1,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+        |  count(DISTINCT user_id) AS d2, min(user_id) AS mi2, max(user_id) AS ma2,
+        |  CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+        |  count(DISTINCT cents) AS d3, min(cents) AS mi3, max(cents) AS ma3,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u4,
+        |  count(DISTINCT event_type) AS d4
+        | FROM ev)
+        |SELECT 'event_id' AS col_name, n_rows, u1 AS n_nulls, d1 AS ndv,
+        |  mi1 AS min_v, ma1 AS max_v FROM a
+        |UNION ALL SELECT 'user_id', n_rows, u2, d2, mi2, ma2 FROM a
+        |UNION ALL SELECT 'cents', n_rows, u3, d3, mi3, ma3 FROM a
+        |UNION ALL SELECT 'event_type', n_rows, u4, d4,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM a""".stripMargin,
+
+    // same whitespace-analyzer split as the engine's F17 seam
+    "text_ttr" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS tok
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(tok)) AS BIGINT) AS n_types,
+        | round(CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 6) AS ttr
+        |FROM tk WHERE len(tok) > 0""".stripMargin,
+
+    // per-(label, dim) sums once; the global centroid re-aggregates the
+    // per-label sums, mirroring the engine's single corpus scan
+    "embed_drift" ->
+      """WITH e AS (SELECT label, d - 1 AS pos,
+        |    CAST(embedding[d] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |   (SELECT unnest(generate_series(1, 64)) AS d) dims),
+        |bl AS (SELECT label, pos, sum(x) AS sx,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |blm AS (SELECT label, pos, n, sx / n AS mu FROM bl),
+        |g AS (SELECT pos, sum(sx) / sum(n) AS gmu FROM bl GROUP BY 1),
+        |j AS (SELECT b.label, max(b.n) AS n_vecs,
+        |   sum(b.mu * g.gmu) AS dot, sum(b.mu * b.mu) AS nl,
+        |   sum(g.gmu * g.gmu) AS ng
+        |  FROM blm b JOIN g ON b.pos = g.pos GROUP BY 1)
+        |SELECT label, n_vecs, round(sqrt(nl), 6) AS centroid_norm,
+        | round(dot / (sqrt(nl) * sqrt(ng)), 6) AS cos_to_global
+        |FROM j""".stripMargin,
+
+    // identical orientation to the census; each triangle credits its
+    // three corners via UNION ALL, coeff = 2T/(d(d−1)) over deg ≥ 2
+    "graph_clustering" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) n
+        |  GROUP BY node),
+        |ori AS (
+        |  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+        |         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v
+        |  FROM edges e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+        |tri AS (SELECT e1.u AS u, e1.v AS x, e2.v AS y
+        |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN edges ON e1.v = edges.a AND e2.v = edges.b),
+        |tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+        |  (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri
+        |   UNION ALL SELECT y FROM tri) c GROUP BY node)
+        |SELECT d.node, d.deg,
+        | CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+        | round(2.0::DOUBLE * coalesce(t.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+        |   AS coeff
+        |FROM deg d LEFT JOIN tpn t ON d.node = t.node
+        |WHERE d.deg >= 2""".stripMargin,
+
+    // four unrolled peel rounds — exactly the engine's bounded-round run
+    "graph_kcore" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+        |a1 AS (SELECT node FROM (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) n
+        |  GROUP BY node) d WHERE deg >= 3),
+        |e1 AS (SELECT a, b FROM edges
+        |  WHERE a IN (SELECT node FROM a1) AND b IN (SELECT node FROM a1)),
+        |a2 AS (SELECT node FROM (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) n
+        |  GROUP BY node) d WHERE deg >= 3),
+        |e2 AS (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT node FROM a2) AND b IN (SELECT node FROM a2)),
+        |a3 AS (SELECT node FROM (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) n
+        |  GROUP BY node) d WHERE deg >= 3),
+        |e3 AS (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT node FROM a3) AND b IN (SELECT node FROM a3)),
+        |a4 AS (SELECT node FROM (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) n
+        |  GROUP BY node) d WHERE deg >= 3),
+        |e4 AS (SELECT a, b FROM e3
+        |  WHERE a IN (SELECT node FROM a4) AND b IN (SELECT node FROM a4))
+        |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        | (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) nn
+        |GROUP BY node""".stripMargin,
+
+    // golden trace: window 00:00 has u1×3 > u2×2 > u3×1; window 00:10
+    // has u2×2 > u3×1 — top-2 each, ranked (count desc, user asc)
+    "st_topk" ->
+      """SELECT col0 AS w_start, CAST(col1 AS BIGINT) AS user_id,
+        | CAST(col2 AS BIGINT) AS n_events, CAST(col3 AS BIGINT) AS rk
+        |FROM (VALUES ('2024-01-01 00:00:00', 1, 3, 1),
+        | ('2024-01-01 00:00:00', 2, 2, 2),
+        | ('2024-01-01 00:10:00', 2, 2, 1),
+        | ('2024-01-01 00:10:00', 3, 1, 2)) t""".stripMargin,
 
     // the merged-schema read back-fills lang = NULL for the old batch;
     // the oracle derives the same partition from the split rule

@@ -188,4 +188,79 @@ object GraphOps {
       .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
       .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** Local clustering coefficient per node — `(node, deg, n_tri, coeff)`
+    * with coeff = 2·T(v) / (deg·(deg−1)) over nodes of degree ≥ 2. Same
+    * degree-ordered orientation as [[triangleStats]]: each triangle is
+    * found exactly once at its ≺-smallest vertex, then credits all three
+    * corners through a 3-row explode (O(triangles) rows, never a
+    * neighborhood materialization). The coefficient is one double
+    * division over two exact integers, so it replays identically on any
+    * engine.
+    *
+    * Scale shape: identical joins to the census (wedge join on the
+    * center, closing join on the id-canonical edge) plus one
+    * node-keyed count — the per-node output is O(nodes), and the
+    * O(m^1.5) wedge bound means skew cannot blow up any single key. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val tris = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+      .join(und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val triPerNode = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerNode, Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff", round(lit(2.0) * col("n_tri") /
+        (col("deg") * (col("deg") - 1)), 6))
+  }
+
+  /** Bounded-round k-core peel — `rounds` iterations of "drop every node
+    * of current degree < k, and every edge touching one", returning the
+    * surviving `(node, deg)` with degrees measured in the final subgraph.
+    * Bounded-round semantics (like the two-round HITS/label-prop rows):
+    * both this operator and its oracle run EXACTLY `rounds` passes, so
+    * the result is deterministic whether or not the peel has reached its
+    * fixpoint — callers wanting the true k-core raise `rounds` until a
+    * round removes nothing.
+    *
+    * Scale shape per round: one node-keyed degree count + two semi-joins
+    * of the edge list against the O(nodes) survivor set — never a
+    * neighborhood list, never more state than the shrinking edge list,
+    * which localCheckpoints each round to keep plan depth O(1). */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k, $rounds")
+    var e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      e = e.join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
 }

@@ -207,6 +207,26 @@ object PackOps {
       .drop("__v", "__base")
   }
 
+  /** Doubled average (fractional) rank per (group, value) — the integer
+    * rank encoding Spearman correlation needs: the average rank of a tie
+    * group of size m starting after `base` strictly-smaller rows is
+    * base + (m+1)/2, a half-integer, so DOUBLING it (2·base + m + 1)
+    * keeps every rank an exact integer and leaves Pearson-on-ranks
+    * unchanged (correlation is scale-invariant). Returned as the
+    * (group, value, r2) HISTOGRAM — O(distinct values per group) rows —
+    * for the caller to join back; like [[exactRank]], the cumulative
+    * window never sorts occurrences, only the per-group distinct-value
+    * histogram, and it is PARTITIONED by the group, so no single task
+    * ever owns more than one group's histogram. */
+  def avgRank2(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(valCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.groupBy(col(grpCol), col(valCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__base", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col(grpCol), col(valCol),
+        (lit(2L) * col("__base") + col("__n") + 1).as("r2"))
+  }
+
   /** Balanced shard assignment by snake (boustrophedon) order over the
     * size-descending exact rank: rank r goes to pass p = (r-1)/S, slot
     * q = (r-1)%S, shard = q on even passes and S-1-q on odd — each pass

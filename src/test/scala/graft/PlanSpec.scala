@@ -386,6 +386,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
   }
 
+  test("stats_spearman windows are all PARTITIONED: no task ever owns " +
+    "more than one event_type's histogram") {
+    val p = plan("stats_spearman")
+    val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wins.nonEmpty, p)
+    val unpart = wins.filter(l => "\\], \\[".r.findAllIn(l).length == 1)
+    assert(unpart.isEmpty, wins.mkString("\n"))
+  }
+
+  test("text_ttr is a pure map: zero exchanges") {
+    val p = plan("text_ttr")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("stats_analyze reads the table once: one scan, one Expand for " +
+    "the shared distinct counts") {
+    val p = plan("stats_analyze")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("t16_decay broadcasts the one-row 'now' anchor, never shuffles " +
+    "the fact side for it") {
+    val p = plan("t16_decay")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // the only hash exchange is the user_id aggregation
+    val agg = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(agg >= 1, p)
+  }
+
+  test("embed_drift scans the corpus once: the final plan consumes the " +
+    "materialized O(labels × 64) histogram, never a parquet rescan") {
+    val p = plan("embed_drift")
+    // both the global re-agg and the cosine read the checkpointed
+    // per-(label, pos) sums — a second FileScan would mean the corpus
+    // posexplode ran twice
+    assert("FileScan parquet".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
