@@ -1080,6 +1080,162 @@ object SparkEntry {
           col("user_id"), col("n_events"), col("rk"))
     }),
 
+    "stats_welch" -> ((s, d) => {
+      // Welch's t per source vs the REST of the corpus (the A/B quality
+      // audit behind "did source X drift"): means and variances from
+      // exact integer (n, Σx, Σx²) co-moments — the totals RE-AGGREGATE
+      // the O(sources) per-source moments and the rest-side moments are
+      // SUBTRACTED from the one-row broadcast total, so the corpus is
+      // scanned and aggregated exactly once. The t statistic is one
+      // mirrored double expression; n²-products are cast to double
+      // first (mirrored) so no LONG overflow at any SF.
+      val docs = t(s, d, "documents").select(col("source"), col("n_chars"))
+      val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n1"),
+        sum("n_chars").as("s1"), sum(col("n_chars") * col("n_chars")).as("q1"))
+        .localCheckpoint() // two consumers (totals re-agg + the t join)
+      val tot = bySrc.agg(sum("n1").as("nt"), sum("s1").as("st"),
+        sum("q1").as("qt"))
+      bySrc.crossJoin(broadcast(tot))
+        .withColumn("n2", col("nt") - col("n1"))
+        .withColumn("s2", col("st") - col("s1"))
+        .withColumn("q2", col("qt") - col("q1"))
+        .filter(col("n1") > 1 && col("n2") > 1)
+        .withColumn("m1", col("s1").cast("double") / col("n1"))
+        .withColumn("m2", col("s2").cast("double") / col("n2"))
+        .withColumn("v1", (col("n1").cast("double") * col("q1") -
+            col("s1").cast("double") * col("s1")) /
+          (col("n1").cast("double") * (col("n1") - 1)))
+        .withColumn("v2", (col("n2").cast("double") * col("q2") -
+            col("s2").cast("double") * col("s2")) /
+          (col("n2").cast("double") * (col("n2") - 1)))
+        .select(col("source"), col("n1").as("n"),
+          round(col("m1"), 6).as("mean_chars"),
+          round((col("m1") - col("m2")) /
+            sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 6)
+            .as("welch_t"))
+    }),
+
+    "t17_ols" -> ((s, d) => {
+      // OLS linear trend of the daily event-count series per event_type
+      // (slope/intercept/R² — the model-free complement of t14_holt's
+      // recursive smoother): x = day index on the dense grid, y = count,
+      // every co-moment an exact integer, the three outputs mirrored
+      // double expressions over them. Grid fanout is bounded by the day
+      // span; the only corpus exchange is the (type, day) count.
+      val daily = t(s, d, "events")
+        .select(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"), col("d0"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .select(col("event_type"), (col("day") - col("d0")).as("x"),
+          coalesce(col("c"), lit(0L)).as("y"))
+      grid.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("dx", col("n").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx"))
+        .withColumn("dy", col("n").cast("double") * col("syy") -
+          col("sy").cast("double") * col("sy"))
+        .withColumn("cv", col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy"))
+        .filter(col("dx") > 0 && col("dy") > 0)
+        .select(col("event_type"), col("n"),
+          round(col("cv") / col("dx"), 6).as("slope"),
+          round((col("sy").cast("double") - col("cv") / col("dx") * col("sx"))
+            / col("n"), 6).as("intercept"),
+          round(col("cv") * col("cv") / (col("dx") * col("dy")), 6).as("r2"))
+    }),
+
+    "k22_dynamic_overwrite" -> ((s, d) => {
+      // dynamic partition overwrite — the Hive/Delta replaceWhere ingest
+      // pattern: a full partitioned write, then a second write in
+      // DYNAMIC overwrite mode that replaces ONLY the partitions present
+      // in the new batch (here: 'en' re-scored +1000 chars); untouched
+      // partitions keep their original files. The read-back aggregate
+      // proves exactly one partition changed.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k22")
+        .toString + "/t"
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.write.partitionBy("lang").parquet(dir)
+      docs.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(dir)
+      s.read.parquet(dir).groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+    }),
+
+    "ann_rerank" -> ((s, d) => {
+      // two-stage ANN serving (the FAISS/DiskANN refine pattern): the
+      // compressed PQ/ADC stage shortlists k=20 candidates per query —
+      // approximate SCORES, cheap scan — then the exact-cosine re-rank
+      // touches only the 10×20 candidate pairs' true vectors and emits
+      // top-5. Quantization error moves the final ordering; the re-rank
+      // fixes ordering while keeping the scan compressed. Both candidate
+      // join sides broadcast (O(queries·k) rows).
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 10)
+      val cand = SimilarityOps.pqTopK(emb, q, k = 20)
+        .select(col("query_id"), col("nbr_id"))
+      val scored = emb
+        .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+        .join(broadcast(cand), "nbr_id")
+        .join(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))), "query_id")
+        .withColumn("sim", SimilarityOps.cosine(col("q_emb"), col("nbr_emb")))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("nbr_id").asc)).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("sim"), 4).as("sim"), col("rank"))
+    }),
+
+    "layout_depth" -> ((s, d) => {
+      // clustering-depth audit of a file layout (the metric Delta's
+      // OPTIMIZE ZORDER reports): per-file [min,max] key intervals from
+      // the manifest, then a sweep line over the O(2·files) boundary
+      // points — avg/max number of files a point predicate must read.
+      // Depth 1 = perfectly clustered; ≈ n_files = hash-scattered. Both
+      // layouts are DETERMINISTIC so the oracle replays them: 'range' =
+      // equi-depth rank buckets (the writeRangeLayout shape),
+      // 'hash' = hash32 % 8 (the anti-pattern). The sweep window runs
+      // over metadata-scale rows (2 per file), same tier as
+      // layout_range_bounds.
+      val ev = t(s, d, "events").select(col("event_id"))
+      val n = ev.count()
+      val clustered = PackOps.exactRank(ev, "event_id", "event_id")
+        .select(lit("range").as("layout"),
+          expr(s"CAST((rank - 1) * 8 div $n AS BIGINT)").as("f"),
+          col("event_id"))
+      val hashed = ev.select(lit("hash").as("layout"),
+        pmod(SimilarityOps.hash32Col(col("event_id")), lit(8L)).as("f"),
+        col("event_id"))
+      val mf = clustered.unionByName(hashed)
+        .groupBy("layout", "f")
+        .agg(min("event_id").as("mn"), max("event_id").as("mx"))
+        .localCheckpoint() // O(files) rows, two consumers (mn + mx points)
+      val pts = mf.select(col("layout"), col("mn").as("t"), lit(1L).as("delta"))
+        .unionByName(mf.select(col("layout"), (col("mx") + 1).as("t"),
+          lit(-1L).as("delta")))
+        .groupBy("layout", "t").agg(sum("delta").as("delta"))
+      val w = Window.partitionBy("layout").orderBy("t")
+      pts.withColumn("depth", sum(col("delta")).over(w))
+        .withColumn("len", lead(col("t"), 1).over(w) - col("t"))
+        .filter(col("len").isNotNull && col("depth") > 0)
+        .groupBy("layout")
+        .agg(max(col("depth")).as("max_depth"),
+          round(sum(col("depth") * col("len")).cast("double") /
+            sum(col("len")), 6).as("avg_depth"))
+    }),
+
     "k21_schema_evolve" -> ((s, d) => {
       // schema-evolution-tolerant scan: an old batch without `lang` and
       // a new batch with it land in one dataset; mergeSchema widens the
@@ -3615,7 +3771,7 @@ object SparkEntry {
     * ordered-fold distance sums, mirroring SimilarityOps.pqAdcRank.
     * `ivfPruned` restricts the scored set to the IVF coarse cells the
     * query probes (SimilarityOps.ivfpqTopK). */
-  private def pqAdcOracleSql(ivfPruned: Boolean): String = {
+  private def pqAdcOracleSql(ivfPruned: Boolean, k: Int = 5): String = {
     def centFrom(assigned: String) =
       s"""SELECT s, code, list(cv ORDER BY dim) AS cent FROM (
          |   SELECT u.s AS s, u.code AS code, u.dim AS dim, avg(u.v) AS cv FROM (
@@ -3679,7 +3835,7 @@ object SparkEntry {
        |       CAST(row_number() OVER (PARTITION BY query_id
        |         ORDER BY adc ASC, vec_id ASC) AS INT) AS rank FROM ad)
        |SELECT query_id, nbr_id, round(adc, 4) AS adc, rank
-       |FROM r WHERE rank <= 5""".stripMargin
+       |FROM r WHERE rank <= $k""".stripMargin
   }
 
   /** Residual-IVFPQ replay (SimilarityOps.ivfpqResidualTopK): the same
@@ -5036,6 +5192,109 @@ object SparkEntry {
         |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
         | (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) nn
         |GROUP BY node""".stripMargin,
+
+    // rest-side moments subtracted from the total; every product cast
+    // to double operand-for-operand as the engine writes it
+    "stats_welch" ->
+      """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q1
+        |  FROM documents GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+        |    CAST(sum(n_chars) AS BIGINT) AS st,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS qt FROM documents),
+        |j AS (SELECT source, n1, s1, q1, nt - n1 AS n2, st - s1 AS s2,
+        |       qt - q1 AS q2 FROM b, tt WHERE n1 > 1 AND nt - n1 > 1),
+        |f AS (SELECT source, n1,
+        |   CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+        |   (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+        |     / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1,
+        |   (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+        |     / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2,
+        |   n2 FROM j)
+        |SELECT source, n1 AS n, round(m1, 6) AS mean_chars,
+        | round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS welch_t
+        |FROM f""".stripMargin,
+
+    // dense-grid x = day index, y = count; dx/dy/cv are the n-scaled
+    // exact-integer co-moments cast to double operand-for-operand
+    "t17_ols" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT g.event_type, g.day - g.d0 AS x, coalesce(d.c, 0) AS y
+        |  FROM (SELECT event_type, d0,
+        |         unnest(generate_series(d0, d1)) AS day FROM spans) g
+        |  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x * y) AS BIGINT) AS sxy,
+        |   CAST(sum(x * x) AS BIGINT) AS sxx,
+        |   CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM grid GROUP BY 1),
+        |f AS (SELECT event_type, n, sy, sx,
+        |   CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS dx,
+        |   CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS dy,
+        |   CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cv
+        |  FROM a)
+        |SELECT event_type, n, round(cv / dx, 6) AS slope,
+        | round((CAST(sy AS DOUBLE) - cv / dx * sx) / n, 6) AS intercept,
+        | round(cv * cv / (dx * dy), 6) AS r2
+        |FROM f WHERE dx > 0 AND dy > 0""".stripMargin,
+
+    // only the 'en' partition changes: +1000 per doc — the oracle
+    // derives the post-overwrite state from the rule
+    "k22_dynamic_overwrite" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END)
+        |   AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // PQ shortlist at k=20 (the parameterized pq chain), then exact
+    // cosine over just the candidate pairs, re-ranked to top-5
+    "ann_rerank" ->
+      s"""WITH cand AS (
+         |  SELECT query_id, nbr_id FROM (${pqAdcOracleSql(ivfPruned = false, k = 20)}) c),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings),
+         |sc AS (SELECT c.query_id, c.nbr_id,
+         |        ${cosSql("qe.emb", "ne.emb")} AS sim
+         |       FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+         |            JOIN e ne ON ne.vec_id = c.nbr_id),
+         |r AS (SELECT query_id, nbr_id, sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM sc)
+         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    // both layouts replay deterministically (rank buckets / hash32 % 8);
+    // sweep: +1 at min, −1 at max+1, depth·len weighted mean
+    "layout_depth" ->
+      s"""WITH ev AS (SELECT event_id FROM events),
+         |nn AS (SELECT count(*) AS n FROM ev),
+         |rk AS (SELECT event_id,
+         |        row_number() OVER (ORDER BY event_id) AS rank FROM ev),
+         |cl AS (SELECT 'range' AS layout,
+         |        (rank - 1) * 8 // (SELECT n FROM nn) AS f, event_id FROM rk),
+         |hs AS (SELECT 'hash' AS layout,
+         |        ${hash32Sql("(event_id)")} % 8 AS f, event_id FROM ev),
+         |mf AS (SELECT layout, f, min(event_id) AS mn, max(event_id) AS mx
+         |       FROM (SELECT * FROM cl UNION ALL SELECT * FROM hs) u
+         |       GROUP BY 1, 2),
+         |pts AS (SELECT layout, t, CAST(sum(delta) AS BIGINT) AS delta FROM
+         |  (SELECT layout, mn AS t, 1 AS delta FROM mf
+         |   UNION ALL SELECT layout, mx + 1, -1 FROM mf) p GROUP BY 1, 2),
+         |seg AS (SELECT layout,
+         |   sum(delta) OVER (PARTITION BY layout ORDER BY t) AS depth,
+         |   lead(t) OVER (PARTITION BY layout ORDER BY t) - t AS len
+         |  FROM pts)
+         |SELECT layout, CAST(max(depth) AS BIGINT) AS max_depth,
+         | round(CAST(sum(depth * len) AS DOUBLE) / sum(len), 6) AS avg_depth
+         |FROM seg WHERE len IS NOT NULL AND depth > 0
+         |GROUP BY 1""".stripMargin,
 
     // golden trace: window 00:00 has u1×3 > u2×2 > u3×1; window 00:10
     // has u2×2 > u3×1 — top-2 each, ranked (count desc, user asc)

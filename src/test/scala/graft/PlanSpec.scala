@@ -427,6 +427,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("stats_welch scans the corpus once: totals re-aggregate the " +
+    "checkpointed per-source moments") {
+    val p = plan("stats_welch")
+    assert("FileScan parquet".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("ann_rerank re-rank stage joins only broadcast candidate sets " +
+    "against the corpus — no shuffle join") {
+    val p = plan("ann_rerank")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("layout_depth sweep windows are partitioned by layout and run " +
+    "over the checkpointed O(files) manifest") {
+    val p = plan("layout_depth")
+    // the rank/histogram stage lives behind the manifest checkpoint —
+    // the query-path windows (sweep depth + lead) are all partitioned
+    val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
+    val unpart = wins.filter(l => "\\], \\[".r.findAllIn(l).length == 1)
+    assert(unpart.isEmpty, wins.mkString("\n"))
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
