@@ -831,22 +831,24 @@ object SparkEntry {
     "stats_spearman" -> ((s, d) => {
       // monotone drift audit: Spearman rank correlation between event
       // VALUE and event TIME per event_type — "is this metric trending"
-      // without assuming linearity. Ranks are the doubled average ranks
-      // from PackOps.avgRank2 (integral even under ties; Pearson is
-      // scale-invariant so ρ is unchanged), which keeps every sum an
-      // exact integer: the only doubles are in the one final expression,
-      // written operand-for-operand the same on both engines. Plan shape:
-      // two O(distinct)-histogram builds with PARTITIONED cumulative
-      // windows, two join-backs on (type, value), one final group-agg.
+      // without assuming linearity. Ranks are doubled average ranks
+      // (2·rank + ties − 1: integral even under ties; Pearson is
+      // scale-invariant so ρ is unchanged), so every sum is an exact
+      // integer and the only doubles are in the one final expression,
+      // written operand-for-operand the same on both engines. Plan
+      // shape: ONE event_type exchange feeds both rank windows (tsec is
+      // near-unique, so the PackOps.avgRank2 histogram would BE the
+      // corpus here — measured 3.3× on the ×10 replica vs 1.3× for the
+      // direct partitioned windows; avgRank2 stays the right tool for
+      // ties-heavy value domains), then one group-agg.
       val ev = t(s, d, "events").select(col("event_type"),
         expr("CAST(ts AS LONG)").as("tsec"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      val rx = PackOps.avgRank2(ev, "event_type", "tsec")
-        .withColumnRenamed("r2", "r2x")
-      val ry = PackOps.avgRank2(ev, "event_type", "cents")
-        .withColumnRenamed("r2", "r2y")
-      ev.join(rx, Seq("event_type", "tsec"))
-        .join(ry, Seq("event_type", "cents"))
+      def r2(v: String) =
+        lit(2L) * rank().over(
+          Window.partitionBy("event_type").orderBy(col(v))) +
+          count(lit(1)).over(Window.partitionBy("event_type", v)) - 1
+      ev.withColumn("r2x", r2("tsec")).withColumn("r2y", r2("cents"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
@@ -1160,8 +1162,12 @@ object SparkEntry {
       // proves exactly one partition changed.
       val dir = java.nio.file.Files.createTempDirectory("graft_k22")
         .toString + "/t"
+      // n_chars cast up front: the overwrite batch adds a LONG literal,
+      // and a source that stores int32 would otherwise leave the
+      // directory with mixed int/long files (bit us on the ×10 replica)
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
       docs.write.partitionBy("lang").parquet(dir)
       docs.filter(col("lang") === "en")
         .withColumn("n_chars", col("n_chars") + 1000L)
@@ -1205,15 +1211,17 @@ object SparkEntry {
       // points — avg/max number of files a point predicate must read.
       // Depth 1 = perfectly clustered; ≈ n_files = hash-scattered. Both
       // layouts are DETERMINISTIC so the oracle replays them: 'range' =
-      // equi-depth rank buckets (the writeRangeLayout shape),
-      // 'hash' = hash32 % 8 (the anti-pattern). The sweep window runs
-      // over metadata-scale rows (2 per file), same tier as
-      // layout_range_bounds.
+      // value-proportional split on the key domain (rank-free — an
+      // exactRank bucket here would histogram the near-unique event_id,
+      // i.e. re-sort the corpus in one task; the value split is a pure
+      // map after a one-row max broadcast), 'hash' = hash32 % 8 (the
+      // anti-pattern). The sweep window runs over metadata-scale rows
+      // (2 per file), same tier as layout_range_bounds.
       val ev = t(s, d, "events").select(col("event_id"))
-      val n = ev.count()
-      val clustered = PackOps.exactRank(ev, "event_id", "event_id")
+      val mx = ev.agg(max("event_id").as("mx"))
+      val clustered = ev.crossJoin(broadcast(mx))
         .select(lit("range").as("layout"),
-          expr(s"CAST((rank - 1) * 8 div $n AS BIGINT)").as("f"),
+          expr("CAST(event_id * 8 div (mx + 1) AS BIGINT)").as("f"),
           col("event_id"))
       val hashed = ev.select(lit("hash").as("layout"),
         pmod(SimilarityOps.hash32Col(col("event_id")), lit(8L)).as("f"),
@@ -5274,11 +5282,9 @@ object SparkEntry {
     // sweep: +1 at min, −1 at max+1, depth·len weighted mean
     "layout_depth" ->
       s"""WITH ev AS (SELECT event_id FROM events),
-         |nn AS (SELECT count(*) AS n FROM ev),
-         |rk AS (SELECT event_id,
-         |        row_number() OVER (ORDER BY event_id) AS rank FROM ev),
+         |mm AS (SELECT max(event_id) AS mx FROM ev),
          |cl AS (SELECT 'range' AS layout,
-         |        (rank - 1) * 8 // (SELECT n FROM nn) AS f, event_id FROM rk),
+         |        event_id * 8 // (mx + 1) AS f, event_id FROM ev, mm),
          |hs AS (SELECT 'hash' AS layout,
          |        ${hash32Sql("(event_id)")} % 8 AS f, event_id FROM ev),
          |mf AS (SELECT layout, f, min(event_id) AS mn, max(event_id) AS mx

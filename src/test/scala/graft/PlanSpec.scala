@@ -386,13 +386,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
   }
 
-  test("stats_spearman windows are all PARTITIONED: no task ever owns " +
-    "more than one event_type's histogram") {
+  test("stats_spearman windows are all PARTITIONED by event_type: no " +
+    "task ever owns more than one group's ranks") {
     val p = plan("stats_spearman")
     val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
-    assert(wins.nonEmpty, p)
-    val unpart = wins.filter(l => "\\], \\[".r.findAllIn(l).length == 1)
-    assert(unpart.isEmpty, wins.mkString("\n"))
+    assert(wins.size == 4, wins.mkString("\n")) // rank + tie-count, ×2
+    // every windowspecdefinition partitions on event_type (a bare
+    // `], [order]` global window would not mention it there)
+    assert(wins.forall(_.contains("windowspecdefinition(event_type")),
+      wins.mkString("\n"))
+    // and they all ride ONE exchange: the single hashpartitioning on
+    // event_type below feeds all four
+    assert("Exchange hashpartitioning\\(event_type"
+      .r.findAllIn(p).length == 1, p)
   }
 
   test("text_ttr is a pure map: zero exchanges") {
