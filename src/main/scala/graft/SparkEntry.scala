@@ -1244,6 +1244,182 @@ object SparkEntry {
             sum(col("len")), 6).as("avg_depth"))
     }),
 
+    "t18_decompose" -> ((s, d) => {
+      // STL-lite weekly decomposition of the daily count series per
+      // event_type: trend = 7-day centered moving average, seasonal =
+      // per-weekday mean of the detrended series, strength = 1 −
+      // SS_within/SS_total over the weekday grouping (variance explained
+      // by seasonality). Everything rides ×420 integers (420 = lcm of
+      // the edge-window sizes 4..7, so the moving average is INTEGRAL:
+      // trend420 = windowSum · 420/windowCount) — the only doubles are
+      // mirrored final divisions, and the 7-term weekday fold is an
+      // ORDERED array fold, so cross-engine sums can't reorder.
+      val daily = t(s, d, "events")
+        .select(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wMa = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val det = grid
+        .withColumn("trend420",
+          sum(col("c")).over(wMa) * (lit(420L) / count(lit(1)).over(wMa))
+            .cast("long"))
+        .withColumn("det", lit(420L) * col("c") - col("trend420"))
+        .withColumn("weekday", pmod(col("day") + 4, lit(7)))
+      val byW = det.groupBy("event_type", "weekday")
+        .agg(count(lit(1)).as("n_days"), sum("det").as("s_num"))
+        .localCheckpoint() // two consumers: the seasonal rows + strength
+      val strength = byW
+        .groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("weekday"), col("s_num"),
+          col("n_days")))).as("arr"))
+        .join(det.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("det").as("sd"),
+            sum(col("det") * col("det")).as("sdd")), "event_type")
+        .select(col("event_type"),
+          aggregate(col("arr"), lit(0.0d), (acc, x) =>
+            acc + x.getField("s_num").cast("double") *
+              x.getField("s_num") / x.getField("n_days")).as("ssb"),
+          (col("sdd").cast("double") -
+            col("sd").cast("double") * col("sd") / col("n")).as("sst"))
+        .filter(col("sst") > 0)
+        .select(col("event_type"),
+          round(greatest(lit(0.0),
+            lit(1.0) - (col("sst") - col("ssb")) / col("sst")), 6)
+            .as("strength"))
+      byW.join(strength, "event_type")
+        .select(col("event_type"), col("weekday"), col("n_days"),
+          round(col("s_num").cast("double") / (col("n_days") * 420), 6)
+            .as("seasonal"),
+          col("strength"))
+    }),
+
+    "k23_bloom_skip" -> ((s, d) => {
+      // file-level bloom skipping for POINT lookups on a key zone maps
+      // cannot help with: user_id is scattered across every file group,
+      // so every file's [min,max] contains every probe — but a per-file
+      // bloom position set over user_id (2 seed-suffixed FNV hashes into
+      // 4096 bits, the j7 family) qualifies only the files that may
+      // contain the key. The data lands hive-partitioned by file group,
+      // the `_bloom` index is a TABLE beside it, and the lookup reads
+      // ONLY qualified groups through PartitionFilters (pinned); the
+      // qualified list collect is metadata-scale, the manifestPrunedScan
+      // tier. Probe −999 is absent: its row pins that misses cost only
+      // false-positive file reads, never wrong rows.
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_k23")
+        .toString + "/t"
+      graft.plans.GraftSparkExtensions.install(s)
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"))
+        .withColumn("g", pmod(SimilarityOps.hash32Col(col("event_id")), lit(8L)))
+      ev.write.partitionBy("g").parquet(dir)
+      def pos(key: org.apache.spark.sql.Column, i: Int) =
+        call_function("fnv64", concat(key.cast("string"), lit(s"#$i")))
+          .bitwiseAND(lit(4095L))
+      ev.select(col("g"),
+          explode(array(pos(col("user_id"), 0), pos(col("user_id"), 1))).as("p"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$dir/_bloom")
+      val bloom = s.read.parquet(s"$dir/_bloom")
+      val pr = Seq(1L, 2L, -999L).toDF("probe_user")
+        .select(col("probe_user"), pos(col("probe_user"), 0).as("p0"),
+          pos(col("probe_user"), 1).as("p1"))
+      val qual = pr
+        .join(bloom.select(col("g"), col("p").as("p0")), Seq("p0"))
+        .join(bloom.select(col("g"), col("p").as("p1")), Seq("g", "p1"))
+        .select(col("probe_user"), col("g"))
+        .localCheckpoint() // O(probes × files) rows, three consumers
+      val gs = qual.select(col("g")).distinct()
+        .collect().map(_.getLong(0).toInt).toSeq
+      val hits = s.read.parquet(dir)
+        .filter(col("g").isin(gs: _*)) // partition-pruned read
+        .withColumn("gl", col("g").cast("long")).drop("g")
+        .join(broadcast(qual.withColumnRenamed("g", "gl")), Seq("gl"))
+        .filter(col("user_id") === col("probe_user"))
+        .groupBy("probe_user")
+        .agg(count(lit(1)).as("n_rows"), sum("event_id").as("sum_id"))
+      pr.select("probe_user")
+        .join(qual.groupBy("probe_user")
+          .agg(count(lit(1)).as("n_files_qualified")),
+          Seq("probe_user"), "left_outer")
+        .join(hits, Seq("probe_user"), "left_outer")
+        .select(col("probe_user"),
+          coalesce(col("n_files_qualified"), lit(0L)).as("n_files_qualified"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("sum_id"), lit(0L)).as("sum_id"))
+    }),
+
+    "text_langid_eval" -> ((s, d) =>
+      // confusion matrix of the n-gram lang-id heuristic against the
+      // labeled lang column — the precision audit a heuristic gate needs
+      // before it filters a corpus (which languages it eats, which it
+      // leaks). One tokenise map + one (label, prediction) exchange.
+      TextAnalysisOps.withLangId(t(s, d, "documents"), "text")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))),
+
+    "curate_source_card" -> ((s, d) =>
+      // per-source health card — the groupBy sibling of the corpus-wide
+      // curate_card: each ingestion source gets its own size, exact-dup
+      // rate, mean length, PII incidence and language spread, so a bad
+      // feed is visible BEFORE it dilutes the release-card averages
+      t(s, d, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("text").rlike(
+              "https?://[^\\s]+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{7,}"),
+            1L).otherwise(0L)).as("n_pii"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          round(col("sum_chars").cast("double") / col("n_docs"), 6)
+            .as("mean_chars"),
+          round(col("n_pii").cast("double") / col("n_docs"), 6)
+            .as("pii_rate"))),
+
+    "graph_assortativity" -> ((s, d) => {
+      // degree assortativity of the part co-order graph: Pearson r of
+      // (deg_u, deg_v) over the symmetrized edge list — do high-degree
+      // parts co-order with each other (assortative, r>0) or with
+      // leaves (disassortative, r<0)? Two broadcast-able degree joins +
+      // exact integer co-moments; the final r is one mirrored double
+      // expression (the stats_spearman convention).
+      val li = t(s, d, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val und = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct().localCheckpoint() // feeds degrees AND the pair list
+      val deg = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val pairs = und
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(col("da").as("x"), col("db").as("y"))
+      val sym = pairs.unionByName(
+        pairs.select(col("y").as("x"), col("x").as("y")))
+      sym.agg(count(lit(1)).as("m2"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(expr("m2 div 2").as("n_edges"),
+          round((col("m2").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+            (sqrt(col("m2").cast("double") * col("sxx") -
+                col("sx").cast("double") * col("sx")) *
+              sqrt(col("m2").cast("double") * col("sxx") -
+                col("sy").cast("double") * col("sy"))), 6)
+            .as("assortativity"))
+    }),
+
     "k21_schema_evolve" -> ((s, d) => {
       // schema-evolution-tolerant scan: an old batch without `lang` and
       // a new batch with it land in one dataset; mergeSchema widens the
@@ -5301,6 +5477,131 @@ object SparkEntry {
          | round(CAST(sum(depth * len) AS DOUBLE) / sum(len), 6) AS avg_depth
          |FROM seg WHERE len IS NOT NULL AND depth > 0
          |GROUP BY 1""".stripMargin,
+
+    // ×420 integers make the centered moving average integral (420 =
+    // lcm 4..7); the weekday fold is ordered so sums can't reorder
+    "t18_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+        |  FROM (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |        FROM spans) g
+        |  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day),
+        |det AS (
+        |  SELECT event_type, day, (day + 4) % 7 AS weekday,
+        |   420 * c - (sum(c) OVER w * (420 // count(*) OVER w)) AS det
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |byw AS (SELECT event_type, weekday,
+        |   CAST(count(*) AS BIGINT) AS n_days,
+        |   CAST(sum(det) AS BIGINT) AS s_num
+        |  FROM det GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(det) AS BIGINT) AS sd,
+        |   CAST(sum(det * det) AS BIGINT) AS sdd
+        |  FROM det GROUP BY 1),
+        |arrs AS (SELECT event_type,
+        |   list([CAST(s_num AS DOUBLE), CAST(n_days AS DOUBLE)]
+        |     ORDER BY weekday) AS arr
+        |  FROM byw GROUP BY 1),
+        |st AS (SELECT a.event_type,
+        |   list_reduce(list_prepend(0.0::DOUBLE,
+        |     list_transform(a.arr, x -> x[1] * x[1] / x[2])),
+        |     (acc, x) -> acc + x) AS ssb,
+        |   CAST(t.sdd AS DOUBLE) - CAST(t.sd AS DOUBLE) * t.sd / t.n AS sst
+        |  FROM arrs a JOIN tot t ON a.event_type = t.event_type),
+        |str AS (SELECT event_type,
+        |   round(greatest(0.0::DOUBLE,
+        |     1.0::DOUBLE - (sst - ssb) / sst), 6) AS strength FROM st
+        |  WHERE sst > 0)
+        |SELECT b.event_type, b.weekday, b.n_days,
+        | round(CAST(b.s_num AS DOUBLE) / (b.n_days * 420), 6) AS seasonal,
+        | s.strength
+        |FROM byw b JOIN str s ON b.event_type = s.event_type""".stripMargin,
+
+    // bloom position sets replayed with the shared FNV chain; qualified
+    // = both probe positions present in the file group's set
+    "k23_bloom_skip" ->
+      s"""WITH ev AS (SELECT event_id, user_id,
+         |    ${hash32Sql("(event_id)")} % 8 AS g FROM events),
+         |seeds AS (SELECT unnest(generate_series(0, 1)) AS i),
+         |bpos AS (SELECT DISTINCT g,
+         |    ${fnvSql("CAST(user_id AS VARCHAR) || '#' || i")} % 4096 AS p
+         |  FROM ev, seeds),
+         |probes AS (SELECT CAST(u AS BIGINT) AS probe_user
+         |           FROM (VALUES (1), (2), (-999)) t(u)),
+         |pp AS (SELECT probe_user,
+         |    ${fnvSql("CAST(probe_user AS VARCHAR) || '#0'")} % 4096 AS p0,
+         |    ${fnvSql("CAST(probe_user AS VARCHAR) || '#1'")} % 4096 AS p1
+         |  FROM probes),
+         |qual AS (SELECT pp.probe_user, b0.g FROM pp
+         |         JOIN bpos b0 ON b0.p = pp.p0
+         |         JOIN bpos b1 ON b1.g = b0.g AND b1.p = pp.p1),
+         |ag AS (SELECT probe_user, CAST(count(*) AS BIGINT)
+         |         AS n_files_qualified FROM qual GROUP BY 1),
+         |rws AS (SELECT q.probe_user, CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(e.event_id) AS BIGINT) AS sum_id
+         |        FROM qual q JOIN ev e
+         |          ON e.g = q.g AND e.user_id = q.probe_user GROUP BY 1)
+         |SELECT p.probe_user,
+         | CAST(coalesce(a.n_files_qualified, 0) AS BIGINT)
+         |   AS n_files_qualified,
+         | CAST(coalesce(r.n_rows, 0) AS BIGINT) AS n_rows,
+         | CAST(coalesce(r.sum_id, 0) AS BIGINT) AS sum_id
+         |FROM probes p LEFT JOIN ag a USING (probe_user)
+         |LEFT JOIN rws r USING (probe_user)""".stripMargin,
+
+    // the lang-id chain joined back to the labels
+    "text_langid_eval" ->
+      s"""WITH pred AS ($langIdSql)
+         |SELECT d.lang, p.pred_lang, count(*) AS n
+         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    // per-source replay of the release-card kernels
+    "curate_source_card" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT lang) AS n_langs,
+        | round(1.0::DOUBLE - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |   / count(*), 6) AS dup_rate,
+        | round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+        | round(CAST(sum(CASE WHEN regexp_matches(text,
+        |     'https?://[^\s]+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{7,}')
+        |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pii_rate
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // symmetrized (deg_u, deg_v) pairs; by symmetry Σx = Σy and
+    // Σx² = Σy² — the oracle mirrors the engine's use of sxx with sy
+    "graph_assortativity" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) n
+        |  GROUP BY node),
+        |pairs AS (SELECT da.deg AS x, db.deg AS y
+        |  FROM edges e JOIN deg da ON e.a = da.node
+        |       JOIN deg db ON e.b = db.node),
+        |sym AS (SELECT x, y FROM pairs
+        |        UNION ALL SELECT y, x FROM pairs),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x * y) AS BIGINT) AS sxy,
+        |   CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM sym)
+        |SELECT m2 // 2 AS n_edges,
+        | round((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |   (sqrt(CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |    sqrt(CAST(m2 AS DOUBLE) * sxx - CAST(sy AS DOUBLE) * sy)), 6)
+        |   AS assortativity
+        |FROM a""".stripMargin,
 
     // golden trace: window 00:00 has u1×3 > u2×2 > u3×1; window 00:10
     // has u2×2 > u3×1 — top-2 each, ranked (count desc, user asc)

@@ -460,6 +460,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("k23 bloom-skip read plans PartitionFilters over the qualified " +
+    "file groups") {
+    val p = plan("k23_bloom_skip")
+    assert(p.contains("PartitionFilters: [g"), p)
+  }
+
+  test("t18_decompose windows are partitioned by event_type") {
+    val p = plan("t18_decompose")
+    val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wins.nonEmpty, p)
+    assert(wins.forall(_.contains("windowspecdefinition(event_type")),
+      wins.mkString("\n"))
+  }
+
+  test("graph_assortativity plans no cartesian product and one final " +
+    "single-row aggregate") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
