@@ -1353,6 +1353,102 @@ object SparkEntry {
           coalesce(col("sum_id"), lit(0L)).as("sum_id"))
     }),
 
+    "t19_holt_winters" -> ((s, d) => {
+      // additive Holt-Winters (level + trend + weekly seasonal) per
+      // event_type over the dense daily count series — the seasonal
+      // extension of t14's Holt smoother. α=1/2, β=1/4, γ=1/4 (binary
+      // fractions); state is a 9-element DOUBLE list [l, b, s₁..s₇]
+      // folded once over each type's day-sorted array (s₁ is always the
+      // seasonal due next; each step shifts it out and appends the
+      // updated value) — O(1) state, types smooth in parallel, and the
+      // LIST state is exactly the shape DuckDB's list_reduce folds
+      // correctly (the t14 struct-state caveat).
+      val daily = t(s, d, "events")
+        .select(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      grid.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          array_sort(collect_list(struct(col("day"), col("c")))).as("a"))
+        .withColumn("xs", expr("transform(a, p -> CAST(p.c AS DOUBLE))"))
+        .withColumn("st", expr(
+          """aggregate(slice(xs, 2, size(xs) - 1),
+            |  concat(array(element_at(xs, 1), CAST(0.0 AS DOUBLE)),
+            |         array_repeat(CAST(0.0 AS DOUBLE), 7)),
+            |  (acc, y) -> concat(
+            |    array(
+            |      0.5D * (y - element_at(acc, 3))
+            |        + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+            |      0.25D * ((0.5D * (y - element_at(acc, 3))
+            |          + 0.5D * (element_at(acc, 1) + element_at(acc, 2)))
+            |        - element_at(acc, 1)) + 0.75D * element_at(acc, 2)),
+            |    slice(acc, 4, 6),
+            |    array(0.25D * (y - (0.5D * (y - element_at(acc, 3))
+            |        + 0.5D * (element_at(acc, 1) + element_at(acc, 2))))
+            |      + 0.75D * element_at(acc, 3))))""".stripMargin))
+        .select(col("event_type"), col("n_days"),
+          round(element_at(col("st"), 1), 6).as("level"),
+          round(element_at(col("st"), 2), 6).as("trend"),
+          round(element_at(col("st"), 1) + element_at(col("st"), 2) +
+            element_at(col("st"), 3), 6).as("forecast"))
+    }),
+
+    "k24_deletion_vectors" -> ((s, d) => {
+      // merge-on-read deletion vectors (the Delta/Iceberg DV pattern):
+      // deletes land as an id list BESIDE the data (`_dv`), reads apply
+      // them as an anti-join — no base rewrite on the delete path — and
+      // compaction later applies the DV physically. Both read paths are
+      // aggregated side by side: identical numbers prove the rewrite is
+      // read-equivalent, which is the whole DV contract.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k24")
+        .toString + "/t"
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.write.parquet(s"$dir/base")
+      docs.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+        .write.parquet(s"$dir/_dv")
+      def morRead = s.read.parquet(s"$dir/base")
+        .join(s.read.parquet(s"$dir/_dv"), Seq("doc_id"), "left_anti")
+      morRead.write.parquet(s"$dir/compacted") // DV applied physically
+      def agg(df: DataFrame, path: String) =
+        df.agg(lit(path).as("read_path"), count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+      agg(morRead, "merge_on_read")
+        .unionByName(agg(s.read.parquet(s"$dir/compacted"), "compacted"))
+    }),
+
+    "text_novelty" -> ((s, d) => {
+      // corpus-order novelty: the fraction of a doc's distinct 3-gram
+      // shingles whose FIRST corpus occurrence (min doc_id) is this doc
+      // — the redundancy-over-time signal behind "is the crawl still
+      // contributing new content". Shingles ride as 64-bit FNV keys
+      // (the jaccardPairs convention); the first-occurrence map is a
+      // partition-only min WINDOW on the one (shingle)-keyed exchange —
+      // no self-join, no checkpoint, the corpus shuffles once on h and
+      // once on doc_id (the 4.1× join-back variant is in SCALE.md).
+      graft.plans.GraftSparkExtensions.install(s)
+      val hashed = t(s, d, "documents")
+        .select(col("doc_id"), TermOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          TermOps.shingleStrings(col("toks"), 3))).as("sh"))
+        .select(col("doc_id"), expr("fnv64(sh)").as("h"))
+      hashed
+        .withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
+    }),
+
     "text_langid_eval" -> ((s, d) =>
       // confusion matrix of the n-gram lang-id heuristic against the
       // labeled lang column — the precision audit a heuristic gate needs
@@ -1811,16 +1907,36 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(name).as("path"), col("n_hits"),
             round(col("n_hits") / lit(50.0), 4).as("recall_at_5"))
+      // ONE ADC pass serves two rows: pqTopK(k=20)'s rank ≤ 5 prefix IS
+      // pqTopK(k=5) (same ordering, wider filter), and the full 20 are
+      // the refine path's shortlist — the scan cost is paid once
+      val pq20 = SimilarityOps.pqTopK(emb, q, k = 20, model = model)
+        .localCheckpoint(eager = false)
       rec("ivf", SimilarityOps.ivfTopK(emb, q, k = 5, cents0 = cents,
         cells0 = cells))
         .unionByName(rec("lsh", SimilarityOps.lshTopK(emb, q, k = 5)))
         .unionByName(rec("sq", SimilarityOps.sqTopK(emb, q, k = 5)))
-        .unionByName(rec("pq", SimilarityOps.pqTopK(emb, q, k = 5,
-          model = model)))
+        .unionByName(rec("pq", pq20.filter(col("rank") <= 5)))
         .unionByName(rec("ivfpq", SimilarityOps.ivfpqTopK(emb, q, k = 5,
           model = model, cents0 = cents, cells0 = cells)))
         .unionByName(rec("ivfpq_res",
           SimilarityOps.ivfpqResidualTopK(emb, q, k = 5)))
+        .unionByName(rec("rerank", {
+          // the two-stage refine path (X157): exact cosine over the
+          // shared shortlist, top-5 — its recall row shows what the
+          // refine stage buys back over raw pq
+          val cand = pq20.select(col("query_id"), col("nbr_id"))
+          emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+            .join(broadcast(cand), "nbr_id")
+            .join(broadcast(q.select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb"))), "query_id")
+            .withColumn("sim",
+              SimilarityOps.cosine(col("q_emb"), col("nbr_emb")))
+            .withColumn("rank", row_number().over(Window
+              .partitionBy("query_id")
+              .orderBy(col("sim").desc, col("nbr_id").asc)))
+            .filter(col("rank") <= 5)
+        }))
     }),
 
     "dedup_semantic" -> ((s, d) => {
@@ -4286,6 +4402,24 @@ object SparkEntry {
        |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
        |WHERE rank <= 5""".stripMargin
 
+  /** Two-stage refine replay: PQ/ADC shortlist at k=20, exact cosine
+    * over the candidate pairs only, re-ranked to top-5. Gates
+    * `ann_rerank` and the recall harness's `rerank` row. */
+  private lazy val annRerankSql: String =
+    s"""WITH cand AS (
+       |  SELECT query_id, nbr_id FROM (${pqAdcOracleSql(ivfPruned = false, k = 20)}) c),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |      FROM embeddings),
+       |sc AS (SELECT c.query_id, c.nbr_id,
+       |        ${cosSql("qe.emb", "ne.emb")} AS sim
+       |       FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+       |            JOIN e ne ON ne.vec_id = c.nbr_id),
+       |r AS (SELECT query_id, nbr_id, sim,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM sc)
+       |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
+       |WHERE rank <= 5""".stripMargin
+
   private lazy val annRecallSql: String = {
     def ids(sql: String) = s"SELECT query_id, nbr_id FROM (\n$sql\n) pp"
     def row(name: String, sql: String) =
@@ -4296,7 +4430,8 @@ object SparkEntry {
       "ivf" -> annIvfSql, "lsh" -> annLshSql, "sq" -> annSqSql,
       "pq" -> pqAdcOracleSql(ivfPruned = false),
       "ivfpq" -> pqAdcOracleSql(ivfPruned = true),
-      "ivfpq_res" -> pqResidualOracleSql)
+      "ivfpq_res" -> pqResidualOracleSql,
+      "rerank" -> annRerankSql)
       .map { case (n, q) => row(n, q) }.mkString("\nUNION ALL\n")
     s"""SELECT path, n_hits, round(n_hits / 50.0, 4) AS recall_at_5
        |FROM (\n$rows\n) u""".stripMargin
@@ -5439,20 +5574,7 @@ object SparkEntry {
 
     // PQ shortlist at k=20 (the parameterized pq chain), then exact
     // cosine over just the candidate pairs, re-ranked to top-5
-    "ann_rerank" ->
-      s"""WITH cand AS (
-         |  SELECT query_id, nbr_id FROM (${pqAdcOracleSql(ivfPruned = false, k = 20)}) c),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |      FROM embeddings),
-         |sc AS (SELECT c.query_id, c.nbr_id,
-         |        ${cosSql("qe.emb", "ne.emb")} AS sim
-         |       FROM cand c JOIN e qe ON qe.vec_id = c.query_id
-         |            JOIN e ne ON ne.vec_id = c.nbr_id),
-         |r AS (SELECT query_id, nbr_id, sim,
-         |       CAST(row_number() OVER (PARTITION BY query_id
-         |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM sc)
-         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
-         |WHERE rank <= 5""".stripMargin,
+    "ann_rerank" -> annRerankSql,
 
     // both layouts replay deterministically (rank buckets / hash32 % 8);
     // sweep: +1 at min, −1 at max+1, depth·len weighted mean
@@ -5555,6 +5677,75 @@ object SparkEntry {
          | CAST(coalesce(r.sum_id, 0) AS BIGINT) AS sum_id
          |FROM probes p LEFT JOIN ag a USING (probe_user)
          |LEFT JOIN rws r USING (probe_user)""".stripMargin,
+
+    // 9-element LIST state [l, b, s1..s7] — the fold shape this DuckDB
+    // reduces correctly (t14 caveat); l' repeated textually in b'/s'
+    "t19_holt_winters" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+        |  FROM (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |        FROM spans) g
+        |  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       list(CAST(c AS DOUBLE) ORDER BY day) AS xs
+        |      FROM grid GROUP BY 1),
+        |f AS (SELECT event_type, n_days,
+        |  list_reduce(list_prepend(
+        |    [xs[1], 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+        |     0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
+        |    list_transform(xs[2:], x ->
+        |      [x, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+        |       0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE])),
+        |    (acc, x) -> list_concat(list_concat(
+        |      [0.5::DOUBLE * (x[1] - acc[3])
+        |         + 0.5::DOUBLE * (acc[1] + acc[2]),
+        |       0.25::DOUBLE * ((0.5::DOUBLE * (x[1] - acc[3])
+        |           + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+        |         + 0.75::DOUBLE * acc[2]],
+        |      acc[4:9]),
+        |      [0.25::DOUBLE * (x[1] - (0.5::DOUBLE * (x[1] - acc[3])
+        |          + 0.5::DOUBLE * (acc[1] + acc[2])))
+        |        + 0.75::DOUBLE * acc[3]])) AS st
+        |  FROM s)
+        |SELECT event_type, n_days, round(st[1], 6) AS level,
+        | round(st[2], 6) AS trend,
+        | round(st[1] + st[2] + st[3], 6) AS forecast
+        |FROM f""".stripMargin,
+
+    // both read paths must agree — the DV contract; the oracle is the
+    // filtered aggregate twice
+    "k24_deletion_vectors" ->
+      """WITH kept AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),
+        |a AS (SELECT count(*) AS n_rows,
+        |   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |   count(DISTINCT lang) AS n_langs FROM kept)
+        |SELECT 'merge_on_read' AS read_path, n_rows, sum_chars, n_langs
+        |FROM a
+        |UNION ALL
+        |SELECT 'compacted', n_rows, sum_chars, n_langs FROM a""".stripMargin,
+
+    // first-occurrence map over the jaccard shingle convention
+    "text_novelty" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 0))) AS t(i)
+        |  WHERE len(a) >= 3),
+        |fo AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        | CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_novel,
+        | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 6) AS novelty
+        |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
 
     // the lang-id chain joined back to the labels
     "text_langid_eval" ->
