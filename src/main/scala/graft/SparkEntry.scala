@@ -1449,6 +1449,81 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "dedup_cross_corpus" -> ((s, d) => {
+      // benchmark decontamination at the NEAR-DUP level (the sibling of
+      // text_contamination's exact n-gram rule): banded-MinHash buckets
+      // per side, candidates only ACROSS the train/eval split, exact
+      // Jaccard verification ≥ 0.4 — a lightly-edited eval doc slips
+      // past exact n-grams but not past this. Halves by doc_id parity
+      // stand in for the train/benchmark corpora.
+      val docs = t(s, d, "documents")
+      DedupOps.crossCorpusNearDups(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.4)
+    }),
+
+    "stats_mutual_info" -> ((s, d) => {
+      // mutual information I(event_type; weekday) in bits — the
+      // feature-relevance audit between two categoricals, from EXACT
+      // cell/margin counts; the only doubles are inside one ORDERED
+      // fold over the ≤ |X|·|Y| sorted cells (the stats_divergence
+      // ln(x)/ln(2) convention), so engines can't reorder the sum.
+      val ev = t(s, d, "events").select(col("event_type"),
+        pmod(expr("CAST(ts AS LONG) div 86400") + 4, lit(7)).as("weekday"))
+      val cells = ev.groupBy("event_type", "weekday")
+        .agg(count(lit(1)).as("nxy"))
+        .localCheckpoint() // feeds margins and the fold
+      val mx = cells.groupBy("event_type").agg(sum("nxy").as("nx"))
+      val my = cells.groupBy("weekday").agg(sum("nxy").as("ny"))
+      val n = cells.agg(sum("nxy").as("nn"))
+      cells.join(mx, "event_type").join(my, "weekday")
+        .crossJoin(broadcast(n))
+        .agg(count(lit(1)).as("n_cells"),
+          array_sort(collect_list(struct(col("event_type"), col("weekday"),
+            col("nxy"), col("nx"), col("ny"), col("nn")))).as("arr"))
+        .select(col("n_cells"),
+          round(aggregate(col("arr"), lit(0.0d), (acc, x) =>
+            acc + x.getField("nxy").cast("double") / x.getField("nn") *
+              (log(x.getField("nxy").cast("double") * x.getField("nn") /
+                (x.getField("nx").cast("double") * x.getField("ny"))) /
+                log(lit(2.0)))), 6).as("mi_bits"))
+    }),
+
+    "embed_whiten" -> ((s, d) =>
+      // whitening statistics per embedding dimension (the retrieval
+      // preprocessing step: mean-center + unit-scale before cosine):
+      // one (pos)-keyed pass over the posexploded corpus yields the
+      // 64-row (μ, σ) transform table — the artifact a serving layer
+      // broadcasts. Population σ from the same two float sums.
+      t(s, d, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("q"))
+        .select(col("pos"), col("n"),
+          round(col("s") / col("n"), 6).as("mu"),
+          round(sqrt((col("q") - col("s") * col("s") / col("n")) /
+            col("n")), 6).as("sigma"))),
+
+    "a18_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS — the third of the aggregation-lattice
+      // trio (a14 ROLLUP, a17 CUBE): a hand-picked subset of the
+      // lattice in ONE Expand + ONE shuffle, with the grouping id
+      // computed explicitly (grouping(a)·2 + grouping(b)) so both
+      // engines agree bit-for-bit on which row is which subtotal.
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT coalesce(l_returnflag, '_all') AS flag,
+               coalesce(l_linestatus, '_all') AS status,
+               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())""")
+    }),
+
     "text_langid_eval" -> ((s, d) =>
       // confusion matrix of the n-gram lang-id heuristic against the
       // labeled lang column — the precision audit a heuristic gate needs
@@ -5746,6 +5821,88 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // the minhash exact-verify chain restricted to cross-parity pairs;
+    // the LSH banding is recall-complete on this data (the
+    // dedup_minhash_eval harness pins recall = 1 at threshold 0.4)
+    "dedup_cross_corpus" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   CASE WHEN len(a) < 3 THEN array_to_string(a, ' ')
+        |        ELSE a[i] || ' ' || a[i+1] || ' ' || a[i+2] END AS sh
+        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-2, 1))) AS t(i)
+        |  WHERE len(a) >= 1),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS tid, b.doc_id AS eid, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT eid AS eval_id, tid AS train_id,
+        | round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON tid = sa.doc_id
+        | JOIN sizes sb ON eid = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        |UNION ALL
+        |SELECT b.doc_id AS eval_id, a.doc_id AS train_id, 1.0 AS jaccard
+        |FROM arrs a JOIN arrs b
+        |  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE len(a.a) = 0 AND len(b.a) = 0
+        |  AND (SELECT count(*) FROM arrs WHERE len(a) = 0) <= 1000""".stripMargin,
+
+    // exact counts; the cell fold is ordered and uses ln(x)/ln(2.0)
+    // (stats_divergence convention, matching Spark's log(2.0, x))
+    "stats_mutual_info" ->
+      """WITH ev AS (SELECT event_type,
+        |    (epoch_us(ts) // 1000000 // 86400 + 4) % 7 AS weekday
+        |  FROM events),
+        |cells AS (SELECT event_type, weekday,
+        |    CAST(count(*) AS BIGINT) AS nxy FROM ev GROUP BY 1, 2),
+        |mx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx
+        |       FROM cells GROUP BY 1),
+        |my AS (SELECT weekday, CAST(sum(nxy) AS BIGINT) AS ny
+        |       FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn FROM cells),
+        |j AS (SELECT c.event_type, c.weekday, c.nxy, m1.nx, m2.ny, nn.nn
+        |      FROM cells c JOIN mx m1 ON c.event_type = m1.event_type
+        |      JOIN my m2 ON c.weekday = m2.weekday, nn),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |   list([CAST(nxy AS DOUBLE), CAST(nx AS DOUBLE),
+        |         CAST(ny AS DOUBLE), CAST(nn AS DOUBLE)]
+        |     ORDER BY event_type, weekday) AS arr
+        |  FROM j)
+        |SELECT n_cells,
+        | round(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(arr, x ->
+        |     x[1] / x[4] * (ln(x[1] * x[4] / (x[2] * x[3])) / ln(2.0)))),
+        |   (acc, x) -> acc + x), 6) AS mi_bits
+        |FROM g""".stripMargin,
+
+    // one pass per dim; population sigma from the same two sums
+    "embed_whiten" ->
+      """WITH e AS (SELECT d - 1 AS pos, CAST(embedding[d] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |   (SELECT unnest(generate_series(1, 64)) AS d) dims),
+        |a AS (SELECT pos, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+        |       sum(x * x) AS q FROM e GROUP BY 1)
+        |SELECT pos, n, round(s / n, 6) AS mu,
+        | round(sqrt((q - s * s / n) / n), 6) AS sigma
+        |FROM a""".stripMargin,
+
+    // the same three grouping sets with the explicit grouping id
+    "a18_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '_all') AS flag,
+        | coalesce(l_linestatus, '_all') AS status,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+        |   AS gid,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin,
 
     // the lang-id chain joined back to the labels
     "text_langid_eval" ->

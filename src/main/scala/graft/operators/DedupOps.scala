@@ -95,6 +95,47 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus near-duplicate hit list — the NEAR-DUP level of
+    * benchmark decontamination (the n-gram overlap rule's sibling: a
+    * lightly-edited eval document slips past exact n-gram matching but
+    * not past minhash): banded-MinHash buckets on each side, candidate
+    * pairs ONLY across sides (train.bucket = eval.bucket — within-side
+    * pairs never form), exact shingle-Jaccard verification ≥
+    * `threshold`. The train side carries the bucket cap (it is the big
+    * side at scale); the eval side is typically small enough to
+    * broadcast, but the join is keyed on bucket either way so neither
+    * side is ever crossed. Output: (eval_id, train_id, jaccard) — the
+    * rows a decontamination pass drops from TRAIN (or flags in eval). */
+  def crossCorpusNearDups(train: DataFrame, eval: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double, shingleK: Int = 3,
+                          bands: Int = 8, rowsPerBand: Int = 4,
+                          maxBucket: Int = 1000): DataFrame = {
+    val num = bands * rowsPerBand
+    def buckets(df: DataFrame, side: String) =
+      df.select(col(idCol).as(side), TermOps.tokens(col(textCol)).as("toks"))
+        .withColumn("sig",
+          graft.GraftFunctions.minhashSig(col("toks"), lit(shingleK), lit(num)))
+        .withColumn("bucket", explode(graft.GraftFunctions.bandBuckets(
+          col("sig"), lit(bands), lit(rowsPerBand))))
+        .select(col(side), col("bucket"))
+    val tb = buckets(train, "train_id")
+    val sized = tb.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("bucket")
+    val cand = tb.join(sized, Seq("bucket"))
+      .join(buckets(eval, "eval_id"), Seq("bucket"))
+      .select("train_id", "eval_id").distinct()
+    def shingled(df: DataFrame, side: String, shCol: String) =
+      df.select(col(idCol).as(side),
+        shingleCol(TermOps.tokens(col(textCol)), shingleK).as(shCol))
+    cand
+      .join(shingled(train, "train_id", "sh_a"), "train_id")
+      .join(shingled(eval, "eval_id", "sh_b"), "eval_id")
+      .withColumn("jaccard", round(jaccardSet(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("eval_id", "train_id", "jaccard")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted-index
     * join — deterministic (oracle-checkable), unlike the probabilistic
     * LSH path. Shingles occurring in more than `maxShingleDf` docs are
