@@ -480,6 +480,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_novelty first-occurrence window is partitioned on the " +
+    "shingle hash — no join-back, no global window") {
+    val p = plan("text_novelty")
+    val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wins.size == 1, wins.mkString("\n"))
+    assert(wins.head.contains("windowspecdefinition(h#"), wins.head)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_cross_corpus joins only on bucket/id keys — no cartesian " +
+    "or nested-loop pair generation") {
+    val p = plan("dedup_cross_corpus")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("stats_mutual_info margins re-aggregate the checkpointed cells " +
+    "— one corpus scan") {
+    val p = plan("stats_mutual_info")
+    assert("FileScan parquet".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
