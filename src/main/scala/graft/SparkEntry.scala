@@ -1449,6 +1449,83 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "w7_asof_nearest" -> ((s, d) => {
+      // nearest-in-time as-of join (either direction): each purchase
+      // picks the CLOSEST view, not merely the latest preceding one —
+      // the alignment rule for sensor/metric joins where the next
+      // reading can be closer than the previous. One sorted pass per
+      // key carries both neighbors (AsofOps.asofNearest); distance in
+      // whole seconds (the ts cast-long unit), prev wins ties.
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      AsofOps.asofNearest(purchases, views, "user_id", "ts", Seq("view_id"))
+        .select(col("event_id"), date_format(col("ts"), tsFmt).as("ts_str"),
+          date_format(col("matched_ts"), tsFmt).as("matched_ts_str"),
+          col("delta"), col("view_id"))
+    }),
+
+    "pack_doc_mask" -> ((s, d) => {
+      // packed sequences WITH document-boundary masks — the artifact an
+      // attention-masking trainer actually needs: per (shard, seq), the
+      // in-sequence start offset of every packed document, in pack
+      // order. Same snake-shard + contiguous-fill chain as pack_e2e;
+      // the boundary list is an ordered array fold (sorted by doc_id,
+      // the cumulative order), emitted as a comma-joined string so the
+      // gate compares it byte-for-byte.
+      val tc = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("nt"))
+      val sh = PackOps.snakeShards(tc, "doc_id", "nt", nShards = 8)
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sh.withColumn("cb", coalesce(sum(col("size")).over(w), lit(0L)))
+        .withColumn("seq", expr("cb div 2048"))
+        .withColumn("off", col("cb") % 2048)
+        .groupBy(col("shard"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("sum_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("off")))),
+            p => p.getField("off").cast("string")), ",").as("boundaries"))
+    }),
+
+    "st_smooth" -> ((s, _) => {
+      // streaming per-key EWMA: O(1) state (count + level), batch rows
+      // fold in event-time order, updated levels emit every batch
+      // (Update mode) — the serving read keeps each key's LATEST row.
+      // Two micro-batches exercise the state carry-over; α = 1/2 keeps
+      // levels exact dyadic rationals, so the trace replays exactly.
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.ewmaByKey(mem.toDS())
+        .writeStream.format("memory").queryName("st_smooth_out")
+        .outputMode("update").start()
+      def ev(u: Long, t: String, v: Double) =
+        EventStreamOps.Event(u, java.sql.Timestamp.valueOf(t), v)
+      try {
+        mem.addData(
+          ev(1, "2024-01-01 00:01:00", 1.0), ev(1, "2024-01-01 00:02:00", 2.0),
+          ev(2, "2024-01-01 00:03:00", 10.0))
+        q.processAllAvailable()
+        mem.addData(
+          ev(1, "2024-01-01 00:04:00", 3.0), ev(2, "2024-01-01 00:05:00", 20.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_smooth_out")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("level"), 6).as("level"))
+    }),
+
     "dedup_cross_corpus" -> ((s, d) => {
       // benchmark decontamination at the NEAR-DUP level (the sibling of
       // text_contamination's exact n-gram rule): banded-MinHash buckets
@@ -5821,6 +5898,55 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // nearest of (last preceding, first following) per purchase; floor-
+    // second distances, prev wins ties — (delta, vts) ordering encodes
+    // exactly that rule because prev's vts is the smaller at a tie
+    "w7_asof_nearest" ->
+      """WITH p AS (SELECT event_id, ts, user_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT p.event_id, p.ts, v.ts AS vts, v.view_id,
+        |       abs(epoch_us(v.ts) // 1000000 - epoch_us(p.ts) // 1000000)
+        |         AS delta
+        |      FROM p LEFT JOIN v ON p.user_id = v.user_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |        ORDER BY delta, vts) AS rn FROM c)
+        |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | strftime(vts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts_str,
+        | delta, view_id
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // the pack_e2e chain with per-sequence boundary offsets as an
+    // ordered string_agg (doc_id order = cumulative order)
+    "pack_doc_mask" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |   len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     x -> x <> '')) AS nt
+        |  FROM documents),
+        |r AS (SELECT doc_id, nt,
+        |       row_number() OVER (ORDER BY nt DESC, doc_id) AS rk FROM tc),
+        |a AS (SELECT doc_id, nt,
+        |  CASE WHEN ((rk-1) // 8) % 2 = 0 THEN (rk-1) % 8
+        |       ELSE 7 - (rk-1) % 8 END AS shard FROM r),
+        |o AS (SELECT shard, doc_id, nt,
+        |  coalesce(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM a)
+        |SELECT CAST(shard AS INT) AS shard, CAST(cb // 2048 AS BIGINT) AS seq,
+        | count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        | string_agg(CAST(cb % 2048 AS VARCHAR), ',' ORDER BY doc_id)
+        |   AS boundaries
+        |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // golden trace: u1 folds 1,2 (batch 1) then 3 (batch 2) at α = ½:
+    // 1 → 1.5 → 2.25; u2: 10 → 15; serving keeps the latest row per key
+    "st_smooth" ->
+      """SELECT CAST(col0 AS BIGINT) AS user_id,
+        | CAST(col1 AS BIGINT) AS n_events, CAST(col2 AS DOUBLE) AS level
+        |FROM (VALUES (1, 3, 2.25), (2, 2, 15.0)) t""".stripMargin,
 
     // the minhash exact-verify chain restricted to cross-parity pairs;
     // the LSH banding is recall-complete on this data (the

@@ -54,6 +54,60 @@ object AsofOps {
           valueCols.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
+  /** NEAREST-in-time as-of join: each left row takes the right row with
+    * the smallest |right.ts − left.ts| on its key, from EITHER
+    * direction — sensor/record alignment where "latest before" is the
+    * wrong rule when the next reading is closer. Same union+window
+    * shape as [[asofJoin]], carrying BOTH the last preceding and first
+    * following right row (as (ts, values) structs) in ONE sorted pass
+    * per key — one shuffle, streaming window state, no time-range
+    * self-join. Ties (equal distance) prefer the earlier right row;
+    * right rows at the left row's exact ts match at distance 0. Right
+    * side should be unique per (key, ts) for determinism. Output adds
+    * `matched_ts` and `delta` (|Δ| in the ts column's native unit,
+    * seconds for timestamps) beside `valueCols`. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, valueCols: Seq[String]): DataFrame = {
+    requireFree(left, "left", nearestReserved)
+    requireFree(right, "right", nearestReserved)
+    val carryCols = left.columns.filterNot(c => c == key || c == ts).toSeq
+    val rvType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("ts",
+        right.schema(ts).dataType) +:
+        valueCols.map(c => right.schema(c)).toArray.toSeq)
+    val rightSide = right.filter(col(ts).isNotNull).select(
+      Seq(col(key), col(ts).as("__ts"), lit(0).as("__side"),
+        struct(col(ts).as("ts") +: valueCols.map(col): _*).as("__rv")) ++
+        carryCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftSide = left.select(
+      Seq(col(key), col(ts).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rvType).as("__rv")) ++ carryCols.map(col): _*)
+    // side 0 sorts before side 1 at equal ts: an equal-ts right row is
+    // in the left row's PRECEDING frame (distance 0, prev wins ties)
+    val ord = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dPrev = col("__ts").cast("long") - col("__prev.ts").cast("long")
+    val dNext = col("__next.ts").cast("long") - col("__ts").cast("long")
+    val pick = when(col("__next").isNull, col("__prev"))
+      .when(col("__prev").isNull, col("__next"))
+      .when(dPrev <= dNext, col("__prev")).otherwise(col("__next"))
+    rightSide.unionByName(leftSide)
+      .withColumn("__prev", last(col("__rv"), ignoreNulls = true).over(wPrev))
+      .withColumn("__next", first(col("__rv"), ignoreNulls = true).over(wNext))
+      .filter(col("__side") === 1)
+      .withColumn("__m", pick)
+      .select(
+        Seq(col(key), col("__ts").as(ts)) ++ carryCols.map(col) ++
+          Seq(col("__m.ts").as("matched_ts"),
+            abs(col("__m.ts").cast("long") - col("__ts").cast("long"))
+              .as("delta")) ++
+          valueCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  private val nearestReserved =
+    Set("__ts", "__side", "__rv", "__prev", "__next", "__m")
+
   /** Internal working columns, per operator — reject inputs that
     * already use them rather than silently clobbering or ambiguating
     * caller data (each operator only reserves its own names). */

@@ -135,6 +135,38 @@ object EventStreamOps {
   }
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Per-key EWMA state: (event count, smoothed level). */
+  case class EwmaState(n: Long, level: Double)
+  case class EwmaRow(user_id: Long, n_events: Long, level: Double)
+
+  /** Streaming per-key EWMA (α = 1/2): the continuous metric smoother —
+    * O(1) state per key (count + level), each micro-batch folds its
+    * rows in EVENT-TIME order (the iterator's arrival order is
+    * unspecified, so the batch buffer sorts by ts first — determinism
+    * within a batch), and the updated level emits every batch (Update
+    * mode: the serving read keeps each key's latest row). α = 1/2 keeps
+    * every level an exact dyadic rational of the inputs, so a golden
+    * trace replays bit-identically. Cross-batch ordering follows batch
+    * arrival (state is a fold, not a sort buffer): the deterministic
+    * gate feeds batches in event-time order, which is also the
+    * production contract for a monotone source. */
+  def ewmaByKey(events: Dataset[Event]): Dataset[EwmaRow] = {
+    implicit val rowEnc = Encoders.product[EwmaRow]
+    implicit val stEnc = Encoders.product[EwmaState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          val batch = it.toSeq.sortBy(_.ts.getTime)
+          val st0 = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          val st = batch.foldLeft(st0) { (acc, e) =>
+            if (acc.n == 0L) EwmaState(1L, e.value)
+            else EwmaState(acc.n + 1, 0.5 * e.value + 0.5 * acc.level)
+          }
+          state.update(st)
+          EwmaRow(userId, st.n, st.level)
+      }
+  }
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,
                      n_events: Int, sum_value: Double)
