@@ -1449,6 +1449,93 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "t20_pacf" -> ((s, d) => {
+      // partial autocorrelation at lags 1..7 per event_type — the AR
+      // order-selection diagnostic beside t15's ACF (pacf_k ≈ 0 beyond
+      // the true AR order). Levinson-Durbin recursion over the SAME
+      // exact-integer ACF chain as t15: the per-type [r₁..r₇] array is
+      // assembled ordered, and the recursion is one nested ORDERED fold
+      // (state = [m, φ₁..φ_m, pacf₁..pacf_m], growing by 2 per lag) —
+      // identical operation order on both engines ⇒ bit-identical
+      // doubles before the final round. O(cells) work per type after
+      // the t15-shaped grid aggregations.
+      val daily = t(s, d, "events")
+        .select(col("event_type"), expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .localCheckpoint() // base stats + 7 lag joins (the t15 shape)
+      val base = grid.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("q"))
+      val acf = grid
+        .select(col("event_type"), col("day"), col("c"),
+          explode(sequence(lit(1), lit(7))).as("k"))
+        .withColumn("day2", col("day") + col("k"))
+        .join(grid.select(col("event_type"), col("day").as("day2"),
+          col("c").as("c2")), Seq("event_type", "day2"))
+        .groupBy("event_type", "k")
+        .agg(sum(col("c") * col("c2")).as("sxy"),
+          sum(col("c")).as("sh"), sum(col("c2")).as("st"))
+        .join(base, "event_type")
+        .select(col("event_type"), col("k"),
+          (((col("n") * col("n")).cast("double") * col("sxy") -
+            col("n").cast("double") * col("s") * (col("sh") + col("st")) +
+            (col("n") - col("k")).cast("double") * col("s") * col("s")) /
+            ((col("n") * col("n")).cast("double") * col("q") -
+              col("n").cast("double") * col("s") * col("s"))).as("r"))
+      acf.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("k"), col("r")))).as("ra"))
+        .withColumn("racf", expr("transform(ra, p -> p.r)"))
+        .withColumn("st", expr(
+          // Levinson-Durbin: acc = [m, phi_1..phi_m, pacf_1..pacf_m]
+          """aggregate(sequence(1, 7), array(CAST(0.0 AS DOUBLE)),
+            |  (acc, k) -> concat(
+            |    array(CAST(k AS DOUBLE)),
+            |    transform(slice(sequence(1, 7), 1, CAST(element_at(acc, 1) AS INT)),
+            |      j -> element_at(acc, 1 + j)
+            |        - ((element_at(racf, k)
+            |             - aggregate(slice(sequence(1, 7), 1, CAST(element_at(acc, 1) AS INT)),
+            |                 CAST(0.0 AS DOUBLE),
+            |                 (s2, j2) -> s2 + element_at(acc, 1 + j2)
+            |                   * element_at(racf, k - j2)))
+            |           / (CAST(1.0 AS DOUBLE)
+            |             - aggregate(slice(sequence(1, 7), 1, CAST(element_at(acc, 1) AS INT)),
+            |                 CAST(0.0 AS DOUBLE),
+            |                 (s3, j3) -> s3 + element_at(acc, 1 + j3)
+            |                   * element_at(racf, j3))))
+            |          * element_at(acc, 1 + CAST(element_at(acc, 1) AS INT) + 1 - j)),
+            |    array((element_at(racf, k)
+            |             - aggregate(slice(sequence(1, 7), 1, CAST(element_at(acc, 1) AS INT)),
+            |                 CAST(0.0 AS DOUBLE),
+            |                 (s4, j4) -> s4 + element_at(acc, 1 + j4)
+            |                   * element_at(racf, k - j4)))
+            |           / (CAST(1.0 AS DOUBLE)
+            |             - aggregate(slice(sequence(1, 7), 1, CAST(element_at(acc, 1) AS INT)),
+            |                 CAST(0.0 AS DOUBLE),
+            |                 (s5, j5) -> s5 + element_at(acc, 1 + j5)
+            |                   * element_at(racf, j5)))),
+            |    slice(acc, 2 + CAST(element_at(acc, 1) AS INT),
+            |      CAST(element_at(acc, 1) AS INT)),
+            |    array((element_at(racf, k)
+            |             - aggregate(slice(sequence(1, 7), 1, CAST(element_at(acc, 1) AS INT)),
+            |                 CAST(0.0 AS DOUBLE),
+            |                 (s6, j6) -> s6 + element_at(acc, 1 + j6)
+            |                   * element_at(racf, k - j6)))
+            |           / (CAST(1.0 AS DOUBLE)
+            |             - aggregate(slice(sequence(1, 7), 1, CAST(element_at(acc, 1) AS INT)),
+            |                 CAST(0.0 AS DOUBLE),
+            |                 (s7, j7) -> s7 + element_at(acc, 1 + j7)
+            |                   * element_at(racf, j7))))))""".stripMargin))
+        .select(col("event_type"),
+          posexplode(expr("slice(st, 2 + 7, 7)")).as(Seq("k0", "pacf")))
+        .select(col("event_type"), (col("k0") + 1).as("k"),
+          round(col("pacf"), 6).as("pacf"))
+    }),
+
     "w7_asof_nearest" -> ((s, d) => {
       // nearest-in-time as-of join (either direction): each purchase
       // picks the CLOSEST view, not merely the latest preceding one —
@@ -5898,6 +5985,68 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // Levinson-Durbin over the t15 acf chain: the fold state is a
+    // growing DOUBLE list (the t14 list-state rule), the pivot P is
+    // inlined textually at each use exactly as the engine writes it,
+    // and every inner sum folds a prepended-0 list in ascending-j order
+    "t20_pacf" -> {
+      val m = "CAST(acc[1] AS INT)"
+      val num = s"(racf[CAST(x[1] AS INT)] - list_reduce(" +
+        s"list_prepend(0.0::DOUBLE, list_transform(" +
+        s"generate_series(1, 7)[1:$m], j2 -> acc[1 + j2] * " +
+        s"racf[CAST(x[1] AS INT) - j2])), (s2, y2) -> s2 + y2))"
+      val den = s"(1.0::DOUBLE - list_reduce(" +
+        s"list_prepend(0.0::DOUBLE, list_transform(" +
+        s"generate_series(1, 7)[1:$m], j3 -> acc[1 + j3] * racf[j3])), " +
+        s"(s3, y3) -> s3 + y3))"
+      val p = s"($num / $den)"
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+         |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+         |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+         |          FROM daily GROUP BY 1),
+         |grid AS (
+         |  SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+         |  FROM (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+         |        FROM spans) g
+         |  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day),
+         |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+         |  FROM grid GROUP BY 1),
+         |pairs AS (
+         |  SELECT g1.event_type, k.k,
+         |   CAST(sum(g1.c * g2.c) AS BIGINT) AS sxy,
+         |   CAST(sum(g1.c) AS BIGINT) AS sh, CAST(sum(g2.c) AS BIGINT) AS st
+         |  FROM grid g1,
+         |   (SELECT unnest(generate_series(1, 7)) AS k) k,
+         |   grid g2
+         |  WHERE g1.event_type = g2.event_type AND g2.day = g1.day + k.k
+         |  GROUP BY 1, 2),
+         |acf AS (SELECT p.event_type, p.k,
+         |   (CAST(b.n * b.n AS DOUBLE) * p.sxy
+         |     - CAST(b.n AS DOUBLE) * b.s * (p.sh + p.st)
+         |     + CAST(b.n - p.k AS DOUBLE) * b.s * b.s)
+         |   / (CAST(b.n * b.n AS DOUBLE) * b.q
+         |     - CAST(b.n AS DOUBLE) * b.s * b.s) AS r
+         |  FROM pairs p JOIN base b ON p.event_type = b.event_type),
+         |ar AS (SELECT event_type, list(r ORDER BY k) AS racf
+         |       FROM acf GROUP BY 1),
+         |fin AS (SELECT event_type,
+         |  list_reduce(
+         |    list_prepend([0.0::DOUBLE],
+         |      list_transform(generate_series(1, 7), k -> [CAST(k AS DOUBLE)])),
+         |    (acc, x) -> list_concat(list_concat(list_concat(list_concat(
+         |      [x[1]],
+         |      list_transform(generate_series(1, 7)[1:$m],
+         |        j -> acc[1 + j] - $p * acc[1 + $m + 1 - j])),
+         |      [$p]),
+         |      acc[(2 + $m):(1 + 2 * $m)]),
+         |      [$p])) AS st
+         |  FROM ar)
+         |SELECT f.event_type, ks.k, round(f.st[8 + ks.k], 6) AS pacf
+         |FROM fin f, (SELECT unnest(generate_series(1, 7)) AS k) ks""".stripMargin
+    },
 
     // nearest of (last preceding, first following) per purchase; floor-
     // second distances, prev wins ties — (delta, vts) ordering encodes
