@@ -1449,6 +1449,145 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "t21_ccf" -> ((s, d) => {
+      // cross-correlation between the click and purchase daily series at
+      // lags −7..+7 — the lead-lag discovery tool ("do purchases trail
+      // clicks, and by how many days"). Both series live on ONE dense
+      // global day grid (missing days are 0 — counting processes), all
+      // co-moments are exact integers, and r_k is one mirrored double
+      // expression normalized by the full-series σx·σy. Lag pairs via
+      // the equi-join on day+k, the t15 shape.
+      val daily = t(s, d, "events")
+        .select(expr("CAST(ts AS LONG) div 86400").as("day"),
+          col("event_type"))
+        .groupBy("day").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val grid = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+        .localCheckpoint() // base stats + 15 lag joins
+      val base = grid.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("qx"),
+        sum(col("y") * col("y")).as("qy"))
+      grid.select(col("day"), col("x"),
+          explode(sequence(lit(-7), lit(7))).as("k"))
+        .withColumn("day2", col("day") + col("k"))
+        .join(grid.select(col("day").as("day2"), col("y").as("y2")),
+          Seq("day2"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("cnt"), sum(col("x") * col("y2")).as("sxy"),
+          sum(col("x")).as("sxw"), sum(col("y2")).as("syw"))
+        .crossJoin(broadcast(base))
+        .select(col("k"), col("cnt"),
+          round(((col("n") * col("n")).cast("double") * col("sxy") -
+            col("n").cast("double") * (col("sx") * col("syw") +
+              col("sy") * col("sxw")) +
+            col("cnt").cast("double") * (col("sx") * col("sy"))) /
+            (col("n").cast("double") *
+              sqrt((col("n").cast("double") * col("qx") -
+                col("sx").cast("double") * col("sx")) *
+                (col("n").cast("double") * col("qy") -
+                  col("sy").cast("double") * col("sy")))), 6).as("ccf"))
+    }),
+
+    "text_keywords" -> ((s, d) => {
+      // per-document keyword extraction: top-3 terms by tf·idf — the
+      // summary/labeling primitive every corpus browser ships. One
+      // (term)-keyed df pass broadcasts back onto the (doc, term) tf
+      // relation; the per-doc top-3 is a WindowGroupLimit (pre-shuffle
+      // heaps, the o7 shape), never a global sort.
+      // NO checkpoint here: both consumers re-run the map-only tokenize
+      // (pipelined, embarrassingly parallel) rather than serializing a
+      // corpus-sized (doc, term, tf) materialization — measured 3.1×
+      // at ×10 with the eager checkpoint vs 1.6× without
+      val tf = TermOps.termFrequencies(t(s, d, "documents"), "doc_id", "text")
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = tf.select(countDistinct(col("doc_id")).as("nd"))
+      tf.join(dft, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * log(col("nd").cast("double") / col("df")))
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    "search_mlt" -> ((s, d) => {
+      // more-like-this retrieval: the query is DERIVED from a document
+      // (doc 0's top-3 tf·idf terms, ties → term asc) and fed to the
+      // gated BM25 ranker, query doc excluded — the "related documents"
+      // feature. The 3-term query collects on the driver because the
+      // query IS the serving-side input of any retrieval path (metadata
+      // scale, same tier as the manifest path lists).
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      // NARROW derivation: only doc 0's own vocabulary needs df — its
+      // term set (one document, bounded) filters the corpus scan, so
+      // the derivation never builds the full (doc, term, tf) relation
+      // (which made the first cut 3.4× at ×10)
+      val d0tf = docs.filter(col("doc_id") === 0L)
+        .select(explode(TermOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val d0terms = d0tf.keys.toSeq
+      val dfMap = docs
+        .select(explode(array_distinct(filter(TermOps.tokens(col("text")),
+          t => t.isin(d0terms: _*)))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // nd = docs with ≥ 1 token (the tf relation's doc universe)
+      val nd = docs.filter(size(TermOps.tokens(col("text"))) > 0)
+        .count().toDouble
+      val qTerms = d0terms
+        .map(t0 => (t0, d0tf(t0) * math.log(nd / dfMap(t0))))
+        .sortBy { case (t0, sc) => (-sc, t0) }.take(3).map(_._1)
+      TermOps.bm25Search(docs, "doc_id", "text", qTerms, k = 21)
+        .filter(col("doc_id") =!= 0L)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
+    "sample_contrastive" -> ((s, d) => {
+      // contrastive pair mining for embedding training: per anchor, the
+      // hardest POSITIVE (nearest same-label vector by exact cosine) and
+      // a deterministic hash-drawn NEGATIVE (different label) — the
+      // (anchor, pos, neg) triplets a contrastive loss consumes. Both
+      // picks are one corpus pass against the broadcast 20-anchor set
+      // with map-side max_by/min_by argmax aggregation; at larger
+      // anchor counts the positive leg becomes IVF-per-label (the gated
+      // ann path), same contract.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"), col("label"))
+        .localCheckpoint() // anchors + the two scans
+      val anchors = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("anchor_id"),
+          col("embedding").as("a_emb"), col("label").as("a_label"))
+      val pos = emb.crossJoin(broadcast(anchors))
+        .filter(col("label") === col("a_label") &&
+          col("vec_id") =!= col("anchor_id"))
+        .withColumn("sim", SimilarityOps.cosine(col("a_emb"), col("embedding")))
+        .groupBy("anchor_id")
+        .agg(max_by(struct(col("vec_id").as("pos_id"), col("sim")),
+          struct(col("sim"), lit(0L) - col("vec_id"))).as("p"))
+        .select(col("anchor_id"), col("p.pos_id").as("pos_id"),
+          round(col("p.sim"), 4).as("pos_sim"))
+      val neg = emb.crossJoin(broadcast(anchors.select("anchor_id", "a_label")))
+        .filter(col("label") =!= col("a_label"))
+        .withColumn("h",
+          SimilarityOps.hash32Col(col("anchor_id") * 1000003L + col("vec_id")))
+        .groupBy("anchor_id")
+        .agg(min_by(col("vec_id"), struct(col("h"), col("vec_id")))
+          .as("neg_id"))
+      pos.join(neg, Seq("anchor_id"))
+    }),
+
     "t20_pacf" -> ((s, d) => {
       // partial autocorrelation at lags 1..7 per event_type — the AR
       // order-selection diagnostic beside t15's ACF (pacf_k ≈ 0 beyond
@@ -5985,6 +6124,119 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // one global day grid carries both series; co-moments exact, r_k
+    // mirrored operand-for-operand with the full-series σ normalizer
+    "t21_ccf" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS x,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spans AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (
+        |  SELECT g.day, coalesce(d.x, 0) AS x, coalesce(d.y, 0) AS y
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM spans) g
+        |  LEFT JOIN daily d ON g.day = d.day),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x * x) AS BIGINT) AS qx,
+        |   CAST(sum(y * y) AS BIGINT) AS qy
+        |  FROM grid),
+        |lags AS (
+        |  SELECT k.k, CAST(count(*) AS BIGINT) AS cnt,
+        |   CAST(sum(g1.x * g2.y) AS BIGINT) AS sxy,
+        |   CAST(sum(g1.x) AS BIGINT) AS sxw,
+        |   CAST(sum(g2.y) AS BIGINT) AS syw
+        |  FROM grid g1,
+        |   (SELECT unnest(generate_series(-7, 7)) AS k) k,
+        |   grid g2
+        |  WHERE g2.day = g1.day + k.k
+        |  GROUP BY 1)
+        |SELECT l.k, l.cnt,
+        | round((CAST(b.n * b.n AS DOUBLE) * l.sxy
+        |    - CAST(b.n AS DOUBLE) * (b.sx * l.syw + b.sy * l.sxw)
+        |    + CAST(l.cnt AS DOUBLE) * (b.sx * b.sy))
+        |  / (CAST(b.n AS DOUBLE) *
+        |     sqrt((CAST(b.n AS DOUBLE) * b.qx - CAST(b.sx AS DOUBLE) * b.sx)
+        |       * (CAST(b.n AS DOUBLE) * b.qy
+        |          - CAST(b.sy AS DOUBLE) * b.sy))), 6) AS ccf
+        |FROM lags l, base b""".stripMargin,
+
+    // tf·idf over the shared tf chain; ln on identical doubles
+    "text_keywords" ->
+      s"""WITH tf AS ($tfSub),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tf),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |        tf.tf * ln(CAST(nd.nd AS DOUBLE) / dft.df) AS score
+         |       FROM tf JOIN dft USING (term), nd),
+         |r AS (SELECT doc_id, term, score,
+         |       CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score DESC, term ASC) AS INT) AS rk FROM sc)
+         |SELECT doc_id, rk, term, round(score, 6) AS score
+         |FROM r WHERE rk <= 3""".stripMargin,
+
+    // query terms derived exactly as the engine derives them (tf·idf,
+    // ties → term asc), then the bm25 chain with the dynamic term set;
+    // ranking on the UNROUNDED sum mirrors bm25Search's internal order
+    "search_mlt" ->
+      s"""WITH tf AS ($tfSub),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |ndq AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tf),
+         |qt AS (SELECT term FROM (
+         |  SELECT tf.term, tf.tf * ln(CAST(nd.nd AS DOUBLE) / dft.df) AS s0
+         |  FROM tf JOIN dft USING (term), ndq nd WHERE tf.doc_id = 0) q
+         |  ORDER BY s0 DESC, term ASC LIMIT 3),
+         |tfq AS (SELECT doc_id, term, tf FROM tf
+         |        WHERE term IN (SELECT term FROM qt)),
+         |dfs AS (SELECT term, count(*) AS term_df FROM tfq GROUP BY term),
+         |dl AS (SELECT doc_id,
+         |   len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |     x -> x <> '')) AS doc_len
+         |  FROM documents),
+         |g AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+         |contrib AS (
+         |  SELECT tfq.doc_id,
+         |   ln(1.0 + (g.n_docs - dfs.term_df + 0.5) / (dfs.term_df + 0.5))
+         |     * tfq.tf * 2.2
+         |     / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / g.avgdl)) AS c
+         |  FROM tfq JOIN dfs USING (term) JOIN dl ON tfq.doc_id = dl.doc_id
+         |  CROSS JOIN g),
+         |sc AS (SELECT doc_id, sum(c) AS score0 FROM contrib
+         |       WHERE doc_id <> 0 GROUP BY doc_id),
+         |r AS (SELECT doc_id, score0,
+         |       CAST(row_number() OVER (ORDER BY score0 DESC, doc_id ASC)
+         |         AS INT) AS rank FROM sc)
+         |SELECT rank, doc_id, round(score0, 4) AS score
+         |FROM r WHERE rank <= 20""".stripMargin,
+
+    // argmax picks mirror max_by/min_by tie orders exactly
+    "sample_contrastive" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |            label FROM embeddings),
+         |a AS (SELECT vec_id AS anchor_id, emb AS a_emb, label AS a_label
+         |      FROM e WHERE vec_id < 20),
+         |ps AS (SELECT a.anchor_id, e.vec_id,
+         |        ${cosSql("a.a_emb", "e.emb")} AS sim
+         |       FROM e CROSS JOIN a
+         |       WHERE e.label = a.a_label AND e.vec_id <> a.anchor_id),
+         |pr AS (SELECT anchor_id, vec_id AS pos_id, sim,
+         |        row_number() OVER (PARTITION BY anchor_id
+         |          ORDER BY sim DESC, vec_id ASC) AS rn FROM ps),
+         |ng AS (SELECT a.anchor_id, e.vec_id,
+         |        ${hash32Sql("(a.anchor_id * 1000003 + e.vec_id)")} AS h
+         |       FROM e CROSS JOIN a WHERE e.label <> a.a_label),
+         |nr AS (SELECT anchor_id, vec_id AS neg_id,
+         |        row_number() OVER (PARTITION BY anchor_id
+         |          ORDER BY h, vec_id) AS rn FROM ng)
+         |SELECT p.anchor_id, p.pos_id, round(p.sim, 4) AS pos_sim, n.neg_id
+         |FROM pr p JOIN nr n ON p.anchor_id = n.anchor_id
+         |WHERE p.rn = 1 AND n.rn = 1""".stripMargin,
 
     // Levinson-Durbin over the t15 acf chain: the fold state is a
     // growing DOUBLE list (the t14 list-state rule), the pivot P is
