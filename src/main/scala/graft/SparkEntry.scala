@@ -1449,6 +1449,83 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "mm_scene_cut" -> ((s, d) => {
+      // scene-cut detection over the frame-energy series (the media
+      // segmentation proxy: a hard cut is the frame with the largest
+      // energy jump): per media, lag-delta over the gated frame_energy
+      // kernel, argmax via max_by — one partitioned window + one
+      // argmax aggregation, ties to the earliest frame.
+      val en = MultimodalOps.frameEnergy(
+        t(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "payload", frameSize = 16, stride = 2)
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      en.withColumn("dE", col("energy") - lag(col("energy"), 1).over(w))
+        .filter(col("dE").isNotNull)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_deltas"),
+          max_by(struct(col("frame_idx"), abs(col("dE")).as("jump")),
+            struct(abs(col("dE")), lit(0L) - col("frame_idx"))).as("c"))
+        .select(col("doc_id"), col("n_deltas"),
+          col("c.frame_idx").as("cut_frame"), col("c.jump").as("jump"))
+    }),
+
+    "graph_conductance" -> ((s, d) => {
+      // conductance of the parity cut on the part co-order graph —
+      // φ(S) = cut(S, S̄)/min(vol S, vol S̄), the partition-quality
+      // audit (low φ = the cut respects community structure). Exact
+      // integer cut and volume sums, one mirrored division.
+      val li = t(s, d, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val und = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+        .withColumn("sa", pmod(expr("a div 4"), lit(2)))
+        .withColumn("sb", pmod(expr("b div 4"), lit(2)))
+      und.agg(count(lit(1)).as("n_edges"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cut"),
+          sum(when(col("sa") === 0, 1L).otherwise(0L) +
+            when(col("sb") === 0, 1L).otherwise(0L)).as("vol0"),
+          sum(when(col("sa") === 1, 1L).otherwise(0L) +
+            when(col("sb") === 1, 1L).otherwise(0L)).as("vol1"))
+        .select(col("n_edges"), col("n_cut"), col("vol0"), col("vol1"),
+          round(col("n_cut").cast("double") /
+            least(col("vol0"), col("vol1")), 6).as("conductance"))
+    }),
+
+    "k25_manifest_append" -> ((s, d) => {
+      // incremental zone-map maintenance on APPEND: each ingest batch
+      // writes its own range layout and manifests ONLY its own files —
+      // the combined index is the union of per-batch manifests, so the
+      // old data is never rescanned (the Iceberg append contract). The
+      // pruned band scan then plans across both batches' matched files;
+      // equivalence with the full filter is the gate, as in k15.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k25")
+        .toString
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val b1 = ev.filter(col("event_id") % 2 === 0)
+      val b2 = ev.filter(col("event_id") % 2 === 1)
+      LayoutOps.writeRangeLayout(b1, "event_id", s"$dir/b1", numFiles = 4)
+      LayoutOps.writeRangeLayout(b2, "event_id", s"$dir/b2", numFiles = 4)
+      // incremental index: manifest(b2) is built from batch-2 files only
+      val mf = LayoutOps.fileManifest(s, s"$dir/b1", "event_id")
+        .unionByName(LayoutOps.fileManifest(s, s"$dir/b2", "event_id"))
+      val mx = ev.agg(max(col("event_id"))).first().getLong(0)
+      val (lo, hi) = (mx / 4, mx / 2)
+      val keep = mf.filter(col("max_k").cast("long") >= lo &&
+          col("min_k").cast("long") <= hi)
+        .select(col("file")).collect().map(_.getString(0)).toSeq
+      s.read.parquet(keep: _*)
+        .filter(col("event_id").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     "t21_ccf" -> ((s, d) => {
       // cross-correlation between the click and purchase daily series at
       // lags −7..+7 — the lead-lag discovery tool ("do purchases trail
@@ -6124,6 +6201,62 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // the frame-energy fold chain + lag delta + (jump DESC, frame ASC)
+    // argmax — exact integers end to end
+    "mm_scene_cut" ->
+      """WITH fr AS (
+        |  SELECT doc_id, text, i AS off
+        |  FROM documents, unnest(generate_series(0, strlen(text) - 1, 32)) AS t(i)),
+        |e AS (
+        |  SELECT doc_id, off,
+        |   list_reduce(list_prepend(0::BIGINT, list_transform(
+        |     regexp_split_to_array(substr(text, off + 1, 16), ''),
+        |     c -> unicode(c)::BIGINT * unicode(c)::BIGINT)),
+        |    (a, b) -> a + b) AS energy
+        |  FROM fr),
+        |dd AS (SELECT doc_id, CAST(off // 32 AS INT) AS frame_idx, energy,
+        |        energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY off)
+        |          AS de
+        |       FROM e),
+        |f AS (SELECT doc_id, frame_idx, abs(de) AS jump FROM dd
+        |      WHERE de IS NOT NULL),
+        |r AS (SELECT doc_id, frame_idx, jump,
+        |       CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+        |         AS n_deltas,
+        |       row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY jump DESC, frame_idx ASC) AS rn FROM f)
+        |SELECT doc_id, n_deltas, frame_idx AS cut_frame, jump
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // parity cut on the co-order graph; integer cut/volume sums
+    "graph_conductance" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+        |t AS (SELECT (a // 4) % 2 AS sa, (b // 4) % 2 AS sb FROM edges),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |   CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_cut,
+        |   CAST(sum((CASE WHEN sa = 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN sb = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS vol0,
+        |   CAST(sum((CASE WHEN sa = 1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN sb = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS vol1
+        |  FROM t)
+        |SELECT n_edges, n_cut, vol0, vol1,
+        | round(CAST(n_cut AS DOUBLE) / least(vol0, vol1), 6) AS conductance
+        |FROM g""".stripMargin,
+
+    // the band filter over the whole table — pruning must drop nothing
+    "k25_manifest_append" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |b AS (SELECT mx // 4 AS lo, mx // 2 AS hi FROM m)
+        |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_id,
+        | min(event_id) AS min_id, max(event_id) AS max_id,
+        | round(sum(value), 2) AS sum_value
+        |FROM events, b WHERE event_id BETWEEN lo AND hi""".stripMargin,
 
     // one global day grid carries both series; co-moments exact, r_k
     // mirrored operand-for-operand with the full-series σ normalizer
