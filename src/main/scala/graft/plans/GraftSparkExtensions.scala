@@ -15,10 +15,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * session.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSparkExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => NanosFilterRule)
+  }
 }
 
 object GraftSparkExtensions {
@@ -90,10 +92,16 @@ object GraftSparkExtensions {
 
   /** Runtime registration on an existing session (idempotent). After
     * this, `selectExpr("fnv64(col)")` / `expr("fnv64(col)")` plan the
-    * native expression. */
-  def install(spark: SparkSession): Unit =
+    * native expression, and the [[NanosFilterRule]] pushdown-derivation
+    * rule runs in the optimizer (experimental-methods slot, the live-
+    * session equivalent of injectOptimizerRule). */
+  def install(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(NanosFilterRule))
+      spark.experimental.extraOptimizations = cur :+ NanosFilterRule
+  }
 }
