@@ -1449,6 +1449,62 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "o8_set_ops" -> ((s, d) => {
+      // set operators (SURVEY §2.6's "available for free" row, now
+      // gated): INTERSECT / EXCEPT / UNION over the clicker and buyer
+      // user sets — audience overlap arithmetic. Each op is one
+      // distinct + one hash set-op exchange; the three one-row
+      // aggregates union into the audit relation.
+      val ev = t(s, d, "events")
+      val clickers = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+      val buyers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      def agg(df: DataFrame, op: String) =
+        df.agg(lit(op).as("op"), count(lit(1)).as("n_users"),
+          coalesce(sum(col("user_id")), lit(0L)).as("sum_ids"))
+      agg(clickers.intersect(buyers), "intersect")
+        .unionByName(agg(clickers.except(buyers), "except"))
+        .unionByName(agg(clickers.union(buyers).distinct(), "union"))
+    }),
+
+    "t22_interarrival" -> ((s, d) => {
+      // inter-arrival gap distribution per user (engagement-cadence
+      // audit): gaps from one lag window, then EXACT rank-rule order
+      // statistics off each user's sorted gap array — median idx
+      // (n+1) div 2, p90 idx ceil(0.9n) = (9n+9) div 10, all integer
+      // seconds. Arrays are bounded by a user's event count; users
+      // aggregate in parallel.
+      val w = Window.partitionBy("user_id").orderBy("tsec")
+      t(s, d, "events")
+        .select(col("user_id"), expr("CAST(ts AS LONG)").as("tsec"))
+        .withColumn("gap", col("tsec") - lag(col("tsec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"),
+          array_sort(collect_list(col("gap"))).as("a"))
+        .select(col("user_id"), col("n_gaps"), col("min_gap"),
+          element_at(col("a"), expr("CAST((n_gaps + 1) div 2 AS INT)"))
+            .as("median_gap"),
+          element_at(col("a"), expr("CAST((9 * n_gaps + 9) div 10 AS INT)"))
+            .as("p90_gap"),
+          col("max_gap"))
+    }),
+
+    "f19_url_params" -> ((s, _) => {
+      import s.implicits._
+      // URL query-string parsing (F-family coverage beside
+      // extract_domain / canonicalization): str_to_map over the part
+      // after '?', exploded to (param, value) rows — pure map
+      Seq((1L, "https://ex.com/a?x=1&y=2"), (2L, "https://ex.com/b?x=3"),
+        (3L, "https://ex.com/c"))
+        .toDF("fid", "url")
+        .select(col("fid"),
+          explode(expr("str_to_map(get(split(url, '\\\\?'), 1), '&', '=')"))
+            .as(Seq("param", "value")))
+    }),
+
     "mm_scene_cut" -> ((s, d) => {
       // scene-cut detection over the frame-energy series (the media
       // segmentation proxy: a hard cut is the frame with the largest
@@ -6201,6 +6257,52 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // native INTERSECT/EXCEPT/UNION on both engines
+    "o8_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase'),
+        |i AS (SELECT user_id FROM c INTERSECT SELECT user_id FROM b),
+        |e AS (SELECT user_id FROM c EXCEPT SELECT user_id FROM b),
+        |u AS (SELECT user_id FROM c UNION SELECT user_id FROM b)
+        |SELECT 'intersect' AS op, count(*) AS n_users,
+        | CAST(coalesce(sum(user_id), 0) AS BIGINT) AS sum_ids FROM i
+        |UNION ALL SELECT 'except', count(*),
+        | CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM e
+        |UNION ALL SELECT 'union', count(*),
+        | CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM u""".stripMargin,
+
+    // exact rank-rule order statistics off the per-user sorted gaps
+    "t22_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+        |gp AS (SELECT user_id,
+        |        tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec)
+        |          AS gap
+        |       FROM g),
+        |f AS (SELECT user_id, gap FROM gp WHERE gap IS NOT NULL),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       min(gap) AS min_gap, max(gap) AS max_gap,
+        |       list(gap ORDER BY gap) AS a
+        |      FROM f GROUP BY 1)
+        |SELECT user_id, n_gaps, min_gap,
+        | a[CAST((n_gaps + 1) // 2 AS INT)] AS median_gap,
+        | a[CAST((9 * n_gaps + 9) // 10 AS INT)] AS p90_gap,
+        | max_gap
+        |FROM a""".stripMargin,
+
+    // k=v pairs replayed by splitting on '&' then '='
+    "f19_url_params" ->
+      """SELECT fid, split_part(p, '=', 1) AS param,
+        | split_part(p, '=', 2) AS value
+        |FROM (
+        |  SELECT CAST(col0 AS BIGINT) AS fid,
+        |   unnest(regexp_split_to_array(split_part(col1, '?', 2), '&')) AS p
+        |  FROM (VALUES (1, 'https://ex.com/a?x=1&y=2'),
+        |   (2, 'https://ex.com/b?x=3'), (3, 'https://ex.com/c')) t
+        |  WHERE contains(col1, '?')) u""".stripMargin,
 
     // the frame-energy fold chain + lag delta + (jump DESC, frame ASC)
     // argmax — exact integers end to end
