@@ -1449,6 +1449,54 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "w8_session_native" -> ((s, d) =>
+      // Spark's BUILT-IN session_window aggregation (the native sibling
+      // of the hand-built w6 gap sessionizer): one session-window
+      // groupBy, merge rule = next event strictly inside [start,
+      // last + gap) — the oracle replays that exact comparator (a gap
+      // of EXACTLY 15 min starts a new session). Same single-exchange
+      // shape as any keyed aggregation.
+      t(s, d, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "15 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), tsFmt).as("start_str"),
+          col("n_events"), col("sum_value"))),
+
+    "stats_retention" -> ((s, d) => {
+      // classic cohort-retention triangle: users cohorted by first-seen
+      // week, per (cohort_week, age_weeks) the fraction of the cohort
+      // active — the engagement decay curve every analytics deployment
+      // ships. One user-keyed min pass (cohort), one broadcast-able
+      // cohort-size relation, one (cohort, age) distinct-count.
+      val ev = t(s, d, "events").select(col("user_id"),
+        expr("CAST(ts AS LONG) div 604800").as("week"))
+      val cohort = ev.groupBy("user_id").agg(min("week").as("c_week"))
+      val sizes = cohort.groupBy("c_week").agg(count(lit(1)).as("n_cohort"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("c_week"), (col("week") - col("c_week")).as("age_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), "c_week")
+        .select(col("c_week"), col("age_weeks"), col("n_active"),
+          col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6)
+            .as("retention"))
+    }),
+
+    "a19_mode" -> ((s, d) =>
+      // statistical mode per group (§2.5 completeness): each user's
+      // modal event_type, ties to the lexicographically smallest —
+      // max_by over the (user, type) counts, map-side combinable
+      t(s, d, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(min_by(struct(col("event_type").as("mode_type"), col("n")),
+          struct((lit(0L) - col("n")).as("negn"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.mode_type").as("mode_type"),
+          col("m.n").as("n_mode"))),
+
     "o8_set_ops" -> ((s, d) => {
       // set operators (SURVEY §2.6's "available for free" row, now
       // gated): INTERSECT / EXCEPT / UNION over the clicker and buyer
@@ -6257,6 +6305,51 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // session_window's strict merge comparator: a gap of exactly the
+    // window duration STARTS a new session (>= in new_s)
+    "w8_session_native" ->
+      """WITH e AS (SELECT user_id, ts, epoch_ms(ts) AS tms, value
+        |           FROM events),
+        |f AS (
+        |  SELECT user_id, ts, tms, value,
+        |   CASE WHEN lag(tms) OVER w IS NULL
+        |          OR tms - lag(tms) OVER w >= 900000
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY tms
+        |     ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_str,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+
+    // one cohort min pass + one (cohort, age) distinct count
+    "stats_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(ts) // 1000000 // 604800 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS c_week FROM ev GROUP BY 1),
+        |sz AS (SELECT c_week, CAST(count(*) AS BIGINT) AS n_cohort
+        |       FROM c GROUP BY 1),
+        |act AS (SELECT c.c_week, e.week - c.c_week AS age_weeks,
+        |         count(DISTINCT e.user_id) AS n_active
+        |        FROM ev e JOIN c ON e.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT a.c_week, a.age_weeks, a.n_active, s.n_cohort,
+        | round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+        |FROM act a JOIN sz s ON a.c_week = s.c_week""".stripMargin,
+
+    // mode via (-n, type) argmin — ties to the smallest type
+    "a19_mode" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |       row_number() OVER (PARTITION BY user_id
+        |         ORDER BY n DESC, event_type ASC) AS rk FROM c)
+        |SELECT user_id, event_type AS mode_type, n AS n_mode
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // native INTERSECT/EXCEPT/UNION on both engines
     "o8_set_ops" ->
