@@ -1449,6 +1449,80 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "t23_ohlc" -> ((s, d) =>
+      // OHLC bars per (event_type, day) — the time-series summarizer
+      // every metrics store ships: open/close via (ts, id)-ordered
+      // argmin/argmax (map-side combinable, no window sort), high/low
+      // plain min/max, all exact integer cents
+      t(s, d, "events")
+        .select(col("event_type"), expr("CAST(ts AS LONG)").as("tsec"),
+          expr("CAST(ts AS LONG) div 86400").as("day"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("cents"), struct(col("tsec"), col("event_id")))
+            .as("open_c"),
+          max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
+          max_by(col("cents"), struct(col("tsec"), col("event_id")))
+            .as("close_c"))),
+
+    "st_ohlc" -> ((s, _) => {
+      // streaming OHLC per 10-minute window: open/close are stateful
+      // (value, ts)-argmin/argmax aggregates — declarative, so Spark
+      // merges partials across micro-batches like any windowed agg;
+      // state is O(windows) structs, watermark-expired
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = mem.toDF()
+        .withWatermark("ts", "5 minutes")
+        .groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), col("ts")).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), col("ts")).as("close"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("w_start"),
+          col("n"), col("open"), col("high"), col("low"), col("close"))
+        .writeStream.format("memory").queryName("st_ohlc_out")
+        .outputMode("complete").start()
+      def ev(t0: String, v: Double) =
+        EventStreamOps.Event(1L, java.sql.Timestamp.valueOf(t0), v)
+      try {
+        mem.addData(
+          ev("2024-01-01 00:01:00", 1.0), ev("2024-01-01 00:02:00", 5.0),
+          ev("2024-01-01 00:03:00", 0.5), ev("2024-01-01 00:09:00", 2.0),
+          ev("2024-01-01 00:12:00", 3.0), ev("2024-01-01 00:14:00", 1.5))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_ohlc_out")
+    }),
+
+    "dedup_bloom_seen" -> ((s, d) => {
+      // approximate incremental dedup against a BLOOM of the historical
+      // seen-set — the 100 TB shape of dedup_incremental: the exact
+      // seen-set is too big to join every ingest batch against, but its
+      // bloom broadcasts (here deliberately undersized so false
+      // positives exist and the oracle must replay them bit-for-bit).
+      // The exact `truly_seen` column beside the flag makes the FP rate
+      // auditable; a production flow exact-checks ONLY the flagged
+      // slice (a |flagged|-sized join, not |batch|).
+      val docs = t(s, d, "documents")
+      val seenKeys = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(md5(col("text")).as("h"))
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("h", md5(col("text")))
+      PruneOps.bloomFlag(batch, "h", seenKeys, "h", "maybe_seen",
+          mBits = 4096, k = 2)
+        .join(seenKeys.distinct().withColumn("truly_seen", lit(true)),
+          Seq("h"), "left_outer")
+        .select(col("doc_id"), col("maybe_seen"),
+          coalesce(col("truly_seen"), lit(false)).as("truly_seen"))
+    }),
+
     "w8_session_native" -> ((s, d) =>
       // Spark's BUILT-IN session_window aggregation (the native sibling
       // of the hand-built w6 gap sessionizer): one session-window
@@ -6305,6 +6379,52 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // open/close replayed as (ts, id)-ordered row_number picks
+    "t23_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 AS tsec,
+        |    epoch_us(ts) // 1000000 // 86400 AS day, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *,
+        |   row_number() OVER (PARTITION BY event_type, day
+        |     ORDER BY tsec, event_id) AS rn_a,
+        |   row_number() OVER (PARTITION BY event_type, day
+        |     ORDER BY tsec DESC, event_id DESC) AS rn_z
+        |  FROM e)
+        |SELECT event_type, day, count(*) AS n,
+        | CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_c,
+        | max(cents) AS high_c, min(cents) AS low_c,
+        | CAST(max(CASE WHEN rn_z = 1 THEN cents END) AS BIGINT) AS close_c
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // golden trace: window 00:00 sees 1.0, 5.0, 0.5, 2.0; window 00:10
+    // sees 3.0 then 1.5
+    "st_ohlc" ->
+      """SELECT col0 AS w_start, CAST(col1 AS BIGINT) AS n,
+        | CAST(col2 AS DOUBLE) AS open, CAST(col3 AS DOUBLE) AS high,
+        | CAST(col4 AS DOUBLE) AS low, CAST(col5 AS DOUBLE) AS close
+        |FROM (VALUES ('2024-01-01 00:00:00', 4, 1.0, 5.0, 0.5, 2.0),
+        | ('2024-01-01 00:10:00', 2, 3.0, 3.0, 1.5, 1.5)) t""".stripMargin,
+
+    // bloom flags replayed with the shared FNV chain over the md5 key;
+    // truly_seen beside them audits the false-positive rate
+    "dedup_bloom_seen" ->
+      s"""WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents
+         |             WHERE doc_id % 3 <> 0),
+         |batch AS (SELECT doc_id, md5(text) AS h FROM documents
+         |          WHERE doc_id % 3 = 0),
+         |seeds AS (SELECT unnest(generate_series(0, 1)) AS i),
+         |pos AS (SELECT DISTINCT ${fnvSql("h || '#' || i")} % 4096 AS p
+         |        FROM seen, seeds),
+         |bp AS (SELECT doc_id, h,
+         |        ${fnvSql("h || '#0'")} % 4096 AS p0,
+         |        ${fnvSql("h || '#1'")} % 4096 AS p1 FROM batch)
+         |SELECT doc_id,
+         | (p0 IN (SELECT p FROM pos)) AND (p1 IN (SELECT p FROM pos))
+         |   AS maybe_seen,
+         | h IN (SELECT h FROM seen) AS truly_seen
+         |FROM bp""".stripMargin,
 
     // session_window's strict merge comparator: a gap of exactly the
     // window duration STARTS a new session (>= in new_s)

@@ -87,4 +87,20 @@ object PruneOps {
     big.filter(positions(col(bigKey), mBits, k).map(bitSet(bm, _))
       .reduce(_ && _))
   }
+
+  /** Bloom MEMBERSHIP flag instead of a filter: `big` gains boolean
+    * `flagCol` = "all k positions of `bigKey` are set in `small`'s
+    * bloom" — maybe-member (false positives at the sizing rate, never
+    * false negatives). The marker form of [[bloomPrune]] for flows
+    * that route flagged rows to an exact check rather than dropping
+    * the rest (incremental dedup against a historical seen-set). Same
+    * deterministic FNV family, so flags replay in the oracle. */
+  def bloomFlag(big: DataFrame, bigKey: String,
+                small: DataFrame, smallKey: String, flagCol: String,
+                mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(big.sparkSession)
+    val bm = typedlit(bloomBitmap(small, smallKey, mBits, k).toSeq)
+    big.withColumn(flagCol,
+      positions(col(bigKey), mBits, k).map(bitSet(bm, _)).reduce(_ && _))
+  }
 }
