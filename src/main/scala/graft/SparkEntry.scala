@@ -1449,6 +1449,38 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "stats_kruskal" -> ((s, d) => {
+      // Kruskal-Wallis H (tie-corrected): the k-sample rank test beside
+      // the 2-sample Mann-Whitney AUC — "does value differ across event
+      // types" without normality assumptions. GLOBAL doubled average
+      // ranks come from PackOps.avgRank2 over the cents HISTOGRAM
+      // (value domain is rounded cents, so distinct ≪ rows — exactly
+      // the regime the histogram discipline is for); every sum is an
+      // exact integer, H and the tie correction are mirrored doubles.
+      // With r2 = 2·rank: H = 3/(N(N+1))·Σ R2_g²/n_g − 3(N+1), then
+      // H /= 1 − Σ(t³−t)/(N³−N) over the tie-group sizes t.
+      val ev = t(s, d, "events").select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("g", lit(1))
+      val ranked = ev.join(
+        PackOps.avgRank2(ev, "g", "cents"), Seq("g", "cents"))
+      val byType = ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("ng"), sum(col("r2")).as("rg2"))
+        .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("rg2").cast("double") * col("rg2") / col("ng")).as("s"))
+      val ties = ev.groupBy("cents").agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+      byType.crossJoin(broadcast(ties))
+        .withColumn("h0", lit(3.0) * col("s") /
+          (col("n").cast("double") * (col("n") + 1)) -
+          lit(3.0) * (col("n") + 1))
+        .withColumn("c", lit(1.0) - col("tt").cast("double") /
+          (col("n").cast("double") * col("n") * col("n") - col("n")))
+        .filter(col("c") > 0)
+        .select(col("k"), col("n"), round(col("h0"), 6).as("h"),
+          round(col("h0") / col("c"), 6).as("h_tie_corrected"))
+    }),
+
     "t23_ohlc" -> ((s, d) =>
       // OHLC bars per (event_type, day) — the time-series summarizer
       // every metrics store ships: open/close via (ts, id)-ordered
@@ -6379,6 +6411,31 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // global doubled average ranks (rank() + tie-count windows), the
+    // engine's histogram form is identical by construction; H and the
+    // tie correction mirrored operand-for-operand
+    "stats_kruskal" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |   2 * rank() OVER (ORDER BY cents)
+        |     + count(*) OVER (PARTITION BY cents) - 1 AS r2 FROM ev),
+        |bt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+        |       CAST(sum(r2) AS BIGINT) AS rg2 FROM r GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ng) AS BIGINT) AS n,
+        |        sum(CAST(rg2 AS DOUBLE) * rg2 / ng) AS s FROM bt),
+        |tie AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tt FROM
+        |        (SELECT count(*) AS t FROM ev GROUP BY cents) q),
+        |f AS (SELECT k, n,
+        |   3.0::DOUBLE * s / (CAST(n AS DOUBLE) * (n + 1))
+        |     - 3.0::DOUBLE * (n + 1) AS h0,
+        |   1.0::DOUBLE - CAST(tt AS DOUBLE)
+        |     / (CAST(n AS DOUBLE) * n * n - n) AS c
+        |  FROM agg, tie)
+        |SELECT k, n, round(h0, 6) AS h, round(h0 / c, 6) AS h_tie_corrected
+        |FROM f WHERE c > 0""".stripMargin,
 
     // open/close replayed as (ts, id)-ordered row_number picks
     "t23_ohlc" ->
