@@ -1449,6 +1449,72 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "stats_psi" -> ((s, d) => {
+      // population stability index between the first and second half of
+      // the event-time span — the MLOps-standard binned drift score
+      // beside the rank-exact KS and the JS divergence: clamped
+      // fixed-width value bins (101 of them), add-one smoothing on the
+      // full grid so empty bins enter finitely, PSI = Σ (p−q)·ln(p/q)
+      // as one ORDERED fold (the stats_divergence convention). Exact
+      // integer counts until the fold.
+      val ev = t(s, d, "events")
+        .select(expr("CAST(ts AS LONG) div 86400").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      val binned = ev.crossJoin(broadcast(mid))
+        .withColumn("h", when(col("day") <= col("mid"), 0).otherwise(1))
+        .withColumn("b", greatest(lit(-50L),
+          least(lit(50L), expr("cents div 100"))))
+        .groupBy("h", "b").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // totals + the grid join
+      val tot = binned.groupBy("h").agg(sum("c").as("n"))
+      val grid = binned.sparkSession.range(-50, 51)
+        .select(col("id").as("b"))
+        .join(binned.filter(col("h") === 0)
+          .select(col("b"), col("c").as("c0")), Seq("b"), "left_outer")
+        .join(binned.filter(col("h") === 1)
+          .select(col("b"), col("c").as("c1")), Seq("b"), "left_outer")
+        .select(col("b"), coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1"))
+      val n0 = tot.filter(col("h") === 0).select(col("n").as("n0"))
+      val n1 = tot.filter(col("h") === 1).select(col("n").as("n1"))
+      grid.crossJoin(broadcast(n0)).crossJoin(broadcast(n1))
+        .agg(max(col("n0")).as("n_ref"), max(col("n1")).as("n_cur"),
+          count(lit(1)).as("n_bins"),
+          array_sort(collect_list(struct(col("b"), col("c0"), col("c1"),
+            col("n0"), col("n1")))).as("arr"))
+        .select(col("n_ref"), col("n_cur"), col("n_bins"),
+          round(aggregate(col("arr"), lit(0.0d), (acc, x) => {
+            val p = (x.getField("c0").cast("double") + 1) /
+              (x.getField("n0") + 101)
+            val q = (x.getField("c1").cast("double") + 1) /
+              (x.getField("n1") + 101)
+            acc + (p - q) * log(p / q)
+          }), 6).as("psi"))
+    }),
+
+    "pack_efficiency" -> ((s, d) => {
+      // packing-waste audit of the pack_e2e shard artifact: per shard,
+      // the padding fraction a 2048-token sequence writer pays —
+      // (n_seqs·2048 − Σtokens)/(n_seqs·2048) — the utilization number
+      // a training-throughput dashboard tracks. Same snake-shard +
+      // cumulative-fill chain; one extra mirrored division.
+      val tc = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("nt"))
+      val sh = PackOps.snakeShards(tc, "doc_id", "nt", nShards = 8)
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sh.withColumn("cb", coalesce(sum(col("size")).over(w), lit(0L)))
+        .withColumn("seq", expr("cb div 2048"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("sum_tokens"),
+          (max(col("seq")) + 1).as("n_seqs"))
+        .select(col("shard"), col("n_docs"), col("sum_tokens"), col("n_seqs"),
+          round((col("n_seqs") * 2048 - col("sum_tokens")).cast("double") /
+            (col("n_seqs") * 2048), 6).as("waste"))
+    }),
+
     "stats_kruskal" -> ((s, d) => {
       // Kruskal-Wallis H (tie-corrected): the k-sample rank test beside
       // the 2-sample Mann-Whitney AUC — "does value differ across event
@@ -6411,6 +6477,64 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // full-grid add-one smoothing; the PSI fold is ordered over the
+    // 101 bins with every operand mirrored (ln on identical doubles)
+    "stats_psi" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+        |bn AS (SELECT CASE WHEN day <= mid THEN 0 ELSE 1 END AS h,
+        |        greatest(-50, least(50, cents // 100)) AS b,
+        |        CAST(count(*) AS BIGINT) AS c
+        |       FROM ev, m GROUP BY 1, 2),
+        |tot AS (SELECT h, CAST(sum(c) AS BIGINT) AS n FROM bn GROUP BY 1),
+        |grid AS (SELECT g.b, coalesce(b0.c, 0) AS c0,
+        |         coalesce(b1.c, 0) AS c1
+        |        FROM (SELECT unnest(generate_series(-50, 50)) AS b) g
+        |        LEFT JOIN bn b0 ON b0.h = 0 AND b0.b = g.b
+        |        LEFT JOIN bn b1 ON b1.h = 1 AND b1.b = g.b),
+        |nn0 AS (SELECT n AS n0 FROM tot WHERE h = 0),
+        |nn1 AS (SELECT n AS n1 FROM tot WHERE h = 1),
+        |ag AS (SELECT CAST(max(n0) AS BIGINT) AS n_ref,
+        |        CAST(max(n1) AS BIGINT) AS n_cur,
+        |        CAST(count(*) AS BIGINT) AS n_bins,
+        |        list([CAST(b AS DOUBLE), CAST(c0 AS DOUBLE),
+        |              CAST(c1 AS DOUBLE), CAST(n0 AS DOUBLE),
+        |              CAST(n1 AS DOUBLE)] ORDER BY b) AS arr
+        |       FROM grid, nn0, nn1)
+        |SELECT n_ref, n_cur, n_bins,
+        | round(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(arr, x ->
+        |     ((x[2] + 1.0::DOUBLE) / (x[4] + 101.0::DOUBLE)
+        |      - (x[3] + 1.0::DOUBLE) / (x[5] + 101.0::DOUBLE))
+        |     * ln(((x[2] + 1.0::DOUBLE) / (x[4] + 101.0::DOUBLE))
+        |        / ((x[3] + 1.0::DOUBLE) / (x[5] + 101.0::DOUBLE))))),
+        |   (acc, v) -> acc + v), 6) AS psi
+        |FROM ag""".stripMargin,
+
+    // pack_e2e chain + the waste division mirrored
+    "pack_efficiency" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |   len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     x -> x <> '')) AS nt
+        |  FROM documents),
+        |r AS (SELECT doc_id, nt,
+        |       row_number() OVER (ORDER BY nt DESC, doc_id) AS rk FROM tc),
+        |a AS (SELECT doc_id, nt,
+        |  CASE WHEN ((rk-1) // 8) % 2 = 0 THEN (rk-1) % 8
+        |       ELSE 7 - (rk-1) % 8 END AS shard FROM r),
+        |o AS (SELECT shard, nt,
+        |  coalesce(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM a)
+        |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        | CAST(max(cb // 2048) + 1 AS BIGINT) AS n_seqs,
+        | round(CAST((max(cb // 2048) + 1) * 2048 - sum(nt) AS DOUBLE)
+        |   / ((max(cb // 2048) + 1) * 2048), 6) AS waste
+        |FROM o GROUP BY 1""".stripMargin,
 
     // global doubled average ranks (rank() + tie-count windows), the
     // engine's histogram form is identical by construction; H and the
