@@ -1449,6 +1449,67 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "w9_asof_tolerance" -> ((s, d) => {
+      // as-of join with MAX STALENESS (pandas merge_asof's tolerance):
+      // a match older than the bound is dropped to nulls instead of
+      // silently joining stale state — the contract a feature-store
+      // lookup actually wants. Same one-pass nearest carry; the
+      // tolerance is a post-filter on the carried delta.
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("vts", col("ts"))
+      AsofOps.asofJoin(purchases, views, "user_id", "ts",
+          Seq("view_id", "vts"))
+        .withColumn("stale",
+          expr("CAST(ts AS LONG) - CAST(vts AS LONG)") > 3600L)
+        .select(col("event_id"), date_format(col("ts"), tsFmt).as("ts_str"),
+          when(col("stale"), lit(null).cast("long"))
+            .otherwise(col("view_id")).as("view_id"),
+          coalesce(col("stale"), lit(false)).as("dropped_stale"))
+    }),
+
+    "text_line_stats" -> ((s, d) =>
+      // line-structure profile per doc (the boilerplate-adjacent signal
+      // the char-level quality metrics miss): line count, blank-line
+      // ratio, mean non-blank line length — pure map, zero exchanges
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+        .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"),
+          size(filter(col("ls"), l => length(l) === 0)).cast("long")
+            .as("n_blank"),
+          aggregate(filter(col("ls"), l => length(l) > 0), lit(0L),
+            (acc, l) => acc + length(l)).as("sum_len"))
+        .select(col("doc_id"), col("n_lines"), col("n_blank"),
+          round(col("n_blank").cast("double") / col("n_lines"), 6)
+            .as("blank_ratio"),
+          when(col("n_lines") - col("n_blank") > 0,
+            round(col("sum_len").cast("double") /
+              (col("n_lines") - col("n_blank")), 6)).as("mean_line_len"))),
+
+    "search_snippet" -> ((s, d) => {
+      // snippet selection for serving: per matching doc, the 16-token
+      // window bucket holding the MOST query-term hits (the highlight
+      // the result page shows). Query-term postings filter BEFORE any
+      // shuffle (the phrase-match discipline), buckets are pos div 16,
+      // argmax ties to the earliest bucket.
+      val qTerms = Seq("scan", "join", "merge")
+      val hits = TermOps.positionalPostings(t(s, d, "documents"),
+          "doc_id", "text")
+        .filter(col("term").isin(qTerms: _*))
+        .withColumn("bucket", expr("pos div 16"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n_hits"))
+      hits.groupBy("doc_id")
+        .agg(min_by(struct(col("bucket"), col("n_hits")),
+          struct(lit(0L) - col("n_hits"), col("bucket"))).as("b"),
+          sum(col("n_hits")).as("total_hits"))
+        .select(col("doc_id"), col("b.bucket").as("best_bucket"),
+          col("b.n_hits").as("best_hits"), col("total_hits"))
+    }),
+
     "stats_psi" -> ((s, d) => {
       // population stability index between the first and second half of
       // the event-time span — the MLOps-standard binned drift score
@@ -6477,6 +6538,65 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // ASOF LEFT JOIN + the staleness CASE; a null match stays null and
+    // dropped_stale coalesces to false on both engines
+    "w9_asof_tolerance" ->
+      """WITH purchases AS (
+        |  SELECT event_id, ts, user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |views AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT p.event_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | CASE WHEN epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000
+        |        > 3600 THEN NULL ELSE v.view_id END AS view_id,
+        | coalesce(epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000
+        |   > 3600, FALSE) AS dropped_stale
+        |FROM purchases p ASOF LEFT JOIN views v
+        | ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    // char-length folds over the line split, mirrored
+    "text_line_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |           FROM documents),
+        |f AS (SELECT doc_id, ls,
+        |   CAST(len(ls) AS BIGINT) AS n_lines,
+        |   CAST(len(list_filter(ls, x -> length(x) = 0)) AS BIGINT)
+        |     AS n_blank,
+        |   CAST(list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(list_filter(ls, x -> length(x) > 0),
+        |       x -> length(x)::BIGINT)), (a, b) -> a + b) AS BIGINT)
+        |     AS sum_len
+        |  FROM t)
+        |SELECT doc_id, n_lines, n_blank,
+        | round(CAST(n_blank AS DOUBLE) / n_lines, 6) AS blank_ratio,
+        | CASE WHEN n_lines - n_blank > 0 THEN
+        |   round(CAST(sum_len AS DOUBLE) / (n_lines - n_blank), 6)
+        | END AS mean_line_len
+        |FROM f""".stripMargin,
+
+    // query-term positional postings, pos div 16 buckets, argmax by
+    // (hits DESC, bucket ASC)
+    "search_snippet" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS a
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(a) AS term,
+        |       generate_subscripts(a, 1) - 1 AS pos FROM arrs),
+        |h AS (SELECT doc_id, pos // 16 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM p WHERE term IN ('scan', 'join', 'merge')
+        |      GROUP BY 1, 2),
+        |r AS (SELECT doc_id, bucket, n_hits,
+        |       CAST(sum(n_hits) OVER (PARTITION BY doc_id) AS BIGINT)
+        |         AS total_hits,
+        |       row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY n_hits DESC, bucket ASC) AS rn FROM h)
+        |SELECT doc_id, bucket AS best_bucket, n_hits AS best_hits,
+        | total_hits
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // full-grid add-one smoothing; the PSI fold is ordered over the
     // 101 bins with every operand mirrored (ln on identical doubles)
