@@ -1449,6 +1449,76 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "t24_heatmap" -> ((s, d) => {
+      // weekday × hour activity heatmap (the calendar view every ops
+      // dashboard opens with): exact counts per cell + the cell's share
+      // of total — one (dow, hour) exchange, the share via a one-row
+      // broadcast total re-aggregated from the cells.
+      val cells = t(s, d, "events")
+        .select(pmod(expr("CAST(ts AS LONG) div 86400") + 4, lit(7))
+            .as("dow"),
+          expr("CAST(ts AS LONG) div 3600 % 24").as("hour"))
+        .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // total re-agg + the share join
+      cells.crossJoin(broadcast(cells.agg(sum("n").as("nt"))))
+        .select(col("dow"), col("hour"), col("n"),
+          round(col("n").cast("double") / col("nt"), 6).as("share"))
+    }),
+
+    "st_psi" -> ((s, _) => {
+      // streaming drift monitor: each watermarked window emits its
+      // binned value counts (bounded state — O(windows × bins)); the
+      // SERVING read computes PSI per finalized window against a fixed
+      // reference distribution (broadcast literals) with the batch
+      // stats_psi smoothing — the lambda read side, like st_topk.
+      // Reference: uniform thirds over bins 0/1/2.
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = mem.toDF()
+        .withWatermark("ts", "5 minutes")
+        .withColumn("b", least(lit(2L), expr("CAST(value AS LONG) div 10")))
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("w_start"), col("b"), col("c"))
+        .writeStream.format("memory").queryName("st_psi_out")
+        .outputMode("complete").start()
+      def ev(t0: String, v: Double) =
+        EventStreamOps.Event(1L, java.sql.Timestamp.valueOf(t0), v)
+      try {
+        mem.addData( // window 00:00 skews low, 00:10 skews high
+          ev("2024-01-01 00:01:00", 1.0), ev("2024-01-01 00:02:00", 2.0),
+          ev("2024-01-01 00:03:00", 5.0), ev("2024-01-01 00:04:00", 12.0),
+          ev("2024-01-01 00:11:00", 25.0), ev("2024-01-01 00:12:00", 27.0),
+          ev("2024-01-01 00:13:00", 11.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // serving-side PSI vs the uniform reference p = 1/3 per bin:
+      // full 3-bin grid per window, add-one smoothing on the observed
+      // side, ordered fold (the sink view is checkpointed so the
+      // windows×bins grid can self-join it without attribute conflicts)
+      val out = ss.table("st_psi_out").localCheckpoint()
+      val grid = out
+        .select(col("w_start")).distinct()
+        .crossJoin(ss.range(0, 3).select(col("id").as("b")))
+        .join(out, Seq("w_start", "b"), "left_outer")
+        .select(col("w_start"), col("b"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      grid.groupBy("w_start")
+        .agg(sum("c").as("n"),
+          array_sort(collect_list(struct(col("b"), col("c")))).as("arr"))
+        .select(col("w_start"), col("n"),
+          round(aggregate(col("arr"), lit(0.0d), (acc, x) => {
+            val qv = (x.getField("c").cast("double") + 1) / (col("n") + 3)
+            val p = lit(1.0) / 3
+            acc + (p - qv) * log(p / qv)
+          }), 6).as("psi"))
+    }),
+
     "w9_asof_tolerance" -> ((s, d) => {
       // as-of join with MAX STALENESS (pandas merge_asof's tolerance):
       // a match older than the bound is dropped to nulls instead of
@@ -6538,6 +6608,37 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    "t24_heatmap" ->
+      """WITH cells AS (
+        |  SELECT (epoch_us(ts) // 1000000 // 86400 + 4) % 7 AS dow,
+        |   epoch_us(ts) // 1000000 // 3600 % 24 AS hour,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
+        |SELECT dow, hour, n, round(CAST(n AS DOUBLE) / nt, 6) AS share
+        |FROM cells, t""".stripMargin,
+
+    // the serving-side PSI fold replayed from the golden window cells
+    // (00:00 skews low: bins 3/1/0; 00:10 skews high: 0/1/2)
+    "st_psi" ->
+      """WITH cells AS (SELECT col0 AS w_start, CAST(col1 AS BIGINT) AS b,
+        |    CAST(col2 AS BIGINT) AS c
+        |  FROM (VALUES ('2024-01-01 00:00:00', 0, 3),
+        |   ('2024-01-01 00:00:00', 1, 1), ('2024-01-01 00:00:00', 2, 0),
+        |   ('2024-01-01 00:10:00', 0, 0), ('2024-01-01 00:10:00', 1, 1),
+        |   ('2024-01-01 00:10:00', 2, 2)) t),
+        |g AS (SELECT w_start, CAST(sum(c) AS BIGINT) AS n,
+        |       list([CAST(b AS DOUBLE), CAST(c AS DOUBLE)] ORDER BY b)
+        |         AS arr
+        |      FROM cells GROUP BY 1)
+        |SELECT w_start, n,
+        | round(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(arr, x ->
+        |     (1.0::DOUBLE / 3 - (x[2] + 1.0::DOUBLE) / (n + 3))
+        |     * ln((1.0::DOUBLE / 3) / ((x[2] + 1.0::DOUBLE) / (n + 3))))),
+        |   (acc, v) -> acc + v), 6) AS psi
+        |FROM g""".stripMargin,
 
     // ASOF LEFT JOIN + the staleness CASE; a null match stays null and
     // dropped_stale coalesces to false on both engines
