@@ -1449,6 +1449,29 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "mm_vad" -> ((s, d) => {
+      // voice-activity segmentation over the frame-energy series — the
+      // operation frame_energy's scaladoc promises: frames below the
+      // energy threshold are silence, contiguous voiced runs collapse
+      // into segments (count via the run-start flags, one partitioned
+      // window), and the trim stats per medium are what an audio
+      // pipeline uses to drop dead air BEFORE decoding.
+      val en = MultimodalOps.frameEnergy(
+        t(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "payload", frameSize = 16, stride = 2)
+        .withColumn("voiced", col("energy") > 150000L)
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      en.withColumn("starts", (col("voiced") &&
+          !coalesce(lag(col("voiced"), 1).over(w), lit(false))).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("voiced").cast("long")).as("n_voiced"),
+          sum(col("starts")).as("n_segments"))
+        .withColumn("voiced_ratio",
+          round(col("n_voiced").cast("double") / col("n_frames"), 6))
+    }),
+
     "t24_heatmap" -> ((s, d) => {
       // weekday × hour activity heatmap (the calendar view every ops
       // dashboard opens with): exact counts per cell + the cell's share
@@ -6608,6 +6631,32 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // the frame-energy fold + run-start segmentation windows
+    "mm_vad" ->
+      """WITH fr AS (
+        |  SELECT doc_id, text, i AS off
+        |  FROM documents, unnest(generate_series(0, strlen(text) - 1, 32)) AS t(i)),
+        |e AS (
+        |  SELECT doc_id, off,
+        |   list_reduce(list_prepend(0::BIGINT, list_transform(
+        |     regexp_split_to_array(substr(text, off + 1, 16), ''),
+        |     c -> unicode(c)::BIGINT * unicode(c)::BIGINT)),
+        |    (a, b) -> a + b) AS energy
+        |  FROM fr),
+        |v AS (SELECT doc_id, off, energy > 150000 AS voiced FROM e),
+        |st AS (SELECT doc_id, voiced,
+        |   CASE WHEN voiced AND NOT coalesce(
+        |     lag(voiced) OVER (PARTITION BY doc_id ORDER BY off), FALSE)
+        |   THEN 1 ELSE 0 END AS starts
+        |  FROM v)
+        |SELECT doc_id, count(*) AS n_frames,
+        | CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_voiced,
+        | CAST(sum(starts) AS BIGINT) AS n_segments,
+        | round(CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS voiced_ratio
+        |FROM st GROUP BY 1""".stripMargin,
 
     "t24_heatmap" ->
       """WITH cells AS (
