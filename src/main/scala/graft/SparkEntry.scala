@@ -1449,6 +1449,41 @@ object SparkEntry {
           round(col("n_novel").cast("double") / col("n_shingles"), 6))
     }),
 
+    "k26_copy_into" -> ((s, d) => {
+      // idempotent file ingest (COPY INTO / Auto Loader semantics): a
+      // load log beside the target records ingested file names; each
+      // run lists the source, anti-joins the log, appends only NEW
+      // files, and logs them — so re-running an ingest (the crashed-
+      // orchestrator retry) cannot double-load. The gate runs the
+      // ingest TWICE and proves the target equals the source exactly.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k26")
+        .toString
+      t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .repartition(4).write.parquet(s"$dir/src")
+      def ingest(): Unit = {
+        val loaded: Set[String] =
+          if (new java.io.File(s"$dir/_load_log").exists())
+            s.read.parquet(s"$dir/_load_log")
+              .collect().map(_.getString(0)).toSet
+          else Set.empty
+        val src = s.read.parquet(s"$dir/src")
+          .withColumn("f", input_file_name())
+        val fresh = src.filter(!col("f").isin(loaded.toSeq: _*))
+        if (fresh.limit(1).count() > 0) {
+          fresh.drop("f").write.mode("append").parquet(s"$dir/target")
+          fresh.select(col("f")).distinct()
+            .write.mode("append").parquet(s"$dir/_load_log")
+        }
+      }
+      ingest(); ingest() // the retry MUST be a no-op
+      val log = s.read.parquet(s"$dir/_load_log")
+      s.read.parquet(s"$dir/target")
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(log.agg(
+          countDistinct(col("f")).as("n_files_logged"))))
+    }),
+
     "mm_vad" -> ((s, d) => {
       // voice-activity segmentation over the frame-energy series — the
       // operation frame_energy's scaladoc promises: frames below the
@@ -6631,6 +6666,14 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh s JOIN fo f USING (sh) GROUP BY 1""".stripMargin,
+
+    // target == source after a DOUBLE ingest — idempotence is the gate;
+    // the 4 logged files are the repartition(4) source layout
+    "k26_copy_into" ->
+      """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(4 AS BIGINT) AS n_files_logged
+        |FROM documents""".stripMargin,
 
     // the frame-energy fold + run-start segmentation windows
     "mm_vad" ->
