@@ -1712,6 +1712,13 @@ object SparkEntry {
       // (value domain is rounded cents, so distinct ≪ rows — exactly
       // the regime the histogram discipline is for); every sum is an
       // exact integer, H and the tie correction are mirrored doubles.
+      // Ranks are GLOBAL by definition here (g = lit(1)), so avgRank2's
+      // cumulative window runs single-partition over the whole cents
+      // histogram — acceptable because that histogram is O(distinct
+      // rounded cents) ≈ 10⁴ rows at any corpus size (the value domain,
+      // not the row count, bounds it); if the domain ever widened to
+      // row-scale, the fix is a two-level partial-histogram merge, not
+      // a bigger window.
       // With r2 = 2·rank: H = 3/(N(N+1))·Σ R2_g²/n_g − 3(N+1), then
       // H /= 1 − Σ(t³−t)/(N³−N) over the tie-group sizes t.
       val ev = t(s, d, "events").select(col("event_type"),
@@ -2222,8 +2229,10 @@ object SparkEntry {
       // picks the CLOSEST view, not merely the latest preceding one —
       // the alignment rule for sensor/metric joins where the next
       // reading can be closer than the previous. One sorted pass per
-      // key carries both neighbors (AsofOps.asofNearest); distance in
-      // whole seconds (the ts cast-long unit), prev wins ties.
+      // key carries both neighbors (AsofOps.asofNearest); selection
+      // compares EXACT microsecond distance (oracle: ORDER BY delta_us)
+      // so same-second neighbors never pseudo-tie; the reported delta
+      // stays in whole floor-seconds; exact-equidistant prefers prev.
       val ev = t(s, d, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("ts"), col("user_id"))
@@ -7251,11 +7260,12 @@ object SparkEntry {
         |v AS (SELECT user_id, ts, max(event_id) AS view_id
         |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
         |c AS (SELECT p.event_id, p.ts, v.ts AS vts, v.view_id,
+        |       abs(epoch_us(v.ts) - epoch_us(p.ts)) AS delta_us,
         |       abs(epoch_us(v.ts) // 1000000 - epoch_us(p.ts) // 1000000)
         |         AS delta
         |      FROM p LEFT JOIN v ON p.user_id = v.user_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
-        |        ORDER BY delta, vts) AS rn FROM c)
+        |        ORDER BY delta_us, vts) AS rn FROM c)
         |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
         | strftime(vts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts_str,
         | delta, view_id

@@ -61,11 +61,15 @@ object AsofOps {
     * shape as [[asofJoin]], carrying BOTH the last preceding and first
     * following right row (as (ts, values) structs) in ONE sorted pass
     * per key — one shuffle, streaming window state, no time-range
-    * self-join. Ties (equal distance) prefer the earlier right row;
-    * right rows at the left row's exact ts match at distance 0. Right
-    * side should be unique per (key, ts) for determinism. Output adds
-    * `matched_ts` and `delta` (|Δ| in the ts column's native unit,
-    * seconds for timestamps) beside `valueCols`. */
+    * self-join. Distances compare EXACTLY — microseconds for timestamp
+    * columns (cast-long floor-seconds would make every same-second
+    * right row "tie", while the window can only carry one of them);
+    * ties (exactly equidistant in micros) prefer the earlier right
+    * row; right rows at the left row's exact ts match at distance 0.
+    * Right side should be unique per (key, ts) for determinism.
+    * Output adds `matched_ts` and `delta` (|Δ| in the ts column's
+    * native cast-long unit, floor-seconds for timestamps — the exact
+    * micro distance drives selection only) beside `valueCols`. */
   def asofNearest(left: DataFrame, right: DataFrame, key: String,
                   ts: String, valueCols: Seq[String]): DataFrame = {
     requireFree(left, "left", nearestReserved)
@@ -87,8 +91,14 @@ object AsofOps {
     val ord = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
     val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val dPrev = col("__ts").cast("long") - col("__prev.ts").cast("long")
-    val dNext = col("__next.ts").cast("long") - col("__ts").cast("long")
+    // exact distance for selection: micros for timestamps (cast-long is
+    // floor-seconds there, which misorders same-second neighbors)
+    val exactTs: Column => Column =
+      if (left.schema(ts).dataType ==
+        org.apache.spark.sql.types.TimestampType) unix_micros
+      else _.cast("long")
+    val dPrev = exactTs(col("__ts")) - exactTs(col("__prev.ts"))
+    val dNext = exactTs(col("__next.ts")) - exactTs(col("__ts"))
     val pick = when(col("__next").isNull, col("__prev"))
       .when(col("__prev").isNull, col("__next"))
       .when(dPrev <= dNext, col("__prev")).otherwise(col("__next"))

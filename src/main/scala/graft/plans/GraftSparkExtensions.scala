@@ -100,8 +100,14 @@ object GraftSparkExtensions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(NanosFilterRule))
-      spark.experimental.extraOptimizations = cur :+ NanosFilterRule
+    // check-then-append on a shared session must be atomic: Verify runs
+    // queries on parallel futures and several of them call install(), so
+    // an unguarded read-modify-write can append the (idempotent, but
+    // then wastefully re-run) rule once per racing caller
+    GraftSparkExtensions.synchronized {
+      val cur = spark.experimental.extraOptimizations
+      if (!cur.contains(NanosFilterRule))
+        spark.experimental.extraOptimizations = cur :+ NanosFilterRule
+    }
   }
 }

@@ -51,25 +51,41 @@ object NanosFilterRule extends Rule[LogicalPlan] {
 
   private def nanosLit(v: Long): Literal = Literal(v, LongType)
 
+  /** Micros→nanos lower/upper bound with OVERFLOW REFUSAL: a timestamp
+    * literal outside the int64-nanos range (before ~1677 / after ~2262
+    * — sentinel dates like `TIMESTAMP '9999-01-01'`) would wrap under
+    * `m * 1000`, turning the "redundant superset" conjunct into a
+    * contradiction that silently drops every row. When the multiply
+    * overflows there is nothing useful to push (every representable raw
+    * nanos value already satisfies the true bound), so derivation is
+    * skipped and only the original filter runs. */
+  private def nanosLower(m: Long): Option[Long] =
+    try Some(Math.subtractExact(Math.multiplyExact(m, 1000L), 999L))
+    catch { case _: ArithmeticException => None }
+  private def nanosUpper(m: Long): Option[Long] =
+    try Some(Math.multiplyExact(Math.addExact(m, 1L), 1000L))
+    catch { case _: ArithmeticException => None }
+
   /** Conservative derived bound: never drops a row whichever way the
     * engine rounds negative division. */
   private def derive(p: Expression): Option[Expression] = p match {
     case GreaterThanOrEqual(e, l: Literal) =>
-      for (r <- rawOf(e); m <- micros(l))
-        yield GreaterThanOrEqual(r, nanosLit(m * 1000L - 999L))
+      for (r <- rawOf(e); m <- micros(l); b <- nanosLower(m))
+        yield GreaterThanOrEqual(r, nanosLit(b))
     case GreaterThan(e, l: Literal) =>
-      for (r <- rawOf(e); m <- micros(l))
-        yield GreaterThanOrEqual(r, nanosLit(m * 1000L - 999L))
+      for (r <- rawOf(e); m <- micros(l); b <- nanosLower(m))
+        yield GreaterThanOrEqual(r, nanosLit(b))
     case LessThan(e, l: Literal) =>
-      for (r <- rawOf(e); m <- micros(l))
-        yield LessThan(r, nanosLit((m + 1L) * 1000L))
+      for (r <- rawOf(e); m <- micros(l); b <- nanosUpper(m))
+        yield LessThan(r, nanosLit(b))
     case LessThanOrEqual(e, l: Literal) =>
-      for (r <- rawOf(e); m <- micros(l))
-        yield LessThan(r, nanosLit((m + 1L) * 1000L))
+      for (r <- rawOf(e); m <- micros(l); b <- nanosUpper(m))
+        yield LessThan(r, nanosLit(b))
     case EqualTo(e, l: Literal) =>
-      for (r <- rawOf(e); m <- micros(l))
-        yield And(GreaterThanOrEqual(r, nanosLit(m * 1000L - 999L)),
-          LessThan(r, nanosLit((m + 1L) * 1000L)))
+      for (r <- rawOf(e); m <- micros(l);
+           lo <- nanosLower(m); hi <- nanosUpper(m))
+        yield And(GreaterThanOrEqual(r, nanosLit(lo)),
+          LessThan(r, nanosLit(hi)))
     // mirrored literal-first forms
     case GreaterThanOrEqual(l: Literal, e) => derive(LessThanOrEqual(e, l))
     case GreaterThan(l: Literal, e) => derive(LessThan(e, l))

@@ -56,6 +56,24 @@ class NanosFilterRuleSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("sentinel-date predicates outside the int64-nanos range skip " +
+    "derivation instead of overflowing into a row-dropping bound") {
+    graft.plans.GraftSparkExtensions.install(spark)
+    // both are semantically "all rows"; a wrapped m*1000 bound would
+    // have returned empty
+    val lo = legacyRead
+      .filter(col("ts") >= lit("1500-01-01 00:00:00").cast("timestamp"))
+    val hi = legacyRead
+      .filter(col("ts") < lit("9999-01-01 00:00:00").cast("timestamp"))
+    assert(lo.count() == 4000L)
+    assert(hi.count() == 4000L)
+    // no derived raw bound may appear for the unrepresentable literal
+    assert(!lo.queryExecution.executedPlan.toString
+      .contains("GreaterThanOrEqual(tsn,"))
+    assert(!hi.queryExecution.executedPlan.toString
+      .contains("LessThan(tsn,"))
+  }
+
   test("equality comparisons derive the one-quantum nanos band") {
     graft.plans.GraftSparkExtensions.install(spark)
     val q = legacyRead

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AsofOps
+
+/** Round-11 pins: microsecond-exact nearest-neighbor selection in
+  * [[AsofOps.asofNearest]] — same-second neighbors must not pseudo-tie
+  * at floor-second resolution (the round-10 advisor's latent
+  * cross-engine divergence). */
+class Round11OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Timestamp column at microsecond resolution from epoch-micros. */
+  private def usDf(rows: Seq[(Long, Long, Long)], tsName: String = "t") =
+    rows.toDF("id", "us", "k")
+      .withColumn(tsName, timestamp_micros(col("us"))).drop("us")
+
+  test("asofNearest picks the micro-closest neighbor when prev and next " +
+    "fall in the same floor-second distance") {
+    // left @100.500000s; prev @100.000000 (0.5s away), next @100.800000
+    // (0.3s away): floor-second deltas both 0 — exact micros must pick
+    // next, floor-seconds would have kept prev
+    val left = usDf(Seq((1L, 100500000L, 1L)))
+    val right = usDf(Seq((900L, 100000000L, 1L), (908L, 100800000L, 1L)))
+      .withColumnRenamed("id", "v")
+    val r = AsofOps.asofNearest(left.withColumnRenamed("id", "event_id"),
+        right, "k", "t", Seq("v"))
+      .select("v", "delta").head
+    assert(r.getLong(0) == 908L)
+    assert(r.getLong(1) == 0L) // reported delta stays floor-seconds
+  }
+
+  test("asofNearest carries the LAST preceding row when several share " +
+    "the left row's second — matching the exact-micros oracle order") {
+    // two views inside second 100, purchase @100.500000: the 100.400000
+    // view is micro-closest; a floor-second oracle would call them tied
+    val left = usDf(Seq((1L, 100500000L, 1L)))
+    val right = usDf(Seq((901L, 100100000L, 1L), (904L, 100400000L, 1L)))
+      .withColumnRenamed("id", "v")
+    val r = AsofOps.asofNearest(left.withColumnRenamed("id", "event_id"),
+        right, "k", "t", Seq("v"))
+      .select("v").head
+    assert(r.getLong(0) == 904L)
+  }
+
+  test("asofNearest prefers the earlier (preceding) row on an EXACT " +
+    "microsecond tie") {
+    val left = usDf(Seq((1L, 100500000L, 1L)))
+    val right = usDf(Seq((902L, 100200000L, 1L), (908L, 100800000L, 1L)))
+      .withColumnRenamed("id", "v")
+    val r = AsofOps.asofNearest(left.withColumnRenamed("id", "event_id"),
+        right, "k", "t", Seq("v"))
+      .select("v").head
+    assert(r.getLong(0) == 902L)
+  }
+
+  test("asofNearest on a plain long ts column still selects by native " +
+    "unit (non-timestamp path unchanged)") {
+    val left = Seq((1L, 105L, 1L)).toDF("event_id", "t", "k")
+    val right = Seq((100L, 1L, 900L), (108L, 1L, 980L)).toDF("t", "k", "v")
+    val r = AsofOps.asofNearest(left, right, "k", "t", Seq("v"))
+      .select("v", "delta").head
+    assert(r.getLong(0) == 980L && r.getLong(1) == 3L)
+  }
+}
