@@ -1452,30 +1452,19 @@ object SparkEntry {
     "k26_copy_into" -> ((s, d) => {
       // idempotent file ingest (COPY INTO / Auto Loader semantics): a
       // load log beside the target records ingested file names; each
-      // run lists the source, anti-joins the log, appends only NEW
-      // files, and logs them — so re-running an ingest (the crashed-
+      // run lists the source, LEFT-ANTI-joins the log (metadata vs
+      // metadata — the log is never collected, so the plan carries no
+      // literal file list however many files the cumulative log holds),
+      // broadcast-SEMI-joins the data side against the per-batch fresh
+      // list, appends, and logs — so re-running an ingest (the crashed-
       // orchestrator retry) cannot double-load. The gate runs the
       // ingest TWICE and proves the target equals the source exactly.
       val dir = java.nio.file.Files.createTempDirectory("graft_k26")
         .toString
       t(s, d, "documents").select(col("doc_id"), col("n_chars"))
         .repartition(4).write.parquet(s"$dir/src")
-      def ingest(): Unit = {
-        val loaded: Set[String] =
-          if (new java.io.File(s"$dir/_load_log").exists())
-            s.read.parquet(s"$dir/_load_log")
-              .collect().map(_.getString(0)).toSet
-          else Set.empty
-        val src = s.read.parquet(s"$dir/src")
-          .withColumn("f", input_file_name())
-        val fresh = src.filter(!col("f").isin(loaded.toSeq: _*))
-        if (fresh.limit(1).count() > 0) {
-          fresh.drop("f").write.mode("append").parquet(s"$dir/target")
-          fresh.select(col("f")).distinct()
-            .write.mode("append").parquet(s"$dir/_load_log")
-        }
-      }
-      ingest(); ingest() // the retry MUST be a no-op
+      MergeOps.copyInto(s, s"$dir/src", s"$dir/target", s"$dir/_load_log")
+      MergeOps.copyInto(s, s"$dir/src", s"$dir/target", s"$dir/_load_log")
       val log = s.read.parquet(s"$dir/_load_log")
       s.read.parquet(s"$dir/target")
         .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),

@@ -157,4 +157,64 @@ object MergeOps {
       .select(col(keyCol) +: dataCols.map(c =>
         coalesce(col(s"__u_$c"), col(s"__b_$c")).as(c)): _*)
   }
+
+  // ---- idempotent COPY INTO (file-granular exactly-once ingest) ----
+
+  /** The load log as a relation: one `f` (file name) row per file ever
+    * ingested into the target; empty-with-schema before the first run.
+    * NEVER collected — at a 100 TB ingest the log is the cumulative
+    * set of every file ever loaded, unbounded by design. */
+  def loadLog(spark: org.apache.spark.sql.SparkSession,
+              logDir: String): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(
+        logDir.stripPrefix("file:")).exists())
+      spark.read.parquet(logDir).select(col("f").cast("string"))
+    else Seq.empty[String].toDF("f")
+  }
+
+  /** Source files not yet in the load log — a LEFT ANTI join of two
+    * METADATA relations (distinct listed file names vs the log), so the
+    * plan shuffles file-name strings only: driver memory stays
+    * O(nothing), cluster work O(|listing| + |log|) however large the
+    * cumulative log grows. This replaces the collect-the-log-and-isin
+    * shape, whose literal list grows with every file ever ingested. */
+  def freshFiles(spark: org.apache.spark.sql.SparkSession,
+                 srcDir: String, logDir: String): DataFrame =
+    spark.read.parquet(srcDir)
+      .select(input_file_name().as("f")).distinct()
+      .join(loadLog(spark, logDir), Seq("f"), "left_anti")
+
+  /** The source rows belonging to not-yet-ingested files: the data side
+    * SEMI-joins the (small, per-batch) fresh-file list, which Spark
+    * broadcasts — the 100 TB corpus never shuffles, and no file-name
+    * literal ever enters the plan. */
+  def freshData(spark: org.apache.spark.sql.SparkSession,
+                srcDir: String, logDir: String,
+                fresh: Option[DataFrame] = None): DataFrame =
+    spark.read.parquet(srcDir).withColumn("f", input_file_name())
+      .join(broadcast(fresh.getOrElse(freshFiles(spark, srcDir, logDir))),
+        Seq("f"), "left_semi")
+
+  /** One idempotent COPY INTO run: append rows of files the load log
+    * has not seen, then log those files. Re-running after a crash (or
+    * unconditionally, from an orchestrator retry) cannot double-load —
+    * the anti-join sees the files the previous run logged. Appends
+    * target BEFORE log, so a crash between the two writes re-ingests
+    * (at-least-once into an append target a dedup pass can reconcile)
+    * rather than silently dropping files marked loaded but never
+    * written. Returns the number of files ingested this run. */
+  def copyInto(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+               targetDir: String, logDir: String): Long = {
+    // pin the fresh list BEFORE any append: the log-append below must
+    // not re-plan the anti-join against the log it is extending
+    val fresh = freshFiles(spark, srcDir, logDir).localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) {
+      freshData(spark, srcDir, logDir, Some(fresh)).drop("f")
+        .write.mode("append").parquet(targetDir)
+      fresh.write.mode("append").parquet(logDir)
+    }
+    n
+  }
 }

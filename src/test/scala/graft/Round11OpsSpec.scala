@@ -64,4 +64,49 @@ class Round11OpsSpec extends AnyFunSuite {
       .select("v", "delta").head
     assert(r.getLong(0) == 980L && r.getLong(1) == 3L)
   }
+
+  // ---- copyInto: scale-safe idempotent ingest (round-11 item 1) ----
+
+  private def copyDirs(): (String, String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ci").toString
+    spark.range(100).selectExpr("id", "id * 2 AS v")
+      .repartition(4).write.parquet(s"$dir/src")
+    (s"$dir/src", s"$dir/target", s"$dir/_load_log")
+  }
+
+  test("copyInto ingests each file exactly once across retries and " +
+    "new-file arrivals") {
+    val (src, tgt, log) = copyDirs()
+    assert(graft.operators.MergeOps.copyInto(spark, src, tgt, log) == 4L)
+    // orchestrator retry: must be a no-op
+    assert(graft.operators.MergeOps.copyInto(spark, src, tgt, log) == 0L)
+    assert(spark.read.parquet(tgt).count() == 100L)
+    // a late-arriving file ingests alone; earlier files stay single
+    spark.range(100, 110).selectExpr("id", "id * 2 AS v")
+      .coalesce(1).write.mode("append").parquet(src)
+    assert(graft.operators.MergeOps.copyInto(spark, src, tgt, log) == 1L)
+    val out = spark.read.parquet(tgt)
+    assert(out.count() == 110L)
+    assert(out.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    assert(spark.read.parquet(log).count() == 5L)
+  }
+
+  test("copyInto's plan is a metadata anti-join + broadcast semi-join — " +
+    "no literal file list, no collected log") {
+    val (src, tgt, log) = copyDirs()
+    graft.operators.MergeOps.copyInto(spark, src, tgt, log)
+    // with a non-empty log, the fresh-file list is a LeftAnti JOIN of
+    // two relations — the collect+isin shape would show In/InSet here
+    val anti = graft.operators.MergeOps.freshFiles(spark, src, log)
+      .queryExecution.optimizedPlan.toString
+    assert(anti.contains("LeftAnti"), anti)
+    assert(!anti.contains("In(") && !anti.contains("INSET"), anti)
+    // the data side semi-joins the per-batch fresh list via broadcast:
+    // the corpus never shuffles and no file name reaches the plan text
+    val data = graft.operators.MergeOps.freshData(spark, src, log)
+      .queryExecution.executedPlan.toString
+    assert(data.contains("LeftSemi"), data)
+    assert(data.contains("Broadcast"), data)
+    assert(!data.contains("In(") && !data.contains("INSET"), data)
+  }
 }
