@@ -2877,6 +2877,28 @@ object SparkEntry {
       DedupOps.semanticDedup(emb, k = 8, iters = 2, threshold = 0.99)
     }),
 
+    "dedup_semantic_auto" -> ((s, d) => {
+      import s.implicits._
+      // the k ∝ √N SemDeDup default (DedupOps.semanticDedupAuto): same
+      // planted pairs and threshold as dedup_semantic, but k = ⌈√N⌉
+      // from a cheap count — the shape whose within-cluster pair work
+      // stays Θ(N) as the corpus grows (the fixed-k query measured 28×
+      // at ×10 data; this one is the scale default). The oracle replays
+      // the SAME ⌈√N⌉ inside SQL, so k-agreement is part of the gate.
+      def v(f: Int => Float) = (0 until 64).map(f).toArray
+      val planted = Seq(
+        (9000001L, v(i => (i + 1).toFloat)),
+        (9000002L, v(i => (i + 1).toFloat)),
+        (9000003L, v(i => ((i * 37) % 64 + 1).toFloat)),
+        (9000004L, v(i => ((i * 37) % 64 + 1).toFloat)),
+        (9000005L, v(i => ((i * 11) % 64 + 1).toFloat))
+      ).toDF("vec_id", "embedding")
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+        .unionByName(planted)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      DedupOps.semanticDedupAuto(emb, iters = 2, threshold = 0.99)
+    }),
+
     // corpus-vs-corpus: the whole embeddings table queries itself through
     // the non-broadcast shuffle-join path (PlanSpec pins the no-broadcast
     // plan shape)
@@ -5358,6 +5380,48 @@ object SparkEntry {
   /** Mirrors `SimilarityOps.cosine` op-for-op (sequential left-fold dot and
     * norms over 64-dim double arrays, then dot/(na*nb)) so DuckDB produces
     * bit-identical doubles. */
+  /** The SemDeDup oracle chain (2-round Lloyd replay over embeddings ∪
+    * planted near-dups, then within-cluster cosine pruning) with the
+    * cluster count `kSql` as a SQL scalar expression — "8" replays the
+    * pinned-k query, a ⌈√N⌉ subquery over `base` replays the adaptive
+    * default (so k-agreement between the engines is itself gated). */
+  private def semDedupSql(kSql: String): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |  UNION ALL
+       |  SELECT 9000000 + j AS vec_id,
+       |   list_transform(generate_series(0, 63), i -> CAST(
+       |     CASE WHEN j <= 2 THEN i + 1
+       |          WHEN j <= 4 THEN (i * 37) % 64 + 1
+       |          ELSE (i * 11) % 64 + 1 END AS DOUBLE)) AS emb
+       |  FROM unnest(generate_series(1, 5)) AS t(j)),
+       |d0 AS (SELECT vec_id % $kSql AS cluster, unnest(emb) AS v,
+       |        generate_subscripts(emb, 1) AS dim FROM base),
+       |cent0 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+       |  (SELECT cluster, dim, avg(v) AS cv FROM d0 GROUP BY cluster, dim) g
+       |  GROUP BY cluster),
+       |a0 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
+       |       FROM base CROSS JOIN cent0),
+       |asn0 AS (SELECT vec_id, cluster FROM a0 WHERE rn = 1),
+       |d1 AS (SELECT a.cluster, unnest(e.emb) AS v, generate_subscripts(e.emb, 1) AS dim
+       |       FROM base e JOIN asn0 a ON e.vec_id = a.vec_id),
+       |cent1 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+       |  (SELECT cluster, dim, avg(v) AS cv FROM d1 GROUP BY cluster, dim) g
+       |  GROUP BY cluster),
+       |a1 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
+       |       FROM base CROSS JOIN cent1),
+       |asn AS (SELECT vec_id, cluster FROM a1 WHERE rn = 1),
+       |v AS (SELECT b.vec_id, b.emb, a.cluster FROM base b JOIN asn a USING (vec_id)),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id FROM v a JOIN v b
+       |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.99)
+       |SELECT v.vec_id, CAST(v.cluster AS INT) AS cluster,
+       | (d.vec_id IS NULL) AS keep
+       |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $a[i] * $b[i])), (acc, x) -> acc + x) / " +
       s"(sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $a[i] * $a[i])), (acc, x) -> acc + x)) * " +
@@ -7771,42 +7835,13 @@ object SparkEntry {
     // ranking is ulp-robust, proven by cluster_kmeans), then the keep
     // rule: drop iff a smaller-id same-cluster vector has exact-fold
     // cosine ≥ 0.99 (cosSql mirrors SimilarityOps.cosine bit-for-bit)
-    "dedup_semantic" ->
-      s"""WITH base AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-         |  UNION ALL
-         |  SELECT 9000000 + j AS vec_id,
-         |   list_transform(generate_series(0, 63), i -> CAST(
-         |     CASE WHEN j <= 2 THEN i + 1
-         |          WHEN j <= 4 THEN (i * 37) % 64 + 1
-         |          ELSE (i * 11) % 64 + 1 END AS DOUBLE)) AS emb
-         |  FROM unnest(generate_series(1, 5)) AS t(j)),
-         |d0 AS (SELECT vec_id % 8 AS cluster, unnest(emb) AS v,
-         |        generate_subscripts(emb, 1) AS dim FROM base),
-         |cent0 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
-         |  (SELECT cluster, dim, avg(v) AS cv FROM d0 GROUP BY cluster, dim) g
-         |  GROUP BY cluster),
-         |a0 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
-         |       FROM base CROSS JOIN cent0),
-         |asn0 AS (SELECT vec_id, cluster FROM a0 WHERE rn = 1),
-         |d1 AS (SELECT a.cluster, unnest(e.emb) AS v, generate_subscripts(e.emb, 1) AS dim
-         |       FROM base e JOIN asn0 a ON e.vec_id = a.vec_id),
-         |cent1 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
-         |  (SELECT cluster, dim, avg(v) AS cv FROM d1 GROUP BY cluster, dim) g
-         |  GROUP BY cluster),
-         |a1 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
-         |       FROM base CROSS JOIN cent1),
-         |asn AS (SELECT vec_id, cluster FROM a1 WHERE rn = 1),
-         |v AS (SELECT b.vec_id, b.emb, a.cluster FROM base b JOIN asn a USING (vec_id)),
-         |dropped AS (
-         |  SELECT DISTINCT b.vec_id FROM v a JOIN v b
-         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.99)
-         |SELECT v.vec_id, CAST(v.cluster AS INT) AS cluster,
-         | (d.vec_id IS NULL) AS keep
-         |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id""".stripMargin,
+    "dedup_semantic" -> semDedupSql("8"),
+
+    // identical Lloyd replay, but k is the ⌈√N⌉ the engine derives from
+    // its own count — the oracle recomputes it from base, so the gate
+    // also proves the two engines agree on N and therefore on k
+    "dedup_semantic_auto" -> semDedupSql(
+      "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM base)"),
 
     // full replication of the hyperplane-LSH path: signatures, the 5
     // probe buckets (original + single-bit flips of bits 0-3), bucket
