@@ -1301,15 +1301,17 @@ object SparkEntry {
     "k23_bloom_skip" -> ((s, d) => {
       // file-level bloom skipping for POINT lookups on a key zone maps
       // cannot help with: user_id is scattered across every file group,
-      // so every file's [min,max] contains every probe — but a per-file
+      // so every file's [min,max] contains every probe — but a per-group
       // bloom position set over user_id (2 seed-suffixed FNV hashes into
-      // 4096 bits, the j7 family) qualifies only the files that may
+      // 4096 bits, the j7 family) qualifies only the groups that may
       // contain the key. The data lands hive-partitioned by file group,
-      // the `_bloom` index is a TABLE beside it, and the lookup reads
-      // ONLY qualified groups through PartitionFilters (pinned); the
-      // qualified list collect is metadata-scale, the manifestPrunedScan
-      // tier. Probe −999 is absent: its row pins that misses cost only
-      // false-positive file reads, never wrong rows.
+      // the `_bloom` index is a TABLE beside it, and the lookup is a
+      // PLAIN FILTERED READ through IndexedFileIndex — the FileIndex
+      // consults `_bloom` at planning time and lists only qualified
+      // partition directories (pinned in PlanSpec/Round11OpsSpec); the
+      // n_files_qualified audit leg replays the qualification as a
+      // metadata-scale join. Probe −999 is absent: its row pins that
+      // misses cost only false-positive file reads, never wrong rows.
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft_k23")
         .toString + "/t"
@@ -1318,8 +1320,7 @@ object SparkEntry {
         .withColumn("g", pmod(SimilarityOps.hash32Col(col("event_id")), lit(8L)))
       ev.write.partitionBy("g").parquet(dir)
       def pos(key: org.apache.spark.sql.Column, i: Int) =
-        call_function("fnv64", concat(key.cast("string"), lit(s"#$i")))
-          .bitwiseAND(lit(4095L))
+        PruneOps.bloomPos(key, i, 4096)
       ev.select(col("g"),
           explode(array(pos(col("user_id"), 0), pos(col("user_id"), 1))).as("p"))
         .distinct()
@@ -1332,15 +1333,9 @@ object SparkEntry {
         .join(bloom.select(col("g"), col("p").as("p0")), Seq("p0"))
         .join(bloom.select(col("g"), col("p").as("p1")), Seq("g", "p1"))
         .select(col("probe_user"), col("g"))
-        .localCheckpoint() // O(probes × files) rows, three consumers
-      val gs = qual.select(col("g")).distinct()
-        .collect().map(_.getLong(0).toInt).toSeq
-      val hits = s.read.parquet(dir)
-        .filter(col("g").isin(gs: _*)) // partition-pruned read
-        .withColumn("gl", col("g").cast("long")).drop("g")
-        .join(broadcast(qual.withColumnRenamed("g", "gl")), Seq("gl"))
-        .filter(col("user_id") === col("probe_user"))
-        .groupBy("probe_user")
+      val hits = graft.sources.IndexedFileIndex.read(s, dir, "user_id")
+        .filter(col("user_id").isin(1L, 2L, -999L)) // bloom-pruned listing
+        .groupBy(col("user_id").as("probe_user"))
         .agg(count(lit(1)).as("n_rows"), sum("event_id").as("sum_id"))
       pr.select("probe_user")
         .join(qual.groupBy("probe_user")
@@ -4404,13 +4399,14 @@ object SparkEntry {
     }),
 
     "k15_manifest_skip" -> ((s, d) => {
-      // zone-map file skipping: range layout by event_id, per-file
-      // min/max manifest persisted as a TABLE next to the data, then scan
-      // ONLY the files intersecting the middle [max/4, max/2] band — the
-      // intersection runs as a distributed filter over the manifest table
-      // (LayoutOps.manifestPrunedScanTable), so the driver only ever sees
-      // the matched paths; the oracle's full-scan filter proves pruning
-      // dropped nothing (files-read < files-total pinned in Round9OpsSpec)
+      // zone-map file skipping COMPOSED INTO THE READ PATH: range layout
+      // by event_id, per-file min/max manifest persisted as a TABLE next
+      // to the data, then a plain filtered read through
+      // IndexedFileIndex — the FileIndex consults `_manifest` during
+      // planning (distributed intersection, only matched paths reach the
+      // driver), so skipping rides any `.filter` instead of an
+      // explicit-path API; the oracle's full-scan filter proves pruning
+      // dropped nothing (files-read < total pinned in Round11OpsSpec)
       val ev = t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("value"))
       val dir = java.nio.file.Files.createTempDirectory("graft_k15")
@@ -4418,8 +4414,8 @@ object SparkEntry {
       LayoutOps.writeRangeLayout(ev, "event_id", dir, numFiles = 8)
       LayoutOps.writeManifestTable(s, dir, "event_id")
       val mx = ev.agg(max(col("event_id"))).first().getLong(0)
-      val (pruned, _) =
-        LayoutOps.manifestPrunedScanTable(s, dir, "event_id", mx / 4, mx / 2)
+      val pruned = graft.sources.IndexedFileIndex.read(s, dir, "event_id")
+        .filter(col("event_id") >= mx / 4 && col("event_id") <= mx / 2)
       pruned.agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
         round(sum(col("value")), 2).as("sum_value"))

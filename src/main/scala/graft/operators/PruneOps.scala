@@ -36,10 +36,16 @@ object PruneOps {
 
   /** The k bloom positions of `key` (seed-suffixed FNV-1a, masked). */
   private def positions(key: Column, mBits: Int, k: Int): Seq[Column] =
-    (0 until k).map { i =>
-      call_function("fnv64", concat(key.cast("string"), lit(s"#$i")))
-        .bitwiseAND(lit((mBits - 1).toLong))
-    }
+    (0 until k).map(bloomPos(key, _, mBits))
+
+  /** One bloom position of `key` for seed index `i` — the shared kernel
+    * between bitmap construction, the `_bloom` table writers, and the
+    * planning-time probe qualification in
+    * [[graft.sources.IndexedFileIndex]] (both sides MUST hash
+    * identically or skipping turns into row loss). */
+  def bloomPos(key: Column, i: Int, mBits: Int): Column =
+    call_function("fnv64", concat(key.cast("string"), lit(s"#$i")))
+      .bitwiseAND(lit((mBits - 1).toLong))
 
   /** Build the bitmap as `mBits/64` longs. Distributed two-level
     * aggregation: distinct positions (map-side combine), then ≤ mBits/64

@@ -1,0 +1,205 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, explode, array, lit, countDistinct}
+import org.apache.spark.sql.types.StructType
+
+/** Zone-map / bloom file skipping wired into PLANNING — the composable
+  * sibling of `LayoutOps.manifestPrunedScanTable` (which prunes well but
+  * only through its explicit-path API). This `FileIndex` wraps Spark's
+  * own `InMemoryFileIndex` and consults the table-maintenance artifacts
+  * the layout jobs already write beside the data:
+  *
+  *  - `_manifest` (file, min_k, max_k): per-FILE zone maps → range
+  *    predicates on `keyCol` drop files whose [min,max] misses the
+  *    query range (Iceberg/Delta data-skipping semantics);
+  *  - `_bloom` (<partition col>, p): per-PARTITION-DIRECTORY bloom
+  *    position sets → point predicates (`=` / `IN`) on `keyCol` drop
+  *    whole partition directories none of whose keys can hash there
+  *    (no false negatives, so pruning never drops rows).
+  *
+  * Because the pruning happens in `listFiles`, it composes with
+  * everything downstream of a plain read: Catalyst still sees an
+  * ordinary `HadoopFsRelation` scan, so column pruning, parquet filter
+  * pushdown, AQE, and joins all apply unchanged — the query author
+  * writes `indexedRead(...).filter(...)` and never names a file.
+  *
+  * Scale discipline (the Iceberg planning shape): the index
+  * intersections run as DISTRIBUTED filters over the `_manifest` /
+  * `_bloom` tables — a planning-time Spark job, exactly like
+  * `InMemoryFileIndex`'s own parallel listing — and only the MATCHED
+  * file names / qualified partition values are collected, so driver
+  * memory stays O(files actually read), the floor every
+  * `HadoopFsRelation` pays anyway. Index tables are `_`-prefixed, so
+  * data listings never see them.
+  *
+  * `mBits`/`nHashes` must match the `_bloom` writer's sizing (the
+  * shared kernel is [[graft.operators.PruneOps.bloomPos]]).
+  */
+class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
+                       mBits: Int = 4096, nHashes: Int = 2)
+    extends FileIndex {
+
+  private val inner =
+    new InMemoryFileIndex(spark, Seq(new Path(path)), Map.empty, None)
+
+  private def indexDir(name: String): Option[String] = {
+    val p = s"$path/$name"
+    if (new java.io.File(p.stripPrefix("file:")).exists()) Some(p) else None
+  }
+  private val manifestDir = indexDir("_manifest")
+  private val bloomDir = indexDir("_bloom")
+
+  override def rootPaths: Seq[Path] = inner.rootPaths
+  override def inputFiles: Array[String] = inner.inputFiles
+  override def refresh(): Unit = inner.refresh()
+  override def sizeInBytes: Long = inner.sizeInBytes
+  override def partitionSchema: StructType = inner.partitionSchema
+
+  /** Conjunct-split predicates on `keyCol`: the [lo, hi] range implied
+    * by comparisons with long/int literals, and the point-probe set
+    * from `=` / `IN`. Unrelated or unextractable predicates contribute
+    * nothing (no pruning — never wrong results). */
+  private def boundsOf(filters: Seq[Expression])
+      : (Option[Long], Option[Long], Set[Long]) = {
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    var probes = Set.empty[Long]
+    def longOf(l: Literal): Option[Long] = l.value match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case j: java.lang.Long => Some(j)
+      case s: java.lang.Short => Some(s.longValue)
+      case _ => None
+    }
+    def tighten(newLo: Option[Long] = None, newHi: Option[Long] = None)
+        : Unit = {
+      newLo.foreach(v => lo = Some(lo.fold(v)(math.max(_, v))))
+      newHi.foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
+    }
+    def isKey(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == keyCol
+      case _ => false
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThanOrEqual(a, l: Literal) if isKey(a) =>
+        tighten(newLo = longOf(l))
+      case GreaterThan(a, l: Literal) if isKey(a) =>
+        tighten(newLo = longOf(l).map(_ + 1L))
+      case LessThanOrEqual(a, l: Literal) if isKey(a) =>
+        tighten(newHi = longOf(l))
+      case LessThan(a, l: Literal) if isKey(a) =>
+        tighten(newHi = longOf(l).map(_ - 1L))
+      case GreaterThanOrEqual(l: Literal, a) if isKey(a) =>
+        tighten(newHi = longOf(l))
+      case GreaterThan(l: Literal, a) if isKey(a) =>
+        tighten(newHi = longOf(l).map(_ - 1L))
+      case LessThanOrEqual(l: Literal, a) if isKey(a) =>
+        tighten(newLo = longOf(l))
+      case LessThan(l: Literal, a) if isKey(a) =>
+        tighten(newLo = longOf(l).map(_ + 1L))
+      case EqualTo(a, l: Literal) if isKey(a) =>
+        longOf(l).foreach { v => tighten(Some(v), Some(v)); probes += v }
+      case EqualTo(l: Literal, a) if isKey(a) =>
+        longOf(l).foreach { v => tighten(Some(v), Some(v)); probes += v }
+      case In(a, vs) if isKey(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        val longs = vs.flatMap(v => longOf(v.asInstanceOf[Literal]))
+        if (longs.nonEmpty && longs.length == vs.length) {
+          probes ++= longs
+          tighten(Some(longs.min), Some(longs.max))
+        }
+      case _ => ()
+    }
+    filters.foreach(walk)
+    (lo, hi, probes)
+  }
+
+  /** File names (last path segment) whose zone intersects [lo, hi] —
+    * a distributed manifest filter, only matches collected. */
+  private def manifestSurvivors(dir: String, lo: Option[Long],
+                                hi: Option[Long]): Set[String] = {
+    var mf = spark.read.parquet(dir)
+    lo.foreach(v => mf = mf.filter(col("max_k").cast("long") >= v))
+    hi.foreach(v => mf = mf.filter(col("min_k").cast("long") <= v))
+    mf.select(col("file")).collect()
+      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+      .toSet
+  }
+
+  /** Partition values whose bloom may contain ANY probe: a probe
+    * qualifies a partition iff ALL its nHashes positions are present;
+    * a partition survives iff some probe qualifies it. Runs as one
+    * distributed join probes×positions ⋈ bloom — no driver-side
+    * hashing, the position kernel is the same native fnv64 expression
+    * the writer used. */
+  private def bloomSurvivors(dir: String, probes: Set[Long]): Set[Long] = {
+    graft.plans.GraftSparkExtensions.install(spark)
+    import spark.implicits._
+    val bloom = spark.read.parquet(dir)
+    val pcol = bloom.columns.filterNot(_ == "p").head
+    val pos = probes.toSeq.toDF("probe").select(col("probe"),
+      explode(array((0 until nHashes).map(i =>
+        graft.operators.PruneOps.bloomPos(col("probe"), i, mBits)): _*))
+        .as("p"))
+    pos.join(bloom, Seq("p"))
+      .groupBy(col("probe"), col(pcol).as("pv"))
+      .agg(countDistinct(col("p")).as("npos"))
+      // a probe whose positions collide hashes < nHashes DISTINCT cells;
+      // compare against its own distinct-position count, not nHashes
+      .join(pos.groupBy("probe").agg(countDistinct(col("p")).as("need")),
+        Seq("probe"))
+      .filter(col("npos") === col("need"))
+      .select(col("pv").cast("long")).distinct()
+      .as[Long].collect().toSet
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val base = inner.listFiles(partitionFilters, dataFilters)
+    val (lo, hi, probes) = boundsOf(dataFilters)
+    val afterBloom = (bloomDir, probes.nonEmpty) match {
+      case (Some(dir), true) =>
+        val keep = bloomSurvivors(dir, probes)
+        val pIdx = 0 // single inferred partition column (writer contract)
+        base.filter { pd =>
+          partitionSchema.isEmpty || {
+            val v = pd.values.get(pIdx, partitionSchema.fields(pIdx).dataType)
+            v == null || keep.contains(v.asInstanceOf[Number].longValue)
+          }
+        }
+      case _ => base
+    }
+    (manifestDir, lo.isDefined || hi.isDefined) match {
+      case (Some(dir), true) =>
+        val keep = manifestSurvivors(dir, lo, hi)
+        afterBloom.map(pd =>
+          pd.copy(files = pd.files.filter(f => keep.contains(f.getPath.getName))))
+      case _ => afterBloom
+    }
+  }
+}
+
+object IndexedFileIndex {
+
+  /** A DataFrame over `path` whose scan consults the `_manifest` /
+    * `_bloom` index tables at planning time: compose `.filter` /
+    * `.select` / joins as with any read — skipping rides the pushed
+    * data filters. The relation is the ordinary parquet
+    * `HadoopFsRelation`, just with this index as its file listing. */
+  def read(spark: SparkSession, path: String, keyCol: String,
+           mBits: Int = 4096, nHashes: Int = 2): DataFrame = {
+    val index = new IndexedFileIndex(spark, path, keyCol, mBits, nHashes)
+    val fullSchema = spark.read.parquet(path).schema
+    val dataSchema = StructType(fullSchema.fields.filterNot(f =>
+      index.partitionSchema.fieldNames.contains(f.name)))
+    val relation = HadoopFsRelation(index, index.partitionSchema,
+      dataSchema, None, new ParquetFileFormat(), Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+}

@@ -460,10 +460,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
-  test("k23 bloom-skip read plans PartitionFilters over the qualified " +
-    "file groups") {
+  test("k23 bloom-skip lookup reads through the planning-time bloom " +
+    "index, with no collected partition-id literal in the plan") {
     val p = plan("k23_bloom_skip")
-    assert(p.contains("PartitionFilters: [g"), p)
+    // the lookup scan's file listing is the IndexedFileIndex (which
+    // consults `_bloom` in listFiles); the pre-round-11 shape collected
+    // qualified group ids and planned them as a g-isin PartitionFilter
+    assert(p.contains("IndexedFileIndex"), p)
+    assert(!p.contains("PartitionFilters: [g"), p)
   }
 
   test("t18_decompose windows are partitioned by event_type") {

@@ -109,4 +109,79 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(data.contains("Broadcast"), data)
     assert(!data.contains("In(") && !data.contains("INSET"), data)
   }
+
+  // ---- IndexedFileIndex: planning-time zone-map/bloom skipping ----
+
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val ss = scans(df.queryExecution.executedPlan)
+    assert(ss.nonEmpty, "no FileSourceScanExec in plan")
+    ss.map(_.metrics("numFiles").value).sum
+  }
+
+  test("indexed read prunes zone-mapped files for range predicates at " +
+    "planning time and never drops rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ifi").toString + "/t"
+    val data = spark.range(4000).selectExpr("id AS k", "id * 3 AS v")
+    graft.operators.LayoutOps.writeRangeLayout(data, "k", dir, numFiles = 8)
+    graft.operators.LayoutOps.writeManifestTable(spark, dir, "k")
+    val pruned = graft.sources.IndexedFileIndex.read(spark, dir, "k")
+      .filter(col("k") >= 1000L && col("k") < 1500L)
+    assert(pruned.count() == 500L)
+    assert(filesRead(pruned.groupBy().sum("v")) < 8L)
+    // an unindexed predicate column must not prune (and not mis-prune)
+    val byV = graft.sources.IndexedFileIndex.read(spark, dir, "k")
+      .filter(col("v") === 300L)
+    assert(byV.count() == 1L)
+    // no predicate on k: full read
+    assert(graft.sources.IndexedFileIndex.read(spark, dir, "k").count() == 4000L)
+  }
+
+  test("indexed read prunes bloom-qualified partition directories for " +
+    "point probes, including the absent-probe case") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ifb").toString + "/t"
+    graft.plans.GraftSparkExtensions.install(spark)
+    val data = spark.range(4000)
+      .selectExpr("id AS event_id", "id % 100 AS user_id")
+      .withColumn("g", pmod(
+        graft.operators.SimilarityOps.hash32Col(col("event_id")), lit(8L)))
+    data.write.partitionBy("g").parquet(dir)
+    data.select(col("g"), explode(array(
+        graft.operators.PruneOps.bloomPos(col("user_id"), 0, 4096),
+        graft.operators.PruneOps.bloomPos(col("user_id"), 1, 4096))).as("p"))
+      .distinct().write.parquet(s"$dir/_bloom")
+    // present probe: exact rows back, no false negatives
+    val hit = graft.sources.IndexedFileIndex.read(spark, dir, "user_id")
+      .filter(col("user_id") === 7L)
+    assert(hit.count() == 40L)
+    // absent probe: zero rows, and the bloom should qualify few (often
+    // zero) of the 8 partition dirs — strictly fewer than all
+    val miss = graft.sources.IndexedFileIndex.read(spark, dir, "user_id")
+      .filter(col("user_id") === -999999L)
+    assert(miss.count() == 0L)
+    assert(filesRead(graft.sources.IndexedFileIndex
+      .read(spark, dir, "user_id").filter(col("user_id") === -999999L)
+      .groupBy().count()) <
+      filesRead(graft.sources.IndexedFileIndex
+        .read(spark, dir, "user_id").groupBy().count()))
+    // IN-list probes qualify the union of their partitions
+    val in2 = graft.sources.IndexedFileIndex.read(spark, dir, "user_id")
+      .filter(col("user_id").isin(7L, 13L))
+    assert(in2.count() == 80L)
+  }
+
+  test("k15_manifest_skip's registered query reads fewer than its 8 " +
+    "layout files through the planning-time manifest index") {
+    val df = SparkEntry.queries("k15_manifest_skip")(
+      spark, "/root/testdata/sf0.001")
+    assert(filesRead(df) < 8L)
+  }
 }
