@@ -4892,6 +4892,57 @@ object SparkEntry {
           (unix_millis(col("ts")) - 1700000000000L).as("ts_ms"))
     }),
 
+    "st_curate" -> ((s, _) => {
+      // composed streaming curation (EventStreamOps.curateStream):
+      // quality gate → exact dedup → banded near-dup in ONE append
+      // query, every stage's state watermark-bounded. The trace drives
+      // each stage: a too-short doc dies at the stateless gate (even
+      // arriving late), an exact copy and a whitespace variant drop
+      // against the live original, a clean doc passes, and the original
+      // re-admits after watermark eviction — the admitted stream is the
+      // verdict.
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[EventStreamOps.DocEvent]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.DocEvent]
+      val q = EventStreamOps.curateStream(mem.toDF(), "text", "ts",
+          "1 minute", minChars = 20)
+        .writeStream.format("memory").queryName("st_curate_out")
+        .outputMode("append").start()
+      def e(id: Long, ms: Long, text: String) = EventStreamOps.DocEvent(
+        id, text, new java.sql.Timestamp(1700000000000L + ms))
+      val fox = "the quick brown fox jumps over the lazy dog"
+      try {
+        // batch 1: original admits; exact copy drops (stage 2); short
+        // doc dies at the gate (stage 1); whitespace variant drops at
+        // the band stage (stage 3: different hash, identical tokens)
+        mem.addData(e(1, 0L, fox), e(2, 10000L, fox),
+          e(3, 20000L, "tiny doc"),
+          e(4, 30000L, "the  quick brown fox jumps over the lazy dog"))
+        q.processAllAvailable()
+        // batch 2: fresh clean doc admits
+        mem.addData(e(5, 40000L,
+          "completely unrelated payload about parquet row groups"))
+        q.processAllAvailable()
+        // batch 3: sentinel pushes the watermark to 3_540_000 ms,
+        // evicting the hash and band state of every earlier doc
+        mem.addData(e(9, 3600000L,
+          "watermark sentinel advancing event time"))
+        q.processAllAvailable()
+        // batch 4: the original's text re-arrives past its horizon ->
+        // re-admitted; a late short doc is still gated (stateless)
+        mem.addData(e(6, 3600000L, fox), e(7, 100000L, "tiny doc"))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_curate_out").filter(col("doc_id") =!= 9L)
+        .select(col("doc_id"),
+          (unix_millis(col("ts")) - 1700000000000L).as("ts_ms"),
+          col("n_chars"))
+    }),
+
     "st_stream_join" -> ((s, _) => {
       // watermarked stream-stream interval join through the gate:
       // clicks attribute to same-user impressions at most 30 minutes
@@ -9817,6 +9868,17 @@ object SparkEntry {
         | (2, 10000),
         | (5, 40000),
         | (6, 3600000)) t""".stripMargin,
+
+    // composed streaming curation: the admitted stream — gate-rejected
+    // (3, 7), exact-dup (2) and near-dup (4) rows never land; the
+    // original re-admits (6) after watermark eviction
+    "st_curate" ->
+      """SELECT CAST(col0 AS BIGINT) AS doc_id, CAST(col1 AS BIGINT) AS ts_ms,
+        | CAST(strlen(col2) AS INT) AS n_chars
+        |FROM (VALUES
+        | (1, 0, 'the quick brown fox jumps over the lazy dog'),
+        | (5, 40000, 'completely unrelated payload about parquet row groups'),
+        | (6, 3600000, 'the quick brown fox jumps over the lazy dog')) t""".stripMargin,
 
     // streaming dedup: first row per key while in-horizon; key 2
     // re-emits after watermark eviction; key 3's late replay never lands

@@ -362,6 +362,50 @@ object EventStreamOps {
     df.drop((0 until bands).map(i => s"_b$i"): _*)
   }
 
+  /** Composed streaming curation — the ingest-time sibling of the batch
+    * `curate_e2e` chain, as ONE append-mode query:
+    *
+    *  1. QUALITY GATE: stateless length screen (plus the carried
+    *     `n_chars` metric) — garbage is rejected before it costs any
+    *     dedup state, the order a production ingest uses;
+    *  2. EXACT DEDUP: `dropDuplicatesWithinWatermark` on the content
+    *     hash — state is one (hash, ts) entry per live doc, bounded by
+    *     the watermark horizon;
+    *  3. NEAR-DUP DEDUP: the banded MinHash chain of
+    *     [[neardupWithinWatermark]] (same signature kernel as the batch
+    *     family), `bands` stateful operators each bounded exactly like
+    *     the exact stage.
+    *
+    * Emitted rows are the ADMITTED corpus (verdict "keep") with their
+    * quality metrics; rejected rows never emit — the same
+    * absence-semantics the other streaming dedup gates pin. Per-stage
+    * state is bounded by horizon × doc rate; nothing is corpus-sized,
+    * so the pipeline runs forever (corpus-wide dedup stays the batch
+    * family's job). */
+  def curateStream(docs: DataFrame, textCol: String, tsCol: String,
+                   watermark: String, minChars: Int,
+                   shingleK: Int = 2, bands: Int = 4,
+                   rowsPerBand: Int = 2): DataFrame = {
+    val num = bands * rowsPerBand
+    val sig = graft.GraftFunctions.minhashSig(
+      graft.operators.TermOps.tokens(col(textCol)), lit(shingleK), lit(num))
+    var df = docs
+      .withColumn("n_chars", length(col(textCol)))
+      .filter(col("n_chars") >= minChars)
+      .withColumn("_h", md5(col(textCol)))
+      .withColumn("_sig", sig)
+    val bks = graft.GraftFunctions.bandBuckets(
+      col("_sig"), lit(bands), lit(rowsPerBand))
+    df = df.withColumn("_bks", bks)
+    for (i <- 0 until bands)
+      df = df.withColumn(s"_b$i", element_at(col("_bks"), i + 1))
+    df = df.drop("_sig", "_bks").withWatermark(tsCol, watermark)
+    df = df.dropDuplicatesWithinWatermark(Seq("_h"))
+    for (i <- 0 until bands)
+      df = df.dropDuplicatesWithinWatermark(Seq(s"_b$i"))
+    df.drop("_h" +: (0 until bands).map(i => s"_b$i"): _*)
+  }
+
   /** Watermarked stream-stream interval join: each right-side row
     * matches left-side rows with the same `key` whose event time is at
     * most `maxDelay` older (click-attribution shape: click joins the
