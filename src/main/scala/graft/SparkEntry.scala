@@ -2894,6 +2894,77 @@ object SparkEntry {
       DedupOps.semanticDedupAuto(emb, iters = 2, threshold = 0.99)
     }),
 
+    "dedup_url" -> ((s, _) => {
+      import s.implicits._
+      // URL canonical-identity dedup (TextAnalysisOps.canonicalizeUrl):
+      // the re-crawl grouping rule — scheme/fragment/query dropped, host
+      // case-folded and de-www'd, trailing slash stripped, path case
+      // PRESERVED. The fixture drives each rule: 1/2/3/6 collapse, 4
+      // stays (path case), 5 stays (subdomain), 7/8 collapse (query vs
+      // trailing slash). At 100 TB this is one hash groupBy on the
+      // canonical string — the cheapest dedup family member.
+      val urls = Seq(
+        (1L, "https://WWW.Example.com/Path/Article?utm=x#frag"),
+        (2L, "https://example.com/Path/Article"),
+        (3L, "http://example.com/Path/Article/"),
+        (4L, "https://example.com/path/article"),
+        (5L, "https://sub.example.com/Path/Article"),
+        (6L, "HTTP://WWW.EXAMPLE.COM/Path/Article#x"),
+        (7L, "https://example.com/other?q=1"),
+        (8L, "https://example.com/other/")
+      ).toDF("fid", "url")
+      val canon = urls.select(col("fid"),
+        TextAnalysisOps.canonicalizeUrl(col("url")).as("canon"))
+      val keepers = canon.groupBy("canon").agg(min("fid").as("keep_id"))
+      canon.join(keepers, Seq("canon"))
+        .select(col("fid"), col("canon"),
+          (col("fid") === col("keep_id")).as("keep"),
+          when(col("fid") =!= col("keep_id"), col("keep_id")).as("dup_of"))
+    }),
+
+    "text_pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      // PII redaction over corpus ∪ planted fixtures
+      // (TextAnalysisOps.piiScrub): emails scrub before phones (fixed,
+      // mirrored order), counts ride along, and only flagged docs
+      // return — the organic corpus is the false-positive control (a
+      // spurious match would surface as an extra row). Planted row 4
+      // pins the boundary cases: spaced-out non-email, short digit run.
+      val planted = Seq(
+        (9000001L,
+          "contact alice.smith+test@Example.COM or bob@sub.domain.org today"),
+        (9000002L, "call 555-123-4567 or 555.987.6543 before noon"),
+        (9000003L, "mixed: carol@x.io then 800-555-0199 but not fragment@nodot"),
+        (9000004L, "edge not-an-email @ spaced.com and 12-345-6789 short")
+      ).toDF("doc_id", "text")
+      val corpus = t(s, d, "documents").select("doc_id", "text")
+        .unionByName(planted)
+      TextAnalysisOps.piiScrub(corpus, "doc_id", "text")
+        .filter(col("n_emails") + col("n_phones") > 0)
+    }),
+
+    "w10_funnel" -> ((s, d) => {
+      // ordered conversion funnel view → click → purchase: a user
+      // advances a stage only with an event AT OR AFTER their entry
+      // into the previous stage (min-ts semantics, exact µs). Two
+      // user-keyed joins + per-user min aggregates — the event-analytics
+      // staple the window family lacked; the three stage counts meet in
+      // broadcast one-row crossJoins.
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") >= col("c_ts"))
+        .select("user_id").distinct()
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full"))))
+    }),
+
     // corpus-vs-corpus: the whole embeddings table queries itself through
     // the non-broadcast shuffle-join path (PlanSpec pins the no-broadcast
     // plan shape)
@@ -7889,6 +7960,75 @@ object SparkEntry {
     // also proves the two engines agree on N and therefore on k
     "dedup_semantic_auto" -> semDedupSql(
       "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM base)"),
+
+    // the canonicalization chain mirrored stepwise: fragment → query →
+    // scheme → host fold (+ de-www) ⊕ trailing-slash-stripped path
+    "dedup_url" ->
+      """WITH u(fid, url) AS (VALUES
+        | (1, 'https://WWW.Example.com/Path/Article?utm=x#frag'),
+        | (2, 'https://example.com/Path/Article'),
+        | (3, 'http://example.com/Path/Article/'),
+        | (4, 'https://example.com/path/article'),
+        | (5, 'https://sub.example.com/Path/Article'),
+        | (6, 'HTTP://WWW.EXAMPLE.COM/Path/Article#x'),
+        | (7, 'https://example.com/other?q=1'),
+        | (8, 'https://example.com/other/')),
+        |s1 AS (SELECT fid, split_part(split_part(url, '#', 1), '?', 1) AS nq
+        |       FROM u),
+        |s2 AS (SELECT fid,
+        |   regexp_replace(nq, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM s1),
+        |c AS (SELECT fid,
+        |   regexp_replace(lower(regexp_extract(rest, '^[^/]*')), '^www\.', '')
+        |   || regexp_replace(regexp_replace(rest, '^[^/]*', ''), '/+$', '')
+        |     AS canon
+        |  FROM s2),
+        |k AS (SELECT canon, min(fid) AS keep_id FROM c GROUP BY 1)
+        |SELECT CAST(c.fid AS BIGINT) AS fid, canon, c.fid = keep_id AS keep,
+        | CAST(CASE WHEN c.fid <> keep_id THEN keep_id END AS BIGINT) AS dup_of
+        |FROM c JOIN k USING (canon)""".stripMargin,
+
+    // PII scrub replay: email pass first, phone counts on the
+    // email-scrubbed text (same fixed order as piiScrub), only flagged
+    // docs returned
+    "text_pii_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(col0 AS BIGINT), col1 FROM (VALUES
+        |   (9000001, 'contact alice.smith+test@Example.COM or bob@sub.domain.org today'),
+        |   (9000002, 'call 555-123-4567 or 555.987.6543 before noon'),
+        |   (9000003, 'mixed: carol@x.io then 800-555-0199 but not fragment@nodot'),
+        |   (9000004, 'edge not-an-email @ spaced.com and 12-345-6789 short')) t),
+        |e AS (SELECT doc_id,
+        |   len(regexp_extract_all(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |   regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |     AS t1
+        |  FROM base),
+        |p AS (SELECT doc_id, n_emails,
+        |   len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+        |     AS n_phones,
+        |   regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+        |     AS scrubbed
+        |  FROM e)
+        |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+        | CAST(n_phones AS INT) AS n_phones, scrubbed
+        |FROM p WHERE n_emails + n_phones > 0""".stripMargin,
+
+    // stage entry = min ts at-or-after the previous stage's entry
+    "w10_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_full""".stripMargin,
 
     // full replication of the hyperplane-LSH path: signatures, the 5
     // probe buckets (original + single-bit flips of bits 0-3), bucket

@@ -394,4 +394,47 @@ object TextAnalysisOps {
         round(col("n_oov").cast("double") /
           col("n_tokens").cast("double"), 4).as("oov_rate"))
   }
+
+  /** URL canonical identity — the dedup key CommonCrawl-style pipelines
+    * group re-crawls under: drop fragment and query string, drop the
+    * scheme (http/https re-crawls are the same page), lowercase the
+    * host and strip a leading `www.`, strip trailing slashes from the
+    * path (which stays case-SENSITIVE — path case is meaningful, host
+    * case is not). Pure built-in regexp chain, codegen-friendly, and
+    * mirrored verbatim in the `dedup_url` oracle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = get(split(url, "#"), lit(0))
+    val noQuery = get(split(noFrag, "\\?"), lit(0))
+    val rest = regexp_replace(noQuery,
+      lit("^[A-Za-z][A-Za-z0-9+.-]*://"), lit(""))
+    val host = regexp_replace(
+      lower(regexp_extract(rest, "^[^/]*", 0)), lit("^www\\."), lit(""))
+    val path = regexp_replace(
+      regexp_replace(rest, lit("^[^/]*"), lit("")), lit("/+$"), lit(""))
+    concat(host, path)
+  }
+
+  /** PII redaction (the C4-style scrub): count and replace email
+    * addresses and NANP-style phone numbers with typed placeholders.
+    * Emails scrub FIRST — an email local part may itself contain a
+    * phone-shaped digit run, and the fixed order makes the counts
+    * well-defined (phones are counted on the email-scrubbed text; the
+    * oracle mirrors the same order). Patterns are deliberately simple
+    * and lookahead-free, so they mean the same thing to Java regex and
+    * RE2. Output: (id, n_emails, n_phones, scrubbed). */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(email), lit(0))))
+      .withColumn("_t1",
+        regexp_replace(col(textCol), lit(email), lit("<EMAIL>")))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("_t1"), lit(phone), lit(0))))
+      .select(col(idCol), col("n_emails"), col("n_phones"),
+        regexp_replace(col("_t1"), lit(phone), lit("<PHONE>"))
+          .as("scrubbed"))
+  }
 }
