@@ -39,6 +39,23 @@ object SparkEntry {
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** The hashed-linear serve-time scorer's unrounded logit per doc —
+    * shared by `curate_classifier` (keep decision) and
+    * `stats_calibration` (reliability audit); the ordered fold over the
+    * bucket-sorted feature array is engine-exact, so both gates see the
+    * identical z. */
+  private def classifierZ(s: SparkSession, d: String): DataFrame =
+    TermOps.featureHash(t(s, d, "documents"), "doc_id", "text", dim = 256)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("weight"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        aggregate(col("arr"), lit(0.0d), (acc, x) =>
+          acc + (SimilarityOps.hash32Col(x.getField("bucket")
+              .cast("long") + lit(1L)).cast("double") /
+              lit(2147483648.0) - lit(1.0)) *
+            x.getField("weight").cast("double")).as("z"))
+
   /** Flagship query — the J1-style broadcast join pipeline:
     * orders ⋈ customer ⋈ nation, revenue by nation/segment. Data dir
     * comes from SPARK_GRAFT_SF_DIR (driver contract default: sf0.001). */
@@ -2965,6 +2982,64 @@ object SparkEntry {
         .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full"))))
     }),
 
+    "w11_attribution" -> ((s, d) => {
+      // last-touch attribution: each purchase credits the LATEST
+      // preceding click/view on its user within a 1-day lookback, else
+      // 'unattributed' — the revenue-accounting consumer of the as-of
+      // family (one asofJoin pass; staleness is a post-filter, the w9
+      // discipline; touch ties at one (user, ts) resolve to the max
+      // event_id, the w7 convention). Revenue rolls up by channel.
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_type").as("channel"), col("event_id").as("touch_id"))
+        .withColumn("tts", col("ts"))
+      AsofOps.asofJoin(purchases, touches, "user_id", "ts",
+          Seq("channel", "touch_id", "tts"))
+        .withColumn("attr_channel",
+          when(col("tts").isNull ||
+            expr("CAST(ts AS LONG) - CAST(tts AS LONG)") > 86400L,
+            lit("unattributed")).otherwise(col("channel")))
+        .groupBy("attr_channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("revenue"))
+    }),
+
+    "stats_calibration" -> ((s, d) => {
+      // reliability table + expected calibration error for the
+      // serve-time classifier (stats_auc's sibling: AUC ranks, ECE
+      // audits the probabilities themselves). Shares the exact
+      // classifierZ fold with curate_classifier; the binary target is
+      // lang='en' (deterministic stand-in labels). Bins are deciles of
+      // the ROUNDED score (floor on identical IEEE doubles both
+      // engines); per-bin counts are exact integers, conf/acc round at
+      // 6, ECE is the n-weighted gap sum over ≤10 bins.
+      val scored = classifierZ(s, d)
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"))
+      val lab = t(s, d, "documents")
+        .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"))
+      val bins = scored.join(lab, Seq("doc_id"))
+        .withColumn("bin",
+          least(floor(col("score") * 10).cast("int"), lit(9)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("score")).as("s_score"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("s_score") / col("n"), 6).as("conf"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("acc"))
+        .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
+      bins.withColumn("ece", round(
+          sum(col("n").cast("double") * col("gap")).over(
+            Window.partitionBy()) /
+            sum(col("n")).over(Window.partitionBy()), 6))
+    }),
+
     // corpus-vs-corpus: the whole embeddings table queries itself through
     // the non-broadcast shuffle-join path (PlanSpec pins the no-broadcast
     // plan shape)
@@ -5057,17 +5132,7 @@ object SparkEntry {
       // is an ordered fold over the bucket-sorted feature array, so
       // the keep decision (z ≥ 0, evaluated on the unrounded logit) is
       // engine-exact; only the displayed sigmoid touches libm
-      val feats = TermOps.featureHash(t(s, d, "documents"), "doc_id",
-        "text", dim = 256)
-      val z = feats.groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("bucket"), col("weight"))))
-          .as("arr"))
-        .select(col("doc_id"),
-          aggregate(col("arr"), lit(0.0d), (acc, x) =>
-            acc + (SimilarityOps.hash32Col(x.getField("bucket")
-                .cast("long") + lit(1L)).cast("double") /
-                lit(2147483648.0) - lit(1.0)) *
-              x.getField("weight").cast("double")).as("z"))
+      val z = classifierZ(s, d)
       z.select(col("doc_id"), round(col("z"), 4).as("z"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
         (col("z") >= 0.0).as("keep"))
@@ -5559,6 +5624,19 @@ object SparkEntry {
        |   (hh, c) -> ((hh - hh % 128 +
        |     xor(CAST(hh % 128 AS BIGINT), CAST(c AS BIGINT))::HUGEINT)
        |     * 1099511628211) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** The hashed-linear logit chain as a WITH prefix ending in CTE `z`
+    * (doc_id, z) — the oracle twin of [[classifierZ]], shared by the
+    * curate_classifier and stats_calibration oracles. */
+  private lazy val classifierZSql: String =
+    s"""WITH w AS (SELECT doc_id, bucket, weight,
+       |       (${hash32Sql("(bucket + 1)")} / 2147483648.0::DOUBLE
+       |         - 1.0::DOUBLE) * weight AS term
+       |      FROM (${featureHashSql("")}) f),
+       |z AS (SELECT doc_id,
+       |       list_reduce(list_prepend(0.0::DOUBLE,
+       |         list(term ORDER BY bucket)), (acc, x) -> acc + x) AS z
+       |      FROM w GROUP BY doc_id)""".stripMargin
 
   private def hash32Sql(k: String): String = {
     // (k % m + m) % m = pmod: parity with hash32Col for negative keys too
@@ -8651,18 +8729,55 @@ object SparkEntry {
     // UNROUNDED z (bit-identical by fold order); only sigmoid's exp
     // touches libm and it lands behind round(4)
     "curate_classifier" ->
-      s"""WITH w AS (SELECT doc_id, bucket, weight,
-         |       (${hash32Sql("(bucket + 1)")} / 2147483648.0::DOUBLE
-         |         - 1.0::DOUBLE) * weight AS term
-         |      FROM (${featureHashSql("")}) f),
-         |z AS (SELECT doc_id,
-         |       list_reduce(list_prepend(0.0::DOUBLE,
-         |         list(term ORDER BY bucket)), (acc, x) -> acc + x) AS z
-         |      FROM w GROUP BY doc_id)
+      s"""$classifierZSql
          |SELECT doc_id, round(z, 4) AS z,
          | round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 4) AS score,
          | z >= 0.0::DOUBLE AS keep
          |FROM z""".stripMargin,
+
+    // reliability replay: identical z fold → rounded sigmoid → decile
+    // bins on the same IEEE doubles; ECE as the n-weighted gap sum
+    "stats_calibration" ->
+      s"""$classifierZSql,
+         |scored AS (SELECT doc_id,
+         |   round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 4) AS score FROM z),
+         |lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents),
+         |b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+         |       count(*) AS n, sum(y) AS n_pos, sum(score) AS s_score
+         |      FROM scored JOIN lab USING (doc_id) GROUP BY 1),
+         |g AS (SELECT bin, n, n_pos,
+         |       round(s_score / n, 6) AS conf,
+         |       round(CAST(n_pos AS DOUBLE) / n, 6) AS acc
+         |      FROM b),
+         |g2 AS (SELECT *, round(abs(acc - conf), 6) AS gap FROM g)
+         |SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos, conf, acc, gap,
+         | round(sum(CAST(n AS DOUBLE) * gap) OVER ()
+         |   / sum(n) OVER (), 6) AS ece
+         |FROM g2""".stripMargin,
+
+    // last-touch attribution: unique touch per (user, ts) by max
+    // event_id, latest touch at-or-before the purchase, 1-day staleness
+    // in floor-seconds, channel rollup
+    "w11_attribution" ->
+      """WITH p AS (SELECT event_id, ts, user_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, ts, event_type AS channel, event_id,
+        |        row_number() OVER (PARTITION BY user_id, ts
+        |          ORDER BY event_id DESC) AS rn
+        |       FROM events WHERE event_type IN ('click', 'view')),
+        |t1 AS (SELECT user_id, ts, channel, event_id FROM tch WHERE rn = 1),
+        |m AS (SELECT p.event_id, p.ts, p.value, t.channel, t.ts AS tts,
+        |       row_number() OVER (PARTITION BY p.event_id
+        |         ORDER BY t.ts DESC) AS rn
+        |      FROM p LEFT JOIN t1 t
+        |      ON p.user_id = t.user_id AND t.ts <= p.ts),
+        |a AS (SELECT CASE WHEN tts IS NULL OR
+        |         epoch_us(ts) // 1000000 - epoch_us(tts) // 1000000 > 86400
+        |        THEN 'unattributed' ELSE channel END AS attr_channel, value
+        |      FROM m WHERE rn = 1)
+        |SELECT attr_channel, count(*) AS n_purchases,
+        | round(sum(value), 2) AS revenue
+        |FROM a GROUP BY 1""".stripMargin,
 
     // per-doc distinct 8-grams left-joined against the benchmark gram
     // set (string equality here; Spark probes 64-bit gram hashes — equal
