@@ -2345,6 +2345,19 @@ object SparkEntry {
                 log(lit(2.0)))), 6).as("mi_bits"))
     }),
 
+    "embed_pca_power" -> ((s, d) =>
+      // dominant principal component by 3 power rounds on the exact
+      // 64×64 scatter (SimilarityOps.pcaTop): λ is the top-direction
+      // variance mass (the "is the space collapsing" drift number),
+      // the leading components seed whitening/debias transforms. All
+      // matrix·vector and norm steps are ordered folds, v₀ = 1⃗ —
+      // engine-identical IEEE sequences; covariance sum-order noise is
+      // the only divergence and rounding absorbs it
+      SimilarityOps.pcaTop(t(s, d, "embeddings"), iters = 3)
+        .select(round(col("lambda"), 4).as("lam") +:
+          (1 to 8).map(k =>
+            round(element_at(col("v"), k), 6).as(s"c$k")): _*)),
+
     "embed_whiten" -> ((s, d) =>
       // whitening statistics per embedding dimension (the retrieval
       // preprocessing step: mean-center + unit-scale before cosine):
@@ -7611,6 +7624,53 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     // one pass per dim; population sigma from the same two sums
+    // the scatter matrix from one self-join, mean correction, then 3
+    // unrolled multiply-normalize rounds as ordered list folds (v₀ = 1⃗)
+    "embed_pca_power" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |dd AS (SELECT vec_id, generate_subscripts(emb, 1) AS i,
+        |        unnest(emb) AS x FROM e),
+        |m AS (SELECT i, sum(x) / (SELECT n FROM nn) AS mu FROM dd GROUP BY i),
+        |c AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxx
+        |      FROM dd a JOIN dd b USING (vec_id) GROUP BY 1, 2),
+        |am AS (SELECT c.i, c.j,
+        |        sxx - (SELECT n FROM nn) * mi.mu * mj.mu AS aij
+        |       FROM c JOIN m mi ON c.i = mi.i JOIN m mj ON c.j = mj.i),
+        |ar AS (SELECT i, list(aij ORDER BY j) AS rw FROM am GROUP BY i),
+        |v0 AS (SELECT list_transform(generate_series(1, 64),
+        |        x -> 1.0::DOUBLE) AS v),
+        |w1 AS (SELECT i, list_reduce(list_prepend(0.0::DOUBLE,
+        |         list_transform(generate_series(1, 64), k -> rw[k] * v[k])),
+        |         (acc, x) -> acc + x) AS w FROM ar, v0),
+        |l1 AS (SELECT list(w ORDER BY i) AS wl FROM w1),
+        |n1 AS (SELECT wl, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |         list_transform(wl, x -> x * x)), (acc, x) -> acc + x)) AS nm
+        |       FROM l1),
+        |v1 AS (SELECT list_transform(wl, x -> x / nm) AS v FROM n1),
+        |w2 AS (SELECT i, list_reduce(list_prepend(0.0::DOUBLE,
+        |         list_transform(generate_series(1, 64), k -> rw[k] * v[k])),
+        |         (acc, x) -> acc + x) AS w FROM ar, v1),
+        |l2 AS (SELECT list(w ORDER BY i) AS wl FROM w2),
+        |n2 AS (SELECT wl, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |         list_transform(wl, x -> x * x)), (acc, x) -> acc + x)) AS nm
+        |       FROM l2),
+        |v2 AS (SELECT list_transform(wl, x -> x / nm) AS v FROM n2),
+        |w3 AS (SELECT i, list_reduce(list_prepend(0.0::DOUBLE,
+        |         list_transform(generate_series(1, 64), k -> rw[k] * v[k])),
+        |         (acc, x) -> acc + x) AS w FROM ar, v2),
+        |l3 AS (SELECT list(w ORDER BY i) AS wl FROM w3),
+        |n3 AS (SELECT wl, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |         list_transform(wl, x -> x * x)), (acc, x) -> acc + x)) AS nm
+        |       FROM l3),
+        |v3 AS (SELECT list_transform(wl, x -> x / nm) AS v, nm FROM n3)
+        |SELECT round(nm, 4) AS lam,
+        | round(v[1], 6) AS c1, round(v[2], 6) AS c2, round(v[3], 6) AS c3,
+        | round(v[4], 6) AS c4, round(v[5], 6) AS c5, round(v[6], 6) AS c6,
+        | round(v[7], 6) AS c7, round(v[8], 6) AS c8
+        |FROM v3""".stripMargin,
+
     "embed_whiten" ->
       """WITH e AS (SELECT d - 1 AS pos, CAST(embedding[d] AS DOUBLE) AS x
         |  FROM embeddings,

@@ -616,4 +616,66 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("nbr_id"), col("adc"), col("rank"))
   }
+
+  /** Top principal component of the embedding corpus by POWER ITERATION
+    * on the exact (uncentered-sums) covariance — the embedding-space
+    * audit beside [[graft.operators.TextAnalysisOps]]' text metrics:
+    * the dominant direction's share of variance is the "is my embedding
+    * space collapsing" drift check, and the component itself seeds
+    * whitening/debiasing.
+    *
+    * Scale shape: the d×d scatter matrix comes from ONE self-join on
+    * vec_id with map-side partial aggregation (shuffle ≤ d² cells per
+    * partition, never n·d² rows); everything after — mean correction,
+    * `iters` multiply-normalize rounds — runs on d²-row relations, a
+    * 64×64 MODEL, not data. Determinism: matrix·vector products and
+    * norms are ORDERED folds over j-sorted arrays (the t14 list-state
+    * discipline) and v₀ = 1⃗, so both engines walk identical IEEE
+    * sequences; the only cross-engine noise is covariance sum order,
+    * absorbed by the caller's rounding. Returns one row:
+    * (lambda, v) with v the unit top component (sign fixed by v₀). */
+  def pcaTop(emb: DataFrame, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val d = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+    val nRow = e.agg(count(lit(1)).cast("double").as("n"))
+    val mu = d.groupBy("i").agg(sum(col("x")).as("sx"))
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), (col("sx") / col("n")).as("mu"))
+    val cells = d.alias("a").join(d.alias("b"), "vec_id")
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.x") * col("b.x")).as("sxx"))
+    val amat = cells
+      .join(mu.select(col("i"), col("mu").as("mi")), Seq("i"))
+      .join(mu.select(col("i").as("j"), col("mu").as("mj")), Seq("j"))
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        (col("sxx") - col("n") * col("mi") * col("mj")).as("aij"))
+    // per-i row vectors, j-ordered — the fold basis; tiny (d rows), one
+    // checkpoint so the iteration doesn't replay the scatter join
+    val ar = amat.groupBy("i")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("aij")))),
+        x => x.getField("aij")).as("row"))
+      .localCheckpoint()
+    val dims = ar.count().toInt
+    var v = spark.range(1)
+      .select(transform(sequence(lit(1), lit(dims)), _ => lit(1.0d)).as("v"),
+        lit(0.0d).as("lambda"))
+    for (_ <- 0 until iters) {
+      val w = ar.crossJoin(broadcast(v.select(col("v"))))
+        .select(col("i"), aggregate(
+          zip_with(col("row"), col("v"), (a, b) => a * b),
+          lit(0.0d), (acc, x) => acc + x).as("w"))
+      v = w.agg(transform(
+          array_sort(collect_list(struct(col("i"), col("w")))),
+          x => x.getField("w")).as("wl"))
+        .select(col("wl"), sqrt(aggregate(
+          transform(col("wl"), x => x * x),
+          lit(0.0d), (acc, x) => acc + x)).as("nm"))
+        .select(transform(col("wl"), x => x / col("nm")).as("v"),
+          col("nm").as("lambda"))
+    }
+    v.select(col("lambda"), col("v"))
+  }
 }
