@@ -2304,6 +2304,64 @@ object SparkEntry {
           round(col("level"), 6).as("level"))
     }),
 
+    "sketch_bloom_fpr" -> ((s, _) => {
+      // the bloom family's SIZING math, measured: 200 members in a
+      // deliberately small m=4096 / k=2 filter, probed with 1000
+      // disjoint keys — the measured false-positive rate lands beside
+      // the (1 − e^{−kn/m})^k estimate the operators' scaladocs size
+      // by. The eval row for j7/bloomFlag, the way dedup_minhash_eval
+      // evals the banding family. exp argument is the exact dyadic
+      // −400/4096, so both engines call exp on the identical double.
+      graft.plans.GraftSparkExtensions.install(s)
+      val members = s.range(0, 200).select(col("id").as("mk"))
+      val probes = s.range(100000, 101000).select(col("id").as("pk"))
+      PruneOps.bloomFlag(probes, "pk", members, "mk", "maybe",
+          mBits = 4096, k = 2)
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("maybe").cast("long")).as("n_flagged"))
+        .select(col("n_probes"), col("n_flagged"),
+          round(col("n_flagged").cast("double") / col("n_probes"), 6)
+            .as("fpr"),
+          round(pow(lit(1.0) - exp(lit(-0.09765625)), 2), 6)
+            .as("fpr_theory"))
+    }),
+
+    "st_funnel" -> ((s, _) => {
+      // streaming funnel progression (EventStreamOps.funnelStages), the
+      // ingest-time sibling of w10_funnel: each stage fires once, only
+      // at-or-after the previous stage's entry; a click BEFORE the
+      // user's first view (u3 batch 1, u2 batch 4) never advances; a
+      // repeat purchase (u1 batch 4) never re-fires
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[EventStreamOps.FunnelEvent]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.FunnelEvent]
+      val q = EventStreamOps.funnelStages(mem.toDS())
+        .writeStream.format("memory").queryName("st_funnel_out")
+        .outputMode("update").start()
+      def e(u: Long, t: String, ms: Long) = EventStreamOps.FunnelEvent(
+        u, t, new java.sql.Timestamp(1700000000000L + ms))
+      try {
+        mem.addData(e(1, "view", 0L), e(3, "click", 5000L))
+        q.processAllAvailable()
+        mem.addData(e(1, "click", 10000L), e(2, "view", 20000L))
+        q.processAllAvailable()
+        // u3's view and click land in ONE batch out of stage order in
+        // arrival terms — the event-time sort admits both
+        mem.addData(e(3, "click", 40000L), e(3, "view", 30000L),
+          e(1, "purchase", 50000L))
+        q.processAllAvailable()
+        mem.addData(e(2, "click", 15000L), e(1, "purchase", 60000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_funnel_out")
+        .select(col("user_id"), col("stage"),
+          (col("ts_ms") - 1700000000000L).as("ts_ms"))
+    }),
+
     "dedup_cross_corpus" -> ((s, d) => {
       // benchmark decontamination at the NEAR-DUP level (the sibling of
       // text_contamination's exact n-gram rule): banded-MinHash buckets
@@ -7562,6 +7620,39 @@ object SparkEntry {
       """SELECT CAST(col0 AS BIGINT) AS user_id,
         | CAST(col1 AS BIGINT) AS n_events, CAST(col2 AS DOUBLE) AS level
         |FROM (VALUES (1, 3, 2.25), (2, 2, 15.0)) t""".stripMargin,
+
+    // bloom positions bit-replicated (the j7 chain) for members and
+    // probes; flagged = every position present; theory from the same
+    // exact dyadic exponent
+    "sketch_bloom_fpr" ->
+      s"""WITH seeds AS (SELECT unnest(generate_series(0, 1)) AS i),
+         |mem AS (SELECT unnest(generate_series(0, 199)) AS mk),
+         |mpos AS (SELECT DISTINCT
+         |   ${fnvSql("CAST(mk AS VARCHAR) || '#' || i")} % 4096 AS pos
+         |  FROM mem, seeds),
+         |pr AS (SELECT unnest(generate_series(100000, 100999)) AS pk),
+         |ph AS (SELECT pk,
+         |   ${fnvSql("CAST(pk AS VARCHAR) || '#' || i")} % 4096 AS pos
+         |  FROM pr, seeds),
+         |chk AS (SELECT pk, bool_and(pos IN (SELECT pos FROM mpos)) AS hit
+         |        FROM ph GROUP BY pk)
+         |SELECT count(*) AS n_probes,
+         | CAST(sum(CAST(hit AS INT)) AS BIGINT) AS n_flagged,
+         | round(CAST(sum(CAST(hit AS INT)) AS DOUBLE) / count(*), 6) AS fpr,
+         | round(pow(1.0::DOUBLE - exp(-0.09765625::DOUBLE), 2), 6)
+         |   AS fpr_theory
+         |FROM chk""".stripMargin,
+
+    // streaming funnel: one row per (user, stage) at its entry time;
+    // u3's pre-view click and u2's pre-view click never advance, u1's
+    // second purchase never re-fires
+    "st_funnel" ->
+      """SELECT CAST(col0 AS BIGINT) AS user_id, col1 AS stage,
+        | CAST(col2 AS BIGINT) AS ts_ms
+        |FROM (VALUES
+        | (1, 'view', 0), (1, 'click', 10000), (1, 'purchase', 50000),
+        | (2, 'view', 20000),
+        | (3, 'view', 30000), (3, 'click', 40000)) t""".stripMargin,
 
     // the minhash exact-verify chain restricted to cross-parity pairs;
     // the LSH banding is recall-complete on this data (the

@@ -362,6 +362,52 @@ object EventStreamOps {
     df.drop((0 until bands).map(i => s"_b$i"): _*)
   }
 
+  case class FunnelEvent(user_id: Long, etype: String,
+                         ts: java.sql.Timestamp)
+  /** Funnel per-key state: entry ms of the view/click stages (−1 =
+    * not reached) + the purchase latch — 17 bytes per live user. */
+  case class FunnelState(vTs: Long, cTs: Long, purchased: Boolean)
+  case class StageRow(user_id: Long, stage: String, ts_ms: Long)
+
+  /** Streaming ordered-funnel progression (view → click → purchase),
+    * the ingest-time sibling of the batch `w10_funnel`: a user advances
+    * a stage only with an event AT OR AFTER their entry into the
+    * previous stage, each stage fires exactly once, and the batch
+    * iterator sorts by event time (then type) so within-batch disorder
+    * cannot reorder a user's own funnel. Update-mode
+    * flatMapGroupsWithState; state is O(1) per live user (production
+    * deployments add an event-time timeout to retire idle users — the
+    * sessionizeEventTime pattern — omitted here so the golden trace
+    * stays timeout-free). */
+  def funnelStages(events: Dataset[FunnelEvent]): Dataset[StageRow] = {
+    implicit val rowEnc = Encoders.product[StageRow]
+    implicit val stEnc = Encoders.product[FunnelState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, StageRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.etype))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageRow]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            e.etype match {
+              case "view" if st.vTs < 0 =>
+                st = st.copy(vTs = t); out += StageRow(uid, "view", t)
+              case "click" if st.vTs >= 0 && st.cTs < 0 && t >= st.vTs =>
+                st = st.copy(cTs = t); out += StageRow(uid, "click", t)
+              case "purchase"
+                  if st.cTs >= 0 && !st.purchased && t >= st.cTs =>
+                st = st.copy(purchased = true)
+                out += StageRow(uid, "purchase", t)
+              case _ => () // out-of-order stage or repeat: no advance
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Composed streaming curation — the ingest-time sibling of the batch
     * `curate_e2e` chain, as ONE append-mode query:
     *
