@@ -2304,6 +2304,36 @@ object SparkEntry {
           round(col("level"), 6).as("level"))
     }),
 
+    "k27_zorder_skip" -> ((s, d) => {
+      // 2-D data skipping through the planning-time index: events land
+      // Z-ORDERED on (user_id, event_id) so every file covers a tight
+      // rectangle in BOTH dimensions, the long-format multi-column
+      // manifest (`_manifest_multi`, the Delta/Iceberg column-stats
+      // shape) records each file's per-column [min, max], and a plain
+      // filtered read through IndexedFileIndex prunes files for a
+      // predicate on EITHER dimension — here a user_id band and an
+      // event_id band in one conjunction (files must intersect both).
+      // The oracle's full-scan filter proves pruning dropped nothing;
+      // Round11OpsSpec pins files-read < total.
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_k27")
+        .toString + "/ev"
+      LayoutOps.zorder(ev, pmod(col("user_id"), lit(65536L)),
+          pmod(col("event_id"), lit(65536L)), numFiles = 8)
+        .write.parquet(dir)
+      LayoutOps.writeMultiManifest(s, dir, Seq("user_id", "event_id"))
+      val mx = ev.agg(max(col("user_id")).as("mu"), max(col("event_id"))
+        .as("me")).first()
+      val (mu, me) = (mx.getLong(0), mx.getLong(1))
+      graft.sources.IndexedFileIndex.read(s, dir, "user_id")
+        .filter(col("user_id") >= mu / 4 && col("user_id") <= mu / 2 &&
+          col("event_id") <= me / 2)
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_eid"),
+          min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     "sketch_bloom_fpr" -> ((s, _) => {
       // the bloom family's SIZING math, measured: 200 members in a
       // deliberately small m=4096 / k=2 filter, probed with 1000
@@ -9442,6 +9472,18 @@ object SparkEntry {
         | round(sum(value), 2) AS sum_value
         |FROM events, m
         |WHERE event_id >= mx // 4 AND event_id <= mx // 2""".stripMargin,
+
+    // full-scan replay of the 2-D band — the Z-order layout and the
+    // multi-column manifest only change WHICH FILES are read
+    "k27_zorder_skip" ->
+      """WITH m AS (SELECT max(user_id) AS mu, max(event_id) AS me
+        |           FROM events)
+        |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | min(user_id) AS min_uid, max(user_id) AS max_uid,
+        | round(sum(value), 2) AS sum_value
+        |FROM events, m
+        |WHERE user_id >= mu // 4 AND user_id <= mu // 2
+        |  AND event_id <= me // 2""".stripMargin,
 
     // golden trace (buckets = fnv64(user#j) & 255: user 1 -> 135/212,
     // user 2 -> 54/233; no collisions)

@@ -100,6 +100,29 @@ object LayoutOps {
     (pruned, keep.length, mf.length)
   }
 
+  /** Multi-column zone-map manifest in LONG format — one
+    * (file, col, min_k, max_k) row per file × tracked column, the shape
+    * Delta/Iceberg column stats take. Written beside the data as
+    * `_manifest_multi`; [[graft.sources.IndexedFileIndex]] consults it
+    * at planning time and prunes on EVERY tracked column a predicate
+    * binds — the consumer that makes a Z-ORDERED layout answer range
+    * queries on either dimension with file skipping. One aggregation
+    * pass builds all columns' stats. */
+  def writeMultiManifest(spark: org.apache.spark.sql.SparkSession,
+                         path: String, cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"min_$c"),
+      max(col(c)).cast("long").as(s"max_$c")))
+    val wide = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    cols.map(c => wide.select(col("file"), lit(c).as("col"),
+        col(s"min_$c").as("min_k"), col(s"max_$c").as("max_k")))
+      .reduce(_ unionByName _)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_manifest_multi")
+  }
+
   /** Persist the zone-map manifest as a TABLE next to the data (the
     * Iceberg/Delta metadata-dir convention — `_`-prefixed paths are
     * invisible to Spark's data-file listing, so `spark.read.parquet(path)`

@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.StructType
   *  - `_bloom` (<partition col>, p): per-PARTITION-DIRECTORY bloom
   *    position sets → point predicates (`=` / `IN`) on `keyCol` drop
   *    whole partition directories none of whose keys can hash there
-  *    (no false negatives, so pruning never drops rows).
+  *    (no false negatives, so pruning never drops rows);
+  *  - `_manifest_multi` (file, col, min_k, max_k): LONG-format
+  *    multi-column zone maps (the Delta/Iceberg column-stats shape) →
+  *    range predicates on ANY tracked column prune, which is what lets
+  *    a Z-ordered layout skip files on either interleaved dimension.
   *
   * Because the pruning happens in `listFiles`, it composes with
   * everything downstream of a plain read: Catalyst still sees an
@@ -54,6 +58,16 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
   }
   private val manifestDir = indexDir("_manifest")
   private val bloomDir = indexDir("_bloom")
+  private val multiDir = indexDir("_manifest_multi")
+
+  /** Columns the long-format multi manifest tracks (tiny, read once). */
+  private lazy val multiCols: Seq[String] = multiDir match {
+    case Some(dir) =>
+      import spark.implicits._
+      spark.read.parquet(dir).select("col").distinct().as[String]
+        .collect().toSeq.sorted
+    case None => Seq.empty
+  }
 
   override def rootPaths: Seq[Path] = inner.rootPaths
   override def inputFiles: Array[String] = inner.inputFiles
@@ -61,11 +75,11 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
   override def sizeInBytes: Long = inner.sizeInBytes
   override def partitionSchema: StructType = inner.partitionSchema
 
-  /** Conjunct-split predicates on `keyCol`: the [lo, hi] range implied
+  /** Conjunct-split predicates on `forCol`: the [lo, hi] range implied
     * by comparisons with long/int literals, and the point-probe set
     * from `=` / `IN`. Unrelated or unextractable predicates contribute
     * nothing (no pruning — never wrong results). */
-  private def boundsOf(filters: Seq[Expression])
+  private def boundsOf(filters: Seq[Expression], forCol: String)
       : (Option[Long], Option[Long], Set[Long]) = {
     var lo: Option[Long] = None
     var hi: Option[Long] = None
@@ -82,7 +96,7 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
       newHi.foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
     }
     def isKey(e: Expression): Boolean = e match {
-      case a: Attribute => a.name == keyCol
+      case a: Attribute => a.name == forCol
       case _ => false
     }
     def walk(e: Expression): Unit = e match {
@@ -158,11 +172,32 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
       .as[Long].collect().toSet
   }
 
+  /** File names surviving the LONG-format multi-column manifest: for
+    * every tracked column a predicate binds, the file's [min, max] must
+    * intersect the bound — per-column distributed filters, matched
+    * names intersected. None = no bounded tracked column (no pruning). */
+  private def multiSurvivors(dir: String,
+                             dataFilters: Seq[Expression])
+      : Option[Set[String]] =
+    multiCols.foldLeft(Option.empty[Set[String]]) { (acc, c) =>
+      val (lo, hi, _) = boundsOf(dataFilters, c)
+      if (lo.isEmpty && hi.isEmpty) acc
+      else {
+        var mf = spark.read.parquet(dir).filter(col("col") === c)
+        lo.foreach(v => mf = mf.filter(col("max_k") >= v))
+        hi.foreach(v => mf = mf.filter(col("min_k") <= v))
+        val s = mf.select(col("file")).collect()
+          .map(r => r.getString(0)
+            .substring(r.getString(0).lastIndexOf('/') + 1)).toSet
+        Some(acc.fold(s)(_ intersect s))
+      }
+    }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
     val base = inner.listFiles(partitionFilters, dataFilters)
-    val (lo, hi, probes) = boundsOf(dataFilters)
+    val (lo, hi, probes) = boundsOf(dataFilters, keyCol)
     val afterBloom = (bloomDir, probes.nonEmpty) match {
       case (Some(dir), true) =>
         val keep = bloomSurvivors(dir, probes)
@@ -175,12 +210,18 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
         }
       case _ => base
     }
-    (manifestDir, lo.isDefined || hi.isDefined) match {
+    val afterManifest = (manifestDir, lo.isDefined || hi.isDefined) match {
       case (Some(dir), true) =>
         val keep = manifestSurvivors(dir, lo, hi)
         afterBloom.map(pd =>
           pd.copy(files = pd.files.filter(f => keep.contains(f.getPath.getName))))
       case _ => afterBloom
+    }
+    multiDir.flatMap(multiSurvivors(_, dataFilters)) match {
+      case Some(keep) =>
+        afterManifest.map(pd =>
+          pd.copy(files = pd.files.filter(f => keep.contains(f.getPath.getName))))
+      case None => afterManifest
     }
   }
 }

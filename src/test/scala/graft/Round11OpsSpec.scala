@@ -184,4 +184,35 @@ class Round11OpsSpec extends AnyFunSuite {
       spark, "/root/testdata/sf0.001")
     assert(filesRead(df) < 8L)
   }
+
+  test("k27_zorder_skip's 2-D band over the Z-ordered layout reads " +
+    "fewer than its 8 files via the multi-column manifest") {
+    val df = SparkEntry.queries("k27_zorder_skip")(
+      spark, "/root/testdata/sf0.001")
+    assert(filesRead(df) < 8L)
+  }
+
+  test("multi-column manifest prunes on either dimension independently " +
+    "and never drops rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString + "/t"
+    val data = spark.range(4096)
+      .selectExpr("id % 64 AS x", "id div 64 AS y", "id AS v")
+    graft.operators.LayoutOps.zorder(data, col("x"), col("y"), numFiles = 8)
+      .write.parquet(dir)
+    graft.operators.LayoutOps.writeMultiManifest(spark, dir, Seq("x", "y"))
+    def rd = graft.sources.IndexedFileIndex.read(spark, dir, "x")
+    // x-band: correct rows, pruned files
+    val qx = rd.filter(col("x") >= 10L && col("x") < 20L)
+    assert(qx.count() == 640L)
+    assert(filesRead(qx.groupBy().sum("v")) < 8L)
+    // y-band prunes through the SAME reader (no keyCol bias)
+    val qy = rd.filter(col("y") >= 10L && col("y") < 20L)
+    assert(qy.count() == 640L)
+    assert(filesRead(qy.groupBy().sum("v")) < 8L)
+    // conjunction intersects the survivors of both dimensions
+    val qxy = rd.filter(col("x") < 8L && col("y") < 8L)
+    assert(qxy.count() == 64L)
+    assert(filesRead(qxy.groupBy().sum("v")) <=
+      filesRead(qx.groupBy().sum("v")))
+  }
 }
