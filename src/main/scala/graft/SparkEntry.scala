@@ -2356,6 +2356,41 @@ object SparkEntry {
             .as("fpr_theory"))
     }),
 
+    "st_cdc_apply" -> ((s, _) => {
+      // streaming CDC apply (EventStreamOps.cdcApply): latest-version-
+      // wins upserts, tombstone deletes, and a STALE change (key 1's
+      // v2 arriving after v3) that must not regress the key — the
+      // serving read keeps each key's newest emission
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[EventStreamOps.Change]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Change]
+      val q = EventStreamOps.cdcApply(mem.toDS())
+        .writeStream.format("memory").queryName("st_cdc_apply_out")
+        .outputMode("update").start()
+      import EventStreamOps.Change
+      try {
+        mem.addData(Change(1L, "upsert", 10.0, 1L),
+          Change(2L, "upsert", 20.0, 1L))
+        q.processAllAvailable()
+        mem.addData(Change(1L, "upsert", 11.0, 3L),
+          Change(2L, "delete", 0.0, 2L))
+        q.processAllAvailable()
+        // stale v2 for key 1 (already at v3) + a fresh key
+        mem.addData(Change(1L, "upsert", 99.0, 2L),
+          Change(3L, "upsert", 30.0, 1L))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_cdc_apply_out")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("key")).orderBy(col("version").desc)))
+        .filter(col("rk") === 1)
+        .select(col("key"), col("value"), col("version"), col("deleted"))
+    }),
+
     "st_funnel" -> ((s, _) => {
       // streaming funnel progression (EventStreamOps.funnelStages), the
       // ingest-time sibling of w10_funnel: each stage fires once, only
@@ -2431,6 +2466,26 @@ object SparkEntry {
               (log(x.getField("nxy").cast("double") * x.getField("nn") /
                 (x.getField("nx").cast("double") * x.getField("ny"))) /
                 log(lit(2.0)))), 6).as("mi_bits"))
+    }),
+
+    "embed_effective_rank" -> ((s, d) => {
+      // embedding-space collapse metrics WITHOUT an eigendecomposition:
+      // for the mean-corrected scatter A, participation ratio
+      // (tr A)²/‖A‖_F² = (Σλ)²/Σλ² — the effective number of active
+      // directions (d when isotropic, →1 when collapsed) — plus the
+      // per-vector total variance and normalized Frobenius mass, all
+      // straight from the d² cells one self-join already produced
+      val emb = t(s, d, "embeddings")
+      val a = SimilarityOps.scatterMatrix(emb)
+      val n = emb.agg(count(lit(1)).cast("double").as("n"))
+      a.agg(
+          sum(when(col("i") === col("j"), col("aij")).otherwise(lit(0.0d)))
+            .as("tr"),
+          sum(col("aij") * col("aij")).as("fro2"))
+        .crossJoin(broadcast(n))
+        .select(round(col("tr") / col("n"), 6).as("var_total"),
+          round(col("fro2") / (col("n") * col("n")), 6).as("fro_norm"),
+          round(col("tr") * col("tr") / col("fro2"), 4).as("pr"))
     }),
 
     "embed_pca_power" -> ((s, d) =>
@@ -5726,6 +5781,24 @@ object SparkEntry {
        |     xor(CAST(hh % 128 AS BIGINT), CAST(c AS BIGINT))::HUGEINT)
        |     * 1099511628211) % 18446744073709551616::HUGEINT)""".stripMargin
 
+  /** The mean-corrected embedding scatter matrix as a WITH prefix
+    * ending in CTE `am` (i, j, aij), with `nn` holding the corpus count
+    * — the oracle twin of `SimilarityOps.scatterMatrix`, shared by the
+    * embed_pca_power and embed_effective_rank oracles. */
+  private lazy val scatterSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+      |dd AS (SELECT vec_id, generate_subscripts(emb, 1) AS i,
+      |        unnest(emb) AS x FROM e),
+      |m AS (SELECT i, sum(x) / (SELECT n FROM nn) AS mu FROM dd GROUP BY i),
+      |c AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxx
+      |      FROM dd a JOIN dd b USING (vec_id) GROUP BY 1, 2),
+      |am AS (SELECT c.i, c.j,
+      |        sxx - (SELECT n FROM nn) * mi.mu * mj.mu AS aij
+      |       FROM c JOIN m mi ON c.i = mi.i JOIN m mj ON c.j = mj.i)"""
+      .stripMargin
+
   /** The hashed-linear logit chain as a WITH prefix ending in CTE `z`
     * (doc_id, z) — the oracle twin of [[classifierZ]], shared by the
     * curate_classifier and stats_calibration oracles. */
@@ -7673,6 +7746,15 @@ object SparkEntry {
          |   AS fpr_theory
          |FROM chk""".stripMargin,
 
+    // streaming CDC apply: the current table after latest-version-wins
+    // folding — stale v2 for key 1 ignored, key 2 a kept tombstone
+    "st_cdc_apply" ->
+      """SELECT CAST(col0 AS BIGINT) AS key, CAST(col1 AS DOUBLE) AS value,
+        | CAST(col2 AS BIGINT) AS version, CAST(col3 AS BOOLEAN) AS deleted
+        |FROM (VALUES
+        | (1, 11.0, 3, false), (2, 0.0, 2, true),
+        | (3, 30.0, 1, false)) t""".stripMargin,
+
     // streaming funnel: one row per (user, stage) at its entry time;
     // u3's pre-view click and u2's pre-view click never advance, u1's
     // second purchase never re-fires
@@ -7745,20 +7827,21 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     // one pass per dim; population sigma from the same two sums
+    // trace and Frobenius mass straight off the scatter cells
+    "embed_effective_rank" ->
+      s"""$scatterSql
+        |SELECT round(tr / n, 6) AS var_total,
+        | round(fro2 / (n * n), 6) AS fro_norm,
+        | round(tr * tr / fro2, 4) AS pr
+        |FROM (SELECT sum(CASE WHEN i = j THEN aij ELSE 0.0::DOUBLE END)
+        |        AS tr,
+        |       sum(aij * aij) AS fro2, (SELECT n FROM nn) AS n
+        |      FROM am) t""".stripMargin,
+
     // the scatter matrix from one self-join, mean correction, then 3
     // unrolled multiply-normalize rounds as ordered list folds (v₀ = 1⃗)
     "embed_pca_power" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        |           FROM embeddings),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
-        |dd AS (SELECT vec_id, generate_subscripts(emb, 1) AS i,
-        |        unnest(emb) AS x FROM e),
-        |m AS (SELECT i, sum(x) / (SELECT n FROM nn) AS mu FROM dd GROUP BY i),
-        |c AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxx
-        |      FROM dd a JOIN dd b USING (vec_id) GROUP BY 1, 2),
-        |am AS (SELECT c.i, c.j,
-        |        sxx - (SELECT n FROM nn) * mi.mu * mj.mu AS aij
-        |       FROM c JOIN m mi ON c.i = mi.i JOIN m mj ON c.j = mj.i),
+      s"""$scatterSql,
         |ar AS (SELECT i, list(aij ORDER BY j) AS rw FROM am GROUP BY i),
         |v0 AS (SELECT list_transform(generate_series(1, 64),
         |        x -> 1.0::DOUBLE) AS v),

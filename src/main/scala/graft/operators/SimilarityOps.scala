@@ -634,8 +634,11 @@ object SimilarityOps {
     * sequences; the only cross-engine noise is covariance sum order,
     * absorbed by the caller's rounding. Returns one row:
     * (lambda, v) with v the unit top component (sign fixed by v₀). */
-  def pcaTop(emb: DataFrame, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
+  /** The exact d×d mean-corrected scatter matrix (i, j, aij) of the
+    * embedding corpus — ONE self-join on vec_id with map-side partial
+    * aggregation (shuffle ≤ d² cells per partition, never n·d² rows).
+    * Shared basis of [[pcaTop]] and the effective-rank audit. */
+  def scatterMatrix(emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val d = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
@@ -646,12 +649,17 @@ object SimilarityOps {
     val cells = d.alias("a").join(d.alias("b"), "vec_id")
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
       .agg(sum(col("a.x") * col("b.x")).as("sxx"))
-    val amat = cells
+    cells
       .join(mu.select(col("i"), col("mu").as("mi")), Seq("i"))
       .join(mu.select(col("i").as("j"), col("mu").as("mj")), Seq("j"))
       .crossJoin(broadcast(nRow))
       .select(col("i"), col("j"),
         (col("sxx") - col("n") * col("mi") * col("mj")).as("aij"))
+  }
+
+  def pcaTop(emb: DataFrame, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val amat = scatterMatrix(emb)
     // per-i row vectors, j-ordered — the fold basis; tiny (d rows), one
     // checkpoint so the iteration doesn't replay the scatter join
     val ar = amat.groupBy("i")

@@ -362,6 +362,39 @@ object EventStreamOps {
     df.drop((0 until bands).map(i => s"_b$i"): _*)
   }
 
+  case class Change(key: Long, op: String, value: Double, version: Long)
+  case class CdcState(version: Long, value: Double, deleted: Boolean)
+  case class CurrentRow(key: Long, value: Double, version: Long,
+                        deleted: Boolean)
+
+  /** Streaming CDC APPLY — the ingest side of the batch `k18_cdc` diff:
+    * a change stream (upsert/delete rows carrying a monotone per-key
+    * version) folds into latest-version-wins state, and each batch
+    * emits the CURRENT row of every touched key (Update mode — the
+    * serving read keeps the newest). Late/stale changes (version ≤ the
+    * applied one) are ignored, so replays and out-of-order delivery
+    * cannot regress a key; deletes are tombstones that keep the
+    * version (the merge-on-read convention k24 uses on the batch
+    * side). State is one (version, value, flag) per live key. */
+  def cdcApply(changes: Dataset[Change]): Dataset[CurrentRow] = {
+    implicit val rowEnc = Encoders.product[CurrentRow]
+    implicit val stEnc = Encoders.product[CdcState]
+    changes.groupByKey(_.key)(Encoders.scalaLong)
+      .mapGroupsWithState[CdcState, CurrentRow](
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[Change], state: GroupState[CdcState]) =>
+          val sorted = it.toSeq.sortBy(_.version)
+          var cur = state.getOption
+          sorted.foreach { c =>
+            if (cur.forall(_.version < c.version))
+              cur = Some(CdcState(c.version, c.value, c.op == "delete"))
+          }
+          val st = cur.get // iterator non-empty, so state exists now
+          state.update(st)
+          CurrentRow(key, st.value, st.version, st.deleted)
+      }
+  }
+
   case class FunnelEvent(user_id: Long, etype: String,
                          ts: java.sql.Timestamp)
   /** Funnel per-key state: entry ms of the view/click stages (−1 =
