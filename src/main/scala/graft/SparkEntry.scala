@@ -2304,6 +2304,36 @@ object SparkEntry {
           round(col("level"), 6).as("level"))
     }),
 
+    "k28_shallow_clone" -> ((s, d) => {
+      // SHALLOW CLONE (Delta CLONE semantics): a clone is METADATA ONLY
+      // — the source's current file list recorded beside the clone, no
+      // data copied — and it pins a snapshot: the source keeps evolving
+      // (an append lands after cloning), the clone still reads exactly
+      // the files it recorded. The file-list collect at clone read is
+      // the InMemoryFileIndex floor (O(files of the clone), the k25
+      // discipline). The gate shows source and clone DIVERGING: source
+      // sees the append, clone doesn't.
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_k28")
+        .toString
+      t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .repartition(4).write.parquet(s"$dir/src")
+      s.read.parquet(s"$dir/src")
+        .select(input_file_name().as("f")).distinct()
+        .write.parquet(s"$dir/clone/_files")
+      // the source evolves AFTER the clone
+      Seq((9000001L, 11L), (9000002L, 22L), (9000003L, 33L))
+        .toDF("doc_id", "n_chars")
+        .write.mode("append").parquet(s"$dir/src")
+      val cloneFiles = s.read.parquet(s"$dir/clone/_files")
+        .collect().map(_.getString(0)).toIndexedSeq
+      val clone = s.read.parquet(cloneFiles: _*)
+      val src = s.read.parquet(s"$dir/src")
+      src.agg(count(lit(1)).as("n_src"), sum(col("doc_id")).as("sum_src"))
+        .crossJoin(broadcast(clone.agg(count(lit(1)).as("n_clone"),
+          sum(col("doc_id")).as("sum_clone"))))
+    }),
+
     "k27_zorder_skip" -> ((s, d) => {
       // 2-D data skipping through the planning-time index: events land
       // Z-ORDERED on (user_id, event_id) so every file covers a tight
@@ -3164,6 +3194,40 @@ object SparkEntry {
         .groupBy("attr_channel")
         .agg(count(lit(1)).as("n_purchases"),
           round(sum(col("value")), 2).as("revenue"))
+    }),
+
+    "stats_cuped" -> ((s, d) => {
+      // CUPED variance reduction (the A/B-analytics staple beside
+      // stats_auc/retention): per-user pre metric x (even event_ids)
+      // and experiment metric y (odd), θ = cov/var over users, and the
+      // residual variance var(y) − cov²/var(x) with its reduction
+      // share — how much a covariate-adjusted metric tightens. All
+      // population moments from one per-user pass + one tiny aggregate;
+      // the arithmetic chain is textually mirrored in the oracle.
+      val per = t(s, d, "events").groupBy("user_id").agg(
+        sum(when(pmod(col("event_id"), lit(2L)) === 0L, col("value"))
+          .otherwise(lit(0.0d))).as("x"),
+        sum(when(pmod(col("event_id"), lit(2L)) === 1L, col("value"))
+          .otherwise(lit(0.0d))).as("y"))
+      per.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n"),
+          (col("sxy") / col("n") -
+            col("sx") / col("n") * (col("sy") / col("n"))).as("covxy"),
+          (col("sxx") / col("n") -
+            col("sx") / col("n") * (col("sx") / col("n"))).as("varx"),
+          (col("syy") / col("n") -
+            col("sy") / col("n") * (col("sy") / col("n"))).as("vary"))
+        .select(col("n").cast("long").as("n_users"),
+          round(col("covxy") / col("varx"), 6).as("theta"),
+          round(col("vary"), 4).as("var_y"),
+          round(col("vary") - col("covxy") * col("covxy") / col("varx"), 4)
+            .as("var_adj"),
+          round(col("covxy") * col("covxy") /
+            (col("varx") * col("vary")), 6).as("reduction"))
     }),
 
     "stats_calibration" -> ((s, d) => {
@@ -8999,6 +9063,29 @@ object SparkEntry {
          | z >= 0.0::DOUBLE AS keep
          |FROM z""".stripMargin,
 
+    // per-user x/y sums, one moments aggregate, mirrored arithmetic
+    "stats_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |   sum(CASE WHEN event_id % 2 = 0 THEN value ELSE 0.0 END) AS x,
+        |   sum(CASE WHEN event_id % 2 = 1 THEN value ELSE 0.0 END) AS y
+        |  FROM events GROUP BY 1),
+        |mo AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |        sum(x * x) AS sxx, sum(y * y) AS syy
+        |       FROM per),
+        |c AS (SELECT n,
+        |       sxy / n - sx / n * (sy / n) AS covxy,
+        |       sxx / n - sx / n * (sx / n) AS varx,
+        |       syy / n - sy / n * (sy / n) AS vary
+        |      FROM mo)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        | round(covxy / varx, 6) AS theta,
+        | round(vary, 4) AS var_y,
+        | round(vary - covxy * covxy / varx, 4) AS var_adj,
+        | round(covxy * covxy / (varx * vary), 6) AS reduction
+        |FROM c""".stripMargin,
+
     // reliability replay: identical z fold → rounded sigmoid → decile
     // bins on the same IEEE doubles; ECE as the n-weighted gap sum
     "stats_calibration" ->
@@ -9555,6 +9642,15 @@ object SparkEntry {
         | round(sum(value), 2) AS sum_value
         |FROM events, m
         |WHERE event_id >= mx // 4 AND event_id <= mx // 2""".stripMargin,
+
+    // the clone pins the pre-append snapshot; the source sees the three
+    // appended rows
+    "k28_shallow_clone" ->
+      """SELECT count(*) + 3 AS n_src,
+        | CAST(sum(doc_id) + 9000001 + 9000002 + 9000003 AS BIGINT)
+        |   AS sum_src,
+        | count(*) AS n_clone, CAST(sum(doc_id) AS BIGINT) AS sum_clone
+        |FROM documents""".stripMargin,
 
     // full-scan replay of the 2-D band — the Z-order layout and the
     // multi-column manifest only change WHICH FILES are read
