@@ -1485,6 +1485,17 @@ object SparkEntry {
           countDistinct(col("f")).as("n_files_logged"))))
     }),
 
+    "mm_audio_fp" -> ((s, d) =>
+      // landmark audio fingerprint (MultimodalOps.audioFingerprint):
+      // energy-curve local maxima anchor (gap, q-energy, q-energy)
+      // landmark hashes, XOR-folded per medium — translation-invariant,
+      // level-tolerant, exact integers end to end; frame stats shuffle,
+      // payload bytes never do
+      MultimodalOps.audioFingerprint(
+        t(s, d, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", frameSize = 16, stride = 2)),
+
     "mm_vad" -> ((s, d) => {
       // voice-activity segmentation over the frame-energy series — the
       // operation frame_energy's scaladoc promises: frames below the
@@ -3123,6 +3134,28 @@ object SparkEntry {
         .select(col("fid"), col("canon"),
           (col("fid") === col("keep_id")).as("keep"),
           when(col("fid") =!= col("keep_id"), col("keep_id")).as("dup_of"))
+    }),
+
+    "text_num_normalize" -> ((s, d) => {
+      import s.implicits._
+      // digit-run normalization (the GPT-2/C4 vocabulary-compaction
+      // preprocessing step): lowercase, every digit run → <num>,
+      // whitespace collapsed — plus the digit-run count on the
+      // ORIGINAL text; only changed docs emit (the corpus is again
+      // the false-positive control)
+      val planted = Seq(
+        (9100001L, "Call 911 or wait 30 minutes for THE 2nd response"),
+        (9100002L, "IPv4 10.0.0.1  port  8080"),
+        (9100003L, "no digits here at all")
+      ).toDF("doc_id", "text")
+      t(s, d, "documents").select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .as("n_nums"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), lit("[0-9]+"), lit("<num>")),
+            lit("\\s+"), lit(" "))).as("norm"))
+        .filter(col("n_nums") > 0)
     }),
 
     "text_pii_scrub" -> ((s, d) => {
@@ -7171,6 +7204,47 @@ object SparkEntry {
         | CAST(4 AS BIGINT) AS n_files_logged
         |FROM documents""".stripMargin,
 
+    // frame-energy fold → peak windows → consecutive-peak landmarks →
+    // FNV of the gap|q|q triple (signed BIGINT) → order-free XOR fold
+    "mm_audio_fp" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, text, i AS off
+         |  FROM documents, unnest(generate_series(0, strlen(text) - 1, 32)) AS t(i)),
+         |e AS (
+         |  SELECT doc_id, off,
+         |   list_reduce(list_prepend(0::BIGINT, list_transform(
+         |     regexp_split_to_array(substr(text, off + 1, 16), ''),
+         |     c -> unicode(c)::BIGINT * unicode(c)::BIGINT)),
+         |    (a, b) -> a + b) AS energy
+         |  FROM fr),
+         |pk AS (SELECT doc_id, off, energy,
+         |        lag(energy) OVER (PARTITION BY doc_id ORDER BY off) AS pe,
+         |        lead(energy) OVER (PARTITION BY doc_id ORDER BY off) AS ne
+         |       FROM e),
+         |peaks AS (SELECT doc_id, off, energy FROM pk
+         |          WHERE pe IS NOT NULL AND ne IS NOT NULL
+         |            AND energy > pe AND energy > ne),
+         |l0 AS (SELECT doc_id, off, energy,
+         |        lead(off) OVER (PARTITION BY doc_id ORDER BY off) AS nf,
+         |        lead(energy) OVER (PARTITION BY doc_id ORDER BY off) AS nen
+         |       FROM peaks),
+         |lm AS (SELECT doc_id,
+         |        CAST((nf - off) // 32 AS VARCHAR) || '|' ||
+         |        CAST(energy // 1024 AS VARCHAR) || '|' ||
+         |        CAST(nen // 1024 AS VARCHAR) AS lk
+         |       FROM l0 WHERE nf IS NOT NULL AND (nf - off) // 32 <= 8),
+         |h AS (SELECT doc_id,
+         |       CAST(CASE WHEN fu >= 9223372036854775808::HUGEINT
+         |         THEN fu - 18446744073709551616::HUGEINT ELSE fu END
+         |         AS BIGINT) AS h
+         |      FROM (SELECT doc_id, ${fnvSql("lk")} AS fu FROM lm) q),
+         |agg AS (SELECT doc_id, count(*) AS n_landmarks, bit_xor(h) AS fp
+         |        FROM h GROUP BY 1),
+         |np AS (SELECT doc_id, count(*) AS n_peaks FROM peaks GROUP BY 1)
+         |SELECT a.doc_id, CAST(n_peaks AS BIGINT) AS n_peaks,
+         | CAST(n_landmarks AS BIGINT) AS n_landmarks, fp
+         |FROM agg a JOIN np USING (doc_id)""".stripMargin,
+
     // the frame-energy fold + run-start segmentation windows
     "mm_vad" ->
       """WITH fr AS (
@@ -8393,6 +8467,24 @@ object SparkEntry {
         |SELECT CAST(c.fid AS BIGINT) AS fid, canon, c.fid = keep_id AS keep,
         | CAST(CASE WHEN c.fid <> keep_id THEN keep_id END AS BIGINT) AS dup_of
         |FROM c JOIN k USING (canon)""".stripMargin,
+
+    // lower → digit runs → <num> → whitespace collapse, counts on the
+    // original text
+    "text_num_normalize" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(col0 AS BIGINT), col1 FROM (VALUES
+        |   (9100001, 'Call 911 or wait 30 minutes for THE 2nd response'),
+        |   (9100002, 'IPv4 10.0.0.1  port  8080'),
+        |   (9100003, 'no digits here at all')) t)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+        | trim(regexp_replace(
+        |   regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |   '\s+', ' ', 'g')) AS norm
+        |FROM base
+        |WHERE len(regexp_extract_all(text, '[0-9]+')) > 0""".stripMargin,
 
     // PII scrub replay: email pass first, phone counts on the
     // email-scrubbed text (same fixed order as piiScrub), only flagged

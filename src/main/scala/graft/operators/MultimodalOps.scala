@@ -198,4 +198,45 @@ object MultimodalOps {
           greatest(col("n_a"), col("n_b")).cast("double"), 6)
           .as("overlap_frac"))
   }
+
+  /** Landmark audio fingerprint (the Shazam constellation recipe over
+    * the [[frameEnergy]] series): LOCAL MAXIMA of the frame-energy
+    * curve are the robust anchor points, consecutive peak PAIRS within
+    * `maxGap` frames become landmarks, and each landmark hashes its
+    * (gap, quantized-energy, quantized-energy) triple — translation-
+    * invariant (offsets enter only as gaps) and level-tolerant (the
+    * `quantBits` right-shift). Per medium: peak/landmark counts and an
+    * order-independent XOR fold of the landmark hashes as the compact
+    * fingerprint — equal fingerprints are the near-dup candidate
+    * signal; the landmark multiset is what a retrieval index would
+    * post. All arithmetic exact integer; one partitioned window pass
+    * over frame STATS (the pixels/samples never shuffle). Emits only
+    * media with ≥ 1 landmark. */
+  def audioFingerprint(docs: DataFrame, idCol: String, binCol: String,
+                       frameSize: Int, stride: Int,
+                       quantBits: Int = 10, maxGap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("frame_idx")
+    val peaks = frameEnergy(docs.select(col(idCol), col(binCol)),
+        binCol, frameSize, stride)
+      .withColumn("pe", lag(col("energy"), 1).over(w))
+      .withColumn("ne", lead(col("energy"), 1).over(w))
+      .filter(col("pe").isNotNull && col("ne").isNotNull &&
+        col("energy") > col("pe") && col("energy") > col("ne"))
+      .select(col(idCol), col("frame_idx"), col("energy"))
+    val lm = peaks
+      .withColumn("nf", lead(col("frame_idx"), 1).over(w))
+      .withColumn("nen", lead(col("energy"), 1).over(w))
+      .filter(col("nf").isNotNull &&
+        col("nf") - col("frame_idx") <= maxGap)
+      .withColumn("h", call_function("fnv64", concat(
+        (col("nf") - col("frame_idx")).cast("string"), lit("|"),
+        expr(s"energy div ${1L << quantBits}").cast("string"), lit("|"),
+        expr(s"nen div ${1L << quantBits}").cast("string"))))
+    lm.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_landmarks"), expr("bit_xor(h)").as("fp"))
+      .join(peaks.groupBy(col(idCol)).agg(count(lit(1)).as("n_peaks")),
+        Seq(idCol))
+      .select(col(idCol), col("n_peaks"), col("n_landmarks"), col("fp"))
+  }
 }
