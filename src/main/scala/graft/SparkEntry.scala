@@ -782,6 +782,44 @@ object SparkEntry {
             count(lit(1)), 6).as("mrr"))
     }),
 
+    "t25_backtest" -> ((s, d) => {
+      // walk-forward 1-step-ahead backtest of the Holt smoother — the
+      // EVAL row the forecasting family lacked (does the model actually
+      // predict?): at every step the PRE-update state forecasts the
+      // incoming day, the absolute error accumulates INSIDE the same
+      // ordered fold (state widens to [l, b, Σ|err|, n] — the t14
+      // list-state discipline), and MAE = Σ|err|/n per event_type.
+      // Daily sums are exact integer cents, so both engines fold
+      // identical IEEE sequences.
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("c"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          array_sort(collect_list(struct(col("day"), col("c")))).as("a"))
+        .withColumn("xs",
+          expr("transform(a, p -> CAST(p.c AS DOUBLE) / 100.0D)"))
+        .withColumn("st", expr(
+          """aggregate(slice(xs, 2, size(xs) - 1),
+            |  array(element_at(xs, 1), 0.0D, 0.0D, 0.0D),
+            |  (acc, x) -> array(
+            |    0.5D * x + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+            |    0.25D * ((0.5D * x + 0.5D * (element_at(acc, 1) +
+            |      element_at(acc, 2))) - element_at(acc, 1))
+            |      + 0.75D * element_at(acc, 2),
+            |    element_at(acc, 3) +
+            |      abs(x - (element_at(acc, 1) + element_at(acc, 2))),
+            |    element_at(acc, 4) + 1.0D))""".stripMargin))
+        .select(col("event_type"), col("n_days"),
+          round(element_at(col("st"), 3) / element_at(col("st"), 4), 6)
+            .as("mae"),
+          round(element_at(col("st"), 1) + element_at(col("st"), 2), 6)
+            .as("forecast"))
+    }),
+
     "t14_holt" -> ((s, d) => {
       // Holt's linear (level+trend) smoothing per user over the
       // day-aggregated value series, α=1/2 β=1/4 (binary fractions).
@@ -5409,6 +5447,33 @@ object SparkEntry {
           max(col("cum_tokens")).as("n_tokens_kept"))
     }),
 
+    "curate_release" -> ((s, d) => {
+      // the END-TO-END corpus release: exact-dedup survivors → quality/
+      // language gate (one map-only pass) → deterministic 90/5/5 split
+      // (the sample_split hash rule) → the per-split release manifest a
+      // training run consumes (doc counts, token budget, language
+      // spread, id range). Composes the gated chains; one dedup
+      // aggregation + one semi-join + one split aggregation.
+      graft.plans.GraftSparkExtensions.install(s)
+      val docs = t(s, d, "documents")
+      val keep = DedupOps.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      TextAnalysisOps.withLangId(docs, "text")
+        .withColumn("n_tokens", size(TermOps.tokens(col("text"))))
+        .filter(col("n_tokens") >= 20 && col("pred_lang") === "en")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("b", pmod(
+          expr("fnv64(concat(cast(doc_id as string), '#split'))")
+            .bitwiseAND(lit(4294967295L)), lit(100L)))
+        .withColumn("split", when(col("b") < 90, "train")
+          .when(col("b") < 95, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     "curate_docs" -> ((s, d) => {
       // composed training-data curation pipeline: quality floor (≥ 20
       // tokens) + language filter (en) computed in ONE map-only pass over
@@ -6728,6 +6793,33 @@ object SparkEntry {
     // list_reduce evaluates STRUCT-state fields non-independently (a
     // {'s': f(acc), 't': acc.s} fold returns t == s), while list-state
     // folds are correct — probed before wiring
+    // the t14 fold widened to 4-element list state; error uses the
+    // PRE-update level+trend, literals all ::DOUBLE
+    "t25_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n_days,
+        |       list(CAST(c AS DOUBLE) / 100.0::DOUBLE ORDER BY day) AS xs
+        |      FROM daily GROUP BY 1),
+        |f AS (SELECT event_type, n_days,
+        |  list_reduce(list_prepend(
+        |    [xs[1], 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
+        |    list_transform(xs[2:],
+        |      x -> [x, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE])),
+        |    (acc, x) -> [
+        |      0.5::DOUBLE * x[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+        |      0.25::DOUBLE * ((0.5::DOUBLE * x[1] +
+        |        0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+        |      + 0.75::DOUBLE * acc[2],
+        |      acc[3] + abs(x[1] - (acc[1] + acc[2])),
+        |      acc[4] + 1.0::DOUBLE]) AS st
+        |  FROM s)
+        |SELECT event_type, n_days, round(st[3] / st[4], 6) AS mae,
+        | round(st[1] + st[2], 6) AS forecast
+        |FROM f""".stripMargin,
+
     "t14_holt" ->
       """WITH daily AS (
         |  SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day,
@@ -10710,6 +10802,32 @@ object SparkEntry {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(max(cum) AS BIGINT) AS n_tokens_kept
         |FROM c WHERE cum <= 2000 GROUP BY lang""".stripMargin,
+
+    // the composed release manifest: dedup keep-list ⋈ quality/lang
+    // gate, split by the replayed 90/5/5 hash rule
+    "curate_release" ->
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |qual AS (
+         |  SELECT doc_id, lang,
+         |   CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    x -> x <> '')) AS INT) AS n_tokens
+         |  FROM documents),
+         |lang AS ($langIdSql),
+         |kept AS (
+         |  SELECT q.doc_id, q.lang, q.n_tokens
+         |  FROM keep k JOIN qual q USING (doc_id) JOIN lang USING (doc_id)
+         |  WHERE n_tokens >= 20 AND pred_lang = 'en'),
+         |sp AS (
+         |  SELECT *, CAST(${fnvSql("doc_id::VARCHAR || '#split'")}
+         |    % 4294967296::HUGEINT AS BIGINT) % 100 AS b
+         |  FROM kept)
+         |SELECT CASE WHEN b < 90 THEN 'train'
+         |  WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         | min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM sp GROUP BY 1""".stripMargin,
 
     "curate_docs" ->
       s"""WITH keep AS (
