@@ -714,6 +714,49 @@ object SparkEntry {
           (max(col("seq")) + 1).as("n_seqs"))
     }),
 
+    "search_mmr" -> ((s, d) => {
+      // Maximal Marginal Relevance re-ranking (λ = 1/2): greedy
+      // diversity selection over the brute-force top-20 of query vector
+      // 0 — each of 5 unrolled steps scores the remaining candidates
+      // λ·rel − (1−λ)·max-sim-to-selected and takes the argmax (ties to
+      // the smaller id). The steps run on the CHECKPOINTED 20-row
+      // candidate set and its 380-cell pairwise-sim table — model-scale
+      // relations, so the sequential greedy loop costs five tiny joins,
+      // never a corpus pass. Completes the retrieval family's diversity
+      // axis (RRF fuses, RBO compares, nDCG grades, MMR diversifies).
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") === 0L)
+      val cand = SimilarityOps.bruteForceTopK(emb, q, k = 20)
+        .select(col("nbr_id").as("id"), col("sim").as("rel"))
+        .join(emb.select(col("vec_id").as("id"), col("embedding")),
+          Seq("id"))
+        .localCheckpoint()
+      val pw = cand.alias("a").crossJoin(cand.alias("b"))
+        .filter(col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("id"), col("b.id").as("oid"),
+          SimilarityOps.cosine(col("a.embedding"), col("b.embedding"))
+            .as("psim"))
+        .localCheckpoint()
+      var selected = cand.orderBy(col("rel").desc, col("id")).limit(1)
+        .select(col("id"), lit(1).as("step"))
+      for (step <- 2 to 5) {
+        val msim = pw
+          .join(selected.select(col("id").as("oid")), Seq("oid"))
+          .groupBy("id").agg(max(col("psim")).as("msim"))
+        val next = cand
+          .join(selected.select(col("id")), Seq("id"), "left_anti")
+          .join(msim, Seq("id"))
+          .withColumn("score",
+            lit(0.5) * col("rel") - lit(0.5) * col("msim"))
+          .orderBy(col("score").desc, col("id")).limit(1)
+          .select(col("id"), lit(step).as("step"))
+        selected = selected.unionByName(next)
+      }
+      selected.join(cand.select(col("id"), col("rel")), Seq("id"))
+        .select(col("step"), col("id"), round(col("rel"), 6).as("rel"))
+    }),
+
     "search_ndcg" -> ((s, d) => {
       // nDCG@20 of the BM25 ranking against dense-top-20 membership as
       // binary relevance — completes the retrieval-eval trio (RRF fuses,
@@ -8057,6 +8100,58 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     // one pass per dim; population sigma from the same two sums
+    // brute top-20 + pairwise sims, then five unrolled greedy argmax
+    // steps (the graph_kcore unrolled-round pattern on a 20-row set)
+    "search_mmr" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id AS id, ${cosSql("e.emb", "q.q_emb")} AS rel,
+         |        e.emb
+         |       FROM e, q WHERE e.vec_id <> 0),
+         |cand AS (SELECT id, rel, emb FROM
+         |  (SELECT *, row_number() OVER (ORDER BY rel DESC, id ASC) AS rn
+         |   FROM sc) t
+         |  WHERE rn <= 20),
+         |pw AS (SELECT a.id AS id, b.id AS oid,
+         |        ${cosSql("a.emb", "b.emb")} AS psim
+         |       FROM cand a JOIN cand b ON a.id <> b.id),
+         |s1 AS (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1),
+         |r2 AS (SELECT c.id,
+         |        0.5::DOUBLE * c.rel - 0.5::DOUBLE *
+         |          (SELECT max(psim) FROM pw WHERE pw.id = c.id
+         |            AND pw.oid IN (SELECT id FROM s1)) AS score
+         |       FROM cand c WHERE c.id NOT IN (SELECT id FROM s1)),
+         |s2 AS (SELECT id FROM r2 ORDER BY score DESC, id LIMIT 1),
+         |sel2 AS (SELECT id FROM s1 UNION ALL SELECT id FROM s2),
+         |r3 AS (SELECT c.id,
+         |        0.5::DOUBLE * c.rel - 0.5::DOUBLE *
+         |          (SELECT max(psim) FROM pw WHERE pw.id = c.id
+         |            AND pw.oid IN (SELECT id FROM sel2)) AS score
+         |       FROM cand c WHERE c.id NOT IN (SELECT id FROM sel2)),
+         |s3 AS (SELECT id FROM r3 ORDER BY score DESC, id LIMIT 1),
+         |sel3 AS (SELECT id FROM sel2 UNION ALL SELECT id FROM s3),
+         |r4 AS (SELECT c.id,
+         |        0.5::DOUBLE * c.rel - 0.5::DOUBLE *
+         |          (SELECT max(psim) FROM pw WHERE pw.id = c.id
+         |            AND pw.oid IN (SELECT id FROM sel3)) AS score
+         |       FROM cand c WHERE c.id NOT IN (SELECT id FROM sel3)),
+         |s4 AS (SELECT id FROM r4 ORDER BY score DESC, id LIMIT 1),
+         |sel4 AS (SELECT id FROM sel3 UNION ALL SELECT id FROM s4),
+         |r5 AS (SELECT c.id,
+         |        0.5::DOUBLE * c.rel - 0.5::DOUBLE *
+         |          (SELECT max(psim) FROM pw WHERE pw.id = c.id
+         |            AND pw.oid IN (SELECT id FROM sel4)) AS score
+         |       FROM cand c WHERE c.id NOT IN (SELECT id FROM sel4)),
+         |s5 AS (SELECT id FROM r5 ORDER BY score DESC, id LIMIT 1)
+         |SELECT st.step, st.id, round(c.rel, 6) AS rel
+         |FROM (SELECT 1 AS step, id FROM s1
+         |  UNION ALL SELECT 2, id FROM s2
+         |  UNION ALL SELECT 3, id FROM s3
+         |  UNION ALL SELECT 4, id FROM s4
+         |  UNION ALL SELECT 5, id FROM s5) st
+         |JOIN cand c USING (id)""".stripMargin,
+
     // trace and Frobenius mass straight off the scatter cells
     "embed_effective_rank" ->
       s"""$scatterSql
