@@ -3217,6 +3217,32 @@ object SparkEntry {
           when(col("fid") =!= col("keep_id"), col("keep_id")).as("dup_of"))
     }),
 
+    "dedup_normalized" -> ((s, d) => {
+      import s.implicits._
+      // dedup on the NORMALIZED text (lowercase, digit runs → <num>,
+      // whitespace collapsed — the text_num_normalize kernel): catches
+      // near-copies that differ only in case, spacing, or numbers
+      // (timestamps, view counters), which exact dedup misses and
+      // MinHash doesn't need. The planted trio collapses to one keeper;
+      // organic docs keep their exact-dedup grouping (word-soup text
+      // has no digits, so normalization there is just lowercase).
+      val planted = Seq(
+        (9200001L, "Breaking News 2024: markets up 500 points"),
+        (9200002L, "breaking news 2025:  markets up  700 points"),
+        (9200003L, "BREAKING NEWS 9999: Markets UP 1 points"),
+        (9200004L, "an entirely different planted document")
+      ).toDF("doc_id", "text")
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), lit("[0-9]+"), lit("<num>")),
+        lit("\\s+"), lit(" ")))
+      t(s, d, "documents").select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"), md5(norm).as("norm_hash"))
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy("norm_hash")))
+        .select(col("doc_id"), col("norm_hash"),
+          (col("doc_id") === col("keep_id")).as("keep"))
+    }),
+
     "text_num_normalize" -> ((s, d) => {
       import s.implicits._
       // digit-run normalization (the GPT-2/C4 vocabulary-compaction
@@ -3308,6 +3334,34 @@ object SparkEntry {
         .groupBy("attr_channel")
         .agg(count(lit(1)).as("n_purchases"),
           round(sum(col("value")), 2).as("revenue"))
+    }),
+
+    "stats_ab_srm" -> ((s, d) => {
+      // sample-ratio-mismatch check (the first thing an experimentation
+      // platform tests before reading an A/B result): observed 90/5/5
+      // split occupancy vs expected, per-bucket χ² terms and the total
+      // — completes the experimentation trio (SRM gate → CUPED variance
+      // → AUC/calibration readouts). Uses the canonical split hash, so
+      // it audits the very assignment sample_split ships.
+      graft.plans.GraftSparkExtensions.install(s)
+      val b = t(s, d, "documents")
+        .withColumn("bb", pmod(
+          expr("fnv64(concat(cast(doc_id as string), '#split'))")
+            .bitwiseAND(lit(4294967295L)), lit(100L)))
+        .withColumn("split", when(col("bb") < 90, "train")
+          .when(col("bb") < 95, "val").otherwise("test"))
+      val obs = b.groupBy("split").agg(count(lit(1)).as("n_obs"))
+      val tot = b.agg(count(lit(1)).cast("double").as("n"))
+      obs.crossJoin(broadcast(tot))
+        .withColumn("n_exp", col("n") *
+          when(col("split") === "train", lit(0.90d)).otherwise(lit(0.05d)))
+        .withColumn("chi_term", (col("n_obs") - col("n_exp")) *
+          (col("n_obs") - col("n_exp")) / col("n_exp"))
+        .select(col("split"), col("n_obs"),
+          round(col("n_exp"), 2).as("n_exp"),
+          round(col("chi_term"), 6).as("chi_term"),
+          round(sum(col("chi_term")).over(Window.partitionBy()), 6)
+            .as("chi2"))
     }),
 
     "stats_cuped" -> ((s, d) => {
@@ -9341,6 +9395,47 @@ object SparkEntry {
          | round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 4) AS score,
          | z >= 0.0::DOUBLE AS keep
          |FROM z""".stripMargin,
+
+    // normalized-text grouping: the text_num_normalize kernel feeding a
+    // min-id keep
+    "dedup_normalized" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(col0 AS BIGINT), col1 FROM (VALUES
+        |   (9200001, 'Breaking News 2024: markets up 500 points'),
+        |   (9200002, 'breaking news 2025:  markets up  700 points'),
+        |   (9200003, 'BREAKING NEWS 9999: Markets UP 1 points'),
+        |   (9200004, 'an entirely different planted document')) t),
+        |n AS (SELECT doc_id, md5(trim(regexp_replace(
+        |   regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |   '\s+', ' ', 'g'))) AS norm_hash FROM base),
+        |k AS (SELECT norm_hash, min(doc_id) AS keep_id FROM n GROUP BY 1)
+        |SELECT doc_id, norm_hash, doc_id = keep_id AS keep
+        |FROM n JOIN k USING (norm_hash)""".stripMargin,
+
+    // the canonical split hash re-bucketed, χ² terms vs the 90/5/5
+    // expectation, literals identical IEEE doubles on both engines
+    "stats_ab_srm" ->
+      s"""WITH b AS (
+         |  SELECT CASE WHEN bb < 90 THEN 'train'
+         |    WHEN bb < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT CAST(${fnvSql("doc_id::VARCHAR || '#split'")}
+         |    % 4294967296::HUGEINT AS BIGINT) % 100 AS bb
+         |   FROM documents) t),
+         |obs AS (SELECT split, count(*) AS n_obs FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b),
+         |x AS (SELECT split, n_obs,
+         |       n * (CASE WHEN split = 'train' THEN 0.90::DOUBLE
+         |            ELSE 0.05::DOUBLE END) AS n_exp
+         |      FROM obs, tot),
+         |y AS (SELECT split, n_obs, n_exp,
+         |       (n_obs - n_exp) * (n_obs - n_exp) / n_exp AS chi_term
+         |      FROM x)
+         |SELECT split, n_obs, round(n_exp, 2) AS n_exp,
+         | round(chi_term, 6) AS chi_term,
+         | round(sum(chi_term) OVER (), 6) AS chi2
+         |FROM y""".stripMargin,
 
     // per-user x/y sums, one moments aggregate, mirrored arithmetic
     "stats_cuped" ->
