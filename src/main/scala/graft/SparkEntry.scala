@@ -2396,6 +2396,50 @@ object SparkEntry {
           round(col("level"), 6).as("level"))
     }),
 
+    "k29_quarantine" -> ((s, d) => {
+      import s.implicits._
+      // write-time constraint enforcement with a QUARANTINE table (the
+      // Delta CHECK-constraint / DLT expect-or-drop shape): every row
+      // routes exactly once — clean rows to the target, violations to
+      // quarantine stamped with the FIRST failing rule (fixed
+      // precedence: null id ≻ empty text ≻ out-of-domain lang) so a
+      // pipeline can replay quarantined rows after a fix. The gate
+      // reads BOTH written tables back and reconciles counts/sums per
+      // destination and reason.
+      val planted = Seq(
+        (Option(9000001L), "", "en"),
+        (Option(9000002L), "ok text here", "xx"),
+        (Option.empty[Long], "no id row", "en"),
+        (Option(9000004L), "fine document text", "de")
+      ).toDF("doc_id", "text", "lang")
+      val routed = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(planted)
+        .withColumn("reason",
+          when(col("doc_id").isNull, "null_id")
+            .when(col("text").isNull || length(col("text")) === 0,
+              "empty_text")
+            .when(!col("lang").isin("en", "de", "es", "fr", "zh"),
+              "bad_lang"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_k29")
+        .toString
+      routed.filter(col("reason").isNull).drop("reason")
+        .write.parquet(s"$dir/target")
+      routed.filter(col("reason").isNotNull)
+        .write.parquet(s"$dir/quarantine")
+      s.read.parquet(s"$dir/target")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("doc_id"), lit(0L))).as("sum_ids"))
+        .select(lit("target").as("dest"), lit("ok").as("reason"),
+          col("n"), col("sum_ids"))
+        .unionByName(s.read.parquet(s"$dir/quarantine")
+          .groupBy(col("reason"))
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("doc_id"), lit(0L))).as("sum_ids"))
+          .select(lit("quarantine").as("dest"), col("reason"),
+            col("n"), col("sum_ids")))
+    }),
+
     "k28_shallow_clone" -> ((s, d) => {
       // SHALLOW CLONE (Delta CLONE semantics): a clone is METADATA ONLY
       // — the source's current file list recorded beside the clone, no
@@ -2751,6 +2795,42 @@ object SparkEntry {
     "sample_temperature" -> ((s, d) =>
       // T=2 source rebalancing, integer-exact keep rule
       PackOps.temperatureResample(t(s, d, "documents"), "doc_id", "source")),
+
+    "graph_random_walk" -> ((s, d) => {
+      // deterministic "random" walks (the node2vec/DeepWalk sampling
+      // primitive): from the 5 smallest nodes of the undirected
+      // supplier⋈part graph, 3 steps where the next hop is the neighbor
+      // minimizing fnv64(cur#step#neighbor) — hash-derived choice, so
+      // walks replay identically on any engine/retry (the property that
+      // makes walk corpora reproducible). Each step is one edge join +
+      // one per-walk argmin window; steps unroll like the bounded
+      // fixpoint rounds.
+      graft.plans.GraftSparkExtensions.install(s)
+      val dir = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("u"), col("l_partkey").as("v"))
+        .distinct()
+      val edges = dir.unionByName(
+          dir.select(col("v").as("u"), col("u").as("v"))).distinct()
+        .localCheckpoint()
+      val seeds = edges.select(col("u")).distinct()
+        .orderBy(col("u")).limit(5)
+        .select(col("u").as("walk_id"), col("u").as("node"))
+      var frontier = seeds
+      var out = seeds.withColumn("step", lit(0))
+      for (step <- 1 to 3) {
+        frontier = frontier
+          .join(edges, frontier("node") === edges("u"))
+          .withColumn("h", call_function("fnv64", concat(
+            col("node").cast("string"), lit(s"#$step#"),
+            col("v").cast("string"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("walk_id").orderBy(col("h"), col("v"))))
+          .filter(col("rn") === 1)
+          .select(col("walk_id"), col("v").as("node"))
+        out = out.unionByName(frontier.withColumn("step", lit(step)))
+      }
+      out.select(col("walk_id"), col("step"), col("node"))
+    }),
 
     "graph_pagerank" -> ((s, d) =>
       // centrality over the supplier→part link graph, 3 power rounds;
@@ -8393,6 +8473,50 @@ object SparkEntry {
         |       t.n AS n_triangles
         |FROM t""".stripMargin,
 
+    // hash-deterministic walk replay: per-step fnv argmin over the
+    // undirected neighbor set, ordering on the SIGNED hash
+    "graph_random_walk" ->
+      s"""WITH dir AS (SELECT DISTINCT l_suppkey AS u, l_partkey AS v
+         |            FROM lineitem),
+         |edges AS (SELECT DISTINCT u, v FROM
+         |  (SELECT u, v FROM dir UNION ALL SELECT v, u FROM dir) t),
+         |seeds AS (SELECT u AS walk_id, u AS node FROM
+         |  (SELECT DISTINCT u FROM edges ORDER BY u LIMIT 5) s),
+         |h1 AS (SELECT q.walk_id, q.v,
+         |        CAST(CASE WHEN fu >= 9223372036854775808::HUGEINT
+         |          THEN fu - 18446744073709551616::HUGEINT ELSE fu END
+         |          AS BIGINT) AS h
+         |       FROM (SELECT s.walk_id, e.v,
+         |          ${fnvSql("s.node::VARCHAR || '#1#' || e.v::VARCHAR")} AS fu
+         |         FROM seeds s JOIN edges e ON s.node = e.u) q(walk_id, v, fu)),
+         |s1 AS (SELECT walk_id, v AS node FROM
+         |  (SELECT walk_id, v, row_number() OVER (PARTITION BY walk_id
+         |    ORDER BY h, v) AS rn FROM h1) t WHERE rn = 1),
+         |h2 AS (SELECT q.walk_id, q.v,
+         |        CAST(CASE WHEN fu >= 9223372036854775808::HUGEINT
+         |          THEN fu - 18446744073709551616::HUGEINT ELSE fu END
+         |          AS BIGINT) AS h
+         |       FROM (SELECT s.walk_id, e.v,
+         |          ${fnvSql("s.node::VARCHAR || '#2#' || e.v::VARCHAR")} AS fu
+         |         FROM s1 s JOIN edges e ON s.node = e.u) q(walk_id, v, fu)),
+         |s2 AS (SELECT walk_id, v AS node FROM
+         |  (SELECT walk_id, v, row_number() OVER (PARTITION BY walk_id
+         |    ORDER BY h, v) AS rn FROM h2) t WHERE rn = 1),
+         |h3 AS (SELECT q.walk_id, q.v,
+         |        CAST(CASE WHEN fu >= 9223372036854775808::HUGEINT
+         |          THEN fu - 18446744073709551616::HUGEINT ELSE fu END
+         |          AS BIGINT) AS h
+         |       FROM (SELECT s.walk_id, e.v,
+         |          ${fnvSql("s.node::VARCHAR || '#3#' || e.v::VARCHAR")} AS fu
+         |         FROM s2 s JOIN edges e ON s.node = e.u) q(walk_id, v, fu)),
+         |s3 AS (SELECT walk_id, v AS node FROM
+         |  (SELECT walk_id, v, row_number() OVER (PARTITION BY walk_id
+         |    ORDER BY h, v) AS rn FROM h3) t WHERE rn = 1)
+         |SELECT walk_id, 0 AS step, node FROM seeds
+         |UNION ALL SELECT walk_id, 1, node FROM s1
+         |UNION ALL SELECT walk_id, 2, node FROM s2
+         |UNION ALL SELECT walk_id, 3, node FROM s3""".stripMargin,
+
     "graph_pagerank" ->
       """WITH edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
         |nodes AS (SELECT DISTINCT node FROM
@@ -10016,6 +10140,29 @@ object SparkEntry {
         | round(sum(value), 2) AS sum_value
         |FROM events, m
         |WHERE event_id >= mx // 4 AND event_id <= mx // 2""".stripMargin,
+
+    // same routing rules replayed; every row lands exactly once
+    "k29_quarantine" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |   (9000001, '', 'en'),
+        |   (9000002, 'ok text here', 'xx'),
+        |   (NULL, 'no id row', 'en'),
+        |   (9000004, 'fine document text', 'de')) t(doc_id, text, lang)),
+        |r AS (SELECT *, CASE WHEN doc_id IS NULL THEN 'null_id'
+        |        WHEN text IS NULL OR strlen(text) = 0 THEN 'empty_text'
+        |        WHEN lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+        |          THEN 'bad_lang' END AS reason
+        |      FROM base)
+        |SELECT 'target' AS dest, 'ok' AS reason, count(*) AS n,
+        | CAST(sum(coalesce(doc_id, 0)) AS BIGINT) AS sum_ids
+        |FROM r WHERE reason IS NULL
+        |UNION ALL
+        |SELECT 'quarantine', reason, count(*),
+        | CAST(sum(coalesce(doc_id, 0)) AS BIGINT)
+        |FROM r WHERE reason IS NOT NULL GROUP BY 2""".stripMargin,
 
     // the clone pins the pre-append snapshot; the source sees the three
     // appended rows
