@@ -714,6 +714,27 @@ object SparkEntry {
           (max(col("seq")) + 1).as("n_seqs"))
     }),
 
+    "search_prf" -> ((s, d) => {
+      // pseudo-relevance feedback (RM1-lite query expansion): the top-10
+      // BM25 docs of the seed query act as the relevance model, their
+      // term frequencies aggregate (seed terms excluded), and the top-5
+      // terms are the expansion — the classic two-pass retrieval loop,
+      // costing one postings pass + one tf aggregation over 10 docs
+      val docs = t(s, d, "documents")
+      val qTerms = Seq("scan", "join", "merge")
+      val top = TermOps.bm25Search(docs, "doc_id", "text", qTerms, k = 10)
+        .select(col("doc_id"))
+      TermOps.termFrequencies(docs, "doc_id", "text")
+        .join(top, Seq("doc_id"))
+        .filter(!col("term").isin(qTerms: _*))
+        .groupBy("term")
+        .agg(sum(col("tf")).as("tf_sum"), count(lit(1)).as("n_docs"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("tf_sum").desc, col("term"))).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("rank"), col("term"), col("tf_sum"), col("n_docs"))
+    }),
+
     "search_mmr" -> ((s, d) => {
       // Maximal Marginal Relevance re-ranking (λ = 1/2): greedy
       // diversity selection over the brute-force top-20 of query vector
@@ -8234,6 +8255,39 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     // one pass per dim; population sigma from the same two sums
+    // the bm25 chain with UNROUNDED scores ranking the top-10 relevance
+    // model, then seed-excluded tf aggregation over those docs
+    "search_prf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, tf FROM ($tfSub)
+         |  WHERE term IN ('scan', 'join', 'merge')),
+         |dfs AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+         |dl AS (
+         |  SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    x -> x <> '')) AS doc_len
+         |  FROM documents),
+         |g AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |   ln(1.0 + (g.n_docs - dfs.term_df + 0.5) / (dfs.term_df + 0.5))
+         |     * tf.tf * 2.2
+         |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / g.avgdl)) AS c
+         |  FROM tf JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN g),
+         |sc AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+         |top AS (SELECT doc_id FROM
+         |  (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS rn FROM sc) t WHERE rn <= 10),
+         |ex AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf_sum,
+         |        count(*) AS n_docs
+         |       FROM ($tfSub) f JOIN top USING (doc_id)
+         |       WHERE term NOT IN ('scan', 'join', 'merge')
+         |       GROUP BY term)
+         |SELECT CAST(rn AS INT) AS rank, term, tf_sum, n_docs FROM
+         | (SELECT *, row_number() OVER (ORDER BY tf_sum DESC, term ASC)
+         |   AS rn FROM ex) r
+         |WHERE rn <= 5""".stripMargin,
+
     // brute top-20 + pairwise sims, then five unrolled greedy argmax
     // steps (the graph_kcore unrolled-round pattern on a 20-row set)
     "search_mmr" ->
