@@ -3387,6 +3387,23 @@ object SparkEntry {
         .filter(col("n_emails") + col("n_phones") > 0)
     }),
 
+    "w12_transitions" -> ((s, d) => {
+      // event-type transition matrix (the user-journey Sankey feed /
+      // first-order Markov model of behavior): consecutive event pairs
+      // per user in (ts, event_id) order, counted per (from, to) with
+      // the per-source transition probability — one lag window + one
+      // aggregation, the w-family's behavioral-model row
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type")), 6))
+    }),
+
     "w10_funnel" -> ((s, d) => {
       // ordered conversion funnel view → click → purchase: a user
       // advances a stage only with an event AT OR AFTER their entry
@@ -8933,6 +8950,20 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
         | CAST(n_phones AS INT) AS n_phones, scrubbed
         |FROM p WHERE n_emails + n_phones > 0""".stripMargin,
+
+    // lead window in (ts, event_id) order, per-source share
+    "w12_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | round(CAST(n AS DOUBLE) /
+        |   sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c""".stripMargin,
 
     // stage entry = min ts at-or-after the previous stage's entry
     "w10_funnel" ->
