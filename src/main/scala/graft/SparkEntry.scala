@@ -3268,6 +3268,27 @@ object SparkEntry {
       DedupOps.semanticDedup(emb, k = 8, iters = 2, threshold = 0.99)
     }),
 
+    "dedup_lsh_curve" -> ((s, _) => {
+      // the banding S-curve table the MinHash family is TUNED with:
+      // P(candidate | Jaccard s) = 1 − (1 − s^r)^b for every (b, r)
+      // split of the 8-hash signature across a Jaccard grid — the
+      // threshold-selection artifact (b=4,r=2's midpoint sits near the
+      // 0.4–0.5 thresholds the dedup gates use). Pure arithmetic on a
+      // 36-cell grid; powers are REPEATED-MULTIPLY folds (not libm
+      // pow), so both engines walk identical IEEE sequences.
+      import s.implicits._
+      val grid = (1 to 9).map(_ / 10.0)
+      val brs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+      val rows = for (sj <- grid; (b, r) <- brs) yield (sj, b, r)
+      rows.toDF("s", "b", "r")
+        .withColumn("sr", aggregate(sequence(lit(1), col("r")),
+          lit(1.0d), (acc, _) => acc * col("s")))
+        .withColumn("p", round(lit(1.0) -
+          aggregate(sequence(lit(1), col("b")), lit(1.0d),
+            (acc, _) => acc * (lit(1.0) - col("sr"))), 6))
+        .select(col("s"), col("b"), col("r"), col("p"))
+    }),
+
     "dedup_semantic_auto" -> ((s, d) => {
       import s.implicits._
       // the k ∝ √N SemDeDup default (DedupOps.semanticDedupAuto): same
@@ -3342,6 +3363,35 @@ object SparkEntry {
           min(col("doc_id")).over(Window.partitionBy("norm_hash")))
         .select(col("doc_id"), col("norm_hash"),
           (col("doc_id") === col("keep_id")).as("keep"))
+    }),
+
+    "text_readability" -> ((s, d) => {
+      import s.implicits._
+      // Flesch reading-ease (the curation-filter classic): words =
+      // whitespace tokens, sentences = [.!?]+ runs (floored at 1 — the
+      // word-soup corpus has none), syllables ≈ vowel-group runs per
+      // text (the standard regex approximation). Score arithmetic on
+      // identical literal doubles both engines; planted prose pins real
+      // sentence/syllable behavior beside the soup.
+      val planted = Seq(
+        (9300001L, "The cat sat. The dog ran fast! Is it good?"),
+        (9300002L,
+          "Comprehensive establishments demonstrate extraordinary capabilities.")
+      ).toDF("doc_id", "text")
+      t(s, d, "documents").select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0)))
+            .as("n_words"),
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+            lit(0))), lit(1)).as("n_sents"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+            lit(0))).as("n_syll"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
+            lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 4)
+            .as("flesch"))
     }),
 
     "text_num_normalize" -> ((s, d) => {
@@ -8903,6 +8953,47 @@ object SparkEntry {
         |SELECT CAST(c.fid AS BIGINT) AS fid, canon, c.fid = keep_id AS keep,
         | CAST(CASE WHEN c.fid <> keep_id THEN keep_id END AS BIGINT) AS dup_of
         |FROM c JOIN k USING (canon)""".stripMargin,
+
+    // word/sentence/vowel-group counts + the Flesch formula on
+    // identical literal doubles
+    "text_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(col0 AS BIGINT), col1 FROM (VALUES
+        |   (9300001, 'The cat sat. The dog ran fast! Is it good?'),
+        |   (9300002, 'Comprehensive establishments demonstrate extraordinary capabilities.')) t),
+        |m AS (SELECT doc_id,
+        |   len(regexp_extract_all(text, '[^\s]+')) AS n_words,
+        |   greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+        |   len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+        |  FROM base)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        | CAST(n_sents AS INT) AS n_sents, CAST(n_syll AS INT) AS n_syll,
+        | round(206.835::DOUBLE
+        |  - 1.015::DOUBLE * (CAST(n_words AS DOUBLE) / n_sents)
+        |  - 84.6::DOUBLE * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+        |FROM m WHERE n_words > 0""".stripMargin,
+
+    // repeated-multiply folds for s^r and (1-s^r)^b — no libm pow
+    "dedup_lsh_curve" ->
+      """WITH g AS (SELECT i / 10.0::DOUBLE AS s
+        |           FROM unnest(generate_series(1, 9)) t(i)),
+        |br AS (SELECT * FROM (VALUES (1, 8), (2, 4), (4, 2), (8, 1))
+        |       t(b, r)),
+        |x AS (SELECT s, b, r,
+        |   list_reduce(list_prepend(1.0::DOUBLE,
+        |     list_transform(generate_series(1, r), k -> s)),
+        |     (acc, v) -> acc * v) AS sr
+        |  FROM g, br),
+        |y AS (SELECT s, b, r, sr,
+        |   list_reduce(list_prepend(1.0::DOUBLE,
+        |     list_transform(generate_series(1, b), k -> 1.0::DOUBLE - sr)),
+        |     (acc, v) -> acc * v) AS q
+        |  FROM x)
+        |SELECT s, CAST(b AS INT) AS b, CAST(r AS INT) AS r,
+        | round(1.0::DOUBLE - q, 6) AS p
+        |FROM y""".stripMargin,
 
     // lower → digit runs → <num> → whitespace collapse, counts on the
     // original text
