@@ -2655,6 +2655,33 @@ object SparkEntry {
                 log(lit(2.0)))), 6).as("mi_bits"))
     }),
 
+    "embed_bias_proj" -> ((s, d) => {
+      // linear probe along the difference-of-means direction (the
+      // debiasing/steering primitive: WEAT-style bias axes, concept
+      // probes): w = mean(label 0) − mean(label 1) per dimension, then
+      // every vector's projection ⟨x, w⟩ as an ordered fold against the
+      // broadcast 64-weight direction — one (label, dim) aggregate
+      // builds the model, one map scores the corpus
+      val emb = t(s, d, "embeddings")
+        .withColumn("emb", col("embedding").cast("array<double>"))
+      val mom = emb.filter(col("label").isin(0, 1))
+        .select(col("label"), posexplode(col("emb")).as(Seq("i", "x")))
+        .groupBy("i")
+        .agg(
+          (sum(when(col("label") === 0, col("x")).otherwise(lit(0.0d))) /
+            sum(when(col("label") === 0, 1L).otherwise(0L))).as("m0"),
+          (sum(when(col("label") === 1, col("x")).otherwise(lit(0.0d))) /
+            sum(when(col("label") === 1, 1L).otherwise(0L))).as("m1"))
+      val dir = mom
+        .agg(transform(array_sort(collect_list(
+          struct(col("i"), (col("m0") - col("m1")).as("w")))),
+          x => x.getField("w")).as("w"))
+      emb.crossJoin(broadcast(dir))
+        .select(col("vec_id"), col("label"),
+          round(aggregate(zip_with(col("emb"), col("w"), (a, b) => a * b),
+            lit(0.0d), (acc, x) => acc + x), 6).as("proj"))
+    }),
+
     "embed_effective_rank" -> ((s, d) => {
       // embedding-space collapse metrics WITHOUT an eigendecomposition:
       // for the mean-corrected scatter A, participation ratio
@@ -3435,6 +3462,39 @@ object SparkEntry {
         .unionByName(planted)
       TextAnalysisOps.piiScrub(corpus, "doc_id", "text")
         .filter(col("n_emails") + col("n_phones") > 0)
+    }),
+
+    "w13_time_to_convert" -> ((s, d) => {
+      // funnel latency distribution: per converting user, floor-seconds
+      // from first view to the first purchase at-or-after it, then the
+      // exact rank-rule quantiles (the t22 (n+1)÷2 / (9n+9)÷10
+      // convention, ties to the smaller user id) — the "how long does
+      // conversion take" readout beside w10's "how many convert". The
+      // global rank window runs over CONVERTING USERS (≪ events);
+      // at a scale where even that is too large, PackOps.exactRank's
+      // histogram form replaces the row_number (latencies in whole
+      // seconds are exactly its distinct ≪ rows regime)
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id")).filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+        .join(v, Seq("user_id"))
+        .select(col("user_id"),
+          (expr("CAST(p_ts AS LONG)") - expr("CAST(v_ts AS LONG)"))
+            .as("lat_s"))
+      val ranked = lat.withColumn("rn", row_number().over(
+        Window.orderBy(col("lat_s"), col("user_id"))))
+      val n = lat.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(9 * n + 9) div 10"))
+        .select(col("n"),
+          when(col("rn") === expr("(n + 1) div 2"), lit("median"))
+            .otherwise(lit("p90")).as("stat"),
+          col("lat_s"))
     }),
 
     "w12_transitions" -> ((s, d) => {
@@ -9041,6 +9101,45 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
         | CAST(n_phones AS INT) AS n_phones, scrubbed
         |FROM p WHERE n_emails + n_phones > 0""".stripMargin,
+
+    // per-user first-view/first-purchase latencies, rank-rule quantile
+    // picks with the median branch taking precedence on tiny-n overlap
+    "w13_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+        |      GROUP BY 1),
+        |lat AS (SELECT p.user_id,
+        |         epoch_us(p_ts) // 1000000 - epoch_us(v_ts) // 1000000
+        |           AS lat_s
+        |        FROM p JOIN v USING (user_id)),
+        |r AS (SELECT lat_s, row_number() OVER (ORDER BY lat_s, user_id)
+        |        AS rn, (SELECT count(*) FROM lat) AS n
+        |      FROM lat)
+        |SELECT n, CASE WHEN rn = (n + 1) // 2 THEN 'median'
+        |  ELSE 'p90' END AS stat, lat_s
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10""".stripMargin,
+
+    // bias-direction probe: per-dim label means, ordered-fold dot
+    "embed_bias_proj" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |d AS (SELECT label, generate_subscripts(emb, 1) AS i,
+        |       unnest(emb) AS x FROM e WHERE label IN (0, 1)),
+        |m AS (SELECT i,
+        |       sum(CASE WHEN label = 0 THEN x ELSE 0.0 END) /
+        |         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS m0,
+        |       sum(CASE WHEN label = 1 THEN x ELSE 0.0 END) /
+        |         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS m1
+        |      FROM d GROUP BY i),
+        |w AS (SELECT list(m0 - m1 ORDER BY i) AS w FROM m)
+        |SELECT vec_id, label,
+        | round(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(generate_series(1, 64), k -> emb[k] * w[k])),
+        |   (acc, x) -> acc + x), 6) AS proj
+        |FROM e, w""".stripMargin,
 
     // lead window in (ts, event_id) order, per-source share
     "w12_transitions" ->
