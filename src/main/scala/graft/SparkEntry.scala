@@ -3497,6 +3497,23 @@ object SparkEntry {
           col("lat_s"))
     }),
 
+    "t26_wow_growth" -> ((s, d) => {
+      // week-over-week growth per event_type (the dashboard staple):
+      // weekly counts, the lag-week ratio, and the absolute delta —
+      // one aggregate + one partitioned lag window; first weeks emit
+      // null growth (no fabricated baseline)
+      val w = Window.partitionBy("event_type").orderBy("week")
+      t(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 604800").as("week"))
+        .groupBy("event_type", "week")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .select(col("event_type"), col("week"), col("n"),
+          (col("n") - col("prev_n")).as("delta"),
+          round(col("n").cast("double") / col("prev_n"), 6).as("wow"))
+    }),
+
     "w12_transitions" -> ((s, d) => {
       // event-type transition matrix (the user-journey Sankey feed /
       // first-order Markov model of behavior): consecutive event pairs
@@ -9140,6 +9157,20 @@ object SparkEntry {
         |   list_transform(generate_series(1, 64), k -> emb[k] * w[k])),
         |   (acc, x) -> acc + x), 6) AS proj
         |FROM e, w""".stripMargin,
+
+    // weekly counts + lag ratio; first weeks keep null growth
+    "t26_wow_growth" ->
+      """WITH wk AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 604800 AS week,
+        |   count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, n,
+        |       lag(n) OVER (PARTITION BY event_type ORDER BY week)
+        |         AS prev_n
+        |      FROM wk)
+        |SELECT event_type, week, n, n - prev_n AS delta,
+        | round(CAST(n AS DOUBLE) / prev_n, 6) AS wow
+        |FROM l""".stripMargin,
 
     // lead window in (ts, event_id) order, per-source share
     "w12_transitions" ->
