@@ -3392,6 +3392,39 @@ object SparkEntry {
           (col("doc_id") === col("keep_id")).as("keep"))
     }),
 
+    "pack_span_corruption" -> ((s, d) => {
+      // T5-style span-corruption layout (the denoising-pretraining
+      // transform): deterministic span STARTS (low-32-folded FNV of
+      // (doc, pos) ≡ 0 mod 20 ≈ 5% of positions), each start masking a
+      // 3-token span clipped at the doc end; overlaps merge through the
+      // DISTINCT covered set. Per doc: token/start/masked counts + mask
+      // fraction — the layout audit a corruption writer ships (the
+      // actual sentinel-token rewrite is a map over this assignment).
+      graft.plans.GraftSparkExtensions.install(s)
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TermOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      val n = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      val starts = toks.filter(pmod(
+          expr("fnv64(concat(cast(doc_id as string), '#', cast(pos as string)))")
+            .bitwiseAND(lit(4294967295L)), lit(20L)) === 0L)
+        .select(col("doc_id"), col("pos").as("st"))
+      val nStarts = starts.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_starts"))
+      val covered = starts.join(n, Seq("doc_id"))
+        .select(col("doc_id"), explode(sequence(col("st"),
+          least(col("st") + 2, col("n_tokens") - 1))).as("mp"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+      n.join(nStarts, Seq("doc_id"), "left_outer")
+        .join(covered, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          round(coalesce(col("n_masked"), lit(0L)).cast("double") /
+            col("n_tokens"), 4).as("mask_frac"))
+    }),
+
     "text_readability" -> ((s, d) => {
       import s.implicits._
       // Flesch reading-ease (the curation-filter classic): words =
@@ -3495,6 +3528,40 @@ object SparkEntry {
           when(col("rn") === expr("(n + 1) div 2"), lit("median"))
             .otherwise(lit("p90")).as("stat"),
           col("lat_s"))
+    }),
+
+    "t27_anomaly_mad" -> ((s, d) => {
+      // robust anomaly scoring: the median/MAD z-score over each
+      // event_type's daily cents series — t10's trailing z-score flags
+      // against a mean/std a single spike INFLATES; median/MAD is the
+      // outlier-resistant production variant. Median and MAD come from
+      // exact per-group rank picks ((n+1)÷2, ties (value, day)); the
+      // only division is the final score, MAD floored at 1 cent.
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+      val n = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val med = daily
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("c"), col("day"))))
+        .join(n, Seq("event_type"))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("c").as("med"))
+      val mad = daily.join(med, Seq("event_type"))
+        .withColumn("ad", abs(col("c") - col("med")))
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("ad"), col("day"))))
+        .join(n, Seq("event_type"))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), greatest(col("ad"), lit(1L)).as("mad"))
+      daily.join(med, Seq("event_type")).join(mad, Seq("event_type"))
+        .select(col("event_type"), col("day"), col("c"),
+          round((col("c") - col("med")).cast("double") /
+            (lit(1.4826) * col("mad")), 4).as("z"),
+          (abs((col("c") - col("med")).cast("double") /
+            (lit(1.4826) * col("mad"))) > 3.0).as("is_anomaly"))
     }),
 
     "t26_wow_growth" -> ((s, d) => {
@@ -5314,6 +5381,32 @@ object SparkEntry {
       ValidationOps.ksDrift(t(s, d, "events"), "event_type", "value",
         col("event_id") % 2 === 1)),
 
+    "stats_fdr" -> ((s, d) => {
+      // Benjamini-Hochberg FDR over the per-type KS drift monitors —
+      // the multiple-testing correction a fleet of drift alarms needs
+      // before paging anyone: asymptotic p ≈ min(1, 2e^{−2λ²}) with
+      // λ = D·√(n_a·n_b/(n_a+n_b)) on the ROUNDED gate D (identical
+      // doubles both engines), then reject ranks ≤ max{k: p ≤ kα/m}
+      // at α = 0.05. m is tiny (one test per type) — the whole
+      // correction runs on the aggregated test table.
+      val ks = ValidationOps.ksDrift(t(s, d, "events"), "event_type",
+        "value", col("event_id") % 2 === 1)
+      val m = ks.agg(count(lit(1)).cast("double").as("m"))
+      val lam = sqrt(col("n_a").cast("double") * col("n_b") /
+        (col("n_a") + col("n_b"))) * col("ks")
+      val p = ks
+        .withColumn("p",
+          least(lit(1.0), lit(2.0) * exp(lit(-2.0) * lam * lam)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("p"), col("event_type"))).cast("int"))
+      val km = p.crossJoin(broadcast(m))
+        .filter(col("p") <= col("rank").cast("double") * lit(0.05) / col("m"))
+        .agg(coalesce(max(col("rank")), lit(0)).as("kmax"))
+      p.crossJoin(broadcast(km))
+        .select(col("event_type"), col("ks"), round(col("p"), 6).as("p"),
+          col("rank"), (col("rank") <= col("kmax")).as("reject"))
+    }),
+
     "stats_auc" -> ((s, d) =>
       // does doc length separate English from non-English? Probably not
       // (AUC ≈ 0.5) — and that NUMBER is the point: the ranking-metric
@@ -6302,6 +6395,29 @@ object SparkEntry {
       |        sxx - (SELECT n FROM nn) * mi.mu * mj.mu AS aij
       |       FROM c JOIN m mi ON c.i = mi.i JOIN m mj ON c.j = mj.i)"""
       .stripMargin
+
+  /** Rank-exact two-sample KS per event type (even vs odd event_ids)
+    * — shared by stats_drift (the monitor) and stats_fdr (the
+    * multiple-testing correction over those monitors). */
+  private lazy val ksDriftSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, value AS v,
+      |   CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS ca,
+      |   CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS cb
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+      |   CAST(sum(cb) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+      |c AS (SELECT event_type,
+      |   CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+      |     AS BIGINT) AS cuma,
+      |   CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+      |     AS BIGINT) AS cumb
+      |  FROM cells)
+      |SELECT c.event_type, t.n_a, t.n_b,
+      | round(max(abs(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |   - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))), 6) AS ks
+      |FROM c JOIN t USING (event_type)
+      |GROUP BY 1, 2, 3""".stripMargin
 
   /** The hashed-linear logit chain as a WITH prefix ending in CTE `z`
     * (doc_id, z) — the oracle twin of [[classifierZ]], shared by the
@@ -9031,6 +9147,31 @@ object SparkEntry {
         | CAST(CASE WHEN c.fid <> keep_id THEN keep_id END AS BIGINT) AS dup_of
         |FROM c JOIN k USING (canon)""".stripMargin,
 
+    // positional tokens (the search_snippet pattern), FNV start rule on
+    // the low-32 fold, covered set via generate_series + DISTINCT
+    "pack_span_corruption" ->
+      s"""WITH arrs AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    x -> x <> '') AS a
+         |  FROM documents),
+         |p AS (SELECT doc_id, generate_subscripts(a, 1) - 1 AS pos
+         |      FROM arrs),
+         |n AS (SELECT doc_id, count(*) AS n_tokens FROM p GROUP BY 1),
+         |st AS (SELECT doc_id, pos AS s FROM p
+         |       WHERE CAST(${fnvSql("doc_id::VARCHAR || '#' || pos::VARCHAR")}
+         |         % 4294967296::HUGEINT AS BIGINT) % 20 = 0),
+         |ns AS (SELECT doc_id, count(*) AS n_starts FROM st GROUP BY 1),
+         |cov AS (SELECT DISTINCT st.doc_id, mp FROM st JOIN n USING (doc_id),
+         |        unnest(generate_series(st.s,
+         |          least(st.s + 2, n.n_tokens - 1))) t(mp)),
+         |nm AS (SELECT doc_id, count(*) AS n_masked FROM cov GROUP BY 1)
+         |SELECT n.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(coalesce(n_starts, 0) AS BIGINT) AS n_starts,
+         | CAST(coalesce(n_masked, 0) AS BIGINT) AS n_masked,
+         | round(CAST(coalesce(n_masked, 0) AS DOUBLE) / n_tokens, 4)
+         |   AS mask_frac
+         |FROM n LEFT JOIN ns USING (doc_id) LEFT JOIN nm USING (doc_id)""".stripMargin,
+
     // word/sentence/vowel-group counts + the Flesch formula on
     // identical literal doubles
     "text_readability" ->
@@ -9157,6 +9298,32 @@ object SparkEntry {
         |   list_transform(generate_series(1, 64), k -> emb[k] * w[k])),
         |   (acc, x) -> acc + x), 6) AS proj
         |FROM e, w""".stripMargin,
+
+    // exact per-group rank picks for median and MAD, final division
+    // the only float step
+    "t27_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+        |medr AS (SELECT event_type, c,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY c, day) AS rn
+        |       FROM daily),
+        |med AS (SELECT m.event_type, c AS med FROM medr m JOIN n USING (event_type)
+        |        WHERE rn = (n + 1) // 2),
+        |madr AS (SELECT d.event_type, abs(d.c - med) AS ad, d.day,
+        |        row_number() OVER (PARTITION BY d.event_type
+        |          ORDER BY abs(d.c - med), d.day) AS rn
+        |       FROM daily d JOIN med USING (event_type)),
+        |mad AS (SELECT m.event_type, greatest(ad, 1) AS mad
+        |        FROM madr m JOIN n USING (event_type)
+        |        WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, day, c,
+        | round(CAST(c - med AS DOUBLE) / (1.4826 * mad), 4) AS z,
+        | abs(CAST(c - med AS DOUBLE) / (1.4826 * mad)) > 3.0 AS is_anomaly
+        |FROM daily d JOIN med USING (event_type) JOIN mad USING (event_type)""".stripMargin,
 
     // weekly counts + lag ratio; first weeks keep null growth
     "t26_wow_growth" ->
@@ -10975,25 +11142,29 @@ object SparkEntry {
 
     // per-(group, value) cells are distinct, so the cumulative window
     // has no tie ambiguity; ks = max over ratios of exact longs
-    "stats_drift" ->
-      """WITH cells AS (
-        |  SELECT event_type, value AS v,
-        |   CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS ca,
-        |   CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS cb
-        |  FROM events GROUP BY 1, 2),
-        |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
-        |   CAST(sum(cb) AS BIGINT) AS n_b FROM cells GROUP BY 1),
-        |c AS (SELECT event_type,
-        |   CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
-        |     AS BIGINT) AS cuma,
-        |   CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
-        |     AS BIGINT) AS cumb
-        |  FROM cells)
-        |SELECT c.event_type, t.n_a, t.n_b,
-        | round(max(abs(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |   - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))), 6) AS ks
-        |FROM c JOIN t USING (event_type)
-        |GROUP BY 1, 2, 3""".stripMargin,
+    "stats_drift" -> ksDriftSql,
+
+    // the per-type KS tests → asymptotic p ≈ min(1, 2e^{−2λ²}) with
+    // λ = D·√(n_a·n_b/(n_a+n_b)), then Benjamini-Hochberg at α = 0.05:
+    // reject ranks ≤ max{k : p_(k) ≤ k·α/m}
+    "stats_fdr" ->
+      s"""WITH ks AS ($ksDriftSql),
+         |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM ks),
+         |pp AS (SELECT event_type, ks,
+         |        least(1.0::DOUBLE, 2.0::DOUBLE * exp(-2.0::DOUBLE *
+         |          (sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) * ks) *
+         |          (sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) * ks)))
+         |          AS p
+         |       FROM ks),
+         |r AS (SELECT event_type, ks, p,
+         |       CAST(row_number() OVER (ORDER BY p, event_type) AS INT)
+         |         AS rank
+         |      FROM pp),
+         |km AS (SELECT coalesce(max(rank), 0) AS kmax
+         |       FROM r, m WHERE p <= rank * 0.05::DOUBLE / m)
+         |SELECT event_type, ks, round(p, 6) AS p, rank,
+         | rank <= kmax AS reject
+         |FROM r, km""".stripMargin,
 
     // tie-group average ranks carried as 2×rank (integer-exact): r2 =
     // 2·cum − n + 1; AUC = (ΣR2⁺ − np(np+1)) / (2·np·nn), one final
