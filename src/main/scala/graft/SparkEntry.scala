@@ -2461,6 +2461,28 @@ object SparkEntry {
             col("n"), col("sum_ids")))
     }),
 
+    "k30_bucket_prune" -> ((s, d) => {
+      // bucket PRUNING, the other payoff of paying the shuffle at write
+      // time (k14 pins the zero-exchange join): a point lookup on the
+      // bucketing key plans only the key's bucket — at 1000 buckets a
+      // 100 TB table answers the lookup from 0.1% of its files, no
+      // index needed. Round11OpsSpec pins SelectedBucketsCount 1/8 in
+      // the scan; the oracle is the plain filtered aggregate.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      BucketedTables.writeBucketed(li, "k30_lineitem", "l_orderkey", 8)
+      // DisableUnnecessaryBucketedScan would un-bucket a scan no join
+      // exploits — but pruning NEEDS the bucketed scan; keep it (the
+      // conf only trades one-file-per-bucket task granularity, which
+      // is exactly what a pruned point lookup wants)
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      s.table("k30_lineitem")
+        .filter(col("l_orderkey") === 7L)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     "k28_shallow_clone" -> ((s, d) => {
       // SHALLOW CLONE (Delta CLONE semantics): a clone is METADATA ONLY
       // — the source's current file list recorded beside the clone, no
@@ -5217,6 +5239,25 @@ object SparkEntry {
       // beside the exact rank-rule stats_group_quantiles
       SketchOps.histogramQuantiles(t(s, d, "events"), "event_type", "value",
         binWidth = 8.0, probs = Seq(0.5, 0.9, 0.99))),
+
+    "sample_temperature" -> ((s, d) => {
+      // temperature-flattened source mixing (the multilingual/domain
+      // rebalancing recipe: p_i^{1/T} renormalized, T = 2 so the power
+      // is an EXACT IEEE sqrt): per source the natural share, the
+      // flattened share, and the integer target count ⌊p_T·N⌋ a
+      // resampler would draw — rare sources up-weighted, the head
+      // flattened, all arithmetic mirrored
+      val src = t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val tot = src.agg(sum(col("n")).cast("double").as("total"),
+        sum(sqrt(col("n").cast("double"))).as("ssum"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          round(col("n") / col("total"), 6).as("p"),
+          round(sqrt(col("n").cast("double")) / col("ssum"), 6).as("p_temp"),
+          floor(sqrt(col("n").cast("double")) / col("ssum") * col("total"))
+            .cast("long").as("n_target"))
+    }),
 
     "sample_mixture" -> ((s, d) =>
       // exact-count training-mix sampling: per-lang targets, lowest-hash
@@ -10636,6 +10677,24 @@ object SparkEntry {
         |SELECT 'quarantine', reason, count(*),
         | CAST(sum(coalesce(doc_id, 0)) AS BIGINT)
         |FROM r WHERE reason IS NOT NULL GROUP BY 2""".stripMargin,
+
+    // the bucketed layout only changes which files serve the lookup
+    "k30_bucket_prune" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_orderkey = 7""".stripMargin,
+
+    // sqrt-share flattening (T = 2 ⇒ exact IEEE sqrt), mirrored
+    // normalization and integer floor targets
+    "sample_temperature" ->
+      """WITH src AS (SELECT source, count(*) AS n FROM documents
+        |             GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+        |         sum(sqrt(CAST(n AS DOUBLE))) AS ssum FROM src)
+        |SELECT source, n, round(n / total, 6) AS p,
+        | round(sqrt(CAST(n AS DOUBLE)) / ssum, 6) AS p_temp,
+        | CAST(floor(sqrt(CAST(n AS DOUBLE)) / ssum * total) AS BIGINT)
+        |   AS n_target
+        |FROM src, tot""".stripMargin,
 
     // the clone pins the pre-append snapshot; the source sees the three
     // appended rows

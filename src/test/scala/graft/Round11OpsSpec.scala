@@ -185,6 +185,15 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(filesRead(df) < 8L)
   }
 
+  test("k30_bucket_prune's point lookup plans exactly one of the 8 " +
+    "buckets") {
+    val df = SparkEntry.queries("k30_bucket_prune")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+  }
+
   test("k27_zorder_skip's 2-D band over the Z-ordered layout reads " +
     "fewer than its 8 files via the multi-column manifest") {
     val df = SparkEntry.queries("k27_zorder_skip")(
