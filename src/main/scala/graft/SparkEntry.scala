@@ -2902,6 +2902,19 @@ object SparkEntry {
       out.select(col("walk_id"), col("step"), col("node"))
     }),
 
+    "graph_ppr" -> ((s, d) =>
+      // personalized PageRank from suppliers {1, 2}: proximity to the
+      // seed set — the related-entities / recommendation ranking global
+      // pagerank can't express (teleport returns to the seeds, so mass
+      // decays with walk distance from them). 3 rounds, same plan
+      // shape per round as graph_pagerank
+      GraphOps.personalizedPagerank(
+        t(s, d, "lineitem")
+          .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+          .distinct(),
+        seeds = Seq(1L, 2L), iters = 3)
+        .select(col("node"), round(col("rank"), 8).as("rank"))),
+
     "graph_pagerank" -> ((s, d) =>
       // centrality over the supplier→part link graph, 3 power rounds;
       // the edge relation checkpoints once, only ranks re-shuffle
@@ -8871,6 +8884,32 @@ object SparkEntry {
          |UNION ALL SELECT walk_id, 1, node FROM s1
          |UNION ALL SELECT walk_id, 2, node FROM s2
          |UNION ALL SELECT walk_id, 3, node FROM s3""".stripMargin,
+
+    // the pagerank chain with the teleport vector concentrated on the
+    // seed pair (1/|S| each); contributions otherwise identical
+    "graph_ppr" ->
+      """WITH edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) u),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, CASE WHEN node IN (1, 2) THEN 0.5 ELSE 0.0 END AS rank
+        |       FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank/d.outdeg) AS contrib FROM edges e
+        |       JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, (1.0-0.85)*(CASE WHEN nodes.node IN (1, 2) THEN 0.5 ELSE 0.0 END)
+        |        + 0.85*coalesce(c.contrib, 0.0) AS rank
+        |       FROM nodes LEFT JOIN c1 c ON nodes.node = c.node),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank/d.outdeg) AS contrib FROM edges e
+        |       JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, (1.0-0.85)*(CASE WHEN nodes.node IN (1, 2) THEN 0.5 ELSE 0.0 END)
+        |        + 0.85*coalesce(c.contrib, 0.0) AS rank
+        |       FROM nodes LEFT JOIN c2 c ON nodes.node = c.node),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank/d.outdeg) AS contrib FROM edges e
+        |       JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, (1.0-0.85)*(CASE WHEN nodes.node IN (1, 2) THEN 0.5 ELSE 0.0 END)
+        |        + 0.85*coalesce(c.contrib, 0.0) AS rank
+        |       FROM nodes LEFT JOIN c3 c ON nodes.node = c.node)
+        |SELECT node, round(rank, 8) AS rank FROM r3""".stripMargin,
 
     "graph_pagerank" ->
       """WITH edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),

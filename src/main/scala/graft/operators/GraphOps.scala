@@ -105,6 +105,40 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank: the teleport mass concentrates on `seeds`
+    * (1/|S| each) instead of spreading uniformly — proximity TO THE
+    // SEEDS, the recommendation / related-entities primitive (nodes
+    * rank high only if random walks from the seeds reach them). Same
+    * per-round shape as [[pagerank]]: one weighted contribution join +
+    * one teleport re-join per iteration, checkpointed edge/node
+    * relations, rank table O(N) throughout. */
+  def personalizedPagerank(edges: DataFrame, seeds: Seq[Long], iters: Int,
+                           damping: Double = 0.85,
+                           checkpointEvery: Int = 5): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPagerank needs at least one seed")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val weighted = e.join(outdeg, "src").localCheckpoint()
+    val seedBase = when(col("node").isin(seeds: _*),
+      lit(1.0 / seeds.size)).otherwise(lit(0.0d))
+    var ranks = nodes.withColumn("rank", seedBase)
+    for (i <- 1 to iters) {
+      val contribs = weighted
+        .join(ranks, weighted("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * seedBase +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Neighbor-set Jaccard similarity between node pairs of a bipartite
     * (src → dst) edge relation — link-based node similarity: two
     * suppliers are similar when they serve overlapping part sets, two
