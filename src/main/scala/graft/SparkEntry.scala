@@ -2461,6 +2461,28 @@ object SparkEntry {
             col("n"), col("sum_ids")))
     }),
 
+    "k31_delete_where" -> ((s, d) => {
+      // copy-on-write DELETE WHERE (the Delta/Iceberg COW path, the
+      // sibling of k24's merge-on-read deletion vectors): only files
+      // CONTAINING matches are rewritten without the deleted rows;
+      // untouched files move into the new table version as-is (here a
+      // byte copy; a production table format re-links the file in
+      // metadata — zero data movement). The range layout localizes the
+      // doc_id band to a file subset, so the rewrite touches < total
+      // files (pinned in Round11OpsSpec); the gate is the filtered
+      // aggregate.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k31")
+        .toString
+      LayoutOps.writeRangeLayout(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", s"$dir/v1", numFiles = 4)
+      LayoutOps.deleteWhereCow(s, s"$dir/v1", s"$dir/v2",
+        col("doc_id") % 100L === 7L && col("doc_id") < 200L)
+      s.read.parquet(s"$dir/v2")
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     "k30_bucket_prune" -> ((s, d) => {
       // bucket PRUNING, the other payoff of paying the shuffle at write
       // time (k14 pins the zero-exchange join): a point lookup on the
@@ -3563,6 +3585,38 @@ object SparkEntry {
           when(col("rn") === expr("(n + 1) div 2"), lit("median"))
             .otherwise(lit("p90")).as("stat"),
           col("lat_s"))
+    }),
+
+    "t28_theil_sen" -> ((s, d) => {
+      // Theil–Sen robust trend: the MEDIAN of all pairwise slopes over
+      // each event_type's daily cents series — immune to the outlier
+      // days that drag an OLS fit (t17's sibling the way t27's MAD
+      // shadows t10's z-score). Slopes are one exact integer-difference
+      // division; the median is an exact rank pick (ties ordered by the
+      // pair's days). Pair volume is O(T²) per series in series LENGTH
+      // (not corpus size) — ~10³ pairs for a month; years-long series
+      // use the classic hash-sampled pair subset.
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+        .localCheckpoint()
+      val pairs = daily.alias("a").join(daily.alias("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.c") - col("a.c")).cast("double") /
+            (col("b.day") - col("a.day"))).as("slope"),
+          col("a.day").as("d1"), col("b.day").as("d2"))
+      val n = pairs.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+      pairs.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("slope"), col("d1"), col("d2"))))
+        .join(n, Seq("event_type"))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("event_type"), col("n_pairs"),
+          round(col("slope"), 6).as("slope"))
     }),
 
     "t27_anomaly_mad" -> ((s, d) => {
@@ -9379,6 +9433,27 @@ object SparkEntry {
         |   (acc, x) -> acc + x), 6) AS proj
         |FROM e, w""".stripMargin,
 
+    // pairwise integer-difference slopes, exact rank-pick median
+    "t28_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |   CAST(b.c - a.c AS DOUBLE) / (b.day - a.day) AS slope,
+        |   a.day AS d1, b.day AS d2
+        |  FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.day < b.day),
+        |n AS (SELECT event_type, count(*) AS n_pairs FROM pairs GROUP BY 1),
+        |r AS (SELECT event_type, slope, d1, d2,
+        |       row_number() OVER (PARTITION BY event_type
+        |         ORDER BY slope, d1, d2) AS rn
+        |      FROM pairs)
+        |SELECT r.event_type, n_pairs, round(slope, 6) AS slope
+        |FROM r JOIN n USING (event_type)
+        |WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
     // exact per-group rank picks for median and MAD, final division
     // the only float step
     "t27_anomaly_mad" ->
@@ -10716,6 +10791,13 @@ object SparkEntry {
         |SELECT 'quarantine', reason, count(*),
         | CAST(sum(coalesce(doc_id, 0)) AS BIGINT)
         |FROM r WHERE reason IS NOT NULL GROUP BY 2""".stripMargin,
+
+    // the COW rewrite only changes which files hold the survivors
+    "k31_delete_where" ->
+      """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE NOT (doc_id % 100 = 7 AND doc_id < 200)""".stripMargin,
 
     // the bucketed layout only changes which files serve the lookup
     "k30_bucket_prune" ->

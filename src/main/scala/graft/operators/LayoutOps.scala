@@ -100,6 +100,36 @@ object LayoutOps {
     (pruned, keep.length, mf.length)
   }
 
+  /** Copy-on-write DELETE WHERE (the Delta/Iceberg COW path, the
+    * sibling of the merge-on-read deletion vectors): only files that
+    * CONTAIN matching rows are rewritten without them; untouched files
+    * carry into the new version as-is (a byte copy here — a production
+    * table format re-LINKS the file in metadata, zero data movement).
+    * The touched-file list collects on the driver (O(files), the
+    * listing floor) and the rewrite is a semi-filtered scan of exactly
+    * those files. Returns (files rewritten, files total) so callers
+    * can assert locality. */
+  def deleteWhereCow(spark: org.apache.spark.sql.SparkSession,
+                     srcDir: String, dstDir: String,
+                     cond: Column): (Int, Int) = {
+    val withFile = spark.read.parquet(srcDir)
+      .withColumn("_f", input_file_name())
+    val touched = withFile.filter(cond).select(col("_f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    new java.io.File(dstDir.stripPrefix("file:")).mkdirs()
+    if (touched.nonEmpty)
+      withFile.filter(col("_f").isin(touched.toSeq: _*)).filter(!cond)
+        .drop("_f").write.mode("append").parquet(dstDir)
+    val all = withFile.select(col("_f")).distinct()
+      .collect().map(_.getString(0))
+    all.filterNot(touched).foreach { src =>
+      val p = java.nio.file.Paths.get(new java.net.URI(src))
+      java.nio.file.Files.copy(p,
+        java.nio.file.Paths.get(s"${dstDir.stripPrefix("file:")}/${p.getFileName}"))
+    }
+    (touched.size, all.length)
+  }
+
   /** Multi-column zone-map manifest in LONG format — one
     * (file, col, min_k, max_k) row per file × tracked column, the shape
     * Delta/Iceberg column stats take. Written beside the data as

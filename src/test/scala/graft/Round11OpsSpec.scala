@@ -185,6 +185,28 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(filesRead(df) < 8L)
   }
 
+  test("deleteWhereCow rewrites only the files containing matches and " +
+    "byte-copies the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cow").toString
+    graft.operators.LayoutOps.writeRangeLayout(
+      spark.range(400).selectExpr("id AS k", "id * 2 AS v"),
+      "k", s"$dir/v1", numFiles = 4)
+    val (rewritten, total) = graft.operators.LayoutOps.deleteWhereCow(
+      spark, s"$dir/v1", s"$dir/v2", col("k") >= 50L && col("k") < 60L)
+    assert(total == 4 && rewritten < 4 && rewritten >= 1)
+    val v2 = spark.read.parquet(s"$dir/v2")
+    assert(v2.count() == 390L)
+    assert(v2.filter(col("k") >= 50L && col("k") < 60L).count() == 0L)
+    // untouched files arrive byte-identical (same name + length)
+    val srcFiles = new java.io.File(s"$dir/v1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    val dstFiles = new java.io.File(s"$dir/v2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    val carried = srcFiles.keySet.intersect(dstFiles.keySet)
+    assert(carried.size == total - rewritten)
+    carried.foreach(n => assert(srcFiles(n) == dstFiles(n)))
+  }
+
   test("k30_bucket_prune's point lookup plans exactly one of the 8 " +
     "buckets") {
     val df = SparkEntry.queries("k30_bucket_prune")(
