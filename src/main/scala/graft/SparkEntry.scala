@@ -3554,6 +3554,40 @@ object SparkEntry {
         .filter(col("n_emails") + col("n_phones") > 0)
     }),
 
+    "w14_rfm" -> ((s, d) => {
+      // RFM segmentation (recency / frequency / monetary terciles —
+      // the classic customer-value grid): per-user last-seen age,
+      // event count, and exact cents total; each metric tercile-ranked
+      // ((rank−1)·3 ÷ n, ties to the smaller user id) and the 27-cell
+      // segment grid aggregated. The rank windows run over USERS
+      // (≪ events, the w13 note); monetary sums are per-event rounded
+      // cents, so everything is integer-exact.
+      val ev = t(s, d, "events")
+      val mx = ev.agg(max(expr("CAST(ts AS LONG)")).as("mx"))
+      val per = ev.groupBy("user_id").agg(
+          max(expr("CAST(ts AS LONG)")).as("last_s"),
+          count(lit(1)).as("freq"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .crossJoin(broadcast(mx))
+        .withColumn("rec_days", expr("(mx - last_s) div 86400"))
+      val n = per.agg(count(lit(1)).as("n"))
+      def tercile(c: String) = expr(
+        s"((rank_$c - 1) * 3) div n + 1")
+      val ranked = per
+        .withColumn("rank_r", row_number().over(
+          Window.orderBy(col("rec_days"), col("user_id"))))
+        .withColumn("rank_f", row_number().over(
+          Window.orderBy(col("freq"), col("user_id"))))
+        .withColumn("rank_m", row_number().over(
+          Window.orderBy(col("cents"), col("user_id"))))
+        .crossJoin(broadcast(n))
+      ranked
+        .select(tercile("r").as("r_bucket"), tercile("f").as("f_bucket"),
+          tercile("m").as("m_bucket"), col("cents"))
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("sum_cents"))
+    }),
+
     "w13_time_to_convert" -> ((s, d) => {
       // funnel latency distribution: per converting user, floor-seconds
       // from first view to the first purchase at-or-after it, then the
@@ -9393,6 +9427,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
         | CAST(n_phones AS INT) AS n_phones, scrubbed
         |FROM p WHERE n_emails + n_phones > 0""".stripMargin,
+
+    // per-user R/F/M metrics, tercile ranks, 27-cell grid
+    "w14_rfm" ->
+      """WITH mx AS (SELECT max(epoch_us(ts) // 1000000) AS mx FROM events),
+        |per AS (
+        |  SELECT user_id, max(epoch_us(ts) // 1000000) AS last_s,
+        |   count(*) AS freq,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT user_id, (mx - last_s) // 86400 AS rec_days, freq,
+        |       cents
+        |      FROM per, mx),
+        |r AS (SELECT *,
+        |       row_number() OVER (ORDER BY rec_days, user_id) AS rank_r,
+        |       row_number() OVER (ORDER BY freq, user_id) AS rank_f,
+        |       row_number() OVER (ORDER BY cents, user_id) AS rank_m,
+        |       (SELECT count(*) FROM w) AS n
+        |      FROM w)
+        |SELECT ((rank_r - 1) * 3) // n + 1 AS r_bucket,
+        | ((rank_f - 1) * 3) // n + 1 AS f_bucket,
+        | ((rank_m - 1) * 3) // n + 1 AS m_bucket,
+        | count(*) AS n_users, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
 
     // per-user first-view/first-purchase latencies, rank-rule quantile
     // picks with the median branch taking precedence on tiny-n overlap
