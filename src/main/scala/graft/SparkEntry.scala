@@ -5341,8 +5341,11 @@ object SparkEntry {
       SketchOps.histogramQuantiles(t(s, d, "events"), "event_type", "value",
         binWidth = 8.0, probs = Seq(0.5, 0.9, 0.99))),
 
-    "sample_temperature" -> ((s, d) => {
-      // temperature-flattened source mixing (the multilingual/domain
+    "sample_temp_targets" -> ((s, d) => {
+      // temperature-flattened source mixing TARGETS (the planning
+      // artifact beside sample_temperature's per-doc keep rule —
+      // that one selects documents, this one emits the per-source
+      // budget table a mixer schedules against): multilingual/domain
       // rebalancing recipe: p_i^{1/T} renormalized, T = 2 so the power
       // is an EXACT IEEE sqrt): per source the natural share, the
       // flattened share, and the integer target count ⌊p_T·N⌋ a
@@ -10863,7 +10866,7 @@ object SparkEntry {
 
     // sqrt-share flattening (T = 2 ⇒ exact IEEE sqrt), mirrored
     // normalization and integer floor targets
-    "sample_temperature" ->
+    "sample_temp_targets" ->
       """WITH src AS (SELECT source, count(*) AS n FROM documents
         |             GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
