@@ -724,8 +724,10 @@ object SparkEntry {
       val qTerms = Seq("scan", "join", "merge")
       val top = TermOps.bm25Search(docs, "doc_id", "text", qTerms, k = 10)
         .select(col("doc_id"))
-      TermOps.termFrequencies(docs, "doc_id", "text")
-        .join(top, Seq("doc_id"))
+      // join BEFORE tokenizing: only the 10 feedback docs explode (the
+      // BM25 pass is the only full-corpus pass this query needs)
+      TermOps.termFrequencies(docs.join(top, Seq("doc_id")),
+          "doc_id", "text")
         .filter(!col("term").isin(qTerms: _*))
         .groupBy("term")
         .agg(sum(col("tf")).as("tf_sum"), count(lit(1)).as("n_docs"))

@@ -107,7 +107,7 @@ object GraphOps {
 
   /** Personalized PageRank: the teleport mass concentrates on `seeds`
     * (1/|S| each) instead of spreading uniformly — proximity TO THE
-    // SEEDS, the recommendation / related-entities primitive (nodes
+    * SEEDS, the recommendation / related-entities primitive (nodes
     * rank high only if random walks from the seeds reach them). Same
     * per-round shape as [[pagerank]]: one weighted contribution join +
     * one teleport re-join per iteration, checkpointed edge/node

@@ -117,8 +117,13 @@ object LayoutOps {
     val touched = withFile.filter(cond).select(col("_f")).distinct()
       .collect().map(_.getString(0)).toSet
     new java.io.File(dstDir.stripPrefix("file:")).mkdirs()
+    // DELETE WHERE deletes rows where cond is TRUE; a NULL predicate
+    // keeps the row (SQL DELETE semantics — and what the untouched-file
+    // copy path implicitly does). `!cond` alone would silently drop
+    // NULL-predicate rows from rewritten files only.
     if (touched.nonEmpty)
-      withFile.filter(col("_f").isin(touched.toSeq: _*)).filter(!cond)
+      withFile.filter(col("_f").isin(touched.toSeq: _*))
+        .filter(!coalesce(cond, lit(false)))
         .drop("_f").write.mode("append").parquet(dstDir)
     val all = withFile.select(col("_f")).distinct()
       .collect().map(_.getString(0))

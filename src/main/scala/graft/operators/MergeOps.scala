@@ -167,8 +167,12 @@ object MergeOps {
   def loadLog(spark: org.apache.spark.sql.SparkSession,
               logDir: String): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(
-        logDir.stripPrefix("file:")).exists())
+    // Hadoop FS existence, not java.io.File — a java.io check is
+    // always false for s3://-style locations, which would silently
+    // re-ingest everything on every run
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
       spark.read.parquet(logDir).select(col("f").cast("string"))
     else Seq.empty[String].toDF("f")
   }

@@ -617,23 +617,6 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id").as("nbr_id"), col("adc"), col("rank"))
   }
 
-  /** Top principal component of the embedding corpus by POWER ITERATION
-    * on the exact (uncentered-sums) covariance — the embedding-space
-    * audit beside [[graft.operators.TextAnalysisOps]]' text metrics:
-    * the dominant direction's share of variance is the "is my embedding
-    * space collapsing" drift check, and the component itself seeds
-    * whitening/debiasing.
-    *
-    * Scale shape: the d×d scatter matrix comes from ONE self-join on
-    * vec_id with map-side partial aggregation (shuffle ≤ d² cells per
-    * partition, never n·d² rows); everything after — mean correction,
-    * `iters` multiply-normalize rounds — runs on d²-row relations, a
-    * 64×64 MODEL, not data. Determinism: matrix·vector products and
-    * norms are ORDERED folds over j-sorted arrays (the t14 list-state
-    * discipline) and v₀ = 1⃗, so both engines walk identical IEEE
-    * sequences; the only cross-engine noise is covariance sum order,
-    * absorbed by the caller's rounding. Returns one row:
-    * (lambda, v) with v the unit top component (sign fixed by v₀). */
   /** The exact d×d mean-corrected scatter matrix (i, j, aij) of the
     * embedding corpus — ONE self-join on vec_id with map-side partial
     * aggregation (shuffle ≤ d² cells per partition, never n·d² rows).
@@ -657,6 +640,19 @@ object SimilarityOps {
         (col("sxx") - col("n") * col("mi") * col("mj")).as("aij"))
   }
 
+  /** Top principal component of the embedding corpus by POWER ITERATION
+    * on the [[scatterMatrix]] — the embedding-space audit beside
+    * [[graft.operators.TextAnalysisOps]]' text metrics: the dominant
+    * direction's share of variance is the "is my embedding space
+    * collapsing" drift check, and the component itself seeds
+    * whitening/debiasing. The `iters` multiply-normalize rounds run on
+    * d²-row relations, a 64×64 MODEL, not data. Determinism:
+    * matrix·vector products and norms are ORDERED folds over j-sorted
+    * arrays (the t14 list-state discipline) and v₀ = 1⃗, so both
+    * engines walk identical IEEE sequences; the only cross-engine
+    * noise is covariance sum order, absorbed by the caller's rounding.
+    * Returns one row: (lambda, v) with v the unit top component (sign
+    * fixed by v₀). */
   def pcaTop(emb: DataFrame, iters: Int): DataFrame = {
     val spark = emb.sparkSession
     val amat = scatterMatrix(emb)

@@ -44,7 +44,11 @@ import org.apache.spark.sql.types.StructType
   *
   * `mBits`/`nHashes` must match the `_bloom` writer's sizing (the
   * shared kernel is [[graft.operators.PruneOps.bloomPos]]).
-  */
+  *
+  * STALE-INDEX SAFETY: pruning applies only to files/partitions the
+  * index KNOWS. Data appended after an index artifact was written has
+  * no stats row — those files are always read, so an out-of-date index
+  * costs skipping, never rows. */
 class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
                        mBits: Int = 4096, nHashes: Int = 2)
     extends FileIndex {
@@ -53,8 +57,11 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
     new InMemoryFileIndex(spark, Seq(new Path(path)), Map.empty, None)
 
   private def indexDir(name: String): Option[String] = {
-    val p = s"$path/$name"
-    if (new java.io.File(p.stripPrefix("file:")).exists()) Some(p) else None
+    // Hadoop FS existence, not java.io.File — index dirs must resolve
+    // on s3://-style table locations too
+    val p = new Path(s"$path/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(p.toString) else None
   }
   private val manifestDir = indexDir("_manifest")
   private val bloomDir = indexDir("_bloom")
@@ -133,16 +140,26 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
     (lo, hi, probes)
   }
 
-  /** File names (last path segment) whose zone intersects [lo, hi] —
-    * a distributed manifest filter, only matches collected. */
+  private def fileName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** (files the index KNOWS, files whose zone intersects [lo, hi]) —
+    * distributed manifest filters. A listed data file the index does
+    * NOT know (appended after the manifest was written) must be KEPT,
+    * or a stale index silently drops rows — hence both sets. The known
+    * set is O(manifest rows) on the driver, the same floor the file
+    * listing itself pays. */
   private def manifestSurvivors(dir: String, lo: Option[Long],
-                                hi: Option[Long]): Set[String] = {
+                                hi: Option[Long])
+      : (Set[String], Set[String]) = {
+    val known = spark.read.parquet(dir).select(col("file")).collect()
+      .map(r => fileName(r.getString(0))).toSet
     var mf = spark.read.parquet(dir)
     lo.foreach(v => mf = mf.filter(col("max_k").cast("long") >= v))
     hi.foreach(v => mf = mf.filter(col("min_k").cast("long") <= v))
-    mf.select(col("file")).collect()
-      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
-      .toSet
+    val matched = mf.select(col("file")).collect()
+      .map(r => fileName(r.getString(0))).toSet
+    (known, matched)
   }
 
   /** Partition values whose bloom may contain ANY probe: a probe
@@ -151,16 +168,22 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
     * distributed join probes×positions ⋈ bloom — no driver-side
     * hashing, the position kernel is the same native fnv64 expression
     * the writer used. */
-  private def bloomSurvivors(dir: String, probes: Set[Long]): Set[Long] = {
+  /** (partition values the bloom KNOWS, values some probe qualifies).
+    * A partition directory the index does not know is KEPT — same
+    * stale-index conservatism as the manifest path. */
+  private def bloomSurvivors(dir: String, probes: Set[Long])
+      : (Set[Long], Set[Long]) = {
     graft.plans.GraftSparkExtensions.install(spark)
     import spark.implicits._
     val bloom = spark.read.parquet(dir)
     val pcol = bloom.columns.filterNot(_ == "p").head
+    val known = bloom.select(col(pcol).cast("long")).distinct()
+      .as[Long].collect().toSet
     val pos = probes.toSeq.toDF("probe").select(col("probe"),
       explode(array((0 until nHashes).map(i =>
         graft.operators.PruneOps.bloomPos(col("probe"), i, mBits)): _*))
         .as("p"))
-    pos.join(bloom, Seq("p"))
+    val qualified = pos.join(bloom, Seq("p"))
       .groupBy(col("probe"), col(pcol).as("pv"))
       .agg(countDistinct(col("p")).as("npos"))
       // a probe whose positions collide hashes < nHashes DISTINCT cells;
@@ -170,28 +193,40 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
       .filter(col("npos") === col("need"))
       .select(col("pv").cast("long")).distinct()
       .as[Long].collect().toSet
+    (known, qualified)
   }
 
   /** File names surviving the LONG-format multi-column manifest: for
     * every tracked column a predicate binds, the file's [min, max] must
     * intersect the bound — per-column distributed filters, matched
     * names intersected. None = no bounded tracked column (no pruning). */
-  private def multiSurvivors(dir: String,
-                             dataFilters: Seq[Expression])
-      : Option[Set[String]] =
-    multiCols.foldLeft(Option.empty[Set[String]]) { (acc, c) =>
+  /** Per-file keep decision against the LONG-format multi manifest: for
+    * every tracked column a predicate binds, a KNOWN file must
+    * intersect the bound; a file with no stats row for that column
+    * (appended after the stats were written) is kept. None = no bounded
+    * tracked column (no pruning). */
+  private def multiKeep(dir: String, dataFilters: Seq[Expression])
+      : Option[String => Boolean] = {
+    val perCol = multiCols.flatMap { c =>
       val (lo, hi, _) = boundsOf(dataFilters, c)
-      if (lo.isEmpty && hi.isEmpty) acc
+      if (lo.isEmpty && hi.isEmpty) None
       else {
+        val known = spark.read.parquet(dir).filter(col("col") === c)
+          .select(col("file")).collect()
+          .map(r => fileName(r.getString(0))).toSet
         var mf = spark.read.parquet(dir).filter(col("col") === c)
         lo.foreach(v => mf = mf.filter(col("max_k") >= v))
         hi.foreach(v => mf = mf.filter(col("min_k") <= v))
-        val s = mf.select(col("file")).collect()
-          .map(r => r.getString(0)
-            .substring(r.getString(0).lastIndexOf('/') + 1)).toSet
-        Some(acc.fold(s)(_ intersect s))
+        val matched = mf.select(col("file")).collect()
+          .map(r => fileName(r.getString(0))).toSet
+        Some((known, matched))
       }
     }
+    if (perCol.isEmpty) None
+    else Some(name => perCol.forall { case (known, matched) =>
+      !known.contains(name) || matched.contains(name)
+    })
+  }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
@@ -200,27 +235,37 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
     val (lo, hi, probes) = boundsOf(dataFilters, keyCol)
     val afterBloom = (bloomDir, probes.nonEmpty) match {
       case (Some(dir), true) =>
-        val keep = bloomSurvivors(dir, probes)
+        val (known, qualified) = bloomSurvivors(dir, probes)
         val pIdx = 0 // single inferred partition column (writer contract)
         base.filter { pd =>
           partitionSchema.isEmpty || {
             val v = pd.values.get(pIdx, partitionSchema.fields(pIdx).dataType)
-            v == null || keep.contains(v.asInstanceOf[Number].longValue)
+            v match {
+              // prune only values the index KNOWS; unknown (post-index)
+              // partitions and non-numeric values stay — never a crash,
+              // never a dropped row
+              case n: Number =>
+                !known.contains(n.longValue) ||
+                  qualified.contains(n.longValue)
+              case _ => true
+            }
           }
         }
       case _ => base
     }
     val afterManifest = (manifestDir, lo.isDefined || hi.isDefined) match {
       case (Some(dir), true) =>
-        val keep = manifestSurvivors(dir, lo, hi)
-        afterBloom.map(pd =>
-          pd.copy(files = pd.files.filter(f => keep.contains(f.getPath.getName))))
+        val (known, matched) = manifestSurvivors(dir, lo, hi)
+        afterBloom.map(pd => pd.copy(files = pd.files.filter { f =>
+          val n = f.getPath.getName
+          !known.contains(n) || matched.contains(n)
+        }))
       case _ => afterBloom
     }
-    multiDir.flatMap(multiSurvivors(_, dataFilters)) match {
+    multiDir.flatMap(multiKeep(_, dataFilters)) match {
       case Some(keep) =>
         afterManifest.map(pd =>
-          pd.copy(files = pd.files.filter(f => keep.contains(f.getPath.getName))))
+          pd.copy(files = pd.files.filter(f => keep(f.getPath.getName))))
       case None => afterManifest
     }
   }

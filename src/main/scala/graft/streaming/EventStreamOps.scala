@@ -419,7 +419,15 @@ object EventStreamOps {
       .flatMapGroupsWithState[FunnelState, StageRow](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.etype))
+          // equal-ts tiebreak must follow STAGE order (view before
+          // click before purchase) — alphabetical etype is its exact
+          // reverse, which would drop same-instant progressions when
+          // they land in one batch but honor them across batches
+          def stageIdx(t: String): Int = t match {
+            case "view" => 0; case "click" => 1; case "purchase" => 2
+            case _ => 3
+          }
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, stageIdx(e.etype)))
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, false))
           val out = scala.collection.mutable.ArrayBuffer.empty[StageRow]
           sorted.foreach { e =>
@@ -466,20 +474,24 @@ object EventStreamOps {
                    shingleK: Int = 2, bands: Int = 4,
                    rowsPerBand: Int = 2): DataFrame = {
     val num = bands * rowsPerBand
-    val sig = graft.GraftFunctions.minhashSig(
-      graft.operators.TermOps.tokens(col(textCol)), lit(shingleK), lit(num))
     var df = docs
       .withColumn("n_chars", length(col(textCol)))
       .filter(col("n_chars") >= minChars)
       .withColumn("_h", md5(col(textCol)))
-      .withColumn("_sig", sig)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_h"))
+    // the MinHash signature computes only for rows that SURVIVED the
+    // exact stage (an exact dup never needed banding); the banded
+    // chain itself shares [[neardupWithinWatermark]]'s kernel and
+    // claim semantics — change the two together
+    val sig = graft.GraftFunctions.minhashSig(
+      graft.operators.TermOps.tokens(col(textCol)), lit(shingleK), lit(num))
     val bks = graft.GraftFunctions.bandBuckets(
       col("_sig"), lit(bands), lit(rowsPerBand))
-    df = df.withColumn("_bks", bks)
+    df = df.withColumn("_sig", sig).withColumn("_bks", bks)
     for (i <- 0 until bands)
       df = df.withColumn(s"_b$i", element_at(col("_bks"), i + 1))
-    df = df.drop("_sig", "_bks").withWatermark(tsCol, watermark)
-    df = df.dropDuplicatesWithinWatermark(Seq("_h"))
+    df = df.drop("_sig", "_bks")
     for (i <- 0 until bands)
       df = df.dropDuplicatesWithinWatermark(Seq(s"_b$i"))
     df.drop("_h" +: (0 until bands).map(i => s"_b$i"): _*)

@@ -178,6 +178,37 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(in2.count() == 80L)
   }
 
+  test("a file appended AFTER the manifest was written is still read " +
+    "through the index (stale-index conservatism)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString + "/t"
+    val data = spark.range(4000).selectExpr("id AS k", "id * 3 AS v")
+    graft.operators.LayoutOps.writeRangeLayout(data, "k", dir, numFiles = 8)
+    graft.operators.LayoutOps.writeManifestTable(spark, dir, "k")
+    // post-index append INSIDE the queried range
+    spark.range(1000, 1010).selectExpr("id AS k", "id * 3 AS v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val pruned = graft.sources.IndexedFileIndex.read(spark, dir, "k")
+      .filter(col("k") >= 1000L && col("k") < 1500L)
+    // 500 original + 10 appended: a keep-only-manifest-matches index
+    // would have returned 500
+    assert(pruned.count() == 510L)
+    assert(filesRead(pruned.groupBy().sum("v")) < 9L)
+  }
+
+  test("deleteWhereCow keeps rows whose predicate evaluates to NULL " +
+    "in rewritten files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cown").toString
+    import spark.implicits._
+    Seq((1L, Option(10L)), (2L, Option.empty[Long]), (3L, Option(2L)))
+      .toDF("k", "x").coalesce(1).write.parquet(s"$dir/v1")
+    graft.operators.LayoutOps.deleteWhereCow(
+      spark, s"$dir/v1", s"$dir/v2", col("x") > 5L)
+    val v2 = spark.read.parquet(s"$dir/v2")
+    // k=1 deleted (x>5 true); k=2 KEPT (NULL predicate); k=3 kept
+    assert(v2.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+  }
+
   test("k15_manifest_skip's registered query reads fewer than its 8 " +
     "layout files through the planning-time manifest index") {
     val df = SparkEntry.queries("k15_manifest_skip")(
