@@ -109,14 +109,6 @@ object SimilarityOps {
     sig
   }
 
-  /** IVF-style ANN: a deterministic subset of the corpus acts as coarse
-    * centroids; every vector is assigned to its nearest centroid (one
-    * broadcast pass), queries probe their `nProbe` nearest cells and
-    * score only those cells' members. The inverted-file structure is the
-    * standard scale path when hyperplane LSH recall is too coarse: cells
-    * partition the corpus, so the scored set shrinks by ~nCentroids/nProbe.
-    * (Deterministic centroid choice — every ~N/nCentroids-th vector —
-    * keeps results reproducible without a k-means iteration.) */
   /** Deterministic pseudo-random IVF coarse-centroid pick with no
     * assumptions about id density: order by a hash of the id and take
     * the first nCentroids — orderBy+limit plans as
