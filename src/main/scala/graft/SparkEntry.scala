@@ -5365,6 +5365,38 @@ object SparkEntry {
             .cast("long").as("n_target"))
     }),
 
+    "sample_kcenter" -> ((s, d) => {
+      // greedy k-center (farthest-point) coreset selection — the
+      // diversity data-pruning primitive (pick the next example
+      // FARTHEST from everything already kept): 4 unrolled steps from
+      // seed vector 0, each one corpus × ≤5-center broadcast cosine
+      // pass + a per-vector max (exact — max is order-free) + one
+      // global argmin (ties to the smaller id). cover_sim is the
+      // selected point's similarity to its nearest prior center — the
+      // coverage-radius curve a pruning run monitors.
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+      var centers = emb.filter(col("vec_id") === 0L)
+      var out = centers.select(lit(0).as("step"), col("vec_id"),
+        lit(null).cast("double").as("cover_sim"))
+      for (step <- 1 to 4) {
+        val far = emb.crossJoin(broadcast(
+            centers.select(col("embedding").as("cemb"))))
+          .withColumn("sim",
+            SimilarityOps.cosine(col("embedding"), col("cemb")))
+          .groupBy("vec_id")
+          .agg(max(col("sim")).as("maxsim"),
+            first(col("embedding")).as("embedding"))
+          .orderBy(col("maxsim").asc, col("vec_id").asc).limit(1)
+          .localCheckpoint()
+        centers = centers.unionByName(far.select("vec_id", "embedding"))
+        out = out.unionByName(far.select(lit(step).as("step"),
+          col("vec_id"), round(col("maxsim"), 6).as("cover_sim")))
+      }
+      out
+    }),
+
     "sample_mixture" -> ((s, d) =>
       // exact-count training-mix sampling: per-lang targets, lowest-hash
       // rank per domain; fr excluded by the spec, es target above the
@@ -10865,6 +10897,37 @@ object SparkEntry {
     "k30_bucket_prune" ->
       """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_orderkey = 7""".stripMargin,
+
+    // four unrolled farthest-point steps; per-vector max over the
+    // center set is order-free, argmin ties to the smaller id
+    "sample_kcenter" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |c1 AS (SELECT vec_id, emb FROM e WHERE vec_id = 0),
+         |d1 AS (SELECT x.vec_id, max(${cosSql("x.emb", "c.emb")}) AS ms
+         |       FROM e x, c1 c GROUP BY 1),
+         |s1 AS (SELECT vec_id, ms FROM d1 ORDER BY ms, vec_id LIMIT 1),
+         |c2 AS (SELECT vec_id, emb FROM c1 UNION ALL
+         |       SELECT e.vec_id, e.emb FROM e JOIN s1 USING (vec_id)),
+         |d2 AS (SELECT x.vec_id, max(${cosSql("x.emb", "c.emb")}) AS ms
+         |       FROM e x, c2 c GROUP BY 1),
+         |s2 AS (SELECT vec_id, ms FROM d2 ORDER BY ms, vec_id LIMIT 1),
+         |c3 AS (SELECT vec_id, emb FROM c2 UNION ALL
+         |       SELECT e.vec_id, e.emb FROM e JOIN s2 USING (vec_id)),
+         |d3 AS (SELECT x.vec_id, max(${cosSql("x.emb", "c.emb")}) AS ms
+         |       FROM e x, c3 c GROUP BY 1),
+         |s3 AS (SELECT vec_id, ms FROM d3 ORDER BY ms, vec_id LIMIT 1),
+         |c4 AS (SELECT vec_id, emb FROM c3 UNION ALL
+         |       SELECT e.vec_id, e.emb FROM e JOIN s3 USING (vec_id)),
+         |d4 AS (SELECT x.vec_id, max(${cosSql("x.emb", "c.emb")}) AS ms
+         |       FROM e x, c4 c GROUP BY 1),
+         |s4 AS (SELECT vec_id, ms FROM d4 ORDER BY ms, vec_id LIMIT 1)
+         |SELECT CAST(0 AS INT) AS step, vec_id,
+         | CAST(NULL AS DOUBLE) AS cover_sim FROM c1
+         |UNION ALL SELECT 1, vec_id, round(ms, 6) FROM s1
+         |UNION ALL SELECT 2, vec_id, round(ms, 6) FROM s2
+         |UNION ALL SELECT 3, vec_id, round(ms, 6) FROM s3
+         |UNION ALL SELECT 4, vec_id, round(ms, 6) FROM s4""".stripMargin,
 
     // sqrt-share flattening (T = 2 ⇒ exact IEEE sqrt), mirrored
     // normalization and integer floor targets
