@@ -421,25 +421,16 @@ object SparkEntry {
           .as("split"))
     }),
 
-    "dedup_minhash_eval" -> ((s, d) => {
+    "dedup_minhash_eval" -> ((s, d) =>
       // the approximation-cost gauge for the LSH text-dedup path (the
       // ann_recall of the dedup family): exact-jaccard truth pairs vs
       // the banded-MinHash pipeline's verified candidates — recall =
-      // the fraction of true near-dups the banding didn't lose
-      val docs = t(s, d, "documents")
-      val truth = DedupOps.jaccardPairs(docs, "doc_id", "text",
-        threshold = 0.5).select(col("id_a"), col("id_b"), lit(1L).as("tr"))
-      val cand = DedupOps.verifiedNearDups(docs, "doc_id", "text",
-        threshold = 0.4).select(col("id_a"), col("id_b"), lit(1L).as("cd"))
-      truth.join(cand, Seq("id_a", "id_b"), "full_outer")
-        .agg(sum(when(col("tr").isNotNull, 1L).otherwise(0L)).as("n_truth"),
-          sum(when(col("cd").isNotNull, 1L).otherwise(0L)).as("n_candidates"),
-          sum(when(col("tr").isNotNull && col("cd").isNotNull, 1L)
-            .otherwise(0L)).as("n_hits"))
-        .select(col("n_truth"), col("n_candidates"), col("n_hits"),
-          round(col("n_hits").cast("double") / col("n_truth"), 4)
-            .as("recall"))
-    }),
+      // the fraction of true near-dups the banding didn't lose. Both
+      // legs read ONE materialized tokenize pass + ONE materialized
+      // hashed-shingle pass (DedupOps.minhashRecallStats — the
+      // ann_recall shared-stage treatment, r11 item 3)
+      DedupOps.minhashRecallStats(t(s, d, "documents"), "doc_id", "text",
+        truthThreshold = 0.5, candThreshold = 0.4)),
 
     "curate_e2e" -> ((s, d) => {
       // the full curation decision table — every document gets exactly
@@ -468,7 +459,12 @@ object SparkEntry {
         .select(col("keep_id").as("doc_id"), lit(true).as("e_keep"))
       val nearKeep = DedupOps.canonicalKeepList(docs, "doc_id",
           DedupOps.connectedComponents(
-            DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)))
+            // prefix-filtered (Bayardo) variant: byte-identical pairs to
+            // jaccardPairs but the candidate join touches only each doc's
+            // rarest shingles — the heaviest stage of the heaviest query
+            // must not pay the fat-bucket fan-out the plain index join has
+            DedupOps.jaccardPairsPrefix(docs, "doc_id", "text",
+              threshold = 0.5)))
         .select(col("doc_id"), col("keep").as("n_keep"))
       base
         .join(contam, Seq("doc_id"), "left_outer")
@@ -2498,10 +2494,17 @@ object SparkEntry {
       // DisableUnnecessaryBucketedScan would un-bucket a scan no join
       // exploits — but pruning NEEDS the bucketed scan; keep it (the
       // conf only trades one-file-per-bucket task granularity, which
-      // is exactly what a pruned point lookup wants)
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      // is exactly what a pruned point lookup wants). The flag is
+      // scoped to a CLONED session (own SQLConf, shared catalog +
+      // SparkContext): it must hold at planning time — when the caller
+      // executes the returned frame, after this builder returns — so a
+      // set/finally-restore here would restore too early, and setting
+      // it on `s` would leak into every later query of a shared
+      // Verify/Bench session (r11 finding)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
         "false")
-      s.table("k30_lineitem")
+      ss.table("k30_lineitem")
         .filter(col("l_orderkey") === 7L)
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))
@@ -8694,8 +8697,10 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     // one pass per dim; population sigma from the same two sums
-    // the bm25 chain with UNROUNDED scores ranking the top-10 relevance
-    // model, then seed-excluded tf aggregation over those docs
+    // the bm25 chain ranking the top-10 relevance model on the ROUNDED
+    // score (round 4, doc_id tiebreak — the bm25Sql tie discipline, so
+    // both engines resolve boundary ties identically), then
+    // seed-excluded tf aggregation over those docs
     "search_prf" ->
       s"""WITH tf AS (
          |  SELECT doc_id, term, tf FROM ($tfSub)
@@ -8713,7 +8718,8 @@ object SparkEntry {
          |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / g.avgdl)) AS c
          |  FROM tf JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
          |  CROSS JOIN g),
-         |sc AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+         |sc AS (SELECT doc_id, round(sum(c), 4) AS score
+         |       FROM contrib GROUP BY doc_id),
          |top AS (SELECT doc_id FROM
          |  (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
          |    AS rn FROM sc) t WHERE rn <= 10),

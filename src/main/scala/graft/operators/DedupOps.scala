@@ -54,10 +54,20 @@ object DedupOps {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 4,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame =
+    minhashCandidatesFromToks(
+      docs.select(col(idCol).as("doc_id"),
+        TermOps.tokens(col(textCol)).as("toks")),
+      shingleK, bands, rowsPerBand, maxBucket)
+
+  /** [[minhashCandidates]] over a pre-tokenized `(doc_id, toks)`
+    * relation — the shared-pass entry [[minhashRecallStats]] uses so
+    * the corpus is tokenized once for both harness legs. */
+  def minhashCandidatesFromToks(toks: DataFrame, shingleK: Int = 3,
+                                bands: Int = 8, rowsPerBand: Int = 4,
+                                maxBucket: Int = 1000): DataFrame = {
     val num = bands * rowsPerBand
-    val sigs = docs.select(col(idCol).as("doc_id"),
-        TermOps.tokens(col(textCol)).as("toks"))
+    val sigs = toks.select(col("doc_id"), col("toks"))
       .withColumn("sig",
         graft.GraftFunctions.minhashSig(col("toks"), lit(shingleK), lit(num)))
       .withColumn("bucket", explode(graft.GraftFunctions.bandBuckets(
@@ -93,6 +103,88 @@ object DedupOps {
       .withColumn("jaccard", jaccardSet(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The dedup family's recall gauge as ONE shared-pass harness
+    * (`dedup_minhash_eval`): exact-jaccard truth pairs (the
+    * [[jaccardPairs]] law — df-capped shingles, ≥ `truthThreshold`) vs
+    * the banded-MinHash pipeline's verified candidates (the
+    * [[verifiedNearDups]] law — uncapped shingle sets, ≥
+    * `candThreshold`). Run separately the two legs tokenize and
+    * shingle the corpus three times over; here both read one
+    * MATERIALIZED `(doc_id, toks)` pass and one MATERIALIZED
+    * distinct-hashed-shingle pass (the `ann_recall` shared-stage
+    * treatment applied to the dedup family). The candidate leg's
+    * verification counts intersections over the hashed shingle sets —
+    * set-identical to `jaccardSet` on the string arrays modulo the
+    * same ~2⁻⁶⁴ fnv64 collision risk [[jaccardPairs]] already accepts
+    * — with the empty-∪-empty ⇒ 1.0 edge preserved via null-size
+    * coalescing (zero-shingle docs have no exploded rows). Output: one
+    * row (n_truth, n_candidates, n_hits, recall). */
+  def minhashRecallStats(docs: DataFrame, idCol: String, textCol: String,
+                         truthThreshold: Double, candThreshold: Double,
+                         shingleK: Int = 3, maxShingleDf: Long = 100L,
+                         bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TermOps.tokens(col(textCol)).as("toks")).localCheckpoint()
+    // uncapped distinct hashed shingles — short docs keep shingleCol's
+    // one-joined-shingle edge; the token count rides along so the truth
+    // leg can replay jaccardPairs' ≥ shingleK document filter
+    val sh = toks
+      .select(col("doc_id"), size(col("toks")).as("nt"),
+        array_distinct(shingleCol(col("toks"), shingleK)).as("sh_str"))
+      .select(col("doc_id"), col("nt"),
+        explode(expr("transform(sh_str, x -> fnv64(x))")).as("sh"))
+      .localCheckpoint()
+    // truth leg: byte-identical to jaccardPairs' chain, reading `sh`
+    val shT = sh.filter(col("nt") >= shingleK).select("doc_id", "sh")
+    val keptSh = shT.groupBy("sh").agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") <= maxShingleDf).select("sh")
+    val shk = shT.join(keptSh, Seq("sh"))
+    val tSizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = shk.select(col("sh"), col("doc_id").as("id_a"))
+      .join(shk.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      .join(tSizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n", "na"), "id_a")
+      .join(tSizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n", "nb"), "id_b")
+      .filter(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")) >= truthThreshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("tr"))
+    // candidate leg: LSH candidates from the shared toks pass, verified
+    // by exact set jaccard over the UNCAPPED shared shingle pass
+    val cSizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val candPairs = minhashCandidatesFromToks(toks, shingleK, bands,
+      rowsPerBand)
+    val inter = candPairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")),
+        Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    val cand = candPairs
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .join(cSizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n", "na"), Seq("id_a"), "left_outer")
+      .join(cSizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n", "nb"), Seq("id_b"), "left_outer")
+      .withColumn("ii", coalesce(col("i"), lit(0L)))
+      .withColumn("u", coalesce(col("na"), lit(0L)) +
+        coalesce(col("nb"), lit(0L)) - col("ii"))
+      .withColumn("jaccard", when(col("u") === 0L, lit(1.0))
+        .otherwise(col("ii").cast("double") / col("u")))
+      .filter(col("jaccard") >= candThreshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("cd"))
+    truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(when(col("tr").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("cd").isNotNull, 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("tr").isNotNull && col("cd").isNotNull, 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4)
+          .as("recall"))
   }
 
   /** Cross-corpus near-duplicate hit list — the NEAR-DUP level of

@@ -72,7 +72,15 @@ object GraphOps {
 
   /** PageRank over `edges` (`src: long, dst: long`; parallel edges should
     * be pre-deduplicated by the caller if unweighted semantics are
-    * intended). Returns (node, rank). */
+    * intended). Returns (node, rank).
+    *
+    * Dangling-node semantics: the rank mass of sink nodes (no out-edges)
+    * is DROPPED each round, not redistributed uniformly — the standard
+    * simplification; with sinks present, total rank converges below 1
+    * (each round's sum = teleport·N + damping·(mass held by non-sinks)).
+    * The oracle replays the same law, so the gate pins this choice;
+    * Round12Spec asserts the per-round sum identity on a graph with
+    * sinks. */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                checkpointEvery: Int = 5): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
@@ -111,7 +119,9 @@ object GraphOps {
     * rank high only if random walks from the seeds reach them). Same
     * per-round shape as [[pagerank]]: one weighted contribution join +
     * one teleport re-join per iteration, checkpointed edge/node
-    * relations, rank table O(N) throughout. */
+    * relations, rank table O(N) throughout. Sink-node (dangling) mass
+    * is dropped, not redistributed — see [[pagerank]]'s scaladoc; the
+    * oracle replays the same law. */
   def personalizedPagerank(edges: DataFrame, seeds: Seq[Long], iters: Int,
                            damping: Double = 0.85,
                            checkpointEvery: Int = 5): DataFrame = {

@@ -105,24 +105,31 @@ object LayoutOps {
     * CONTAIN matching rows are rewritten without them; untouched files
     * carry into the new version as-is (a byte copy here — a production
     * table format re-LINKS the file in metadata, zero data movement).
-    * The touched-file list collects on the driver (O(files), the
-    * listing floor) and the rewrite is a semi-filtered scan of exactly
-    * those files. Returns (files rewritten, files total) so callers
-    * can assert locality. */
+    * The rewrite scan SEMI-joins on `input_file_name()` against the
+    * (small, broadcast) touched-file relation — no file-name literal
+    * ever enters the plan (the MergeOps.freshData shape; an isin over
+    * collected names would grow the plan O(touched files)). The name
+    * sets still collect on the driver for the untouched byte-copy and
+    * the returned counts — metadata tier, O(files), the listing floor.
+    * Returns (files rewritten, files total) so callers can assert
+    * locality. */
   def deleteWhereCow(spark: org.apache.spark.sql.SparkSession,
                      srcDir: String, dstDir: String,
                      cond: Column): (Int, Int) = {
     val withFile = spark.read.parquet(srcDir)
       .withColumn("_f", input_file_name())
-    val touched = withFile.filter(cond).select(col("_f")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // pinned once: the driver count, the copy path and the rewrite's
+    // broadcast side all read this relation
+    val touchedDf = withFile.filter(cond).select(col("_f")).distinct()
+      .localCheckpoint()
+    val touched = touchedDf.collect().map(_.getString(0)).toSet
     new java.io.File(dstDir.stripPrefix("file:")).mkdirs()
     // DELETE WHERE deletes rows where cond is TRUE; a NULL predicate
     // keeps the row (SQL DELETE semantics — and what the untouched-file
     // copy path implicitly does). `!cond` alone would silently drop
     // NULL-predicate rows from rewritten files only.
     if (touched.nonEmpty)
-      withFile.filter(col("_f").isin(touched.toSeq: _*))
+      withFile.join(broadcast(touchedDf), Seq("_f"), "left_semi")
         .filter(!coalesce(cond, lit(false)))
         .drop("_f").write.mode("append").parquet(dstDir)
     val all = withFile.select(col("_f")).distinct()

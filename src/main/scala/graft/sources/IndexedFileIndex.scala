@@ -63,12 +63,18 @@ class IndexedFileIndex(spark: SparkSession, path: String, keyCol: String,
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(p.toString) else None
   }
-  private val manifestDir = indexDir("_manifest")
-  private val bloomDir = indexDir("_bloom")
-  private val multiDir = indexDir("_manifest_multi")
+  // resolved PER listFiles CALL (a cheap FS existence probe), not once
+  // at construction: an index table written — or a column added to
+  // `_manifest_multi` — after this reader is built must start pruning
+  // on the next plan, consistent with listFiles re-reading manifest
+  // CONTENTS on every call (r11 advisor finding)
+  private def manifestDir: Option[String] = indexDir("_manifest")
+  private def bloomDir: Option[String] = indexDir("_bloom")
+  private def multiDir: Option[String] = indexDir("_manifest_multi")
 
-  /** Columns the long-format multi manifest tracks (tiny, read once). */
-  private lazy val multiCols: Seq[String] = multiDir match {
+  /** Columns the long-format multi manifest tracks (tiny, re-read per
+    * planning call — same freshness discipline as the dirs above). */
+  private def multiCols: Seq[String] = multiDir match {
     case Some(dir) =>
       import spark.implicits._
       spark.read.parquet(dir).select("col").distinct().as[String]
