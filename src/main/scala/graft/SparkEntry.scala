@@ -56,6 +56,17 @@ object SparkEntry {
               lit(2147483648.0) - lit(1.0)) *
             x.getField("weight").cast("double")).as("z"))
 
+  /** curate_e2e's near-dup candidate stage — the PREFIX-FILTERED
+    * (Bayardo) pair join: byte-identical pairs to the plain inverted-
+    * index `jaccardPairs` but candidates come only from each doc's
+    * rarest shingles, so the suite's heaviest query never pays the
+    * fat-bucket fan-out (r11 item 1). A named seam so Round12Spec can
+    * pin the prefix plan — inside curate_e2e the CC fixpoint executes
+    * eagerly and truncates this subtree's lineage out of the final
+    * plan. */
+  private[graft] def curateNearDupPairs(docs: DataFrame): DataFrame =
+    DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", threshold = 0.5)
+
   /** Flagship query — the J1-style broadcast join pipeline:
     * orders ⋈ customer ⋈ nation, revenue by nation/segment. Data dir
     * comes from SPARK_GRAFT_SF_DIR (driver contract default: sf0.001). */
@@ -458,13 +469,7 @@ object SparkEntry {
       val exactKeep = DedupOps.exactGroups(docs, "doc_id", "text")
         .select(col("keep_id").as("doc_id"), lit(true).as("e_keep"))
       val nearKeep = DedupOps.canonicalKeepList(docs, "doc_id",
-          DedupOps.connectedComponents(
-            // prefix-filtered (Bayardo) variant: byte-identical pairs to
-            // jaccardPairs but the candidate join touches only each doc's
-            // rarest shingles — the heaviest stage of the heaviest query
-            // must not pay the fat-bucket fan-out the plain index join has
-            DedupOps.jaccardPairsPrefix(docs, "doc_id", "text",
-              threshold = 0.5)))
+          DedupOps.connectedComponents(curateNearDupPairs(docs)))
         .select(col("doc_id"), col("keep").as("n_keep"))
       base
         .join(contam, Seq("doc_id"), "left_outer")
@@ -4457,6 +4462,42 @@ object SparkEntry {
       SkewOps.saltedSum(t(s, d, "events"), "event_type", "value")
         .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"),
           col("n_rows"))),
+
+    "o9_key_cap_audit" -> ((s, d) =>
+      // the flag half of the key-sanity cap (r11 item 6): what
+      // capHotKeys(85) drops from events — one never-skewed count
+      // aggregation, O(1) output. 85 sits inside the organic per-user
+      // distribution at every SF (max 86-99), so the capped branch is
+      // EXERCISED by the gate, not just compiled
+      SkewOps.hotKeyAudit(t(s, d, "events"), "user_id", maxRows = 85L)),
+
+    "s8_sampler_capped" -> ((s, d) =>
+      // the S8 carry sampler behind the key-sanity cap — the documented
+      // mitigation for its sequential-per-key floor (r11 skew table:
+      // 2.9× under a planted 50%-of-events user; capped: the hot key
+      // never reaches the carry scan). Semantics: identical to
+      // s8_sampler_events on every surviving key; over-cap keys are
+      // excluded wholesale (and surfaced by o9_key_cap_audit)
+      RevisionOps.changeRatioSample(
+          SkewOps.capHotKeys(t(s, d, "events"), "user_id", maxRows = 85L),
+          "user_id", "ts", "value", tieBreak = "event_id")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))),
+
+    "w12_transitions_capped" -> ((s, d) => {
+      // w12's transition matrix behind the same cap: the per-user lag
+      // window is the other sequential-per-key op the r11 probe flagged
+      // (2.6×) — capped, the hot user's events never enter the window
+      val ev = SkewOps.capHotKeys(t(s, d, "events"), "user_id",
+        maxRows = 85L)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type")), 6))
+    }),
 
     "fnv64_native" -> ((s, _) => {
       import s.implicits._
@@ -10022,6 +10063,63 @@ object SparkEntry {
     "o5_salted_agg" ->
       """SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n_rows
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "o9_key_cap_audit" ->
+      """WITH k AS (SELECT user_id, count(*) AS kn FROM events GROUP BY 1)
+        |SELECT count(*) AS n_keys,
+        | CAST(sum(CASE WHEN kn > 85 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_keys_capped,
+        | CAST(sum(CASE WHEN kn > 85 THEN kn ELSE 0 END) AS BIGINT)
+        |   AS n_rows_dropped
+        |FROM k""".stripMargin,
+
+    // the s8 recursive carry chain over the CAPPED event relation
+    // (keys with <= 85 rows survive; the cap replays as a HAVING)
+    "s8_sampler_capped" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT e.* FROM events e
+        |  JOIN (SELECT user_id FROM events GROUP BY user_id
+        |        HAVING count(*) <= 85) sane USING (user_id)),
+        |r AS (
+        |  SELECT user_id, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM ev),
+        |s AS (
+        |  SELECT user_id, 1 AS rn, abs(value) AS buf_len, 0 AS emits
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn + 1,
+        |   CASE
+        |     WHEN abs(abs(r.value) - greatest(abs(s.buf_len), 1.0))
+        |       / greatest(abs(s.buf_len), 1.0) < 0.01 THEN abs(r.value)
+        |     WHEN abs(abs(r.value) - greatest(abs(s.buf_len), 1.0))
+        |       / greatest(abs(s.buf_len), 1.0) > 0.1 THEN abs(r.value)
+        |     ELSE s.buf_len END,
+        |   s.emits + CASE
+        |     WHEN abs(abs(r.value) - greatest(abs(s.buf_len), 1.0))
+        |       / greatest(abs(s.buf_len), 1.0) > 0.1 THEN 1
+        |     ELSE 0 END
+        |  FROM s JOIN r ON r.user_id = s.user_id AND r.rn = s.rn + 1)
+        |SELECT user_id, CAST(max_by(emits, rn) + 1 AS BIGINT) AS n_kept
+        |FROM s GROUP BY user_id""".stripMargin,
+
+    // w12's lead-window chain over the same capped relation
+    "w12_transitions_capped" ->
+      """WITH ev AS (
+        |  SELECT e.* FROM events e
+        |  JOIN (SELECT user_id FROM events GROUP BY user_id
+        |        HAVING count(*) <= 85) sane USING (user_id)),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS to_type
+        |  FROM ev),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | round(CAST(n AS DOUBLE) /
+        |   sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c""".stripMargin,
 
     "fnv64_native" ->
       """SELECT CAST(col0 AS BIGINT) AS fid, CAST(col1 AS BIGINT) AS h FROM (VALUES

@@ -53,6 +53,39 @@ object SkewOps {
         max(col("sz")).as("max_sz"), sum(col("sz")).as("n_rows"))
   }
 
+  /** Key-sanity cap for carry-state operators — the P5 length-sanity
+    * discipline moved to KEYS: drop every row of keys holding more than
+    * `maxRows` rows. Sequential-per-key operators (the S8 sampler's
+    * carry scan, per-key lag windows) serialize the hottest key no
+    * matter how the rest of the job scales — the r11 planted-skew
+    * probes measured 2.9×/2.6× floors from one user owning half the
+    * events. A key that active is a bot or a broken client, and the
+    * sane pipeline move is to exclude and FLAG it upstream, not to
+    * crawl it.
+    *
+    * 100 TB shape: one COUNT aggregation (map-side partial combine
+    * spreads even the hot key over all map tasks — a count is never
+    * skewed) + a BROADCAST anti-join of the tiny over-cap key list; the
+    * corpus never shuffles here and no per-key sequential pass happens
+    * at all. [[hotKeyAudit]] is the flag side — always persist it next
+    * to a capped run so dropped traffic is visible, never silent. */
+  def capHotKeys(df: DataFrame, key: String, maxRows: Long): DataFrame = {
+    val over = df.groupBy(col(key)).agg(count(lit(1)).as("_kn"))
+      .filter(col("_kn") > maxRows).select(col(key))
+    df.join(broadcast(over), Seq(key), "left_anti")
+  }
+
+  /** What [[capHotKeys]] would drop at `maxRows`: one audit row
+    * (n_keys, n_keys_capped, n_rows_dropped) — the "cap-and-flag" half
+    * of the key-sanity discipline. Same never-skewed count aggregation;
+    * output is O(1). */
+  def hotKeyAudit(df: DataFrame, key: String, maxRows: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("kn"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("kn") > maxRows, 1L).otherwise(0L)).as("n_keys_capped"),
+        sum(when(col("kn") > maxRows, col("kn")).otherwise(0L))
+          .as("n_rows_dropped"))
+
   /** The `k` heaviest keys by group size (size desc, key asc tie-break) —
     * the concrete skew candidates the histogram points at. Aggregation +
     * TakeOrdered: no full sort materializes. */

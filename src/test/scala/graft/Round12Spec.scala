@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, GraphOps, SkewOps}
+
+/** Round-12 pins: session-conf hygiene across the whole query map, the
+  * key-sanity cap, the shared-pass minhash recall harness, the
+  * curate_e2e prefix plan, and pagerank's dangling-mass law. */
+class Round12Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --- session-conf hygiene (r11 item 5) -------------------------------
+
+  // building these executes side effects that don't belong in a
+  // build-only sweep (full streaming traces, sink round-trip writes) —
+  // the same exclusion set PlanSpec's plan sweep uses; every excluded
+  // streaming query runs on a CLONED session (streamSession), so a conf
+  // leak there cannot touch the shared session by construction
+  private val confSweepExcluded = Set("st_windowed_counts", "st_sessions",
+    "st_sessions_event", "st_dedup", "st_neardup", "st_stream_join",
+    "st_static_join", "k1_tsv_roundtrip", "k2_parquet_roundtrip",
+    "k5_json_roundtrip", "k6_compressed_sink", "k7_dict_roundtrip",
+    "k8_orc_roundtrip", "k9_upsert", "k10_seqfile_roundtrip",
+    "k12_partitioned_scan", "k13_compaction", "k14_bucketed_join",
+    "k15_manifest_skip", "st_cms", "st_expectations", "st_hll",
+    "st_throttle", "k19_inverted_index", "s19_split_index")
+
+  test("no query builder mutates the shared session conf (k30-style " +
+    "leaks caught across the full map)") {
+    // Tables.compatConfs legitimately sets two layout-compat keys on
+    // every load — pre-apply them so the snapshot reflects steady state
+    Tables.table(spark, sf, "documents").schema
+    val before = spark.conf.getAll
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(confSweepExcluded)
+      .flatMap { name =>
+        SparkEntry.queries(name)(spark, sf) // build only — no execution
+        val after = spark.conf.getAll
+        val changed = (after.keySet ++ before.keySet).filter(k =>
+          before.get(k) != after.get(k))
+        if (changed.isEmpty) None else Some(name -> changed)
+      }
+    assert(offenders.isEmpty,
+      s"builders mutated shared session conf: $offenders")
+  }
+
+  // --- key-sanity cap (r11 item 6) -------------------------------------
+
+  private def skewed = (Seq.tabulate(10)(i => (77L, 100L + i, i.toDouble)) ++
+    Seq((5L, 100L, 1.0), (5L, 101L, 2.0), (5L, 102L, 3.0)))
+    .toDF("user_id", "event_id", "value")
+
+  test("capHotKeys drops every row of over-cap keys and nothing else") {
+    val kept = SkewOps.capHotKeys(skewed, "user_id", maxRows = 5L)
+    assert(kept.count() == 3L)
+    assert(kept.select("user_id").distinct().as[Long].collect()
+      .toSet == Set(5L))
+    // cap exactly at the group size keeps the group (strict >)
+    assert(SkewOps.capHotKeys(skewed, "user_id", 10L).count() == 13L)
+  }
+
+  test("hotKeyAudit reports total, capped keys and dropped rows") {
+    val r = SkewOps.hotKeyAudit(skewed, "user_id", maxRows = 5L).head
+    assert(r.getLong(0) == 2L) // n_keys
+    assert(r.getLong(1) == 1L) // n_keys_capped
+    assert(r.getLong(2) == 10L) // n_rows_dropped
+  }
+
+  test("capHotKeys plans a broadcast anti-join: the corpus never " +
+    "shuffles for the cap") {
+    val p = SkewOps.capHotKeys(skewed, "user_id", 5L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  // --- shared-pass minhash recall harness (r11 item 3) ------------------
+
+  test("minhashRecallStats equals the two-leg composition it replaced, " +
+    "including empty-doc and short-doc edges") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "one two three four five six seven eight nine"), // exact dup of 3
+      (5L, "totally different content with no overlap at all"),
+      (6L, "ab cd"), // short doc: single joined shingle
+      (7L, "ab cd"), // its dup
+      (8L, ""), // empty doc
+      (9L, "")) // empty doc: jaccard(8,9) = 1.0 by the empty-set rule
+      .toDF("doc_id", "text")
+    val got = DedupOps.minhashRecallStats(base, "doc_id", "text",
+      truthThreshold = 0.5, candThreshold = 0.4).head
+    val truth = DedupOps.jaccardPairs(base, "doc_id", "text", 0.5)
+      .select(col("id_a"), col("id_b"), lit(1L).as("tr"))
+    val cand = DedupOps.verifiedNearDups(base, "doc_id", "text", 0.4)
+      .select(col("id_a"), col("id_b"), lit(1L).as("cd"))
+    val want = truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(when(col("tr").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("cd").isNotNull, 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("tr").isNotNull && col("cd").isNotNull, 1L)
+          .otherwise(0L)).as("n_hits")).head
+    assert(got.getLong(0) == want.getLong(0), s"n_truth: $got vs $want")
+    assert(got.getLong(1) == want.getLong(1), s"n_candidates: $got vs $want")
+    assert(got.getLong(2) == want.getLong(2), s"n_hits: $got vs $want")
+    // the fixture exercises the edges: empty-empty candidate pair kept
+    assert(want.getLong(1) >= 3L) // (1,2)-ish, (3,4), (6,7), (8,9) families
+  }
+
+  // --- curate_e2e prefix plan (r11 item 1) ------------------------------
+
+  test("curate_e2e's near-dup stage plans the prefix-filtered candidate " +
+    "path (rarity row_number window present)") {
+    // the named seam curate_e2e composes — inside the full query the CC
+    // fixpoint executes eagerly and truncates this subtree's lineage,
+    // so the pin reads the stage's own plan
+    val docs = Tables.table(spark, sf, "documents")
+    val p = SparkEntry.curateNearDupPairs(docs)
+      .queryExecution.executedPlan.toString
+    // row_number appears ONLY in jaccardPairsPrefix's by-rarity prefix
+    // selection — the plain inverted-index join has no window at all
+    assert(p.contains("row_number"), p)
+  }
+
+  // --- pagerank dangling-mass law (r11 item 7) --------------------------
+
+  test("pagerank drops sink mass: one-round rank sum follows " +
+    "teleport*N + d*(1 - sink_share) exactly") {
+    // node 3 is a sink (no out-edges); initial ranks 1/3 each
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val ranks = GraphOps.pagerank(edges, iters = 1)
+    val total = ranks.agg(sum("rank")).head.getDouble(0)
+    val expected = 0.15 + 0.85 * (1.0 - 1.0 / 3.0)
+    assert(math.abs(total - expected) < 1e-12,
+      s"sum=$total expected=$expected")
+    assert(total < 1.0) // the mass is dropped, not redistributed
+  }
+
+  test("personalizedPagerank drops sink mass too (rank sum < 1 on a " +
+    "graph with sinks)") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val total = GraphOps.personalizedPagerank(edges, Seq(1L), iters = 3)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(total < 1.0 && total > 0.0, s"sum=$total")
+  }
+}
