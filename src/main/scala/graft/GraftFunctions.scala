@@ -65,6 +65,8 @@ object GraftFunctions {
     toCol(graft.plans.SignBits(toExpr(emb), toExpr(planes)))
   def seededHash(c: Column, seed: Column): Column =
     toCol(graft.plans.SeededHash(toExpr(c), toExpr(seed)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    toCol(graft.plans.SortedIntersectCount(toExpr(a), toExpr(b)))
   def rollingFingerprint(c: Column): Column =
     toCol(graft.plans.RollingFingerprint(toExpr(c)))
 

@@ -63,9 +63,14 @@ object SparkEntry {
     * fat-bucket fan-out (r11 item 1). A named seam so Round12Spec can
     * pin the prefix plan — inside curate_e2e the CC fixpoint executes
     * eagerly and truncates this subtree's lineage out of the final
-    * plan. */
+    * plan. Accepts either a raw (doc_id, text) relation or one already
+    * carrying a `toks` column (curate_e2e's shared tokenize pass). */
   private[graft] def curateNearDupPairs(docs: DataFrame): DataFrame =
-    DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", threshold = 0.5)
+    if (docs.columns.contains("toks"))
+      DedupOps.jaccardPairsPrefixFromToks(
+        docs.select(col("doc_id").as("id"), col("toks")), threshold = 0.5)
+    else
+      DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", threshold = 0.5)
 
   /** Flagship query — the J1-style broadcast join pipeline:
     * orders ⋈ customer ⋈ nation, revenue by nation/segment. Data dir
@@ -453,17 +458,21 @@ object SparkEntry {
       // operator, composed
       graft.plans.GraftSparkExtensions.install(s)
       // the document relation feeds four gate subtrees (quality base,
-      // contamination, exact dedup, near-dup CC) — materialize the scan
-      // once, eagerly: the CC fixpoint runs per-round jobs, so the
-      // shared input must be cached BEFORE concurrent consumers race to
-      // compute it (same lesson as the k-means round checkpoints)
-      val docs = t(s, d, "documents").localCheckpoint()
+      // contamination, exact dedup, near-dup CC) — materialize ONE
+      // tokenize pass alongside the scan and let every stage read it
+      // (the FromToks seams; r12: tokenizing per stage cost ~1s at
+      // sf0.1). LAZY checkpoint: the builder is sequential — the first
+      // CC-round job materializes the blocks, nothing races
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          TermOps.tokens(col("text")).as("toks"))
+        .localCheckpoint(false)
       val base = docs.select(col("doc_id"),
-        (size(TermOps.tokens(col("text"))) < 20).as("low_q"),
+        (size(col("toks")) < 20).as("low_q"),
         pmod(expr("fnv64(concat(cast(doc_id as string), '#split'))")
           .bitwiseAND(lit(4294967295L)), lit(100L)).as("b"))
-      val contam = TextAnalysisOps.overlapFraction(docs, "doc_id", "text",
-          docs.filter(col("doc_id") % 97 === 0), "text", n = 8)
+      val contam = TextAnalysisOps.overlapFractionFromToks(docs, "doc_id",
+          "toks", docs.filter(col("doc_id") % 97 === 0), "toks", n = 8)
         .select(col("doc_id"),
           (col("n_hits") * 2 >= col("n_grams")).as("contam"))
       val exactKeep = DedupOps.exactGroups(docs, "doc_id", "text")

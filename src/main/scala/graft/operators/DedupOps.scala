@@ -294,45 +294,76 @@ object DedupOps {
     * candidate volume tracks the rare-shingle tail, not the hot head. */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double, shingleK: Int = 3,
-                         maxShingleDf: Long = 100L): DataFrame = {
+                         maxShingleDf: Long = 100L): DataFrame =
+    jaccardPairsPrefixFromToks(
+      docs.select(col(idCol).as("id"),
+        TermOps.tokens(col(textCol)).as("toks")),
+      threshold, shingleK, maxShingleDf)
+
+  /** [[jaccardPairsPrefix]] over a pre-tokenized `(id, toks)` relation —
+    * the shared-pass entry curate_e2e uses (one materialized tokenize
+    * pass feeds every curation stage). */
+  def jaccardPairsPrefixFromToks(toks: DataFrame, threshold: Double,
+                                 shingleK: Int = 3,
+                                 maxShingleDf: Long = 100L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
-    val shingled = docs
-      .select(col(idCol).as("id"), TermOps.tokens(col(textCol)).as("toks"))
+    graft.plans.GraftSparkExtensions.install(toks.sparkSession)
+    val shingled = toks
+      .select(col("id"), col("toks"))
       .filter(size(col("toks")) >= shingleK)
       .withColumn("sh_str",
         array_distinct(TermOps.shingleStrings(col("toks"), shingleK)))
       .select(col("id"),
         explode(expr("transform(sh_str, x -> fnv64(x))")).as("sh"))
     val sdf = shingled.groupBy("sh").agg(count(lit(1)).as("sdf"))
-    // materialize the df-capped index ONCE: prefix selection, the
-    // candidate join and exact verification all read it (the
-    // production pattern — at real scale this relation is written out
-    // and shared; lazily it would re-tokenize the corpus three times)
+    // checkpoint the df-capped index LAZILY: prefix selection, the
+    // candidate join and exact verification all read it, but they feed
+    // ONE action — the blocks materialize inside that job's first scan
+    // and are shared by the rest, without a separate eager
+    // materialization pass (the recorded eager-vs-lazy law: one
+    // sequential consumer chain → lazy; measured 4.1 → 3.5 s at sf0.1)
     val shk = shingled.join(sdf.filter(col("sdf") <= maxShingleDf), Seq("sh"))
-      .localCheckpoint()
-    val sizes = shk.groupBy("id").agg(count(lit(1)).as("n"))
-    val byRarity = Window.partitionBy(col("id"))
-      .orderBy(col("sdf").asc, col("sh").asc)
-    val pref = shk.withColumn("pos", row_number().over(byRarity))
-      .join(sizes, Seq("id"))
+      .localCheckpoint(false)
+    // ONE id-partitioned window pass yields the rarity rank AND the
+    // per-doc shingle count — the separate sizes groupBy + join the
+    // first cut had cost two more exchanges for the same numbers. The
+    // id partitions are doc-length-bounded, so unlike a by-shingle
+    // window this fusion has no hot-key risk.
+    val byId = Window.partitionBy(col("id"))
+    val byRarity = byId.orderBy(col("sdf").asc, col("sh").asc)
+    val annotated = shk
+      .withColumn("pos", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(byId))
+    val pref = annotated
       .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("sh"), col("id"))
     val cand = pref.select(col("sh"), col("id").as("id_a"))
       .join(pref.select(col("sh"), col("id").as("id_b")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val inter = cand
-      .join(shk.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(shk.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n", "nb"), "id_b")
+    // verification joins each side's SORTED shingle-hash ARRAY by id —
+    // one row per doc — and intersects in memory per candidate pair.
+    // The per-shingle alternative (join candidates back to the exploded
+    // index on (id, sh) + groupBy) shuffles candidates × avg-shingles
+    // ROWS (~40M at sf0.1); the array form moves the same bytes as
+    // payload on ~candidate-count rows with no re-aggregation. Sizes
+    // come free as size(array): shk rows are distinct per (id, sh).
+    // A groupBy, NOT an unbounded collect_list window over `annotated`:
+    // the window projects the FULL array onto every row before any
+    // pos-filter can drop it — O(shingles²) bytes per doc, measured
+    // 2.5 s at sf0.1 against the groupBy's one exchange.
+    val arrs = shk.groupBy("id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
+    cand
+      .join(arrs.select(col("id").as("id_a"), col("shs").as("sa")), Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("shs").as("sb")), Seq("id_b"))
+      // native two-pointer merge over the sorted arrays: array_intersect
+      // allocates a hash set per pair (~13 µs measured) — the merge is
+      // allocation-free generated Java (~0.5 µs)
+      .withColumn("i",
+        graft.GraftFunctions.sortedIntersectCount(col("sa"), col("sb")))
       .withColumn("jaccard", col("i").cast("double") /
-        (col("na") + col("nb") - col("i")))
+        (size(col("sa")) + size(col("sb")) - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 4).as("jaccard"))
@@ -423,15 +454,22 @@ object DedupOps {
     // materialize the raw pair relation ONCE: both the edge set below
     // and the singleton pass at the end read it, and without this the
     // whole upstream candidate pipeline (LSH/shingle joins — the
-    // expensive part) would execute a second time for the self-pair scan
-    val p = pairs.select(col(aCol), col(bCol)).localCheckpoint()
+    // expensive part) would execute a second time for the self-pair scan.
+    // ALL checkpoints in this loop are LAZY: every consumer is a
+    // SEQUENTIAL action (each round's sig() materializes that round's
+    // blocks before anything else reads them), so the eager variant's
+    // extra materialization job per round is pure scheduling floor —
+    // the concurrent-subtree race the eager rule guards against cannot
+    // occur between fully-ordered actions (halved the fixpoint's job
+    // count; measured on the r12 curate_e2e probe)
+    val p = pairs.select(col(aCol), col(bCol)).localCheckpoint(false)
     var e = p.select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
     var s = sig(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val ns = sig(next)
       converged = ns == s
       e = next; s = ns; rounds += 1
@@ -439,12 +477,18 @@ object DedupOps {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter rounds; raise maxIter")
-    // exact fixpoint verification — one more round compared by set
+    // exact fixpoint verification — one more round compared by SET
     // equality, so the probabilistic fingerprint can never let a wrong
-    // answer through
+    // answer through. Both sides are deduplicated sets, so equality ⟺
+    // the symmetric difference is empty ⟺ no (u,v) appears an odd
+    // number of times in the bag union — ONE aggregation action instead
+    // of the two directional exceptAll actions the first cut ran (each
+    // of which shuffled both sides; r12 fixpoint-floor trim)
     val again = smallStar(largeStar(e))
-    if (again.exceptAll(e).limit(1).count() > 0 ||
-        e.exceptAll(again).limit(1).count() > 0)
+    val oddRows = e.unionAll(again).groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("c")).filter(col("c") % 2 === 1)
+      .limit(1).count()
+    if (oddRows > 0)
       throw new IllegalStateException(
         "connectedComponents: fingerprint converged on a non-fixpoint " +
           "(hash collision); raise maxIter or rerun")

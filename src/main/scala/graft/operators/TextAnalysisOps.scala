@@ -181,16 +181,29 @@ object TextAnalysisOps {
     * have no grams and are absent (no 0/0 rows). */
   def overlapFraction(docs: DataFrame, idCol: String, textCol: String,
                       bench: DataFrame, benchTextCol: String,
-                      n: Int = 8): DataFrame = {
+                      n: Int = 8): DataFrame =
+    overlapFractionFromToks(
+      docs.select(col(idCol), TermOps.tokens(col(textCol)).as("_ofr_toks")),
+      idCol, "_ofr_toks",
+      bench.select(TermOps.tokens(col(benchTextCol)).as("_ofr_toks")),
+      "_ofr_toks", n)
+
+  /** [[overlapFraction]] over pre-tokenized relations — the shared-pass
+    * entry curate_e2e uses so one materialized tokenize pass feeds the
+    * contamination stage alongside the quality/dedup stages. */
+  def overlapFractionFromToks(docs: DataFrame, idCol: String,
+                              toksCol: String, bench: DataFrame,
+                              benchToksCol: String,
+                              n: Int = 8): DataFrame = {
     graft.plans.GraftSparkExtensions.install(docs.sparkSession)
-    def grams(df: DataFrame, text: String, idSel: Column*) =
-      df.select(idSel :+ TermOps.tokens(col(text)).as("toks"): _*)
+    def grams(df: DataFrame, toks: String, idSel: Column*) =
+      df.select(idSel :+ col(toks).as("toks"): _*)
         .filter(size(col("toks")) >= n)
         .withColumn("gs", array_distinct(TermOps.shingleStrings(col("toks"), n)))
         .withColumn("gh", explode(expr("transform(gs, x -> fnv64(x))")))
-    val benchG = grams(bench, benchTextCol)
+    val benchG = grams(bench, benchToksCol)
       .select(col("gh")).distinct().withColumn("hit", lit(1L))
-    grams(docs, textCol, col(idCol).as("doc_id"))
+    grams(docs, toksCol, col(idCol).as("doc_id"))
       .select(col("doc_id"), col("gh"))
       .join(broadcast(benchG), Seq("gh"), "left_outer")
       .groupBy(col("doc_id"))

@@ -75,6 +75,8 @@ object GraftSparkExtensions {
     unary("rolling_fingerprint", classOf[RollingFingerprint], RollingFingerprint),
     unary("extract_domain", classOf[ExtractDomain], ExtractDomain),
     binary("seeded_hash", classOf[SeededHash], SeededHash),
+    binary("sorted_intersect_count", classOf[SortedIntersectCount],
+      SortedIntersectCount),
     binary("cut_last", classOf[CutLast], CutLast),
     binary("decode_ez", classOf[DecodeEz], DecodeEz),
     binary("sign_bits", classOf[SignBits], SignBits),

@@ -149,6 +149,29 @@ object HashKernels {
   def seededData(s: UTF8String, seed: Int): Long =
     Hashing.mix(GraftExpressions.fnv1aUtf8(s) ^ Hashing.mix(seed.toLong))
 
+  /** |A ∩ B| of two ASCENDING-sorted long arrays by a two-pointer merge
+    * (equal runs count once, so the result is SET intersection size even
+    * if a side carries duplicates). Allocation-free — `array_intersect`
+    * builds a hash set per invocation, which dominated the prefix-join
+    * verification at ~13 µs/pair; the merge reads the UnsafeArrayData
+    * words in place. Precondition: sorted ascending, no null elements
+    * (both guaranteed by the sort_array(collect_list(fnv64)) producers). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        c += 1
+        while (i < n && a.getLong(i) == x) i += 1
+        while (j < m && b.getLong(j) == x) j += 1
+      }
+    }
+    c
+  }
+
   /** Base-31 rolling hash over UTF-16 code units — identical to
     * `Hashing.rollingHash` on the equivalent String. */
   def rollingData(s: UTF8String): Long = Hashing.rollingHash(s.toString)
@@ -422,6 +445,32 @@ case class SeededHash(left: Expression, right: Expression) extends BinaryExpress
     defineCodeGen(ctx, ev, (s, d) => s"graft.plans.HashKernels.seededData($s, $d)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SeededHash =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sorted_intersect_count(a, b)` — set-intersection size of two
+  * ascending-sorted long arrays (see
+  * [[HashKernels.sortedIntersectCount]]); the codegen-tier verification
+  * kernel of the prefix-filtered jaccard join. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "sorted_intersect_count"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "sorted_intersect_count requires (array<bigint>, array<bigint>)")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.HashKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
 }
 
