@@ -1139,6 +1139,41 @@ object SparkEntry {
             .as("cos_to_global"))
     }),
 
+    "embed_outliers" -> ((s, d) =>
+      // per-vector cosine to its OWN label centroid, flagged below 0.5
+      // — the mislabel/off-distribution audit beside embed_drift's
+      // label-level view; centroid is one (label, dim) exchange, the
+      // per-vector pass is a broadcast-join pure map
+      SimilarityOps.centroidOutliers(t(s, d, "embeddings"),
+        "vec_id", "label", "embedding", threshold = 0.0)),
+
+    "embed_matryoshka" -> ((s, d) => {
+      // Matryoshka-truncation audit (Kusupati et al. 2022): recall@5 of
+      // prefix-dim brute search against the full-64-dim truth — the
+      // serve-at-lower-dim go/no-go before shipping truncated indexes.
+      // One materialized corpus read feeds the truth and all three
+      // prefix paths (lazy: single action); slicing is a pure map, each
+      // path is the brute broadcast-join shape.
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .localCheckpoint(false)
+      def top5(dims: Option[Int]) = {
+        val e = dims.map(n => emb.select(col("vec_id"),
+          slice(col("embedding"), 1, n).as("embedding"))).getOrElse(emb)
+        SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+          .select(col("query_id"), col("nbr_id"))
+      }
+      val truth = top5(None).localCheckpoint(false)
+      Seq(8, 16, 32).map { n =>
+          top5(Some(n)).join(truth, Seq("query_id", "nbr_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(n).as("dims"), col("n_hits"))
+        }.reduce(_ unionAll _)
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(col("dims"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+    }),
+
     "graph_clustering" -> ((s, d) => {
       // local clustering coefficient over the part co-order graph (same
       // deterministic %4 node subsample as the census) — the
@@ -4709,6 +4744,33 @@ object SparkEntry {
           .as("bpe_per_ws"))
     }),
 
+    "text_gopher_rules" -> ((s, d) =>
+      // the Gopher hard-rule gate bits (Rae et al. 2021 §A1.1) — every
+      // rule an integer cross-multiplied compare, pure map
+      TextAnalysisOps.gopherRules(t(s, d, "documents"), "doc_id", "text")),
+
+    "text_fertility" -> ((s, d) => {
+      // tokenizer fertility (BPE-ish pieces per whitespace word) BY
+      // LANGUAGE — the aggregate tokenizer-choice audit over
+      // text_token_count's per-doc signal: a language whose fertility
+      // runs hot pays proportionally more context window. One exchange
+      // on the |langs|-sized key; token counting stays map-side.
+      val ws = size(TermOps.tokens(col("text"))).cast("long")
+      val bpe = size(TermOps.tokens(col("text"), TermOps.Bpe)).cast("long")
+      val chars = aggregate(
+        transform(TermOps.tokens(col("text")), x => length(x).cast("long")),
+        lit(0L), (a, x) => a + x)
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(sum(ws).as("n_ws"), sum(bpe).as("n_bpe"),
+          sum(chars).as("n_tok_chars"))
+        .select(col("lang"), col("n_ws"), col("n_bpe"),
+          round(col("n_bpe").cast("double") /
+            greatest(col("n_ws"), lit(1L)).cast("double"), 4).as("fertility"),
+          round(col("n_tok_chars").cast("double") /
+            greatest(col("n_ws"), lit(1L)).cast("double"), 4).as("avg_tok_len"))
+    }),
+
     "text_oov_rate" -> ((s, d) => {
       // tokenizer-vocabulary coverage: OOV fraction per doc against the
       // corpus dictionary (minDf ≥ 5) — the go/no-go before committing
@@ -6423,6 +6485,23 @@ object SparkEntry {
       |         ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM s)
       |SELECT query_id, nbr_id, round(sim,4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
 
+  /** Top-5 brute id pairs at an optional prefix-dim truncation — the
+    * [[annBruteSql]] chain parameterized for the matryoshka audit. */
+  private def matryoshkaTopSql(dims: Option[Int]): String = {
+    val v = dims.map(n => s"(CAST(embedding AS DOUBLE[]))[1:$n]")
+      .getOrElse("CAST(embedding AS DOUBLE[])")
+    s"""SELECT query_id, nbr_id FROM (
+       |WITH q AS (SELECT vec_id AS query_id, $v AS qe
+       |           FROM embeddings WHERE vec_id < 10),
+       |s AS (SELECT query_id, vec_id AS nbr_id,
+       |       list_cosine_similarity(qe, $v) AS sim
+       |      FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, nbr_id, sim,
+       |       row_number() OVER (PARTITION BY query_id
+       |         ORDER BY sim DESC, nbr_id ASC) AS rank FROM s)
+       |SELECT query_id, nbr_id FROM r WHERE rank <= 5)""".stripMargin
+  }
+
   private lazy val annIvfSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |cents AS (
@@ -7683,6 +7762,50 @@ object SparkEntry {
         |SELECT label, n_vecs, round(sqrt(nl), 6) AS centroid_norm,
         | round(dot / (sqrt(nl) * sqrt(ng)), 6) AS cos_to_global
         |FROM j""".stripMargin,
+
+    // centroid mu from per-(label, dim) float sums (engine sum-order
+    // noise absorbed by round 6); dot/norms are ORDERED left folds over
+    // the vector, bit-identical to Spark's aggregate(zip_with(...))
+    "embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i
+        |  FROM e),
+        |cs AS (SELECT label, i, sum(x) AS sx, CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |cent AS (SELECT label, list(sx / n ORDER BY i) AS c FROM cs GROUP BY 1),
+        |j AS (SELECT e.vec_id, e.label,
+        |   list_reduce(list_transform(range(1, len(v) + 1), k -> v[k] * c[k]),
+        |     (a, b) -> a + b) AS dot,
+        |   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nv,
+        |   list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b) AS nc
+        |  FROM e JOIN cent ON cent.label = e.label),
+        |o AS (SELECT vec_id, label,
+        |   CASE WHEN nv = 0 OR nc = 0 THEN 0.0::DOUBLE
+        |    ELSE round(dot / (sqrt(nv) * sqrt(nc)), 6) END AS cos_c
+        |  FROM j)
+        |SELECT vec_id, label, cos_c, cos_c < 0.0::DOUBLE AS outlier
+        |FROM o""".stripMargin,
+
+    // each path nests the full brute chain at its truncation (the
+    // ann_recall derived-table pattern); recall is integer hits / truth
+    "embed_matryoshka" ->
+      s"""WITH truth AS (${matryoshkaTopSql(None)}),
+         |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |p8 AS (SELECT 8 AS dims, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM (${matryoshkaTopSql(Some(8))}) x
+         |  JOIN truth USING (query_id, nbr_id)),
+         |p16 AS (SELECT 16 AS dims, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM (${matryoshkaTopSql(Some(16))}) x
+         |  JOIN truth USING (query_id, nbr_id)),
+         |p32 AS (SELECT 32 AS dims, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM (${matryoshkaTopSql(Some(32))}) x
+         |  JOIN truth USING (query_id, nbr_id)),
+         |u AS (SELECT * FROM p8 UNION ALL SELECT * FROM p16
+         |      UNION ALL SELECT * FROM p32)
+         |SELECT dims, n_hits, n_truth,
+         | round(CAST(n_hits AS DOUBLE) / n_truth, 4) AS recall
+         |FROM u, tn""".stripMargin,
 
     // identical orientation to the census; each triangle credits its
     // three corners via UNION ALL, coeff = 2T/(d(d−1)) over deg ≥ 2
@@ -11349,6 +11472,75 @@ object SparkEntry {
         |   CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
         |   x -> x <> '')) AS DOUBLE), 4) END AS bpe_per_ws
         |FROM documents""".stripMargin,
+
+    // every rule is an integer cross-multiplied compare — no float
+    // boundary anywhere, so the bits decide identically in both engines
+    "text_gopher_rules" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS tk,
+        |  string_split(text, chr(10)) AS ln, text AS t
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+        |    AS BIGINT) AS sum_len,
+        |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST(length(t) - length(replace(t, '...', '')) AS BIGINT) // 3
+        |    AS n_ell,
+        |  CAST(len(ln) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(ln, x -> x LIKE '- %' OR x LIKE '* %'))
+        |    AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(ln, x -> x LIKE '%...')) AS BIGINT) AS n_ellend,
+        |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+        |    AS BIGINT) AS n_alpha,
+        |  CAST((CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(tk, 'a') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(tk, 'in') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(tk, 'is') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_stop
+        | FROM b),
+        |r AS (
+        | SELECT doc_id, n_words, n_lines,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS r_mean_len,
+        |  (10 * (n_hash + n_ell) <= n_words) AS r_symbol,
+        |  (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+        |  (10 * n_ellend <= 3 * n_lines) AS r_ellipsis,
+        |  (5 * n_alpha >= 4 * n_words) AS r_alpha,
+        |  (n_stop >= 2) AS r_stop
+        | FROM m)
+        |SELECT doc_id, n_words, n_lines, r_word_count, r_mean_len, r_symbol,
+        | r_bullet, r_ellipsis, r_alpha, r_stop,
+        | (r_word_count AND r_mean_len AND r_symbol AND r_bullet
+        |  AND r_ellipsis AND r_alpha AND r_stop) AS keep
+        |FROM r""".stripMargin,
+
+    "text_fertility" ->
+      """WITH b AS (
+        | SELECT lang,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS ws,
+        |  CAST(len(list_filter(regexp_extract_all(lower(text),
+        |   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+        |   x -> x <> '')) AS BIGINT) AS bpe,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> ''), x -> length(x))), 0) AS BIGINT) AS tc
+        | FROM documents)
+        |SELECT lang, CAST(sum(ws) AS BIGINT) AS n_ws,
+        | CAST(sum(bpe) AS BIGINT) AS n_bpe,
+        | round(CAST(sum(bpe) AS DOUBLE) /
+        |   CAST(greatest(sum(ws), 1) AS DOUBLE), 4) AS fertility,
+        | round(CAST(sum(tc) AS DOUBLE) /
+        |   CAST(greatest(sum(ws), 1) AS DOUBLE), 4) AS avg_tok_len
+        |FROM b GROUP BY 1""".stripMargin,
 
     // dim=256; add-one smoothing; ln on identical doubles both sides.
     // Bucket convention shared with featureHashSql (h % 256 == the

@@ -674,4 +674,47 @@ object SimilarityOps {
     }
     v.select(col("lambda"), col("v"))
   }
+
+  /** Per-label centroid-cosine outlier flag — the embedding-space data
+    * audit that catches mislabeled / off-distribution vectors before
+    * they poison contrastive sampling or dedup thresholds: each vector's
+    * cosine to its OWN label's mean vector, flagged when below
+    * `threshold`.
+    *
+    * Scale shape: the centroid pass is one (label, dim)-keyed exchange
+    * to O(labels × d) cells (the [[scatterMatrix]] discipline — the
+    * corpus itself never self-joins); per-vector cosines are then a pure
+    * map over a BROADCAST of the label→centroid-array relation, zero
+    * further shuffles. Determinism: dot/norm are ORDERED zip_with folds
+    * over the vector and the j-sorted centroid array (the t14
+    * list-state discipline); only the centroid's per-dim sum order
+    * differs across engines, absorbed by `round(roundTo)`. Zero-norm
+    * sides report cosine 0 (flagged) instead of NaN. */
+  def centroidOutliers(emb: DataFrame, idCol: String, labelCol: String,
+                       embCol: String, threshold: Double,
+                       roundTo: Int = 6): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      col(embCol).cast("array<double>").as("v"))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), (col("sx") / col("n")).as("mu")))),
+        p => p.getField("mu")).as("c"))
+    e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("v"), col("c"), (a, b) => a * b),
+          lit(0.0d), (acc, x) => acc + x).as("dot"),
+        aggregate(transform(col("v"), x => x * x),
+          lit(0.0d), (acc, x) => acc + x).as("nv"),
+        aggregate(transform(col("c"), x => x * x),
+          lit(0.0d), (acc, x) => acc + x).as("nc"))
+      .select(col("vec_id"), col("label"),
+        when(col("nv") === 0.0d || col("nc") === 0.0d, lit(0.0d))
+          .otherwise(round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))),
+            roundTo)).as("cos_c"))
+      .withColumn("outlier", col("cos_c") < threshold)
+  }
 }

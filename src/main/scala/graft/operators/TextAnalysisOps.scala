@@ -450,4 +450,67 @@ object TextAnalysisOps {
         regexp_replace(col("_t1"), lit(phone), lit("<PHONE>"))
           .as("scrubbed"))
   }
+
+  /** Function words whose PRESENCE (≥ `GopherMinStopwords` distinct) is
+    * the Gopher natural-language gate — a different signal from
+    * [[EnStopwords]]' ratio: gibberish and tables score zero here.
+    * (Gopher's canonical list is {the, be, to, of, and, that, have,
+    * with}; this set keeps the same presence semantics over common
+    * English function words.) */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "a", "in", "is", "and", "of", "to", "with")
+  val GopherMinStopwords = 2
+
+  /** Gopher-style hard quality RULES (Rae et al. 2021 §A1.1) — the
+    * boolean gate bits a pretraining pipeline filters on, complementing
+    * [[qualityMetrics]]' continuous signals. Every rule is an INTEGER
+    * cross-multiplied comparison (10·symbols ≤ words, not
+    * symbols/words ≤ 0.1), so there is no float boundary anywhere and
+    * both engines decide identically. Pure map — zero exchanges at any
+    * scale. Bits (true = passes):
+    *  - `r_word_count`: 50 ≤ words ≤ 100 000
+    *  - `r_mean_len`:   mean token length in [3, 10] chars
+    *  - `r_symbol`:     (# of '#' chars + '…'-as-'...' runs) ≤ 10% of words
+    *  - `r_bullet`:     ≤ 90% of lines start with a bullet ('- ' / '* ')
+    *  - `r_ellipsis`:   ≤ 30% of lines end with '...'
+    *  - `r_alpha`:      ≥ 80% of tokens contain a letter
+    *  - `r_stop`:       ≥ 2 distinct [[GopherStopwords]] present
+    * `keep` is the conjunction. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .select(col(idCol).as("doc_id"), TermOps.tokens(t).as("tk"),
+        split(t, "\n").as("ln"), t.as("_t"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        expr("aggregate(tk, 0L, (a, x) -> a + length(x))").as("sum_len"),
+        (length(col("_t")) -
+          length(regexp_replace(col("_t"), "#", ""))).cast("long").as("n_hash"),
+        expr("CAST(length(_t) - length(replace(_t, '...', '')) AS BIGINT) div 3")
+          .as("n_ell"),
+        size(col("ln")).cast("long").as("n_lines"),
+        expr("size(filter(ln, x -> x like '- %' or x like '* %'))")
+          .cast("long").as("n_bullet"),
+        expr("size(filter(ln, x -> x like '%...'))")
+          .cast("long").as("n_ellend"),
+        expr("size(filter(tk, x -> x rlike '[a-z]'))")
+          .cast("long").as("n_alpha"),
+        GopherStopwords.map(w =>
+            array_contains(col("tk"), w).cast("int"))
+          .reduce(_ + _).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L).as("r_word_count"),
+        (lit(3L) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10L) * col("n_words")).as("r_mean_len"),
+        (lit(10L) * (col("n_hash") + col("n_ell")) <= col("n_words"))
+          .as("r_symbol"),
+        (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines")).as("r_bullet"),
+        (lit(10L) * col("n_ellend") <= lit(3L) * col("n_lines")).as("r_ellipsis"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("r_alpha"),
+        (col("n_stop") >= GopherMinStopwords.toLong).as("r_stop"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop"))
+  }
 }

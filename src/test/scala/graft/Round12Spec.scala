@@ -147,4 +147,63 @@ class Round12Spec extends AnyFunSuite {
       .agg(sum("rank")).head.getDouble(0)
     assert(total < 1.0 && total > 0.0, s"sum=$total")
   }
+
+  // --- Gopher rule bits -------------------------------------------------
+
+  test("gopherRules bits fire rule by rule on crafted docs") {
+    val sixty = Seq.fill(15)("the scan is fast").mkString(" ")
+    val docs = Seq(
+      (1L, sixty),                                    // passes everything
+      (2L, "tiny doc the a is"),                      // fails word count only
+      (3L, (1 to 10).map(i => s"- bullet $i").mkString("\n")), // all-bullet
+      (4L, sixty + " " + Seq.fill(20)("#").mkString(" ")),     // symbol-heavy
+      (5L, Seq.fill(60)("12345").mkString(" "))       // no letters, no stops
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysisOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(row => row.getLong(0) -> row).toMap
+    def bit(id: Long, name: String): Boolean =
+      r(id).getBoolean(r(id).fieldIndex(name))
+    assert(bit(1L, "keep"))
+    assert(!bit(2L, "r_word_count") && bit(2L, "r_stop") && !bit(2L, "keep"))
+    assert(!bit(3L, "r_bullet") && !bit(3L, "keep"))
+    assert(!bit(4L, "r_symbol") && bit(4L, "r_word_count") && !bit(4L, "keep"))
+    assert(!bit(5L, "r_alpha") && !bit(5L, "r_stop") && !bit(5L, "keep"))
+  }
+
+  test("gopherRules is a pure map: zero exchanges in the plan") {
+    val p = graft.operators.TextAnalysisOps
+      .gopherRules(Tables.table(spark, sf, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  // --- centroid outliers ------------------------------------------------
+
+  test("centroidOutliers flags the vector pointing away from its label " +
+    "centroid; collinear labels score cosine 1") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 0, Array(1.0f, 0.1f)), (4L, 0, Array(-1.0f, 0.0f)),
+      (5L, 1, Array(0.0f, 1.0f)), (6L, 1, Array(0.0f, 0.8f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.operators.SimilarityOps
+      .centroidOutliers(vecs, "vec_id", "label", "embedding", threshold = 0.0)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("cos_c"), r.getAs[Boolean]("outlier")))).toMap
+    assert(out(4L)._2 && out(4L)._1 < 0.0)
+    assert(!out(1L)._2 && !out(2L)._2 && !out(3L)._2)
+    assert(out(5L)._1 == 1.0 && out(6L)._1 == 1.0)
+    assert(!out(5L)._2 && !out(6L)._2)
+  }
+
+  test("centroidOutliers scores via a broadcast join — the corpus is " +
+    "never shuffled for the per-vector pass") {
+    val p = graft.operators.SimilarityOps
+      .centroidOutliers(Tables.table(spark, sf, "embeddings"),
+        "vec_id", "label", "embedding", threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
