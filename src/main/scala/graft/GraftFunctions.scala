@@ -67,6 +67,10 @@ object GraftFunctions {
     toCol(graft.plans.SeededHash(toExpr(c), toExpr(seed)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     toCol(graft.plans.SortedIntersectCount(toExpr(a), toExpr(b)))
+  def shingleHashes(toks: Column, k: Int): Column =
+    toCol(graft.plans.ShingleHashes(toExpr(toks),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+  def fnv64(c: Column): Column = toCol(graft.plans.FnvHash64(toExpr(c)))
   def rollingFingerprint(c: Column): Column =
     toCol(graft.plans.RollingFingerprint(toExpr(c)))
 

@@ -1597,8 +1597,7 @@ object SparkEntry {
         .select(col("doc_id"), TermOps.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(array_distinct(
-          TermOps.shingleStrings(col("toks"), 3))).as("sh"))
-        .select(col("doc_id"), expr("fnv64(sh)").as("h"))
+          graft.GraftFunctions.shingleHashes(col("toks"), 3))).as("h"))
       hashed
         .withColumn("first_doc",
           min(col("doc_id")).over(Window.partitionBy("h")))

@@ -37,6 +37,16 @@ object DedupOps {
       .when(size(toks) < k, array(array_join(toks, " ")))
       .otherwise(TermOps.shingleStrings(toks, k))
 
+  /** DISTINCT hashed k-shingles with [[shingleCol]]'s short-input edge —
+    * value-identical to `array_distinct(shingleCol) → fnv64 each` but
+    * the ≥ k branch runs the native `shingle_hashes` kernel instead of
+    * the interpreted string-building HOF chain. */
+  private def shingleHashCol(toks: Column, k: Int): Column =
+    when(size(toks) === 0, array().cast("array<bigint>"))
+      .when(size(toks) < k,
+        array(graft.GraftFunctions.fnv64(array_join(toks, " "))))
+      .otherwise(array_distinct(graft.GraftFunctions.shingleHashes(toks, k)))
+
   /** Exact content dedup: group by md5(text); emit (hash, keep_id = min id,
     * dup_count). Downstream `docs.join(result, "doc_id"==keep_id)` keeps one
     * representative per content group. */
@@ -95,8 +105,11 @@ object DedupOps {
                        bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       TermOps.tokens(col(textCol)).as("toks"))
+    // hashed shingle sets: jaccardSet over fnv64 keys is set-identical
+    // to the string arrays modulo the ~2^-64 collision identity the
+    // family already accepts, and skips the string-building HOF chain
     val shingled = toks.select(col("id"),
-      shingleCol(col("toks"), shingleK).as("sh"))
+      shingleHashCol(col("toks"), shingleK).as("sh"))
     minhashCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -133,9 +146,7 @@ object DedupOps {
     // leg can replay jaccardPairs' ≥ shingleK document filter
     val sh = toks
       .select(col("doc_id"), size(col("toks")).as("nt"),
-        array_distinct(shingleCol(col("toks"), shingleK)).as("sh_str"))
-      .select(col("doc_id"), col("nt"),
-        explode(expr("transform(sh_str, x -> fnv64(x))")).as("sh"))
+        explode(shingleHashCol(col("toks"), shingleK)).as("sh"))
       .localCheckpoint()
     // truth leg: byte-identical to jaccardPairs' chain, reading `sh`
     val shT = sh.filter(col("nt") >= shingleK).select("doc_id", "sh")
@@ -219,7 +230,7 @@ object DedupOps {
       .select("train_id", "eval_id").distinct()
     def shingled(df: DataFrame, side: String, shCol: String) =
       df.select(col(idCol).as(side),
-        shingleCol(TermOps.tokens(col(textCol)), shingleK).as(shCol))
+        shingleHashCol(TermOps.tokens(col(textCol)), shingleK).as(shCol))
     cand
       .join(shingled(train, "train_id", "sh_a"), "train_id")
       .join(shingled(eval, "eval_id", "sh_b"), "eval_id")
@@ -263,9 +274,8 @@ object DedupOps {
     val shingled = docs
       .select(col(idCol).as("id"), TermOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleK)
-      .withColumn("sh_str",
-        array_distinct(TermOps.shingleStrings(col("toks"), shingleK)))
-      .select(col("id"), explode(expr("transform(sh_str, x -> fnv64(x))")).as("sh"))
+      .select(col("id"), explode(array_distinct(
+        graft.GraftFunctions.shingleHashes(col("toks"), shingleK))).as("sh"))
     val kept = shingled.groupBy("sh").agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") <= maxShingleDf).select("sh")
     val shk = shingled.join(kept, Seq("sh"))
@@ -311,10 +321,8 @@ object DedupOps {
     val shingled = toks
       .select(col("id"), col("toks"))
       .filter(size(col("toks")) >= shingleK)
-      .withColumn("sh_str",
-        array_distinct(TermOps.shingleStrings(col("toks"), shingleK)))
-      .select(col("id"),
-        explode(expr("transform(sh_str, x -> fnv64(x))")).as("sh"))
+      .select(col("id"), explode(array_distinct(
+        graft.GraftFunctions.shingleHashes(col("toks"), shingleK))).as("sh"))
     val sdf = shingled.groupBy("sh").agg(count(lit(1)).as("sdf"))
     // checkpoint the df-capped index LAZILY: prefix selection, the
     // candidate join and exact verification all read it, but they feed
@@ -556,9 +564,8 @@ object DedupOps {
     val grams = docs
       .select(col(idCol).as("doc_id"), TermOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= w)
-      .withColumn("grams", TermOps.shingleStrings(col("toks"), w))
-      .select(col("doc_id"),
-        explode(expr("transform(grams, x -> fnv64(x))")).as("gh"))
+      .select(col("doc_id"), explode(
+        graft.GraftFunctions.shingleHashes(col("toks"), w)).as("gh"))
     val perDoc = grams.groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
     val dup = perDoc.groupBy("gh").agg(sum("c").as("n"))
       .filter(col("n") >= minCount).select(col("gh"), lit(1).as("dup"))

@@ -160,8 +160,8 @@ object TextAnalysisOps {
     def grams(df: DataFrame, id: String, text: String, out: String) =
       df.select(col(id).as(out), TermOps.tokens(col(text)).as("toks"))
         .filter(size(col("toks")) >= n)
-        .withColumn("gs", array_distinct(TermOps.shingleStrings(col("toks"), n)))
-        .select(col(out), explode(expr("transform(gs, x -> fnv64(x))")).as("g"))
+        .select(col(out), explode(array_distinct(
+          graft.GraftFunctions.shingleHashes(col("toks"), n))).as("g"))
     grams(docs, idCol, textCol, "doc_id")
       .join(broadcast(grams(probes, probeIdCol, probeTextCol, "probe_id")), Seq("g"))
       .groupBy("doc_id", "probe_id").agg(count(lit(1)).as("n_shared"))
@@ -199,8 +199,8 @@ object TextAnalysisOps {
     def grams(df: DataFrame, toks: String, idSel: Column*) =
       df.select(idSel :+ col(toks).as("toks"): _*)
         .filter(size(col("toks")) >= n)
-        .withColumn("gs", array_distinct(TermOps.shingleStrings(col("toks"), n)))
-        .withColumn("gh", explode(expr("transform(gs, x -> fnv64(x))")))
+        .withColumn("gh", explode(array_distinct(
+          graft.GraftFunctions.shingleHashes(col("toks"), n))))
     val benchG = grams(bench, benchToksCol)
       .select(col("gh")).distinct().withColumn("hit", lit(1L))
     grams(docs, toksCol, col(idCol).as("doc_id"))
@@ -271,9 +271,11 @@ object TextAnalysisOps {
     * the whole signal stays inside codegen. */
   def repetitionRatio(text: Column, k: Int = 3): Column = {
     val toks = TermOps.tokens(text)
-    val sh = TermOps.shingleStrings(toks, k)
-    // total shingles = size(toks) - k + 1 by construction: avoids
-    // materializing the shingle array twice in the expression tree
+    // distinct count runs over the NATIVE hashed shingles (two distinct
+    // shingle strings count once only on an fnv64 collision — ~2^-64
+    // per pair, the identity convention the whole dedup family already
+    // uses); total shingles = size(toks) - k + 1 by construction
+    val sh = graft.GraftFunctions.shingleHashes(toks, k)
     when(size(toks) < k, lit(0.0)).otherwise(
       round(lit(1.0) - size(array_distinct(sh)).cast("double") /
         (size(toks) - lit(k - 1)).cast("double"), 4))

@@ -77,6 +77,7 @@ object GraftSparkExtensions {
     binary("seeded_hash", classOf[SeededHash], SeededHash),
     binary("sorted_intersect_count", classOf[SortedIntersectCount],
       SortedIntersectCount),
+    binary("shingle_hashes", classOf[ShingleHashes], ShingleHashes),
     binary("cut_last", classOf[CutLast], CutLast),
     binary("decode_ez", classOf[DecodeEz], DecodeEz),
     binary("sign_bits", classOf[SignBits], SignBits),

@@ -54,6 +54,27 @@ object HashKernels {
     out
   }
 
+  /** FNV-1a hash of every k-token shingle — value-identical to
+    * `transform(shingleStrings(toks, k), x -> fnv64(x))` (the separator
+    * byte 0x20 folds between tokens, so each hash equals
+    * `Hashing.fnv1a(window.mkString(" "))`) WITHOUT materializing the
+    * shingle Strings: the interpreted HOF chain (slice + array_join per
+    * window) measured ~2 s over sf0.1's documents, this kernel is a
+    * tight byte fold in generated Java. Fewer than k tokens → empty
+    * array (every caller pre-filters `size(toks) >= k`; note
+    * shingleStrings itself must NOT be called unguarded there because
+    * Spark's `sequence(0, n-k)` DESCENDS for n < k). */
+  def shingleHashesData(a: ArrayData, k: Int): ArrayData = {
+    if (a == null) return new GenericArrayData(Array.emptyLongArray)
+    val toks = utf8Tokens(a)
+    val n = toks.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var s = 0
+    while (s <= n - k) { out(s) = fnvShingle(toks, s, k); s += 1 }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over word k-shingles — same shingle semantics as
     * `Hashing.shingles` (empty → all-MaxValue signature; shorter than k
     * → one whole-list shingle) and same seeded family as
@@ -372,6 +393,39 @@ case class MinHashSig(child: Expression, k: Expression, num: Expression)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): MinHashSig =
     copy(child = newChildren(0), k = newChildren(1), num = newChildren(2))
+}
+
+/** `shingle_hashes(tokens, k)` — FNV-1a of every k-token shingle (see
+  * [[HashKernels.shingleHashesData]]); the codegen-tier map kernel of
+  * the whole shingle→hash dedup family. */
+case class ShingleHashes(child: Expression, k: Expression)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(child, k)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match {
+      case ArrayType(StringType, _) => false; case _ => true
+    }) TypeCheckResult.TypeCheckFailure("shingle_hashes requires array<string>")
+    else if (!GraftExpressions.nonNullIntLiteral(k))
+      TypeCheckResult.TypeCheckFailure(
+        "shingle_hashes requires a non-null int literal k")
+    else TypeCheckResult.TypeCheckSuccess
+  private lazy val kV = k.eval().asInstanceOf[Int]
+  override def eval(input: InternalRow): Any =
+    HashKernels.shingleHashesData(
+      child.eval(input).asInstanceOf[ArrayData], kV)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nArrayData ${ev.value} = " +
+      code"graft.plans.HashKernels.shingleHashesData(" +
+      code"${c.isNull} ? null : ${c.value}, $kV);",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ShingleHashes =
+    copy(child = newChildren(0), k = newChildren(1))
 }
 
 /** `simhash64(tokens)` → 64-bit SimHash. */

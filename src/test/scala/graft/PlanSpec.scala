@@ -272,9 +272,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("dedup_spans")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoop"), p)
-    // windows travel as fnv64 hashes: every Exchange partitions on a
-    // doc_id/gh long key, none re-shuffles the gram strings
-    assert(p.contains("fnv64"), p)
+    // windows travel as fnv64 hashes (since r12 via the native
+    // shingle_hashes kernel, which never materializes the gram
+    // strings): every Exchange partitions on a doc_id/gh long key
+    assert(p.contains("shingle_hashes"), p)
     assert(!"Exchange hashpartitioning\\(gram".r.findFirstIn(p).isDefined, p)
   }
 

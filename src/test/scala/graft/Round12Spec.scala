@@ -148,6 +148,28 @@ class Round12Spec extends AnyFunSuite {
     assert(total < 1.0 && total > 0.0, s"sum=$total")
   }
 
+  // --- native shingle-hash kernel ---------------------------------------
+
+  test("shingle_hashes equals fnv64 over the joined shingle strings, " +
+    "including unicode tokens and k=1") {
+    import graft.operators.TermOps
+    val docs = Seq("the quick brown fox jumps over", "a b",
+      "x y z", "café naïve 東京 都内 test tokens", "solo").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (k <- Seq(1, 3)) {
+      val toks = TermOps.tokens(col("text"))
+      val rows = docs.select(
+        GraftFunctions.shingleHashes(toks, k).as("kern"),
+        when(size(toks) < k, expr("array()").cast("array<bigint>"))
+          .otherwise(transform(TermOps.shingleStrings(toks, k),
+            x => GraftFunctions.fnv64(x))).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k: $r")
+      }
+    }
+  }
+
   // --- Gopher rule bits -------------------------------------------------
 
   test("gopherRules bits fire rule by rule on crafted docs") {
