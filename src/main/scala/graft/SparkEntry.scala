@@ -1140,10 +1140,12 @@ object SparkEntry {
     }),
 
     "embed_outliers" -> ((s, d) =>
-      // per-vector cosine to its OWN label centroid, flagged below 0.5
-      // — the mislabel/off-distribution audit beside embed_drift's
-      // label-level view; centroid is one (label, dim) exchange, the
-      // per-vector pass is a broadcast-join pure map
+      // per-vector cosine to its OWN label centroid, flagged below 0.0
+      // (this corpus' cosines span [-0.3, 0.47], so a textbook 0.5
+      // would flag everything) — the mislabel/off-distribution audit
+      // beside embed_drift's label-level view; centroid is one
+      // (label, dim) exchange, the per-vector pass is a broadcast-join
+      // pure map
       SimilarityOps.centroidOutliers(t(s, d, "embeddings"),
         "vec_id", "label", "embedding", threshold = 0.0)),
 

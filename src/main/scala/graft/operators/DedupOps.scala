@@ -110,7 +110,12 @@ object DedupOps {
     // family already accepts, and skips the string-building HOF chain
     val shingled = toks.select(col("id"),
       shingleHashCol(col("toks"), shingleK).as("sh"))
-    minhashCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+    // candidates read the SAME tokenized relation (the FromToks seam) —
+    // going through the text-taking entry would tokenize the corpus a
+    // second time for no reason
+    minhashCandidatesFromToks(
+      toks.select(col("id").as("doc_id"), col("toks")),
+      shingleK, bands, rowsPerBand)
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", jaccardSet(col("sh_a"), col("sh_b")))

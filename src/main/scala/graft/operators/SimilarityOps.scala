@@ -689,7 +689,8 @@ object SimilarityOps {
     * over the vector and the j-sorted centroid array (the t14
     * list-state discipline); only the centroid's per-dim sum order
     * differs across engines, absorbed by `round(roundTo)`. Zero-norm
-    * sides report cosine 0 (flagged) instead of NaN. */
+    * sides report cosine 0 instead of NaN (whether 0 flags depends on
+    * the sign of `threshold`). */
   def centroidOutliers(emb: DataFrame, idCol: String, labelCol: String,
                        embCol: String, threshold: Double,
                        roundTo: Int = 6): DataFrame = {

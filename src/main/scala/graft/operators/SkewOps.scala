@@ -71,8 +71,12 @@ object SkewOps {
     * to a capped run so dropped traffic is visible, never silent. */
   def capHotKeys(df: DataFrame, key: String, maxRows: Long): DataFrame = {
     val over = df.groupBy(col(key)).agg(count(lit(1)).as("_kn"))
-      .filter(col("_kn") > maxRows).select(col(key))
-    df.join(broadcast(over), Seq(key), "left_anti")
+      .filter(col("_kn") > maxRows).select(col(key).as("_ck"))
+    // NULL-SAFE anti-join: a plain left_anti on the key never matches a
+    // NULL group, so an over-cap null-key cohort would silently survive
+    // while [[hotKeyAudit]] reports it dropped — <=> keeps the three
+    // surfaces (cap, audit, oracle) agreeing on null keys too
+    df.join(broadcast(over), df(key) <=> col("_ck"), "left_anti")
   }
 
   /** What [[capHotKeys]] would drop at `maxRows`: one audit row

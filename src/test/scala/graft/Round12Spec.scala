@@ -34,7 +34,11 @@ class Round12Spec extends AnyFunSuite {
     // Tables.compatConfs legitimately sets two layout-compat keys on
     // every load — pre-apply them so the snapshot reflects steady state
     Tables.table(spark, sf, "documents").schema
-    val before = spark.conf.getAll
+    // re-snapshot after every builder: against a fixed initial snapshot,
+    // one leaking builder would misattribute every LATER query as an
+    // offender (and a builder restoring the original value would read
+    // clean) — the per-iteration baseline names exactly the leaker
+    var before = spark.conf.getAll
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(confSweepExcluded)
       .flatMap { name =>
@@ -42,6 +46,7 @@ class Round12Spec extends AnyFunSuite {
         val after = spark.conf.getAll
         val changed = (after.keySet ++ before.keySet).filter(k =>
           before.get(k) != after.get(k))
+        before = after
         if (changed.isEmpty) None else Some(name -> changed)
       }
     assert(offenders.isEmpty,
@@ -61,6 +66,19 @@ class Round12Spec extends AnyFunSuite {
       .toSet == Set(5L))
     // cap exactly at the group size keeps the group (strict >)
     assert(SkewOps.capHotKeys(skewed, "user_id", 10L).count() == 13L)
+  }
+
+  test("capHotKeys drops an over-cap NULL-key cohort too (null-safe " +
+    "anti-join), agreeing with hotKeyAudit's count") {
+    val withNulls = (Seq.tabulate(6)(i =>
+        (None: Option[Long], 200L + i, i.toDouble)) ++
+      Seq((Some(9L), 300L, 1.0), (Some(9L), 301L, 2.0)))
+      .toDF("user_id", "event_id", "value")
+    val kept = SkewOps.capHotKeys(withNulls, "user_id", maxRows = 5L)
+    assert(kept.count() == 2L, "the 6-row null cohort must drop")
+    val audit = SkewOps.hotKeyAudit(withNulls, "user_id", maxRows = 5L)
+      .head()
+    assert(audit.getAs[Long]("n_rows_dropped") == 6L)
   }
 
   test("hotKeyAudit reports total, capped keys and dropped rows") {
