@@ -2015,6 +2015,33 @@ object SparkEntry {
             .as("retention"))
     }),
 
+    "stats_capture_recapture" -> ((s, d) => {
+      // Chapman capture-recapture estimate of the total user population
+      // from two observation windows (the first 4 hours of the span's
+      // day 1 and of day 2 — half-span windows see EVERY user on this
+      // corpus and estimate trivially): n1/n2 marked per window, m
+      // recaptured in both, N̂ = (n1+1)(n2+1)/(m+1) − 1 — the dedup /
+      // coverage estimator for "how many distinct users exist beyond
+      // what either window saw". One user-keyed exchange to O(users)
+      // membership rows, then a single aggregate; integers until the
+      // final division.
+      val ev = t(s, d, "events")
+        .select(expr("CAST(ts AS LONG)").as("sec"), col("user_id"))
+      val t0 = ev.agg(min("sec").as("t0"))
+      ev.crossJoin(broadcast(t0))
+        .withColumn("off", col("sec") - col("t0"))
+        .groupBy("user_id")
+        .agg(max(when(col("off") < 14400L, 1L).otherwise(0L)).as("in1"),
+          max(when(col("off") >= 86400L && col("off") < 100800L, 1L)
+            .otherwise(0L)).as("in2"))
+        .agg(sum("in1").as("n1"), sum("in2").as("n2"),
+          sum(when(col("in1") === 1L && col("in2") === 1L, 1L)
+            .otherwise(0L)).as("m"))
+        .select(col("n1"), col("n2"), col("m"),
+          round(((col("n1") + 1L) * (col("n2") + 1L)).cast("double") /
+            (col("m") + 1L).cast("double") - 1.0, 4).as("chapman"))
+    }),
+
     "a19_mode" -> ((s, d) =>
       // statistical mode per group (§2.5 completeness): each user's
       // modal event_type, ties to the lexicographically smallest —
@@ -8430,6 +8457,27 @@ object SparkEntry {
         |SELECT a.c_week, a.age_weeks, a.n_active, s.n_cohort,
         | round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
         |FROM act a JOIN sz s ON a.c_week = s.c_week""".stripMargin,
+
+    // the (n1+1)(n2+1) product multiplies in BIGINT then casts — the
+    // Spark side's exact law (not a DOUBLE-typed multiply)
+    "stats_capture_recapture" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 1000000 AS sec,
+        |    user_id FROM events),
+        |md AS (SELECT min(sec) AS t0 FROM ev),
+        |s AS (SELECT user_id,
+        |   max(CASE WHEN sec - t0 < 14400 THEN 1 ELSE 0 END) AS in1,
+        |   max(CASE WHEN sec - t0 >= 86400 AND sec - t0 < 100800
+        |        THEN 1 ELSE 0 END) AS in2
+        |  FROM ev, md GROUP BY 1),
+        |a AS (SELECT CAST(sum(in1) AS BIGINT) AS n1,
+        |   CAST(sum(in2) AS BIGINT) AS n2,
+        |   CAST(sum(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS m
+        |  FROM s)
+        |SELECT n1, n2, m,
+        | round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) /
+        |   CAST(m + 1 AS DOUBLE) - 1.0, 4) AS chapman
+        |FROM a""".stripMargin,
 
     // mode via (-n, type) argmin — ties to the smallest type
     "a19_mode" ->
