@@ -4632,6 +4632,17 @@ object SparkEntry {
       TermOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
         queryTerms = Seq("scan", "join", "merge"), k = 20)),
 
+    "search_maxscore" -> ((s, d) =>
+      // MaxScore-pruned exact BM25 top-20 on a skewed-df query: 'dup'
+      // (df ≈ 5 % of docs, UB ≈ 6.6) vs near-stopwords 'scan'/'join'
+      // (UB ≈ 0.5 each) — docs without the rare term upper-bound at
+      // ~1.0, far below the seed threshold, so ~95 % of matching docs
+      // never reach exact scoring (Round12Spec pins the fraction and
+      // the byte-equality with the unpruned scorer); the oracle is the
+      // UNPRUNED bm25 chain, so losslessness is the gate
+      TermOps.maxScoreSearch(t(s, d, "documents"), "doc_id", "text",
+        queryTerms = Seq("dup", "scan", "join"), k = 20)),
+
     "sketch_kmv" -> ((s, d) => {
       // KMV distinct sketch: k=64 exercises the estimator on user_id
       // (distinct count > k), k=256 the exact small-set path is avoided
@@ -6481,10 +6492,17 @@ object SparkEntry {
   /** BM25 oracle chain — gates `search_bm25` and feeds the RRF fusion
     * ([[oracleSql]] `search_rrf`) as a CTE, so both replay literally
     * identical SQL. */
-  private lazy val bm25Sql: String =
+  private lazy val bm25Sql: String = bm25SqlFor(Seq("scan", "join", "merge"))
+
+  /** [[bm25Sql]] parameterized by the query-term set — `search_maxscore`
+    * gates the MaxScore-pruned engine path against the SAME exact
+    * full-scoring chain on its skewed-df query (the pruning is lossless,
+    * so the oracle is the unpruned law verbatim — the
+    * dedup_jaccard_prefix convention). */
+  private def bm25SqlFor(terms: Seq[String]): String =
     s"""WITH tf AS (
        |  SELECT doc_id, term, tf FROM ($tfSub)
-       |  WHERE term IN ('scan', 'join', 'merge')),
+       |  WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")})),
        |dfs AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
        |dl AS (
        |  SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -10364,6 +10382,10 @@ object SparkEntry {
         |GROUP BY signup_id""".stripMargin,
 
     "search_bm25" -> bm25Sql,
+
+    // the unpruned exact chain on the maxscore query terms — pruning
+    // must be invisible in the output
+    "search_maxscore" -> bm25SqlFor(Seq("dup", "scan", "join")),
 
     // the KMV estimate is a deterministic function of the key set under
     // the shared hash32, so the sketch itself (not just its input) is

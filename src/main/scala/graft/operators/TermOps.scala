@@ -226,6 +226,88 @@ object TermOps {
       .limit(k)
   }
 
+  /** MaxScore-pruned BM25 top-k (Turtle & Flood 1995): byte-identical
+    * output to [[bm25Search]], but only a provably-sufficient candidate
+    * subset is ever scored exactly. Per-term score upper bound is the
+    * tf→∞ limit UB_t = idf_t·(k1+1); phase 1 scores just the docs
+    * containing the highest-UB (rarest) term and takes their k-th best
+    * exact score as the pruning threshold θ (a lower bound on the true
+    * k-th best, since those docs are a subset); phase 2 drops every
+    * matching doc whose Σ UB over contained terms falls below θ − ε
+    * (its exact score can never reach the top k) and scores only the
+    * survivors. The ε = 1e-3 slack keeps any doc whose unrounded score
+    * could round into a tie at the boundary, so the final ROUNDED
+    * ranking (round 4, doc_id tie-break — the [[bm25Search]]/oracle tie
+    * discipline) is decided among the survivors exactly as the full
+    * scoring would.
+    *
+    * Scale shape: the corpus pass is the same filtered-explode postings
+    * build as [[bm25Search]]; what pruning saves is everything after it
+    * — the per-doc aggregation, doc-length join and scoring run only
+    * over seed ∪ candidate postings (with one skewed rare term, a
+    * vanishing fraction of matching docs; Round12Spec pins the pruned
+    * fraction). Term stats (|Q| rows) and θ (1 row) are broadcast; if
+    * fewer than k seeds exist θ is −∞ and the method degrades to exact
+    * full scoring, never to a wrong answer. */
+  def maxScoreSearch(docs: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, exactScores, candidates) =
+      maxScoreCandidates(docs, idCol, textCol, queryTerms, k, k1, b)
+    exactScores(postings.join(candidates, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), round(col("raw"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The postings/exact-scorer/candidate-set triple behind
+    * [[maxScoreSearch]], exposed so the pruning-effectiveness audit
+    * (Round12Spec) can count survivors without re-deriving the law. */
+  private[graft] def maxScoreCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): (DataFrame, DataFrame => DataFrame, DataFrame) = {
+    val toks = tokens(col(textCol))
+    val postings = docs
+      .select(col(idCol).as("doc_id"), size(toks).as("doc_len"),
+        explode(filter(toks, t => t.isin(queryTerms: _*))).as("term"))
+      .groupBy("doc_id", "doc_len", "term").agg(count(lit(1)).as("tf"))
+    val global = docLengths(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n_docs"), avg(col("doc_len")).as("avgdl"))
+    val stats = postings.groupBy("term")
+      .agg(count(lit(1)).as("term_df"))
+      .crossJoin(broadcast(global))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("term_df") + lit(0.5)) /
+          (col("term_df") + lit(0.5))))
+      .withColumn("ub", col("idf") * lit(k1 + 1.0))
+    // exact unrounded BM25 over a postings subset (one doc-grain agg)
+    def exactScores(sub: DataFrame): DataFrame = sub
+      .join(broadcast(stats), Seq("term"))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("doc_len") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("raw"))
+    val bestTerm = stats.orderBy(col("ub").desc, col("term")).limit(1)
+      .select(col("term"))
+    val seedDocs = postings.join(broadcast(bestTerm), Seq("term"))
+      .select(col("doc_id")).distinct()
+    val theta = exactScores(postings.join(seedDocs, Seq("doc_id"),
+        "left_semi"))
+      .orderBy(col("raw").desc).limit(k)
+      .agg(count(lit(1)).as("n_seed"), min(col("raw")).as("kth"))
+      .select(when(col("n_seed") >= k, col("kth") - lit(1e-3))
+        .otherwise(lit(Double.NegativeInfinity)).as("theta"))
+    val candidates = postings
+      .join(broadcast(stats.select(col("term"), col("ub"))), Seq("term"))
+      .groupBy("doc_id").agg(sum(col("ub")).as("ub_sum"))
+      .crossJoin(broadcast(theta))
+      .filter(col("ub_sum") >= col("theta"))
+      .select(col("doc_id"))
+    (postings, exactScores _, candidates)
+  }
+
   /** Conjunctive (AND) boolean retrieval: docs containing EVERY query
     * term, with the total occurrence count of query terms as a simple
     * rank signal — the unscored companion to [[bm25Search]] (reference

@@ -246,4 +246,36 @@ class Round12Spec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  // --- MaxScore-pruned retrieval ---------------------------------------
+
+  test("maxScoreSearch equals the unpruned bm25Search byte-for-byte on " +
+    "a skewed-df query AND on an all-common query (θ = −∞ fallback)") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.01", "documents")
+    for (terms <- Seq(Seq("dup", "scan", "join"),
+                      Seq("scan", "join", "merge"))) {
+      val pruned = graft.operators.TermOps
+        .maxScoreSearch(docs, "doc_id", "text", terms, k = 20).collect()
+      val full = graft.operators.TermOps
+        .bm25Search(docs, "doc_id", "text", terms, k = 20).collect()
+      assert(pruned.toSeq == full.toSeq, s"terms=$terms")
+    }
+  }
+
+  test("maxScore pruning is real: on the skewed-df query most matching " +
+    "docs never reach exact scoring") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.01", "documents")
+    val terms = Seq("dup", "scan", "join")
+    val (_, _, candidates) = graft.operators.TermOps
+      .maxScoreCandidates(docs, "doc_id", "text", terms, k = 20)
+    val nCand = candidates.count()
+    val nMatching = docs.filter(
+      size(filter(graft.operators.TermOps.tokens(col("text")),
+        t => t.isin(terms: _*))) > 0).count()
+    // sf0.01: 'dup' df ≈ 25, near-stopwords match ~all 500 docs — the
+    // candidate set must stay within ~2× the rare-term df
+    assert(nCand < nMatching / 5,
+      s"candidates=$nCand matching=$nMatching — pruning ineffective")
+    assert(nCand >= 20, s"candidates=$nCand must cover top-k")
+  }
 }
