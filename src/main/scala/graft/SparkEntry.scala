@@ -2042,6 +2042,77 @@ object SparkEntry {
             (col("m") + 1L).cast("double") - 1.0, 4).as("chapman"))
     }),
 
+    "stats_cohen_kappa" -> ((s, d) => {
+      // Cohen's κ between two independent quality judges — do my two
+      // curation filters agree beyond chance? Judge A is the Gopher
+      // hard-rule gate (TextAnalysisOps.gopherRules `keep`), judge B a
+      // lexical-diversity gate (TTR ≥ 1/2, integer cross-multiply).
+      // κ = (n·agree − Σ marginal products) / (n² − Σ marginal
+      // products) — all BIGINT until the final division, so the
+      // statistic is integer-exact. Two doc-grain map passes joined on
+      // doc_id, one final aggregate; nothing wider than the doc id and
+      // two bits ever shuffles.
+      val docs = t(s, d, "documents")
+      val ja = TextAnalysisOps.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("ja"))
+      val tk = TermOps.tokens(col("text"))
+      val jb = docs.select(col("doc_id"),
+        (size(array_distinct(tk)) * 2 >= size(tk)).as("jb"))
+      ja.join(jb, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ja") && col("jb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("ja") && !col("jb"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("ja") && col("jb"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("ja") && !col("jb"), 1L).otherwise(0L)).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round((col("n") * (col("n11") + col("n00")) -
+              ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+               (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+              .cast("double") /
+            (col("n") * col("n") -
+              ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+               (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+              .cast("double"), 6).as("kappa"))
+    }),
+
+    "stats_levene" -> ((s, d) => {
+      // Brown–Forsythe variance-homogeneity test across event types:
+      // per-group deviations |x − group median| (exact lower-median,
+      // (value, event_id) tiebreak — the stats_mad rule), then the
+      // one-way F on the deviations. The group medians broadcast
+      // (≤ |types| rows); the deviation pass is a pure map; the test
+      // statistic folds from per-group (n, Σz, Σz²) — one group-keyed
+      // exchange, then a ≤ |types|-row aggregate.
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+      val wT = Window.partitionBy(col("event_type"))
+      val med = ev
+        .withColumn("r", row_number().over(
+          wT.orderBy(col("value"), col("event_id"))))
+        .withColumn("cnt", count(lit(1)).over(wT))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("r") === floor((col("cnt") - 1) * 0.5) + 1,
+          col("value"))).as("med"))
+      val grp = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          abs(col("value") - col("med")).as("z"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n_g"),
+          sum(col("z")).as("s_g"),
+          sum(col("z") * col("z")).as("ss_g"))
+      grp.agg(sum(col("n_g")).as("n"),
+          count(lit(1)).cast("double").as("k"),
+          sum(col("s_g")).as("s"),
+          sum(col("ss_g") - col("s_g") * col("s_g") / col("n_g"))
+            .as("ssw"),
+          sum(col("s_g") * col("s_g") / col("n_g")).as("sgsq"))
+        .select(col("k").cast("int").as("k"),
+          col("n").cast("long").as("n"),
+          round(((col("sgsq") - col("s") * col("s") / col("n")) /
+              (col("k") - 1.0)) /
+            (col("ssw") / (col("n") - col("k"))), 6).as("f_bf"))
+    }),
+
     "a19_mode" -> ((s, d) =>
       // statistical mode per group (§2.5 completeness): each user's
       // modal event_type, ties to the lexicographically smallest —
@@ -6489,6 +6560,57 @@ object SparkEntry {
        |SELECT doc_id, bucket, CAST(sum(w) AS BIGINT) AS weight
        |FROM b GROUP BY doc_id, bucket""".stripMargin
 
+  /** Gopher hard-rule oracle chain — gates `text_gopher_rules` and
+    * feeds `stats_cohen_kappa` (judge A) as a nested relation, so both
+    * replay literally identical SQL. Every rule is an integer
+    * cross-multiplied compare — no float boundary anywhere. */
+  private lazy val gopherSql: String =
+    """WITH b AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> x <> '') AS tk,
+      |  string_split(text, chr(10)) AS ln, text AS t
+      | FROM documents),
+      |m AS (
+      | SELECT doc_id,
+      |  CAST(len(tk) AS BIGINT) AS n_words,
+      |  CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+      |    AS BIGINT) AS sum_len,
+      |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+      |  CAST(length(t) - length(replace(t, '...', '')) AS BIGINT) // 3
+      |    AS n_ell,
+      |  CAST(len(ln) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(ln, x -> x LIKE '- %' OR x LIKE '* %'))
+      |    AS BIGINT) AS n_bullet,
+      |  CAST(len(list_filter(ln, x -> x LIKE '%...')) AS BIGINT) AS n_ellend,
+      |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+      |    AS BIGINT) AS n_alpha,
+      |  CAST((CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END)
+      |   + (CASE WHEN list_contains(tk, 'a') THEN 1 ELSE 0 END)
+      |   + (CASE WHEN list_contains(tk, 'in') THEN 1 ELSE 0 END)
+      |   + (CASE WHEN list_contains(tk, 'is') THEN 1 ELSE 0 END)
+      |   + (CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END)
+      |   + (CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END)
+      |   + (CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END)
+      |   + (CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_stop
+      | FROM b),
+      |r AS (
+      | SELECT doc_id, n_words, n_lines,
+      |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+      |  (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS r_mean_len,
+      |  (10 * (n_hash + n_ell) <= n_words) AS r_symbol,
+      |  (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+      |  (10 * n_ellend <= 3 * n_lines) AS r_ellipsis,
+      |  (5 * n_alpha >= 4 * n_words) AS r_alpha,
+      |  (n_stop >= 2) AS r_stop
+      | FROM m)
+      |SELECT doc_id, n_words, n_lines, r_word_count, r_mean_len, r_symbol,
+      | r_bullet, r_ellipsis, r_alpha, r_stop,
+      | (r_word_count AND r_mean_len AND r_symbol AND r_bullet
+      |  AND r_ellipsis AND r_alpha AND r_stop) AS keep
+      |FROM r""".stripMargin
+
   /** BM25 oracle chain — gates `search_bm25` and feeds the RRF fusion
     * ([[oracleSql]] `search_rrf`) as a CTE, so both replay literally
     * identical SQL. */
@@ -8495,6 +8617,64 @@ object SparkEntry {
         |SELECT n1, n2, m,
         | round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) /
         |   CAST(m + 1 AS DOUBLE) - 1.0, 4) AS chapman
+        |FROM a""".stripMargin,
+
+    // judge A nests the gopherSql chain verbatim; judge B is the TTR
+    // integer cross-multiply; κ is a BIGINT ratio, exact until the
+    // final division
+    "stats_cohen_kappa" ->
+      s"""WITH g AS (SELECT doc_id, keep AS ja FROM ($gopherSql)),
+         |tb AS (SELECT doc_id,
+         |   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |     x -> x <> '') AS tk FROM documents),
+         |j AS (SELECT g.doc_id, ja,
+         |   2 * len(list_distinct(tk)) >= len(tk) AS jb
+         |  FROM g JOIN tb ON g.doc_id = tb.doc_id),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(CASE WHEN ja AND jb THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n11,
+         |   CAST(sum(CASE WHEN ja AND NOT jb THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n10,
+         |   CAST(sum(CASE WHEN NOT ja AND jb THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n01,
+         |   CAST(sum(CASE WHEN NOT ja AND NOT jb THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS n00
+         |  FROM j)
+         |SELECT n, n11, n10, n01, n00,
+         | round(CAST(n * (n11 + n00) -
+         |     ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+         |   AS DOUBLE) /
+         |  CAST(n * n -
+         |     ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+         |   AS DOUBLE), 6) AS kappa
+         |FROM c""".stripMargin,
+
+    // exact lower-median per group ((value, event_id) tiebreak — the
+    // stats_mad rule), |x − med| deviations, then the one-way F folded
+    // from per-group (n, Σz, Σz²) exactly as the engine folds it
+    "stats_levene" ->
+      """WITH ev AS (SELECT event_type, value, event_id FROM events),
+        |rk AS (SELECT event_type, value,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY value, event_id) AS r,
+        |   count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM ev),
+        |md AS (SELECT event_type, max(CASE
+        |    WHEN r = CAST(floor((cnt - 1) * 0.5) AS BIGINT) + 1
+        |    THEN value END) AS med
+        |  FROM rk GROUP BY event_type),
+        |z AS (SELECT ev.event_type, abs(value - med) AS z
+        |  FROM ev JOIN md ON ev.event_type = md.event_type),
+        |g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n_g,
+        |   sum(z) AS s_g, sum(z * z) AS ss_g
+        |  FROM z GROUP BY event_type),
+        |a AS (SELECT sum(n_g) AS n, CAST(count(*) AS DOUBLE) AS k,
+        |   sum(s_g) AS s, sum(ss_g - s_g * s_g / n_g) AS ssw,
+        |   sum(s_g * s_g / n_g) AS sgsq
+        |  FROM g)
+        |SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n,
+        | round(((sgsq - s * s / n) / (k - 1.0)) /
+        |   (ssw / (n - k)), 6) AS f_bf
         |FROM a""".stripMargin,
 
     // mode via (-n, type) argmin — ties to the smallest type
@@ -11546,52 +11726,7 @@ object SparkEntry {
 
     // every rule is an integer cross-multiplied compare — no float
     // boundary anywhere, so the bits decide identically in both engines
-    "text_gopher_rules" ->
-      """WITH b AS (
-        | SELECT doc_id,
-        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> x <> '') AS tk,
-        |  string_split(text, chr(10)) AS ln, text AS t
-        | FROM documents),
-        |m AS (
-        | SELECT doc_id,
-        |  CAST(len(tk) AS BIGINT) AS n_words,
-        |  CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
-        |    AS BIGINT) AS sum_len,
-        |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
-        |  CAST(length(t) - length(replace(t, '...', '')) AS BIGINT) // 3
-        |    AS n_ell,
-        |  CAST(len(ln) AS BIGINT) AS n_lines,
-        |  CAST(len(list_filter(ln, x -> x LIKE '- %' OR x LIKE '* %'))
-        |    AS BIGINT) AS n_bullet,
-        |  CAST(len(list_filter(ln, x -> x LIKE '%...')) AS BIGINT) AS n_ellend,
-        |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
-        |    AS BIGINT) AS n_alpha,
-        |  CAST((CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(tk, 'a') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(tk, 'in') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(tk, 'is') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END)
-        |   + (CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS n_stop
-        | FROM b),
-        |r AS (
-        | SELECT doc_id, n_words, n_lines,
-        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-        |  (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS r_mean_len,
-        |  (10 * (n_hash + n_ell) <= n_words) AS r_symbol,
-        |  (10 * n_bullet <= 9 * n_lines) AS r_bullet,
-        |  (10 * n_ellend <= 3 * n_lines) AS r_ellipsis,
-        |  (5 * n_alpha >= 4 * n_words) AS r_alpha,
-        |  (n_stop >= 2) AS r_stop
-        | FROM m)
-        |SELECT doc_id, n_words, n_lines, r_word_count, r_mean_len, r_symbol,
-        | r_bullet, r_ellipsis, r_alpha, r_stop,
-        | (r_word_count AND r_mean_len AND r_symbol AND r_bullet
-        |  AND r_ellipsis AND r_alpha AND r_stop) AS keep
-        |FROM r""".stripMargin,
+    "text_gopher_rules" -> gopherSql,
 
     "text_fertility" ->
       """WITH b AS (
