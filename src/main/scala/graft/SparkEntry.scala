@@ -4258,6 +4258,55 @@ object SparkEntry {
           col("user_id"), col("n_events"))
     }),
 
+    "st_watermark_lag" -> ((s, _) => {
+      // streaming OBSERVABILITY: per-batch watermark lag (max event
+      // time seen vs the watermark the batch ran with) — the first
+      // number an on-call reads when a streaming pipeline's windows
+      // stop closing. Spark's watermark is computed at the END of a
+      // batch and applied to the NEXT one, so batch 1 runs at the
+      // epoch-0 initial watermark and every later batch lags exactly
+      // one batch's max − delay: the golden trace pins that
+      // one-batch-behind semantic (a real operational gotcha). The
+      // trace is harness metadata (StreamingQueryProgress), not data
+      // rows — at scale this reads the same way from the progress API
+      // regardless of input volume.
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventStreamOps.Event]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.Event]
+      val q = EventStreamOps.windowedCounts(mem.toDF(), "ts", "user_id",
+          "10 minutes", "5 minutes")
+        .writeStream.format("memory").queryName("st_wml_out")
+        .outputMode("complete").start()
+      def ev(t: String) =
+        EventStreamOps.Event(1, java.sql.Timestamp.valueOf(t), 1.0)
+      val progress =
+        try {
+          mem.addData(ev("2024-01-01 00:01:00"), ev("2024-01-01 00:05:00"))
+          q.processAllAvailable()
+          mem.addData(ev("2024-01-01 00:09:00"), ev("2024-01-01 00:12:00"))
+          q.processAllAvailable()
+          mem.addData(ev("2024-01-01 00:20:00"))
+          q.processAllAvailable()
+          q.recentProgress.toSeq.filter(_.numInputRows > 0)
+            .map(p => (p.eventTime.get("max"), p.eventTime.get("watermark")))
+        } finally q.stop()
+      import s.implicits._
+      val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+      progress.zipWithIndex
+        .map { case ((mx, wm), i) => (i + 1, mx, wm) }
+        .toDF("batch_seq", "max_raw", "wm_raw")
+        .select(col("batch_seq"),
+          date_format(to_timestamp(col("max_raw"), fmt), "yyyy-MM-dd HH:mm:ss")
+            .as("max_event"),
+          date_format(to_timestamp(col("wm_raw"), fmt), "yyyy-MM-dd HH:mm:ss")
+            .as("watermark"),
+          (unix_timestamp(to_timestamp(col("max_raw"), fmt)) -
+            unix_timestamp(to_timestamp(col("wm_raw"), fmt))).as("lag_s"))
+    }),
+
     "st_cms" -> ((s, _) => {
       // streaming count-min: each finalized window emits its bounded
       // depth×width cells (append mode), which merge cell-wise with the
@@ -5444,6 +5493,47 @@ object SparkEntry {
         .write.partitionBy("event_type").parquet(dir)
       s.read.parquet(dir).filter(col("event_type") === "click")
         .select(col("event_id"), round(col("value"), 2).as("value"))
+    }),
+
+    "k32_partition_evolution" -> ((s, d) => {
+      // partition-layout EVOLUTION: the table's first day landed
+      // partitioned by day only; the layout then evolved to (day, hour)
+      // for all later data — the Iceberg partition-evolution shape,
+      // where old files keep their coarse layout and new files are
+      // finer, and a reader must prune BOTH generations without a
+      // rewrite. The serving read unions the two generations
+      // (allowMissingColumns fills hr = null for the coarse files) and
+      // filters a time slice; the optimizer pushes the day predicate
+      // into both branches' PartitionFilters and the hour predicate
+      // into the fine branch (Round12Spec pins the per-branch file
+      // counts). At 100 TB this is the difference between rewriting
+      // history on every layout change and never rewriting at all.
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).as("hr"))
+      val minDay = ev.agg(min(col("day"))).head.getString(0)
+      val base = java.nio.file.Files.createTempDirectory("graft_k32")
+        .toString
+      val (genA, genB) = (base + "/gen_day", base + "/gen_day_hour")
+      ev.filter(col("day") === minDay).drop("hr")
+        .write.partitionBy("day").parquet(genA)
+      ev.filter(col("day") =!= minDay)
+        .write.partitionBy("day", "hr").parquet(genB)
+      // hr reads back as INT partition values; coarse files re-derive
+      // it from content so the logical schema is uniform
+      val gens = s.read.parquet(genA)
+        .withColumn("hr", hour(col("ts")))
+        .unionByName(s.read.parquet(genB)
+          .withColumn("hr", col("hr").cast("int")))
+      // the early-hours slice: the fine generation prunes to 6/24 of
+      // its partitions; the coarse generation cannot hour-prune and
+      // scans its day whole — exactly the read-amplification gap
+      // partition evolution trades away for old files
+      gens.filter(col("hr") < 6)
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
     }),
 
     "k13_compaction" -> ((s, d) => {
@@ -11452,6 +11542,17 @@ object SparkEntry {
 
     // golden trace (buckets = fnv64(user#j) & 255: user 1 -> 135/212,
     // user 2 -> 54/233; no collisions)
+    // the one-batch-behind watermark law: batch 1 runs at epoch 0,
+    // batch N at (batch N−1's max − 5 min); lag_s for batch 1 is the
+    // full epoch offset of the first max event time
+    "st_watermark_lag" ->
+      """SELECT CAST(col0 AS INT) AS batch_seq, col1 AS max_event,
+        | col2 AS watermark, CAST(col3 AS BIGINT) AS lag_s
+        |FROM (VALUES
+        | (1, '2024-01-01 00:05:00', '1970-01-01 00:00:00', 1704067500),
+        | (2, '2024-01-01 00:12:00', '2024-01-01 00:00:00', 720),
+        | (3, '2024-01-01 00:20:00', '2024-01-01 00:07:00', 780)) t""".stripMargin,
+
     "st_cms" ->
       """SELECT col0 AS w_start, CAST(col1 AS INT) AS j,
         | CAST(col2 AS BIGINT) AS bucket, CAST(col3 AS BIGINT) AS cnt
@@ -12099,6 +12200,14 @@ object SparkEntry {
     "k12_partitioned_scan" ->
       """SELECT event_id, round(value, 2) AS value
         |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    // generation split is invisible to the logical result — the oracle
+    // replays the slice straight off the base table
+    "k32_partition_evolution" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_v
+        |FROM events WHERE hour(ts) < 6
+        |GROUP BY 1, 2""".stripMargin,
 
     // Hadoop-VInt length rule replayed arithmetically: one byte for
     // 0..127, else 1 marker + 1/2/3/4 big-endian magnitude bytes

@@ -303,7 +303,7 @@ class PlanSpec extends AnyFunSuite {
     "k5_json_roundtrip", "k6_compressed_sink", "k7_dict_roundtrip",
     "k8_orc_roundtrip", "k9_upsert", "k10_seqfile_roundtrip",
     "k12_partitioned_scan", "k13_compaction", "k14_bucketed_join",
-    "k15_manifest_skip", "st_cms", "st_expectations", "st_hll",
+    "k15_manifest_skip", "k32_partition_evolution", "st_cms", "st_expectations", "st_hll",
     "st_throttle", "k19_inverted_index", "s19_split_index")
 
   private lazy val sweepPlans: Seq[(String, String)] =

@@ -26,7 +26,7 @@ class Round12Spec extends AnyFunSuite {
     "k5_json_roundtrip", "k6_compressed_sink", "k7_dict_roundtrip",
     "k8_orc_roundtrip", "k9_upsert", "k10_seqfile_roundtrip",
     "k12_partitioned_scan", "k13_compaction", "k14_bucketed_join",
-    "k15_manifest_skip", "st_cms", "st_expectations", "st_hll",
+    "k15_manifest_skip", "k32_partition_evolution", "st_cms", "st_expectations", "st_hll",
     "st_throttle", "k19_inverted_index", "s19_split_index")
 
   test("no query builder mutates the shared session conf (k30-style " +
@@ -277,5 +277,25 @@ class Round12Spec extends AnyFunSuite {
     assert(nCand < nMatching / 5,
       s"candidates=$nCand matching=$nMatching — pruning ineffective")
     assert(nCand >= 20, s"candidates=$nCand must cover top-k")
+  }
+
+  // --- partition evolution ---------------------------------------------
+
+  test("k32_partition_evolution: the fine generation hour-prunes via " +
+    "PartitionFilters, the coarse generation cannot") {
+    val df = SparkEntry.queries("k32_partition_evolution")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.split("FileScan parquet").drop(1)
+    assert(scans.length == 2, s"expected two generation scans:\n$plan")
+    val (fine, coarse) = {
+      val f = scans.filter(_.contains("PartitionFilters: [isnotnull(hr"))
+      val c = scans.filterNot(_.contains("PartitionFilters: [isnotnull(hr"))
+      (f, c)
+    }
+    // exactly one branch prunes on hr; the other's partition filters
+    // carry no hr predicate (day-only layout predates the hr column)
+    assert(fine.length == 1, s"fine-generation scan not hr-pruned:\n$plan")
+    assert(coarse.length == 1 && !coarse.head.contains("hr#"),
+      s"coarse scan unexpectedly sees an hr partition column:\n$plan")
   }
 }
