@@ -142,6 +142,55 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)),
 
+    "q5_local_supplier" -> ((s, d) => {
+      // TPC-H Q5 shape — the six-table join-order/broadcast anchor:
+      // revenue by nation where the customer and the supplier share a
+      // nation, region- and year-filtered. Declared flat and left to
+      // Catalyst/AQE: region⋈nation is pinned broadcast (25 rows);
+      // supplier/customer broadcast at test scale and degrade to
+      // shuffled hash joins on the keys at 100 TB — the filters land
+      // before every join, so each stage's build side is minimal.
+      val asiaNations = t(s, d, "nation")
+        .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    "q18_large_orders" -> ((s, d) => {
+      // TPC-H Q18 shape — the having-semi-join anchor: orders whose
+      // total quantity crosses a threshold, re-joined to their header
+      // and customer. The qualifying set is the per-key aggregate
+      // filtered BEFORE any wide join (map-side partial sum, one
+      // exchange on l_orderkey), so the expensive join fan-in only ever
+      // sees qualifying keys; quantities are integer-valued doubles, so
+      // the > 350 cut has no float boundary.
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 350.0)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("o_orderdate"),
+          col("o_totalprice"), round(col("qty"), 2).as("qty"))
+    }),
+
     "p1_filter_eq" -> ((s, d) =>
       t(s, d, "documents").filter(col("lang") === "en")
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))),
@@ -7181,6 +7230,31 @@ object SparkEntry {
         | JOIN customer ON o_custkey=c_custkey
         |GROUP BY o_orderkey, c_mktsegment
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey, sum(l_quantity) AS qty
+        | FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 350)
+        |SELECT c_name, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        | o_totalprice, round(qty, 2) AS qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "p1_filter_eq" ->
       "SELECT source, count(*) AS n_docs FROM documents WHERE lang='en' GROUP BY source",

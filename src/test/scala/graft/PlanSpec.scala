@@ -13,6 +13,13 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("q5's six-table chain broadcasts every dimension side and never " +
+    "plans a cartesian") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("j1 plans a broadcast hash join (no shuffle join for the dim side)") {
     val p = plan("j1_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), p)
