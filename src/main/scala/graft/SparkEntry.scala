@@ -5557,18 +5557,27 @@ object SparkEntry {
       // into the fine branch (Round12Spec pins the per-branch file
       // counts). At 100 TB this is the difference between rewriting
       // history on every layout change and never rewriting at all.
-      val ev = t(s, d, "events")
+      // the demo slice is the table's first three days (coarse day 1,
+      // evolved days 2-3): layout behavior is day-count-independent,
+      // and the repartition on the partition columns keeps the write
+      // one file per directory — without it the fine write fans every
+      // shuffle partition into every (day, hr) dir, a small-file storm
+      val all = t(s, d, "events")
         .select(col("event_id"), col("ts"), col("event_type"),
           col("value"),
           date_format(col("ts"), "yyyy-MM-dd").as("day"),
           hour(col("ts")).as("hr"))
-      val minDay = ev.agg(min(col("day"))).head.getString(0)
+      val minDay = all.agg(min(col("day"))).head.getString(0)
+      val lastDay = java.time.LocalDate.parse(minDay).plusDays(2).toString
+      val ev = all.filter(col("day") <= lastDay)
       val base = java.nio.file.Files.createTempDirectory("graft_k32")
         .toString
       val (genA, genB) = (base + "/gen_day", base + "/gen_day_hour")
       ev.filter(col("day") === minDay).drop("hr")
+        .repartition(col("day"))
         .write.partitionBy("day").parquet(genA)
       ev.filter(col("day") =!= minDay)
+        .repartition(col("day"), col("hr"))
         .write.partitionBy("day", "hr").parquet(genB)
       // hr reads back as INT partition values; coarse files re-derive
       // it from content so the logical schema is uniform
@@ -12281,6 +12290,8 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_v
         |FROM events WHERE hour(ts) < 6
+        | AND ts < (SELECT date_trunc('day', min(ts)) + INTERVAL 3 DAY
+        |           FROM events)
         |GROUP BY 1, 2""".stripMargin,
 
     // Hadoop-VInt length rule replayed arithmetically: one byte for
