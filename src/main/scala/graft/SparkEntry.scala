@@ -3176,6 +3176,43 @@ object SparkEntry {
           col("src").as("node_id"), col("label")))
     }),
 
+    "graph_modularity" -> ((s, d) => {
+      // Newman modularity of the label_prop partition on the undirected
+      // supplier–part graph: per community c, Q_c = e_c/m − (d_c/2m)² —
+      // the quality score that decides whether a community structure is
+      // real or noise. Everything is integer until one final division:
+      // Q_c = (4·m·e_c − d_c²)/(4m²), exact in BIGINT up to m ~ 10⁹
+      // edges (past that, promote to the decimal fold). One edge-keyed
+      // join against the broadcast label map, two bounded aggregates.
+      val edges = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      val lab = queries("graph_label_prop")(s, d)
+      val supLab = lab.filter(col("node_type") === "supplier")
+        .select(col("node_id").as("src"), col("label").as("lab_s"))
+      val partLab = lab.filter(col("node_type") === "part")
+        .select(col("node_id").as("dst"), col("label").as("lab_p"))
+      val eIn = edges.join(supLab, "src").join(partLab, "dst")
+        .filter(col("lab_s") === col("lab_p"))
+        .groupBy(col("lab_s").as("label"))
+        .agg(count(lit(1)).as("e_in"))
+      val dTot = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .join(supLab, "src").select(col("lab_s").as("label"), col("deg"))
+        .unionByName(edges.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+          .join(partLab, "dst")
+          .select(col("lab_p").as("label"), col("deg")))
+        .groupBy(col("label")).agg(sum(col("deg")).as("d_tot"))
+      val mRow = edges.agg(count(lit(1)).as("m"))
+      dTot.join(eIn, Seq("label"), "left")
+        .na.fill(0L, Seq("e_in"))
+        .crossJoin(broadcast(mRow))
+        .select(col("label"), col("e_in"), col("d_tot"),
+          round((lit(4L) * col("m") * col("e_in") -
+              col("d_tot") * col("d_tot")).cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"), 6)
+            .as("q_contrib"))
+    }),
+
     "graph_degree_profile" -> ((s, d) => {
       // graph QA scorecard: log2-bucketed in/out-degree histogram of
       // the supplier→part link graph. Bucketing is integer-exact
@@ -4797,6 +4834,28 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    "w15_overlap_join" -> ((s, d) => {
+      // interval×interval overlap join (bucketed, exactly-once): which
+      // purchase attribution windows [ts, +1d) intersect which signup
+      // onboarding windows [ts, +2d) for the same user — the
+      // interval-interval sibling of w5's point-in-interval, still an
+      // equality join on (user, bucket), never non-equi
+      val ev = t(s, d, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_start"),
+          (col("ts") + expr("INTERVAL 2 DAYS")).as("s_end"),
+          col("event_id").as("signup_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 1 DAYS")).as("p_end"),
+          col("event_id").as("purchase_id"))
+      AsofOps.intervalOverlapJoin(signups, purchases, "user_id",
+          "s_start", "s_end", "p_start", "p_end", bucketMs = 86400000L)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_overlap"),
+          min(col("purchase_id")).as("first_purchase"))
+    }),
+
     "search_bm25" -> ((s, d) =>
       TermOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
         queryTerms = Seq("scan", "join", "merge"), k = 20)),
@@ -5819,6 +5878,15 @@ object SparkEntry {
         round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    "sample_gumbel_topk" -> ((s, d) =>
+      // Gumbel-top-k: exact weight-proportional sample without
+      // replacement in one pass — the distributed replacement for
+      // sequential weighted draws when mixing corpus sources
+      SketchOps.gumbelTopK(t(s, d, "documents"), "doc_id", "n_chars",
+          k = 100)
+        .select(col("rank"), col("doc_id"), col("w"),
+          round(col("gumbel_key"), 4).as("gumbel_key"))),
+
     "sample_priority" -> ((s, d) =>
       // DLT priority sampling: weight = n_chars, top-100 priorities with
       // the (k+1)-th-priority estimator weights; the priority is one
@@ -6707,6 +6775,31 @@ object SparkEntry {
        |  FROM h)
        |SELECT doc_id, bucket, CAST(sum(w) AS BIGINT) AS weight
        |FROM b GROUP BY doc_id, bucket""".stripMargin
+
+  /** Two-round label-propagation oracle chain — gates `graph_label_prop`
+    * and feeds `graph_modularity` as a nested relation, so both replay
+    * literally identical SQL. */
+  private lazy val labelPropSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+      |sup AS (SELECT s_suppkey AS src, s_nationkey AS label FROM supplier),
+      |p1 AS (
+      |  SELECT dst, label, count(*) AS cnt
+      |  FROM e JOIN sup USING (src) GROUP BY dst, label),
+      |pl AS (
+      |  SELECT dst, label FROM (
+      |   SELECT dst, label, row_number() OVER (PARTITION BY dst
+      |     ORDER BY cnt DESC, label) AS rn FROM p1) WHERE rn = 1),
+      |s1 AS (
+      |  SELECT src, pl.label, count(*) AS cnt
+      |  FROM e JOIN pl USING (dst) GROUP BY src, pl.label),
+      |sl AS (
+      |  SELECT src, label FROM (
+      |   SELECT src, label, row_number() OVER (PARTITION BY src
+      |     ORDER BY cnt DESC, label) AS rn FROM s1) WHERE rn = 1)
+      |SELECT 'part' AS node_type, dst AS node_id, label FROM pl
+      |UNION ALL
+      |SELECT 'supplier' AS node_type, src AS node_id, label FROM sl""".stripMargin
 
   /** Gopher hard-rule oracle chain — gates `text_gopher_rules` and
     * feeds `stats_cohen_kappa` (judge A) as a nested relation, so both
@@ -10734,6 +10827,23 @@ object SparkEntry {
         | ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
         |GROUP BY signup_id""".stripMargin,
 
+    // the oracle is the naive non-equi overlap join — the bucketed
+    // exactly-once emission must be invisible in the output
+    "w15_overlap_join" ->
+      """WITH sg AS (
+        |  SELECT user_id, ts AS s_start, ts + INTERVAL 2 DAY AS s_end,
+        |   event_id AS signup_id
+        |  FROM events WHERE event_type = 'signup'),
+        |pu AS (
+        |  SELECT user_id, ts AS p_start, ts + INTERVAL 1 DAY AS p_end,
+        |   event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT signup_id, count(*) AS n_overlap,
+        | CAST(min(purchase_id) AS BIGINT) AS first_purchase
+        |FROM sg JOIN pu ON sg.user_id = pu.user_id
+        | AND greatest(s_start, p_start) < least(s_end, p_end)
+        |GROUP BY signup_id""".stripMargin,
+
     "search_bm25" -> bm25Sql,
 
     // the unpruned exact chain on the maxscore query terms — pruning
@@ -11820,27 +11930,36 @@ object SparkEntry {
 
     // both propagation rounds replayed with the same majority-rank
     // windows (count desc, label asc — deterministic ties)
-    "graph_label_prop" ->
-      """WITH e AS (
-        |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
-        |sup AS (SELECT s_suppkey AS src, s_nationkey AS label FROM supplier),
-        |p1 AS (
-        |  SELECT dst, label, count(*) AS cnt
-        |  FROM e JOIN sup USING (src) GROUP BY dst, label),
-        |pl AS (
-        |  SELECT dst, label FROM (
-        |   SELECT dst, label, row_number() OVER (PARTITION BY dst
-        |     ORDER BY cnt DESC, label) AS rn FROM p1) WHERE rn = 1),
-        |s1 AS (
-        |  SELECT src, pl.label, count(*) AS cnt
-        |  FROM e JOIN pl USING (dst) GROUP BY src, pl.label),
-        |sl AS (
-        |  SELECT src, label FROM (
-        |   SELECT src, label, row_number() OVER (PARTITION BY src
-        |     ORDER BY cnt DESC, label) AS rn FROM s1) WHERE rn = 1)
-        |SELECT 'part' AS node_type, dst AS node_id, label FROM pl
-        |UNION ALL
-        |SELECT 'supplier' AS node_type, src AS node_id, label FROM sl""".stripMargin,
+    "graph_label_prop" -> labelPropSql,
+
+    // community partition nests the labelPropSql chain verbatim; the
+    // Q_c numerator stays BIGINT until one final division
+    "graph_modularity" ->
+      s"""WITH lp AS (SELECT * FROM ($labelPropSql)),
+         |e2 AS (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+         |slab AS (SELECT node_id AS src, label AS lab_s FROM lp
+         |         WHERE node_type = 'supplier'),
+         |plab AS (SELECT node_id AS dst, label AS lab_p FROM lp
+         |         WHERE node_type = 'part'),
+         |ein AS (
+         |  SELECT lab_s AS label, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM e2 JOIN slab USING (src) JOIN plab USING (dst)
+         |  WHERE lab_s = lab_p GROUP BY 1),
+         |dtot AS (
+         |  SELECT label, CAST(sum(deg) AS BIGINT) AS d_tot FROM (
+         |   SELECT lab_s AS label, deg FROM
+         |    (SELECT src, count(*) AS deg FROM e2 GROUP BY src)
+         |    JOIN slab USING (src)
+         |   UNION ALL
+         |   SELECT lab_p AS label, deg FROM
+         |    (SELECT dst, count(*) AS deg FROM e2 GROUP BY dst)
+         |    JOIN plab USING (dst)) GROUP BY label),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e2)
+         |SELECT label, coalesce(e_in, 0) AS e_in, d_tot,
+         | round(CAST(4 * m * coalesce(e_in, 0) - d_tot * d_tot AS DOUBLE) /
+         |   CAST(4 * m * m AS DOUBLE), 6) AS q_contrib
+         |FROM dtot LEFT JOIN ein USING (label) CROSS JOIN mm""".stripMargin,
 
     // supplier pairs only via a shared sub-hub part (df ≤ 64), exact
     // integer counts, one final division
@@ -12008,6 +12127,23 @@ object SparkEntry {
     // the priority is one IEEE multiply + divide from the hashed
     // uniform — exact-rounded ops, so both engines agree on selection
     // and the (k+1)-th-priority threshold without any rounding tricks
+    // the uniform u = (fnv mod 2^32 + 1)/(2^32 + 1) and both ln calls
+    // run on identical doubles; rank/selection order on the UNROUNDED
+    // key with doc_id tiebreak
+    "sample_gumbel_topk" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         |   CAST((${fnvSql("doc_id::VARCHAR || '#g'")}
+         |       % 4294967296::HUGEINT) + 1 AS DOUBLE) / 4294967297.0::DOUBLE
+         |     AS u
+         |  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0),
+         |g AS (SELECT doc_id, w, ln(w) - ln(-ln(u)) AS gk FROM f),
+         |r AS (SELECT doc_id, w, gk,
+         |   CAST(row_number() OVER (ORDER BY gk DESC, doc_id) AS INT)
+         |     AS rank FROM g)
+         |SELECT rank, doc_id, w, round(gk, 4) AS gumbel_key
+         |FROM r WHERE rank <= 100""".stripMargin,
+
     "sample_priority" ->
       s"""WITH f AS (
          |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,

@@ -171,4 +171,38 @@ object AsofOps {
       .filter(col(ts) >= col(startCol) && col(ts) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: every (left, right) pair on the same `key`
+    * whose half-open intervals intersect (`max(starts) < min(ends)`) —
+    * the interval×interval sibling of [[rangeJoin]]'s point×interval.
+    *
+    * Same bucketed scale shape: both sides explode to the fixed-width
+    * buckets they cover and the join runs on (key, bucket) equality
+    * with the residual overlap filter — never a non-equi join. Each
+    * overlapping pair would meet in EVERY shared bucket, so the pair
+    * emits only from the bucket containing `max(starts)` (both
+    * intervals contain that instant, and it lives in exactly one
+    * bucket) — exactly-once without a distinct. Explode factor is
+    * interval_length/bucket per side; pick `bucketMs` near the typical
+    * interval length. Column names must not collide across sides
+    * (rename before calling). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, key: String,
+                          leftStart: String, leftEnd: String,
+                          rightStart: String, rightEnd: String,
+                          bucketMs: Long): DataFrame = {
+    val bucketUs = bucketMs * 1000L
+    def coveredBuckets(s: String, e: String): Column = {
+      val sb = floorBucket(col(s), bucketUs)
+      val eb = floorBucketUs(unix_micros(col(e)) - 1, bucketUs)
+      explode(when(eb >= sb, sequence(sb, eb))
+        .otherwise(array().cast("array<bigint>")))
+    }
+    val l = left.withColumn("__bucket", coveredBuckets(leftStart, leftEnd))
+    val r = right.withColumn("__bucket", coveredBuckets(rightStart, rightEnd))
+    val maxStart = greatest(col(leftStart), col(rightStart))
+    l.join(r, Seq(key, "__bucket"))
+      .filter(maxStart < least(col(leftEnd), col(rightEnd)))
+      .filter(col("__bucket") === floorBucket(maxStart, bucketUs))
+      .drop("__bucket")
+  }
 }

@@ -312,6 +312,37 @@ object SketchOps {
     * Output: (key, weight, priority, w_est); rows with non-positive
     * weight are excluded (zero-weight rows have priority 0 and can never
     * be sampled; negative weights are outside the estimator's domain). */
+  /** Gumbel-top-k weighted sampling WITHOUT replacement (Vieira 2014;
+    * Kool et al. 2019): each row keys gumbel = ln(w) − ln(−ln(u)) with
+    * u a deterministic hash-uniform in (0,1); the k largest keys are
+    * distributed exactly as k successive P(i) ∝ w_i draws without
+    * replacement — the one-pass distributed form of weighted
+    * subsampling for data mixing (no sequential draws, no rejection).
+    *
+    * Scale shape: one map pass + TakeOrderedAndProject (per-partition
+    * heaps); like [[prioritySample]] the uniform derives from fnv64 so
+    * both engines select the identical sample, and ln runs on
+    * identical doubles (the sample_dsir convention). u ∈
+    * [1/(2³²+1), 2³²/(2³²+1)] by construction — never 0 or 1, both
+    * ln calls finite. */
+  def gumbelTopK(df: DataFrame, keyCol: String, weightCol: String,
+                 k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    graft.plans.GraftSparkExtensions.install(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(call_function("fnv64",
+      concat(col(keyCol).cast("string"), lit(s"#g$salt"))), lit(4294967296L))
+    val u = (h + lit(1L)).cast("double") / lit(4294967297.0)
+    df.filter(col(keyCol).isNotNull && col(weightCol) > 0)
+      .select(col(keyCol), col(weightCol).cast("double").as("w"),
+        (log(col(weightCol).cast("double")) - log(-log(u)))
+          .as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(keyCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("gumbel_key").desc, col(keyCol).asc)).cast("int"))
+  }
+
   def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
