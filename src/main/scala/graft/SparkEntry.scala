@@ -6053,6 +6053,26 @@ object SparkEntry {
           col("min_v"), col("max_v"))
     }),
 
+    "j8_fuzzy_join" -> ((s, d) => {
+      // fuzzy record-linkage join: odd customers get a deterministic
+      // one-char deletion (the char before the last drops — a dirty
+      // import feed), then link back against the clean even-customer
+      // names at edit distance ≤ 1 via symmetric-delete blocking +
+      // exact levenshtein verify — the oracle is the naive quadratic
+      // levenshtein join, so blocking losslessness is the gate
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val clean = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("clean_key"),
+          col("c_name").as("clean_name"))
+      val dirty = cust.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey").as("dirty_key"),
+          concat(col("c_name").substr(lit(1), length(col("c_name")) - 2),
+            col("c_name").substr(length(col("c_name")), lit(1)))
+            .as("dirty_name"))
+      DedupOps.fuzzyJoin(dirty, clean, "dirty_key", "dirty_name",
+        "clean_key", "clean_name")
+    }),
+
     "j7_bloom_prune" -> ((s, d) => {
       // bloom-pruned scan: keep-set = suppliers of nations 0-4, bitmap
       // 4096 bits / 3 hashes (deliberately undersized so false positives
@@ -12508,6 +12528,22 @@ object SparkEntry {
 
     // bit-exact bloom replication: a big-side key passes iff ALL its 3
     // positions are set by some keep-key — false positives reproduce
+    // the naive quadratic levenshtein join — symmetric-delete blocking
+    // must be invisible in the output
+    "j8_fuzzy_join" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS clean_key, c_name AS clean_name
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |dirty AS (
+        |  SELECT c_custkey AS dirty_key,
+        |   substr(c_name, 1, length(c_name) - 2) ||
+        |     substr(c_name, length(c_name), 1) AS dirty_name
+        |  FROM customer WHERE c_custkey % 2 = 1)
+        |SELECT dirty_key, clean_key,
+        | CAST(levenshtein(dirty_name, clean_name) AS INT) AS dist
+        |FROM dirty JOIN clean
+        | ON levenshtein(dirty_name, clean_name) <= 1""".stripMargin,
+
     "j7_bloom_prune" ->
       s"""WITH seeds AS (SELECT unnest(generate_series(0, 2)) AS i),
          |spos AS (

@@ -50,6 +50,39 @@ object DedupOps {
   /** Exact content dedup: group by md5(text); emit (hash, keep_id = min id,
     * dup_count). Downstream `docs.join(result, "doc_id"==keep_id)` keeps one
     * representative per content group. */
+  /** Fuzzy (edit-distance ≤ 1) record-linkage JOIN between two tables —
+    * the entity-resolution join: candidate pairs block on the symmetric
+    * 1-deletion neighborhood (Garbe's SymSpell invariant: two strings
+    * within distance 1 always share a member of each other's
+    * neighborhood — the [[graft.operators.TermOps.fuzzyLookup]] idea
+    * generalized from broadcast lookup to a data-sized × data-sized
+    * shuffle join), then exact built-in `levenshtein` verifies only the
+    * candidates.
+    *
+    * Scale shape: variants travel as xxhash64 keys (8 bytes, never the
+    * variant strings; a hash collision only adds a candidate the
+    * verify filter kills), both sides shuffle once on the hash, and
+    * the distinct runs on the candidate pair set — (|L| + |R|)·len
+    * explode, never |L|×|R|. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftId: String, leftVal: String,
+                rightId: String, rightVal: String): DataFrame = {
+    val lv = TermOps.deletionVariants(
+        left.select(col(leftId), col(leftVal).as("__lval")), "__lval")
+      .select(col(leftId), col("__lval"),
+        xxhash64(col("variant")).as("__vh"))
+    val rv = TermOps.deletionVariants(
+        right.select(col(rightId), col(rightVal).as("__rval")), "__rval")
+      .select(col(rightId), col("__rval"),
+        xxhash64(col("variant")).as("__vh"))
+    lv.join(rv, Seq("__vh"))
+      .select(col(leftId), col(rightId), col("__lval"), col("__rval"))
+      .distinct()
+      .filter(levenshtein(col("__lval"), col("__rval")) <= 1)
+      .select(col(leftId), col(rightId),
+        levenshtein(col("__lval"), col("__rval")).as("dist"))
+  }
+
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
