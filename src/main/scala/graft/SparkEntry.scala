@@ -2091,6 +2091,50 @@ object SparkEntry {
             (col("m") + 1L).cast("double") - 1.0, 4).as("chapman"))
     }),
 
+    "stats_sequential" -> ((s, d) => {
+      // mSPRT always-valid sequential A/B monitor (Johari et al. 2017):
+      // the peeking-safe p-value a dashboard can refresh daily without
+      // inflating false positives. Arms are even/odd users; per-day
+      // cumulative (n, Σv) per arm feed the mixture likelihood ratio
+      // Λ_n (mixture variance τ² = σ², pooled), and the always-valid
+      // p is 1/runmax(Λ). Day sums round to 4 BEFORE the cumulative
+      // chain so both engines run identical doubles through ln/exp/√;
+      // everything after the day grain is a ≤ |days|-row relation.
+      val ev = t(s, d, "events").select(to_date(col("ts")).as("day"),
+        (col("user_id") % 2 === 0).as("arma"), col("value"))
+      val sig = ev.agg(
+          round((sum(col("value") * col("value")) -
+            sum(col("value")) * sum(col("value")) / count(lit(1))) /
+            (count(lit(1)) - 1), 6).as("s2"))
+      val daily = ev.groupBy(col("day"))
+        .agg(sum(when(col("arma"), 1L).otherwise(0L)).as("na_d"),
+          round(sum(when(col("arma"), col("value")).otherwise(0.0)), 4)
+            .as("sa_d"),
+          sum(when(!col("arma"), 1L).otherwise(0L)).as("nb_d"),
+          round(sum(when(!col("arma"), col("value")).otherwise(0.0)), 4)
+            .as("sb_d"))
+      val wd = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val st = daily.select(col("day"),
+          sum(col("na_d")).over(wd).as("na"),
+          sum(col("sa_d")).over(wd).as("sa"),
+          sum(col("nb_d")).over(wd).as("nb"),
+          sum(col("sb_d")).over(wd).as("sb"))
+        .crossJoin(broadcast(sig))
+        .withColumn("neff", (col("na") * col("nb")).cast("double") /
+          (col("na") + col("nb")).cast("double"))
+        .withColumn("delta", col("sa") / col("na") - col("sb") / col("nb"))
+        .withColumn("lnlam",
+          lit(0.5) * log(col("s2") / (col("s2") + col("neff") * col("s2"))) +
+            col("neff") * col("neff") * col("s2") * col("delta") * col("delta") /
+              (lit(2.0) * col("s2") * (col("s2") + col("neff") * col("s2"))))
+      st.withColumn("lnmax", max(col("lnlam")).over(wd))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("na"), col("nb"), round(col("delta"), 6).as("delta"),
+          round(col("lnlam"), 6).as("log_lambda"),
+          round(least(lit(1.0), exp(-col("lnmax"))), 6).as("p"))
+    }),
+
     "stats_cohen_kappa" -> ((s, d) => {
       // Cohen's κ between two independent quality judges — do my two
       // curation filters agree beyond chance? Judge A is the Gopher
@@ -6053,6 +6097,31 @@ object SparkEntry {
           col("min_v"), col("max_v"))
     }),
 
+    "k33_ivm_join" -> ((s, d) => {
+      // incremental JOIN-view maintenance: the stored view J0 = A⋈B
+      // (localCheckpoint = the materialized view) refreshes under
+      // append deltas on BOTH sides via the delta algebra
+      // J0 ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — base never re-joins base; the
+      // oracle recomputes the full join from scratch, so the hash
+      // match proves the algebra loses and duplicates nothing
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
+      val aBase = o.filter(col("o_orderkey") % 11 =!= 0)
+      val aDelta = o.filter(col("o_orderkey") % 11 === 0)
+      val bBase = li.filter(col("l_linenumber") % 4 =!= 0)
+      val bDelta = li.filter(col("l_linenumber") % 4 === 0)
+      val j0 = aBase.join(bBase, Seq("o_orderkey")).localCheckpoint()
+      MergeOps.deltaJoinRefresh(j0, aBase, bBase, aDelta, bDelta,
+          Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+
     "j8_fuzzy_join" -> ((s, d) => {
       // fuzzy record-linkage join: odd customers get a deterministic
       // one-char deletion (the char before the last drops — a dirty
@@ -8904,6 +8973,43 @@ object SparkEntry {
         | round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) /
         |   CAST(m + 1 AS DOUBLE) - 1.0, 4) AS chapman
         |FROM a""".stripMargin,
+
+    // τ² = σ² is baked into the mirrored formula text; day sums round
+    // to 4 before the cumulative chain on BOTH engines
+    "stats_sequential" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+        |   user_id % 2 = 0 AS arma, value FROM events),
+        |sg AS (SELECT round((sum(value * value) -
+        |   sum(value) * sum(value) / count(*)) / (count(*) - 1), 6)
+        |   AS s2 FROM ev),
+        |dly AS (SELECT day,
+        |   CAST(sum(CASE WHEN arma THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+        |   round(sum(CASE WHEN arma THEN value ELSE 0 END), 4) AS sa_d,
+        |   CAST(sum(CASE WHEN NOT arma THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS nb_d,
+        |   round(sum(CASE WHEN NOT arma THEN value ELSE 0 END), 4) AS sb_d
+        |  FROM ev GROUP BY day),
+        |cum AS (SELECT day,
+        |   sum(na_d) OVER wd AS na, sum(sa_d) OVER wd AS sa,
+        |   sum(nb_d) OVER wd AS nb, sum(sb_d) OVER wd AS sb, s2
+        |  FROM dly, sg
+        |  WINDOW wd AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |st AS (SELECT day, na, nb, s2,
+        |   CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS neff,
+        |   sa / na - sb / nb AS delta FROM cum),
+        |lm AS (SELECT day, na, nb, delta,
+        |   0.5 * ln(s2 / (s2 + neff * s2)) +
+        |    neff * neff * s2 * delta * delta /
+        |      (2.0 * s2 * (s2 + neff * s2)) AS lnlam FROM st),
+        |fin AS (SELECT day, na, nb, delta, lnlam,
+        |   max(lnlam) OVER (ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnmax
+        |  FROM lm)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, na, nb,
+        | round(delta, 6) AS delta, round(lnlam, 6) AS log_lambda,
+        | round(least(1.0::DOUBLE, exp(-lnmax)), 6) AS p
+        |FROM fin""".stripMargin,
 
     // judge A nests the gopherSql chain verbatim; judge B is the TTR
     // integer cross-multiply; κ is a BIGINT ratio, exact until the
@@ -12528,6 +12634,13 @@ object SparkEntry {
 
     // bit-exact bloom replication: a big-side key passes iff ALL its 3
     // positions are set by some keep-key — false positives reproduce
+    // from-scratch full join — the delta algebra must be invisible
+    "k33_ivm_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
     // the naive quadratic levenshtein join — symmetric-delete blocking
     // must be invisible in the output
     "j8_fuzzy_join" ->

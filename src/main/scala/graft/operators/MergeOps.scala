@@ -33,6 +33,26 @@ object MergeOps {
       .agg(count(lit(1)).as("n"), sum(col(valCol)).as("sum_v"),
         min(col(valCol)).as("min_v"), max(col(valCol)).as("max_v"))
 
+  /** Incremental JOIN-view maintenance (the delta algebra of
+    * materialized views): given the stored view J0 = A⋈B and append
+    * deltas ΔA, ΔB, the refreshed view is exactly
+    * J0 ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB) — the base relations never
+    * re-join each other. At 100 TB the three delta terms each have one
+    * delta-sized side (broadcast it when small; shuffle on the join key
+    * otherwise), so a refresh costs O(Δ·matching) instead of the
+    * O(A⋈B) full recompute. Append-only deltas; deletions compose with
+    * the k24 deletion-vector anti-join upstream.
+    *
+    * The k33 gate query replays this against the from-scratch join: a
+    * hash match proves the algebra loses and duplicates nothing. */
+  def deltaJoinRefresh(baseView: DataFrame, a: DataFrame, b: DataFrame,
+                       deltaA: DataFrame, deltaB: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    baseView
+      .unionByName(deltaA.join(b, keys))
+      .unionByName(a.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
+
   /** Incremental aggregation maintenance — the daily-rollup pattern: the
     * running state table holds per-key MERGEABLE aggregates, each new
     * batch contributes its own partial state ([[aggState]] over the
