@@ -3393,6 +3393,35 @@ object SparkEntry {
     "text_perplexity" -> ((s, d) =>
       TextAnalysisOps.bigramSurprisal(t(s, d, "documents"), "doc_id", "text")),
 
+    "curate_ccnet" -> ((s, d) => {
+      // CCNet-style per-language perplexity bucketing (Wenzek et al.
+      // 2020): language-ID each doc, score it with the smoothed bigram
+      // surprisal, and split EACH language into head/middle/tail
+      // terciles by surprisal rank — the classic "keep the head and
+      // middle, drop the tail" web-corpus curation gate. Ranks use the
+      // ROUNDED surprisal with doc_id tiebreak (deterministic across
+      // engines); bucket cuts are integer cross-multiplies. Docs with
+      // < 2 tokens have no bigram score and drop (inner join), exactly
+      // as CCNet drops unscoreable docs. Both component chains are
+      // this suite's own gated operators.
+      val docs = t(s, d, "documents")
+      val lang = TextAnalysisOps.withLangId(docs, "text")
+        .select(col("doc_id"), col("pred_lang"))
+      val ppl = TextAnalysisOps.bigramSurprisal(docs, "doc_id", "text")
+        .select(col("doc_id"), col("mean_bg_surprisal"))
+      val wr = Window.partitionBy(col("pred_lang"))
+        .orderBy(col("mean_bg_surprisal"), col("doc_id"))
+      lang.join(ppl, "doc_id")
+        .withColumn("r", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("pred_lang"))))
+        .select(col("doc_id"), col("pred_lang"),
+          col("mean_bg_surprisal").as("surprisal"),
+          when(col("r") * 3 <= col("n"), "head")
+            .when(col("r") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+    }),
+
     "curate_url_dedup" -> ((s, d) =>
       // canonical-URL dedup over a deterministic URL fixture derived
       // from the documents table (mixed-case host, default port,
@@ -6865,6 +6894,28 @@ object SparkEntry {
        |SELECT doc_id, bucket, CAST(sum(w) AS BIGINT) AS weight
        |FROM b GROUP BY doc_id, bucket""".stripMargin
 
+  /** Smoothed bigram-surprisal oracle chain — gates `text_perplexity`
+    * and feeds `curate_ccnet` as a nested relation, so both replay
+    * literally identical SQL. */
+  private lazy val surprisalSql: String =
+    s"""WITH arrs AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
+       |  FROM documents),
+       |bgs AS (SELECT doc_id, bg, count(*) AS n,
+       |         string_split(bg, ' ')[1] AS w1 FROM
+       |  (SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1),
+       |     i -> a[i] || ' ' || a[i+1])) AS bg
+       |   FROM arrs WHERE len(a) >= 2) x GROUP BY doc_id, bg),
+       |c2 AS (SELECT bg, CAST(sum(n) AS BIGINT) AS c2 FROM bgs GROUP BY bg),
+       |c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM bgs GROUP BY w1),
+       |vv AS (SELECT count(DISTINCT term) AS v FROM ($tokensSub) z
+       |       WHERE term <> '')
+       |SELECT doc_id, count(*) AS n_distinct_bg,
+       | round(sum(n * -ln((c2.c2 + 0.5)/(c1.c1 + 0.5*vv.v))) /
+       |   CAST(sum(n) AS DOUBLE), 4) AS mean_bg_surprisal
+       |FROM bgs JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN vv
+       |GROUP BY doc_id""".stripMargin
+
   /** Two-round label-propagation oracle chain — gates `graph_label_prop`
     * and feeds `graph_modularity` as a nested relation, so both replay
     * literally identical SQL. */
@@ -9927,24 +9978,25 @@ object SparkEntry {
 
     // add-0.5-smoothed bigram LM, scored on the (doc, bigram, n)
     // compressed relation exactly as TextAnalysisOps.bigramSurprisal
-    "text_perplexity" ->
-      s"""WITH arrs AS (SELECT doc_id,
-         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
-         |  FROM documents),
-         |bgs AS (SELECT doc_id, bg, count(*) AS n,
-         |         string_split(bg, ' ')[1] AS w1 FROM
-         |  (SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1),
-         |     i -> a[i] || ' ' || a[i+1])) AS bg
-         |   FROM arrs WHERE len(a) >= 2) x GROUP BY doc_id, bg),
-         |c2 AS (SELECT bg, CAST(sum(n) AS BIGINT) AS c2 FROM bgs GROUP BY bg),
-         |c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM bgs GROUP BY w1),
-         |vv AS (SELECT count(DISTINCT term) AS v FROM ($tokensSub) z
-         |       WHERE term <> '')
-         |SELECT doc_id, count(*) AS n_distinct_bg,
-         | round(sum(n * -ln((c2.c2 + 0.5)/(c1.c1 + 0.5*vv.v))) /
-         |   CAST(sum(n) AS DOUBLE), 4) AS mean_bg_surprisal
-         |FROM bgs JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN vv
-         |GROUP BY doc_id""".stripMargin,
+    "text_perplexity" -> surprisalSql,
+
+    // both component chains nest verbatim; tercile cuts are integer
+    // cross-multiplies on the rounded-surprisal rank
+    "curate_ccnet" ->
+      s"""WITH lang AS ($langIdSql),
+         |ppl AS (SELECT doc_id, mean_bg_surprisal FROM ($surprisalSql)),
+         |j AS (SELECT l.doc_id, l.pred_lang, p.mean_bg_surprisal
+         |      FROM lang l JOIN ppl p ON l.doc_id = p.doc_id),
+         |rk AS (SELECT doc_id, pred_lang, mean_bg_surprisal,
+         |   row_number() OVER (PARTITION BY pred_lang
+         |     ORDER BY mean_bg_surprisal, doc_id) AS r,
+         |   count(*) OVER (PARTITION BY pred_lang) AS n
+         |  FROM j)
+         |SELECT doc_id, pred_lang, mean_bg_surprisal AS surprisal,
+         | CASE WHEN r * 3 <= n THEN 'head'
+         |      WHEN r * 3 <= n * 2 THEN 'middle'
+         |      ELSE 'tail' END AS bucket
+         |FROM rk""".stripMargin,
 
     // the URL fixture is built with identical string concatenation on
     // both engines; the normalization chain replays UrlFunctions'
