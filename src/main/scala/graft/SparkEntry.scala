@@ -2091,6 +2091,47 @@ object SparkEntry {
             (col("m") + 1L).cast("double") - 1.0, 4).as("chapman"))
     }),
 
+    "stats_tost" -> ((s, d) => {
+      // TOST equivalence test (Schuirmann 1987): are the two halves of
+      // the corpus the SAME within a margin — the flip side of
+      // difference testing, the check a data-pipeline A/B needs before
+      // declaring a refactor harmless. Arms are doc_id parity; margin
+      // Δ = 5 % of the pooled mean; both one-sided Welch z's must
+      // clear 1.645 (normal approx on these n's, stated). Everything
+      // derives from one pass of exact integer (n, Σx, Σx²) co-moments
+      // per arm — the stats_welch machinery with a two-sided gate.
+      val docs = t(s, d, "documents")
+        .select((col("doc_id") % 2 === 0).as("arma"), col("n_chars"))
+      docs.agg(
+          sum(when(col("arma"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arma"), col("n_chars")).otherwise(0L)).as("s1"),
+          sum(when(col("arma"), col("n_chars") * col("n_chars"))
+            .otherwise(0L)).as("q1"),
+          sum(when(!col("arma"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("arma"), col("n_chars")).otherwise(0L)).as("s2"),
+          sum(when(!col("arma"), col("n_chars") * col("n_chars"))
+            .otherwise(0L)).as("q2"))
+        .withColumn("m1", col("s1").cast("double") / col("n1"))
+        .withColumn("m2", col("s2").cast("double") / col("n2"))
+        .withColumn("v1", (col("n1").cast("double") * col("q1") -
+            col("s1").cast("double") * col("s1")) /
+          (col("n1").cast("double") * (col("n1") - 1)))
+        .withColumn("v2", (col("n2").cast("double") * col("q2") -
+            col("s2").cast("double") * col("s2")) /
+          (col("n2").cast("double") * (col("n2") - 1)))
+        .withColumn("se", sqrt(col("v1") / col("n1") + col("v2") / col("n2")))
+        .withColumn("dm", lit(0.05) * (col("s1") + col("s2")).cast("double") /
+          (col("n1") + col("n2")).cast("double"))
+        .withColumn("t_lower", (col("m1") - col("m2") + col("dm")) / col("se"))
+        .withColumn("t_upper", (col("dm") - (col("m1") - col("m2"))) / col("se"))
+        .select(col("n1"), col("n2"),
+          round(col("m1") - col("m2"), 6).as("delta"),
+          round(col("dm"), 6).as("margin"),
+          round(col("t_lower"), 6).as("t_lower"),
+          round(col("t_upper"), 6).as("t_upper"),
+          (col("t_lower") > 1.645 && col("t_upper") > 1.645).as("equivalent"))
+    }),
+
     "stats_sequential" -> ((s, d) => {
       // mSPRT always-valid sequential A/B monitor (Johari et al. 2017):
       // the peeking-safe p-value a dashboard can refresh daily without
@@ -9024,6 +9065,35 @@ object SparkEntry {
         | round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) /
         |   CAST(m + 1 AS DOUBLE) - 1.0, 4) AS chapman
         |FROM a""".stripMargin,
+
+    // exact integer co-moments per parity arm; the two z's and the
+    // 1.645 gate mirror textually
+    "stats_tost" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q1,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q2
+        | FROM documents),
+        |f AS (SELECT n1, n2,
+        |  CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+        |  (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+        |    / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1,
+        |  (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+        |    / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2,
+        |  0.05 * CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS dm
+        | FROM a),
+        |g AS (SELECT n1, n2, m1 - m2 AS delta, dm,
+        |  sqrt(v1 / n1 + v2 / n2) AS se FROM f),
+        |h AS (SELECT n1, n2, delta, dm,
+        |  (delta + dm) / se AS t_lower, (dm - delta) / se AS t_upper
+        | FROM g)
+        |SELECT n1, n2, round(delta, 6) AS delta, round(dm, 6) AS margin,
+        | round(t_lower, 6) AS t_lower, round(t_upper, 6) AS t_upper,
+        | (t_lower > 1.645 AND t_upper > 1.645) AS equivalent
+        |FROM h""".stripMargin,
 
     // τ² = σ² is baked into the mirrored formula text; day sums round
     // to 4 before the cumulative chain on BOTH engines

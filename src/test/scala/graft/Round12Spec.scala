@@ -279,6 +279,66 @@ class Round12Spec extends AnyFunSuite {
     assert(nCand >= 20, s"candidates=$nCand must cover top-k")
   }
 
+  // --- interval-overlap join edges -------------------------------------
+
+  test("intervalOverlapJoin: half-open adjacency and zero-length " +
+    "intervals don't match; bucket-crossing pairs emit exactly once") {
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 101L), // zero-length
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"), 102L)) // spans 2 day-buckets
+      .toDF("k", "ls", "le", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 20:00:00"), 200L), // adjacent to 100: no overlap
+      (1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00"), 201L), // overlaps 100
+      (1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00"), 202L), // contains the zero-length 101: still no overlap (empty interval)
+      (2L, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00"), 203L)) // crosses midnight inside 102
+      .toDF("k", "rs", "re", "rid")
+    val got = graft.operators.AsofOps.intervalOverlapJoin(
+        left, right, "k", "ls", "le", "rs", "re", bucketMs = 86400000L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    // 100⨯201 overlap; 100⨯200 adjacent (half-open); 101 zero-length
+    // matches nothing; 102⨯203 overlaps and shares TWO buckets — one row
+    assert(got == Seq((100L, 201L), (102L, 203L)), got.toString)
+  }
+
+  // --- delta join-view algebra ------------------------------------------
+
+  test("deltaJoinRefresh multiplies duplicate keys exactly like the " +
+    "from-scratch join") {
+    val a0 = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val da = Seq((1L, "a3"), (3L, "a4")).toDF("k", "av")
+    val b0 = Seq((1L, "b1"), (1L, "b2"), (3L, "b3")).toDF("k", "bv")
+    val db = Seq((1L, "b4"), (2L, "b5")).toDF("k", "bv")
+    val j0 = a0.join(b0, Seq("k"))
+    val inc = graft.operators.MergeOps
+      .deltaJoinRefresh(j0, a0, b0, da, db, Seq("k"))
+      .select("k", "av", "bv").as[(Long, String, String)]
+      .collect().toSeq.sorted
+    val full = a0.unionByName(da).join(b0.unionByName(db), Seq("k"))
+      .select("k", "av", "bv").as[(Long, String, String)]
+      .collect().toSeq.sorted
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc.size == 8) // k=1: 3 a-rows × ... exact fan-out preserved
+  }
+
+  // --- gumbel top-k ------------------------------------------------------
+
+  test("gumbelTopK returns the whole population when k exceeds it, " +
+    "ranked deterministically") {
+    val df = Seq((1L, 10L), (2L, 1L), (3L, 1000L), (4L, 0L))
+      .toDF("id", "w")
+    val out = graft.operators.SketchOps.gumbelTopK(df, "id", "w", k = 10)
+      .collect()
+    assert(out.length == 3, "w <= 0 rows drop, rest all return")
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    // re-running yields the identical ranking (hash-deterministic)
+    val again = graft.operators.SketchOps.gumbelTopK(df, "id", "w", k = 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(again == out.map(_.getAs[Long]("id")).toSeq)
+  }
+
   // --- partition evolution ---------------------------------------------
 
   test("k32_partition_evolution: the fine generation hour-prunes via " +
