@@ -24,12 +24,18 @@ object Bench {
     // local cores, as a shared cluster would); `value` is the true
     // wall-clock of the whole suite, `queries` are per-query latencies
     // observed under that concurrency
+    // local-iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the
+    // suite (the driver never sets it, so official runs are unaffected)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val suite = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val wall0 = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = suite.map { case (name, fn) =>
       Future {
         val t0 = System.nanoTime()
         // a crashed query must surface as an error, not masquerade as a
@@ -57,7 +63,12 @@ object Bench {
     // suppresses one-off interference while staying an honest
     // measurement of the same plan; the mode is recorded in the JSON.
     var sinceGc = 0
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // run-2 failures under best-of-2: run 1 already succeeded on the
+    // same plan and data, so the failure is transient — but it must
+    // stay visible (a genuinely flaky/nondeterministic query would
+    // otherwise report as clean). Recorded per query in the JSON.
+    val transients = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = suite.map { case (name, fn) =>
       concResults.find(_._1 == name).collect { case (_, _, Some(e)) =>
         (name, 0.0, Some(e)) // crashed in the concurrent pass: keep error
       }.getOrElse {
@@ -78,12 +89,11 @@ object Bench {
         val (t1, e1) = once()
         if (e1.isDefined) (name, 0.0, e1)
         else {
-          // run 1 succeeded: a run-2 failure is by definition transient
-          // (same plan, same data) — keep the clean t1 instead of
-          // letting the glitch best-of-2 exists to suppress poison the
-          // record as a phantom error
+          // run 1 succeeded: keep the clean t1 as the timing, but log a
+          // run-2 failure as a transient_error (best-of-2 exists to
+          // suppress noise, not to hide flakiness)
           val (t2, e2) = once()
-          if (e2.isDefined) (name, t1, None)
+          if (e2.isDefined) { transients(name) = e2.get; (name, t1, None) }
           else (name, math.min(t1, t2), None)
         }
       }
@@ -101,9 +111,11 @@ object Bench {
         .mkString("{", ",", "}")
       val errs = results.collect { case (k, _, Some(e)) =>
         "\"" + k + "\":" + jstr(e.take(300)) }.mkString("{", ",", "}")
+      val trans = transients.map { case (k, e) =>
+        "\"" + k + "\":" + jstr(e.take(300)) }.mkString("{", ",", "}")
       val drop = if (dropped > 0)
         s""","queries_dropped":$dropped,"queries_file":"BENCH.json"""" else ""
-      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"queries_mode":"sequential_best_of_2","queries_total":${results.size}$drop,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"queries_mode":"sequential_best_of_2","queries_total":${results.size}$drop,"errors":$errs,"transient_errors":$trans,"sf":"$sfDir"}"""
     }
     val timings = results.collect { case (k, v, None) => (k, v) }
     // full-fidelity record → file (tracked in the repo, one line per round)

@@ -60,12 +60,18 @@ object ClusterOps {
     * GraphOps' rank iteration; Round9OpsSpec pins constant depth). */
   def kmeansModel(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val e = emb.select(col("vec_id"), col("embedding"))
+    // LAZY checkpoints: each round's centroids have exactly one
+    // consumer (the next assign's broadcast-collect, which runs as its
+    // own sequential job anyway), so the eager variant's extra
+    // materialization job per Lloyd round was pure scheduling floor —
+    // the plan-depth truncation (the point of the checkpoint) is
+    // identical either way.
     var centroids = recompute(
       e, e.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("cluster")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var assigned = assign(e, centroids)
     for (_ <- 1 until iters) {
-      centroids = recompute(e, assigned).localCheckpoint()
+      centroids = recompute(e, assigned).localCheckpoint(false)
       assigned = assign(e, centroids)
     }
     (centroids, assigned)

@@ -36,16 +36,19 @@ object FunnelOps {
     // localCheckpoint each frontier (one row per surviving user — tiny):
     // without it, counting step k re-executes the whole filter/join
     // chain for steps 1..k — O(steps²) scans of the events relation.
-    // Same lineage-truncation move as GraphOps/DedupOps.
+    // LAZY: the count union at the end is the one action; a frontier's
+    // two consumers (its own count + the next step's join) share the
+    // groupBy's shuffle stage, so a concurrent first touch re-reads at
+    // most one reduce stage — no per-step eager job needed.
     val first = ev.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(col("tus")).as("frontier"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val frontiers = steps.tail.foldLeft(List(first)) { (acc, step) =>
       val next = ev.filter(col("event_type") === step)
         .join(acc.head, "user_id")
         .filter(col("tus") > col("frontier"))
         .groupBy("user_id").agg(min(col("tus")).as("frontier"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       next :: acc
     }.reverse
     frontiers.zip(steps).zipWithIndex.map { case ((frontier, step), i) =>

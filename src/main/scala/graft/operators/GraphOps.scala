@@ -56,16 +56,24 @@ object GraphOps {
     * Returns (node, dist), dist ∈ [0, maxHops]. */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // all checkpoints in the hop loop are LAZY (localCheckpoint(false)):
+    // there is no intermediate action, so the single final action
+    // materializes each hop's blocks on first touch; the only
+    // double-consumer (frontier feeds both the union and the next hop's
+    // join) re-reads a cached block or at worst replays one
+    // shuffle-read stage — the per-hop eager materialization job it
+    // replaces was pure scheduling floor (the CC fixpoint measurement)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
     var frontier = dist
     for (_ <- 1 to maxHops) {
       val reached = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), (col("dist") + 1L).as("dist"))
         .groupBy("node").agg(min("dist").as("dist"))
-      frontier = reached.join(dist, Seq("node"), "left_anti").localCheckpoint()
-      dist = dist.unionByName(frontier).localCheckpoint()
+      frontier = reached.join(dist, Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      dist = dist.unionByName(frontier).localCheckpoint(false)
     }
     dist
   }
@@ -87,12 +95,18 @@ object GraphOps {
     // checkpointed like `weighted`: `nodes` appears in EVERY iteration's
     // plan (the teleport re-join), so without materialization the
     // union+distinct over the raw edge relation — the widest scan in the
-    // operator — would recompute once per round
+    // operator — would recompute once per round. LAZY: the count()
+    // below is nodes' first action and materializes its blocks before
+    // any round reads them; `weighted` and the mid-run rank
+    // checkpoints have strictly sequential consumers (round i+1
+    // depends on round i), so the eager variant's extra job per
+    // checkpoint was pure scheduling floor (the CC fixpoint law).
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
     // one co-partitioned (src, dst, outdeg) relation reused every round
-    val weighted = e.join(outdeg, "src").localCheckpoint()
+    val weighted = e.join(outdeg, "src").localCheckpoint(false)
     val n = nodes.count().toDouble
     val teleport = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -106,9 +120,10 @@ object GraphOps {
           (lit(teleport) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
       // truncate the per-round join lineage before it compounds (the
-      // rank table is O(N) (long, double) rows — cheap to materialize)
+      // rank table is O(N) (long, double) rows; lazy — next round is
+      // its only consumer)
       if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(false)
     }
     ranks
   }
@@ -127,10 +142,13 @@ object GraphOps {
                            checkpointEvery: Int = 5): DataFrame = {
     require(seeds.nonEmpty, "personalizedPagerank needs at least one seed")
     val e = edges.select(col("src"), col("dst"))
+    // lazy checkpoints throughout — same sequential-consumer analysis
+    // as [[pagerank]] (no action until the caller's, rounds chain)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
-    val weighted = e.join(outdeg, "src").localCheckpoint()
+    val weighted = e.join(outdeg, "src").localCheckpoint(false)
     val seedBase = when(col("node").isin(seeds: _*),
       lit(1.0 / seeds.size)).otherwise(lit(0.0d))
     var ranks = nodes.withColumn("rank", seedBase)
@@ -144,7 +162,7 @@ object GraphOps {
           (lit(1.0 - damping) * seedBase +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
       if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(false)
     }
     ranks
   }
@@ -290,9 +308,16 @@ object GraphOps {
     * which localCheckpoints each round to keep plan depth O(1). */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k, $rounds")
+    // LAZY checkpoints: the peel has no intermediate action, so the
+    // final degree count materializes every round's edge list on first
+    // touch; within a round the degree subtree and the semi-join left
+    // side share their shuffle stages (stage dedup), so the worst-case
+    // double-consumer cost is one cached-block re-read — the eager
+    // variant's per-round materialization job (rounds × jobs) was the
+    // driver-bench floor the r12 audit flagged.
     var e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val alive = e.select(col("a").as("node"))
         .unionByName(e.select(col("b").as("node")))
@@ -301,7 +326,7 @@ object GraphOps {
         .select(col("node"))
       e = e.join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))

@@ -456,7 +456,11 @@ object SimilarityOps {
                                dims: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
+    // the (vec_id, s, sub) slices appear in every Lloyd round's
+    // recompute AND assign — materialize once (lazy, r13) instead of
+    // re-slicing the corpus in each of the 4+ consuming subtrees
     val subs = pqSubvectors(vectors, "vec_id", m, dsub)
+      .localCheckpoint(eager = false)
     // centroid table (s, code, cent) from an assignment (vec_id, s, code)
     def recompute(assigned: DataFrame): DataFrame =
       subs.join(assigned, Seq("vec_id", "s"))
@@ -544,28 +548,36 @@ object SimilarityOps {
     * Scale shape: [[ivfpqTopK]] plus the k-means training passes (run
     * them on a sample at 100 TB — pass a sampled `corpus` to
     * kmeansModel via the same recipe IVF quantizers conventionally use)
-    * and one elementwise subtraction before encoding — the corpus-wide
-    * (vec, cell, residual) relation is localCheckpoint'ed so the
-    * assignment pass runs once (training, encoding and candidate
-    * generation all read it); the ADC tables grow nProbe-fold
-    * (queries × nProbe × m × codes rows) and still broadcast. */
+    * and one elementwise subtraction before encoding. The trainer's
+    * final assignment IS the cell assignment (same argmax law), so no
+    * separate corpus × centroids pass runs; the corpus-wide (vec,
+    * cell, residual) relation is localCheckpoint'ed so encoding and
+    * candidate generation read one materialization; the ADC tables
+    * grow nProbe-fold (queries × nProbe × m × codes rows) and still
+    * broadcast. */
   def ivfpqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                         nCentroids: Int = 16, nProbe: Int = 3,
                         m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
-    // trained coarse quantizer: k-means cell means (2 Lloyd rounds),
-    // already localCheckpoint'ed per round inside kmeansModel
-    val cents = ClusterOps.kmeansModel(corpus, nCentroids, iters = 2)._1
+    // trained coarse quantizer: k-means cell means (2 Lloyd rounds).
+    // The model's FINAL assignment is the same (csim desc, cent_id asc)
+    // argmax `cellsFull` needs, so it is REUSED (r13): the residual
+    // forms from a keyed join against the corpus plus one broadcast
+    // centroid lookup, instead of re-running a corpus × centroids
+    // cosine pass that recomputed the assignment the trainer already
+    // produced. Results are bit-identical — same assignment law.
+    val (centsRaw, assignedRaw) =
+      ClusterOps.kmeansModel(corpus, nCentroids, iters = 2)
+    val cents = centsRaw
       .select(col("cluster").as("cent_id"), col("centroid").as("cent_emb"))
     // nearest cell per corpus vector, WITH the residual vs its centroid
-    val cellsFull = corpus.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("embedding"), col("cent_emb")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id"), col("cent_emb"), col("embedding")),
-        struct(col("csim"), lit(0L) - col("cent_id"))).as("b"))
-      .select(col("vec_id"), col("b.cent_id").as("cent_id"),
-        zip_with(col("b.embedding"), col("b.cent_emb"),
+    val cellsFull = assignedRaw
+      .select(col("vec_id"), col("cluster").as("cent_id"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(cents), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("embedding"), col("cent_emb"),
           (a, b) => a - b).as("resid"))
       .localCheckpoint(eager = false)
     val (cent2, encoded) = pqCodebookEncode(
