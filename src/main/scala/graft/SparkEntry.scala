@@ -1232,6 +1232,15 @@ object SparkEntry {
       SimilarityOps.centroidOutliers(t(s, d, "embeddings"),
         "vec_id", "label", "embedding", threshold = 0.0)),
 
+    "embed_pq_distortion" -> ((s, d) =>
+      // per-subspace PQ reconstruction MSE — the quantization-error
+      // scorecard behind ann_pq_topk's recall number (which subspace
+      // is burning the code budget). Deterministic training replayed
+      // by the oracle; m-row output
+      SimilarityOps.pqDistortion(t(s, d, "embeddings")
+          .withColumn("embedding", col("embedding").cast("array<double>")))
+        .select(col("s"), col("n_vecs"), round(col("mse"), 6).as("mse"))),
+
     "embed_matryoshka" -> ((s, d) => {
       // Matryoshka-truncation audit (Kusupati et al. 2022): recall@5 of
       // prefix-dim brute search against the full-64-dim truth — the
@@ -1293,6 +1302,24 @@ object SparkEntry {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       GraphOps.kcore(edges, k = 3, rounds = 4)
+    }),
+
+    "graph_ktruss" -> ((s, d) => {
+      // 2-round 4-truss peel of the part co-order graph: the EDGE-level
+      // dense-community extractor (edges in < k−2 triangles drop) that
+      // survives hub nodes a k-core keeps — the spam-ring / tight-
+      // co-citation cut one notch stricter than graph_kcore. Bounded-
+      // round semantics: engine and oracle both run exactly 2 passes;
+      // triangles enumerate once each via the degree-oriented wedge
+      // join (the graph_triangles orientation).
+      val li = t(s, d, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      GraphOps.ktruss(edges, k = 4, rounds = 2)
     }),
 
     "st_topk" -> ((s, _) => {
@@ -2164,6 +2191,42 @@ object SparkEntry {
           round(col("t_lower"), 6).as("t_lower"),
           round(col("t_upper"), 6).as("t_upper"),
           (col("t_lower") > 1.645 && col("t_upper") > 1.645).as("equivalent"))
+    }),
+
+    "stats_power" -> ((s, d) => {
+      // A/B pre-flight power analysis: the minimum detectable effect
+      // (MDE) at α = 0.05 / power 0.8 for the doc-halves experiment —
+      // the number a pipeline owner reads BEFORE launching an A/B to
+      // know whether the corpus can even resolve the effect size they
+      // care about. Arms are doc_id parity (the stats_tost split);
+      // se from exact BIGINT (n, Σx, Σx²) co-moments (the stats_welch
+      // machinery), MDE = (z_{0.975} + z_{0.8})·se with the z's as
+      // exact shared literals (normal approximation, stated); relative
+      // MDE divides by the pooled mean. One corpus scan, one-row output.
+      val docs = t(s, d, "documents")
+        .select((col("doc_id") % 2 === 0).as("arma"), col("n_chars"))
+      docs.agg(
+          sum(when(col("arma"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arma"), col("n_chars")).otherwise(0L)).as("s1"),
+          sum(when(col("arma"), col("n_chars") * col("n_chars"))
+            .otherwise(0L)).as("q1"),
+          sum(when(!col("arma"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("arma"), col("n_chars")).otherwise(0L)).as("s2"),
+          sum(when(!col("arma"), col("n_chars") * col("n_chars"))
+            .otherwise(0L)).as("q2"))
+        .withColumn("v1", (col("n1").cast("double") * col("q1") -
+            col("s1").cast("double") * col("s1")) /
+          (col("n1").cast("double") * (col("n1") - 1)))
+        .withColumn("v2", (col("n2").cast("double") * col("q2") -
+            col("s2").cast("double") * col("s2")) /
+          (col("n2").cast("double") * (col("n2") - 1)))
+        .withColumn("se", sqrt(col("v1") / col("n1") + col("v2") / col("n2")))
+        .withColumn("mde", (lit(1.96) + lit(0.8416)) * col("se"))
+        .select(col("n1"), col("n2"),
+          round(col("se"), 6).as("se"),
+          round(col("mde"), 6).as("mde_abs"),
+          round(col("mde") / ((col("s1") + col("s2")).cast("double") /
+            (col("n1") + col("n2")).cast("double")), 6).as("mde_rel"))
     }),
 
     "stats_sequential" -> ((s, d) => {
@@ -4393,6 +4456,38 @@ object SparkEntry {
           "payload", width = 64, patch = 8)
         .select(col("doc_id"), col("pr"), col("pc"), col("patch_sig"))),
 
+    "mm_phash" -> ((s, d) =>
+      // 64-bit average-hash (aHash) perceptual signature over the
+      // synthetic grayscale: the pixel sequence splits into 64
+      // integer-boundary blocks (start_b = b·len div 64) and bit b is
+      // set iff the block's mean gray exceeds the global mean —
+      // compared as the EXACT integer cross-multiply
+      // s_b·len > S·c_b, so the signature never touches a float
+      // (sound up to docs of ~10⁷ pixels: s_b·len ≤ 65535·len²).
+      // Pure map, zero exchanges; the dedup complement of
+      // mm_patches' locality-preserving patch signatures (aHash is
+      // the global-layout fingerprint, patches are the local ones).
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) > 0)
+        .withColumn("cs",
+          expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
+        .withColumn("len", size(col("cs")).cast("long"))
+        .withColumn("stot", expr("aggregate(cs, 0L, (a, x) -> a + x)"))
+        .withColumn("phash", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, b) ->
+            | acc | CASE WHEN
+            |  aggregate(slice(cs,
+            |    CAST(CAST(b AS BIGINT) * len div 64 AS INT) + 1,
+            |    CAST(CAST(b + 1 AS BIGINT) * len div 64 -
+            |         CAST(b AS BIGINT) * len div 64 AS INT)),
+            |   0L, (a, x) -> a + x) * len >
+            |  stot * (CAST(b + 1 AS BIGINT) * len div 64 -
+            |          CAST(b AS BIGINT) * len div 64)
+            | THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)"""
+            .stripMargin))
+        .select(col("doc_id"), col("len").as("n_pix"), col("phash"))),
+
     "mm_neardup" -> ((s, d) =>
       // perceptual near-dup pairs over the payload patch grid: ≥ 4/5 of
       // aligned sub-hub patch signatures coincide — the image-side
@@ -5181,6 +5276,14 @@ object SparkEntry {
       // rule an integer cross-multiplied compare, pure map
       TextAnalysisOps.gopherRules(t(s, d, "documents"), "doc_id", "text")),
 
+    "bpe_train" -> ((s, d) =>
+      // distributed BPE merge training (3 greedy rounds over the
+      // corpus word-frequency table) — the tokenizer-TRAINING half of
+      // the F17 seam; the learned merge table is the artifact a real
+      // pipeline ships to its serving tokenizer. See TermOps.bpeTrain.
+      TermOps.bpeTrain(t(s, d, "documents"), "doc_id", "text",
+        rounds = 3)),
+
     "text_fertility" -> ((s, d) => {
       // tokenizer fertility (BPE-ish pieces per whitespace word) BY
       // LANGUAGE — the aggregate tokenizer-choice audit over
@@ -5598,6 +5701,47 @@ object SparkEntry {
             coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6))
         .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
         .select(col("doc_id"), col("text_rank"), col("vec_rank"), col("rrf"))
+    }),
+
+    "search_hybrid" -> ((s, d) => {
+      // score-fused hybrid retrieval: min-max normalize each leg's
+      // top-20 scores to [0, 1] and fuse 50/50 — the calibrated
+      // complement of search_rrf's rank-only fusion (score fusion
+      // preserves MARGIN information ranks throw away; it's the right
+      // fusion when both scorers are calibrated, as here where both
+      // legs are this repo's own gated operators). Normalization runs
+      // on each leg's ROUNDED score surface (bm25's round-4 scores,
+      // cosine rounded 4 after the unrounded-sim top-20 cut), so the
+      // min-max arithmetic sees engine-identical doubles; a doc
+      // missing from one leg contributes 0 from it. doc_id ≡ vec_id.
+      val text = TermOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
+          queryTerms = Seq("scan", "join", "merge"), k = 20)
+        .select(col("doc_id"), col("score"))
+      val tb = text.agg(min("score").as("tmin"), max("score").as("tmax"))
+      val tN = text.crossJoin(broadcast(tb))
+        .select(col("doc_id"),
+          when(col("tmax") === col("tmin"), lit(1.0))
+            .otherwise((col("score") - col("tmin")) /
+              (col("tmax") - col("tmin"))).as("nt"))
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val vec = SimilarityOps.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0L), k = 20)
+        .select(col("nbr_id").as("doc_id"), round(col("sim"), 4).as("vsim"))
+      val vb = vec.agg(min("vsim").as("vmin"), max("vsim").as("vmax"))
+      val vN = vec.crossJoin(broadcast(vb))
+        .select(col("doc_id"),
+          when(col("vmax") === col("vmin"), lit(1.0))
+            .otherwise((col("vsim") - col("vmin")) /
+              (col("vmax") - col("vmin"))).as("nv"))
+      tN.join(vN, Seq("doc_id"), "full_outer")
+        .withColumn("hybrid", lit(0.5) * coalesce(col("nt"), lit(0.0)) +
+          lit(0.5) * coalesce(col("nv"), lit(0.0)))
+        .orderBy(col("hybrid").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"),
+          round(coalesce(col("nt"), lit(0.0)), 6).as("norm_text"),
+          round(coalesce(col("nv"), lit(0.0)), 6).as("norm_vec"),
+          round(col("hybrid"), 6).as("hybrid"))
     }),
 
     "funnel_steps" -> ((s, d) =>
@@ -6934,6 +7078,43 @@ object SparkEntry {
        |         ORDER BY adc ASC, vec_id ASC) AS INT) AS rank FROM ad)
        |SELECT query_id, nbr_id, round(adc, 4) AS adc, rank
        |FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** PQ reconstruction-MSE replay: the [[pqAdcOracleSql]] Lloyd chain
+    * (sub → a0 → c1 → a1 → c2 → a2), then avg l2sq between each
+    * subvector and its assigned final centroid. */
+  private lazy val pqDistortionOracleSql: String = {
+    def centFrom(assigned: String) =
+      s"""SELECT s, code, list(cv ORDER BY dim) AS cent FROM (
+         |   SELECT u.s AS s, u.code AS code, u.dim AS dim, avg(u.v) AS cv FROM (
+         |     SELECT sub.s, a.code, unnest(sub.sub) AS v,
+         |            generate_subscripts(sub.sub, 1) AS dim
+         |     FROM sub JOIN $assigned a USING (vec_id, s)) u
+         |   GROUP BY s, code, dim) g
+         | GROUP BY s, code""".stripMargin
+    def assignFrom(cent: String) =
+      s"""SELECT sub.vec_id, sub.s, $cent.code,
+         |  row_number() OVER (PARTITION BY sub.vec_id, sub.s
+         |    ORDER BY ${l2sqSql("sub.sub", s"$cent.cent", 8)} ASC,
+         |             $cent.code ASC) AS rn
+         | FROM sub JOIN $cent ON sub.s = $cent.s""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |sub AS (SELECT vec_id, s, emb[(s*8+1):(s*8+8)] AS sub
+       |        FROM e, unnest(generate_series(0, 7)) AS t(s)),
+       |a0 AS (SELECT vec_id, s, vec_id % 16 AS code FROM sub),
+       |c1 AS (${centFrom("a0")}),
+       |d1 AS (${assignFrom("c1")}),
+       |a1 AS (SELECT vec_id, s, code FROM d1 WHERE rn = 1),
+       |c2 AS (${centFrom("a1")}),
+       |d2 AS (${assignFrom("c2")}),
+       |a2 AS (SELECT vec_id, s, code FROM d2 WHERE rn = 1),
+       |dist AS (SELECT a2.s AS s, ${l2sqSql("sub.sub", "c2.cent", 8)} AS dd
+       |         FROM sub JOIN a2 USING (vec_id, s)
+       |         JOIN c2 ON c2.s = a2.s AND c2.code = a2.code)
+       |SELECT s, CAST(count(*) AS BIGINT) AS n_vecs,
+       | round(avg(dd), 6) AS mse
+       |FROM dist GROUP BY s""".stripMargin
   }
 
   /** The brute-force / IVF / LSH oracle chains as vals: each gates its
@@ -8458,6 +8639,8 @@ object SparkEntry {
         |SELECT vec_id, label, cos_c, cos_c < 0.0::DOUBLE AS outlier
         |FROM o""".stripMargin,
 
+    "embed_pq_distortion" -> pqDistortionOracleSql,
+
     // each path nests the full brute chain at its truncation (the
     // ann_recall derived-table pattern); recall is integer hits / truth
     "embed_matryoshka" ->
@@ -8505,6 +8688,52 @@ object SparkEntry {
         |   AS coeff
         |FROM deg d LEFT JOIN tpn t ON d.node = t.node
         |WHERE d.deg >= 2""".stripMargin,
+
+    // two unrolled truss-peel rounds + a final support pass — exactly
+    // the engine's bounded-round run; triangles via the same
+    // degree-oriented wedge join as the graph_triangles oracle
+    "graph_ktruss" -> {
+      def supFrom(inE: String, tag: String) =
+        s"""deg_$tag AS (SELECT node, count(*) AS deg FROM
+           |  (SELECT a AS node FROM $inE UNION ALL SELECT b FROM $inE) n
+           |  GROUP BY node),
+           |ori_$tag AS (
+           |  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+           |           THEN e.a ELSE e.b END AS u,
+           |         CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+           |           THEN e.b ELSE e.a END AS v
+           |  FROM $inE e JOIN deg_$tag da ON e.a = da.node
+           |  JOIN deg_$tag db ON e.b = db.node),
+           |tri_$tag AS (
+           |  SELECT e1.u AS w0, e1.v AS w1, e2.v AS w2
+           |  FROM ori_$tag e1 JOIN ori_$tag e2
+           |    ON e1.u = e2.u AND e1.v < e2.v
+           |  JOIN $inE ce ON ce.a = e1.v AND ce.b = e2.v),
+           |sup_$tag AS (
+           |  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+           |    SELECT least(w0, w1) AS a, greatest(w0, w1) AS b
+           |    FROM tri_$tag
+           |    UNION ALL SELECT least(w0, w2), greatest(w0, w2)
+           |    FROM tri_$tag
+           |    UNION ALL SELECT w1, w2 FROM tri_$tag) u
+           |  GROUP BY a, b)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+         |${supFrom("e0", "r1")},
+         |e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e JOIN sup_r1 s
+         |       ON e.a = s.a AND e.b = s.b AND s.support >= 2),
+         |${supFrom("e1", "r2")},
+         |e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e JOIN sup_r2 s
+         |       ON e.a = s.a AND e.b = s.b AND s.support >= 2),
+         |${supFrom("e2", "fin")}
+         |SELECT e.a, e.b,
+         | coalesce(s.support, CAST(0 AS BIGINT)) AS support
+         |FROM e2 e LEFT JOIN sup_fin s ON e.a = s.a AND e.b = s.b"""
+        .stripMargin
+    },
 
     // four unrolled peel rounds — exactly the engine's bounded-round run
     "graph_kcore" ->
@@ -9153,6 +9382,38 @@ object SparkEntry {
 
     // τ² = σ² is baked into the mirrored formula text; day sums round
     // to 4 before the cumulative chain on BOTH engines
+    // the stats_welch co-moment machinery with the (1.96 + 0.8416)·se
+    // MDE formula mirrored operand-for-operand
+    "stats_power" ->
+      """WITH m AS (SELECT
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n1,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars * n_chars
+        |    ELSE 0 END) AS BIGINT) AS q1,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n2,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars * n_chars
+        |    ELSE 0 END) AS BIGINT) AS q2
+        | FROM documents),
+        |v AS (SELECT n1, n2, s1, s2,
+        |  (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+        |    / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1,
+        |  (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+        |    / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2
+        | FROM m),
+        |f AS (SELECT n1, n2, s1, s2,
+        |  sqrt(v1 / n1 + v2 / n2) AS se FROM v)
+        |SELECT n1, n2, round(se, 6) AS se,
+        | round((1.96::DOUBLE + 0.8416::DOUBLE) * se, 6) AS mde_abs,
+        | round((1.96::DOUBLE + 0.8416::DOUBLE) * se /
+        |   (CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)), 6)
+        |   AS mde_rel
+        |FROM f""".stripMargin,
+
     "stats_sequential" ->
       """WITH ev AS (SELECT CAST(ts AS DATE) AS day,
         |   user_id % 2 = 0 AS arma,
@@ -10240,6 +10501,39 @@ object SparkEntry {
     // final image ROW is ragged, which substr truncation reproduces;
     // zero-byte corner patches are filtered on both sides
     "mm_patches" -> patchSigSql,
+
+    // the aHash bit fold in HUGEINT (disjoint bits: sum == or), wrapped
+    // to the signed BIGINT Spark emits — the patchSigSql convention;
+    // block means compare via the integer cross-multiply, never floats
+    "mm_phash" ->
+      """WITH p AS (SELECT doc_id, text,
+        |         CAST(strlen(text) AS BIGINT) AS len
+        |        FROM documents WHERE strlen(text) > 0),
+        |c AS (SELECT doc_id, len,
+        |       list_transform(regexp_split_to_array(text, ''),
+        |         ch -> CAST(unicode(ch) AS BIGINT)) AS cs
+        |      FROM p),
+        |t AS (SELECT doc_id, len, cs,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+        |         (a, x) -> a + x) AS stot
+        |      FROM c),
+        |b AS (SELECT doc_id, len,
+        |       list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(generate_series(0, 63), b ->
+        |         CASE WHEN
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            cs[(b * len // 64 + 1):((b + 1) * len // 64)]),
+        |           (a, x) -> a + x) * len >
+        |          stot * ((b + 1) * len // 64 - b * len // 64)
+        |         THEN (CAST(1 AS HUGEINT) << b)
+        |         ELSE CAST(0 AS HUGEINT) END)),
+        |        (a, x) -> a + x) AS hv
+        |      FROM t)
+        |SELECT doc_id, len AS n_pix,
+        | CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+        |   THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT)
+        |   AS phash
+        |FROM b""".stripMargin,
 
     // candidates only via shared (position, signature) postings with
     // the df ≤ 20 hub cut; the accept test is integer (5·shared ≥
@@ -11698,6 +11992,38 @@ object SparkEntry {
          |FROM f
          |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
 
+    // min-max score fusion over the same two legs as the RRF oracle:
+    // the vec leg cuts top-20 on the UNROUNDED sim (mirroring
+    // bruteForceTopK) then rounds to 4 before normalization
+    "search_hybrid" ->
+      s"""WITH tl AS (SELECT doc_id, score FROM ($bm25Sql) b),
+         |tb AS (SELECT min(score) AS tmin, max(score) AS tmax FROM tl),
+         |tn AS (SELECT doc_id, CASE WHEN tmax = tmin THEN 1.0::DOUBLE
+         |        ELSE (score - tmin) / (tmax - tmin) END AS nt
+         |       FROM tl CROSS JOIN tb),
+         |vbx AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |        FROM embeddings),
+         |qv AS (SELECT e AS qe FROM vbx WHERE vec_id = 0),
+         |sc AS (SELECT vbx.vec_id AS doc_id, ${cosSql("qe", "vbx.e")} AS sim
+         |       FROM vbx CROSS JOIN qv WHERE vbx.vec_id <> 0),
+         |vl AS (SELECT doc_id, round(sim, 4) AS vsim FROM (
+         |        SELECT doc_id, sim, row_number() OVER (
+         |          ORDER BY sim DESC, doc_id ASC) AS r FROM sc)
+         |       WHERE r <= 20),
+         |vb2 AS (SELECT min(vsim) AS vmin, max(vsim) AS vmax FROM vl),
+         |vn AS (SELECT doc_id, CASE WHEN vmax = vmin THEN 1.0::DOUBLE
+         |        ELSE (vsim - vmin) / (vmax - vmin) END AS nv
+         |       FROM vl CROSS JOIN vb2),
+         |f AS (SELECT coalesce(tn.doc_id, vn.doc_id) AS doc_id, nt, nv
+         |      FROM tn FULL OUTER JOIN vn ON tn.doc_id = vn.doc_id),
+         |h AS (SELECT doc_id, coalesce(nt, 0.0::DOUBLE) AS cnt_,
+         |       coalesce(nv, 0.0::DOUBLE) AS cnv_,
+         |       0.5::DOUBLE * coalesce(nt, 0.0::DOUBLE) +
+         |        0.5::DOUBLE * coalesce(nv, 0.0::DOUBLE) AS hybrid FROM f)
+         |SELECT doc_id, round(cnt_, 6) AS norm_text,
+         | round(cnv_, 6) AS norm_vec, round(hybrid, 6) AS hybrid
+         |FROM h ORDER BY hybrid DESC, doc_id ASC LIMIT 10""".stripMargin,
+
     // truncated RBO_.9 at depth 20 between the same two legs the RRF
     // oracle replays; each common doc enters at g = max(rank_a, rank_b)
     "search_rbo" ->
@@ -12346,6 +12672,46 @@ object SparkEntry {
     // every rule is an integer cross-multiplied compare — no float
     // boundary anywhere, so the bits decide identically in both engines
     "text_gopher_rules" -> gopherSql,
+
+    // three unrolled greedy merge rounds over the word-frequency
+    // table; the merge application is the wrapped-element list_reduce
+    // fold (greedy left-to-right, the engine's aggregate() mirrored)
+    "bpe_train" -> {
+      def pairsFrom(sTab: String, tag: String) =
+        s"""p_$tag AS (
+           |  SELECT pr[1] AS l, pr[2] AS r,
+           |   CAST(sum(cnt) AS BIGINT) AS pair_count
+           |  FROM (SELECT unnest(list_transform(
+           |          generate_series(1, len(syms) - 1),
+           |          i -> [syms[i], syms[i + 1]])) AS pr, cnt
+           |        FROM $sTab WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |b_$tag AS (SELECT l, r, pair_count FROM p_$tag
+           |           ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1)"""
+          .stripMargin
+      def mergeFrom(inTab: String, bTab: String, outTab: String) =
+        s"""$outTab AS MATERIALIZED (
+           |  SELECT list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+           |          list_transform(syms, x -> [x])),
+           |         (acc, xw) -> CASE WHEN len(acc) > 0
+           |             AND acc[-1] = b.l AND xw[1] = b.r
+           |           THEN list_append(acc[1:len(acc) - 1], b.l || b.r)
+           |           ELSE list_append(acc, xw[1]) END) AS syms, cnt
+           |  FROM $inTab CROSS JOIN $bTab b)""".stripMargin
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT regexp_split_to_array(term, '') AS syms,
+         |   CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ($tokensSub) WHERE term <> '' GROUP BY term),
+         |${pairsFrom("w", "1")},
+         |${mergeFrom("w", "b_1", "s1")},
+         |${pairsFrom("s1", "2")},
+         |${mergeFrom("s1", "b_2", "s2")},
+         |${pairsFrom("s2", "3")}
+         |SELECT 1 AS round, l AS merge_left, r AS merge_right, pair_count
+         |FROM b_1
+         |UNION ALL SELECT 2, l, r, pair_count FROM b_2
+         |UNION ALL SELECT 3, l, r, pair_count FROM b_3""".stripMargin
+    },
 
     "text_fertility" ->
       """WITH b AS (

@@ -332,4 +332,61 @@ object GraphOps {
       .unionByName(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
+
+  /** Bounded-round k-truss peel (Cohen 2008): drop every edge whose
+    * triangle SUPPORT (number of triangles through it) is below k−2,
+    * re-count, repeat — the edge-level sibling of [[kcore]]'s node
+    * peel, and the standard dense-community extractor that survives
+    * hub nodes a k-core keeps. Bounded-round semantics like kcore:
+    * engine and oracle both run EXACTLY `rounds` passes; the returned
+    * (a, b, support) carries the support measured in the FINAL
+    * surviving subgraph (0 for an edge whose triangles all died in
+    * the last peel).
+    *
+    * Scale shape per round: triangles enumerate through the
+    * degree-ORIENTED wedge join (each triangle exactly once from its
+    * lowest-degree corner — the graph_triangles orientation, wedge
+    * fanout bounded by arboricity·|E|, never degree²·hubs), one
+    * closure semi-join against the distinct edge set, and one keyed
+    * count per edge; the shrinking edge list lazily checkpoints per
+    * round (the r13 fixpoint law). */
+  def ktruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"need k>=3, rounds>=1; got $k, $rounds")
+    var e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+    def support(ed: DataFrame): DataFrame = {
+      val deg = ed.select(col("a").as("node"))
+        .unionByName(ed.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ori = ed
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("b")).otherwise(col("a")).as("v"))
+      val tri = ori.as("x").join(ori.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.u").as("w0"), col("x.v").as("w1"),
+          col("y.v").as("w2"))
+        .join(ed.select(col("a").as("w1"), col("b").as("w2")),
+          Seq("w1", "w2"), "left_semi")
+      tri.select(least(col("w0"), col("w1")).as("a"),
+          greatest(col("w0"), col("w1")).as("b"))
+        .unionByName(tri.select(least(col("w0"), col("w2")).as("a"),
+          greatest(col("w0"), col("w2")).as("b")))
+        .unionByName(tri.select(col("w1").as("a"), col("w2").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+    for (_ <- 1 to rounds) {
+      e = e.join(support(e).filter(col("support") >= k - 2),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint(false)
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
 }

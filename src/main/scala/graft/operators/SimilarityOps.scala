@@ -483,6 +483,27 @@ object SimilarityOps {
     (cent2, assign(cent2))
   }
 
+  /** Per-subspace PQ reconstruction-error audit: mean squared L2
+    * distance between each vector's subvector and its assigned
+    * codebook centroid — the quantization-quality scorecard a vector
+    * store reads BEFORE trusting PQ recall (a subspace with outsized
+    * MSE is where the code budget is failing; ann_recall only shows
+    * the aggregate symptom). Same deterministic training as
+    * [[pqTopK]]; one keyed join + one broadcast lookup after
+    * training; output is m rows. */
+  def pqDistortion(corpus: DataFrame, m: Int = 8, codes: Int = 16,
+                   dims: Int = 64): DataFrame = {
+    val dsub = dims / m
+    val vectors = corpus.select(col("vec_id"), col("embedding"))
+    val (cb, enc) = pqCodebookEncode(vectors, m, codes, dims)
+    pqSubvectors(vectors, "vec_id", m, dsub)
+      .join(enc, Seq("vec_id", "s"))
+      .join(broadcast(cb), Seq("s", "code"))
+      .withColumn("dd", l2sq(col("sub"), col("cent")))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_vecs"), avg(col("dd")).as("mse"))
+  }
+
   private def pqAdcRank(corpus: DataFrame, queries: DataFrame, k: Int,
                         m: Int, codes: Int, dims: Int,
                         candidates: Option[DataFrame],

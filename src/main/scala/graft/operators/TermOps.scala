@@ -434,4 +434,73 @@ object TermOps {
     pairs.join(depths, col("g") <= col("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("a_d"))
   }
+
+  /** BPE merge training over the corpus word table (Sennrich et al.,
+    * ACL 2016): learn `rounds` byte-pair merges greedily — the
+    * tokenizer-TRAINING half of the F17 seam (tokens(_, Bpe) is the
+    * serving half), run as a distributed operator. Words collapse to a
+    * (symbols, count) table first (the classic BPE trick: merge
+    * statistics only need word TYPES weighted by frequency, so the
+    * corpus shuffles once and every round runs on O(vocab) rows);
+    * each round counts adjacent symbol pairs (each occurrence, so
+    * 'aaa' yields (a,a) twice), picks the argmax under the exact
+    * (count DESC, left ASC, right ASC) order, and applies the merge
+    * with a greedy LEFT-TO-RIGHT non-overlapping fold ('aaa' + merge
+    * (a,a) → [aa, a] — the fold's merged symbol can never re-match as
+    * the LEFT of the same pair because it textually differs).
+    *
+    * Returns (round, merge_left, merge_right, pair_count) — `rounds`
+    * rows, the learned merge table in order. Determinism: integer
+    * counts, binary string order; the whole chain replays in SQL
+    * (`bpe_train`).
+    *
+    * Scale shape: one corpus tokenize+count shuffle, then per round
+    * one O(vocab·avg_len) pair explode + aggregation and one broadcast
+    * (1-row) merge map — no round ever touches the corpus again. */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds must be in [1, 8], got $rounds")
+    var terms = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .select(split(col("term"), "").as("syms"), col("cnt"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = terms
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          // slice(sequence(...)) guard: Spark's sequence(1, 0) is the
+          // DESCENDING [1, 0], not empty (the t20_pacf caution)
+          """transform(
+            |  slice(sequence(1, greatest(size(syms) - 1, 1)),
+            |        1, size(syms) - 1),
+            |  i -> named_struct('l', element_at(syms, i),
+            |                    'r', element_at(syms, i + 1)))"""
+            .stripMargin)).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
+        .limit(1).localCheckpoint(false)
+      merges += best.select(lit(r).as("round"), col("l").as("merge_left"),
+        col("r").as("merge_right"), col("pair_count"))
+      if (r < rounds) {
+        terms = terms
+          .crossJoin(broadcast(best.select(col("l").as("_ml"),
+            col("r").as("_mr"))))
+          .select(expr(
+            """aggregate(syms, slice(syms, 1, 0), (acc, x) ->
+              | CASE WHEN size(acc) > 0 AND element_at(acc, -1) = _ml
+              |           AND x = _mr
+              |      THEN concat(slice(acc, 1, size(acc) - 1),
+              |                  array(concat(_ml, _mr)))
+              |      ELSE concat(acc, array(x)) END)""".stripMargin)
+            .as("syms"), col("cnt"))
+          .localCheckpoint(false)
+      }
+    }
+    merges.reduce(_ unionByName _)
+  }
 }

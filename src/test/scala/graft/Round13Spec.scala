@@ -96,6 +96,75 @@ class Round13Spec extends AnyFunSuite {
     assert(math.abs(total - (0.15 + 0.85 * (1.0 - 1.0 / 3.0))) < 1e-12)
   }
 
+  // --- r13 operator batch edge cases -----------------------------------
+
+  test("bpeTrain learns the expected merges on a known tiny corpus") {
+    import graft.operators.TermOps
+    // word table: low ×3, lower ×2, west ×1  →  adjacent pair counts
+    // round 1: (l,o) 5, (o,w) 5, (w,e) 3, ... tie (l,o)=(o,w) breaks
+    // to the lexicographically smaller left: (l,o)
+    val docs = Seq((1L, "low low lower"), (2L, "low lower west"))
+      .toDF("doc_id", "text")
+    val m = TermOps.bpeTrain(docs, "doc_id", "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // corpus word types: low (cnt 2... per-word occurrences: tokens
+    // low,low,lower,low,lower,west → low×3, lower×2, west×1
+    // r1 pairs: l-o 5, o-w 5, w-e 3, e-r 2, e-s 1, s-t 1 → (l,o)
+    assert(m(0) == ((1, "l", "o", 5L)), s"r1 was ${m(0)}")
+    // r2 symbols: [lo,w]×3, [lo,w,e,r]×2, [w,e,s,t] → (lo,w) 5
+    assert(m(1) == ((2, "lo", "w", 5L)), s"r2 was ${m(1)}")
+    // r3: [low]×3, [low,e,r]×2, [w,e,s,t] → (low,e) 2, (e,r) 2,
+    // (w,e) 1, (e,s) 1, (s,t) 1 → tie breaks to left 'e' < 'low'
+    assert(m(2) == ((3, "e", "r", 2L)), s"r3 was ${m(2)}")
+  }
+
+  test("bpeTrain's merge fold is greedy left-to-right ('aaaa' style " +
+    "runs merge in non-overlapping pairs)") {
+    import graft.operators.TermOps
+    val docs = Seq((1L, "aaaa aaaa aa")).toDF("doc_id", "text")
+    // word types: aaaa (cnt 2), aa (cnt 1); r1 pairs: (a,a) has
+    // 3 positions in aaaa ×2 + 1 in aa = 7
+    val m = TermOps.bpeTrain(docs, "doc_id", "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ((1, "a", "a", 7L)))
+    // greedy LTR: aaaa → [aa, aa], aa → [aa]; r2 pairs: (aa,aa) 2
+    assert(m(1) == ((2, "aa", "aa", 2L)), s"r2 was ${m(1)} — the fold " +
+      "must merge non-overlapping pairs left-to-right")
+  }
+
+  test("ktruss keeps the 4-clique and drops pendant triangles at k=4") {
+    // 4-clique on {1,2,3,4}: every edge sits in 2 triangles → survives
+    // k=4 (support ≥ 2); the pendant triangle {4,5,6} has support-1
+    // edges → dies in round 1
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val out = GraphOps.ktruss(e, k = 4, rounds = 2)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), s"got ${out.toSeq}")
+  }
+
+  test("search_hybrid normalized scores stay in [0, 1] and the fused " +
+    "score is their midpoint") {
+    val rows = SparkEntry.queries("search_hybrid")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, nv, h) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nt >= 0.0 && nt <= 1.0 && nv >= 0.0 && nv <= 1.0)
+      assert(math.abs(h - (0.5 * nt + 0.5 * nv)) < 2e-6)
+    }
+  }
+
+  test("mm_phash plans as a pure map: no exchange in the plan") {
+    val df = SparkEntry.queries("mm_phash")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"mm_phash should be exchange-free, got:\n$plan")
+  }
+
   // --- stats_sequential co-moment determinism (the r12 red row) --------
 
   test("stats_sequential is invariant to input partitioning (exact " +
