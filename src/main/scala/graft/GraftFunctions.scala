@@ -71,6 +71,10 @@ object GraftFunctions {
     toCol(graft.plans.ShingleHashes(toExpr(toks),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))
   def fnv64(c: Column): Column = toCol(graft.plans.FnvHash64(toExpr(c)))
+  def cosineSim(a: Column, b: Column): Column =
+    toCol(graft.plans.CosineSim(toExpr(a), toExpr(b)))
+  def l2sqDist(a: Column, b: Column): Column =
+    toCol(graft.plans.L2SqDist(toExpr(a), toExpr(b)))
   def rollingFingerprint(c: Column): Column =
     toCol(graft.plans.RollingFingerprint(toExpr(c)))
 

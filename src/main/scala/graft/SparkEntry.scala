@@ -1232,6 +1232,18 @@ object SparkEntry {
       SimilarityOps.centroidOutliers(t(s, d, "embeddings"),
         "vec_id", "label", "embedding", threshold = 0.0)),
 
+    "embed_knn_graph" -> ((s, d) =>
+      // corpus-wide 5-NN graph through the IVF cell prune — the graph
+      // construction primitive under semantic dedup / label prop /
+      // HNSW seeding; both sides key on the cell, so the join is a
+      // SHUFFLE join (never a corpus-sized broadcast). See
+      // SimilarityOps.knnGraph.
+      SimilarityOps.knnGraph(t(s, d, "embeddings")
+          .withColumn("embedding", col("embedding").cast("array<double>")),
+        k = 5)
+        .select(col("vec_id"), col("nbr_id"),
+          round(col("sim"), 4).as("sim"), col("rank"))),
+
     "embed_pq_distortion" -> ((s, d) =>
       // per-subspace PQ reconstruction MSE — the quantization-error
       // scorecard behind ann_pq_topk's recall number (which subspace
@@ -4088,6 +4100,98 @@ object SparkEntry {
           col("lat_s"))
     }),
 
+    "t29_changepoint" -> ((s, d) => {
+      // depth-2 binary segmentation changepoint detection (Scott &
+      // Knott style) over the dense daily event-count series: level 1
+      // picks the split minimizing total within-segment SSE over the
+      // whole series, level 2 re-splits each half — up to 3
+      // changepoints, the regime-shift detector behind t12_cusum's
+      // single-shift argmax. Every SSE derives from integer prefix
+      // sums (n, Σy, Σy²) via ONE cumulative window over the ≤|days|
+      // grid; costs are mirrored double expressions; argmin ties
+      // break to the smaller split index. The global-window sort runs
+      // on the day grid, never the corpus.
+      val daily = t(s, d, "events")
+        .select(expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("y"))
+      val grid = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+      val wOrd = Window.orderBy(col("day"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val p = grid.select(
+          row_number().over(wOrd).cast("long").as("i"),
+          sum(col("y")).over(wCum).as("cy"),
+          sum(col("y") * col("y")).over(wCum).as("cy2"))
+        .localCheckpoint(eager = false)
+      val tot = p.orderBy(col("i").desc).limit(1)
+        .select(col("i").as("n"), col("cy").as("tcy"),
+          col("cy2").as("tcy2"))
+      // SSE of [a, b] from prefix rows: (cy2b-cy2a) - (cyb-cya)²/len
+      def sse(cyb: org.apache.spark.sql.Column,
+              cy2b: org.apache.spark.sql.Column,
+              cya: org.apache.spark.sql.Column,
+              cy2a: org.apache.spark.sql.Column,
+              len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (cy2b - cy2a).cast("double") -
+          (cyb - cya).cast("double") * (cyb - cya) / len
+      def bestSplit(lo: org.apache.spark.sql.Column, hiRow: DataFrame,
+                    loCy: org.apache.spark.sql.Column,
+                    loCy2: org.apache.spark.sql.Column): DataFrame = {
+        // hiRow: 1 row with (hi, hcy, hcy2); candidates s in (lo, hi]
+        val cands = p.as("s")
+          .join(p.as("pv"), col("pv.i") === col("s.i") - 1)
+          .crossJoin(broadcast(hiRow))
+          .filter(col("s.i") > lo + 1 && col("s.i") <= col("hi"))
+        cands.select(col("s.i").as("split_i"),
+            (sse(col("pv.cy"), col("pv.cy2"), loCy, loCy2,
+              col("s.i") - 1 - lo) +
+             sse(col("hcy"), col("hcy2"), col("pv.cy"), col("pv.cy2"),
+               col("hi") - col("s.i") + 1)).as("child_sse"),
+            sse(col("hcy"), col("hcy2"), loCy, loCy2,
+              col("hi") - lo).as("seg_sse"))
+          .orderBy(col("child_sse").asc, col("split_i").asc).limit(1)
+          .select(col("split_i"),
+            (col("seg_sse") - col("child_sse")).as("gain"))
+      }
+      val totR = tot.select(col("n").as("hi"), col("tcy").as("hcy"),
+        col("tcy2").as("hcy2")).localCheckpoint(eager = false)
+      val b1 = bestSplit(lit(0L), totR, lit(0L), lit(0L))
+        .localCheckpoint(eager = false)
+      // boundary prefix row at s1-1 (the level-2 segment edge)
+      val bl = p.crossJoin(broadcast(b1))
+        .filter(col("i") === col("split_i") - 1)
+        .select(col("i").as("hi"), col("cy").as("hcy"),
+          col("cy2").as("hcy2")).localCheckpoint(eager = false)
+      val left2 = bestSplit(lit(0L), bl, lit(0L), lit(0L))
+      val right2 = {
+        val blB = bl.select(col("hi").as("lo0"), col("hcy").as("lcy"),
+          col("hcy2").as("lcy2"))
+        val cands = p.as("s")
+          .join(p.as("pv"), col("pv.i") === col("s.i") - 1)
+          .crossJoin(broadcast(totR)).crossJoin(broadcast(blB))
+          .filter(col("s.i") > col("lo0") + 1 && col("s.i") <= col("hi"))
+        cands.select(col("s.i").as("split_i"),
+            (sse(col("pv.cy"), col("pv.cy2"), col("lcy"), col("lcy2"),
+              col("s.i") - 1 - col("lo0")) +
+             sse(col("hcy"), col("hcy2"), col("pv.cy"), col("pv.cy2"),
+               col("hi") - col("s.i") + 1)).as("child_sse"),
+            sse(col("hcy"), col("hcy2"), col("lcy"), col("lcy2"),
+              col("hi") - col("lo0")).as("seg_sse"))
+          .orderBy(col("child_sse").asc, col("split_i").asc).limit(1)
+          .select(col("split_i"),
+            (col("seg_sse") - col("child_sse")).as("gain"))
+      }
+      b1.select(lit(1).as("level"), col("split_i"),
+          round(col("gain"), 6).as("gain"))
+        .unionByName(left2.select(lit(2).as("level"), col("split_i"),
+          round(col("gain"), 6).as("gain")))
+        .unionByName(right2.select(lit(3).as("level"), col("split_i"),
+          round(col("gain"), 6).as("gain")))
+    }),
+
     "t28_theil_sen" -> ((s, d) => {
       // Theil–Sen robust trend: the MEDIAN of all pairwise slopes over
       // each event_type's daily cents series — immune to the outlier
@@ -4458,35 +4562,29 @@ object SparkEntry {
 
     "mm_phash" -> ((s, d) =>
       // 64-bit average-hash (aHash) perceptual signature over the
-      // synthetic grayscale: the pixel sequence splits into 64
-      // integer-boundary blocks (start_b = b·len div 64) and bit b is
-      // set iff the block's mean gray exceeds the global mean —
-      // compared as the EXACT integer cross-multiply
-      // s_b·len > S·c_b, so the signature never touches a float
-      // (sound up to docs of ~10⁷ pixels: s_b·len ≤ 65535·len²).
-      // Pure map, zero exchanges; the dedup complement of
+      // synthetic grayscale — exact integer cross-multiply bits, pure
+      // map, zero exchanges (plan-pinned); the dedup complement of
       // mm_patches' locality-preserving patch signatures (aHash is
       // the global-layout fingerprint, patches are the local ones).
-      t(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .filter(length(col("text")) > 0)
-        .withColumn("cs",
-          expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
-        .withColumn("len", size(col("cs")).cast("long"))
-        .withColumn("stot", expr("aggregate(cs, 0L, (a, x) -> a + x)"))
-        .withColumn("phash", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, b) ->
-            | acc | CASE WHEN
-            |  aggregate(slice(cs,
-            |    CAST(CAST(b AS BIGINT) * len div 64 AS INT) + 1,
-            |    CAST(CAST(b + 1 AS BIGINT) * len div 64 -
-            |         CAST(b AS BIGINT) * len div 64 AS INT)),
-            |   0L, (a, x) -> a + x) * len >
-            |  stot * (CAST(b + 1 AS BIGINT) * len div 64 -
-            |          CAST(b AS BIGINT) * len div 64)
-            | THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)"""
-            .stripMargin))
-        .select(col("doc_id"), col("len").as("n_pix"), col("phash"))),
+      // See MultimodalOps.avgHash64.
+      MultimodalOps.avgHash64(t(s, d, "documents"), "doc_id", "text")),
+
+    "mm_phash_neardup" -> ((s, d) => {
+      // perceptual near-dup pairs: aHash signatures bucketed by four
+      // 16-bit bands (pairs only ever form inside a (band, value)
+      // bucket — never all-pairs), verified by exact popcount ≤ 12.
+      // Planted variants (every 53rd doc with a 4-char suffix — a
+      // "small pixel edit") land within a few bits of their original,
+      // so the gate has guaranteed positives on any corpus.
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text"))
+      MultimodalOps.phashNearDup(
+        MultimodalOps.avgHash64(base.unionByName(planted),
+          "doc_id", "text"),
+        "doc_id", maxHamming = 12)
+    }),
 
     "mm_neardup" -> ((s, d) =>
       // perceptual near-dup pairs over the payload patch grid: ≥ 4/5 of
@@ -7153,6 +7251,41 @@ object SparkEntry {
       |   AS patch_sig
       |FROM h""".stripMargin
 
+  /** aHash replay over any (doc_id, text) relation — the
+    * `MultimodalOps.avgHash64` chain: per-block integer sums, the
+    * cross-multiplied mean compare, and the bit fold in HUGEINT
+    * wrapped to the signed BIGINT Spark emits. Gates `mm_phash` and
+    * feeds `mm_phash_neardup`'s banded join. */
+  private def phashSqlFor(rel: String): String =
+    s"""WITH php AS (SELECT doc_id, text,
+       |         CAST(strlen(text) AS BIGINT) AS len
+       |        FROM $rel WHERE strlen(text) > 0),
+       |phc AS (SELECT doc_id, len,
+       |       list_transform(regexp_split_to_array(text, ''),
+       |         ch -> CAST(unicode(ch) AS BIGINT)) AS cs
+       |      FROM php),
+       |pht AS (SELECT doc_id, len, cs,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+       |         (a, x) -> a + x) AS stot
+       |      FROM phc),
+       |phb AS (SELECT doc_id, len,
+       |       list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |        list_transform(generate_series(0, 63), b ->
+       |         CASE WHEN
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            cs[(b * len // 64 + 1):((b + 1) * len // 64)]),
+       |           (a, x) -> a + x) * len >
+       |          stot * ((b + 1) * len // 64 - b * len // 64)
+       |         THEN (CAST(1 AS HUGEINT) << b)
+       |         ELSE CAST(0 AS HUGEINT) END)),
+       |        (a, x) -> a + x) AS hv
+       |      FROM pht)
+       |SELECT doc_id, len AS n_pix,
+       | CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+       |   THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT)
+       |   AS phash
+       |FROM phb""".stripMargin
+
   /** Feature-hash oracle chain (the hashing trick replayed: bucket =
     * low 8 hash bits, sign = bit 8, exact integer weight sums) — gates
     * `a16_feature_hash` and feeds `curate_classifier`; `docFilter` is a
@@ -8640,6 +8773,39 @@ object SparkEntry {
         |FROM o""".stripMargin,
 
     "embed_pq_distortion" -> pqDistortionOracleSql,
+
+    // the annIvfSql chain with EVERY vector as a query (probes keep
+    // crank <= 3 for all vec_ids, not just < 10)
+    "embed_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+         |  ORDER BY ${hash32Sql("(vec_id + 1)")}, vec_id LIMIT 16),
+         |cscore AS MATERIALIZED (
+         |  SELECT e.vec_id, e.emb, c.cent_id,
+         |   ${cosSql("e.emb", "c.cent_emb")} AS csim
+         |  FROM e CROSS JOIN cents c),
+         |ranked AS (
+         |  SELECT vec_id, emb, cent_id,
+         |   row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY csim DESC, cent_id ASC) AS crank
+         |  FROM cscore),
+         |cells AS (SELECT vec_id AS nbr_id, emb AS nbr_emb, cent_id
+         |          FROM ranked WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, emb AS q_emb, cent_id
+         |           FROM ranked WHERE crank <= 3),
+         |scored AS (
+         |  SELECT p.query_id, n.nbr_id,
+         |   ${cosSql("p.q_emb", "n.nbr_emb")} AS sim
+         |  FROM cells n JOIN probes p USING (cent_id)
+         |  WHERE n.nbr_id <> p.query_id),
+         |r AS (
+         |  SELECT query_id, nbr_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+         |SELECT query_id AS vec_id, nbr_id, round(sim, 4) AS sim, rank
+         |FROM r WHERE rank <= 5""".stripMargin,
 
     // each path nests the full brute chain at its truncation (the
     // ann_recall derived-table pattern); recall is integer hits / truth
@@ -10505,35 +10671,29 @@ object SparkEntry {
     // the aHash bit fold in HUGEINT (disjoint bits: sum == or), wrapped
     // to the signed BIGINT Spark emits — the patchSigSql convention;
     // block means compare via the integer cross-multiply, never floats
-    "mm_phash" ->
-      """WITH p AS (SELECT doc_id, text,
-        |         CAST(strlen(text) AS BIGINT) AS len
-        |        FROM documents WHERE strlen(text) > 0),
-        |c AS (SELECT doc_id, len,
-        |       list_transform(regexp_split_to_array(text, ''),
-        |         ch -> CAST(unicode(ch) AS BIGINT)) AS cs
-        |      FROM p),
-        |t AS (SELECT doc_id, len, cs,
-        |       list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
-        |         (a, x) -> a + x) AS stot
-        |      FROM c),
-        |b AS (SELECT doc_id, len,
-        |       list_reduce(list_prepend(CAST(0 AS HUGEINT),
-        |        list_transform(generate_series(0, 63), b ->
-        |         CASE WHEN
-        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |            cs[(b * len // 64 + 1):((b + 1) * len // 64)]),
-        |           (a, x) -> a + x) * len >
-        |          stot * ((b + 1) * len // 64 - b * len // 64)
-        |         THEN (CAST(1 AS HUGEINT) << b)
-        |         ELSE CAST(0 AS HUGEINT) END)),
-        |        (a, x) -> a + x) AS hv
-        |      FROM t)
-        |SELECT doc_id, len AS n_pix,
-        | CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
-        |   THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT)
-        |   AS phash
-        |FROM b""".stripMargin,
+    "mm_phash" -> phashSqlFor("documents"),
+
+    // the same aHash chain over base ∪ planted variants, bucketed by
+    // four 16-bit bands and verified by exact popcount; xor of the
+    // signed hashes runs bit-identically in both engines
+    "mm_phash_neardup" ->
+      s"""WITH pd AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text || ' zq' AS text
+         |  FROM documents WHERE doc_id % 53 = 0),
+         |ph AS MATERIALIZED (SELECT * FROM (${phashSqlFor("pd")})),
+         |bands AS (
+         |  SELECT doc_id, phash, b.b AS band,
+         |   (phash >> (b.b * 16)) & 65535 AS bv
+         |  FROM ph, unnest(generate_series(0, 3)) AS b(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |   x.phash AS pa, y.phash AS pb
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= 12""".stripMargin,
 
     // candidates only via shared (position, signature) postings with
     // the df ≤ 20 hub cut; the accept test is integer (5·shared ≥
@@ -10824,6 +10984,74 @@ object SparkEntry {
         |FROM e, w""".stripMargin,
 
     // pairwise integer-difference slopes, exact rank-pick median
+    // depth-2 binary segmentation: prefix-sum SSE argmins mirrored
+    // operand-for-operand; argmin ties (child_sse, split) ascending
+    "t29_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (
+        |  SELECT g.day, coalesce(d.y, 0) AS y
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS day
+        |        FROM span) g
+        |  LEFT JOIN daily d USING (day)),
+        |p AS MATERIALIZED (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |   sum(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) AS cy,
+        |   sum(y * y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |     PRECEDING AND CURRENT ROW) AS cy2
+        |  FROM grid),
+        |tot AS (SELECT i AS n, cy AS tcy, cy2 AS tcy2 FROM p
+        |        ORDER BY i DESC LIMIT 1),
+        |c1 AS (SELECT s.i AS split_i,
+        |        (CAST(pv.cy2 AS DOUBLE) -
+        |          CAST(pv.cy AS DOUBLE) * pv.cy / (s.i - 1)) +
+        |        (CAST(tcy2 - pv.cy2 AS DOUBLE) -
+        |          CAST(tcy - pv.cy AS DOUBLE) * (tcy - pv.cy)
+        |            / (n - s.i + 1)) AS child_sse,
+        |        (CAST(tcy2 AS DOUBLE) -
+        |          CAST(tcy AS DOUBLE) * tcy / n) AS seg_sse
+        |       FROM p s JOIN p pv ON pv.i = s.i - 1 CROSS JOIN tot
+        |       WHERE s.i > 1 AND s.i <= n),
+        |b1 AS (SELECT split_i, seg_sse - child_sse AS gain FROM c1
+        |       ORDER BY child_sse ASC, split_i ASC LIMIT 1),
+        |bl AS (SELECT p.i AS hi, p.cy AS hcy, p.cy2 AS hcy2
+        |       FROM p CROSS JOIN b1 WHERE p.i = b1.split_i - 1),
+        |c2 AS (SELECT s.i AS split_i,
+        |        (CAST(pv.cy2 AS DOUBLE) -
+        |          CAST(pv.cy AS DOUBLE) * pv.cy / (s.i - 1)) +
+        |        (CAST(hcy2 - pv.cy2 AS DOUBLE) -
+        |          CAST(hcy - pv.cy AS DOUBLE) * (hcy - pv.cy)
+        |            / (hi - s.i + 1)) AS child_sse,
+        |        (CAST(hcy2 AS DOUBLE) -
+        |          CAST(hcy AS DOUBLE) * hcy / hi) AS seg_sse
+        |       FROM p s JOIN p pv ON pv.i = s.i - 1 CROSS JOIN bl
+        |       WHERE s.i > 1 AND s.i <= hi),
+        |b2 AS (SELECT split_i, seg_sse - child_sse AS gain FROM c2
+        |       ORDER BY child_sse ASC, split_i ASC LIMIT 1),
+        |bl2 AS (SELECT hi AS lo0, hcy AS lcy, hcy2 AS lcy2 FROM bl),
+        |c3 AS (SELECT s.i AS split_i,
+        |        (CAST(pv.cy2 - lcy2 AS DOUBLE) -
+        |          CAST(pv.cy - lcy AS DOUBLE) * (pv.cy - lcy)
+        |            / (s.i - 1 - lo0)) +
+        |        (CAST(tcy2 - pv.cy2 AS DOUBLE) -
+        |          CAST(tcy - pv.cy AS DOUBLE) * (tcy - pv.cy)
+        |            / (n - s.i + 1)) AS child_sse,
+        |        (CAST(tcy2 - lcy2 AS DOUBLE) -
+        |          CAST(tcy - lcy AS DOUBLE) * (tcy - lcy)
+        |            / (n - lo0)) AS seg_sse
+        |       FROM p s JOIN p pv ON pv.i = s.i - 1
+        |       CROSS JOIN tot CROSS JOIN bl2
+        |       WHERE s.i > lo0 + 1 AND s.i <= n),
+        |b3 AS (SELECT split_i, seg_sse - child_sse AS gain FROM c3
+        |       ORDER BY child_sse ASC, split_i ASC LIMIT 1)
+        |SELECT 1 AS level, split_i, round(gain, 6) AS gain FROM b1
+        |UNION ALL SELECT 2, split_i, round(gain, 6) FROM b2
+        |UNION ALL SELECT 3, split_i, round(gain, 6) FROM b3"""
+        .stripMargin,
+
     "t28_theil_sen" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,

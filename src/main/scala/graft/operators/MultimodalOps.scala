@@ -212,6 +212,75 @@ object MultimodalOps {
     * post. All arithmetic exact integer; one partitioned window pass
     * over frame STATS (the pixels/samples never shuffle). Emits only
     * media with ≥ 1 landmark. */
+  /** 64-bit average-hash (aHash) perceptual signature: the pixel
+    * sequence splits into 64 integer-boundary blocks
+    * (start_b = b·len div 64) and bit b is set iff the block's mean
+    * gray exceeds the global mean — compared as the EXACT integer
+    * cross-multiply s_b·len > S·c_b, so the signature never touches a
+    * float (sound up to ~10⁷-pixel docs: s_b·len ≤ 65535·len²). Pure
+    * map, zero exchanges. Returns (id, n_pix, phash); empty payloads
+    * are dropped. Gates `mm_phash`; `mm_phash_neardup` buckets these
+    * signatures by 16-bit bands for the hamming near-dup join. */
+  def avgHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), col(textCol).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .withColumn("cs",
+        expr("transform(split(__t, ''), c -> CAST(ascii(c) AS BIGINT))"))
+      .withColumn("len", size(col("cs")).cast("long"))
+      .withColumn("stot", expr("aggregate(cs, 0L, (a, x) -> a + x)"))
+      .withColumn("phash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          | acc | CASE WHEN
+          |  aggregate(slice(cs,
+          |    CAST(CAST(b AS BIGINT) * len div 64 AS INT) + 1,
+          |    CAST(CAST(b + 1 AS BIGINT) * len div 64 -
+          |         CAST(b AS BIGINT) * len div 64 AS INT)),
+          |   0L, (a, x) -> a + x) * len >
+          |  stot * (CAST(b + 1 AS BIGINT) * len div 64 -
+          |          CAST(b AS BIGINT) * len div 64)
+          | THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)"""
+          .stripMargin))
+      .select(col(idCol), col("len").as("n_pix"), col("phash"))
+
+  /** Banded hamming near-dup join over [[avgHash64]] signatures: the
+    * 64-bit hash splits into four 16-bit bands; a pair is a candidate
+    * iff SOME band matches exactly (the pigeonhole guarantee: hamming
+    * ≤ 12 over 4 bands forces at least one untouched band... strictly,
+    * distance < 4 forces it — wider thresholds trade recall, the
+    * standard banded-hamming deal, stated), then candidates verify by
+    * exact popcount. Pairs only ever form inside a (band, value)
+    * bucket — never all-pairs. Returns (id_a, id_b, hamming) with
+    * id_a < id_b. */
+  def phashNearDup(hashes: DataFrame, idCol: String,
+                   maxHamming: Int): DataFrame = {
+    // BOTH sides of the band self-join read the signature relation —
+    // materialize it once (three 8-byte columns per doc) instead of
+    // re-running the per-char hash fold for each side (measured 17.8 s
+    // vs 3.6 s at sf0.01 when the upstream is the raw aHash chain);
+    // lazy: the broadcast build job materializes it before the stream
+    // side reads (sequential consumers, the r13 checkpoint law)
+    val h = hashes.localCheckpoint(false)
+    val banded = h.select(col(idCol).as("id"), col("phash"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> named_struct(
+            | 'band', b,
+            | 'bv', shiftright(phash, b * 16) & 65535L))""".stripMargin))
+          .as("bb"))
+      .select(col("id"), col("phash"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(pa ^ pb)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   def audioFingerprint(docs: DataFrame, idCol: String, binCol: String,
                        frameSize: Int, stride: Int,
                        quantBits: Int = 10, maxGap: Int = 8): DataFrame = {

@@ -22,7 +22,21 @@ object SimilarityOps {
   /** Cosine similarity of two float-array columns via built-in
     * higher-order functions (zip_with + aggregate — codegen-friendly,
     * no UDF). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity as the native codegen'd kernel (r13) —
+    * bit-identical to the sequential HOF folds it replaced (pinned in
+    * Round13Spec), but inside whole-stage codegen: the interpreted
+    * zip_with/aggregate lambdas were the per-candidate cost of every
+    * ANN scoring pass. */
+  def cosine(a: Column, b: Column): Column =
+    // the array<double> upcast keeps float-array callers working (the
+    // HOF version coerced implicitly); SimplifyCasts erases it when
+    // the input is already array<double> — every gated call site
+    graft.GraftFunctions.cosineSim(a.cast("array<double>"),
+      b.cast("array<double>"))
+
+  /** The original HOF formulation, kept as the parity reference for
+    * the kernel (and the literal shape the DuckDB oracles replay). */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0d), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
@@ -296,6 +310,11 @@ object SimilarityOps {
     * aggregate): fixed evaluation order makes the double bit-replicable
     * in an oracle engine, same contract as [[cosine]]. */
   private[graft] def l2sq(a: Column, b: Column): Column =
+    graft.GraftFunctions.l2sqDist(a.cast("array<double>"),
+      b.cast("array<double>"))
+
+  /** HOF parity reference for [[l2sq]] (see [[cosineHof]]). */
+  private[graft] def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x)
 
@@ -481,6 +500,57 @@ object SimilarityOps {
     val cent1 = recompute(init).localCheckpoint(eager = false)
     val cent2 = recompute(assign(cent1)).localCheckpoint(eager = false)
     (cent2, assign(cent2))
+  }
+
+  /** Corpus-wide k-NN GRAPH via the IVF cell prune: every vector is a
+    * query against its `nProbe` nearest coarse cells — the graph
+    * construction primitive under semantic dedup, label propagation
+    * and graph-based ANN indexes (NSW/HNSW seeds), where the
+    * brute-force alternative is O(n²).
+    *
+    * Scale shape: this is NOT [[ivfTopK]] with the corpus as queries —
+    * that broadcasts the query side, which is corpus-sized here.
+    * Instead both sides key on cent_id and meet in a SHUFFLE join:
+    * cells (corpus argmax) and probes (top-nProbe per vector) each
+    * carry O(n) rows, the join fans out to ~nProbe·n²/nCentroids
+    * scored pairs (the prune), and the per-query top-k collapses in a
+    * rank window partitioned by query. One broadcast of the
+    * nCentroids-row centroid pick is the only replicated state.
+    * At a FIXED nCentroids the pair count grows n² — callers at scale
+    * pass nCentroids ≈ √n so pairs grow ~n^1.5 (the SemDeDup
+    * k = ⌈√N⌉ law; measured 13× at ×10 rows with the fixed-16 demo
+    * setting, SCALE.md r13). */
+  def knnGraph(corpus: DataFrame, k: Int, nCentroids: Int = 16,
+               nProbe: Int = 3): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids)
+    // one corpus × centroids cosine pass feeds BOTH the cell argmax
+    // and the probe ranking (lazy checkpoint: the two consumers share
+    // the materialized blocks inside the one result job)
+    val scored = corpus.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("embedding"), col("cent_emb")))
+      .select(col("vec_id"), col("embedding"), col("cent_id"), col("csim"))
+      .localCheckpoint(eager = false)
+    val cells = scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("embedding").as("e")),
+        struct(col("csim"), lit(0L) - col("cent_id"))).as("b"))
+      .select(col("vec_id").as("nbr_id"), col("b.cent_id").as("cent_id"),
+        col("b.e").as("nbr_emb"))
+    val probes = scored
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("cent_id").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("embedding").as("q_emb"))
+    cells.join(probes, Seq("cent_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("nbr_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("vec_id"), col("nbr_id"), col("sim"),
+        col("rank"))
   }
 
   /** Per-subspace PQ reconstruction-error audit: mean squared L2

@@ -165,6 +165,86 @@ class Round13Spec extends AnyFunSuite {
       s"mm_phash should be exchange-free, got:\n$plan")
   }
 
+  test("knnGraph: every vector gets at most k neighbors, ranked by " +
+    "descending sim, never itself") {
+    import graft.operators.SimilarityOps
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toDouble))
+    }.toDF("vec_id", "embedding")
+    val g = SimilarityOps.knnGraph(emb, k = 3, nCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(g.nonEmpty)
+    g.groupBy(_._1).foreach { case (v, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.forall(_._2 != v), s"vector $v is its own neighbor")
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rows.length).toSeq)
+      assert(byRank.map(_._3).toSeq ==
+        byRank.map(_._3).toSeq.sorted(Ordering[Double].reverse))
+    }
+  }
+
+  test("phashNearDup pairs identical payloads at hamming 0 and skips " +
+    "unrelated ones") {
+    import graft.operators.MultimodalOps
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "Z" * 180)).toDF("doc_id", "text")
+    val pairs = MultimodalOps.phashNearDup(
+        MultimodalOps.avgHash64(docs, "doc_id", "text"), "doc_id",
+        maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), s"got ${pairs.toSeq}")
+  }
+
+  test("t29_changepoint gains are non-negative (a split can only " +
+    "reduce within-segment SSE)") {
+    val rows = SparkEntry.queries("t29_changepoint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= -1e-9,
+      s"negative gain in $r"))
+  }
+
+  test("native cosine_sim / l2sq_dist kernels are bit-identical to the " +
+    "HOF folds, including edge cases") {
+    import graft.operators.SimilarityOps
+    val rows = Seq(
+      // random-ish, negatives, denormal-scale values
+      (Array(1.0, -2.5, 3.25, 0.125), Array(-0.5, 4.0, 1e-300, 7.75)),
+      (Array(0.9999999999999999, 1e16, -1e-16, 2.0),
+        Array(3.0, 1e-16, 1e16, -0.3333333333333333)),
+      // unequal lengths (null path)
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0))
+    ).toDF("a", "b")
+    val out = rows.select(
+      SimilarityOps.cosine(col("a"), col("b")).as("ck"),
+      graft.operators.SimilarityOps.cosineHof(col("a"), col("b")).as("ch"),
+      graft.operators.SimilarityOps.l2sq(col("a"), col("b")).as("lk"),
+      graft.operators.SimilarityOps.l2sqHof(col("a"), col("b")).as("lh"))
+      .collect()
+    out.foreach { r =>
+      def bits(i: Int): Option[Long] =
+        if (r.isNullAt(i)) None
+        else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(i)))
+      assert(bits(0) == bits(1), s"cosine kernel != HOF in $r")
+      assert(bits(2) == bits(3), s"l2sq kernel != HOF in $r")
+    }
+    // degenerate rows the ANSI HOF chain cannot even evaluate (its
+    // dot/(0·0) throws DIVIDE_BY_ZERO): the kernel is strictly more
+    // total and returns the IEEE result — NaN — matching DuckDB's
+    // x/0.0 semantics, so a zero-norm vector can never crash a query
+    val degen = Seq(
+      (Array(0.0, 0.0), Array(1.0, 2.0)),
+      (Array.empty[Double], Array.empty[Double]))
+      .toDF("a", "b")
+      .select(SimilarityOps.cosine(col("a"), col("b")).as("ck"),
+        graft.operators.SimilarityOps.l2sq(col("a"), col("b")).as("lk"))
+      .collect()
+    assert(degen.forall(r => r.getDouble(0).isNaN))
+    assert(degen.map(_.getDouble(1)).toSeq == Seq(2.0 + 3.0, 0.0))
+  }
+
   // --- stats_sequential co-moment determinism (the r12 red row) --------
 
   test("stats_sequential is invariant to input partitioning (exact " +
