@@ -1244,6 +1244,29 @@ object SparkEntry {
         .select(col("vec_id"), col("nbr_id"),
           round(col("sim"), 4).as("sim"), col("rank"))),
 
+    "embed_ood" -> ((s, d) => {
+      // out-of-distribution score per vector: 1 − mean cosine to its
+      // 5 nearest neighbors (the kNN-distance outlier detector — the
+      // standard OOD gate on training-data embeddings; a vector far
+      // from everything is a candidate junk/contamination row).
+      // Means fold in RANK order over the round-4 sims both engines
+      // already agree on (the embed_knn_graph surface), so the whole
+      // statistic replays exactly.
+      val knn = SimilarityOps.knnGraph(t(s, d, "embeddings")
+          .withColumn("embedding", col("embedding").cast("array<double>")),
+        k = 5)
+        .select(col("vec_id"), col("rank"), round(col("sim"), 4).as("sim"))
+      knn.groupBy("vec_id")
+        .agg(count(lit(1)).as("n_nbrs"),
+          array_sort(collect_list(struct(col("rank"), col("sim"))))
+            .as("arr"))
+        .withColumn("s", aggregate(col("arr"), lit(0.0d),
+          (a, x) => a + x.getField("sim")))
+        .select(col("vec_id"), col("n_nbrs"),
+          round(col("s") / col("n_nbrs"), 6).as("avg_sim"),
+          round(lit(1.0) - col("s") / col("n_nbrs"), 6).as("ood"))
+    }),
+
     "embed_pq_distortion" -> ((s, d) =>
       // per-subspace PQ reconstruction MSE — the quantization-error
       // scorecard behind ann_pq_topk's recall number (which subspace
@@ -5848,6 +5871,58 @@ object SparkEntry {
       FunnelOps.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
 
+    "w16_funnel_window" -> ((s, d) =>
+      // TIME-BOXED funnel: the whole view → click → purchase chain
+      // must complete within 48 h of the user's earliest view (the
+      // ClickHouse-windowFunnel shape with a stated first-touch
+      // anchor) — conversion-rate analytics where an eventual
+      // conversion months later must NOT count. Median view→click gap
+      // in this corpus is ~32 h, so the 48 h box genuinely splits
+      // converters. See FunnelOps.windowedFunnel.
+      FunnelOps.windowedFunnel(t(s, d, "events"), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        windowUs = 172800000000L)),
+
+    "stats_did" -> ((s, d) => {
+      // difference-in-differences: the causal-inference workhorse for
+      // a rollout without randomization — did the treated cohort's
+      // metric move MORE than the control's across the same period
+      // boundary? Treatment = even user_id, periods split at the
+      // integer midpoint day; `value` scales to exact cent-longs (the
+      // stats_sequential convention) so all four cell means and the
+      // DiD estimate derive from BIGINT sums with mirrored final
+      // divisions.
+      val ev = t(s, d, "events").select(
+        expr("CAST(ts AS LONG) div 86400").as("day"),
+        (col("user_id") % 2 === 0).as("treat"),
+        round(col("value") * 100).cast("long").as("v"))
+      val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+      def cell(p: org.apache.spark.sql.Column): (org.apache.spark.sql
+          .Column, org.apache.spark.sql.Column) =
+        (sum(when(p, 1L).otherwise(0L)), sum(when(p, col("v"))
+          .otherwise(0L)))
+      val post = col("day") >= col("mid")
+      val (ntp, stp) = cell(col("treat") && post)
+      val (nt0, st0) = cell(col("treat") && !post)
+      val (ncp, scp) = cell(!col("treat") && post)
+      val (nc0, sc0) = cell(!col("treat") && !post)
+      ev.crossJoin(broadcast(mid))
+        .agg(ntp.as("n_tp"), stp.as("s_tp"), nt0.as("n_t0"),
+          st0.as("s_t0"), ncp.as("n_cp"), scp.as("s_cp"),
+          nc0.as("n_c0"), sc0.as("s_c0"))
+        .withColumn("m_tp", col("s_tp").cast("double") / col("n_tp") / 100.0)
+        .withColumn("m_t0", col("s_t0").cast("double") / col("n_t0") / 100.0)
+        .withColumn("m_cp", col("s_cp").cast("double") / col("n_cp") / 100.0)
+        .withColumn("m_c0", col("s_c0").cast("double") / col("n_c0") / 100.0)
+        .select(col("n_tp"), col("n_t0"), col("n_cp"), col("n_c0"),
+          round(col("m_tp"), 6).as("mean_treat_post"),
+          round(col("m_t0"), 6).as("mean_treat_pre"),
+          round(col("m_cp"), 6).as("mean_ctrl_post"),
+          round(col("m_c0"), 6).as("mean_ctrl_pre"),
+          round((col("m_tp") - col("m_t0")) - (col("m_cp") - col("m_c0")),
+            6).as("did"))
+    }),
+
     "a15_pivot" -> ((s, d) => {
       // wide-format pivot via conditional aggregates over an EXPLICIT
       // value list: long-to-wide for ONE aggregation exchange (pinned).
@@ -7214,6 +7289,40 @@ object SparkEntry {
        | round(avg(dd), 6) AS mse
        |FROM dist GROUP BY s""".stripMargin
   }
+
+  /** Corpus-wide k-NN-graph replay (SimilarityOps.knnGraph): the
+    * annIvfSql chain with every vector as a query. Gates
+    * `embed_knn_graph` and feeds `embed_ood`'s rank-ordered fold. */
+  private lazy val knnGraphSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+       |  ORDER BY ${hash32Sql("(vec_id + 1)")}, vec_id LIMIT 16),
+       |cscore AS MATERIALIZED (
+       |  SELECT e.vec_id, e.emb, c.cent_id,
+       |   ${cosSql("e.emb", "c.cent_emb")} AS csim
+       |  FROM e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT vec_id, emb, cent_id,
+       |   row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY csim DESC, cent_id ASC) AS crank
+       |  FROM cscore),
+       |cells AS (SELECT vec_id AS nbr_id, emb AS nbr_emb, cent_id
+       |          FROM ranked WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, emb AS q_emb, cent_id
+       |           FROM ranked WHERE crank <= 3),
+       |scored AS (
+       |  SELECT p.query_id, n.nbr_id,
+       |   ${cosSql("p.q_emb", "n.nbr_emb")} AS sim
+       |  FROM cells n JOIN probes p USING (cent_id)
+       |  WHERE n.nbr_id <> p.query_id),
+       |r AS (
+       |  SELECT query_id, nbr_id, sim,
+       |   CAST(row_number() OVER (PARTITION BY query_id
+       |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+       |SELECT query_id AS vec_id, nbr_id, round(sim, 4) AS sim, rank
+       |FROM r WHERE rank <= 5""".stripMargin
 
   /** The brute-force / IVF / LSH oracle chains as vals: each gates its
     * own query AND feeds the recall harness ([[annRecallSql]]) as a
@@ -8776,36 +8885,19 @@ object SparkEntry {
 
     // the annIvfSql chain with EVERY vector as a query (probes keep
     // crank <= 3 for all vec_ids, not just < 10)
-    "embed_knn_graph" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |           FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, emb AS cent_emb FROM e
-         |  ORDER BY ${hash32Sql("(vec_id + 1)")}, vec_id LIMIT 16),
-         |cscore AS MATERIALIZED (
-         |  SELECT e.vec_id, e.emb, c.cent_id,
-         |   ${cosSql("e.emb", "c.cent_emb")} AS csim
-         |  FROM e CROSS JOIN cents c),
-         |ranked AS (
-         |  SELECT vec_id, emb, cent_id,
-         |   row_number() OVER (PARTITION BY vec_id
-         |     ORDER BY csim DESC, cent_id ASC) AS crank
-         |  FROM cscore),
-         |cells AS (SELECT vec_id AS nbr_id, emb AS nbr_emb, cent_id
-         |          FROM ranked WHERE crank = 1),
-         |probes AS (SELECT vec_id AS query_id, emb AS q_emb, cent_id
-         |           FROM ranked WHERE crank <= 3),
-         |scored AS (
-         |  SELECT p.query_id, n.nbr_id,
-         |   ${cosSql("p.q_emb", "n.nbr_emb")} AS sim
-         |  FROM cells n JOIN probes p USING (cent_id)
-         |  WHERE n.nbr_id <> p.query_id),
-         |r AS (
-         |  SELECT query_id, nbr_id, sim,
-         |   CAST(row_number() OVER (PARTITION BY query_id
-         |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
-         |SELECT query_id AS vec_id, nbr_id, round(sim, 4) AS sim, rank
-         |FROM r WHERE rank <= 5""".stripMargin,
+    "embed_knn_graph" -> knnGraphSql,
+
+    // rank-ordered fold over the knn chain's round-4 sims; the two
+    // divisions mirror the engine's (s / n) expressions
+    "embed_ood" ->
+      s"""WITH knn AS MATERIALIZED (SELECT * FROM ($knnGraphSql)),
+         |g AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+         |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |         list(sim ORDER BY rank)), (a, x) -> a + x) AS s
+         |      FROM knn GROUP BY vec_id)
+         |SELECT vec_id, n_nbrs, round(s / n_nbrs, 6) AS avg_sim,
+         | round(1.0::DOUBLE - s / n_nbrs, 6) AS ood
+         |FROM g""".stripMargin,
 
     // each path nests the full brute chain at its truncation (the
     // ann_recall derived-table pattern); recall is integer hits / truth
@@ -12297,6 +12389,67 @@ object SparkEntry {
         |  (SELECT count(*) FROM f1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)""".stripMargin,
+
+    // the funnel_steps chain with the 48 h anchor box carried through
+    // (anchor = the user's earliest step-1 time, the stated law)
+    "w16_funnel_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |f1 AS (SELECT user_id, min(tus) AS anchor, min(tus) AS t
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(f1.anchor) AS anchor,
+        |        min(e.tus) AS t FROM ev e
+        |  JOIN f1 ON e.user_id = f1.user_id AND e.tus > f1.t
+        |   AND e.tus <= f1.anchor + 172800000000
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(f2.anchor) AS anchor,
+        |        min(e.tus) AS t FROM ev e
+        |  JOIN f2 ON e.user_id = f2.user_id AND e.tus > f2.t
+        |   AND e.tus <= f2.anchor + 172800000000
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |  (SELECT count(*) FROM f1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)"""
+        .stripMargin,
+
+    // four exact cent-long cells, mirrored mean divisions, one DiD line
+    "stats_did" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+        |   user_id % 2 = 0 AS treat,
+        |   CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN treat AND day >= mid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_tp,
+        |  CAST(sum(CASE WHEN treat AND day >= mid THEN v ELSE 0 END)
+        |    AS BIGINT) AS s_tp,
+        |  CAST(sum(CASE WHEN treat AND day < mid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t0,
+        |  CAST(sum(CASE WHEN treat AND day < mid THEN v ELSE 0 END)
+        |    AS BIGINT) AS s_t0,
+        |  CAST(sum(CASE WHEN NOT treat AND day >= mid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cp,
+        |  CAST(sum(CASE WHEN NOT treat AND day >= mid THEN v ELSE 0 END)
+        |    AS BIGINT) AS s_cp,
+        |  CAST(sum(CASE WHEN NOT treat AND day < mid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c0,
+        |  CAST(sum(CASE WHEN NOT treat AND day < mid THEN v ELSE 0 END)
+        |    AS BIGINT) AS s_c0
+        | FROM ev CROSS JOIN m),
+        |f AS (SELECT n_tp, n_t0, n_cp, n_c0,
+        |  CAST(s_tp AS DOUBLE) / n_tp / 100.0 AS m_tp,
+        |  CAST(s_t0 AS DOUBLE) / n_t0 / 100.0 AS m_t0,
+        |  CAST(s_cp AS DOUBLE) / n_cp / 100.0 AS m_cp,
+        |  CAST(s_c0 AS DOUBLE) / n_c0 / 100.0 AS m_c0
+        | FROM c)
+        |SELECT n_tp, n_t0, n_cp, n_c0,
+        | round(m_tp, 6) AS mean_treat_post,
+        | round(m_t0, 6) AS mean_treat_pre,
+        | round(m_cp, 6) AS mean_ctrl_post,
+        | round(m_c0, 6) AS mean_ctrl_pre,
+        | round((m_tp - m_t0) - (m_cp - m_c0), 6) AS did
+        |FROM f""".stripMargin,
 
     "a15_pivot" ->
       """SELECT (epoch_us(ts) // 1000000 // 86400) % 7 AS dow,

@@ -57,4 +57,44 @@ object FunnelOps {
           col("n_users"))
     }.reduce(_ unionByName _)
   }
+
+  /** First-touch WINDOWED funnel (the ClickHouse-windowFunnel shape,
+    * with a stated deterministic anchor): the whole chain must
+    * complete within `windowUs` microseconds of the user's EARLIEST
+    * step-1 event. Anchoring to the first step-1 occurrence (rather
+    * than searching all anchors) keeps the rule first-touch-greedy and
+    * engine-replicable — a user whose only completing chain starts at
+    * a LATER step-1 event is deliberately not counted, and the oracle
+    * replays the same law. Same per-step scale shape as [[funnel]]:
+    * the frontier is one (user_id, anchor, frontier-time) row per
+    * surviving user, lazily checkpointed per step. */
+  def windowedFunnel(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, steps: Seq[String],
+                     windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "windowedFunnel needs at least one step")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val ev = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("event_type"), unix_micros(col(tsCol)).as("tus"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("tus")).as("anchor"))
+      .select(col("user_id"), col("anchor"),
+        col("anchor").as("frontier"))
+      .localCheckpoint(false)
+    val frontiers = steps.tail.foldLeft(List(first)) { (acc, step) =>
+      val next = ev.filter(col("event_type") === step)
+        .join(acc.head, "user_id")
+        .filter(col("tus") > col("frontier") &&
+          col("tus") <= col("anchor") + windowUs)
+        .groupBy("user_id")
+        .agg(min(col("anchor")).as("anchor"),
+          min(col("tus")).as("frontier"))
+        .localCheckpoint(false)
+      next :: acc
+    }.reverse
+    frontiers.zip(steps).zipWithIndex.map { case ((frontier, step), i) =>
+      frontier.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
 }

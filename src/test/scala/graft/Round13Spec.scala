@@ -245,6 +245,26 @@ class Round13Spec extends AnyFunSuite {
     assert(degen.map(_.getDouble(1)).toSeq == Seq(2.0 + 3.0, 0.0))
   }
 
+  test("windowedFunnel counts a chain inside the box and rejects one " +
+    "whose later steps fall outside it") {
+    import graft.operators.FunnelOps
+    val ev = Seq(
+      // user 1: a->b inside the 60 s window
+      (1L, "a", "2024-01-01 00:00:00"), (1L, "b", "2024-01-01 00:00:30"),
+      // user 2: b arrives 90 s after the anchor -> outside
+      (2L, "a", "2024-01-01 00:00:00"), (2L, "b", "2024-01-01 00:01:30"),
+      // user 3: SECOND a would open a valid window, but the anchor is
+      // the FIRST a (the stated first-touch law) -> not counted
+      (3L, "a", "2024-01-01 00:00:00"), (3L, "a", "2024-01-01 00:05:00"),
+      (3L, "b", "2024-01-01 00:05:30")
+    ).toDF("user_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rows = FunnelOps.windowedFunnel(ev, "user_id", "event_type",
+        "ts", Seq("a", "b"), windowUs = 60000000L)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(rows.toSeq == Seq((1, 3L), (2, 1L)), s"got ${rows.toSeq}")
+  }
+
   // --- stats_sequential co-moment determinism (the r12 red row) --------
 
   test("stats_sequential is invariant to input partitioning (exact " +
