@@ -316,6 +316,51 @@ object SparkEntry {
       TermOps.termStats(t(s, d, "documents"), "doc_id", "text", minDf = 5L,
         analyzer = TermOps.Unicode)),
 
+    "text_zipf" -> ((s, d) => {
+      // Zipf-law fit over the top-50 corpus terms: OLS of ln(cf) on
+      // ln(rank) — slope ≈ −1 is the healthy-natural-text signature, a
+      // flat slope flags templated/boilerplate corpora and a cliff
+      // flags vocabulary collapse (the corpus-health scorecard beside
+      // text_ttr/text_quality). The heavy lifting is one term-frequency
+      // aggregation (map-side combined) + TakeOrdered(50); the fit then
+      // runs over exactly 50 points as ONE rank-ordered fold of
+      // (x, y, xy, x², y²) products — both engines fold identical
+      // doubles in identical order, so the unrounded co-moments match
+      // bit-for-bit before the mirrored slope/intercept/r² divisions.
+      val top = TermOps.termStats(t(s, d, "documents"), "doc_id", "text")
+        .select(col("term"), col("cf"))
+        .orderBy(col("cf").desc, col("term").asc).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cf").desc, col("term").asc)))
+      val pts = top.select(col("rank"),
+          log(col("rank").cast("double")).as("x"),
+          log(col("cf").cast("double")).as("y"))
+        .select(col("rank"), col("x"), col("y"),
+          (col("x") * col("y")).as("xy"), (col("x") * col("x")).as("xx"),
+          (col("y") * col("y")).as("yy"))
+      val zero = array(lit(0.0d), lit(0.0d), lit(0.0d), lit(0.0d), lit(0.0d))
+      pts.agg(count(lit(1)).cast("double").as("n"),
+          array_sort(collect_list(struct(col("rank"), col("x"), col("y"),
+            col("xy"), col("xx"), col("yy")))).as("arr"))
+        .withColumn("s", aggregate(col("arr"), zero, (acc, p) => array(
+          acc.getItem(0) + p.getField("x"), acc.getItem(1) + p.getField("y"),
+          acc.getItem(2) + p.getField("xy"), acc.getItem(3) + p.getField("xx"),
+          acc.getItem(4) + p.getField("yy"))))
+        .select(col("n"), col("s").getItem(0).as("sx"),
+          col("s").getItem(1).as("sy"), col("s").getItem(2).as("sxy"),
+          col("s").getItem(3).as("sxx"), col("s").getItem(4).as("syy"))
+        .withColumn("slope", (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("n").cast("long").as("n_terms"),
+          round(col("slope"), 6).as("slope"),
+          round((col("sy") - col("slope") * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    }),
+
     "a10_tf_unicode" -> ((s, d) =>
       TermOps.tfPostings(t(s, d, "documents"), "doc_id", "text",
           analyzer = TermOps.Unicode)
@@ -3576,6 +3621,24 @@ object SparkEntry {
           .withColumn("embedding", col("embedding").cast("array<double>")),
         k = 8, iters = 2)),
 
+    "cluster_silhouette" -> ((s, d) => {
+      // centroid-based silhouette of the cluster_kmeans partition — the
+      // cluster-quality scorecard (is k=8 a real structure or noise?):
+      // per vector, a = cosine distance to its OWN final centroid, b =
+      // distance to the nearest OTHER centroid, s = (b−a)/max(a,b);
+      // reported as the per-cluster mean. Simplified (centroid-based,
+      // not pairwise) silhouette — the O(n·k) form that scales; true
+      // pairwise silhouette is O(n²) and exists only inside SemDeDup's
+      // bounded clusters. Per-point s rounds to 6 before the rank-
+      // ordered mean fold (the embed_ood convention), so both engines
+      // fold identical doubles in identical order.
+      ClusterOps.silhouette(
+        t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>")
+            .as("embedding")),
+        k = 8, iters = 2)
+    }),
+
     "text_perplexity" -> ((s, d) =>
       TextAnalysisOps.bigramSurprisal(t(s, d, "documents"), "doc_id", "text")),
 
@@ -5923,6 +5986,59 @@ object SparkEntry {
             6).as("did"))
     }),
 
+    "stats_ipw" -> ((s, d) => {
+      // stratified-propensity treatment-effect estimate (IPW with
+      // stratum propensities, a.k.a. subclassification — Rosenbaum &
+      // Rubin 1984): users stratify into activity quintiles (exact
+      // rank rule, integer cross-multiply cuts — no global sort of
+      // users), propensity p_s = treated share of the stratum, and the
+      // ATE reweights per-stratum mean differences by stratum size —
+      // the confounder-adjusted sibling of stats_did for when
+      // treatment correlates with activity. Outcomes are exact
+      // cent-longs per user (the stats_sequential convention); every
+      // mean is one mirrored division, and the 5-term ATE sum folds in
+      // stratum order. A stratum missing an arm reports NULL (and
+      // contributes nothing) rather than a fake zero.
+      val ue = t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val tot = ue.agg(count(lit(1)).as("n_users"))
+      val cells = PackOps.exactRank(ue, "n_ev", "user_id")
+        .crossJoin(broadcast(tot))
+        .withColumn("stratum",
+          when(col("rank") * 5 <= col("n_users"), 1)
+            .when(col("rank") * 5 <= col("n_users") * 2, 2)
+            .when(col("rank") * 5 <= col("n_users") * 3, 3)
+            .when(col("rank") * 5 <= col("n_users") * 4, 4)
+            .otherwise(5))
+        .withColumn("treat", col("user_id") % 2 === 0)
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_s"),
+          sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("treat"), col("cents")).otherwise(0L)).as("c_t"),
+          sum(when(!col("treat"), col("cents")).otherwise(0L)).as("c_c"))
+        .withColumn("n_c", col("n_s") - col("n_t"))
+        .withColumn("m_t", when(col("n_t") > 0,
+          col("c_t").cast("double") / col("n_t") / 100.0))
+        .withColumn("m_c", when(col("n_c") > 0,
+          col("c_c").cast("double") / col("n_c") / 100.0))
+        .withColumn("diff", col("m_t") - col("m_c"))
+      val ate = cells
+        .agg(array_sort(collect_list(when(col("diff").isNotNull,
+            struct(col("stratum"), (col("diff") * col("n_s")).as("w")))))
+            .as("arr"),
+          sum(when(col("diff").isNotNull, col("n_s"))).as("nn"))
+        .select((aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + x.getField("w")) / col("nn")).as("ate_raw"))
+      cells.crossJoin(broadcast(ate))
+        .select(col("stratum"), col("n_s"), col("n_t"),
+          round(col("n_t").cast("double") / col("n_s"), 6).as("p_treat"),
+          round(col("m_t"), 6).as("mean_treat"),
+          round(col("m_c"), 6).as("mean_ctrl"),
+          round(col("diff"), 6).as("diff"),
+          round(col("ate_raw"), 6).as("ate"))
+    }),
+
     "a15_pivot" -> ((s, d) => {
       // wide-format pivot via conditional aggregates over an EXPLICIT
       // value list: long-to-wide for ONE aggregation exchange (pinned).
@@ -6478,6 +6594,29 @@ object SparkEntry {
       val seeds = t(s, d, "supplier").filter(col("s_nationkey") < 5)
         .select(col("s_suppkey").as("node"))
       GraphOps.bfs(edges, seeds, maxHops = 2)
+    }),
+
+    "graph_scc" -> ((s, d) => {
+      // strongly-connected components (bounded 3-round forward-backward
+      // coloring) over the DIRECTED part-succession graph: an edge
+      // part_i → part_{i+1} for consecutive line numbers of the same
+      // order — "what gets ordered after what". Cycles are real here
+      // (parts co-occur in different successions across orders), and
+      // SCC is the directed-graph primitive the rest of the graph
+      // family lacks (pagerank/bfs are directed but component-blind;
+      // dedup's CC is undirected). The oracle unrolls the identical
+      // rounds — bounded-round semantics, the graph_kcore contract.
+      // l_linenumber is NOT unique within an order in this corpus
+      // (11.8k dup pairs at sf0.01) — l_partkey joins the sort key so
+      // the succession is total-ordered identically on both engines.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      val edges = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("nxt", lead(col("l_partkey"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+        .select(col("l_partkey").as("src"), col("nxt").as("dst"))
+      GraphOps.sccColor(edges, rounds = 3)
     }),
 
     "stats_drift" -> ((s, d) =>
@@ -7738,6 +7877,33 @@ object SparkEntry {
        | (d.vec_id IS NULL) AS keep
        |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id""".stripMargin
 
+  /** The deterministic 2-round Lloyd chain (ClusterOps.kmeansModel,
+    * k = 8, sharded init) as a CTE prologue — shared by the
+    * cluster_kmeans gate and cluster_silhouette, which scores the same
+    * final (cent1, asn1) pair. cent0/cent1 are MATERIALIZED so the
+    * silhouette's cross join replays the trained centroids instead of
+    * re-expanding the whole chain per reference. */
+  private lazy val kmeansCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |d0 AS (SELECT vec_id % 8 AS cluster, unnest(emb) AS v,
+      |        generate_subscripts(emb, 1) AS dim FROM e),
+      |cent0 AS MATERIALIZED (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+      |  (SELECT cluster, dim, avg(v) AS cv FROM d0 GROUP BY cluster, dim) g
+      |  GROUP BY cluster),
+      |a0 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
+      |       FROM e CROSS JOIN cent0),
+      |asn0 AS (SELECT vec_id, cluster FROM a0 WHERE rn = 1),
+      |d1 AS (SELECT a.cluster, unnest(e.emb) AS v, generate_subscripts(e.emb, 1) AS dim
+      |       FROM e JOIN asn0 a ON e.vec_id = a.vec_id),
+      |cent1 AS MATERIALIZED (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+      |  (SELECT cluster, dim, avg(v) AS cv FROM d1 GROUP BY cluster, dim) g
+      |  GROUP BY cluster),
+      |a1 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
+      |       FROM e CROSS JOIN cent1),
+      |asn1 AS MATERIALIZED (SELECT vec_id, cluster FROM a1 WHERE rn = 1)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $a[i] * $b[i])), (acc, x) -> acc + x) / " +
       s"(sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $a[i] * $a[i])), (acc, x) -> acc + x)) * " +
@@ -8083,6 +8249,38 @@ object SparkEntry {
     "a4_term_stats" ->
       s"""SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
          |FROM ($tfSub) GROUP BY term HAVING count(*) >= 5""".stripMargin,
+
+    // OLS over exactly 50 (ln rank, ln cf) points as one rank-ordered
+    // 5-state list fold (the t14 list-state rule); ln on identical
+    // doubles matches Spark's log() bit-for-bit (the dsir precedent)
+    "text_zipf" ->
+      s"""WITH cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+         |            FROM ($tfSub) GROUP BY term),
+         |top AS (SELECT term, cf,
+         |   CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS INT)
+         |     AS rank
+         |  FROM cf ORDER BY cf DESC, term ASC LIMIT 50),
+         |pts AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+         |         ln(CAST(cf AS DOUBLE)) AS y FROM top),
+         |p2 AS (SELECT rank, x, y, x*y AS xy, x*x AS xx, y*y AS yy
+         |       FROM pts),
+         |f AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |       list_reduce(list_prepend(
+         |         [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+         |          0.0::DOUBLE],
+         |         list([x, y, xy, xx, yy] ORDER BY rank)),
+         |         (acc, p) -> [acc[1]+p[1], acc[2]+p[2], acc[3]+p[3],
+         |                      acc[4]+p[4], acc[5]+p[5]]) AS s
+         |      FROM p2),
+         |g AS (SELECT n, s[1] AS sx, s[2] AS sy, s[3] AS sxy,
+         |       s[4] AS sxx, s[5] AS syy FROM f),
+         |h AS (SELECT n, sx, sy, sxy, sxx, syy,
+         |       (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope FROM g)
+         |SELECT CAST(n AS BIGINT) AS n_terms, round(slope, 6) AS slope,
+         | round((sy - slope*sx) / n, 6) AS intercept,
+         | round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+         |   ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+         |FROM h""".stripMargin,
 
     "a5_dictionary" ->
       s"""SELECT term, df, cf, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS id
@@ -10607,25 +10805,32 @@ object SparkEntry {
     // with one centroid recompute between; argmax ordering on the raw
     // sim with lower-cluster tie-break mirrors ClusterOps.assign
     "cluster_kmeans" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |d0 AS (SELECT vec_id % 8 AS cluster, unnest(emb) AS v,
-        |        generate_subscripts(emb, 1) AS dim FROM e),
-        |cent0 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
-        |  (SELECT cluster, dim, avg(v) AS cv FROM d0 GROUP BY cluster, dim) g
-        |  GROUP BY cluster),
-        |a0 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
-        |       FROM e CROSS JOIN cent0),
-        |asn0 AS (SELECT vec_id, cluster FROM a0 WHERE rn = 1),
-        |d1 AS (SELECT a.cluster, unnest(e.emb) AS v, generate_subscripts(e.emb, 1) AS dim
-        |       FROM e JOIN asn0 a ON e.vec_id = a.vec_id),
-        |cent1 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
-        |  (SELECT cluster, dim, avg(v) AS cv FROM d1 GROUP BY cluster, dim) g
-        |  GROUP BY cluster),
-        |a1 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
-        |       FROM e CROSS JOIN cent1)
-        |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a1 WHERE rn = 1""".stripMargin,
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM asn1""".stripMargin,
+
+    // a/b sims via the mirrored cosSql fold (VALUES matter here, not
+    // just the argmax order); per-point s rounds to 6 before the
+    // vec_id-ordered mean fold — the embed_ood convention
+    "cluster_silhouette" ->
+      s"""WITH $kmeansCtes,
+         |ab AS (SELECT a.vec_id AS vec_id, a.cluster AS own,
+         |   max(CASE WHEN c.cluster = a.cluster
+         |       THEN ${cosSql("e.emb", "c.centroid")} END) AS a_sim,
+         |   max(CASE WHEN c.cluster <> a.cluster
+         |       THEN ${cosSql("e.emb", "c.centroid")} END) AS b_sim
+         |  FROM e JOIN asn1 a ON e.vec_id = a.vec_id CROSS JOIN cent1 c
+         |  GROUP BY a.vec_id, a.cluster),
+         |ab2 AS (SELECT vec_id, own, 1.0::DOUBLE - a_sim AS a,
+         |         1.0::DOUBLE - b_sim AS b FROM ab),
+         |sil AS (SELECT vec_id, own,
+         |   round(CASE WHEN greatest(a, b) = 0.0::DOUBLE THEN 0.0::DOUBLE
+         |         ELSE (b - a) / greatest(a, b) END, 6) AS sil FROM ab2),
+         |g AS (SELECT own AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |       list_reduce(list_prepend(0.0::DOUBLE,
+         |         list(sil ORDER BY vec_id)), (acc, x) -> acc + x) AS ssum
+         |      FROM sil GROUP BY own)
+         |SELECT CAST(cluster AS INT) AS cluster, n,
+         | round(ssum / n, 6) AS mean_silhouette FROM g""".stripMargin,
 
     // add-0.5-smoothed bigram LM, scored on the (doc, bigram, n)
     // compressed relation exactly as TextAnalysisOps.bigramSurprisal
@@ -12451,6 +12656,53 @@ object SparkEntry {
         | round((m_tp - m_t0) - (m_cp - m_c0), 6) AS did
         |FROM f""".stripMargin,
 
+    // exactRank replays as one row_number over (n_ev, user_id); cells
+    // are BIGINT co-moments, every mean one mirrored division, and the
+    // ATE folds diff·n_s in stratum order over the non-null strata
+    "stats_ipw" ->
+      """WITH ue AS (SELECT user_id, count(*) AS n_ev,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |     AS cents
+        |  FROM events GROUP BY user_id),
+        |rk AS (SELECT user_id, cents,
+        |   row_number() OVER (ORDER BY n_ev, user_id) AS rank,
+        |   count(*) OVER () AS n_users FROM ue),
+        |st AS (SELECT user_id, cents,
+        |   CASE WHEN rank * 5 <= n_users THEN 1
+        |        WHEN rank * 5 <= n_users * 2 THEN 2
+        |        WHEN rank * 5 <= n_users * 3 THEN 3
+        |        WHEN rank * 5 <= n_users * 4 THEN 4
+        |        ELSE 5 END AS stratum,
+        |   user_id % 2 = 0 AS treat FROM rk),
+        |c AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+        |   CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |   CAST(sum(CASE WHEN treat THEN cents ELSE 0 END) AS BIGINT)
+        |     AS c_t,
+        |   CAST(sum(CASE WHEN NOT treat THEN cents ELSE 0 END) AS BIGINT)
+        |     AS c_c
+        |  FROM st GROUP BY stratum),
+        |c2 AS (SELECT stratum, n_s, n_t, n_s - n_t AS n_c, c_t, c_c
+        |       FROM c),
+        |m AS (SELECT stratum, n_s, n_t,
+        |   CASE WHEN n_t > 0 THEN CAST(c_t AS DOUBLE) / n_t / 100.0 END
+        |     AS m_t,
+        |   CASE WHEN n_c > 0 THEN CAST(c_c AS DOUBLE) / n_c / 100.0 END
+        |     AS m_c
+        |  FROM c2),
+        |m2 AS (SELECT stratum, n_s, n_t, m_t, m_c, m_t - m_c AS diff
+        |       FROM m),
+        |a AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |         list(diff * n_s ORDER BY stratum)
+        |           FILTER (WHERE diff IS NOT NULL)),
+        |         (acc, x) -> acc + x)
+        |       / sum(n_s) FILTER (WHERE diff IS NOT NULL) AS ate_raw
+        |      FROM m2)
+        |SELECT stratum, n_s, n_t,
+        | round(CAST(n_t AS DOUBLE) / n_s, 6) AS p_treat,
+        | round(m_t, 6) AS mean_treat, round(m_c, 6) AS mean_ctrl,
+        | round(diff, 6) AS diff, round(ate_raw, 6) AS ate
+        |FROM m2 CROSS JOIN a""".stripMargin,
+
     "a15_pivot" ->
       """SELECT (epoch_us(ts) // 1000000 // 86400) % 7 AS dow,
         | count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -13338,6 +13590,50 @@ object SparkEntry {
         |  WHERE w.dist < 2)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node""".stripMargin,
+
+    // the identical 3 min-label rounds per direction, unrolled (the
+    // graph_kcore bounded-round contract); every round MATERIALIZED so
+    // DuckDB never re-expands the chain per reference
+    "graph_scc" ->
+      """WITH seq AS (
+        |  SELECT l_partkey AS src,
+        |   lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |     ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM seq
+        |  WHERE dst IS NOT NULL AND dst <> src),
+        |n AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+        |f1 AS MATERIALIZED (SELECT node, min(label) AS label FROM (
+        |  SELECT node, node AS label FROM n
+        |  UNION ALL SELECT dst AS node, src AS label FROM e) u
+        |  GROUP BY node),
+        |f2 AS MATERIALIZED (SELECT node, min(label) AS label FROM (
+        |  SELECT node, label FROM f1
+        |  UNION ALL SELECT e.dst AS node, f1.label FROM e
+        |   JOIN f1 ON e.src = f1.node) u GROUP BY node),
+        |f3 AS MATERIALIZED (SELECT node, min(label) AS label FROM (
+        |  SELECT node, label FROM f2
+        |  UNION ALL SELECT e.dst AS node, f2.label FROM e
+        |   JOIN f2 ON e.src = f2.node) u GROUP BY node),
+        |b1 AS MATERIALIZED (SELECT node, min(label) AS label FROM (
+        |  SELECT node, node AS label FROM n
+        |  UNION ALL SELECT src AS node, dst AS label FROM e) u
+        |  GROUP BY node),
+        |b2 AS MATERIALIZED (SELECT node, min(label) AS label FROM (
+        |  SELECT node, label FROM b1
+        |  UNION ALL SELECT e.src AS node, b1.label FROM e
+        |   JOIN b1 ON e.dst = b1.node) u GROUP BY node),
+        |b3 AS MATERIALIZED (SELECT node, min(label) AS label FROM (
+        |  SELECT node, label FROM b2
+        |  UNION ALL SELECT e.src AS node, b2.label FROM e
+        |   JOIN b2 ON e.dst = b2.node) u GROUP BY node)
+        |SELECT f3.node AS node, f3.label AS f, b3.label AS b,
+        | CASE WHEN f3.label = b3.label THEN f3.label ELSE f3.node END
+        |   AS scc_id,
+        | f3.label = b3.label AS resolved
+        |FROM f3 JOIN b3 ON f3.node = b3.node""".stripMargin,
 
     // per-(group, value) cells are distinct, so the cumulative window
     // has no tie ambiguity; ks = max over ratios of exact longs

@@ -83,4 +83,47 @@ object ClusterOps {
   def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame =
     kmeansModel(emb, k, iters)._2
       .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+
+  /** Centroid-based silhouette of the trained partition — per vector,
+    * a = cosine distance to its OWN final centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) (0 when both distances
+    * are 0), reported as the per-cluster mean. The O(n·k) simplified
+    * silhouette — the form that scales; true pairwise silhouette is
+    * O(n²). Per-point s rounds to 6 decimals BEFORE the vec_id-ordered
+    * mean fold so a replaying engine folds identical doubles in
+    * identical order.
+    *
+    * Scale shape: one corpus × broadcast-centroids cosine pass (k rows
+    * per vector inside codegen) reduced by one hash aggregation — the
+    * same shape as [[kmeansAssign]]'s assignment step; the mean fold
+    * runs over per-cluster lists (bounded by cluster population — for
+    * truly huge clusters swap the fold for sum(round(s,6)), which is
+    * order-free only in its rounded inputs' count, hence the fold).
+    *
+    * Output: (cluster: int, n: long, mean_silhouette: double). */
+  def silhouette(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (cents, asn) = kmeansModel(emb.select(col("vec_id"),
+      col("embedding")), k, iters)
+    emb.join(asn.select(col("vec_id"), col("cluster").as("own")), "vec_id")
+      .crossJoin(broadcast(cents))
+      .withColumn("sim",
+        SimilarityOps.cosine(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"), col("own"))
+      .agg(max(when(col("cluster") === col("own"), col("sim"))).as("a_sim"),
+        max(when(col("cluster") =!= col("own"), col("sim"))).as("b_sim"))
+      .withColumn("a", lit(1.0) - col("a_sim"))
+      .withColumn("b", lit(1.0) - col("b_sim"))
+      .withColumn("sil", round(
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))),
+        6))
+      .groupBy(col("own"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("vec_id"), col("sil"))))
+          .as("arr"))
+      .select(col("own").cast("int").as("cluster"), col("n"),
+        round(aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + x.getField("sil")) / col("n"), 6)
+          .as("mean_silhouette"))
+  }
 }

@@ -389,4 +389,56 @@ object GraphOps {
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
+
+  /** Bounded-round SCC coloring over a DIRECTED edge relation — the
+    * one-pass "coloring" step of forward-backward SCC decomposition
+    * (Fleischer/Hendrickson/Pinar 2000): after `rounds` min-label
+    * propagation rounds in each direction, f(v) = min id among nodes
+    * that reach v within `rounds` hops (v included) and b(v) = min id
+    * among nodes v reaches. f(v) == b(v) == m proves m ⇄ v within the
+    * hop bound, so v sits in SCC(m); a node the pass does not resolve
+    * keeps its own id as a singleton color (`resolved` = false) — at
+    * scale the next peel recurses on the unresolved remainder, exactly
+    * like [[kcore]]'s bounded-round contract (the oracle unrolls the
+    * same rounds, not a fixpoint).
+    *
+    * Scale shape: the de-duplicated edge relation localCheckpoints once
+    * per direction and never re-shuffles; each round is one
+    * (labels ⋈ edges) join plus a min hash-aggregation over O(N) label
+    * rows with map-side partial mins. All checkpoints are lazy — a
+    * strictly sequential fixpoint (the round-13 eager-vs-lazy law). */
+  def sccColor(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(false)
+    def minLabel(ed: DataFrame): DataFrame = {
+      // round 1 against the identity labeling IS the edge list itself
+      // (label of src = src) — no join needed, one shuffle saved per
+      // direction; the oracle's f1/b1 CTEs replay the same shortcut
+      var lab = nodes.withColumn("label", col("node"))
+        .unionByName(ed.select(col("dst").as("node"),
+          col("src").as("label")))
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(false)
+      for (_ <- 2 to rounds) {
+        val incoming = ed.join(lab, ed("src") === lab("node"))
+          .select(ed("dst").as("node"), col("label"))
+        lab = lab.unionByName(incoming)
+          .groupBy("node").agg(min("label").as("label"))
+          .localCheckpoint(false)
+      }
+      lab
+    }
+    val fwd = minLabel(e)
+    val bwd = minLabel(e.select(col("dst").as("src"), col("src").as("dst")))
+    fwd.select(col("node"), col("label").as("f"))
+      .join(bwd.select(col("node"), col("label").as("b")), "node")
+      .select(col("node"), col("f"), col("b"),
+        when(col("f") === col("b"), col("f")).otherwise(col("node"))
+          .as("scc_id"),
+        (col("f") === col("b")).as("resolved"))
+  }
 }
