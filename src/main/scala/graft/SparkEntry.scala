@@ -1448,10 +1448,16 @@ object SparkEntry {
       // SUBTRACTED from the one-row broadcast total, so the corpus is
       // scanned and aggregated exactly once. The t statistic is one
       // mirrored double expression; n²-products are cast to double
-      // first (mirrored) so no LONG overflow at any SF.
+      // first (mirrored) so no LONG overflow at any SF. The Σx²
+      // accumulator is DECIMAL(38,0): per-row squares fit a long, but
+      // their corpus sum passes 2^63 near 4·10^11 docs — DuckDB's
+      // sum(BIGINT) is already HUGEINT, so the decimal sum mirrors it
+      // exactly and the downstream double products see the same value.
       val docs = t(s, d, "documents").select(col("source"), col("n_chars"))
       val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n1"),
-        sum("n_chars").as("s1"), sum(col("n_chars") * col("n_chars")).as("q1"))
+        sum("n_chars").as("s1"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)"))
+          .as("q1"))
         .localCheckpoint() // two consumers (totals re-agg + the t join)
       val tot = bySrc.agg(sum("n1").as("nt"), sum("s1").as("st"),
         sum("q1").as("qt"))
@@ -2228,7 +2234,10 @@ object SparkEntry {
           sum(when(col("in1") === 1L && col("in2") === 1L, 1L)
             .otherwise(0L)).as("m"))
         .select(col("n1"), col("n2"), col("m"),
-          round(((col("n1") + 1L) * (col("n2") + 1L)).cast("double") /
+          // (n1+1)(n2+1) is ~users² — DECIMAL(38,0) (HUGEINT in the
+          // oracle) keeps it exact past the ~3·10⁹-user BIGINT ceiling
+          round(((col("n1") + 1L).cast("decimal(38,0)") *
+              (col("n2") + 1L)).cast("double") /
             (col("m") + 1L).cast("double") - 1.0, 4).as("chapman"))
     }),
 
@@ -2246,12 +2255,14 @@ object SparkEntry {
       docs.agg(
           sum(when(col("arma"), 1L).otherwise(0L)).as("n1"),
           sum(when(col("arma"), col("n_chars")).otherwise(0L)).as("s1"),
-          sum(when(col("arma"), col("n_chars") * col("n_chars"))
-            .otherwise(0L)).as("q1"),
+          sum(when(col("arma"), (col("n_chars") * col("n_chars"))
+              .cast("decimal(38,0)"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("q1"),
           sum(when(!col("arma"), 1L).otherwise(0L)).as("n2"),
           sum(when(!col("arma"), col("n_chars")).otherwise(0L)).as("s2"),
-          sum(when(!col("arma"), col("n_chars") * col("n_chars"))
-            .otherwise(0L)).as("q2"))
+          sum(when(!col("arma"), (col("n_chars") * col("n_chars"))
+              .cast("decimal(38,0)"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("q2"))
         .withColumn("m1", col("s1").cast("double") / col("n1"))
         .withColumn("m2", col("s2").cast("double") / col("n2"))
         .withColumn("v1", (col("n1").cast("double") * col("q1") -
@@ -2288,12 +2299,14 @@ object SparkEntry {
       docs.agg(
           sum(when(col("arma"), 1L).otherwise(0L)).as("n1"),
           sum(when(col("arma"), col("n_chars")).otherwise(0L)).as("s1"),
-          sum(when(col("arma"), col("n_chars") * col("n_chars"))
-            .otherwise(0L)).as("q1"),
+          sum(when(col("arma"), (col("n_chars") * col("n_chars"))
+              .cast("decimal(38,0)"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("q1"),
           sum(when(!col("arma"), 1L).otherwise(0L)).as("n2"),
           sum(when(!col("arma"), col("n_chars")).otherwise(0L)).as("s2"),
-          sum(when(!col("arma"), col("n_chars") * col("n_chars"))
-            .otherwise(0L)).as("q2"))
+          sum(when(!col("arma"), (col("n_chars") * col("n_chars"))
+              .cast("decimal(38,0)"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("q2"))
         .withColumn("v1", (col("n1").cast("double") * col("q1") -
             col("s1").cast("double") * col("s1")) /
           (col("n1").cast("double") * (col("n1") - 1)))
@@ -2324,8 +2337,11 @@ object SparkEntry {
       val ev = t(s, d, "events").select(to_date(col("ts")).as("day"),
         (col("user_id") % 2 === 0).as("arma"),
         round(col("value") * 100).cast("long").as("v"))
+      // Σv² promotes to DECIMAL(38,0): cent² per row fits a long, but
+      // the corpus sum passes 2^63 near 10^10 events — DuckDB's
+      // sum(BIGINT) is HUGEINT already, so this mirrors it exactly
       val sig = ev.agg(count(lit(1)).as("nn"), sum(col("v")).as("sv"),
-          sum(col("v") * col("v")).as("qv"))
+          sum((col("v") * col("v")).cast("decimal(38,0)")).as("qv"))
         .select(round((col("nn").cast("double") * col("qv") -
             col("sv").cast("double") * col("sv")) /
           (col("nn").cast("double") * (col("nn") - 1)) / 10000.0, 6)
@@ -2364,10 +2380,13 @@ object SparkEntry {
       // hard-rule gate (TextAnalysisOps.gopherRules `keep`), judge B a
       // lexical-diversity gate (TTR ≥ 1/2, integer cross-multiply).
       // κ = (n·agree − Σ marginal products) / (n² − Σ marginal
-      // products) — all BIGINT until the final division, so the
-      // statistic is integer-exact. Two doc-grain map passes joined on
-      // doc_id, one final aggregate; nothing wider than the doc id and
-      // two bits ever shuffles.
+      // products) — integer-exact until the final division. The n²
+      // products run in DECIMAL(38,0) (long n² overflows past ~3·10^9
+      // docs); the oracle's mirrors are HUGEINT — same exact integers.
+      // Two doc-grain map passes joined on doc_id, one final
+      // aggregate; nothing wider than the doc id and two bits ever
+      // shuffles.
+      val dec = "decimal(38,0)"
       val docs = t(s, d, "documents")
       val ja = TextAnalysisOps.gopherRules(docs, "doc_id", "text")
         .select(col("doc_id"), col("keep").as("ja"))
@@ -2381,13 +2400,17 @@ object SparkEntry {
           sum(when(!col("ja") && col("jb"), 1L).otherwise(0L)).as("n01"),
           sum(when(!col("ja") && !col("jb"), 1L).otherwise(0L)).as("n00"))
         .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-          round((col("n") * (col("n11") + col("n00")) -
-              ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-               (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+          round((col("n").cast(dec) * (col("n11") + col("n00")) -
+              ((col("n11") + col("n10")).cast(dec) *
+                 (col("n11") + col("n01")) +
+               (col("n01") + col("n00")).cast(dec) *
+                 (col("n10") + col("n00"))))
               .cast("double") /
-            (col("n") * col("n") -
-              ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-               (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+            (col("n").cast(dec) * col("n") -
+              ((col("n11") + col("n10")).cast(dec) *
+                 (col("n11") + col("n01")) +
+               (col("n01") + col("n00")).cast(dec) *
+                 (col("n10") + col("n00"))))
               .cast("double"), 6).as("kappa"))
     }),
 
@@ -3456,9 +3479,11 @@ object SparkEntry {
       // supplier–part graph: per community c, Q_c = e_c/m − (d_c/2m)² —
       // the quality score that decides whether a community structure is
       // real or noise. Everything is integer until one final division:
-      // Q_c = (4·m·e_c − d_c²)/(4m²), exact in BIGINT up to m ~ 10⁹
-      // edges (past that, promote to the decimal fold). One edge-keyed
-      // join against the broadcast label map, two bounded aggregates.
+      // Q_c = (4·m·e_c − d_c²)/(4m²), with the m·e_c and d_c²
+      // products in DECIMAL(38,0) (BIGINT versions overflow past
+      // m ~ 10⁹ edges) — HUGEINT on the DuckDB side, the same exact
+      // integers. One edge-keyed join against the broadcast label
+      // map, two bounded aggregates.
       val edges = t(s, d, "lineitem")
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
@@ -3482,9 +3507,11 @@ object SparkEntry {
         .na.fill(0L, Seq("e_in"))
         .crossJoin(broadcast(mRow))
         .select(col("label"), col("e_in"), col("d_tot"),
-          round((lit(4L) * col("m") * col("e_in") -
-              col("d_tot") * col("d_tot")).cast("double") /
-            (lit(4L) * col("m") * col("m")).cast("double"), 6)
+          round((lit(4L) * col("m").cast("decimal(38,0)") * col("e_in") -
+              col("d_tot").cast("decimal(38,0)") * col("d_tot"))
+              .cast("double") /
+            (lit(4L) * col("m").cast("decimal(38,0)") * col("m"))
+              .cast("double"), 6)
             .as("q_contrib"))
     }),
 
@@ -4586,16 +4613,20 @@ object SparkEntry {
       // Neyman allocation (n_h ∝ N_h·S_h): the DESIGN table a 1000-doc
       // stratified draw starts from — high-variance strata get more
       // budget than proportional allocation would give. S_h from exact
-      // integer co-moments (stats_moments convention); the Σ N_h·S_h
-      // normalizer is an ordered fold over the lang-sorted strata;
-      // allocations floor, so the output is engine-exact
+      // integer co-moments (stats_moments convention — Σx² and the
+      // nh·sxx − sx² products in DECIMAL(38,0), HUGEINT on the DuckDB
+      // side, so neither engine overflows at 10^11+ docs); the
+      // Σ N_h·S_h normalizer is an ordered fold over the lang-sorted
+      // strata; allocations floor, so the output is engine-exact
+      val dec = "decimal(38,0)"
       val agg = t(s, d, "documents")
         .select(col("lang"), col("n_chars").as("x"))
         .groupBy("lang")
         .agg(count(lit(1)).as("nh"), sum("x").as("sx"),
-          sum(col("x") * col("x")).as("sxx"))
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
       val wh = agg.select(col("lang"), col("nh"),
-          sqrt((col("sxx") * col("nh") - col("sx") * col("sx"))
+          sqrt((col("sxx") * col("nh") -
+              col("sx").cast(dec) * col("sx"))
             .cast("double") /
             (col("nh") * (col("nh") - lit(1L))).cast("double")).as("sd"))
         .withColumn("w", col("nh").cast("double") * col("sd"))
@@ -6058,41 +6089,52 @@ object SparkEntry {
 
     "stats_corr" -> ((s, d) => {
       // per-lang Pearson correlation of chars vs tokens from exact
-      // integer co-moments: the five sums are exact longs on both
-      // engines (int products < 2^63, far under the 2^53 double-exact
-      // bound after the closed-form differences), so the final corr is
-      // ONE fixed double expression over identical inputs. Spark's
+      // integer co-moments, so the final corr is ONE fixed double
+      // expression over identical inputs on both engines. Spark's
       // built-in corr() keeps incremental double co-moments —
-      // summation-order-dependent, it could never hash-match an oracle
+      // summation-order-dependent, it could never hash-match an oracle.
+      // The product-moment sums and the closed-form n·sxy − sx·sy
+      // products run in DECIMAL(38,0) (per-row products fit a long;
+      // the corpus sums and the n-scaled differences pass 2^63 around
+      // 10^10-10^11 docs) — DuckDB's sum(BIGINT) is HUGEINT and its
+      // mirrored products are HUGEINT, the same exact integers.
+      val dec = "decimal(38,0)"
       val base = t(s, d, "documents").select(col("lang"),
         col("n_chars").as("x"),
         size(TermOps.tokens(col("text"))).cast("long").as("y"))
       base.groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
         .select(col("lang"), col("n").as("n_docs"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 4)
+          round((col("n") * col("sxy") -
+              (col("sx").cast(dec) * col("sy"))).cast("double") /
+            sqrt((col("n") * col("sxx") -
+                (col("sx").cast(dec) * col("sx"))).cast("double") *
+              (col("n") * col("syy") -
+                (col("sy").cast(dec) * col("sy"))).cast("double")), 4)
             .as("corr_chars_tokens"))
     }),
 
     "stats_moments" -> ((s, d) => {
-      // per-lang skewness of doc length from exact integer co-moments
-      // (sx, sxx, sxxx stay exact longs: 5000^3 × 5e5 rows < 2^63), then
-      // ONE fixed-order double expression — same engine-replicability
-      // contract as stats_corr; sqrt(m2)*m2 instead of pow(m2,1.5) so
-      // both engines run the identical IEEE op sequence. Kurtosis is
-      // deliberately out: x^4 sums overflow long at corpus scale
+      // per-lang skewness of doc length from exact integer co-moments,
+      // then ONE fixed-order double expression — same
+      // engine-replicability contract as stats_corr; sqrt(m2)*m2
+      // instead of pow(m2,1.5) so both engines run the identical IEEE
+      // op sequence. The x² and x³ sums run in DECIMAL(38,0): per-row
+      // powers fit a long (5000³ ≈ 1.25e11) but the x³ corpus sum
+      // passes 2^63 near 7·10^7 docs — DuckDB's sum(BIGINT) is
+      // HUGEINT, the same exact integer. (x⁴/kurtosis would fit the
+      // decimal headroom too now; out of scope, not out of range.)
+      val dec = "decimal(38,0)"
       val agg = t(s, d, "documents")
         .select(col("lang"), col("n_chars").as("x"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("x") * col("x") * col("x")).as("sxxx"))
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("x") * col("x") * col("x")).cast(dec)).as("sxxx"))
       val mean = col("sx").cast("double") / col("n")
       val m2 = col("sxx").cast("double") / col("n") - mean * mean
       val m3 = col("sxxx").cast("double") / col("n") -
@@ -9227,11 +9269,11 @@ object SparkEntry {
     "stats_welch" ->
       """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n1,
         |    CAST(sum(n_chars) AS BIGINT) AS s1,
-        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q1
+        |    sum(n_chars * n_chars) AS q1
         |  FROM documents GROUP BY 1),
         |tt AS (SELECT CAST(count(*) AS BIGINT) AS nt,
         |    CAST(sum(n_chars) AS BIGINT) AS st,
-        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS qt FROM documents),
+        |    sum(n_chars * n_chars) AS qt FROM documents),
         |j AS (SELECT source, n1, s1, q1, nt - n1 AS n2, st - s1 AS s2,
         |       qt - q1 AS q2 FROM b, tt WHERE n1 > 1 AND nt - n1 > 1),
         |f AS (SELECT source, n1,
@@ -9803,7 +9845,7 @@ object SparkEntry {
         |     AS BIGINT) AS m
         |  FROM s)
         |SELECT n1, n2, m,
-        | round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) /
+        | round(CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) AS DOUBLE) /
         |   CAST(m + 1 AS DOUBLE) - 1.0, 4) AS chapman
         |FROM a""".stripMargin,
 
@@ -9813,10 +9855,10 @@ object SparkEntry {
       """WITH a AS (SELECT
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS s1,
-        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q1,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN n_chars * n_chars ELSE 0 END) AS q1,
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS s2,
-        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q2
+        |  sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * n_chars ELSE 0 END) AS q2
         | FROM documents),
         |f AS (SELECT n1, n2,
         |  CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
@@ -9846,14 +9888,14 @@ object SparkEntry {
         |    AS n1,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END)
         |    AS BIGINT) AS s1,
-        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars * n_chars
-        |    ELSE 0 END) AS BIGINT) AS q1,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN n_chars * n_chars
+        |    ELSE 0 END) AS q1,
         |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n2,
         |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE 0 END)
         |    AS BIGINT) AS s2,
-        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars * n_chars
-        |    ELSE 0 END) AS BIGINT) AS q2
+        |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars * n_chars
+        |    ELSE 0 END) AS q2
         | FROM documents),
         |v AS (SELECT n1, n2, s1, s2,
         |  (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
@@ -9879,7 +9921,7 @@ object SparkEntry {
         |   (CAST(nn AS DOUBLE) * (nn - 1)) / 10000.0, 6) AS s2
         |  FROM (SELECT CAST(count(*) AS BIGINT) AS nn,
         |        CAST(sum(v) AS BIGINT) AS sv,
-        |        CAST(sum(v * v) AS BIGINT) AS qv FROM ev)),
+        |        sum(v * v) AS qv FROM ev)),
         |dly AS (SELECT day,
         |   CAST(sum(CASE WHEN arma THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
         |   CAST(sum(CASE WHEN arma THEN v ELSE 0 END) AS BIGINT) AS sa_d,
@@ -9933,11 +9975,13 @@ object SparkEntry {
          |     AS BIGINT) AS n00
          |  FROM j)
          |SELECT n, n11, n10, n01, n00,
-         | round(CAST(n * (n11 + n00) -
-         |     ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+         | round(CAST(CAST(n AS HUGEINT) * (n11 + n00) -
+         |     (CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+         |      CAST(n01 + n00 AS HUGEINT) * (n10 + n00))
          |   AS DOUBLE) /
-         |  CAST(n * n -
-         |     ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+         |  CAST(CAST(n AS HUGEINT) * n -
+         |     (CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+         |      CAST(n01 + n00 AS HUGEINT) * (n10 + n00))
          |   AS DOUBLE), 6) AS kappa
          |FROM c""".stripMargin,
 
@@ -12723,14 +12767,13 @@ object SparkEntry {
         |a AS (
         |  SELECT lang, count(*) AS n,
         |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |   CAST(sum(x*y) AS BIGINT) AS sxy,
-        |   CAST(sum(x*x) AS BIGINT) AS sxx,
-        |   CAST(sum(y*y) AS BIGINT) AS syy
+        |   sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
         |  FROM t GROUP BY lang)
         |SELECT lang, n AS n_docs,
-        | round(CAST(n*sxy - sx*sy AS DOUBLE) /
-        |   sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
-        |        CAST(n*syy - sy*sy AS DOUBLE)), 4) AS corr_chars_tokens
+        | round(CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) /
+        |   sqrt(CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE) *
+        |        CAST(n*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)), 4)
+        |   AS corr_chars_tokens
         |FROM a""".stripMargin,
 
     // exact long co-moments -> one fixed-order double expression
@@ -12739,8 +12782,8 @@ object SparkEntry {
       """WITH a AS (
         |  SELECT lang, count(*) AS n,
         |   CAST(sum(n_chars) AS BIGINT) AS sx,
-        |   CAST(sum(n_chars*n_chars) AS BIGINT) AS sxx,
-        |   CAST(sum(n_chars*n_chars*n_chars) AS BIGINT) AS sxxx
+        |   sum(n_chars*n_chars) AS sxx,
+        |   sum(n_chars*n_chars*n_chars) AS sxxx
         |  FROM documents GROUP BY lang),
         |m AS (
         |  SELECT lang, n, CAST(sx AS DOUBLE) / n AS mean,
@@ -13232,8 +13275,9 @@ object SparkEntry {
          |    JOIN plab USING (dst)) GROUP BY label),
          |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e2)
          |SELECT label, coalesce(e_in, 0) AS e_in, d_tot,
-         | round(CAST(4 * m * coalesce(e_in, 0) - d_tot * d_tot AS DOUBLE) /
-         |   CAST(4 * m * m AS DOUBLE), 6) AS q_contrib
+         | round(CAST(4 * CAST(m AS HUGEINT) * coalesce(e_in, 0) -
+         |     CAST(d_tot AS HUGEINT) * d_tot AS DOUBLE) /
+         |   CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE), 6) AS q_contrib
          |FROM dtot LEFT JOIN ein USING (label) CROSS JOIN mm""".stripMargin,
 
     // supplier pairs only via a shared sub-hub part (df ≤ 64), exact

@@ -160,9 +160,14 @@ object ValidationOps {
       .join(obs, Seq("a", "b"), "left")
       .select(col("a"), col("b"), col("ra"), col("cb"), col("nn"),
         coalesce(col("n"), lit(0L)).as("n"))
-    val dnum = (col("n") * col("nn") - col("ra") * col("cb")).cast("double")
+    // n·N and ra·cb are ~N², N·ra·cb is ~N³ — DECIMAL(38,0) products
+    // (HUGEINT in a replaying oracle) stay exact far past the BIGINT
+    // ceiling; one cast to double after each exact difference/product
+    val dnum = (col("n").cast("decimal(38,0)") * col("nn") -
+      col("ra").cast("decimal(38,0)") * col("cb")).cast("double")
     val terms = grid.select(struct(col("a"), col("b"),
-      (dnum * dnum / (col("nn") * col("ra") * col("cb")).cast("double"))
+      (dnum * dnum / (col("nn").cast("decimal(38,0)") * col("ra") *
+        col("cb")).cast("double"))
         .as("t")).as("s"))
     terms
       .agg(countDistinct(col("s.a")).as("na"),
@@ -204,11 +209,16 @@ object ValidationOps {
     // 2 × (average rank of the tie group at value v) = 2·cum − n + 1
     val ranked = cells.withColumn("r2",
       lit(2L) * sum(col("n")).over(w) - col("n") + lit(1L))
+    // ΣR2⁺ and np(np+1) reach ~2n² — DECIMAL(38,0) accumulators
+    // (HUGEINT in a replaying DuckDB oracle) keep them exact past the
+    // ~2·10⁹-row BIGINT ceiling
     ranked
-      .agg(sum(col("npos") * col("r2")).as("r2pos"),
+      .agg(sum((col("npos").cast("decimal(38,0)") * col("r2")))
+          .as("r2pos"),
         sum(col("npos")).as("np"), sum(col("n") - col("npos")).as("nn"))
       .select(col("np").as("n_pos"), col("nn").as("n_neg"),
-        round((col("r2pos") - col("np") * (col("np") + lit(1L))).cast("double")
+        round((col("r2pos") - col("np").cast("decimal(38,0)") *
+            (col("np") + lit(1L))).cast("double")
           / (lit(2.0) * col("np").cast("double") * col("nn").cast("double")),
           6).as("auc"))
   }
