@@ -220,6 +220,48 @@ object SparkEntry {
           col("o_totalprice"), round(col("qty"), 2).as("qty"))
     }),
 
+    "q21_blame_supplier" -> ((s, d) => {
+      // TPC-H Q21 shape — the exists/not-exists blame anchor: suppliers
+      // whose shipment was late (> 90 days after the order date,
+      // integer-exact epoch-second arithmetic — this corpus carries no
+      // commit/receipt dates) in a MULTI-supplier finished order where
+      // NO OTHER supplier was late. EXISTS compiles to a left-semi and
+      // NOT EXISTS to a left-anti, both shuffled on l_orderkey so the
+      // big relations co-locate once; supplier/nation broadcast. The
+      // (numwait DESC, s_name) order with unique names makes the
+      // LIMIT 100 cut deterministic.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val ord = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", col("l_shipdate").cast("long") -
+          col("o_orderdate").cast("long") > lit(90L * 86400L))
+      val l1 = joined.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk")).distinct()
+      val lateOthers = joined.filter(col("late"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val blamed = l1
+        .join(others, col("ok") === col("l_orderkey") &&
+          col("sk") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers, col("ok") === col("l_orderkey") &&
+          col("sk") =!= col("l_suppkey"), "left_anti")
+      blamed
+        .join(broadcast(t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"), col("n_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+
     "p1_filter_eq" -> ((s, d) =>
       t(s, d, "documents").filter(col("lang") === "en")
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))),
@@ -4570,6 +4612,36 @@ object SparkEntry {
       TextAnalysisOps.withLangId(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("pred_lang"))),
 
+    "text_llm_watermark" -> ((s, d) => {
+      // greenlist-watermark detector (Kirchenbauer et al. 2023, "A
+      // Watermark for Large Language Models"): a watermarking LLM
+      // biases each token toward a pseudorandom "green list" seeded by
+      // the previous token; the detector recounts — for every bigram,
+      // green = low bit of fnv64("prev cur") — and scores the excess
+      // over the n/2 null with z = (2G − n)/√n. Flag at z > 4
+      // (~3·10⁻⁵ false-positive rate). Unwatermarked text scores ~0;
+      // the operator is the screening harness a training-data pipeline
+      // runs to keep synthetic/LLM text out of the corpus. Everything
+      // is integer until z: the bigram fold runs inside the tokens
+      // array (no explode of positions), one doc-keyed aggregation.
+      val tk = TermOps.tokens(col("text"))
+      t(s, d, "documents").select(col("doc_id"), tk.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |         slice(toks, 2, size(toks) - 1),
+            |         (a, b) -> concat(a, ' ', b))""".stripMargin))
+          .as("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(pmod(GraftFunctions.fnv64(col("bg")), lit(2L))).as("green"))
+        .withColumn("zraw", (lit(2.0) * col("green") - col("n_bigrams")) /
+          sqrt(col("n_bigrams").cast("double")))
+        .select(col("doc_id"), col("n_bigrams"), col("green"),
+          round(col("zraw"), 6).as("z"),
+          (col("zraw") > 4.0).as("flagged"))
+    }),
+
     "text_fingerprint" -> ((s, d) =>
       TextAnalysisOps.withFingerprint(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("fingerprint"))),
@@ -8226,6 +8298,32 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         | JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    // the literal exists/not-exists form; lateness mirrors as exact
+    // epoch-second integers; (numwait DESC, s_name) + unique names
+    // make LIMIT 100 deterministic
+    "q21_blame_supplier" ->
+      """WITH j AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |   epoch_us(l.l_shipdate) // 1000000 -
+        |     epoch_us(o.o_orderdate) // 1000000 > 90 * 86400 AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |l1 AS (SELECT l_orderkey, l_suppkey FROM j WHERE late)
+        |SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1
+        | JOIN supplier ON l1.l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (
+        |   SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey
+        |     AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |   SELECT 1 FROM j l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey
+        |     AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin,
+
     "p1_filter_eq" ->
       "SELECT source, count(*) AS n_docs FROM documents WHERE lang='en' GROUP BY source",
 
@@ -11606,6 +11704,31 @@ object SparkEntry {
 
     // rolling 31-hash with 2^64 wrap-around, HUGEINT-mod in DuckDB (the
     // kernel iterates UTF-16 units; identical to codepoints on BMP text)
+    // green bit = low bit of the fnv64 HUGEINT (two's-complement low
+    // bit == unsigned low bit, the dedup_simhash convention); z on
+    // identical doubles, flag compared on the UNROUNDED z both sides
+    "text_llm_watermark" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |     x -> x <> '') AS toks
+         |  FROM documents),
+         |d2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id,
+         |   unnest(list_transform(generate_series(1, len(toks) - 1),
+         |     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |  FROM d2),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |   CAST(sum(CAST(${fnvSql("bg")} % 2 AS BIGINT)) AS BIGINT)
+         |     AS green
+         |  FROM bg GROUP BY doc_id),
+         |z AS (SELECT doc_id, n_bigrams, green,
+         |   (2.0::DOUBLE * green - n_bigrams) /
+         |     sqrt(CAST(n_bigrams AS DOUBLE)) AS zraw
+         |  FROM g)
+         |SELECT doc_id, n_bigrams, green, round(zraw, 6) AS z,
+         | zraw > 4.0::DOUBLE AS flagged
+         |FROM z""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT

@@ -386,4 +386,38 @@ class Round13Spec extends AnyFunSuite {
     assert(q.map(_.getAs[Double]("ate")).distinct.length == 1)
     assert(q.length == 5)
   }
+
+  test("text_llm_watermark flags a planted all-green document and " +
+    "keeps organic text near z = 0") {
+    import graft.functions.Hashing
+    // greedily build a 101-token doc whose every bigram hashes green
+    // (low fnv64 bit = 1) — the detector must score z = sqrt(100) = 10
+    val words = (0 until 4096).map(i => s"w$i")
+    val toks = scala.collection.mutable.ArrayBuffer("w0")
+    while (toks.length < 101) {
+      val prev = toks.last
+      toks += words.find(w =>
+        (Hashing.fnv1a(s"$prev $w") & 1L) == 1L).get
+    }
+    val rows = SparkEntry.queries("text_llm_watermark")(spark, sf)
+    // splice the planted doc through the same chain by unioning it in
+    val planted = Seq((9000001L, toks.mkString(" ")))
+      .toDF("doc_id", "text")
+    import graft.operators.TermOps
+    val got = planted
+      .select(col("doc_id"), TermOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |         slice(toks, 2, size(toks) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(pmod(GraftFunctions.fnv64(col("bg")), lit(2L))).as("g"))
+      .collect()(0)
+    assert(got.getLong(1) == 100L && got.getLong(2) == 100L,
+      s"planted doc not all-green: $got")
+    // organic corpus: no doc should clear the z > 4 gate
+    val flagged = rows.filter(col("flagged")).count()
+    assert(flagged == 0L, s"$flagged organic docs flagged")
+  }
 }
