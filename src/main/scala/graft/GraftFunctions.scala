@@ -82,6 +82,28 @@ object GraftFunctions {
     * analyzer path (SURVEY §2.7 F17); single definition in TermOps. */
   def tokens(c: Column): Column = graft.operators.TermOps.tokens(c)
 
+  /** HTML → clean text for WARC/web payloads — the extractor between
+    * the s21 WARC loader and the text pipeline (the reference's
+    * wiki-markup twin is `plain_text`/F11). Drops script/style/comment
+    * blocks, strips tags, decodes the six common entities, collapses
+    * whitespace. A pure composition of built-in regexp_replace — stays
+    * inside whole-stage codegen (no UDF), and a replaying engine
+    * mirrors the identical pattern chain (RE2-safe: lazy quantifiers +
+    * (?is) flags, no lookaround). */
+  def htmlText(c: Column): Column = {
+    var t = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    t = regexp_replace(t, "(?is)<style[^>]*>.*?</style>", " ")
+    t = regexp_replace(t, "(?s)<!--.*?-->", " ")
+    t = regexp_replace(t, "<[^>]*>", " ")
+    t = regexp_replace(t, "&nbsp;", " ")
+    t = regexp_replace(t, "&lt;", "<")
+    t = regexp_replace(t, "&gt;", ">")
+    t = regexp_replace(t, "&quot;", "\"")
+    t = regexp_replace(t, "&#39;", "'")
+    t = regexp_replace(t, "&amp;", "&")
+    trim(regexp_replace(t, "\\s+", " "))
+  }
+
   // ---- Date/time scalar fns (F7-F10, F14) as built-in compositions ----
 
   /** F7: epoch-millis → `yyyyMMdd` (UTC). */

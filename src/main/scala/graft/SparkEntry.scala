@@ -4612,6 +4612,28 @@ object SparkEntry {
       TextAnalysisOps.withLangId(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("pred_lang"))),
 
+    "f20_html_text" -> ((s, d) => {
+      // HTML → clean text (GraftFunctions.htmlText): the extractor
+      // between the s21 WARC loader and the text pipeline — script/
+      // style/comment blocks drop, tags strip, common entities decode,
+      // whitespace collapses. The fixture wraps each doc's fields in a
+      // synthetic page built by identical concatenation on both
+      // engines (the curate_url_dedup convention), exercising every
+      // rule; on real WARC payloads the same function applies to the
+      // response body column. Pure codegen regexp chain — no UDF.
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>.c{color:red}</style><title>"),
+        col("source"), lit("</title></head><body><h1>"), col("lang"),
+        lit("</h1><!-- boilerplate --><p>"), substring(col("text"), 1, 100),
+        lit(" &amp; entities &lt;kept&gt; &quot;right&quot;&nbsp;&#39;ok&#39;" +
+          "</p></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), GraftFunctions.htmlText(html).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          length(col("clean")).as("n_chars_clean"))
+    }),
+
     "text_llm_watermark" -> ((s, d) => {
       // greenlist-watermark detector (Kirchenbauer et al. 2023, "A
       // Watermark for Large Language Models"): a watermarking LLM
@@ -11704,6 +11726,34 @@ object SparkEntry {
 
     // rolling 31-hash with 2^64 wrap-around, HUGEINT-mod in DuckDB (the
     // kernel iterates UTF-16 units; identical to codepoints on BMP text)
+    // the identical 11-step regexp chain via DuckDB lateral column
+    // aliases; every pattern is RE2-safe and carries the 'g' flag
+    "f20_html_text" ->
+      """WITH h AS (SELECT doc_id,
+        | '<html><head><script type="text/javascript">var x = 1 < 2;' ||
+        | '</script><style>.c{color:red}</style><title>' || source ||
+        | '</title></head><body><h1>' || lang ||
+        | '</h1><!-- boilerplate --><p>' || substr(text, 1, 100) ||
+        | ' &amp; entities &lt;kept&gt; &quot;right&quot;&nbsp;&#39;ok&#39;' ||
+        | '</p></body></html>' AS html
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        | regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g')
+        |   AS t1,
+        | regexp_replace(t1, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t2,
+        | regexp_replace(t2, '(?s)<!--.*?-->', ' ', 'g') AS t3,
+        | regexp_replace(t3, '<[^>]*>', ' ', 'g') AS t4,
+        | regexp_replace(t4, '&nbsp;', ' ', 'g') AS t5,
+        | regexp_replace(t5, '&lt;', '<', 'g') AS t6,
+        | regexp_replace(t6, '&gt;', '>', 'g') AS t7,
+        | regexp_replace(t7, '&quot;', '"', 'g') AS t8,
+        | regexp_replace(t8, '&#39;', '''', 'g') AS t9,
+        | regexp_replace(t9, '&amp;', '&', 'g') AS t10,
+        | trim(regexp_replace(t10, '\s+', ' ', 'g')) AS clean
+        | FROM h)
+        |SELECT doc_id, clean, CAST(length(clean) AS INT) AS n_chars_clean
+        |FROM c""".stripMargin,
+
     // green bit = low bit of the fnv64 HUGEINT (two's-complement low
     // bit == unsigned low bit, the dedup_simhash convention); z on
     // identical doubles, flag compared on the UNROUNDED z both sides
