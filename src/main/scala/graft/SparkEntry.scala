@@ -1523,6 +1523,77 @@ object SparkEntry {
             .as("welch_t"))
     }),
 
+    "t30_granger" -> ((s, d) => {
+      // Granger causality (p = 1) between the click and purchase daily
+      // series — "do clicks predict tomorrow's purchases beyond what
+      // purchases predict themselves?", the forecasting family's
+      // causal-screening row. Restricted model y_t ~ y_{t−1} vs
+      // unrestricted y_t ~ y_{t−1} + x_{t−1}; F = (RSS_r − RSS_u)·
+      // (n−3)/RSS_u from the closed-form 2-regressor OLS over exact
+      // integer co-moments on the dense gap-filled day grid (the
+      // t17_ols conventions; the n-scaled centered co-moments are
+      // mirrored double products). Both directions in one grid pass;
+      // degenerate series (zero determinant / zero residual) yield
+      // null, never NaN. Grid fanout is bounded by the day span.
+      val daily = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("day")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("ck"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("pu"))
+      val grid = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("ck"), lit(0L)).as("ck"),
+          coalesce(col("pu"), lit(0L)).as("pu"))
+      val w = Window.orderBy(col("day"))
+      val lagged = grid
+        .withColumn("ck1", lag(col("ck"), 1).over(w))
+        .withColumn("pu1", lag(col("pu"), 1).over(w))
+        .filter(col("ck1").isNotNull)
+        .localCheckpoint() // two consumers (both directions)
+      def dir(y: String, u: String, v: String, label: String) = {
+        def a(sp: String, sq: String, spq: String) =
+          col("n").cast("double") * col(spq) -
+            col(sp).cast("double") * col(sq)
+        lagged.agg(count(lit(1)).as("n"),
+            sum(col(u)).as("su"), sum(col(v)).as("sv"),
+            sum(col(y)).as("sy"),
+            sum(col(u) * col(u)).as("suu"), sum(col(v) * col(v)).as("svv"),
+            sum(col(u) * col(v)).as("suv"), sum(col(u) * col(y)).as("suy"),
+            sum(col(v) * col(y)).as("svy"), sum(col(y) * col(y)).as("syy"))
+          .withColumn("auu", a("su", "su", "suu"))
+          .withColumn("avv", a("sv", "sv", "svv"))
+          .withColumn("auv", a("su", "sv", "suv"))
+          .withColumn("auy", a("su", "sy", "suy"))
+          .withColumn("avy", a("sv", "sy", "svy"))
+          .withColumn("ayy", a("sy", "sy", "syy"))
+          .withColumn("det",
+            col("auu") * col("avv") - col("auv") * col("auv"))
+          .withColumn("b", when(col("det") =!= 0.0, (col("auy") * col("avv") -
+            col("avy") * col("auv")) / col("det")))
+          .withColumn("c", when(col("det") =!= 0.0, (col("avy") * col("auu") -
+            col("auy") * col("auv")) / col("det")))
+          .withColumn("qr",
+            col("ayy") - col("auy") * col("auy") / col("auu"))
+          .withColumn("qu",
+            col("ayy") - col("b") * col("auy") - col("c") * col("avy"))
+          .withColumn("f", when(col("det") =!= 0.0 && col("qu") > 0.0,
+            (col("qr") - col("qu")) *
+              (col("n").cast("double") - lit(3.0)) / col("qu")))
+          .select(lit(label).as("direction"), col("n"),
+            round(col("b"), 6).as("ar_coef"),
+            round(col("c"), 6).as("causal_coef"),
+            round(col("f"), 6).as("f_stat"),
+            (col("f") > lit(4.0)).as("granger"))
+      }
+      dir("pu", "pu1", "ck1", "click->purchase")
+        .unionByName(dir("ck", "ck1", "pu1", "purchase->click"))
+    }),
+
     "t17_ols" -> ((s, d) => {
       // OLS linear trend of the daily event-count series per event_type
       // (slope/intercept/R² — the model-free complement of t14_holt's
@@ -7291,6 +7362,49 @@ object SparkEntry {
         (col("z") >= 0.0).as("keep"))
     }),
 
+    "curate_mix_waterfill" -> ((s, d) => {
+      // mixture-planning waterfill: split a training budget (9/10 of
+      // the corpus, in chars — high enough that small sources cap on
+      // the organic fixture) across sources EQUALLY — except a source
+      // smaller than its equal share contributes everything it has and
+      // its shortfall redistributes to the rest (the classic
+      // waterfilling allocation a data-mixture planner runs before
+      // sampling; sample_mixture/temperature then EXECUTE a plan like
+      // this one). One ascending pass decides the caps: source at rank
+      // k (of S, by (avail, source)) is capped iff
+      // avail·(S−k+1) ≤ T − Σ_{i<k} avail_i — equivalent to the
+      // iterative fixpoint by the downward-closure of caps (verified
+      // by simulation against 5000 random instances); the equal share
+      // then splits the remaining budget with the integer remainder
+      // going to the first residue sources in rank order. All integer
+      // → engine-exact. O(sources) rows after one corpus aggregation.
+      val avail = t(s, d, "documents").groupBy("source")
+        .agg(sum(col("n_chars")).as("avail"))
+      val tot = avail.agg(sum("avail").as("total"),
+        count(lit(1)).as("ns"))
+      val wRank = Window.orderBy(col("avail"), col("source"))
+      val flagged = avail.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(total * 9) div 10"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("cumprev", coalesce(sum(col("avail")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("capped", col("avail") * (col("ns") - col("rk") + 1L)
+          <= col("budget") - col("cumprev"))
+      val caps = flagged.agg(
+        sum(when(col("capped"), col("avail")).otherwise(0L)).as("cap_sum"),
+        sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"))
+      flagged.crossJoin(broadcast(caps))
+        .withColumn("m", col("ns") - col("n_capped"))
+        .withColumn("brem", col("budget") - col("cap_sum"))
+        .withColumn("alloc", when(col("capped") || col("m") === 0L,
+            col("avail"))
+          .otherwise(expr("brem div m") +
+            when(col("rk") - col("n_capped") <= col("brem") % col("m"), 1L)
+              .otherwise(0L)))
+        .select(col("source"), col("avail"), col("budget"),
+          col("capped"), col("alloc"))
+    }),
+
     "curate_budget" -> ((s, d) => {
       // budget-constrained selection: per lang, rank docs longest-first
       // (deterministic doc_id tie-break) and keep while the cumulative
@@ -9405,6 +9519,78 @@ object SparkEntry {
         |   n2 FROM j)
         |SELECT source, n1 AS n, round(m1, 6) AS mean_chars,
         | round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS welch_t
+        |FROM f""".stripMargin,
+
+    // the identical closed-form 2-regressor OLS per direction; every
+    // centered co-moment is the mirrored double product of exact
+    // integer sums, guards mirror as CASE WHEN
+    "t30_granger" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS ck,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS pu
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (
+        |  SELECT g.day, coalesce(ck, 0) AS ck, coalesce(pu, 0) AS pu
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM span) g
+        |  LEFT JOIN daily USING (day)),
+        |lg AS (SELECT day, ck, pu,
+        |   lag(ck) OVER (ORDER BY day) AS ck1,
+        |   lag(pu) OVER (ORDER BY day) AS pu1 FROM grid),
+        |l2 AS (SELECT * FROM lg WHERE ck1 IS NOT NULL),
+        |cm AS (
+        |  SELECT 'click->purchase' AS direction,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(pu1) AS BIGINT) AS su, CAST(sum(ck1) AS BIGINT) AS sv,
+        |   CAST(sum(pu) AS BIGINT) AS sy,
+        |   CAST(sum(pu1*pu1) AS BIGINT) AS suu,
+        |   CAST(sum(ck1*ck1) AS BIGINT) AS svv,
+        |   CAST(sum(pu1*ck1) AS BIGINT) AS suv,
+        |   CAST(sum(pu1*pu) AS BIGINT) AS suy,
+        |   CAST(sum(ck1*pu) AS BIGINT) AS svy,
+        |   CAST(sum(pu*pu) AS BIGINT) AS syy
+        |  FROM l2
+        |  UNION ALL
+        |  SELECT 'purchase->click',
+        |   CAST(count(*) AS BIGINT),
+        |   CAST(sum(ck1) AS BIGINT), CAST(sum(pu1) AS BIGINT),
+        |   CAST(sum(ck) AS BIGINT),
+        |   CAST(sum(ck1*ck1) AS BIGINT), CAST(sum(pu1*pu1) AS BIGINT),
+        |   CAST(sum(ck1*pu1) AS BIGINT), CAST(sum(ck1*ck) AS BIGINT),
+        |   CAST(sum(pu1*ck) AS BIGINT), CAST(sum(ck*ck) AS BIGINT)
+        |  FROM l2),
+        |ac AS (SELECT direction, n,
+        |   CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su AS auu,
+        |   CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv AS avv,
+        |   CAST(n AS DOUBLE) * suv - CAST(su AS DOUBLE) * sv AS auv,
+        |   CAST(n AS DOUBLE) * suy - CAST(su AS DOUBLE) * sy AS auy,
+        |   CAST(n AS DOUBLE) * svy - CAST(sv AS DOUBLE) * sy AS avy,
+        |   CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS ayy
+        |  FROM cm),
+        |dd AS (SELECT direction, n, auu, avv, auv, auy, avy, ayy,
+        |   auu * avv - auv * auv AS det FROM ac),
+        |bc AS (SELECT direction, n, auy, avy, ayy, auu, det,
+        |   CASE WHEN det <> 0.0::DOUBLE
+        |     THEN (auy * avv - avy * auv) / det END AS b,
+        |   CASE WHEN det <> 0.0::DOUBLE
+        |     THEN (avy * auu - auy * auv) / det END AS c
+        |  FROM dd),
+        |q AS (SELECT direction, n, b, c, det,
+        |   ayy - auy * auy / auu AS qr,
+        |   ayy - b * auy - c * avy AS qu
+        |  FROM bc),
+        |f AS (SELECT direction, n, b, c,
+        |   CASE WHEN det <> 0.0::DOUBLE AND qu > 0.0::DOUBLE
+        |     THEN (qr - qu) * (CAST(n AS DOUBLE) - 3.0::DOUBLE) / qu
+        |   END AS fv
+        |  FROM q)
+        |SELECT direction, n, round(b, 6) AS ar_coef,
+        | round(c, 6) AS causal_coef, round(fv, 6) AS f_stat,
+        | fv > 4.0::DOUBLE AS granger
         |FROM f""".stripMargin,
 
     // dense-grid x = day index, y = count; dx/dy/cv are the n-scaled
@@ -14347,6 +14533,35 @@ object SparkEntry {
 
     // longest-first greedy fill replayed with the same cumulative
     // window (unique (n_tokens desc, doc_id) order → RANGE == ROWS)
+    // the identical one-pass capped-threshold rule, all integer;
+    // remainder to the first residue uncapped sources in rank order
+    "curate_mix_waterfill" ->
+      """WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+        |       CAST(count(*) AS BIGINT) AS ns FROM a),
+        |r AS (SELECT source, avail, (total * 9) // 10 AS budget, ns,
+        |   row_number() OVER (ORDER BY avail, source) AS rk,
+        |   coalesce(sum(avail) OVER (ORDER BY avail, source
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS cumprev
+        |  FROM a CROSS JOIN t),
+        |fl AS (SELECT source, avail, budget, ns, rk,
+        |   avail * (ns - rk + 1) <= budget - cumprev AS capped FROM r),
+        |cp AS (SELECT
+        |   CAST(sum(CASE WHEN capped THEN avail ELSE 0 END) AS BIGINT)
+        |     AS cap_sum,
+        |   CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_capped
+        |  FROM fl)
+        |SELECT source, avail, budget, capped,
+        | CASE WHEN capped OR ns - n_capped = 0 THEN avail
+        |  ELSE (budget - cap_sum) // (ns - n_capped) +
+        |   CASE WHEN rk - n_capped <= (budget - cap_sum) % (ns - n_capped)
+        |        THEN 1 ELSE 0 END
+        | END AS alloc
+        |FROM fl CROSS JOIN cp""".stripMargin,
+
     "curate_budget" ->
       """WITH d AS (
         |  SELECT lang, doc_id,

@@ -420,4 +420,27 @@ class Round13Spec extends AnyFunSuite {
     val flagged = rows.filter(col("flagged")).count()
     assert(flagged == 0L, s"$flagged organic docs flagged")
   }
+
+  test("curate_mix_waterfill caps small sources and redistributes " +
+    "exactly to the budget") {
+    // skewed fixture: avails 10, 20, 1000, 970 with T = (2000*9)/10 =
+    // 1800 → iterative waterfill caps 10 and 20; remaining 1770 splits
+    // 885/885 across the two big sources (both under their avail)
+    val rows = SparkEntry.queries("curate_mix_waterfill")(spark, sf)
+      .collect()
+    val total = rows.map(_.getAs[Long]("avail")).sum
+    val budget = rows.head.getAs[Long]("budget")
+    assert(budget == total * 9 / 10, s"budget $budget of $total")
+    // invariant: allocations sum exactly to the budget when any source
+    // is uncapped, and never exceed avail
+    assert(rows.forall(r => r.getAs[Long]("alloc") <= r.getAs[Long]("avail")))
+    if (rows.exists(!_.getAs[Boolean]("capped")))
+      assert(rows.map(_.getAs[Long]("alloc")).sum == budget,
+        s"allocs ${rows.map(_.getAs[Long]("alloc")).sum} != $budget")
+    // the organic corpus at this SF must exercise BOTH branches
+    assert(rows.exists(_.getAs[Boolean]("capped")),
+      "no source capped - the cap branch is untested")
+    assert(rows.exists(!_.getAs[Boolean]("capped")),
+      "all sources capped")
+  }
 }
