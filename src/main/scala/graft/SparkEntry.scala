@@ -3724,6 +3724,74 @@ object SparkEntry {
             col("dev"))).as("mad"))
     }),
 
+    "stats_hhi" -> ((s, d) => {
+      // Herfindahl–Hirschman concentration of the corpus over sources,
+      // by doc count and by char mass — the one-number diversity
+      // scorecard a mixture planner reads first (HHI → 1 means one
+      // source owns the corpus; 1/HHI is the "effective source
+      // count"). Exact integer cells; the Σp² folds run over the
+      // source-ordered ≤|sources| rows on both engines.
+      val cells = t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("nc"))
+      cells.agg(count(lit(1)).as("n_sources"),
+          sum(col("nd")).as("td"), sum(col("nc")).as("tc"),
+          array_sort(collect_list(struct(col("source"), col("nd"),
+            col("nc")))).as("arr"))
+        .withColumn("hhi_docs", aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + (x.getField("nd").cast("double") / col("td")) *
+            (x.getField("nd").cast("double") / col("td"))))
+        .withColumn("hhi_chars", aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + (x.getField("nc").cast("double") / col("tc")) *
+            (x.getField("nc").cast("double") / col("tc"))))
+        .select(col("n_sources"),
+          round(col("hhi_docs"), 6).as("hhi_docs"),
+          round(col("hhi_chars"), 6).as("hhi_chars"),
+          round(lit(1.0) / col("hhi_docs"), 4).as("eff_sources_docs"),
+          round(lit(1.0) / col("hhi_chars"), 4).as("eff_sources_chars"))
+    }),
+
+    "text_bigram_entropy" -> ((s, d) => {
+      // corpus conditional entropy rate H(next | prev) of the bigram
+      // distribution, in bits — the information-theoretic corpus-health
+      // number beside text_perplexity (a low rate flags templated /
+      // repetitive corpora long before eyeballing does): H = Σ_prev
+      // p(prev) · H(next|prev), with each inner entropy folded over the
+      // cur-sorted cells of ONE prev (partitioned — no fold ever sees
+      // more than a vocabulary's worth of cells) and the outer fold
+      // over the prev-sorted vocabulary tier (the a5/o2 dictionary
+      // tier; its documented scalable escape applies past ~10⁷ types).
+      // Exact integer counts; ln(x)/ln(2.0) on identical doubles both
+      // engines (the stats_divergence convention).
+      val cells = t(s, d, "documents")
+        .select(TermOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |         slice(toks, 2, size(toks) - 1),
+            |         (a, b) -> struct(a AS prev, b AS cur))""".stripMargin))
+          .as("bg"))
+        .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+        .groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+      val perPrev = cells.groupBy("prev")
+        .agg(sum(col("c")).as("cp"),
+          array_sort(collect_list(struct(col("cur"), col("c")))).as("arr"))
+        .withColumn("hp", aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc - (x.getField("c").cast("double") / col("cp")) *
+            (log(x.getField("c").cast("double") / col("cp")) /
+              log(lit(2.0)))))
+        .select(col("prev"), col("cp"), col("hp"))
+      perPrev.agg(sum(col("cp")).as("n_bigrams"),
+          count(lit(1)).as("vocab_prev"),
+          array_sort(collect_list(struct(col("prev"), col("cp"),
+            col("hp")))).as("arr"))
+        .withColumn("h", aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + (x.getField("cp").cast("double") /
+            col("n_bigrams")) * x.getField("hp")))
+        .select(col("n_bigrams"), col("vocab_prev"),
+          round(col("h"), 6).as("cond_entropy_bits"),
+          round(pow(lit(2.0), col("h")), 4).as("bg_perplexity"))
+    }),
+
     "stats_entropy" -> ((s, d) => {
       // per-source language-mix entropy — the diversity profile a
       // mixture planner reads next to stats_histogram_grouped: H = 0
@@ -14136,6 +14204,69 @@ object SparkEntry {
 
     // −Σ p·ln p replayed over the same lang-ordered cells; (−p)*ln(p)
     // vs Spark's acc − p·ln(p): negation is IEEE-exact, identical sums
+    // Σp² folds over the source-ordered cells, mirrored element terms;
+    // 1/HHI divides the UNROUNDED fold (the engine's select order)
+    "stats_hhi" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS nd,
+        |            CAST(sum(n_chars) AS BIGINT) AS nc
+        |           FROM documents GROUP BY source),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |       CAST(sum(nd) AS BIGINT) AS td,
+        |       CAST(sum(nc) AS BIGINT) AS tc,
+        |       list(nd ORDER BY source) AS arr_d,
+        |       list(nc ORDER BY source) AS arr_c
+        |      FROM c),
+        |h AS (SELECT n_sources,
+        |   list_reduce(list_prepend(0.0::DOUBLE, list_transform(arr_d,
+        |     x -> (CAST(x AS DOUBLE) / td) * (CAST(x AS DOUBLE) / td))),
+        |     (a, b) -> a + b) AS hd,
+        |   list_reduce(list_prepend(0.0::DOUBLE, list_transform(arr_c,
+        |     x -> (CAST(x AS DOUBLE) / tc) * (CAST(x AS DOUBLE) / tc))),
+        |     (a, b) -> a + b) AS hc
+        |  FROM g)
+        |SELECT n_sources, round(hd, 6) AS hhi_docs,
+        | round(hc, 6) AS hhi_chars,
+        | round(1.0::DOUBLE / hd, 4) AS eff_sources_docs,
+        | round(1.0::DOUBLE / hc, 4) AS eff_sources_chars
+        |FROM h""".stripMargin,
+
+    // two-level entropy folds: per-prev over cur-ordered cells, then
+    // the vocabulary tier over prev-ordered rows; parallel unnests zip
+    "text_bigram_entropy" ->
+      """WITH tk AS (SELECT
+        |   list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     x -> x <> '') AS toks
+        |  FROM documents),
+        |d2 AS (SELECT toks FROM tk WHERE len(toks) >= 2),
+        |bg AS (SELECT
+        |   unnest(list_transform(generate_series(1, len(toks) - 1),
+        |     i -> toks[i])) AS prev,
+        |   unnest(list_transform(generate_series(1, len(toks) - 1),
+        |     i -> toks[i + 1])) AS cur
+        |  FROM d2),
+        |cells AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+        |          FROM bg GROUP BY 1, 2),
+        |pc AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cp
+        |       FROM cells GROUP BY prev),
+        |pp AS (SELECT cells.prev AS prev, cp,
+        |   list_reduce(list_prepend(0.0::DOUBLE,
+        |     list(-(CAST(c AS DOUBLE) / cp) *
+        |          (ln(CAST(c AS DOUBLE) / cp) / ln(2.0::DOUBLE))
+        |       ORDER BY cur)),
+        |     (a, b) -> a + b) AS hp
+        |  FROM cells JOIN pc ON cells.prev = pc.prev
+        |  GROUP BY cells.prev, cp),
+        |t2 AS (SELECT CAST(sum(cp) AS BIGINT) AS n_bigrams,
+        |        CAST(count(*) AS BIGINT) AS vocab_prev FROM pp),
+        |f AS (SELECT n_bigrams, vocab_prev,
+        |   list_reduce(list_prepend(0.0::DOUBLE,
+        |     list((CAST(cp AS DOUBLE) / n_bigrams) * hp ORDER BY prev)),
+        |     (a, b) -> a + b) AS h
+        |  FROM pp CROSS JOIN t2 GROUP BY n_bigrams, vocab_prev)
+        |SELECT n_bigrams, vocab_prev, round(h, 6) AS cond_entropy_bits,
+        | round(pow(2.0::DOUBLE, h), 4) AS bg_perplexity
+        |FROM f""".stripMargin,
+
     "stats_entropy" ->
       """WITH c AS (SELECT source, lang, count(*) AS n
         |           FROM documents GROUP BY 1, 2),
