@@ -4031,6 +4031,35 @@ object SparkEntry {
           round(col("adc"), 4).as("adc"), col("rank"))
     }),
 
+    "ann_nprobe_curve" -> ((s, d) => {
+      // the IVF TUNING curve: recall@5 at nProbe = 1 / 2 / 4 against
+      // the shared brute-force truth — the lsh_curve sibling for the
+      // cell-probing knob (how many coarse cells must a query visit
+      // before recall plateaus — THE capacity-vs-quality dial of a
+      // deployed IVF index). Centroids, cell assignment, truth and the
+      // cast corpus are shared single-computation stages across the
+      // three legs, so the sweep pays one training, three probe joins.
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .localCheckpoint(eager = false)
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = SimilarityOps.bruteForceTopK(emb, q, k = 5)
+        .select("query_id", "nbr_id").localCheckpoint(eager = false)
+      val centsDf = SimilarityOps.ivfCentroids(emb)
+        .localCheckpoint(eager = false)
+      val cells = SimilarityOps.ivfCellAssign(emb, centsDf)
+        .localCheckpoint(eager = false)
+      def leg(np: Int) =
+        SimilarityOps.ivfTopK(emb, q, k = 5, nProbe = np,
+            cents0 = Some(centsDf), cells0 = Some(cells))
+          .select("query_id", "nbr_id")
+          .join(brute, Seq("query_id", "nbr_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), col("n_hits"),
+            round(col("n_hits") / lit(50.0), 4).as("recall_at_5"))
+      leg(1).unionByName(leg(2)).unionByName(leg(4))
+    }),
+
     "ann_recall" -> ((s, d) => {
       // recall@5 per approximate path vs the brute-force truth — the
       // answer-quality number every approximate 100 TB ANN deployment
@@ -6871,6 +6900,34 @@ object SparkEntry {
       GraphOps.bfs(edges, seeds, maxHops = 2)
     }),
 
+    "graph_reciprocity" -> ((s, d) => {
+      // reciprocity of the directed part-succession graph: the
+      // fraction of edges whose reverse edge also exists — the
+      // one-number directedness gauge beside graph_scc (reciprocity
+      // ~1 means the "succession" is really co-occurrence; ~0 means
+      // genuine ordering). Same deterministic edge derivation as
+      // graph_scc; the reverse test is one self left-semi join on the
+      // (src, dst) key — never a pair materialization.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      val edges = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("nxt", lead(col("l_partkey"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+        .select(col("l_partkey").as("src"), col("nxt").as("dst"))
+        .distinct()
+        .localCheckpoint() // three consumers (both semi sides + count)
+      val recip = edges
+        .join(edges.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("n_reciprocal"))
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip))
+        .select(col("n_edges"), col("n_reciprocal"),
+          round(col("n_reciprocal").cast("double") / col("n_edges"), 6)
+            .as("reciprocity"))
+    }),
+
     "graph_scc" -> ((s, d) => {
       // strongly-connected components (bounded 3-round forward-backward
       // coloring) over the DIRECTED part-succession graph: an edge
@@ -8028,7 +8085,10 @@ object SparkEntry {
        |SELECT query_id, nbr_id FROM r WHERE rank <= 5)""".stripMargin
   }
 
-  private lazy val annIvfSql: String =
+  /** The IVF chain with a parameterized probe count — `annIvfSql` is
+    * the nProbe = 3 instance (the gated operator); the nprobe-curve
+    * oracle nests the 1/2/4 instances against the same brute truth. */
+  private def annIvfSqlFor(nProbe: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |cents AS (
        |  SELECT vec_id AS cent_id, emb AS cent_emb FROM e
@@ -8045,7 +8105,7 @@ object SparkEntry {
        |cells AS (SELECT vec_id AS nbr_id, emb AS nbr_emb, cent_id
        |          FROM ranked WHERE crank = 1),
        |probes AS (SELECT vec_id AS query_id, emb AS q_emb, cent_id
-       |           FROM ranked WHERE vec_id < 10 AND crank <= 3),
+       |           FROM ranked WHERE vec_id < 10 AND crank <= $nProbe),
        |scored AS (
        |  SELECT p.query_id, n.nbr_id,
        |   ${cosSql("p.q_emb", "n.nbr_emb")} AS sim
@@ -8057,6 +8117,8 @@ object SparkEntry {
        |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
        |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
        |WHERE rank <= 5""".stripMargin
+
+  private lazy val annIvfSql: String = annIvfSqlFor(3)
 
   private lazy val annLshSql: String =
     s"""WITH $lshSigSub,
@@ -11960,6 +12022,26 @@ object SparkEntry {
     // from the intersection arithmetic.
     "ann_recall" -> annRecallSql,
 
+    // three nProbe instances of the parameterized IVF chain, each
+    // semi-joined against the same brute truth (the ann_recall shape)
+    "ann_nprobe_curve" ->
+      s"""WITH truth AS MATERIALIZED (
+         |  SELECT query_id, nbr_id FROM ($annBruteSql)),
+         |i1 AS (SELECT query_id, nbr_id FROM (${annIvfSqlFor(1)})),
+         |i2 AS (SELECT query_id, nbr_id FROM (${annIvfSqlFor(2)})),
+         |i4 AS (SELECT query_id, nbr_id FROM (${annIvfSqlFor(4)}))
+         |SELECT 1 AS nprobe, CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(count(*) / 50.0, 4) AS recall_at_5
+         | FROM i1 JOIN truth USING (query_id, nbr_id)
+         |UNION ALL
+         |SELECT 2, CAST(count(*) AS BIGINT),
+         |  round(count(*) / 50.0, 4)
+         | FROM i2 JOIN truth USING (query_id, nbr_id)
+         |UNION ALL
+         |SELECT 4, CAST(count(*) AS BIGINT),
+         |  round(count(*) / 50.0, 4)
+         | FROM i4 JOIN truth USING (query_id, nbr_id)""".stripMargin,
+
     "text_quality" ->
       """SELECT doc_id,
         | CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS INT)
@@ -14061,6 +14143,24 @@ object SparkEntry {
         |  WHERE w.dist < 2)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node""".stripMargin,
+
+    // the same edge derivation; the reverse test is a literal EXISTS
+    "graph_reciprocity" ->
+      """WITH seq AS (
+        |  SELECT l_partkey AS src,
+        |   lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |     ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM seq
+        |  WHERE dst IS NOT NULL AND dst <> src),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal FROM e
+        |      WHERE EXISTS (SELECT 1 FROM e e2
+        |                    WHERE e2.src = e.dst AND e2.dst = e.src)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_edges, n_reciprocal,
+        | round(CAST(n_reciprocal AS DOUBLE) / n_edges, 6) AS reciprocity
+        |FROM n CROSS JOIN r""".stripMargin,
 
     // the identical 3 min-label rounds per direction, unrolled (the
     // graph_kcore bounded-round contract); every round MATERIALIZED so
