@@ -115,7 +115,13 @@ object Bench {
         "\"" + k + "\":" + jstr(e.take(300)) }.mkString("{", ",", "}")
       val drop = if (dropped > 0)
         s""","queries_dropped":$dropped,"queries_file":"BENCH.json"""" else ""
-      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"queries_mode":"sequential_best_of_2","queries_total":${results.size}$drop,"errors":$errs,"transient_errors":$trans,"sf":"$sfDir"}"""
+      // a SPARK_GRAFT_BENCH_ONLY-restricted run marks itself explicitly:
+      // a partial record must never be mistakable for (or pinned as) a
+      // full suite run (r13 advice)
+      val filt = only.map(f =>
+        s""","suite_filter":${jstr(f.toSeq.sorted.mkString(","))}""")
+        .getOrElse("")
+      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"queries_mode":"sequential_best_of_2","queries_total":${results.size}$drop$filt,"errors":$errs,"transient_errors":$trans,"sf":"$sfDir"}"""
     }
     val timings = results.collect { case (k, v, None) => (k, v) }
     // full-fidelity record → file (tracked in the repo, one line per round)

@@ -731,23 +731,59 @@ object DedupOps {
 
   /** Incremental connected components: fold a batch of NEW edges into an
     * EXISTING labeling without re-reading the old edge set — the daily
-    * crawl update to a near-dup cluster graph. The previous run's
-    * (node, component) labels act as star edges (component ids are
-    * member min-ids, so they are graph nodes and min survives merges);
-    * self-loop rows (the roots) drop, and the fixpoint runs over
-    * O(old nodes + new edges) rows instead of O(all edges).
+    * crawl update to a near-dup cluster graph. The previous labeling is
+    * a fixpoint, so the new edges CONTRACT by it (endpoint → warm
+    * component id) and the star fixpoint runs on the quotient graph
+    * only — O(new edges) rows over O(touched components + fresh nodes)
+    * nodes; old nodes then relabel through one broadcast-sized map.
+    * Component ids are member min-ids, so quotient labels equal the
+    * from-scratch labels over the merged member sets.
     *
     * The result is exactly `connectedComponents(old ∪ new)` — the
     * registered query's oracle replays the from-scratch recursive SQL
     * over the FULL pair set, so equivalence is the gate itself. */
   def incrementalComponents(prevLabels: DataFrame, newPairs: DataFrame,
                             aCol: String = "id_a",
-                            bCol: String = "id_b"): DataFrame =
-    connectedComponents(
-      prevLabels.select(col("component").as(aCol), col("node").as(bCol))
-        .filter(col(aCol) =!= col(bCol))
-        .unionByName(newPairs.select(col(aCol), col(bCol))),
-      aCol, bCol)
+                            bCol: String = "id_b"): DataFrame = {
+    // r14: exploit that the warm labels ARE a fixpoint instead of
+    // re-running star-contraction over star-edges ∪ fresh (the r13
+    // shape, which paid a full fixpoint over O(old nodes + new edges)
+    // rows). CONTRACT the new edges by the previous labeling — each
+    // endpoint maps to its warm component id, absent endpoints to
+    // themselves — and run the fixpoint on the QUOTIENT graph only:
+    // O(new edges) rows touching O(components-hit + fresh nodes), not
+    // O(old nodes). Component ids are member min-ids, so a quotient
+    // label (min over touched component ids and fresh ids) IS the
+    // from-scratch min over all merged members — the registered gate
+    // replays full CC over everything and checks exactly that.
+    val prev = prevLabels.select(col("node"), col("component"))
+      .localCheckpoint() // consumed by two lookups + the final relabel
+    val contracted = newPairs.select(col(aCol), col(bCol))
+      .join(prev.select(col("node").as(aCol), col("component").as("ca")),
+        Seq(aCol), "left_outer")
+      .join(prev.select(col("node").as(bCol), col("component").as("cb")),
+        Seq(bCol), "left_outer")
+      .select(coalesce(col("ca"), col(aCol)).as(aCol),
+        coalesce(col("cb"), col(bCol)).as(bCol))
+    // quotient CC: nodes are warm component ids (each is a real graph
+    // node — its component's min member) plus fresh-only nodes;
+    // self-edges (both endpoints in one warm component) collapse to
+    // singletons inside the fixpoint
+    val q = connectedComponents(contracted, aCol, bCol)
+      .localCheckpoint() // consumed by the relabel map AND the fresh set
+    // old nodes relabel through their component's quotient label
+    // (components the new batch never touched keep their warm label);
+    // the relabel map is O(touched components) — broadcast-sized next
+    // to the corpus-wide label table
+    val lifted = prev
+      .join(q.select(col("node").as("component"),
+        col("component").as("final")), Seq("component"), "left_outer")
+      .select(col("node"),
+        coalesce(col("final"), col("component")).as("component"))
+    // nodes the warm labeling never saw come straight from the quotient
+    val freshOnly = q.join(prev.select(col("node")), Seq("node"), "left_anti")
+    lifted.unionByName(freshOnly.select(col("node"), col("component")))
+  }
 
   /** Line-level corpus dedup with document reconstruction — the C4 /
     * CCNet boilerplate-removal rule: every distinct line is kept exactly

@@ -220,7 +220,16 @@ object MultimodalOps {
     * float (sound up to ~10⁷-pixel docs: s_b·len ≤ 65535·len²). Pure
     * map, zero exchanges. Returns (id, n_pix, phash); empty payloads
     * are dropped. Gates `mm_phash`; `mm_phash_neardup` buckets these
-    * signatures by 16-bit bands for the hamming near-dup join. */
+    * signatures by 16-bit bands for the hamming near-dup join.
+    *
+    * Parity contract (BMP-only, the rollingFingerprint caveat): the
+    * "pixel" stream is Spark `split('') + ascii` — UTF-16 code units
+    * with `ascii`'s first-code-point value — while the oracle reads
+    * DuckDB `unicode()` codepoints. The two agree exactly on Basic
+    * Multilingual Plane text (every fixture column here); a
+    * supplementary-plane character would split into two surrogate
+    * units on the Spark side only. Real image bytes (the production
+    * input) are unaffected — they enter as unsigned byte values. */
   def avgHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol), col(textCol).as("__t"))

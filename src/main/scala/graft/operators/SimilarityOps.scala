@@ -520,6 +520,21 @@ object SimilarityOps {
     * pass nCentroids ≈ √n so pairs grow ~n^1.5 (the SemDeDup
     * k = ⌈√N⌉ law; measured 13× at ×10 rows with the fixed-16 demo
     * setting, SCALE.md r13). */
+  /** [[knnGraph]] with the IVF cell count derived from the corpus —
+    * nCentroids = ⌈√N⌉ from one cheap count (the SemDeDup k ∝ √N law,
+    * [[graft.operators.DedupOps.semanticDedupAuto]]): expected cell
+    * occupancy is √N, so the cell-join candidate set grows ~n^1.5
+    * instead of the fixed-cell n² (the r13 ×10 probes measured 13×/9.6×
+    * on the pinned nCentroids=16 rows — the only super-linear rows in
+    * SCALE.md). This is the default that cannot be mis-sized by corpus
+    * growth; a fixed nCentroids stays right when the cell count is an
+    * index-layout decision. */
+  def knnGraphAuto(corpus: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+    val n = corpus.count() // column-pruned count; metadata-cheap
+    val nc = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    knnGraph(corpus, k, nc, nProbe)
+  }
+
   def knnGraph(corpus: DataFrame, k: Int, nCentroids: Int = 16,
                nProbe: Int = 3): DataFrame = {
     val cents = ivfCentroids(corpus, nCentroids)
