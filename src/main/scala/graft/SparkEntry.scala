@@ -4339,6 +4339,67 @@ object SparkEntry {
       DedupOps.semanticDedupAuto(emb, iters = 2, threshold = 0.99)
     }),
 
+    "dedup_semantic_approx" -> ((s, d) => {
+      import s.implicits._
+      // SemDeDup's true-100 TB rung: the flat k = ⌈√N⌉ assignment is
+      // O(N·k) = O(N^1.5) cosine work — the real scale bottleneck once
+      // pair work is already Θ(N). ClusterOps.twoLevelAssign routes
+      // vectors through g = ⌈√k⌉ super-cells (O(N·√k)); this row is
+      // the ann_recall discipline applied to dedup — one audit row of
+      // assignment agreement + dropped-set recall vs the exact flat
+      // argmax, so the approximation's cost is always measured, never
+      // assumed. Same planted dups + threshold as dedup_semantic_auto.
+      def v(f: Int => Float) = (0 until 64).map(f).toArray
+      val planted = Seq(
+        (9000001L, v(i => (i + 1).toFloat)),
+        (9000002L, v(i => (i + 1).toFloat)),
+        (9000003L, v(i => ((i * 37) % 64 + 1).toFloat)),
+        (9000004L, v(i => ((i * 37) % 64 + 1).toFloat)),
+        (9000005L, v(i => ((i * 11) % 64 + 1).toFloat))
+      ).toDF("vec_id", "embedding")
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+        .unionByName(planted)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .localCheckpoint(eager = false)
+      val n = emb.count()
+      val k = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+      val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val (cents, asnE) = ClusterOps.kmeansModel(
+        emb.select(col("vec_id"), col("embedding")), k, iters = 2)
+      val exact = asnE.localCheckpoint()
+      val approx = ClusterOps.twoLevelAssign(emb, cents, g).localCheckpoint()
+      def dropped(asn: DataFrame) = {
+        val v2 = emb.join(asn, "vec_id")
+        val a = v2.select(col("cluster"), col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"))
+        val b = v2.select(col("cluster"), col("vec_id").as("id_b"),
+          col("embedding").as("emb_b"))
+        a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+          .filter(SimilarityOps.cosine(col("emb_a"), col("emb_b")) >= 0.99)
+          .select(col("id_b").as("vec_id")).distinct()
+      }
+      val dE = dropped(exact).localCheckpoint()
+      val dA = dropped(approx).localCheckpoint()
+      val agree = exact
+        .join(approx.withColumnRenamed("cluster", "ca"), "vec_id")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("cluster") === col("ca"), 1L).otherwise(0L))
+            .as("n_agree"))
+      agree
+        .crossJoin(broadcast(dE.agg(count(lit(1)).as("n_dropped_exact"))))
+        .crossJoin(broadcast(dA.agg(count(lit(1)).as("n_dropped_approx"))))
+        .crossJoin(broadcast(dE.join(dA, "vec_id")
+          .agg(count(lit(1)).as("n_dropped_both"))))
+        .select(col("n_vecs"), lit(k).as("k"), lit(g).as("g"),
+          col("n_agree"),
+          round(col("n_agree").cast("double") / col("n_vecs"), 4)
+            .as("agree_frac"),
+          col("n_dropped_exact"), col("n_dropped_approx"),
+          col("n_dropped_both"),
+          round(col("n_dropped_both").cast("double") /
+            greatest(col("n_dropped_exact"), lit(1L)), 4).as("drop_recall"))
+    }),
+
     "dedup_url" -> ((s, _) => {
       import s.implicits._
       // URL canonical-identity dedup (TextAnalysisOps.canonicalizeUrl):
@@ -8396,8 +8457,14 @@ object SparkEntry {
     * cluster count `kSql` as a SQL scalar expression — "8" replays the
     * pinned-k query, a ⌈√N⌉ subquery over `base` replays the adaptive
     * default (so k-agreement between the engines is itself gated). */
-  private def semDedupSql(kSql: String): String =
-    s"""WITH base AS (
+  /** The deterministic SemDeDup training prologue (planted-union base,
+    * 2-round Lloyd at `kSql` clusters, final assignment `asn` +
+    * centroids `cent1`) — shared by [[semDedupSql]] and the two-level
+    * approx-assignment audit ([[semDedupApproxSql]]). cent0/cent1/asn
+    * are MATERIALIZED: the approx chain references cent1 five times
+    * (the graph_ktruss re-expansion lesson). */
+  private def semDedupCtes(kSql: String): String =
+    s"""base AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
        |  UNION ALL
        |  SELECT 9000000 + j AS vec_id,
@@ -8408,7 +8475,7 @@ object SparkEntry {
        |  FROM unnest(generate_series(1, 5)) AS t(j)),
        |d0 AS (SELECT vec_id % $kSql AS cluster, unnest(emb) AS v,
        |        generate_subscripts(emb, 1) AS dim FROM base),
-       |cent0 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+       |cent0 AS MATERIALIZED (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
        |  (SELECT cluster, dim, avg(v) AS cv FROM d0 GROUP BY cluster, dim) g
        |  GROUP BY cluster),
        |a0 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
@@ -8417,13 +8484,16 @@ object SparkEntry {
        |asn0 AS (SELECT vec_id, cluster FROM a0 WHERE rn = 1),
        |d1 AS (SELECT a.cluster, unnest(e.emb) AS v, generate_subscripts(e.emb, 1) AS dim
        |       FROM base e JOIN asn0 a ON e.vec_id = a.vec_id),
-       |cent1 AS (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
+       |cent1 AS MATERIALIZED (SELECT cluster, list(cv ORDER BY dim) AS centroid FROM
        |  (SELECT cluster, dim, avg(v) AS cv FROM d1 GROUP BY cluster, dim) g
        |  GROUP BY cluster),
        |a1 AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
        |        ORDER BY list_cosine_similarity(emb, centroid) DESC, cluster ASC) AS rn
        |       FROM base CROSS JOIN cent1),
-       |asn AS (SELECT vec_id, cluster FROM a1 WHERE rn = 1),
+       |asn AS MATERIALIZED (SELECT vec_id, cluster FROM a1 WHERE rn = 1)""".stripMargin
+
+  private def semDedupSql(kSql: String): String =
+    s"""WITH ${semDedupCtes(kSql)},
        |v AS (SELECT b.vec_id, b.emb, a.cluster FROM base b JOIN asn a USING (vec_id)),
        |dropped AS (
        |  SELECT DISTINCT b.vec_id FROM v a JOIN v b
@@ -8432,6 +8502,77 @@ object SparkEntry {
        |SELECT v.vec_id, CAST(v.cluster AS INT) AS cluster,
        | (d.vec_id IS NULL) AS keep
        |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id""".stripMargin
+
+  /** Two-level assignment audit replay (ClusterOps.twoLevelAssign over
+    * the semDedup ⌈√N⌉ training): g = ⌈√k⌉ super-cells from mod-g mean
+    * init + one Lloyd refinement over the k centroid rows, vectors
+    * route super → within-cell argmax; agreement + dropped-set recall
+    * compare against the flat-argmax `asn`. Assignment argmaxes use
+    * native list_cosine_similarity (the kmeans convention), threshold
+    * compares use the bit-parity cosine fold (the dropped convention). */
+  private lazy val semDedupApproxSql: String =
+    s"""WITH ${semDedupCtes(
+        "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM base)")},
+       |kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM base),
+       |gg AS (SELECT greatest(CAST(ceil(sqrt(k)) AS BIGINT), 1) AS g FROM kk),
+       |si AS (SELECT cluster % (SELECT g FROM gg) AS super,
+       |        unnest(centroid) AS v,
+       |        generate_subscripts(centroid, 1) AS dim FROM cent1),
+       |sup0 AS (SELECT super, list(cv ORDER BY dim) AS supc FROM
+       |  (SELECT super, dim, avg(v) AS cv FROM si GROUP BY super, dim) q
+       |  GROUP BY super),
+       |ca0 AS (SELECT cluster, super, row_number() OVER (PARTITION BY cluster
+       |        ORDER BY list_cosine_similarity(centroid, supc) DESC, super ASC) AS rn
+       |       FROM cent1 CROSS JOIN sup0),
+       |cm0 AS (SELECT cluster, super FROM ca0 WHERE rn = 1),
+       |s1 AS (SELECT m.super AS super, unnest(c.centroid) AS v,
+       |        generate_subscripts(c.centroid, 1) AS dim
+       |       FROM cent1 c JOIN cm0 m USING (cluster)),
+       |sup1 AS MATERIALIZED (SELECT super, list(cv ORDER BY dim) AS supc FROM
+       |  (SELECT super, dim, avg(v) AS cv FROM s1 GROUP BY super, dim) q
+       |  GROUP BY super),
+       |ca1 AS (SELECT cluster, super, row_number() OVER (PARTITION BY cluster
+       |        ORDER BY list_cosine_similarity(centroid, supc) DESC, super ASC) AS rn
+       |       FROM cent1 CROSS JOIN sup1),
+       |cmap AS MATERIALIZED (SELECT cluster, super FROM ca1 WHERE rn = 1),
+       |live AS (SELECT sup1.super, sup1.supc FROM sup1
+       |         JOIN (SELECT DISTINCT super FROM cmap) l USING (super)),
+       |vs AS (SELECT b.vec_id, s.super, row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY list_cosine_similarity(b.emb, s.supc) DESC, s.super ASC) AS rn
+       |       FROM base b CROSS JOIN live s),
+       |vsup AS (SELECT vec_id, super FROM vs WHERE rn = 1),
+       |fa AS (SELECT b.vec_id, c.cluster, row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY list_cosine_similarity(b.emb, c.centroid) DESC, c.cluster ASC) AS rn
+       |       FROM base b JOIN vsup u ON b.vec_id = u.vec_id
+       |       JOIN cmap m ON m.super = u.super
+       |       JOIN cent1 c ON c.cluster = m.cluster),
+       |apx AS MATERIALIZED (SELECT vec_id, cluster FROM fa WHERE rn = 1),
+       |vE AS (SELECT b.vec_id, b.emb, a.cluster
+       |       FROM base b JOIN asn a USING (vec_id)),
+       |dE AS MATERIALIZED (
+       |  SELECT DISTINCT y.vec_id FROM vE x JOIN vE y
+       |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE ${cosSql("x.emb", "y.emb")} >= 0.99),
+       |vA AS (SELECT b.vec_id, b.emb, a.cluster
+       |       FROM base b JOIN apx a USING (vec_id)),
+       |dA AS MATERIALIZED (
+       |  SELECT DISTINCT y.vec_id FROM vA x JOIN vA y
+       |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE ${cosSql("x.emb", "y.emb")} >= 0.99),
+       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       |        CAST(sum(CASE WHEN a.cluster = p.cluster THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_agree
+       |       FROM asn a JOIN apx p USING (vec_id))
+       |SELECT ag.n_vecs, CAST(kk.k AS INT) AS k, CAST(gg.g AS INT) AS g,
+       | ag.n_agree,
+       | round(CAST(ag.n_agree AS DOUBLE) / ag.n_vecs, 4) AS agree_frac,
+       | (SELECT CAST(count(*) AS BIGINT) FROM dE) AS n_dropped_exact,
+       | (SELECT CAST(count(*) AS BIGINT) FROM dA) AS n_dropped_approx,
+       | (SELECT CAST(count(*) AS BIGINT)
+       |    FROM dE JOIN dA USING (vec_id)) AS n_dropped_both,
+       | round(CAST((SELECT count(*) FROM dE JOIN dA USING (vec_id)) AS DOUBLE)
+       |   / greatest((SELECT count(*) FROM dE), 1), 4) AS drop_recall
+       |FROM ag, kk, gg""".stripMargin
 
   /** The deterministic 2-round Lloyd chain (ClusterOps.kmeansModel,
     * k = 8, sharded init) as a CTE prologue — shared by the
@@ -11759,6 +11900,8 @@ object SparkEntry {
     // also proves the two engines agree on N and therefore on k
     "dedup_semantic_auto" -> semDedupSql(
       "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM base)"),
+
+    "dedup_semantic_approx" -> semDedupApproxSql,
 
     // the canonicalization chain mirrored stepwise: fragment → query →
     // scheme → host fold (+ de-www) ⊕ trailing-slash-stripped path

@@ -126,4 +126,65 @@ object ClusterOps {
           (acc, x) => acc + x.getField("sil")) / col("n"), 6)
           .as("mean_silhouette"))
   }
+
+  /** Two-level (coarse → fine) centroid assignment — the sampled-
+    * assignment escape for k ∝ √N clusterings, where the flat argmax
+    * is O(N·k) = O(N^1.5) cosine evaluations and becomes the true
+    * bottleneck of SemDeDup at corpus scale. The k centroids group
+    * into g super-cells (mod-g mean init + ONE Lloyd refinement over
+    * the k-row centroid table — driver-cheap), each vector picks its
+    * nearest super-cell (g evaluations) and then the nearest centroid
+    * WITHIN it (~k/g evaluations): O(N·(g + k/g)) = O(N·√k) at
+    * g = ⌈√k⌉. Deterministic throughout (mod init, argmax ties to the
+    * lower id — the kmeansAssign conventions), so the whole chain
+    * replays in SQL.
+    *
+    * APPROXIMATE by construction: a vector whose flat-argmax centroid
+    * lives in a different super-cell gets its within-cell second best —
+    * the gated `dedup_semantic_approx` row audits exactly that
+    * (assignment agreement + dropped-set recall vs the flat argmax).
+    *
+    * `centroids` is (cluster, centroid); returns (vec_id, cluster). */
+  def twoLevelAssign(emb: DataFrame, centroids: DataFrame,
+                     g: Int): DataFrame = {
+    def supFrom(grouped: DataFrame): DataFrame =
+      grouped
+        .select(col("super"), posexplode(col("centroid")).as(Seq("dim", "v")))
+        .groupBy("super", "dim").agg(avg(col("v")).as("cv"))
+        .groupBy("super")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("supc"))
+    def assignCent(sup: DataFrame): DataFrame =
+      centroids.crossJoin(broadcast(sup))
+        .withColumn("sim",
+          SimilarityOps.cosine(col("centroid"), col("supc")))
+        .groupBy("cluster")
+        .agg(max_by(col("super"), struct(col("sim"), -col("super")))
+          .as("super"))
+    val sup0 = supFrom(centroids
+      .select(pmod(col("cluster"), lit(g)).as("super"), col("centroid")))
+    val sup1 = supFrom(centroids.join(assignCent(sup0), "cluster")
+        .select(col("super"), col("centroid")))
+      .localCheckpoint() // consumed by the centroid map AND the vec pass
+    val cmap = assignCent(sup1).localCheckpoint() // (cluster, super)
+    // vectors choose among super-cells that own >= 1 centroid (a cell
+    // every centroid deserted would strand its vectors)
+    val live = sup1.join(cmap.select("super").distinct(), Seq("super"))
+    val vsup = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(live))
+      .withColumn("sim", SimilarityOps.cosine(col("embedding"), col("supc")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("super"), col("embedding").as("e")),
+        struct(col("sim"), -col("super"))).as("b"))
+      .select(col("vec_id"), col("b.super").as("super"),
+        col("b.e").as("embedding"))
+    // fine argmax within the chosen cell: a keyed broadcast join fans
+    // each vector out to only its cell's ~k/g centroids
+    vsup.join(broadcast(centroids.join(cmap, "cluster")), Seq("super"))
+      .withColumn("sim",
+        SimilarityOps.cosine(col("embedding"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster")))
+        .as("cluster"))
+  }
 }

@@ -141,4 +141,33 @@ class Round14Spec extends AnyFunSuite {
     "conf/ECE numerators)") {
     invariantUnderPartitioning("stats_calibration")
   }
+
+  // --- two-level (sampled-centroid) assignment -------------------------
+
+  test("twoLevelAssign equals the flat argmax on well-separated clusters") {
+    import spark.implicits._
+    import graft.operators.ClusterOps
+    // 3 near-orthogonal direction groups; mod-3 init matches the truth,
+    // so the trained centroids are the group means and a correct router
+    // must reproduce the flat assignment exactly
+    def vec(axis: Int, eps: Double, d: Int = 8): Array[Double] =
+      (0 until d).map(i => if (i == axis) 1.0 else eps * (i + 1)).toArray
+    val emb = (0 until 30).map { i =>
+      (i.toLong, vec(i % 3, 0.001 * (i / 3 + 1)))
+    }.toDF("vec_id", "embedding")
+    val (cents, asn) = ClusterOps.kmeansModel(emb, k = 3, iters = 2)
+    val flat = asn.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = ClusterOps.twoLevelAssign(emb, cents, g = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == flat, s"two-level diverged: $two vs $flat")
+  }
+
+  test("dedup_semantic_approx audit keeps full dropped-set recall on " +
+    "the planted dups") {
+    val row = SparkEntry.queries("dedup_semantic_approx")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getAs[Long]("n_dropped_exact") >= 2L)
+    assert(row.getAs[Double]("drop_recall") == 1.0,
+      s"planted near-identical dups must survive the two-level route: $row")
+  }
 }
