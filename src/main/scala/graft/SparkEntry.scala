@@ -1457,6 +1457,30 @@ object SparkEntry {
           round(lit(1.0) - col("s") / col("n_nbrs"), 6).as("ood"))
     }),
 
+    "embed_knn_symmetry" -> ((s, d) => {
+      // k-NN graph health: per-rank mutual-neighbor rate (is A's
+      // neighbor's neighbor A?) — the standard diagnostic for ANN
+      // graph quality (a low mutual rate at rank 1 means the cell
+      // prune is truncating true neighborhoods; HNSW/NSW builders
+      // monitor exactly this before trusting a graph). One self-join
+      // of the ⌈√N⌉-cell auto graph on the reversed edge key; the
+      // graph is built once and both sides read the checkpoint.
+      val knn = SimilarityOps.knnGraphAuto(t(s, d, "embeddings")
+          .withColumn("embedding", col("embedding").cast("array<double>")),
+        k = 5)
+        .select(col("vec_id"), col("nbr_id"), col("rank"))
+        .localCheckpoint() // two consumers: edge list + reversed probe
+      val rev = knn.select(col("nbr_id").as("vec_id"),
+        col("vec_id").as("nbr_id"), lit(1L).as("m"))
+      knn.join(rev, Seq("vec_id", "nbr_id"), "left_outer")
+        .groupBy("rank")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(coalesce(col("m"), lit(0L))).as("n_mutual"))
+        .select(col("rank"), col("n_edges"), col("n_mutual"),
+          round(col("n_mutual").cast("double") / col("n_edges"), 4)
+            .as("mutual_frac"))
+    }),
+
     "embed_pq_distortion" -> ((s, d) =>
       // per-subspace PQ reconstruction MSE — the quantization-error
       // scorecard behind ann_pq_topk's recall number (which subspace
@@ -2277,6 +2301,111 @@ object SparkEntry {
         .select(col("shard"), col("n_docs"), col("sum_tokens"), col("n_seqs"),
           round((col("n_seqs") * 2048 - col("sum_tokens")).cast("double") /
             (col("n_seqs") * 2048), 6).as("waste"))
+    }),
+
+    "stats_mann_kendall" -> ((s, d) => {
+      // Mann-Kendall trend test per event_type over the dense daily
+      // count series — the nonparametric "is this metric drifting"
+      // monitor (no linearity or normality assumption; the t17_ols
+      // slope's distribution-free sibling). S = Σ_{i<j} sign(c_j−c_i)
+      // and the tie-corrected variance are EXACT integers off the
+      // O(days²)-per-type pair join (days ≈ 31 — the grid tier, never
+      // the corpus); z's one division and sqrt are IEEE-exact both
+      // engines, so the statistic replays bit-identically.
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .localCheckpoint() // three consumers: pairs ×2 sides + ties
+      val a = grid.select(col("event_type"), col("day").as("di"),
+        col("c").as("ci"))
+      val b = grid.select(col("event_type"), col("day").as("dj"),
+        col("c").as("cj"))
+      val sPairs = a.join(b, Seq("event_type"))
+        .filter(col("di") < col("dj"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cj") > col("ci"), 1L)
+            .when(col("cj") < col("ci"), -1L).otherwise(0L)).as("s"))
+      val base = grid.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val ties = grid.groupBy("event_type", "c")
+        .agg(count(lit(1)).as("tt"))
+        .groupBy("event_type")
+        .agg(sum(col("tt") * (col("tt") - 1) * (lit(2L) * col("tt") + 5))
+          .as("tie_term"))
+      sPairs.join(base, "event_type").join(ties, "event_type")
+        .withColumn("var_s",
+          (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+            col("tie_term")).cast("double") / 18.0)
+        .filter(col("var_s") > 0)
+        .withColumn("z",
+          when(col("s") > 0, (col("s").cast("double") - 1) /
+            sqrt(col("var_s")))
+            .when(col("s") < 0, (col("s").cast("double") + 1) /
+              sqrt(col("var_s")))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("n"), col("s"),
+          round(col("var_s"), 6).as("var_s"), round(col("z"), 6).as("z"))
+    }),
+
+    "stats_friedman" -> ((s, d) => {
+      // Friedman test: do the event types rank consistently across
+      // days? — the repeated-measures companion to stats_kruskal
+      // (blocks = days, treatments = event types, response = daily
+      // cent volume; zero-filled on the dense grid so every block
+      // ranks all k treatments). Doubled average ranks (2·rank +
+      // ties − 1, the spearman/kruskal convention) keep every sum
+      // integral; Σ R2_t² folds in event_type order (the r14
+      // ordered-fold discipline); the tie correction divides by
+      // n·(k³−k) with Σ(t³−t) summed over per-block tie groups — all
+      // exact integers until the two mirrored final divisions.
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+      val types = daily.select("event_type").distinct()
+      val days = daily.select("day").distinct()
+      val grid = types.crossJoin(days)
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val r2 = grid
+        .withColumn("r2",
+          lit(2L) * rank().over(
+            Window.partitionBy("day").orderBy(col("x"))) +
+            count(lit(1)).over(Window.partitionBy("day", "x")) - 1)
+      val byType = r2.groupBy("event_type")
+        .agg(count(lit(1)).as("n_b"), sum(col("r2")).as("rr2"))
+      val tieSum = grid.groupBy("day", "x").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+          lit(0L)).as("tie3"))
+      byType
+        .agg(count(lit(1)).as("k"), max(col("n_b")).as("n"),
+          array_sort(collect_list(struct(col("event_type"), col("rr2"))))
+            .as("arr"))
+        .withColumn("sr2", expr(
+          """aggregate(arr, 0.0D, (acc, x) ->
+            |  acc + CAST(x.rr2 AS DOUBLE) * CAST(x.rr2 AS DOUBLE))"""
+            .stripMargin))
+        .crossJoin(broadcast(tieSum))
+        // R = R2/2 ⇒ 12/(nk(k+1))·ΣR² − 3n(k+1) = 3·ΣR2²/(nk(k+1)) − 3n(k+1)
+        .withColumn("chi2",
+          lit(3.0) * col("sr2") /
+            (col("n").cast("double") * col("k") * (col("k") + 1)) -
+            lit(3.0) * col("n").cast("double") * (col("k") + 1))
+        .withColumn("cc", lit(1.0) - col("tie3").cast("double") /
+          (col("n").cast("double") *
+            (col("k").cast("double") * col("k") * col("k") - col("k"))))
+        .filter(col("cc") > 0)
+        .select(col("k").cast("int").as("k"), col("n").cast("long").as("n"),
+          round(col("chi2"), 6).as("chi2"),
+          round(col("chi2") / col("cc"), 6).as("chi2_tie_corrected"))
     }),
 
     "stats_kruskal" -> ((s, d) => {
@@ -9822,6 +9951,19 @@ object SparkEntry {
 
     "embed_knn_graph_auto" -> knnGraphAutoSql,
 
+    // per-rank mutual-edge rate: one reversed-key self left join over
+    // the materialized auto graph
+    "embed_knn_symmetry" ->
+      s"""WITH knn AS MATERIALIZED (SELECT * FROM ($knnGraphAutoSql)),
+         |rv AS (SELECT nbr_id AS vec_id, vec_id AS nbr_id, 1 AS m
+         |       FROM knn)
+         |SELECT k.rank, CAST(count(*) AS BIGINT) AS n_edges,
+         | CAST(sum(coalesce(m, 0)) AS BIGINT) AS n_mutual,
+         | round(CAST(sum(coalesce(m, 0)) AS DOUBLE) / count(*), 4)
+         |   AS mutual_frac
+         |FROM knn k LEFT JOIN rv USING (vec_id, nbr_id)
+         |GROUP BY k.rank""".stripMargin,
+
     "embed_ood_auto" ->
       s"""WITH knn AS MATERIALIZED (SELECT * FROM ($knnGraphAutoSql)),
          |g AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nbrs,
@@ -10490,6 +10632,79 @@ object SparkEntry {
     // global doubled average ranks (rank() + tie-count windows), the
     // engine's histogram form is identical by construction; H and the
     // tie correction mirrored operand-for-operand
+    // integer S and tie-corrected variance off the dense-grid pair
+    // join; the one division and sqrt are IEEE-exact
+    "stats_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS MATERIALIZED (
+        |  SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+        |  FROM (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |        FROM spans) g
+        |  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day),
+        |sp AS (SELECT a.event_type,
+        |   CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |                 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM grid a JOIN grid b
+        |  ON a.event_type = b.event_type AND a.day < b.day GROUP BY 1),
+        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |         FROM grid GROUP BY 1),
+        |ties AS (SELECT event_type,
+        |   CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, c, count(*) AS t FROM grid
+        |        GROUP BY 1, 2) q GROUP BY 1),
+        |f AS (SELECT sp.event_type, n, s,
+        |   CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0
+        |     AS var_s
+        |  FROM sp JOIN base USING (event_type) JOIN ties USING (event_type))
+        |SELECT event_type, n, s, round(var_s, 6) AS var_s,
+        | round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(var_s)
+        |            WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(var_s)
+        |            ELSE 0.0 END, 6) AS z
+        |FROM f WHERE var_s > 0""".stripMargin,
+
+    // doubled average ranks within day blocks; Σ R2² folds in
+    // event_type order; tie correction all-integer until two divisions
+    "stats_friedman" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |grid AS MATERIALIZED (
+        |  SELECT t.event_type, dd.day, coalesce(d.x, 0) AS x
+        |  FROM types t CROSS JOIN days dd
+        |  LEFT JOIN daily d
+        |  ON t.event_type = d.event_type AND dd.day = d.day),
+        |r AS (SELECT event_type, day,
+        |   2 * rank() OVER (PARTITION BY day ORDER BY x)
+        |     + count(*) OVER (PARTITION BY day, x) - 1 AS r2 FROM grid),
+        |bt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_b,
+        |       CAST(sum(r2) AS BIGINT) AS rr2 FROM r GROUP BY 1),
+        |tie AS (SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT)
+        |          AS tie3
+        |        FROM (SELECT day, x, count(*) AS t FROM grid
+        |              GROUP BY 1, 2) q),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(max(n_b) AS BIGINT) AS n,
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list(CAST(rr2 AS DOUBLE) * CAST(rr2 AS DOUBLE)
+        |               ORDER BY event_type)),
+        |          (acc, x) -> acc + x) AS sr2 FROM bt),
+        |f AS (SELECT k, n,
+        |   3.0::DOUBLE * sr2 / (CAST(n AS DOUBLE) * k * (k + 1))
+        |     - 3.0::DOUBLE * CAST(n AS DOUBLE) * (k + 1) AS chi2,
+        |   1.0::DOUBLE - CAST(tie3 AS DOUBLE) /
+        |     (CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) * k * k - k)) AS cc
+        |  FROM agg, tie)
+        |SELECT CAST(k AS INT) AS k, n, round(chi2, 6) AS chi2,
+        | round(chi2 / cc, 6) AS chi2_tie_corrected
+        |FROM f WHERE cc > 0""".stripMargin,
+
     "stats_kruskal" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
