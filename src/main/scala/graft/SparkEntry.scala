@@ -2303,6 +2303,39 @@ object SparkEntry {
             (col("n_seqs") * 2048), 6).as("waste"))
     }),
 
+    "stats_prop_ztest" -> ((s, d) => {
+      // two-proportion z-test on user conversion between the even/odd
+      // arms — the proportions sibling of stats_welch (means) and
+      // stats_power (pre-flight): the A/B readout for binary metrics.
+      // "Converted" = ≥1 HIGH-VALUE purchase (≥ 95.00 — plain ≥1
+      // purchase saturates at 100% on this corpus and the z-test
+      // degenerates). Counts are exact integers; the pooled-variance
+      // z uses only IEEE-exact division and sqrt — no libm surface.
+      // One user-keyed aggregation, then a one-row fold.
+      val conv = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+            round(col("value") * 100) >= 9500, 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arma", col("user_id") % 2 === 0)
+      conv.agg(
+          sum(when(col("arma"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arma"), col("converted")).otherwise(0L)).as("x1"),
+          sum(when(!col("arma"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("arma"), col("converted")).otherwise(0L)).as("x2"))
+        .withColumn("p1", col("x1").cast("double") / col("n1"))
+        .withColumn("p2", col("x2").cast("double") / col("n2"))
+        .withColumn("pp", (col("x1") + col("x2")).cast("double") /
+          (col("n1") + col("n2")).cast("double"))
+        .filter(col("pp") > 0 && col("pp") < 1)
+        .withColumn("z", (col("p1") - col("p2")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+          round(col("z"), 6).as("z"))
+    }),
+
     "stats_mann_kendall" -> ((s, d) => {
       // Mann-Kendall trend test per event_type over the dense daily
       // count series — the nonparametric "is this metric drifting"
@@ -5133,6 +5166,40 @@ object SparkEntry {
       TextAnalysisOps.withLangId(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("pred_lang"))),
 
+    "text_pii_mask" -> ((s, d) => {
+      // PII scrubbing (the Dolma/CCNet pre-training hygiene pass):
+      // emails, IPv4s and phone-shaped tokens counted and masked to
+      // typed placeholders. The fixture plants one of each per doc by
+      // identical concatenation on both engines (the f20_html_text
+      // convention) so every rule fires on every row; on real data the
+      // same chain applies to the raw text column. Pure codegen regexp
+      // chain (three counts + three global replaces), RE2-safe
+      // patterns — no lookarounds, no backrefs.
+      val payload = concat(
+        lit("reach "), col("source"), lit(".team@example.com or 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+        pmod(col("doc_id") * 7, lit(256)).cast("string"),
+        lit(" tel 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" :: "), substring(col("text"), 1, 120))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val phone = "555-[0-9]{4}"
+      t(s, d, "documents")
+        .select(col("doc_id"), payload.as("raw"))
+        // counts via the DSL (a SQL-literal '$pat' would re-interpret
+        // backslashes: '\.'' parses to '.' and over-counts)
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(email)).cast("long").as("n_email"),
+          regexp_count(col("raw"), lit(ip)).cast("long").as("n_ip"),
+          regexp_count(col("raw"), lit(phone)).cast("long").as("n_phone"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), lit(email), lit("<EMAIL>")),
+              lit(ip), lit("<IP>")),
+            lit(phone), lit("<PHONE>")).as("masked"))
+    }),
+
     "f20_html_text" -> ((s, d) => {
       // HTML → clean text (GraftFunctions.htmlText): the extractor
       // between the s21 WARC loader and the text pipeline — script/
@@ -5947,6 +6014,7 @@ object SparkEntry {
     }),
 
     "search_bm25" -> ((s, d) => bm25Leg(s, d)),
+
 
     "search_maxscore" -> ((s, d) =>
       // MaxScore-pruned exact BM25 top-20 on a skewed-df query: 'dup'
@@ -7081,6 +7149,32 @@ object SparkEntry {
           col("vec_id"), round(col("maxsim"), 6).as("cover_sim")))
       }
       out
+    }),
+
+    "curate_mix_temperature" -> ((s, d) => {
+      // temperature-scaled source mixing weights (the multilingual /
+      // multi-source sampling staple: w_i ∝ p_i^T, upweighting tail
+      // sources): T = 0.5 — the sqrt point of the usual 0.3–0.7 band —
+      // chosen deliberately because sqrt is IEEE-exact-rounded on both
+      // engines (pow(p, 0.7) would be a libm surface, the
+      // stats_sequential class). One corpus aggregate to O(sources)
+      // rows; the normalizing Σ√n folds in source order; √N cancels so
+      // w = √n_i / Σ√n_j exactly.
+      val bySrc = t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = bySrc
+        .agg(sum("n_docs").as("nt"),
+          array_sort(collect_list(struct(col("source"), col("n_docs"))))
+            .as("arr"))
+        .withColumn("z", expr(
+          "aggregate(arr, 0.0D, (acc, x) -> " +
+            "acc + sqrt(CAST(x.n_docs AS DOUBLE)))"))
+        .select("nt", "z")
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("nt"), 6).as("p"),
+          round(sqrt(col("n_docs").cast("double")) / col("z"), 6)
+            .as("w_temp"))
     }),
 
     "sample_mixture" -> ((s, d) =>
@@ -10632,6 +10726,32 @@ object SparkEntry {
     // global doubled average ranks (rank() + tie-count windows), the
     // engine's histogram form is identical by construction; H and the
     // tie correction mirrored operand-for-operand
+    // exact integer cells, mirrored divisions, IEEE-exact sqrt
+    "stats_prop_ztest" ->
+      """WITH conv AS (SELECT user_id,
+        |   CAST(max(CASE WHEN event_type = 'purchase'
+        |     AND round(value * 100) >= 9500 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS converted,
+        |   user_id % 2 = 0 AS arma
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |   CAST(sum(CASE WHEN arma THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(sum(CASE WHEN arma THEN converted ELSE 0 END) AS BIGINT)
+        |     AS x1,
+        |   CAST(sum(CASE WHEN NOT arma THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n2,
+        |   CAST(sum(CASE WHEN NOT arma THEN converted ELSE 0 END)
+        |     AS BIGINT) AS x2
+        |  FROM conv),
+        |f AS (SELECT n1, x1, n2, x2,
+        |   CAST(x1 AS DOUBLE) / n1 AS p1, CAST(x2 AS DOUBLE) / n2 AS p2,
+        |   CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp
+        |  FROM a)
+        |SELECT n1, x1, n2, x2, round(p1, 6) AS p1, round(p2, 6) AS p2,
+        | round((p1 - p2) / sqrt(pp * (1.0::DOUBLE - pp) *
+        |   (1.0::DOUBLE / n1 + 1.0::DOUBLE / n2)), 6) AS z
+        |FROM f WHERE pp > 0 AND pp < 1""".stripMargin,
+
     // integer S and tie-corrected variance off the dense-grid pair
     // join; the one division and sqrt are IEEE-exact
     "stats_mann_kendall" ->
@@ -13093,6 +13213,45 @@ object SparkEntry {
         |GROUP BY signup_id""".stripMargin,
 
     "search_bm25" -> bm25Sql,
+
+
+    // identical planted payload; counts via regexp_extract_all, masks
+    // via regexp_replace with the 'g' flag (Spark replaces all by
+    // default)
+    "text_pii_mask" ->
+      """WITH raw AS (SELECT doc_id,
+        |   concat('reach ', source, '.team@example.com or 10.0.',
+        |     CAST(doc_id % 256 AS VARCHAR), '.',
+        |     CAST((doc_id * 7) % 256 AS VARCHAR), ' tel 555-',
+        |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' :: ',
+        |     text[1:120]) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(raw,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |   AS n_email,
+        | CAST(len(regexp_extract_all(raw,
+        |   '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        | CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT)
+        |   AS n_phone,
+        | regexp_replace(regexp_replace(regexp_replace(raw,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |   'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |   '555-[0-9]{4}', '<PHONE>', 'g') AS masked
+        |FROM raw""".stripMargin,
+
+    // Σ√n folds in source order; sqrt is IEEE-exact on both engines
+    "curate_mix_temperature" ->
+      """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+        |   list_reduce(list_prepend(0.0::DOUBLE,
+        |     list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+        |     (acc, x) -> acc + x) AS z FROM b)
+        |SELECT source, n_docs,
+        | round(CAST(n_docs AS DOUBLE) / nt, 6) AS p,
+        | round(sqrt(CAST(n_docs AS DOUBLE)) / z, 6) AS w_temp
+        |FROM b, t""".stripMargin,
 
     // the unpruned exact chain on the maxscore query terms — pruning
     // must be invisible in the output
