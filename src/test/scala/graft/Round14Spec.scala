@@ -162,6 +162,34 @@ class Round14Spec extends AnyFunSuite {
     assert(two == flat, s"two-level diverged: $two vs $flat")
   }
 
+  // --- plan pins for the round's new rows -------------------------------
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("embed_knn_graph_auto meets in a shuffle join on the cell key — " +
+    "the corpus is never broadcast") {
+    val p = plan("embed_knn_graph_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // cells ⋈ probes must be a keyed join (sort-merge or shuffled-hash),
+    // never a corpus-sized broadcast side
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("text_pii_mask plans as a pure map: no exchange") {
+    val p = plan("text_pii_mask")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("curate_mix_temperature aggregates once to the source tier and " +
+    "broadcasts the one-row normalizer") {
+    val p = plan("curate_mix_temperature")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_semantic_approx audit keeps full dropped-set recall on " +
     "the planted dups") {
     val row = SparkEntry.queries("dedup_semantic_approx")(
