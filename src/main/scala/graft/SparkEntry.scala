@@ -4262,6 +4262,52 @@ object SparkEntry {
           round(col("adc"), 4).as("adc"), col("rank"))
     }),
 
+    "ann_bq_topk" -> ((s, d) => {
+      // binary-quantization ANN (the Lucene/Elastic 2024 recipe): each
+      // vector compresses to a 64-bit SIGN mask (bit i = emb[i] > 0),
+      // the shortlist ranks by hamming distance (bit_count of XOR —
+      // pure integer, engine-exact, no float compare anywhere), and
+      // exact cosine re-ranks the top-20 down to 5. 64× compression
+      // with one-instruction distances — the rung below SQ8 on the
+      // memory/recall ladder, and the cheapest scan a vector store can
+      // ship. Corpus side carries only (vec_id, sig) into the distance
+      // pass; full vectors surface for the 10×20 re-rank only.
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val sig = emb.select(col("vec_id"), col("embedding"), expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) ->
+          |  acc + IF(element_at(embedding, i + 1) > 0.0D,
+          |           shiftleft(1L, i), 0L))""".stripMargin).as("sig"))
+        .localCheckpoint(eager = false) // corpus pass + query pick
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("sig").as("q_sig"),
+          col("embedding").as("q_emb"))
+      val short = sig
+        .select(col("vec_id").as("nbr_id"), col("sig"))
+        .crossJoin(broadcast(q.select(col("query_id"), col("q_sig"))))
+        .filter(col("nbr_id") =!= col("query_id"))
+        .withColumn("ham",
+          bit_count(col("sig").bitwiseXOR(col("q_sig"))))
+        .withColumn("hrank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("ham").asc, col("nbr_id").asc)))
+        .filter(col("hrank") <= 20)
+        .select(col("query_id"), col("nbr_id"))
+      sig.select(col("vec_id").as("nbr_id"),
+          col("embedding").as("nbr_emb"))
+        .join(broadcast(short), "nbr_id")
+        .join(broadcast(q.select(col("query_id"), col("q_emb"))),
+          "query_id")
+        .withColumn("sim",
+          SimilarityOps.cosine(col("q_emb"), col("nbr_emb")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("nbr_id").asc)).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("sim"), 4).as("sim"), col("rank"))
+    }),
+
     "ann_sq_topk" -> ((s, d) => {
       // scalar-quantization (SQ8) search: 1 byte/dim against the
       // per-dim min/max envelope, midpoint reconstruction, full scan —
@@ -6273,6 +6319,36 @@ object SparkEntry {
       SessionOps.sessionize(t(s, d, "events"), "user_id", "ts", "value",
           gapMs = 21600000L)
         .withColumn("sum_value", round(col("sum_value"), 2))),
+
+    "w18_event_paths" -> ((s, d) => {
+      // path analysis (the product-analytics staple beside funnels —
+      // which 3-step behavior sequences actually happen?): each user's
+      // (ts, event_id)-ordered event stream yields its step 3-grams
+      // IN-ARRAY (one user-keyed aggregation builds the ordered
+      // sequence, the zip_with-of-shifted-slices kernel grams it — no
+      // positions explode, no self-joins), then one global count ranks
+      // the top 10 paths. Per-user arrays are bounded by events/user;
+      // a pathological hot user would go through the o9 key-cap audit.
+      val seqs = t(s, d, "events")
+        .select(col("user_id"), expr("CAST(ts AS LONG)").as("tsec"),
+          col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("tsec"), col("event_id"),
+          col("event_type")))).as("a"))
+        .select(col("user_id"),
+          expr("transform(a, x -> x.event_type)").as("steps"))
+      seqs
+        .select(explode(expr(
+          """zip_with(slice(steps, 1, greatest(size(steps) - 2, 0)),
+            |  zip_with(slice(steps, 2, greatest(size(steps) - 2, 0)),
+            |           slice(steps, 3, greatest(size(steps) - 2, 0)),
+            |    (b, c) -> concat(b, '>', c)),
+            |  (a, bc) -> concat(a, '>', bc))""".stripMargin))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(10)
+    }),
 
     "o6_salted_join" -> ((s, d) =>
       // salted shuffle join: every part key's lineitem rows split across
@@ -10044,6 +10120,56 @@ object SparkEntry {
          |FROM g""".stripMargin,
 
     "embed_knn_graph_auto" -> knnGraphAutoSql,
+
+    // sign mask folds in HUGEINT then wraps to the signed BIGINT Spark
+    // holds (the patchSigSql convention — BIGINT << 63 overflows);
+    // hamming = bit_count(xor), integer-exact everywhere
+    "ann_bq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |sg AS MATERIALIZED (SELECT vec_id, emb,
+         |   CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |        THEN h - 18446744073709551616::HUGEINT ELSE h END
+         |     AS BIGINT) AS sig
+         |  FROM (SELECT vec_id, emb,
+         |     list_reduce(list_prepend(0::HUGEINT,
+         |       list_transform(generate_series(0, 63),
+         |         i -> CASE WHEN emb[i + 1] > 0.0::DOUBLE
+         |              THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)),
+         |       (acc, x) -> acc + x) AS h
+         |    FROM e) t),
+         |q AS (SELECT vec_id AS query_id, sig AS q_sig, emb AS q_emb
+         |      FROM sg WHERE vec_id < 10),
+         |sh AS (SELECT q.query_id, s.vec_id AS nbr_id, s.emb AS nbr_emb,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |     ORDER BY bit_count(xor(s.sig, q.q_sig)) ASC,
+         |              s.vec_id ASC) AS hrank
+         |  FROM sg s CROSS JOIN q WHERE s.vec_id <> q.query_id),
+         |r AS (SELECT sh.query_id, sh.nbr_id,
+         |   ${cosSql("sh.nbr_emb", "q.q_emb")} AS sim
+         |  FROM sh JOIN q USING (query_id) WHERE sh.hrank <= 20),
+         |f AS (SELECT query_id, nbr_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM r)
+         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank
+         |FROM f WHERE rank <= 5""".stripMargin,
+
+    // per-user ordered step arrays (ts, event_id unique tuple), 3-gram
+    // strings via zipped shifted slices, one global count
+    "w18_event_paths" ->
+      """WITH s AS (SELECT user_id,
+        |   list_transform(list(struct_pack(tsec := epoch_us(ts) // 1000000,
+        |       eid := event_id, et := event_type)
+        |     ORDER BY epoch_us(ts) // 1000000, event_id),
+        |     x -> x.et) AS steps
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT concat(steps[i], '>', steps[i + 1], '>',
+        |        steps[i + 2]) AS path
+        |      FROM s, unnest(generate_series(1,
+        |        greatest(len(steps) - 2, 0))) AS t(i))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY path
+        |ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
 
     // per-rank mutual-edge rate: one reversed-key self left join over
     // the materialized auto graph
