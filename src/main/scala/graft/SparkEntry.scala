@@ -4274,36 +4274,7 @@ object SparkEntry {
       // pass; full vectors surface for the 10×20 re-rank only.
       val emb = t(s, d, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
-      val sig = emb.select(col("vec_id"), col("embedding"), expr(
-        """aggregate(sequence(0, 63), 0L, (acc, i) ->
-          |  acc + IF(element_at(embedding, i + 1) > 0.0D,
-          |           shiftleft(1L, i), 0L))""".stripMargin).as("sig"))
-        .localCheckpoint(eager = false) // corpus pass + query pick
-      val q = sig.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("sig").as("q_sig"),
-          col("embedding").as("q_emb"))
-      val short = sig
-        .select(col("vec_id").as("nbr_id"), col("sig"))
-        .crossJoin(broadcast(q.select(col("query_id"), col("q_sig"))))
-        .filter(col("nbr_id") =!= col("query_id"))
-        .withColumn("ham",
-          bit_count(col("sig").bitwiseXOR(col("q_sig"))))
-        .withColumn("hrank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("ham").asc, col("nbr_id").asc)))
-        .filter(col("hrank") <= 20)
-        .select(col("query_id"), col("nbr_id"))
-      sig.select(col("vec_id").as("nbr_id"),
-          col("embedding").as("nbr_emb"))
-        .join(broadcast(short), "nbr_id")
-        .join(broadcast(q.select(col("query_id"), col("q_emb"))),
-          "query_id")
-        .withColumn("sim",
-          SimilarityOps.cosine(col("q_emb"), col("nbr_emb")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("sim").desc, col("nbr_id").asc)).cast("int"))
-        .filter(col("rank") <= 5)
+      SimilarityOps.bqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("nbr_id"),
           round(col("sim"), 4).as("sim"), col("rank"))
     }),
@@ -4466,6 +4437,7 @@ object SparkEntry {
           model = model, cents0 = cents, cells0 = cells)))
         .unionByName(rec("ivfpq_res",
           SimilarityOps.ivfpqResidualTopK(emb, q, k = 5)))
+        .unionByName(rec("bq", SimilarityOps.bqTopK(emb, q, k = 5)))
         .unionByName(rec("rerank", {
           // the two-stage refine path (X157): exact cosine over the
           // shared shortlist, top-5 — its recall row shows what the
@@ -8731,6 +8703,42 @@ object SparkEntry {
        |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
        |WHERE rank <= 5""".stripMargin
 
+  /** Binary-quantization replay (SimilarityOps.bqTopK): sign mask
+    * folded in HUGEINT then wrapped to the signed BIGINT Spark holds
+    * (the patchSigSql convention — BIGINT << 63 overflows, probed);
+    * hamming = bit_count(xor), integer-exact everywhere; exact-cosine
+    * re-rank of the top-20. Gates `ann_bq_topk` and feeds the recall
+    * harness's bq leg. */
+  private lazy val annBqSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |sg AS MATERIALIZED (SELECT vec_id, emb,
+       |   CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+       |        THEN h - 18446744073709551616::HUGEINT ELSE h END
+       |     AS BIGINT) AS sig
+       |  FROM (SELECT vec_id, emb,
+       |     list_reduce(list_prepend(0::HUGEINT,
+       |       list_transform(generate_series(0, 63),
+       |         i -> CASE WHEN emb[i + 1] > 0.0::DOUBLE
+       |              THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)),
+       |       (acc, x) -> acc + x) AS h
+       |    FROM e) t),
+       |q AS (SELECT vec_id AS query_id, sig AS q_sig, emb AS q_emb
+       |      FROM sg WHERE vec_id < 10),
+       |sh AS (SELECT q.query_id, s.vec_id AS nbr_id, s.emb AS nbr_emb,
+       |   row_number() OVER (PARTITION BY q.query_id
+       |     ORDER BY bit_count(xor(s.sig, q.q_sig)) ASC,
+       |              s.vec_id ASC) AS hrank
+       |  FROM sg s CROSS JOIN q WHERE s.vec_id <> q.query_id),
+       |r AS (SELECT sh.query_id, sh.nbr_id,
+       |   ${cosSql("sh.nbr_emb", "q.q_emb")} AS sim
+       |  FROM sh JOIN q USING (query_id) WHERE sh.hrank <= 20),
+       |f AS (SELECT query_id, nbr_id, sim,
+       |   CAST(row_number() OVER (PARTITION BY query_id
+       |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM r)
+       |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank
+       |FROM f WHERE rank <= 5""".stripMargin
+
   private lazy val annRecallSql: String = {
     def ids(sql: String) = s"SELECT query_id, nbr_id FROM (\n$sql\n) pp"
     def row(name: String, sql: String) =
@@ -8742,6 +8750,7 @@ object SparkEntry {
       "pq" -> pqAdcOracleSql(ivfPruned = false),
       "ivfpq" -> pqAdcOracleSql(ivfPruned = true),
       "ivfpq_res" -> pqResidualOracleSql,
+      "bq" -> annBqSql,
       "rerank" -> annRerankSql)
       .map { case (n, q) => row(n, q) }.mkString("\nUNION ALL\n")
     s"""SELECT path, n_hits, round(n_hits / 50.0, 4) AS recall_at_5
@@ -10121,38 +10130,7 @@ object SparkEntry {
 
     "embed_knn_graph_auto" -> knnGraphAutoSql,
 
-    // sign mask folds in HUGEINT then wraps to the signed BIGINT Spark
-    // holds (the patchSigSql convention — BIGINT << 63 overflows);
-    // hamming = bit_count(xor), integer-exact everywhere
-    "ann_bq_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |           FROM embeddings),
-         |sg AS MATERIALIZED (SELECT vec_id, emb,
-         |   CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-         |        THEN h - 18446744073709551616::HUGEINT ELSE h END
-         |     AS BIGINT) AS sig
-         |  FROM (SELECT vec_id, emb,
-         |     list_reduce(list_prepend(0::HUGEINT,
-         |       list_transform(generate_series(0, 63),
-         |         i -> CASE WHEN emb[i + 1] > 0.0::DOUBLE
-         |              THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)),
-         |       (acc, x) -> acc + x) AS h
-         |    FROM e) t),
-         |q AS (SELECT vec_id AS query_id, sig AS q_sig, emb AS q_emb
-         |      FROM sg WHERE vec_id < 10),
-         |sh AS (SELECT q.query_id, s.vec_id AS nbr_id, s.emb AS nbr_emb,
-         |   row_number() OVER (PARTITION BY q.query_id
-         |     ORDER BY bit_count(xor(s.sig, q.q_sig)) ASC,
-         |              s.vec_id ASC) AS hrank
-         |  FROM sg s CROSS JOIN q WHERE s.vec_id <> q.query_id),
-         |r AS (SELECT sh.query_id, sh.nbr_id,
-         |   ${cosSql("sh.nbr_emb", "q.q_emb")} AS sim
-         |  FROM sh JOIN q USING (query_id) WHERE sh.hrank <= 20),
-         |f AS (SELECT query_id, nbr_id, sim,
-         |   CAST(row_number() OVER (PARTITION BY query_id
-         |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM r)
-         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank
-         |FROM f WHERE rank <= 5""".stripMargin,
+    "ann_bq_topk" -> annBqSql,
 
     // per-user ordered step arrays (ts, event_id unique tuple), 3-gram
     // strings via zipped shifted slices, one global count

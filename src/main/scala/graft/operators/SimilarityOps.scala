@@ -520,6 +520,46 @@ object SimilarityOps {
     * pass nCentroids ≈ √n so pairs grow ~n^1.5 (the SemDeDup
     * k = ⌈√N⌉ law; measured 13× at ×10 rows with the fixed-16 demo
     * setting, SCALE.md r13). */
+  /** Binary-quantization search (the Lucene/Elastic BQ recipe — the
+    * compression rung below SQ8): every vector compresses to a 64-bit
+    * SIGN mask (bit i = emb[i] > 0), the shortlist ranks by hamming
+    * distance (bit_count of xor — pure integer, engine-exact, no float
+    * compare anywhere), and exact cosine re-ranks the `shortlist` back
+    * to `k`. Corpus rows carry only (vec_id, one long) through the
+    * distance pass; full vectors surface for the queries×shortlist
+    * re-rank only — at 100 TB the signature relation is 1/64th the
+    * float width and the scan is one xor+popcount per row. */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             shortlist: Int = 20): DataFrame = {
+    def withSig(df: DataFrame) = df.withColumn("sig", expr(
+      """aggregate(sequence(0, 63), 0L, (acc, i) ->
+        |  acc + IF(element_at(embedding, i + 1) > 0.0D,
+        |           shiftleft(1L, i), 0L))""".stripMargin))
+    val c = withSig(corpus.select(col("vec_id"), col("embedding")))
+      .localCheckpoint(eager = false) // hamming pass + re-rank vectors
+    val q = withSig(queries.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("sig").as("q_sig"),
+        col("embedding").as("q_emb"))
+    val short = c.select(col("vec_id").as("nbr_id"), col("sig"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("q_sig"))))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("ham", bit_count(col("sig").bitwiseXOR(col("q_sig"))))
+      .withColumn("hrank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("ham").asc, col("nbr_id").asc)))
+      .filter(col("hrank") <= shortlist)
+      .select(col("query_id"), col("nbr_id"))
+    c.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+      .join(broadcast(short), "nbr_id")
+      .join(broadcast(q.select(col("query_id"), col("q_emb"))), "query_id")
+      .withColumn("sim", cosine(col("q_emb"), col("nbr_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("nbr_id").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
   /** [[knnGraph]] with the IVF cell count derived from the corpus —
     * nCentroids = ⌈√N⌉ from one cheap count (the SemDeDup k ∝ √N law,
     * [[graft.operators.DedupOps.semanticDedupAuto]]): expected cell
