@@ -2303,6 +2303,55 @@ object SparkEntry {
             (col("n_seqs") * 2048), 6).as("waste"))
     }),
 
+    "t31_theil_sen" -> ((s, d) => {
+      // Theil-Sen robust trend per event_type — the slope ESTIMATE that
+      // pairs with stats_mann_kendall's significance test (the two are
+      // the standard nonparametric trend kit: MK says "is it drifting",
+      // Theil-Sen says "by how much per day", both immune to the
+      // outlier days that wreck an OLS fit). slope = exact lower median
+      // of the O(days²) pairwise slopes, intercept = lower median of
+      // the per-day residual intercepts — both medians by the rank rule
+      // over (value, unique-day tiebreak), so the pick is engine-exact;
+      // every slope is one IEEE division of exact integers. Pair fanout
+      // lives on the ≤31-row grid tier, never the corpus.
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .localCheckpoint() // pairs ×2 + the intercept pass
+      val a = grid.select(col("event_type"), col("day").as("di"),
+        col("c").as("ci"))
+      val b = grid.select(col("event_type"), col("day").as("dj"),
+        col("c").as("cj"))
+      val wS = Window.partitionBy("event_type")
+        .orderBy(col("sl"), col("di"), col("dj"))
+      val wT = Window.partitionBy("event_type")
+      val slope = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+        .withColumn("sl", (col("cj") - col("ci")).cast("double") /
+          (col("dj") - col("di")).cast("double"))
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("np", count(lit(1)).over(wT))
+        .filter(col("rn") === floor((col("np") - 1) * 0.5) + 1)
+        .select(col("event_type"), col("sl").as("slope"), col("np"))
+      val wI = Window.partitionBy("event_type")
+        .orderBy(col("b0"), col("day"))
+      grid.join(broadcast(slope), "event_type")
+        .withColumn("b0",
+          col("c").cast("double") - col("slope") * col("day"))
+        .withColumn("rn", row_number().over(wI))
+        .withColumn("n", count(lit(1)).over(wT))
+        .filter(col("rn") === floor((col("n") - 1) * 0.5) + 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("np").as("n_pairs"), round(col("slope"), 6).as("slope"),
+          round(col("b0"), 6).as("intercept"))
+    }),
+
     "stats_prop_ztest" -> ((s, d) => {
       // two-proportion z-test on user conversion between the even/odd
       // arms — the proportions sibling of stats_welch (means) and
@@ -7099,6 +7148,51 @@ object SparkEntry {
           col("l_extendedprice"), col("rn"))
     }),
 
+    "sketch_quantile_hist" -> ((s, d) => {
+      // mergeable equi-width histogram quantile sketch + error audit —
+      // the quantile member of the sketch family (CMS=frequency,
+      // HLL=distinct, KMV=set ops, bloom=membership): 128 integer
+      // bucket counts are map-side combinable (that IS mergeability —
+      // shards union by adding counts), the estimate reads the bucket
+      // upper edge at the cumulative cut, and the row carries the
+      // EXACT quantile (rank rule over the value histogram) beside it
+      // so the sketch's error is measured, never assumed (the
+      // ann_recall discipline). All integer cents until the /100.
+      val ev = t(s, d, "events")
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      val bounds = ev.agg(min("vc").as("lo"), max("vc").as("hi"),
+        count(lit(1)).as("n"))
+      val buckets = ev.crossJoin(broadcast(bounds))
+        .withColumn("b", expr(
+          "CAST((vc - lo) * 128 div (hi - lo + 1) AS INT)"))
+        .groupBy("b").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = buckets.withColumn("cum", sum(col("cnt")).over(wCum))
+        .crossJoin(broadcast(bounds))
+        .localCheckpoint() // three quantile cuts read it
+      val hist = ev.groupBy("vc").agg(count(lit(1)).as("c"))
+        .withColumn("cumv", sum(col("c")).over(Window.orderBy(col("vc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(bounds))
+        .localCheckpoint()
+      def cut(q: Double) = {
+        val target = ceil(lit(q) * col("n")).cast("long")
+        val est = cum.filter(col("cum") >= target)
+          .agg(min(col("b")).as("bq")).crossJoin(broadcast(bounds))
+          .select(lit(q).as("q"),
+            round((col("lo") + (col("bq") + 1) * (col("hi") - col("lo") + 1)
+              .cast("double") / 128.0) / 100.0, 6).as("est"))
+        val exact = hist.filter(col("cumv") >= target)
+          .agg((min(col("vc")).cast("double") / 100.0).as("exact"))
+        // abs_err derives from the two ROUNDED readouts on both engines
+        est.crossJoin(broadcast(exact))
+          .select(col("q"), col("est"), round(col("exact"), 6).as("exact"))
+          .withColumn("abs_err", round(abs(col("est") - col("exact")), 6))
+      }
+      cut(0.5).unionByName(cut(0.9)).unionByName(cut(0.99))
+    }),
+
     "sketch_kmv_grouped" -> ((s, d) =>
       // per-group KMV distinct: approx distinct users per event type with
       // O(k) state per group — k=64 keeps sf0.01 (150 users) on the
@@ -10830,6 +10924,75 @@ object SparkEntry {
     // global doubled average ranks (rank() + tie-count windows), the
     // engine's histogram form is identical by construction; H and the
     // tie correction mirrored operand-for-operand
+    // lower-median rank rule over (slope, di, dj) / (b0, day) — the
+    // pick is engine-exact; slopes are IEEE divisions of exact integers
+    "t31_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS MATERIALIZED (
+        |  SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+        |  FROM (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |        FROM spans) g
+        |  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day),
+        |sl AS (SELECT a.event_type, a.day AS di, b.day AS dj,
+        |   CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS sl
+        |  FROM grid a JOIN grid b
+        |  ON a.event_type = b.event_type AND a.day < b.day),
+        |sr AS (SELECT event_type, sl,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY sl, di, dj) AS rn,
+        |   count(*) OVER (PARTITION BY event_type) AS np
+        |  FROM sl),
+        |sm AS (SELECT event_type, sl AS slope, np FROM sr
+        |       WHERE rn = CAST(floor((np - 1) * 0.5) AS BIGINT) + 1),
+        |ic AS (SELECT g.event_type, g.day,
+        |   CAST(g.c AS DOUBLE) - sm.slope * g.day AS b0, sm.slope, sm.np,
+        |   row_number() OVER (PARTITION BY g.event_type
+        |     ORDER BY CAST(g.c AS DOUBLE) - sm.slope * g.day, g.day) AS rn,
+        |   count(*) OVER (PARTITION BY g.event_type) AS n
+        |  FROM grid g JOIN sm ON g.event_type = sm.event_type)
+        |SELECT event_type, n AS n_days, np AS n_pairs,
+        | round(slope, 6) AS slope, round(b0, 6) AS intercept
+        |FROM ic WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1"""
+        .stripMargin,
+
+    // 128 integer bucket counts (map-side mergeable), estimate = bucket
+    // upper edge at the cumulative cut, exact = value-histogram rank
+    // rule — the error column is the gate
+    "sketch_quantile_hist" ->
+      """WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc
+        |            FROM events),
+        |bd AS (SELECT min(vc) AS lo, max(vc) AS hi,
+        |        CAST(count(*) AS BIGINT) AS n FROM ev),
+        |bk AS (SELECT CAST((vc - lo) * 128 // (hi - lo + 1) AS INT) AS b,
+        |        count(*) AS cnt FROM ev, bd GROUP BY 1),
+        |cm AS (SELECT b, sum(cnt) OVER (ORDER BY b
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM bk),
+        |hv AS (SELECT vc, sum(c) OVER (ORDER BY vc
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+        |       FROM (SELECT vc, count(*) AS c FROM ev GROUP BY 1) h),
+        |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+        |        0.99::DOUBLE]) AS q),
+        |est AS (SELECT q,
+        |   (SELECT min(b) FROM cm, bd
+        |    WHERE cum >= CAST(ceil(q * n) AS BIGINT)) AS bq
+        |  FROM qs),
+        |ex AS (SELECT q,
+        |   (SELECT CAST(min(vc) AS DOUBLE) / 100.0 FROM hv, bd
+        |    WHERE cumv >= CAST(ceil(q * n) AS BIGINT)) AS exact
+        |  FROM qs),
+        |f AS (SELECT est.q,
+        |   round((lo + (bq + 1) * CAST(hi - lo + 1 AS DOUBLE) / 128.0)
+        |     / 100.0, 6) AS est,
+        |   round(exact, 6) AS exact
+        |  FROM est JOIN ex USING (q), bd)
+        |SELECT q, est, exact, round(abs(est - exact), 6) AS abs_err
+        |FROM f""".stripMargin,
+
     // exact integer cells, mirrored divisions, IEEE-exact sqrt
     "stats_prop_ztest" ->
       """WITH conv AS (SELECT user_id,
