@@ -6341,6 +6341,53 @@ object SparkEntry {
           gapMs = 21600000L)
         .withColumn("sum_value", round(col("sum_value"), 2))),
 
+    "w19_rfm" -> ((s, d) => {
+      // RFM segmentation (the classic customer-value scorecard):
+      // recency = days since last purchase, frequency = purchase
+      // count, monetary = cent volume; each dimension scores 1-5 by
+      // exact user quintile (the stats_ipw rank rule — integer
+      // cross-multiply cuts off PackOps.exactRank's histogram rank, no
+      // global user sort), rfm = 100r + 10f + m. Purchasers only; one
+      // user-keyed aggregation, three O(distinct)-tier rank passes
+      // joined back on user_id.
+      val per = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(ts AS LONG) div 86400").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("user_id")
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m"))
+        .localCheckpoint() // the now-scalar + three rank passes
+      val now = per.agg(max(col("last_day")).as("now_day"))
+      val base = per.crossJoin(broadcast(now))
+        .withColumn("recency", col("now_day") - col("last_day"))
+        .select(col("user_id"), col("recency"), col("f"), col("m"))
+        .localCheckpoint() // three exactRank consumers
+      val n = base.count()
+      def quintile(valueCol: String, score: String,
+                   invert: Boolean): DataFrame =
+        PackOps.exactRank(base.select(col("user_id"),
+            col(valueCol)), valueCol, "user_id")
+          .withColumn("q",
+            when(col("rank") * 5 <= n, 1)
+              .when(col("rank") * 5 <= n * 2, 2)
+              .when(col("rank") * 5 <= n * 3, 3)
+              .when(col("rank") * 5 <= n * 4, 4).otherwise(5))
+          .select(col("user_id"),
+            (if (invert) lit(6) - col("q") else col("q")).as(score))
+      base
+        .join(quintile("recency", "r_score", invert = true), "user_id")
+        .join(quintile("f", "f_score", invert = false), "user_id")
+        .join(quintile("m", "m_score", invert = false), "user_id")
+        .select(col("user_id"), col("recency").as("recency_days"),
+          col("f").as("frequency"),
+          round(col("m").cast("double") / 100.0, 2).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm"))
+    }),
+
     "w18_event_paths" -> ((s, d) => {
       // path analysis (the product-analytics staple beside funnels —
       // which 3-step behavior sequences actually happen?): each user's
@@ -10225,6 +10272,42 @@ object SparkEntry {
     "embed_knn_graph_auto" -> knnGraphAutoSql,
 
     "ann_bq_topk" -> annBqSql,
+
+    // three row_number rank passes over (value, user_id) — exactly the
+    // exactRank histogram rank; integer cross-multiply quintile cuts
+    "w19_rfm" ->
+      """WITH p AS (SELECT user_id,
+        |    epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |per AS (SELECT user_id, max(day) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS f, CAST(sum(cents) AS BIGINT) AS m
+        |  FROM p GROUP BY 1),
+        |nw AS (SELECT max(last_day) AS now_day,
+        |    CAST(count(*) AS BIGINT) AS n FROM per),
+        |b AS (SELECT user_id, now_day - last_day AS recency, f, m, n
+        |      FROM per, nw),
+        |rs AS (SELECT user_id, 6 - (CASE WHEN rk * 5 <= n THEN 1
+        |    WHEN rk * 5 <= n * 2 THEN 2 WHEN rk * 5 <= n * 3 THEN 3
+        |    WHEN rk * 5 <= n * 4 THEN 4 ELSE 5 END) AS r_score
+        |  FROM (SELECT user_id, n, row_number()
+        |     OVER (ORDER BY recency, user_id) AS rk FROM b) t),
+        |fs AS (SELECT user_id, CASE WHEN rk * 5 <= n THEN 1
+        |    WHEN rk * 5 <= n * 2 THEN 2 WHEN rk * 5 <= n * 3 THEN 3
+        |    WHEN rk * 5 <= n * 4 THEN 4 ELSE 5 END AS f_score
+        |  FROM (SELECT user_id, n, row_number()
+        |     OVER (ORDER BY f, user_id) AS rk FROM b) t),
+        |ms AS (SELECT user_id, CASE WHEN rk * 5 <= n THEN 1
+        |    WHEN rk * 5 <= n * 2 THEN 2 WHEN rk * 5 <= n * 3 THEN 3
+        |    WHEN rk * 5 <= n * 4 THEN 4 ELSE 5 END AS m_score
+        |  FROM (SELECT user_id, n, row_number()
+        |     OVER (ORDER BY m, user_id) AS rk FROM b) t)
+        |SELECT b.user_id, recency AS recency_days, f AS frequency,
+        | round(CAST(m AS DOUBLE) / 100.0, 2) AS monetary,
+        | r_score, f_score, m_score,
+        | r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM b JOIN rs USING (user_id) JOIN fs USING (user_id)
+        |JOIN ms USING (user_id)""".stripMargin,
 
     // per-user ordered step arrays (ts, event_id unique tuple), 3-gram
     // strings via zipped shifted slices, one global count
