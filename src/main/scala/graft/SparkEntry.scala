@@ -5426,6 +5426,34 @@ object SparkEntry {
           "payload", width = 64, patch = 8)
         .select(col("doc_id"), col("pr"), col("pc"), col("patch_sig"))),
 
+    "mm_resize" -> ((s, d) =>
+      // block-mean RESIZE of the synthetic grayscale (width-64 byte
+      // matrix → 8×8 thumbnail): the downsample verb of the multimodal
+      // family (mm_patches extracts, mm_phash fingerprints, this one
+      // resamples — the thumbnail a curation UI or a low-res model
+      // input needs). Exact integer means (sum div count) over the
+      // integer-boundary block grid (pr = row·8 div rows — the
+      // avgHash64 block convention, row count from integer ceil).
+      // Pixels explode but the (doc, pr, pc) hash aggregation collapses
+      // them MAP-SIDE — what shuffles is ≤64 cells per doc, never
+      // pixels. Same BMP-only parity contract as avgHash64 (split('')+
+      // ascii ↔ unicode() agree on BMP text; real image bytes enter as
+      // unsigned byte values and are unaffected).
+      t(s, d, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          posexplode(expr(
+            "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
+            .as(Seq("i", "v")))
+        .withColumn("pr", expr(
+          "(CAST(i AS BIGINT) div 64) * 8 div ((len + 63) div 64)"))
+        .withColumn("pc", expr("(CAST(i AS BIGINT) % 64) div 8"))
+        .groupBy("doc_id", "pr", "pc")
+        .agg(count(lit(1)).as("n_pix"), sum(col("v")).as("sv"))
+        .select(col("doc_id"), col("pr"), col("pc"), col("n_pix"),
+          expr("sv div n_pix").as("mean_gray"))),
+
     "mm_phash" -> ((s, d) =>
       // 64-bit average-hash (aHash) perceptual signature over the
       // synthetic grayscale — exact integer cross-multiply bits, pure
@@ -12472,6 +12500,21 @@ object SparkEntry {
     // final image ROW is ragged, which substr truncation reproduces;
     // zero-byte corner patches are filtered on both sides
     "mm_patches" -> patchSigSql,
+
+    // integer-boundary block grid + integer means; // == div on the
+    // non-negative codepoint sums
+    "mm_resize" ->
+      """WITH p AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
+        |    list_transform(regexp_split_to_array(text, ''),
+        |      c -> CAST(unicode(c) AS BIGINT)) AS px
+        |  FROM documents WHERE strlen(text) > 0),
+        |g AS (SELECT doc_id, len, unnest(px) AS v,
+        |       CAST(generate_subscripts(px, 1) - 1 AS BIGINT) AS i
+        |      FROM p)
+        |SELECT doc_id, (i // 64) * 8 // ((len + 63) // 64) AS pr,
+        | (i % 64) // 8 AS pc, CAST(count(*) AS BIGINT) AS n_pix,
+        | CAST(sum(v) AS BIGINT) // count(*) AS mean_gray
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
 
     // the aHash bit fold in HUGEINT (disjoint bits: sum == or), wrapped
     // to the signed BIGINT Spark emits — the patchSigSql convention;
