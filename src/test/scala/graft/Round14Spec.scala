@@ -198,4 +198,50 @@ class Round14Spec extends AnyFunSuite {
     assert(row.getAs[Double]("drop_recall") == 1.0,
       s"planted near-identical dups must survive the two-level route: $row")
   }
+
+  // --- process-shared stages move COST only, never results -------------
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("the process-shared PQ model reproduces a freshly trained " +
+    "model's top-k bit-for-bit") {
+    import graft.operators.SimilarityOps
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.table(spark, sf, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val fresh = SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 5, model = Some(SimilarityOps.pqTrain(emb)))
+      .select(col("query_id"), col("nbr_id"),
+        round(col("adc"), 4).as("adc"), col("rank"))
+    val shared = SparkEntry.queries("ann_pq_topk")(spark, sf)
+    assert(rows(shared) == rows(fresh),
+      "shared PQ model diverged from a fresh deterministic training")
+  }
+
+  test("the process-shared BM25 leg reproduces a fresh bm25Search " +
+    "bit-for-bit") {
+    import graft.operators.TermOps
+    val sf = "/root/testdata/sf0.001"
+    val fresh = TermOps.bm25Search(
+      Tables.table(spark, sf, "documents"), "doc_id", "text",
+      queryTerms = Seq("scan", "join", "merge"), k = 20)
+    val shared = SparkEntry.queries("search_bm25")(spark, sf)
+    assert(rows(shared) == rows(fresh),
+      "shared BM25 leg diverged from a fresh postings chain")
+  }
+
+  test("the process-shared CC labels reproduce a fresh pair-gen + CC " +
+    "chain bit-for-bit") {
+    import graft.operators.DedupOps
+    val sf = "/root/testdata/sf0.001"
+    val fresh = DedupOps.connectedComponents(
+        DedupOps.jaccardPairsPrefix(
+          Tables.table(spark, sf, "documents"), "doc_id", "text",
+          threshold = 0.5))
+      .select(col("node").as("doc_id"), col("component"))
+    val shared = SparkEntry.queries("dedup_components")(spark, sf)
+    assert(rows(shared) == rows(fresh),
+      "shared CC labels diverged from a fresh chain")
+  }
 }
