@@ -7115,7 +7115,7 @@ object SparkEntry {
           col("value"),
           date_format(col("ts"), "yyyy-MM-dd").as("day"),
           hour(col("ts")).as("hr"))
-      val minDay = all.agg(min(col("day"))).head.getString(0)
+      val minDay = all.agg(min(col("day"))).head().getString(0)
       val lastDay = java.time.LocalDate.parse(minDay).plusDays(2).toString
       val ev = all.filter(col("day") <= lastDay)
       // the two generations are a pure function of the sf dir: write
