@@ -2303,6 +2303,75 @@ object SparkEntry {
             (col("n_seqs") * 2048), 6).as("waste"))
     }),
 
+    "t33_week_over_week" -> ((s, d) => {
+      // week-over-week growth per event_type on the dense daily grid —
+      // the dashboard ratio every metrics page ships (lag 7 on the
+      // zero-filled grid so a missing day reads as 0, not as a silent
+      // 7-day shift). Integer counts, one mirrored division; the lag
+      // window orders by the grid's unique day.
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      grid.withColumn("c7", lag(col("c"), 7).over(w))
+        .filter(col("c7").isNotNull && col("c7") > 0)
+        .select(col("event_type"), col("day"), col("c"), col("c7"),
+          round((col("c") - col("c7")).cast("double") / col("c7"), 6)
+            .as("wow"))
+    }),
+
+    "stats_runs_test" -> ((s, d) => {
+      // Wald–Wolfowitz runs test on the daily up/down sequence per
+      // event_type — the randomness monitor beside the trend kit (MK
+      // asks "is it drifting", this asks "is it even random": too few
+      // runs = momentum/regime, too many = oscillation). Signs from
+      // day-over-day deltas on the dense grid (zeros drop, the
+      // standard convention); R, n1, n2 are exact integers off two lag
+      // windows; μ/σ are rationals of those integers and z uses only
+      // IEEE-exact division and sqrt.
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val signs = grid
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull && col("c") =!= col("prev"))
+        .withColumn("sgn", when(col("c") > col("prev"), 1).otherwise(-1))
+      val runs = signs
+        .withColumn("psgn", lag(col("sgn"), 1).over(w))
+        .groupBy("event_type")
+        .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n2"),
+          (sum(when(col("psgn").isNull ||
+            col("psgn") =!= col("sgn"), 1L).otherwise(0L))).as("r"))
+      runs.filter(col("n1") > 0 && col("n2") > 0)
+        .withColumn("nn", (col("n1") + col("n2")).cast("double"))
+        .withColumn("mu",
+          lit(2.0) * col("n1") * col("n2") / col("nn") + 1.0)
+        .withColumn("v", lit(2.0) * col("n1") * col("n2") *
+          (lit(2.0) * col("n1") * col("n2") - col("nn")) /
+          (col("nn") * col("nn") * (col("nn") - 1.0)))
+        .filter(col("v") > 0)
+        .select(col("event_type"), col("n1"), col("n2"), col("r"),
+          round(col("mu"), 6).as("mu_runs"),
+          round((col("r").cast("double") - col("mu")) / sqrt(col("v")), 6)
+            .as("z"))
+    }),
+
     "t31_theil_sen" -> ((s, d) => {
       // Theil-Sen robust trend per event_type — the slope ESTIMATE that
       // pairs with stats_mann_kendall's significance test (the two are
@@ -11035,6 +11104,65 @@ object SparkEntry {
     // global doubled average ranks (rank() + tie-count windows), the
     // engine's histogram form is identical by construction; H and the
     // tie correction mirrored operand-for-operand
+    // lag-7 over the zero-filled grid; integer counts, one division
+    "t33_week_over_week" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+        |  FROM (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |        FROM spans) g
+        |  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day),
+        |l AS (SELECT event_type, day, c,
+        |   lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS c7
+        |  FROM grid)
+        |SELECT event_type, day, c, c7,
+        | round(CAST(c - c7 AS DOUBLE) / c7, 6) AS wow
+        |FROM l WHERE c7 IS NOT NULL AND c7 > 0""".stripMargin,
+
+    // R/n1/n2 exact integers off two lag windows over the compressed
+    // sign sequence; z uses IEEE-exact division/sqrt only
+    "stats_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+        |  FROM (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |        FROM spans) g
+        |  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day),
+        |s1 AS (SELECT event_type, day, c,
+        |   lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM grid),
+        |sg AS (SELECT event_type, day,
+        |   CASE WHEN c > prev THEN 1 ELSE -1 END AS sgn
+        |  FROM s1 WHERE prev IS NOT NULL AND c <> prev),
+        |rr AS (SELECT event_type, sgn,
+        |   lag(sgn, 1) OVER (PARTITION BY event_type ORDER BY day) AS psgn
+        |  FROM sg),
+        |ag AS (SELECT event_type,
+        |   CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |   CAST(sum(CASE WHEN psgn IS NULL OR psgn <> sgn
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM rr GROUP BY 1),
+        |f AS (SELECT event_type, n1, n2, r,
+        |   CAST(n1 + n2 AS DOUBLE) AS nn,
+        |   2.0::DOUBLE * n1 * n2 / CAST(n1 + n2 AS DOUBLE) + 1.0 AS mu,
+        |   2.0::DOUBLE * n1 * n2 *
+        |     (2.0::DOUBLE * n1 * n2 - CAST(n1 + n2 AS DOUBLE)) /
+        |     (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) *
+        |      (CAST(n1 + n2 AS DOUBLE) - 1.0)) AS v
+        |  FROM ag WHERE n1 > 0 AND n2 > 0)
+        |SELECT event_type, n1, n2, r, round(mu, 6) AS mu_runs,
+        | round((CAST(r AS DOUBLE) - mu) / sqrt(v), 6) AS z
+        |FROM f WHERE v > 0""".stripMargin,
+
     // lower-median rank rule over (slope, di, dj) / (b0, day) — the
     // pick is engine-exact; slopes are IEEE divisions of exact integers
     "t31_theil_sen" ->
