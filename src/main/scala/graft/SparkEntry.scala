@@ -1261,7 +1261,7 @@ object SparkEntry {
           sum(col("c") * col("c")).as("q"))
       val pairs = grid
         .select(col("event_type"), col("day"), col("c"),
-          explode(sequence(lit(1), lit(7))).as("k"))
+          explode(sequence(lit(1L), lit(7L))).as("k"))
         .withColumn("day2", col("day") + col("k"))
         .join(grid.select(col("event_type"), col("day").as("day2"),
           col("c").as("c2")), Seq("event_type", "day2"))
@@ -1488,7 +1488,8 @@ object SparkEntry {
       // by the oracle; m-row output
       SimilarityOps.pqDistortion(t(s, d, "embeddings")
           .withColumn("embedding", col("embedding").cast("array<double>")))
-        .select(col("s"), col("n_vecs"), round(col("mse"), 6).as("mse"))),
+        .select(col("s").cast("long").as("s"), col("n_vecs"),
+          round(col("mse"), 6).as("mse"))),
 
     "embed_matryoshka" -> ((s, d) => {
       // Matryoshka-truncation audit (Kusupati et al. 2022): recall@5 of
@@ -3162,7 +3163,7 @@ object SparkEntry {
         sum("y").as("sy"), sum(col("x") * col("x")).as("qx"),
         sum(col("y") * col("y")).as("qy"))
       grid.select(col("day"), col("x"),
-          explode(sequence(lit(-7), lit(7))).as("k"))
+          explode(sequence(lit(-7L), lit(7L))).as("k"))
         .withColumn("day2", col("day") + col("k"))
         .join(grid.select(col("day").as("day2"), col("y").as("y2")),
           Seq("day2"))
@@ -3301,7 +3302,7 @@ object SparkEntry {
           sum(col("c") * col("c")).as("q"))
       val acf = grid
         .select(col("event_type"), col("day"), col("c"),
-          explode(sequence(lit(1), lit(7))).as("k"))
+          explode(sequence(lit(1L), lit(7L))).as("k"))
         .withColumn("day2", col("day") + col("k"))
         .join(grid.select(col("event_type"), col("day").as("day2"),
           col("c").as("c2")), Seq("event_type", "day2"))
@@ -3360,7 +3361,7 @@ object SparkEntry {
             |                   * element_at(racf, j7))))))""".stripMargin))
         .select(col("event_type"),
           posexplode(expr("slice(st, 2 + 7, 7)")).as(Seq("k0", "pacf")))
-        .select(col("event_type"), (col("k0") + 1).as("k"),
+        .select(col("event_type"), (col("k0") + 1).cast("long").as("k"),
           round(col("pacf"), 6).as("pacf"))
     }),
 
@@ -3804,7 +3805,7 @@ object SparkEntry {
         .groupBy("pos")
         .agg(count(lit(1)).as("n"), sum("x").as("s"),
           sum(col("x") * col("x")).as("q"))
-        .select(col("pos"), col("n"),
+        .select(col("pos").cast("long").as("pos"), col("n"),
           round(col("s") / col("n"), 6).as("mu"),
           round(sqrt((col("q") - col("s") * col("s") / col("n")) /
             col("n")), 6).as("sigma"))),
@@ -3819,7 +3820,8 @@ object SparkEntry {
       s.sql("""
         SELECT coalesce(l_returnflag, '_all') AS flag,
                coalesce(l_linestatus, '_all') AS status,
-               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
                count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
@@ -3990,6 +3992,7 @@ object SparkEntry {
       val edges = t(s, d, "lineitem")
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
+        .localCheckpoint() // two consumers: one distinct scan per round
       val sup = t(s, d, "supplier")
         .select(col("s_suppkey").as("src"), col("s_nationkey").as("label"))
       def majority(df: DataFrame, key: String) = {
@@ -5272,9 +5275,11 @@ object SparkEntry {
       // gap is round(·,6) — the n-weighted ECE numerator is an exact
       // integer in micro-units (decimal: n·gap6 passes 2^63 near 10¹²
       // docs), one final division + round
-      bins.withColumn("ece", round(
-          sum((col("n") * round(col("gap") * 1000000).cast("long"))
-            .cast("decimal(38,0)")).over(Window.partitionBy())
+      bins.withColumn("bin", col("bin").cast("long"))
+        .withColumn("ece", round(
+          sum(col("n").cast("decimal(38,0)") *
+            round(col("gap") * 1000000).cast("long"))
+            .over(Window.partitionBy())
             .cast("double") / 1000000.0 /
             sum(col("n")).over(Window.partitionBy()), 6))
     }),
@@ -5500,28 +5505,11 @@ object SparkEntry {
       // matrix → 8×8 thumbnail): the downsample verb of the multimodal
       // family (mm_patches extracts, mm_phash fingerprints, this one
       // resamples — the thumbnail a curation UI or a low-res model
-      // input needs). Exact integer means (sum div count) over the
-      // integer-boundary block grid (pr = row·8 div rows — the
-      // avgHash64 block convention, row count from integer ceil).
-      // Pixels explode but the (doc, pr, pc) hash aggregation collapses
-      // them MAP-SIDE — what shuffles is ≤64 cells per doc, never
-      // pixels. Same BMP-only parity contract as avgHash64 (split('')+
-      // ascii ↔ unicode() agree on BMP text; real image bytes enter as
-      // unsigned byte values and are unaffected).
-      t(s, d, "documents")
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("len"),
-          posexplode(expr(
-            "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
-            .as(Seq("i", "v")))
-        .withColumn("pr", expr(
-          "(CAST(i AS BIGINT) div 64) * 8 div ((len + 63) div 64)"))
-        .withColumn("pc", expr("(CAST(i AS BIGINT) % 64) div 8"))
-        .groupBy("doc_id", "pr", "pc")
-        .agg(count(lit(1)).as("n_pix"), sum(col("v")).as("sv"))
-        .select(col("doc_id"), col("pr"), col("pc"), col("n_pix"),
-          expr("sv div n_pix").as("mean_gray"))),
+      // input needs). One native fold per doc (block_means) — the
+      // pixels never leave the kernel, the plan sees ≤64 cells/doc,
+      // zero exchanges. See MultimodalOps.blockMeanResize.
+      MultimodalOps.blockMeanResize(
+        t(s, d, "documents"), "doc_id", "text", width = 64, grid = 8)),
 
     "mm_phash" -> ((s, d) =>
       // 64-bit average-hash (aHash) perceptual signature over the
@@ -7207,6 +7195,9 @@ object SparkEntry {
         .withColumn("hr", hour(col("ts")))
         .unionByName(s.read.parquet(genB)
           .withColumn("hr", col("hr").cast("int")))
+        // partition-column inference reads the yyyy-MM-dd dirs back as
+        // DATE; the oracle (and the repo rule) emits day as a string
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
       // the early-hours slice: the fine generation prunes to 6/24 of
       // its partitions; the coarse generation cannot hour-prune and
       // scans its day whole — exactly the read-amplification gap
@@ -8627,8 +8618,8 @@ object SparkEntry {
     * feeds `mm_phash_neardup`'s banded join. */
   private def phashSqlFor(rel: String): String =
     s"""WITH php AS (SELECT doc_id, text,
-       |         CAST(strlen(text) AS BIGINT) AS len
-       |        FROM $rel WHERE strlen(text) > 0),
+       |         CAST(length(text) AS BIGINT) AS len
+       |        FROM $rel WHERE length(text) > 0),
        |phc AS (SELECT doc_id, len,
        |       list_transform(regexp_split_to_array(text, ''),
        |         ch -> CAST(unicode(ch) AS BIGINT)) AS cs
@@ -11540,8 +11531,10 @@ object SparkEntry {
         |     AS sb_d
         |  FROM ev GROUP BY day),
         |cum AS (SELECT day,
-        |   sum(na_d) OVER wd AS na, sum(sa_d) OVER wd AS sa,
-        |   sum(nb_d) OVER wd AS nb, sum(sb_d) OVER wd AS sb, s2
+        |   CAST(sum(na_d) OVER wd AS BIGINT) AS na,
+        |   sum(sa_d) OVER wd AS sa,
+        |   CAST(sum(nb_d) OVER wd AS BIGINT) AS nb,
+        |   sum(sb_d) OVER wd AS sb, s2
         |  FROM dly, sg
         |  WINDOW wd AS (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -12632,10 +12625,10 @@ object SparkEntry {
     // integer-boundary block grid + integer means; // == div on the
     // non-negative codepoint sums
     "mm_resize" ->
-      """WITH p AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
+      """WITH p AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         |    list_transform(regexp_split_to_array(text, ''),
         |      c -> CAST(unicode(c) AS BIGINT)) AS px
-        |  FROM documents WHERE strlen(text) > 0),
+        |  FROM documents WHERE length(text) > 0),
         |g AS (SELECT doc_id, len, unnest(px) AS v,
         |       CAST(generate_subscripts(px, 1) - 1 AS BIGINT) AS i
         |      FROM p)
@@ -14030,7 +14023,8 @@ object SparkEntry {
          |      FROM b),
          |g2 AS (SELECT *, round(abs(acc - conf), 6) AS gap FROM g)
          |SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos, conf, acc, gap,
-         | round(CAST(sum(n * CAST(round(gap * 1000000) AS BIGINT))
+         | round(CAST(sum(CAST(n AS HUGEINT) *
+         |       CAST(round(gap * 1000000) AS BIGINT))
          |     OVER () AS DOUBLE) / 1000000.0
          |   / sum(n) OVER (), 6) AS ece
          |FROM g2""".stripMargin,
@@ -14586,7 +14580,7 @@ object SparkEntry {
         |  SELECT CAST(floor(value / 8.0) AS BIGINT) AS bin, count(*) AS cnt
         |  FROM events GROUP BY 1),
         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b)
-        |SELECT bin, bin * 8.0 AS lo, cnt,
+        |SELECT bin, bin * 8.0::DOUBLE AS lo, cnt,
         | round(CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) * 1.0 / n.n, 4)
         |   AS cum_frac
         |FROM b, n""".stripMargin,
@@ -14598,7 +14592,7 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2),
         |n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
         |      FROM b GROUP BY 1)
-        |SELECT b.event_type, bin, bin * 8.0 AS lo, cnt,
+        |SELECT b.event_type, bin, bin * 8.0::DOUBLE AS lo, cnt,
         | round(CAST(sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin)
         |   AS BIGINT) * 1.0 / n.n, 4) AS cum_frac
         |FROM b JOIN n USING (event_type)""".stripMargin,

@@ -569,6 +569,10 @@ object DedupOps {
     val keyed = docs.select(col(idCol).as("doc_id"),
         graft.GraftFunctions.simhash64(TermOps.tokens(col(textCol))).as("sig"))
       .withColumn("bucket", explode(chunkKeys))
+      // three consumers (bucket sizing + both self-join sides) would
+      // each re-tokenize and re-hash the corpus — materialize the
+      // (bucket, id, sig) rows once, N·chunks skinny rows
+      .localCheckpoint()
     // same exploded self-join shape as minhashCandidates: no fat
     // collect_list rows, hamming as codegen'd bit_count(xor) per pair
     val sized = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))

@@ -149,6 +149,25 @@ object MultimodalOps {
       .drop("p")
   }
 
+  /** Block-mean RESIZE of the string-as-grayscale payload (width-64
+    * codepoint matrix → `grid`×`grid` thumbnail): the downsample verb
+    * of the multimodal family as ONE codegen fold per document
+    * ([[graft.plans.BlockMeans]]) — pixels never materialize as rows;
+    * what leaves the kernel is ≤ grid² (pr, pc, n_pix, mean_gray)
+    * cells per doc (the r14 posexplode-per-character shape cost
+    * corpus-length rows pre-combine for identical output). Exact
+    * integer means (sum div count) over the integer-boundary block
+    * grid — the avgHash64 conventions, same BMP parity contract. */
+  def blockMeanResize(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int = 64, grid: Int = 8): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    docs
+      .select(col(idCol),
+        explode(expr(s"block_means(`$textCol`, $width, $grid)")).as("c"))
+      .select(col(idCol), col("c.pr").as("pr"), col("c.pc").as("pc"),
+        col("c.n_pix").as("n_pix"), col("c.mean_gray").as("mean_gray"))
+  }
+
   /** Perceptual near-duplicate detection over binary payloads — the
     * image-side member of the dedup family: two payloads are near-dups
     * when ≥ `minFracNum`/`minFracDen` of their aligned patch signatures
@@ -225,11 +244,13 @@ object MultimodalOps {
     * Parity contract (BMP-only, the rollingFingerprint caveat): the
     * "pixel" stream is Spark `split('') + ascii` — UTF-16 code units
     * with `ascii`'s first-code-point value — while the oracle reads
-    * DuckDB `unicode()` codepoints. The two agree exactly on Basic
-    * Multilingual Plane text (every fixture column here); a
-    * supplementary-plane character would split into two surrogate
-    * units on the Spark side only. Real image bytes (the production
-    * input) are unaffected — they enter as unsigned byte values. */
+    * DuckDB `unicode()` codepoints, with `length()` (codepoints, NOT
+    * `strlen` bytes) as the pixel count so `len` agrees too. The two
+    * agree exactly on Basic Multilingual Plane text (every fixture
+    * column here); a supplementary-plane character would split into
+    * two surrogate units on the Spark side only. Real image bytes
+    * (the production input) are unaffected — they enter as unsigned
+    * byte values. */
   def avgHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol), col(textCol).as("__t"))

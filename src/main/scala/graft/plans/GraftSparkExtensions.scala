@@ -86,6 +86,7 @@ object GraftSparkExtensions {
     ternary("frame_sigs", classOf[FrameSigs], FrameSigs(_, _, _)),
     ternary("patch_sigs", classOf[PatchSigs], PatchSigs(_, _, _)),
     ternary("frame_energy", classOf[FrameEnergy], FrameEnergy(_, _, _)),
+    ternary("block_means", classOf[BlockMeans], BlockMeans(_, _, _)),
     // hamming distance composes from built-ins: popcount(a xor b)
     binary("hamming64",
       classOf[org.apache.spark.sql.catalyst.expressions.BitwiseCount],

@@ -269,6 +269,71 @@ object HashKernels {
       out.asInstanceOf[Array[AnyRef]], k))
   }
 
+  /** Block-mean RESIZE of a string-as-grayscale payload (the
+    * `mm_resize` kernel): the codepoint stream reads as a row-major
+    * `width`-column matrix, every pixel lands in the integer-boundary
+    * `grid`×`grid` cell (pr = row·grid div rows — the avgHash64 block
+    * convention; pc = (i mod width) div (width/grid)), and each
+    * non-empty cell emits (pr, pc, n_pix, mean_gray) with the exact
+    * integer mean (sum div count). One fold per document inside
+    * whole-stage codegen — the pixels never leave the kernel, so what
+    * reaches the downstream plan is ≤ grid² rows/doc instead of one
+    * row per character (the r14 posexplode shape this replaces).
+    * Same BMP parity contract as [[graft.operators.MultimodalOps
+    * .avgHash64]]: codepoints here = Spark `split('')+ascii` = DuckDB
+    * `unicode()` on BMP text; real image bytes are unaffected. */
+  def blockMeansData(s: UTF8String, width: Int, grid: Int): ArrayData = {
+    if (s == null) return EmptyFrames
+    val bytes = s.getBytes
+    if (bytes.length == 0) return EmptyFrames
+    val w = math.max(1, width)
+    val g = math.max(1, grid)
+    val colDiv = math.max(1, w / g)
+    val len = s.numChars().toLong
+    val rowsImg = (len + w - 1) / w
+    val cells = g * g
+    val cnt = new Array[Long](cells)
+    val sum = new Array[Long](cells)
+    var bi = 0
+    var i = 0L
+    while (bi < bytes.length) {
+      val b0 = bytes(bi) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; bi += 1 }
+      else if ((b0 & 0xe0) == 0xc0) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(bi + 1) & 0x3f); bi += 2
+      } else if ((b0 & 0xf0) == 0xe0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(bi + 1) & 0x3f) << 6) |
+          (bytes(bi + 2) & 0x3f)
+        bi += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3f) << 12) |
+          ((bytes(bi + 2) & 0x3f) << 6) | (bytes(bi + 3) & 0x3f)
+        bi += 4
+      }
+      val pr = ((i / w) * g / rowsImg).toInt
+      val pc = math.min(g - 1, ((i % w) / colDiv).toInt)
+      val k = pr * g + pc
+      cnt(k) += 1L
+      sum(k) += cp
+      i += 1L
+    }
+    val out = new Array[Any](cells)
+    var k = 0
+    var c = 0
+    while (c < cells) {
+      if (cnt(c) > 0L) {
+        out(k) = InternalRow((c / g).toLong, (c % g).toLong, cnt(c),
+          sum(c) / cnt(c))
+        k += 1
+      }
+      c += 1
+    }
+    if (k == out.length) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(
+      out.asInstanceOf[Array[AnyRef]], k))
+  }
+
   /** Per-frame energy stats of a binary payload — the audio
     * feature-extraction / silence-detection (VAD) plumbing: the same
     * chunk geometry as [[frameSigsData]], but each sampled frame emits
@@ -713,6 +778,51 @@ case class PatchSigs(child: Expression, width: Expression,
       newChildren: IndexedSeq[Expression]): PatchSigs =
     copy(child = newChildren(0), width = newChildren(1),
       patch = newChildren(2))
+}
+
+/** `block_means(text, width, grid)` — one (pr, pc, n_pix, mean_gray)
+  * struct per non-empty cell of the integer-boundary `grid`×`grid`
+  * block grid over the payload read as a row-major `width`-column
+  * codepoint matrix: the downsample (thumbnail) verb of the multimodal
+  * family as a single codegen fold, so the per-pixel work never
+  * materializes rows (see [[HashKernels.blockMeansData]]). null/empty
+  * payload → empty array, never null. */
+case class BlockMeans(child: Expression, width: Expression,
+                      grid: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child, width, grid)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pr", LongType, nullable = false),
+      StructField("pc", LongType, nullable = false),
+      StructField("n_pix", LongType, nullable = false),
+      StructField("mean_gray", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "block_means"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType
+      if GraftExpressions.nonNullIntLiteral(width) &&
+        GraftExpressions.nonNullIntLiteral(grid) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "block_means requires (string, non-null int literal, non-null int literal)")
+  }
+  private lazy val widthV = width.eval().asInstanceOf[Int]
+  private lazy val gridV = grid.eval().asInstanceOf[Int]
+  override def eval(input: InternalRow): Any =
+    HashKernels.blockMeansData(child.eval(input).asInstanceOf[UTF8String],
+      widthV, gridV)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nArrayData ${ev.value} = " +
+      code"graft.plans.HashKernels.blockMeansData(" +
+      code"${c.isNull} ? null : ${c.value}, $widthV, $gridV);",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BlockMeans =
+    copy(child = newChildren(0), width = newChildren(1),
+      grid = newChildren(2))
 }
 
 /** `normalize_title(s)` — wikistats title normalization (null-safe). */

@@ -19,4 +19,14 @@ object ColumnBridge {
 
   /** Unwrap a (classic-backend) Column to its Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame (classic backend). Used by the
+    * libm boundary-canary sweep to execute a registered query's final
+    * stage with its `round(...)` wrappers stripped — measuring how far
+    * each unrounded cell sits from a rounding boundary. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
