@@ -121,7 +121,13 @@ object Bench {
       val filt = only.map(f =>
         s""","suite_filter":${jstr(f.toSeq.sorted.mkString(","))}""")
         .getOrElse("")
-      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"queries_mode":"sequential_best_of_2","queries_total":${results.size}$drop$filt,"errors":$errs,"transient_errors":$trans,"sf":"$sfDir"}"""
+      // rows reading process-shared materializations time a checkpoint
+      // read after the first toucher — flag them so per-query numbers
+      // aren't misread as full-chain costs (r14 advice)
+      val shared = SparkEntry.sharedStageReaders
+        .filter(n => results.exists(_._1 == n))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${sec(wall)},"unit":"sec","queries":$qs,"queries_mode":"sequential_best_of_2","queries_total":${results.size}$drop$filt,"shared_stage_readers":$shared,"errors":$errs,"transient_errors":$trans,"sf":"$sfDir"}"""
     }
     val timings = results.collect { case (k, v, None) => (k, v) }
     // full-fidelity record → file (tracked in the repo, one line per round)

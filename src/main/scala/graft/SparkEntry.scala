@@ -131,6 +131,23 @@ object SparkEntry {
     sharedFrame(s, d, "jacc05_cc")(
       DedupOps.connectedComponents(jaccardPairs05(s, d)))
 
+  /** Every registered query that reads a process-shared materialization
+    * ([[sharedFrame]] / [[pqModel]]): within one process, the FIRST
+    * toucher pays the build and siblings time a localCheckpoint read,
+    * so per-query timings for these rows are not chain costs. The bench
+    * record carries this list (`shared_stage_readers`) so a reader of
+    * BENCH_r*.json can't misread a shared row as a full-chain timing —
+    * suite totals stay honest either way (the build is paid exactly
+    * once, inside the suite). Keep in sync with the
+    * jaccardPairs05 / dedupLabels05 / bm25Leg / bruteCosV0 / pqModel
+    * call sites; SharedStageSpec audits it against the source. */
+  val sharedStageReaders: Seq[String] = Seq(
+    "ann_ivfpq_topk", "ann_pq_topk", "ann_recall", "ann_rerank",
+    "dedup_canonical", "dedup_cluster_profile", "dedup_components",
+    "graph_cc_incremental", "sample_split_leakfree",
+    "search_bm25", "search_hybrid", "search_ndcg", "search_rbo",
+    "search_rrf")
+
   private val streamSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private def streamSession(s: SparkSession): SparkSession =
@@ -3992,7 +4009,10 @@ object SparkEntry {
       val edges = t(s, d, "lineitem")
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
-        .localCheckpoint() // two consumers: one distinct scan per round
+        // two consumers (one per round's join) — but both live in the
+        // ONE final action, so checkpoint lazily (the r13 sequential-
+        // chain rule): the first consumer materializes it in-job
+        .localCheckpoint(false)
       val sup = t(s, d, "supplier")
         .select(col("s_suppkey").as("src"), col("s_nationkey").as("label"))
       def majority(df: DataFrame, key: String) = {
