@@ -176,6 +176,39 @@ object SparkEntry {
               lit(2147483648.0) - lit(1.0)) *
             x.getField("weight").cast("double")).as("z"))
 
+  /** Decile-bin reliability table + expected calibration error of the
+    * [[classifierZ]] sigmoid score against a caller-supplied binary
+    * label relation `(doc_id, y)` — shared by `stats_calibration`
+    * (lang labels) and `curate_calibration` (Gopher-gate labels).
+    * Bins are deciles of the ROUNDED score (floor on identical IEEE
+    * doubles both engines); per-bin sums are exact integers (score is
+    * round(·,4) → ten-thousandth longs; the n-weighted ECE numerator
+    * is micro-unit integers in DECIMAL(38,0), cast BEFORE the multiply
+    * so the 2^63 headroom is real — HUGEINT-mirrored in the oracle). */
+  private def calibrationEce(s: SparkSession, d: String,
+                             lab: DataFrame): DataFrame = {
+    val scored = classifierZ(s, d)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"))
+    val bins = scored.join(lab, Seq("doc_id"))
+      .withColumn("bin",
+        least(floor(col("score") * 10).cast("int"), lit(9)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(round(col("score") * 10000).cast("long")).as("s4"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("s4").cast("double") / 10000.0 / col("n"), 6).as("conf"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("acc"))
+      .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
+    bins.withColumn("bin", col("bin").cast("long"))
+      .withColumn("ece", round(
+        sum(col("n").cast("decimal(38,0)") *
+          round(col("gap") * 1000000).cast("long"))
+          .over(Window.partitionBy())
+          .cast("double") / 1000000.0 /
+          sum(col("n")).over(Window.partitionBy()), 6))
+  }
+
   /** curate_e2e's near-dup candidate stage — the PREFIX-FILTERED
     * (Bayardo) pair join: byte-identical pairs to the plain inverted-
     * index `jaccardPairs` but candidates come only from each doc's
@@ -822,6 +855,17 @@ object SparkEntry {
       // window granularity: per-doc duplicated-window fraction
       DedupOps.duplicatedSpans(t(s, d, "documents"), "doc_id", "text",
         w = 8, minCount = 2L)),
+
+    "dedup_substring" -> ((s, d) =>
+      // the same Lee et al. signal at FULL resolution via the sorted
+      // suffix-array form: per position, the LCP with its sorted
+      // neighbor = the longest exactly-duplicated substring starting
+      // there (dedup_spans' fixed windows approximate this). Suffixes
+      // sort within leading-2-gram groups — the sharded-suffix-array
+      // layout — so nothing ever compares across a posting boundary.
+      // See DedupOps.suffixDupSpans.
+      DedupOps.suffixDupSpans(t(s, d, "documents"), "doc_id", "text",
+        cap = 24, minSpan = 8)),
 
     "dedup_paragraph" -> ((s, d) => {
       import s.implicits._
@@ -5270,38 +5314,23 @@ object SparkEntry {
       // serve-time classifier (stats_auc's sibling: AUC ranks, ECE
       // audits the probabilities themselves). Shares the exact
       // classifierZ fold with curate_classifier; the binary target is
-      // lang='en' (deterministic stand-in labels). Bins are deciles of
-      // the ROUNDED score (floor on identical IEEE doubles both
-      // engines); per-bin counts are exact integers, conf/acc round at
-      // 6, ECE is the n-weighted gap sum over ≤10 bins.
-      val scored = classifierZ(s, d)
-        .select(col("doc_id"),
-          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"))
-      val lab = t(s, d, "documents")
-        .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"))
-      val bins = scored.join(lab, Seq("doc_id"))
-        .withColumn("bin",
-          least(floor(col("score") * 10).cast("int"), lit(9)))
-        .groupBy("bin")
-        // score is round(·,4) — exact in ten-thousandths, so the bin
-        // sum is an exact BIGINT (no unordered double sum feeds the
-        // hash; r14 sweep), one final division recovers conf
-        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
-          sum(round(col("score") * 10000).cast("long")).as("s4"))
-        .select(col("bin"), col("n"), col("n_pos"),
-          round(col("s4").cast("double") / 10000.0 / col("n"), 6).as("conf"),
-          round(col("n_pos").cast("double") / col("n"), 6).as("acc"))
-        .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
-      // gap is round(·,6) — the n-weighted ECE numerator is an exact
-      // integer in micro-units (decimal: n·gap6 passes 2^63 near 10¹²
-      // docs), one final division + round
-      bins.withColumn("bin", col("bin").cast("long"))
-        .withColumn("ece", round(
-          sum(col("n").cast("decimal(38,0)") *
-            round(col("gap") * 1000000).cast("long"))
-            .over(Window.partitionBy())
-            .cast("double") / 1000000.0 /
-            sum(col("n")).over(Window.partitionBy()), 6))
+      // lang='en' (deterministic stand-in labels). The decile-bin ECE
+      // machinery is the shared calibrationEce helper.
+      calibrationEce(s, d, t(s, d, "documents")
+        .select(col("doc_id"), (col("lang") === "en").cast("int").as("y")))
+    }),
+
+    "curate_calibration" -> ((s, d) => {
+      // the quality classifier CALIBRATED AGAINST THE GOPHER GATE — the
+      // go/no-go audit before a pipeline swaps rule-filtering for
+      // model-filtering: if the model's score deciles don't track the
+      // rule gate's pass rate, thresholding the score reproduces
+      // neither the rules nor anything better. Same decile-bin ECE
+      // machinery as stats_calibration; labels are gopherRules.keep
+      // (both chains are gated elsewhere — this row composes them).
+      calibrationEce(s, d,
+        TextAnalysisOps.gopherRules(t(s, d, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("keep").cast("int").as("y")))
     }),
 
     // corpus-vs-corpus: the whole embeddings table queries itself through
@@ -5509,6 +5538,19 @@ object SparkEntry {
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
           "payload", frameSize = 16, stride = 2)
         .select(col("doc_id"), col("frame_idx"), col("energy"), col("peak"))),
+
+    "mm_frame_energy_stereo" -> ((s, d) =>
+      // multi-channel metering: the payload read as interleaved L/R
+      // samples (the PCM convention) — per-channel energy/peak plus
+      // the exact Σ l·r cross-sum, the stereo-width signal a downmix
+      // gate thresholds. Deinterleave runs inside the codegen kernel;
+      // same frame geometry as mm_frame_energy.
+      MultimodalOps.frameEnergyStereo(
+          t(s, d, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "payload", frameSize = 16, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("energy_l"),
+          col("energy_r"), col("peak_l"), col("peak_r"), col("xsum"))),
 
     "mm_patches" -> ((s, d) =>
       // 2D patch grid over the payload-as-byte-matrix (width 64, 8×8
@@ -9239,6 +9281,31 @@ object SparkEntry {
     s"((xor($u1, $u1 // 65536) * 1372383749) % 4294967296)"
   }
 
+  /** The decile-bin reliability/ECE oracle over [[classifierZSql]]'s
+    * sigmoid score, parameterized by the label relation — mirrors
+    * `calibrationEce`; gates `stats_calibration` (lang labels) and
+    * `curate_calibration` (Gopher-gate labels). */
+  private def calibrationSqlFor(labSql: String): String =
+    s"""$classifierZSql,
+       |scored AS (SELECT doc_id,
+       |   round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 4) AS score FROM z),
+       |lab AS ($labSql),
+       |b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+       |       count(*) AS n, sum(y) AS n_pos,
+       |       sum(CAST(round(score * 10000) AS BIGINT)) AS s4
+       |      FROM scored JOIN lab USING (doc_id) GROUP BY 1),
+       |g AS (SELECT bin, n, n_pos,
+       |       round(CAST(s4 AS DOUBLE) / 10000.0 / n, 6) AS conf,
+       |       round(CAST(n_pos AS DOUBLE) / n, 6) AS acc
+       |      FROM b),
+       |g2 AS (SELECT *, round(abs(acc - conf), 6) AS gap FROM g)
+       |SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos, conf, acc, gap,
+       | round(CAST(sum(CAST(n AS HUGEINT) *
+       |       CAST(round(gap * 1000000) AS BIGINT))
+       |     OVER () AS DOUBLE) / 1000000.0
+       |   / sum(n) OVER (), 6) AS ece
+       |FROM g2""".stripMargin
+
   /** Mirrors `SimilarityOps.planeWeight(p, i-1, 64)` for column `p` and
     * 1-based lambda index `i`. */
   private val planeWeightSql: String =
@@ -9901,6 +9968,57 @@ object SparkEntry {
         |   AS dup_ratio
         |FROM g JOIN n USING (gram)
         |GROUP BY g.doc_id""".stripMargin,
+
+    // the suffix-array replay: same 2-gram-partitioned neighbor sort,
+    // same [go, n] list-state LCP fold (list_reduce wraps elements to
+    // state arity per the t25 rule; generate_series is inclusive)
+    "dedup_substring" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tkn AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0),
+        |sfx AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   tk[i:least(len(tk), i + 23)] AS arr
+        |  FROM tkn, unnest(generate_series(1, len(tk))) AS g(i)),
+        |s2 AS (
+        |  SELECT doc_id, pos, arr,
+        |   array_to_string(arr[1:least(len(arr), 2)], ' ') AS k2,
+        |   array_to_string(arr, ' ') AS s
+        |  FROM sfx),
+        |nb AS (
+        |  SELECT doc_id, pos, arr,
+        |   lag(arr) OVER w AS pa, lead(arr) OVER w AS na
+        |  FROM s2
+        |  WINDOW w AS (PARTITION BY k2 ORDER BY s, doc_id, pos)),
+        |lc AS (
+        |  SELECT doc_id,
+        |   greatest(
+        |    CASE WHEN pa IS NULL THEN 0 ELSE
+        |     list_reduce(list_prepend([1::BIGINT, 0::BIGINT],
+        |       list_transform(generate_series(1, least(len(arr), len(pa))),
+        |        j -> [CASE WHEN arr[j] = pa[j] THEN 1::BIGINT
+        |              ELSE 0::BIGINT END, 0::BIGINT])),
+        |      (ac, x) -> CASE WHEN ac[1] = 1 AND x[1] = 1
+        |        THEN [1::BIGINT, ac[2] + 1]
+        |        ELSE [0::BIGINT, ac[2]] END)[2] END,
+        |    CASE WHEN na IS NULL THEN 0 ELSE
+        |     list_reduce(list_prepend([1::BIGINT, 0::BIGINT],
+        |       list_transform(generate_series(1, least(len(arr), len(na))),
+        |        j -> [CASE WHEN arr[j] = na[j] THEN 1::BIGINT
+        |              ELSE 0::BIGINT END, 0::BIGINT])),
+        |      (ac, x) -> CASE WHEN ac[1] = 1 AND x[1] = 1
+        |        THEN [1::BIGINT, ac[2] + 1]
+        |        ELSE [0::BIGINT, ac[2]] END)[2] END) AS dup_len
+        |  FROM nb)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+        | CAST(max(dup_len) AS BIGINT) AS max_dup_len,
+        | CAST(sum(CASE WHEN dup_len >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_pos,
+        | round(CAST(sum(CASE WHEN dup_len >= 8 THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM lc GROUP BY doc_id""".stripMargin,
 
     // first-wins line election mirrors min(struct(doc_id, idx)); planted
     // docs exercise cross-doc AND within-doc dup lines + the all-lost doc
@@ -14029,25 +14147,15 @@ object SparkEntry {
     // reliability replay: identical z fold → rounded sigmoid → decile
     // bins on the same IEEE doubles; ECE as the n-weighted gap sum
     "stats_calibration" ->
-      s"""$classifierZSql,
-         |scored AS (SELECT doc_id,
-         |   round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 4) AS score FROM z),
-         |lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents),
-         |b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
-         |       count(*) AS n, sum(y) AS n_pos,
-         |       sum(CAST(round(score * 10000) AS BIGINT)) AS s4
-         |      FROM scored JOIN lab USING (doc_id) GROUP BY 1),
-         |g AS (SELECT bin, n, n_pos,
-         |       round(CAST(s4 AS DOUBLE) / 10000.0 / n, 6) AS conf,
-         |       round(CAST(n_pos AS DOUBLE) / n, 6) AS acc
-         |      FROM b),
-         |g2 AS (SELECT *, round(abs(acc - conf), 6) AS gap FROM g)
-         |SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos, conf, acc, gap,
-         | round(CAST(sum(CAST(n AS HUGEINT) *
-         |       CAST(round(gap * 1000000) AS BIGINT))
-         |     OVER () AS DOUBLE) / 1000000.0
-         |   / sum(n) OVER (), 6) AS ece
-         |FROM g2""".stripMargin,
+      calibrationSqlFor(
+        "SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents"),
+
+    // the classifier-vs-Gopher-gate reliability audit: labels come from
+    // the nested gopherSql chain (its CTE names scope inside the
+    // derived table — the ann_recall nesting precedent)
+    "curate_calibration" ->
+      calibrationSqlFor(
+        s"SELECT doc_id, CAST(keep AS INT) AS y FROM ($gopherSql)"),
 
     // last-touch attribution: unique touch per (user, ts) by max
     // event_id, latest touch at-or-before the purchase, 1-day staleness
@@ -14907,6 +15015,43 @@ object SparkEntry {
         |  FROM fr)
         |SELECT doc_id, CAST(off // 32 AS INT) AS frame_idx,
         | energy, CAST(peak AS INT) AS peak
+        |FROM e""".stripMargin,
+
+    // the stereo sibling: the same frame windows deinterleave into odd
+    // (L) / even (R) 1-based positions via generate_series indexing;
+    // single-sample frames fold to 0 on the right channel (an empty
+    // transform leaves only the prepended zero)
+    "mm_frame_energy_stereo" ->
+      """WITH fr AS (
+        |  SELECT doc_id, text, i AS off
+        |  FROM documents, unnest(generate_series(0, strlen(text) - 1, 32)) AS t(i)),
+        |cs AS (
+        |  SELECT doc_id, off,
+        |   list_transform(regexp_split_to_array(substr(text, off + 1, 16), ''),
+        |     c -> unicode(c)::BIGINT) AS v
+        |  FROM fr),
+        |e AS (
+        |  SELECT doc_id, off,
+        |   list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(generate_series(1, (len(v) + 1) // 2),
+        |       j -> v[2 * j - 1] * v[2 * j - 1])), (a, b) -> a + b)
+        |     AS energy_l,
+        |   list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(generate_series(1, len(v) // 2),
+        |       j -> v[2 * j] * v[2 * j])), (a, b) -> a + b) AS energy_r,
+        |   list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(generate_series(1, (len(v) + 1) // 2),
+        |       j -> v[2 * j - 1])), (a, b) -> greatest(a, b)) AS peak_l,
+        |   list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(generate_series(1, len(v) // 2),
+        |       j -> v[2 * j])), (a, b) -> greatest(a, b)) AS peak_r,
+        |   list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(generate_series(1, len(v) // 2),
+        |       j -> v[2 * j - 1] * v[2 * j])), (a, b) -> a + b) AS xsum
+        |  FROM cs)
+        |SELECT doc_id, CAST(off // 32 AS INT) AS frame_idx,
+        | energy_l, energy_r, CAST(peak_l AS INT) AS peak_l,
+        | CAST(peak_r AS INT) AS peak_r, xsum
         |FROM e""".stripMargin,
 
     // sweep line replayed with the same (t, delta) point ordering; all

@@ -586,6 +586,75 @@ object DedupOps {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  /** Suffix-array exact substring dedup — the Lee et al. 2021 signal
+    * at FULL resolution (the fixed-window [[duplicatedSpans]] profile
+    * approximates it): for every token position, the length of the
+    * longest substring starting there that occurs EXACTLY somewhere
+    * else in the corpus (another document or another position of the
+    * same one), capped at `cap` tokens. Per document this yields the
+    * longest duplicated span and how many positions sit inside spans
+    * ≥ `minSpan` — the drop/trim signal exact-dedup pipelines act on.
+    *
+    * This is the suffix-array construction in its sort form,
+    * distributed: each position emits its `cap`-token suffix prefix;
+    * suffixes sort lexicographically WITHIN leading-2-gram groups
+    * (two suffixes sharing ≥ 2 tokens always share the group, so the
+    * suffix-array LCP property — a suffix's longest duplicated prefix
+    * is its LCP with a sorted NEIGHBOR — holds within the group for
+    * every span ≥ 2; spans < minSpan aren't reported anyway), and each
+    * suffix compares against only its two neighbors via a mirrored
+    * ordered fold. Scale shape: shuffle keys are leading 2-grams (a
+    * posting-list discipline — group sizes are 2-gram dfs, hot grams
+    * amenable to the SkewOps cap), rows carry ≤ `cap` tokens instead
+    * of whole documents, and no pair generation ever leaves a group —
+    * the sharded-suffix-array layout production exact-dedup runs at
+    * corpus scale. `cap` bounds the reportable span length (a real
+    * pipeline uses 50-100; the default mirrors the fixture scale). */
+  def suffixDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     cap: Int = 24, minSpan: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TermOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val sfx = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(tk)), i -> slice(tk, i, $cap))"))
+        .as(Seq("p0", "arr")))
+      .select(col("doc_id"), col("p0").cast("long").as("pos"), col("arr"),
+        expr("array_join(slice(arr, 1, 2), ' ')").as("k2"),
+        expr("array_join(arr, ' ')").as("s"))
+    val w = Window.partitionBy(col("k2"))
+      .orderBy(col("s"), col("doc_id"), col("pos"))
+    // token-level LCP with a sorted neighbor: an ordered list-state
+    // fold ([go, n] — the t14 list-state rule) over the element-wise
+    // equality prefix, iterated via slice(sequence(1, cap), 1, m)
+    // (sequence(1, 0) is DESCENDING, the t20 caution)
+    def lcp(b: String): String =
+      s"""CASE WHEN $b IS NULL THEN 0L ELSE
+         | element_at(aggregate(
+         |   transform(slice(sequence(1, $cap), 1,
+         |       least(size(arr), size($b))),
+         |     j -> CASE WHEN element_at(arr, j) = element_at($b, j)
+         |       THEN 1L ELSE 0L END),
+         |   array(1L, 0L),
+         |   (acc, e) -> CASE WHEN element_at(acc, 1) = 1L AND e = 1L
+         |     THEN array(1L, element_at(acc, 2) + 1L)
+         |     ELSE array(0L, element_at(acc, 2)) END), 2) END""".stripMargin
+    sfx
+      .withColumn("pa", lag(col("arr"), 1).over(w))
+      .withColumn("na", lead(col("arr"), 1).over(w))
+      .withColumn("dup_len", greatest(expr(lcp("pa")), expr(lcp("na"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        max(col("dup_len")).as("max_dup_len"),
+        sum(when(col("dup_len") >= minSpan, 1L).otherwise(0L))
+          .as("n_dup_pos"))
+      .select(col("doc_id"), col("n_pos"), col("max_dup_len"),
+        col("n_dup_pos"),
+        round(col("n_dup_pos").cast("double") / col("n_pos"), 4)
+          .as("dup_frac"))
+  }
+
   /** Duplicated-span profile — the exact-substring-dedup signal of
     * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better") at w-token window granularity: a window is duplicated when

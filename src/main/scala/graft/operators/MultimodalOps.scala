@@ -149,6 +149,29 @@ object MultimodalOps {
       .drop("p")
   }
 
+  /** Stereo frame metering over an interleaved 2-channel payload: per
+    * sampled frame, exact integer per-channel energy/peak plus the
+    * inter-channel cross-sum Σ l·r — the stereo-width /
+    * mono-compatibility signal a media pipeline gates on before
+    * downmixing (xsum ≈ √(energy_l·energy_r) ⇒ channels correlated ⇒
+    * mono-safe; ≈ 0 ⇒ wide/decorrelated). Same frame geometry as
+    * [[frameEnergy]]; deinterleave happens inside the codegen kernel
+    * ([[graft.plans.FrameEnergyStereo]]), so pixels/samples never
+    * materialize as rows. */
+  def frameEnergyStereo(df: DataFrame, binCol: String, frameSize: Int,
+                        stride: Int): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(df.sparkSession)
+    df.withColumn("fr",
+        explode(expr(s"frame_energy_stereo(`$binCol`, $frameSize, $stride)")))
+      .withColumn("frame_idx", col("fr.idx"))
+      .withColumn("energy_l", col("fr.energy_l"))
+      .withColumn("energy_r", col("fr.energy_r"))
+      .withColumn("peak_l", col("fr.peak_l"))
+      .withColumn("peak_r", col("fr.peak_r"))
+      .withColumn("xsum", col("fr.xsum"))
+      .drop("fr")
+  }
+
   /** Block-mean RESIZE of the string-as-grayscale payload (width-64
     * codepoint matrix → `grid`×`grid` thumbnail): the downsample verb
     * of the multimodal family as ONE codegen fold per document

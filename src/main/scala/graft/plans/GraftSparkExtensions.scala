@@ -87,6 +87,8 @@ object GraftSparkExtensions {
     ternary("patch_sigs", classOf[PatchSigs], PatchSigs(_, _, _)),
     ternary("frame_energy", classOf[FrameEnergy], FrameEnergy(_, _, _)),
     ternary("block_means", classOf[BlockMeans], BlockMeans(_, _, _)),
+    ternary("frame_energy_stereo", classOf[FrameEnergyStereo],
+      FrameEnergyStereo(_, _, _)),
     // hamming distance composes from built-ins: popcount(a xor b)
     binary("hamming64",
       classOf[org.apache.spark.sql.catalyst.expressions.BitwiseCount],

@@ -365,6 +365,50 @@ object HashKernels {
     new GenericArrayData(frames)
   }
 
+  /** Stereo (interleaved 2-channel) sibling of [[frameEnergyData]]:
+    * the same frame geometry (frames start at off = k·frameSize·stride
+    * and read `frameSize` bytes), but bytes deinterleave inside the
+    * frame — even in-frame positions are channel L, odd are channel R
+    * (the PCM interleave convention). Each sampled frame emits exact
+    * integer per-channel energy (Σ b²) and peak plus the inter-channel
+    * cross-sum Σ l·r over complete pairs — the correlation numerator a
+    * stereo-width / mono-compatibility gate thresholds (all addends
+    * non-negative: 255²·2³¹ < 2⁴⁸ holds per channel and for the
+    * cross-sum alike). null/empty payload → empty array. */
+  def frameEnergyStereoData(bytes: Array[Byte], frameSize: Int,
+                            stride: Int): ArrayData = {
+    if (bytes == null || bytes.length == 0) return EmptyFrames
+    val n = math.max(1, frameSize * stride)
+    val frames = new Array[Any]((bytes.length + n - 1) / n)
+    var f = 0
+    var off = 0
+    while (off < bytes.length) {
+      var el = 0L
+      var er = 0L
+      var pl = 0
+      var pr = 0
+      var xs = 0L
+      var i = off
+      val end = math.min(bytes.length, off + frameSize)
+      while (i < end) {
+        val l = bytes(i) & 0xff
+        el += l.toLong * l
+        if (l > pl) pl = l
+        if (i + 1 < end) {
+          val r = bytes(i + 1) & 0xff
+          er += r.toLong * r
+          if (r > pr) pr = r
+          xs += l.toLong * r
+        }
+        i += 2
+      }
+      frames(f) = InternalRow(off / n, el, er, pl, pr, xs)
+      f += 1
+      off += n
+    }
+    new GenericArrayData(frames)
+  }
+
   /** Per-chunk signatures of a binary payload — the frame-sampling
     * kernel: every `stride`th `frameSize`-byte chunk gets a base-31
     * fold over *unsigned* bytes (same convention as the media stub
@@ -732,6 +776,52 @@ case class FrameEnergy(child: Expression, frameSize: Expression,
   }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): FrameEnergy =
+    copy(child = newChildren(0), frameSize = newChildren(1),
+      stride = newChildren(2))
+}
+
+/** `frame_energy_stereo(bin, frameSize, stride)` — one (idx, energy_l,
+  * energy_r, peak_l, peak_r, xsum) struct per sampled frame of an
+  * interleaved 2-channel payload (see
+  * [[HashKernels.frameEnergyStereoData]]). Native for the
+  * [[FrameEnergy]] reason: a per-byte square-and-sum over media-scale
+  * payloads must stay inside whole-stage codegen. */
+case class FrameEnergyStereo(child: Expression, frameSize: Expression,
+                             stride: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child, frameSize, stride)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("energy_l", LongType, nullable = false),
+      StructField("energy_r", LongType, nullable = false),
+      StructField("peak_l", IntegerType, nullable = false),
+      StructField("peak_r", IntegerType, nullable = false),
+      StructField("xsum", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "frame_energy_stereo"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType
+      if GraftExpressions.nonNullIntLiteral(frameSize) &&
+        GraftExpressions.nonNullIntLiteral(stride) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "frame_energy_stereo requires (binary, non-null int literal, non-null int literal)")
+  }
+  private lazy val frameSizeV = frameSize.eval().asInstanceOf[Int]
+  private lazy val strideV = stride.eval().asInstanceOf[Int]
+  override def eval(input: InternalRow): Any =
+    HashKernels.frameEnergyStereoData(
+      child.eval(input).asInstanceOf[Array[Byte]], frameSizeV, strideV)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nArrayData ${ev.value} = " +
+      code"graft.plans.HashKernels.frameEnergyStereoData(" +
+      code"${c.isNull} ? null : ${c.value}, $frameSizeV, $strideV);",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FrameEnergyStereo =
     copy(child = newChildren(0), frameSize = newChildren(1),
       stride = newChildren(2))
 }

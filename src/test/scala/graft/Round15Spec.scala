@@ -140,6 +140,83 @@ class Round15Spec extends AnyFunSuite {
       }
   }
 
+  // --- round-15 operator pins ---
+
+  test("block_means kernel ≡ the r14 posexplode-per-character chain " +
+    "(mm_resize hash unchanged by the native rewrite)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.table(spark, sf, "documents")
+    val old = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        posexplode(expr(
+          "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
+          .as(Seq("i", "v")))
+      .withColumn("pr", expr(
+        "(CAST(i AS BIGINT) div 64) * 8 div ((len + 63) div 64)"))
+      .withColumn("pc", expr("(CAST(i AS BIGINT) % 64) div 8"))
+      .groupBy("doc_id", "pr", "pc")
+      .agg(count(lit(1)).as("n_pix"), sum(col("v")).as("sv"))
+      .select(col("doc_id"), col("pr"), col("pc"), col("n_pix"),
+        expr("sv div n_pix").as("mean_gray"))
+      .collect().map(_.toString).sorted
+    val neu = operators.MultimodalOps
+      .blockMeanResize(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    assert(old.length == neu.length && old.sameElements(neu),
+      s"block_means diverges from the explode chain " +
+        s"(${old.length} vs ${neu.length} rows)")
+  }
+
+  test("suffixDupSpans finds planted exact spans at full resolution") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 1 and 2 share an exact 10-token run; doc 3 is unique; doc 4
+    // repeats a 9-token run WITHIN itself (within-doc dup counts)
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val innr = (1 to 9).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa bb $span cc"),
+      (2L, s"dd $span ee ff"),
+      (3L, "uu vv ww xx yy zz"),
+      (4L, s"$innr mid $innr")).toDF("doc_id", "text")
+    val out = operators.DedupOps
+      .suffixDupSpans(docs, "doc_id", "text", cap = 24, minSpan = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // docs 1/2: longest duplicated span = the 10 shared tokens;
+    // positions whose dup prefix >= 8 are the first 3 span offsets
+    assert(out(1L) == ((13L, 10L, 3L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((13L, 10L, 3L)), s"doc2: ${out(2L)}")
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L, s"doc3: ${out(3L)}")
+    // doc 4: the repeat is 9 tokens -> lcp 9 at the two run starts,
+    // >= 8 also at the second offsets (lcp 8): 4 qualifying positions
+    assert(out(4L)._2 == 9L && out(4L)._3 == 4L, s"doc4: ${out(4L)}")
+  }
+
+  test("frameEnergyStereoData: deinterleave, ragged tail, empty input") {
+    import graft.plans.HashKernels
+    val a = HashKernels.frameEnergyStereoData(
+      Array[Byte](1, 2, 3), frameSize = 2, stride = 1)
+    assert(a.numElements() == 2)
+    val f0 = a.getStruct(0, 6)
+    assert((f0.getInt(0), f0.getLong(1), f0.getLong(2), f0.getInt(3),
+      f0.getInt(4), f0.getLong(5)) == ((0, 1L, 4L, 1, 2, 2L)))
+    val f1 = a.getStruct(1, 6)
+    assert((f1.getInt(0), f1.getLong(1), f1.getLong(2), f1.getInt(3),
+      f1.getInt(4), f1.getLong(5)) == ((1, 9L, 0L, 3, 0, 0L)))
+    // unsigned byte semantics: -1 reads as 255
+    val b = HashKernels.frameEnergyStereoData(
+      Array[Byte](-1, -1), frameSize = 2, stride = 1)
+    val g0 = b.getStruct(0, 6)
+    assert(g0.getLong(1) == 65025L && g0.getLong(5) == 65025L)
+    assert(HashKernels.frameEnergyStereoData(
+      Array.empty[Byte], 2, 1).numElements() == 0)
+    assert(HashKernels.frameEnergyStereoData(null, 2, 1).numElements() == 0)
+  }
+
   test("libm discovery finds the known exposed families (sweep is " +
     "not vacuously empty)") {
     // (t30_granger is NOT here: its F statistic is closed-form rational
