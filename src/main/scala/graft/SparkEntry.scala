@@ -74,13 +74,21 @@ object SparkEntry {
     * as before. */
   private val pqModels = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
-  private def pqModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    pqModels.computeIfAbsent((s, d), { _ =>
+  private def pqModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val k = (s, d)
+    val hit = pqModels.get(k)
+    if (hit != null) hit
+    else {
+      // same get/build/putIfAbsent discipline as [[sharedFrame]] — no
+      // work inside the CHM update (the nested-computeIfAbsent landmine)
       val emb = t(s, d, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val (books, codes) = SimilarityOps.pqTrain(emb)
-      (books.localCheckpoint(), codes.localCheckpoint())
-    })
+      val v = (books.localCheckpoint(), codes.localCheckpoint())
+      val prev = pqModels.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
 
   /** Per-process shared retrieval legs (same contract as [[pqModel]]:
     * deterministic pure functions of the corpus, eagerly checkpointed,
@@ -93,8 +101,23 @@ object SparkEntry {
   private val sharedFrames = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
   private def sharedFrame(s: SparkSession, d: String, key: String)(
-      build: => DataFrame): DataFrame =
-    sharedFrames.computeIfAbsent((s, d, key), _ => build.localCheckpoint())
+      build: => DataFrame): DataFrame = {
+    val k = (s, d, key)
+    val hit = sharedFrames.get(k)
+    if (hit != null) hit
+    else {
+      // build OUTSIDE the map update: dedupLabels05 nests
+      // jaccardPairs05, and a nested computeIfAbsent on one CHM throws
+      // "Recursive update" whenever the two keys hash to the same bin —
+      // population-order dependent (7 specs tripped it in r15 when new
+      // tests shifted the fill order). A racing duplicate build is
+      // benign: the chains are deterministic, so both values are
+      // value-identical and putIfAbsent keeps exactly one.
+      val v = build.localCheckpoint()
+      val prev = sharedFrames.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
 
   /** BM25 top-20 for the standard (scan, join, merge) query. */
   private def bm25Leg(s: SparkSession, d: String): DataFrame =
@@ -4157,6 +4180,17 @@ object SparkEntry {
         t(s, d, "lineitem").select(col("l_suppkey").as("src"),
           col("l_partkey").as("dst")))),
 
+    "graph_link_predict" -> ((s, d) =>
+      // resource-allocation link prediction between suppliers via
+      // shared parts — the degree-penalized upgrade of graph_node_sim's
+      // raw overlap (a part served by 3 suppliers is stronger evidence
+      // than one served by 60); same shared-dst + hub-cut candidate
+      // discipline, RA = Σ 1/deg(z) as an ordered fold of exact-integer
+      // reciprocals. See GraphOps.linkPredict.
+      GraphOps.linkPredict(
+        t(s, d, "lineitem").select(col("l_suppkey").as("src"),
+          col("l_partkey").as("dst")))),
+
     "graph_hits" -> ((s, d) => {
       // two integer HITS rounds on the supplier→part graph (hub⁰ = 1):
       // auth¹ = in-degree, hub¹ = Σ auth¹ over a supplier's parts,
@@ -5573,6 +5607,29 @@ object SparkEntry {
       MultimodalOps.blockMeanResize(
         t(s, d, "documents"), "doc_id", "text", width = 64, grid = 8)),
 
+    "mm_tone_profile" -> ((s, d) =>
+      // per-image tone profile off the 8×8 thumbnail: dark/mid/bright
+      // zone counts (0-63 / 64-191 / 192-255) + min/max/contrast of the
+      // block means — the exposure histogram a vision-curation pass
+      // buckets or filters by (all-dark and zero-contrast images are
+      // the classic junk classes). Composes the same block_means kernel
+      // as mm_resize, so pixels never leave codegen; ONE aggregation on
+      // doc_id, every output an exact integer.
+      MultimodalOps.blockMeanResize(
+          t(s, d, "documents"), "doc_id", "text", width = 64, grid = 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          min(col("mean_gray")).as("g_min"),
+          max(col("mean_gray")).as("g_max"),
+          sum(when(col("mean_gray") < 64, 1L).otherwise(0L)).as("n_dark"),
+          sum(when(col("mean_gray") >= 64 && col("mean_gray") < 192, 1L)
+            .otherwise(0L)).as("n_mid"),
+          sum(when(col("mean_gray") >= 192, 1L).otherwise(0L))
+            .as("n_bright"))
+        .select(col("doc_id"), col("n_blocks"), col("g_min"), col("g_max"),
+          (col("g_max") - col("g_min")).as("contrast"),
+          col("n_dark"), col("n_mid"), col("n_bright"))),
+
     "mm_phash" -> ((s, d) =>
       // 64-bit average-hash (aHash) perceptual signature over the
       // synthetic grayscale — exact integer cross-multiply bits, pure
@@ -6241,6 +6298,16 @@ object SparkEntry {
       TermOps.maxScoreSearch(t(s, d, "documents"), "doc_id", "text",
         queryTerms = Seq("dup", "scan", "join"), k = 20)),
 
+    "search_lm_dirichlet" -> ((s, d) =>
+      // query-likelihood retrieval with Dirichlet smoothing (µ = 2000)
+      // on the BM25 query — the language-model scorer beside the
+      // probabilistic one; every doc scores (smoothing pays the
+      // background probability for missing terms), the ln argument is
+      // one ratio of exact BIGINTs, ranking on the rounded score.
+      // See TermOps.qlDirichletSearch.
+      TermOps.qlDirichletSearch(t(s, d, "documents"), "doc_id", "text",
+        queryTerms = Seq("scan", "join", "merge"), k = 20)),
+
     "sketch_kmv" -> ((s, d) => {
       // KMV distinct sketch: k=64 exercises the estimator on user_id
       // (distinct count > k), k=256 the exact small-set path is avoided
@@ -6392,6 +6459,16 @@ object SparkEntry {
       // the F17 seam; the learned merge table is the artifact a real
       // pipeline ships to its serving tokenizer. See TermOps.bpeTrain.
       TermOps.bpeTrain(t(s, d, "documents"), "doc_id", "text",
+        rounds = 3)),
+
+    "bpe_apply" -> ((s, d) =>
+      // the SERVING half of bpe_train: apply the freshly learned merge
+      // table to the corpus word table and audit what the vocabulary
+      // buys — pieces per word (fertility) and chars per piece
+      // (compression) over frequency-weighted exact integers. The
+      // train→apply loop a tokenizer team runs before shipping a vocab.
+      // See TermOps.bpeSegment.
+      TermOps.bpeSegment(t(s, d, "documents"), "doc_id", "text",
         rounds = 3)),
 
     "text_fertility" -> ((s, d) => {
@@ -8640,6 +8717,68 @@ object SparkEntry {
   /** The brute-force / IVF / LSH oracle chains as vals: each gates its
     * own query AND feeds the recall harness ([[annRecallSql]]) as a
     * subquery, so both gates replay literally identical SQL. */
+  /** Block-mean resize oracle chain (the per-character pixel replay of
+    * the native block_means kernel, codepoint luminance, integer-mean
+    * cells) — gates `mm_resize` and feeds the tone rollup
+    * (`mm_tone_profile`). */
+  private lazy val blockMeansSql: String =
+    """WITH p AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      |    list_transform(regexp_split_to_array(text, ''),
+      |      c -> CAST(unicode(c) AS BIGINT)) AS px
+      |  FROM documents WHERE length(text) > 0),
+      |g AS (SELECT doc_id, len, unnest(px) AS v,
+      |       CAST(generate_subscripts(px, 1) - 1 AS BIGINT) AS i
+      |      FROM p)
+      |SELECT doc_id, (i // 64) * 8 // ((len + 63) // 64) AS pr,
+      | (i % 64) // 8 AS pc, CAST(count(*) AS BIGINT) AS n_pix,
+      | CAST(sum(v) AS BIGINT) // count(*) AS mean_gray
+      |FROM g GROUP BY 1, 2, 3""".stripMargin
+
+  /** One BPE pair-count + argmax round over word table `sTab` —
+    * emits CTEs `p_tag` (pair counts) and `b_tag` (the argmax merge
+    * under the exact (count DESC, l, r) order). */
+  private def bpePairsFromSql(sTab: String, tag: String): String =
+    s"""p_$tag AS (
+       |  SELECT pr[1] AS l, pr[2] AS r,
+       |   CAST(sum(cnt) AS BIGINT) AS pair_count
+       |  FROM (SELECT unnest(list_transform(
+       |          generate_series(1, len(syms) - 1),
+       |          i -> [syms[i], syms[i + 1]])) AS pr, cnt
+       |        FROM $sTab WHERE len(syms) >= 2)
+       |  GROUP BY 1, 2),
+       |b_$tag AS (SELECT l, r, pair_count FROM p_$tag
+       |           ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1)"""
+      .stripMargin
+
+  /** The greedy left-to-right non-overlapping merge application fold —
+    * emits CTE `outTab` = `inTab` with merge `bTab` applied (mirrors
+    * TermOps.bpeCore's aggregate fold). */
+  private def bpeMergeFromSql(inTab: String, bTab: String,
+                              outTab: String): String =
+    s"""$outTab AS MATERIALIZED (
+       |  SELECT list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+       |          list_transform(syms, x -> [x])),
+       |         (acc, xw) -> CASE WHEN len(acc) > 0
+       |             AND acc[-1] = b.l AND xw[1] = b.r
+       |           THEN list_append(acc[1:len(acc) - 1], b.l || b.r)
+       |           ELSE list_append(acc, xw[1]) END) AS syms, cnt
+       |  FROM $inTab CROSS JOIN $bTab b)""".stripMargin
+
+  /** The 3-round BPE training chain (word table w, merges b_1..b_3,
+    * applied tables s1/s2) — shared verbatim by the `bpe_train` gate
+    * and the `bpe_apply` audit (which extends it with the final
+    * apply). Emits the CTE list WITHOUT the leading WITH. */
+  private lazy val bpeChainSql: String =
+    s"""w AS MATERIALIZED (
+       |  SELECT regexp_split_to_array(term, '') AS syms,
+       |   CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ($tokensSub) WHERE term <> '' GROUP BY term),
+       |${bpePairsFromSql("w", "1")},
+       |${bpeMergeFromSql("w", "b_1", "s1")},
+       |${bpePairsFromSql("s1", "2")},
+       |${bpeMergeFromSql("s1", "b_2", "s2")},
+       |${bpePairsFromSql("s2", "3")}""".stripMargin
+
   /** Patch-signature oracle chain (the 2D patch grid with the base-31
     * fold in HUGEINT, zero-byte corner patches excluded) — gates
     * `mm_patches` and feeds the image near-dup chain (`mm_neardup`). */
@@ -12762,18 +12901,23 @@ object SparkEntry {
 
     // integer-boundary block grid + integer means; // == div on the
     // non-negative codepoint sums
-    "mm_resize" ->
-      """WITH p AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
-        |    list_transform(regexp_split_to_array(text, ''),
-        |      c -> CAST(unicode(c) AS BIGINT)) AS px
-        |  FROM documents WHERE length(text) > 0),
-        |g AS (SELECT doc_id, len, unnest(px) AS v,
-        |       CAST(generate_subscripts(px, 1) - 1 AS BIGINT) AS i
-        |      FROM p)
-        |SELECT doc_id, (i // 64) * 8 // ((len + 63) // 64) AS pr,
-        | (i % 64) // 8 AS pc, CAST(count(*) AS BIGINT) AS n_pix,
-        | CAST(sum(v) AS BIGINT) // count(*) AS mean_gray
-        |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    "mm_resize" -> blockMeansSql,
+
+    // per-doc tone rollup of the same block-mean chain — zone counts
+    // and contrast are exact integers over the ≤64 thumbnail cells
+    "mm_tone_profile" ->
+      s"""WITH bm AS (SELECT * FROM ($blockMeansSql))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         | CAST(min(mean_gray) AS BIGINT) AS g_min,
+         | CAST(max(mean_gray) AS BIGINT) AS g_max,
+         | CAST(max(mean_gray) - min(mean_gray) AS BIGINT) AS contrast,
+         | CAST(coalesce(sum(CASE WHEN mean_gray < 64 THEN 1 END), 0)
+         |   AS BIGINT) AS n_dark,
+         | CAST(coalesce(sum(CASE WHEN mean_gray >= 64 AND mean_gray < 192
+         |   THEN 1 END), 0) AS BIGINT) AS n_mid,
+         | CAST(coalesce(sum(CASE WHEN mean_gray >= 192 THEN 1 END), 0)
+         |   AS BIGINT) AS n_bright
+         |FROM bm GROUP BY doc_id""".stripMargin,
 
     // the aHash bit fold in HUGEINT (disjoint bits: sum == or), wrapped
     // to the signed BIGINT Spark emits — the patchSigSql convention;
@@ -13908,6 +14052,47 @@ object SparkEntry {
     // the unpruned exact chain on the maxscore query terms — pruning
     // must be invisible in the output
     "search_maxscore" -> bm25SqlFor(Seq("dup", "scan", "join")),
+
+    // Dirichlet query-likelihood: the ln argument is one ratio of
+    // exact BIGINTs ((tf·C + µ·cf) / ((dl + µ)·C)), the 3-term sum is
+    // textually ordered, the ranking is on the rounded score (the bm25
+    // convention); unseen terms floor at cf = 1
+    "search_lm_dirichlet" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, tf FROM ($tfSub)
+         |  WHERE term IN ('scan', 'join', 'merge')),
+         |dl AS (
+         |  SELECT doc_id, CAST(len(list_filter(
+         |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))
+         |    AS BIGINT) AS doc_len
+         |  FROM documents),
+         |g AS (SELECT CAST(sum(doc_len) AS BIGINT) AS ctot FROM dl),
+         |cfs AS (SELECT
+         |  greatest(CAST(coalesce(sum(CASE WHEN term = 'scan' THEN tf END),
+         |    0) AS BIGINT), 1) AS cf0,
+         |  greatest(CAST(coalesce(sum(CASE WHEN term = 'join' THEN tf END),
+         |    0) AS BIGINT), 1) AS cf1,
+         |  greatest(CAST(coalesce(sum(CASE WHEN term = 'merge' THEN tf END),
+         |    0) AS BIGINT), 1) AS cf2
+         |  FROM tf),
+         |piv AS (SELECT doc_id,
+         |  CAST(coalesce(sum(CASE WHEN term = 'scan' THEN tf END), 0)
+         |    AS BIGINT) AS tf0,
+         |  CAST(coalesce(sum(CASE WHEN term = 'join' THEN tf END), 0)
+         |    AS BIGINT) AS tf1,
+         |  CAST(coalesce(sum(CASE WHEN term = 'merge' THEN tf END), 0)
+         |    AS BIGINT) AS tf2
+         |  FROM tf GROUP BY doc_id),
+         |s AS (SELECT dl.doc_id,
+         |   ln(CAST(coalesce(tf0, 0) * ctot + 2000 * cf0 AS DOUBLE) /
+         |      CAST((doc_len + 2000) * ctot AS DOUBLE))
+         | + ln(CAST(coalesce(tf1, 0) * ctot + 2000 * cf1 AS DOUBLE) /
+         |      CAST((doc_len + 2000) * ctot AS DOUBLE))
+         | + ln(CAST(coalesce(tf2, 0) * ctot + 2000 * cf2 AS DOUBLE) /
+         |      CAST((doc_len + 2000) * ctot AS DOUBLE)) AS raw
+         |  FROM dl LEFT JOIN piv USING (doc_id) CROSS JOIN g CROSS JOIN cfs)
+         |SELECT doc_id, round(raw, 4) AS score FROM s
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // the KMV estimate is a deterministic function of the key set under
     // the shared hash32, so the sketch itself (not just its input) is
@@ -15218,6 +15403,30 @@ object SparkEntry {
         |FROM com JOIN deg da ON com.src_a = da.src
         |JOIN deg db ON com.src_b = db.src""".stripMargin,
 
+    // resource-allocation link prediction: same shared-dst + hub-cut
+    // candidate chain as graph_node_sim; the RA sum replays as the
+    // identical EXACT integer sum Σ LCM(1..64)/ddf in HUGEINT
+    // (order-free — no float fold anywhere), the top-50 ranks on the
+    // exact numerator, and ra floors at 6 decimals via one integral
+    // divide + one IEEE division on both engines
+    "graph_link_predict" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+         |ddf AS (SELECT dst, count(*) AS ddf FROM e GROUP BY dst),
+         |se AS (SELECT src, e.dst, ddf.ddf FROM e JOIN ddf USING (dst)
+         |       WHERE ddf.ddf <= 64),
+         |com AS (
+         |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common,
+         |   sum(CAST('${GraphOps.raLcm64}' AS HUGEINT) // a.ddf) AS ra_num
+         |  FROM se a JOIN se b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+         | CAST(CAST((ra_num * 1000000) //
+         |     CAST('${GraphOps.raLcm64}' AS HUGEINT) AS BIGINT) AS DOUBLE)
+         |   / 1000000.0::DOUBLE AS ra
+         |FROM com ORDER BY ra_num DESC, src_a ASC, src_b ASC
+         |LIMIT 50""".stripMargin,
+
     // the two integer HITS rounds replayed join-for-join
     "graph_hits" ->
       """WITH e AS (
@@ -15272,42 +15481,30 @@ object SparkEntry {
     // three unrolled greedy merge rounds over the word-frequency
     // table; the merge application is the wrapped-element list_reduce
     // fold (greedy left-to-right, the engine's aggregate() mirrored)
-    "bpe_train" -> {
-      def pairsFrom(sTab: String, tag: String) =
-        s"""p_$tag AS (
-           |  SELECT pr[1] AS l, pr[2] AS r,
-           |   CAST(sum(cnt) AS BIGINT) AS pair_count
-           |  FROM (SELECT unnest(list_transform(
-           |          generate_series(1, len(syms) - 1),
-           |          i -> [syms[i], syms[i + 1]])) AS pr, cnt
-           |        FROM $sTab WHERE len(syms) >= 2)
-           |  GROUP BY 1, 2),
-           |b_$tag AS (SELECT l, r, pair_count FROM p_$tag
-           |           ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1)"""
-          .stripMargin
-      def mergeFrom(inTab: String, bTab: String, outTab: String) =
-        s"""$outTab AS MATERIALIZED (
-           |  SELECT list_reduce(list_prepend(CAST([] AS VARCHAR[]),
-           |          list_transform(syms, x -> [x])),
-           |         (acc, xw) -> CASE WHEN len(acc) > 0
-           |             AND acc[-1] = b.l AND xw[1] = b.r
-           |           THEN list_append(acc[1:len(acc) - 1], b.l || b.r)
-           |           ELSE list_append(acc, xw[1]) END) AS syms, cnt
-           |  FROM $inTab CROSS JOIN $bTab b)""".stripMargin
-      s"""WITH w AS MATERIALIZED (
-         |  SELECT regexp_split_to_array(term, '') AS syms,
-         |   CAST(count(*) AS BIGINT) AS cnt
-         |  FROM ($tokensSub) WHERE term <> '' GROUP BY term),
-         |${pairsFrom("w", "1")},
-         |${mergeFrom("w", "b_1", "s1")},
-         |${pairsFrom("s1", "2")},
-         |${mergeFrom("s1", "b_2", "s2")},
-         |${pairsFrom("s2", "3")}
+    "bpe_train" ->
+      s"""WITH $bpeChainSql
          |SELECT 1 AS round, l AS merge_left, r AS merge_right, pair_count
          |FROM b_1
          |UNION ALL SELECT 2, l, r, pair_count FROM b_2
-         |UNION ALL SELECT 3, l, r, pair_count FROM b_3""".stripMargin
-    },
+         |UNION ALL SELECT 3, l, r, pair_count FROM b_3""".stripMargin,
+
+    // the SAME learned-merge chain, extended by the final apply (s3)
+    // and aggregated: frequency-weighted piece/char totals, two final
+    // divisions — the train→apply audit
+    "bpe_apply" ->
+      s"""WITH $bpeChainSql,
+         |${bpeMergeFromSql("s2", "b_3", "s3")}
+         |SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+         | CAST(count(*) AS BIGINT) AS n_types,
+         | CAST(sum(list_sum(list_transform(syms, x -> length(x))) * cnt)
+         |   AS BIGINT) AS n_chars,
+         | CAST(sum(len(syms) * cnt) AS BIGINT) AS n_pieces,
+         | round(CAST(sum(len(syms) * cnt) AS DOUBLE) /
+         |   CAST(sum(cnt) AS DOUBLE), 4) AS pieces_per_word,
+         | round(CAST(sum(list_sum(list_transform(syms, x -> length(x)))
+         |     * cnt) AS DOUBLE) /
+         |   CAST(sum(len(syms) * cnt) AS DOUBLE), 4) AS chars_per_piece
+         |FROM s3""".stripMargin,
 
     "text_fertility" ->
       """WITH b AS (

@@ -211,6 +211,59 @@ object GraphOps {
           .as("jaccard"))
   }
 
+  /** LCM(1..64) — the exact-arithmetic scale for [[linkPredict]]'s
+    * resource-allocation sum (28 digits; fits DECIMAL(38,0) on the
+    * Spark side and HUGEINT on the oracle side). */
+  private[graft] val raLcm64 = "1182266884102822267511361600"
+
+  /** Link prediction over a bipartite (src → dst) edge relation —
+    * common-neighbor count plus the resource-allocation index
+    * (Zhou, Lü & Zhang, Eur. Phys. J. B 2009): RA(a, b) =
+    * Σ_{z ∈ N(a)∩N(b)} 1/deg(z), the degree-penalized sibling of the
+    * raw common-neighbor score (a dst shared by few nodes is stronger
+    * evidence than one shared by many). RA beats Adamic-Adar's
+    * 1/ln(deg) here for a structural reason too: with the hub cut in
+    * place every deg ∈ [1, maxDf], so 1/deg scales to the EXACT
+    * integer LCM(1..maxDf)/deg and the whole score is an exact
+    * DECIMAL(38,0) sum — order-free, no libm, no float fold at all
+    * (the sum is ≤ n_common·LCM ≈ 10³·10²⁷, inside 38 digits).
+    * The emitted `ra` is the score floored at 6 decimals: one exact
+    * integral divide by LCM/10⁶, then one IEEE division by 10⁶ —
+    * engine-identical by construction.
+    *
+    * Candidate discipline is [[nodeSimilarity]]'s: pairs generate ONLY
+    * through a shared dst (self-join on dst, src_a < src_b), hub dsts
+    * past `maxDf` cut first, so candidate volume is Σ_dst df² over
+    * sub-cap dsts — never node × node.
+    *
+    * Output: top `k` pairs by (exact ra_num DESC, src_a, src_b) with
+    * `minCommon`+ shared dsts — (src_a, src_b, n_common, ra). */
+  def linkPredict(edges: DataFrame, maxDf: Int = 64, minCommon: Int = 2,
+                  k: Int = 50): DataFrame = {
+    require(maxDf == 64, "raLcm64 is the maxDf = 64 constant")
+    val weights = (1 to maxDf).map(dv =>
+      lit((BigInt(raLcm64) / dv).toString).cast("decimal(38,0)"))
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val small = e.join(
+      e.groupBy("dst").agg(count(lit(1)).as("ddf"))
+        .filter(col("ddf") <= maxDf),
+      Seq("dst"))
+    small.as("a")
+      .join(small.as("b"), col("a.dst") === col("b.dst") &&
+        col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(element_at(array(weights: _*), col("a.ddf").cast("int")))
+          .as("ra_num"))
+      .filter(col("n_common") >= minCommon)
+      .orderBy(col("ra_num").desc, col("src_a").asc, col("src_b").asc)
+      .limit(k)
+      .withColumn("_ra_mill",
+        expr(s"(ra_num * 1000000) div CAST('$raLcm64' AS DECIMAL(38,0))"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        (col("_ra_mill").cast("double") / lit(1000000.0d)).as("ra"))
+  }
+
   /** Triangle census over an undirected edge list — (n_edges, n_wedges,
     * n_triangles) in one row. Degree-ordered orientation (Schank &
     * Wagner's node-iterator / Suri & Vassilvitskii's MR formulation):

@@ -27,7 +27,7 @@ object SkewOps {
     // recomputation; exact-duplicate rows sharing a salt skews nothing
     // (they'd land in one reducer under any content-hash scheme).
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)))
     salted.groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial_sum"), count(lit(1)).as("_partial_n"))
       .groupBy(col(key))
@@ -117,7 +117,7 @@ object SkewOps {
     // on task retry. Hashing the full row spreads a hot key's rows
     // across salts exactly as well, and retried tasks reproduce it.
     val sb = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)))
     val ss = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sb.join(ss.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")

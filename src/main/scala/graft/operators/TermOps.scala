@@ -226,6 +226,68 @@ object TermOps {
       .limit(k)
   }
 
+  /** Query-likelihood top-k with Dirichlet smoothing (Zhai & Lafferty,
+    * SIGIR 2001) — the language-model scorer beside [[bm25Search]]'s
+    * probabilistic-IR one: score(q, d) = Σ_t ln((tf_{t,d} + µ·p(t|C)) /
+    * (|d| + µ)). Unlike BM25, smoothing scores EVERY document (a doc
+    * missing a term still pays the background probability), so the
+    * ranking is a single corpus-linear pass, never a candidate build.
+    *
+    * Float discipline: the ln argument is assembled as one ratio of
+    * exact BIGINTs — (tf·C + µ·cf) / ((|d| + µ)·C) — so both engines
+    * divide identical integers and ln identical doubles; the per-doc
+    * score is a fixed-order 3-term sum and the ranking uses the ROUNDED
+    * score with a doc_id tie-break (the [[bm25Search]] convention,
+    * since libm's last ulp is not IEEE-pinned). A term absent from the
+    * whole corpus floors at cf = 1 (the standard drop-or-floor choice
+    * for unseen terms, made deterministic) rather than sending every
+    * score to −∞.
+    *
+    * Scale shape: tf for query terms comes from the same
+    * filter-inside-explode scan as BM25 (only query-term tokens ever
+    * shuffle); corpus stats (C, per-term cf) are one broadcast row; the
+    * all-docs scoring is a map over the doc-length scan and the top-k
+    * is TakeOrderedAndProject. */
+  def qlDirichletSearch(docs: DataFrame, idCol: String, textCol: String,
+                        queryTerms: Seq[String], k: Int,
+                        mu: Long = 2000L): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = tokens(col(textCol))
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        explode(filter(toks, t => t.isin(queryTerms: _*))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tfCols = queryTerms.zipWithIndex.map { case (qt, i) =>
+      coalesce(sum(when(col("term") === qt, col("tf"))), lit(0L))
+        .as(s"_tf$i")
+    }
+    // matching docs only (tiny vs corpus); checkpointed because BOTH the
+    // cf stats and the scoring join read it — the two-consumer rule
+    val perDoc = postings.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+      .localCheckpoint()
+    // one broadcast row: total corpus tokens + per-query-term cf floors
+    // (cf = column sums of the pivot — no second corpus pass)
+    val cfCols = queryTerms.indices.map { i =>
+      greatest(coalesce(sum(col(s"_tf$i")), lit(0L)), lit(1L)).as(s"_cf$i")
+    }
+    val stats = perDoc.agg(cfCols.head, cfCols.tail: _*)
+      .crossJoin(docs.agg(
+        sum(size(tokens(col(textCol)))).cast("long").as("_ctot")))
+    val scored = docs
+      .select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("doc_len"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats))
+    val score = queryTerms.indices.map { i =>
+      log((coalesce(col(s"_tf$i"), lit(0L)) * col("_ctot") +
+        lit(mu) * col(s"_cf$i")).cast("double") /
+        ((col("doc_len") + lit(mu)) * col("_ctot")).cast("double"))
+    }.reduceLeft(_ + _)
+    scored.select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** MaxScore-pruned BM25 top-k (Turtle & Flood 1995): byte-identical
     * output to [[bm25Search]], but only a provably-sufficient candidate
     * subset is ever scored exactly. Per-term score upper bound is the
@@ -458,7 +520,16 @@ object TermOps {
     * one O(vocab·avg_len) pair explode + aggregation and one broadcast
     * (1-row) merge map — no round ever touches the corpus again. */
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
-               rounds: Int): DataFrame = {
+               rounds: Int): DataFrame =
+    bpeCore(docs, idCol, textCol, rounds, applyLast = false)._1
+
+  /** Shared train loop behind [[bpeTrain]] and [[bpeSegment]] — returns
+    * (merge table, word table after the applied merges). `applyLast`
+    * controls whether the final round's merge is applied to the word
+    * table (training alone never needs it; segmentation does). */
+  private def bpeCore(docs: DataFrame, idCol: String, textCol: String,
+                      rounds: Int, applyLast: Boolean)
+      : (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 8,
       s"rounds must be in [1, 8], got $rounds")
     var terms = docs
@@ -486,7 +557,7 @@ object TermOps {
         .limit(1).localCheckpoint(false)
       merges += best.select(lit(r).as("round"), col("l").as("merge_left"),
         col("r").as("merge_right"), col("pair_count"))
-      if (r < rounds) {
+      if (r < rounds || applyLast) {
         terms = terms
           .crossJoin(broadcast(best.select(col("l").as("_ml"),
             col("r").as("_mr"))))
@@ -501,6 +572,39 @@ object TermOps {
           .localCheckpoint(false)
       }
     }
-    merges.reduce(_ unionByName _)
+    (merges.reduce(_ unionByName _), terms)
+  }
+
+  /** BPE segmentation audit with the freshly trained merge table — the
+    * SERVING half of [[bpeTrain]]: apply the learned merges to the
+    * corpus word table (train → apply in one operator, the loop a
+    * tokenizer team runs before shipping a vocab) and report what the
+    * vocabulary buys: pieces per word (fertility) and characters per
+    * piece (compression) over exact integer totals. Word INSTANCES are
+    * weighted by frequency (the `cnt` column), so the numbers are
+    * corpus-level, not type-level.
+    *
+    * One row: (n_words, n_types, n_chars, n_pieces, pieces_per_word,
+    * chars_per_piece) — everything integer until the two final
+    * divisions. Scale shape is [[bpeTrain]]'s: the corpus shuffles once
+    * into the O(vocab) word table; every merge round and this audit
+    * fold run on word types only. */
+  def bpeSegment(docs: DataFrame, idCol: String, textCol: String,
+                 rounds: Int): DataFrame = {
+    val (_, words) = bpeCore(docs, idCol, textCol, rounds, applyLast = true)
+    words
+      .select(col("cnt"), size(col("syms")).cast("long").as("n_sym"),
+        aggregate(transform(col("syms"), x => length(x).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_chr"))
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        sum(col("n_chr") * col("cnt")).as("n_chars"),
+        sum(col("n_sym") * col("cnt")).as("n_pieces"))
+      .select(col("n_words"), col("n_types"), col("n_chars"),
+        col("n_pieces"),
+        round(col("n_pieces").cast("double") /
+          col("n_words").cast("double"), 4).as("pieces_per_word"),
+        round(col("n_chars").cast("double") /
+          col("n_pieces").cast("double"), 4).as("chars_per_piece"))
   }
 }

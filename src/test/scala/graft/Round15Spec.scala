@@ -217,6 +217,79 @@ class Round15Spec extends AnyFunSuite {
     assert(HashKernels.frameEnergyStereoData(null, 2, 1).numElements() == 0)
   }
 
+  test("linkPredict: exact RA arithmetic on a planted bipartite graph") {
+    import spark.implicits._
+    // dsts: d1 shared by {1,2} (ddf 2), d2 shared by {1,2,3} (ddf 3),
+    // d3 only node 3, d4 shared by {2,3} (ddf 2)
+    val edges = Seq(
+      (1L, 101L), (2L, 101L),
+      (1L, 102L), (2L, 102L), (3L, 102L),
+      (3L, 103L),
+      (2L, 104L), (3L, 104L)).toDF("src", "dst")
+    val out = operators.GraphOps.linkPredict(edges, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // (1,2): shares d1 (ddf 2) + d2 (ddf 3) -> RA = 1/2 + 1/3 =
+    // 0.8333...; floored at 6 decimals = 0.833333
+    assert(out((1L, 2L)) == ((2L, 0.833333)), s"(1,2): ${out((1L, 2L))}")
+    // (2,3): d2 (ddf 3) + d4 (ddf 2) -> same RA; (1,3): d2 only -> 1/3
+    assert(out((2L, 3L)) == ((2L, 0.833333)))
+    assert(out((1L, 3L)) == ((1L, 0.333333)))
+  }
+
+  test("qlDirichletSearch: smoothing scores every doc; term hits " +
+    "dominate the background") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "scan scan join merge extra words here"),
+      (2L, "scan other text padding padding padding padding"),
+      (3L, "totally unrelated words none match at all")).toDF("id", "txt")
+    val out = operators.TermOps
+      .qlDirichletSearch(docs, "id", "txt",
+        Seq("scan", "join", "merge"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // every doc scores (k = 10 > corpus size -> all 3 rows)
+    assert(out.length == 3, s"expected all docs scored: ${out.toSeq}")
+    // ranking: doc 1 (all three terms) > doc 2 (one term) > doc 3
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), s"order: ${out.toSeq}")
+    // scores are log-probabilities: strictly negative
+    assert(out.forall(_._2 < 0.0))
+  }
+
+  test("bpeSegment: merges preserve chars and shrink pieces by " +
+    "exactly the applied-merge count") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab cd cd")).toDF("i", "t")
+    // word table: abab x3, cd x3. Round 1 best pair: (a,b) count 6
+    // -> ab ab / cd; round 2: (ab,ab) count 3 -> abab; round 3 best of
+    // remaining pairs: (c,d) count 3
+    val seg = operators.TermOps.bpeSegment(docs, "i", "t", rounds = 3)
+      .collect().head
+    val (nw, nt, nc, np) = (seg.getLong(0), seg.getLong(1),
+      seg.getLong(2), seg.getLong(3))
+    assert(nw == 6L && nt == 2L, s"words/types: $nw/$nt")
+    // chars invariant under merging: 3*4 + 3*2 = 18
+    assert(nc == 18L, s"chars: $nc")
+    // after (a,b), (ab,ab), (c,d): abab -> 1 piece, cd -> 1 piece
+    assert(np == 6L, s"pieces: $np")
+    assert(seg.getDouble(4) == 1.0 && seg.getDouble(5) == 3.0)
+  }
+
+  test("mm_tone_profile: zone counts partition the blocks and contrast " +
+    "is non-negative (corpus invariant, sf0.001)") {
+    val rows = SparkEntry.queries("mm_tone_profile")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, gmin, gmax, con, nd, nm, nbr) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))
+      assert(nd + nm + nbr == nb, s"zones don't partition: $r")
+      assert(con == gmax - gmin && con >= 0L, s"contrast: $r")
+      assert(gmin >= 0L && gmax <= 255L, s"gray range: $r")
+    }
+  }
+
   test("libm discovery finds the known exposed families (sweep is " +
     "not vacuously empty)") {
     // (t30_granger is NOT here: its F statistic is closed-form rational

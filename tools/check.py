@@ -16,6 +16,10 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# one shared reader for the Spark-result parquet reads: a fresh
+# connection per query leaks its buffer manager for the whole run and
+# starves the oracle connection on big-SF sweeps
+reader = duckdb.connect()
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -42,7 +46,7 @@ for name in sorted(dirs | set(oracle)):
         print(f"MISSING-OUT  {name}")
         fail += 1
         continue
-    spark_df = duckdb.connect().execute(
+    spark_df = reader.execute(
         f"SELECT * FROM parquet_scan({files!r})").df()
     if name not in oracle:
         print(f"NO-ORACLE    {name:24s} rows={len(spark_df)}")
