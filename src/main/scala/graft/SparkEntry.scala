@@ -15405,10 +15405,10 @@ object SparkEntry {
 
     // resource-allocation link prediction: same shared-dst + hub-cut
     // candidate chain as graph_node_sim; the RA sum replays as the
-    // identical EXACT integer sum Σ LCM(1..64)/ddf in HUGEINT
-    // (order-free — no float fold anywhere), the top-50 ranks on the
-    // exact numerator, and ra floors at 6 decimals via one integral
-    // divide + one IEEE division on both engines
+    // identical exact fixed-point integer sum Σ ⌊10¹²/ddf⌋ (order-free
+    // — no float fold anywhere), the top-50 ranks on the exact
+    // numerator, and ra floors at 6 decimals via one integral divide +
+    // one IEEE division on both engines
     "graph_link_predict" ->
       s"""WITH e AS (
          |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
@@ -15417,12 +15417,11 @@ object SparkEntry {
          |       WHERE ddf.ddf <= 64),
          |com AS (
          |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common,
-         |   sum(CAST('${GraphOps.raLcm64}' AS HUGEINT) // a.ddf) AS ra_num
+         |   CAST(sum(${GraphOps.raScale} // a.ddf) AS BIGINT) AS ra_num
          |  FROM se a JOIN se b ON a.dst = b.dst AND a.src < b.src
          |  GROUP BY 1, 2 HAVING count(*) >= 2)
          |SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
-         | CAST(CAST((ra_num * 1000000) //
-         |     CAST('${GraphOps.raLcm64}' AS HUGEINT) AS BIGINT) AS DOUBLE)
+         | CAST(ra_num // ${GraphOps.raScale / 1000000L} AS DOUBLE)
          |   / 1000000.0::DOUBLE AS ra
          |FROM com ORDER BY ra_num DESC, src_a ASC, src_b ASC
          |LIMIT 50""".stripMargin,

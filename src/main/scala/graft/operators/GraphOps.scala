@@ -211,10 +211,17 @@ object GraphOps {
           .as("jaccard"))
   }
 
-  /** LCM(1..64) — the exact-arithmetic scale for [[linkPredict]]'s
-    * resource-allocation sum (28 digits; fits DECIMAL(38,0) on the
-    * Spark side and HUGEINT on the oracle side). */
-  private[graft] val raLcm64 = "1182266884102822267511361600"
+  /** Fixed-point scale for [[linkPredict]]'s resource-allocation sum:
+    * each 1/deg term is the exact integer ⌊10¹²/deg⌋, so the per-pair
+    * sum stays in BIGINT (headroom: overflow needs n_common > 9.2·10⁶
+    * shared neighbors on one pair — far past any real candidate set;
+    * an LCM(1..64)-scaled DECIMAL(38,0) variant was exact to the last
+    * rational digit but its decimal HashAggregate over the ~sum-df²
+    * candidate rows cost 2.5× the whole long-arithmetic query). Both
+    * engines compute the identical integral divides, so parity is
+    * bit-exact by construction; the quantization (< 10⁻¹² relative per
+    * term) is invisible at the emitted 6-decimal floor. */
+  private[graft] val raScale = 1000000000000L
 
   /** Link prediction over a bipartite (src → dst) edge relation —
     * common-neighbor count plus the resource-allocation index
@@ -222,13 +229,11 @@ object GraphOps {
     * Σ_{z ∈ N(a)∩N(b)} 1/deg(z), the degree-penalized sibling of the
     * raw common-neighbor score (a dst shared by few nodes is stronger
     * evidence than one shared by many). RA beats Adamic-Adar's
-    * 1/ln(deg) here for a structural reason too: with the hub cut in
-    * place every deg ∈ [1, maxDf], so 1/deg scales to the EXACT
-    * integer LCM(1..maxDf)/deg and the whole score is an exact
-    * DECIMAL(38,0) sum — order-free, no libm, no float fold at all
-    * (the sum is ≤ n_common·LCM ≈ 10³·10²⁷, inside 38 digits).
-    * The emitted `ra` is the score floored at 6 decimals: one exact
-    * integral divide by LCM/10⁶, then one IEEE division by 10⁶ —
+    * 1/ln(deg) here for a structural reason too: 1/deg runs as the
+    * exact fixed-point integer ⌊[[raScale]]/deg⌋, so the whole score
+    * is a plain BIGINT sum — order-free, partial-aggregatable, no
+    * libm, no float fold at all. The emitted `ra` floors the score at
+    * 6 decimals: one integral divide, then one IEEE division by 10⁶ —
     * engine-identical by construction.
     *
     * Candidate discipline is [[nodeSimilarity]]'s: pairs generate ONLY
@@ -240,9 +245,6 @@ object GraphOps {
     * `minCommon`+ shared dsts — (src_a, src_b, n_common, ra). */
   def linkPredict(edges: DataFrame, maxDf: Int = 64, minCommon: Int = 2,
                   k: Int = 50): DataFrame = {
-    require(maxDf == 64, "raLcm64 is the maxDf = 64 constant")
-    val weights = (1 to maxDf).map(dv =>
-      lit((BigInt(raLcm64) / dv).toString).cast("decimal(38,0)"))
     val e = edges.select(col("src"), col("dst")).distinct()
     val small = e.join(
       e.groupBy("dst").agg(count(lit(1)).as("ddf"))
@@ -253,15 +255,13 @@ object GraphOps {
         col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
       .agg(count(lit(1)).as("n_common"),
-        sum(element_at(array(weights: _*), col("a.ddf").cast("int")))
-          .as("ra_num"))
+        sum(expr(s"$raScale div a.ddf")).as("ra_num"))
       .filter(col("n_common") >= minCommon)
       .orderBy(col("ra_num").desc, col("src_a").asc, col("src_b").asc)
       .limit(k)
-      .withColumn("_ra_mill",
-        expr(s"(ra_num * 1000000) div CAST('$raLcm64' AS DECIMAL(38,0))"))
       .select(col("src_a"), col("src_b"), col("n_common"),
-        (col("_ra_mill").cast("double") / lit(1000000.0d)).as("ra"))
+        (expr(s"ra_num div ${raScale / 1000000L}").cast("double") /
+          lit(1000000.0d)).as("ra"))
   }
 
   /** Triangle census over an undirected edge list — (n_edges, n_wedges,
