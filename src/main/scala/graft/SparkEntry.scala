@@ -10108,9 +10108,11 @@ object SparkEntry {
         |FROM g JOIN n USING (gram)
         |GROUP BY g.doc_id""".stripMargin,
 
-    // the suffix-array replay: same 2-gram-partitioned neighbor sort,
-    // same [go, n] list-state LCP fold (list_reduce wraps elements to
-    // state arity per the t25 rule; generate_series is inclusive)
+    // the suffix-array replay: same 4-gram-partitioned neighbor sort
+    // (element-wise on the token list — VARCHAR[] and array<string>
+    // order identically: byte-wise element compare, shorter-prefix
+    // first), same [go, n] list-state LCP fold (list_reduce wraps
+    // elements to state arity per the t25 rule)
     "dedup_substring" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
@@ -10123,14 +10125,13 @@ object SparkEntry {
         |  FROM tkn, unnest(generate_series(1, len(tk))) AS g(i)),
         |s2 AS (
         |  SELECT doc_id, pos, arr,
-        |   array_to_string(arr[1:least(len(arr), 2)], ' ') AS k2,
-        |   array_to_string(arr, ' ') AS s
+        |   array_to_string(arr[1:least(len(arr), 4)], ' ') AS gkey
         |  FROM sfx),
         |nb AS (
         |  SELECT doc_id, pos, arr,
         |   lag(arr) OVER w AS pa, lead(arr) OVER w AS na
         |  FROM s2
-        |  WINDOW w AS (PARTITION BY k2 ORDER BY s, doc_id, pos)),
+        |  WINDOW w AS (PARTITION BY gkey ORDER BY arr, doc_id, pos)),
         |lc AS (
         |  SELECT doc_id,
         |   greatest(

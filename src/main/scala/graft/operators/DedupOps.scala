@@ -597,22 +597,32 @@ object DedupOps {
     *
     * This is the suffix-array construction in its sort form,
     * distributed: each position emits its `cap`-token suffix prefix;
-    * suffixes sort lexicographically WITHIN leading-2-gram groups
-    * (two suffixes sharing ≥ 2 tokens always share the group, so the
-    * suffix-array LCP property — a suffix's longest duplicated prefix
-    * is its LCP with a sorted NEIGHBOR — holds within the group for
-    * every span ≥ 2; spans < minSpan aren't reported anyway), and each
-    * suffix compares against only its two neighbors via a mirrored
-    * ordered fold. Scale shape: shuffle keys are leading 2-grams (a
-    * posting-list discipline — group sizes are 2-gram dfs, hot grams
-    * amenable to the SkewOps cap), rows carry ≤ `cap` tokens instead
-    * of whole documents, and no pair generation ever leaves a group —
-    * the sharded-suffix-array layout production exact-dedup runs at
+    * suffixes sort lexicographically (element-wise on the token array
+    * — no joined sort string ever shuffles) WITHIN leading-`shard`-gram
+    * groups: two suffixes sharing ≥ `shard` tokens always share the
+    * group, so the suffix-array LCP property — a suffix's longest
+    * duplicated prefix is its LCP with a sorted NEIGHBOR — holds
+    * within the group for every span ≥ `shard`, and `minSpan ≥ shard`
+    * (enforced) makes the sharding lossless for everything the
+    * operator reports (`max_dup_len` below `shard` may under-read;
+    * spans that short are noise for exact dedup). Each suffix compares
+    * against only its two neighbors via a mirrored ordered fold.
+    *
+    * Scale shape: shuffle keys are leading `shard`-grams (a
+    * posting-list discipline — group sizes are `shard`-gram dfs, far
+    * smaller and flatter than 2-gram dfs; hot grams amenable to the
+    * SkewOps cap), rows carry ≤ `cap` tokens instead of whole
+    * documents, and no pair generation ever leaves a group — the
+    * sharded-suffix-array layout production exact-dedup runs at
     * corpus scale. `cap` bounds the reportable span length (a real
     * pipeline uses 50-100; the default mirrors the fixture scale). */
   def suffixDupSpans(docs: DataFrame, idCol: String, textCol: String,
-                     cap: Int = 24, minSpan: Int = 8): DataFrame = {
+                     cap: Int = 24, minSpan: Int = 8,
+                     shard: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(minSpan >= shard,
+      s"minSpan ($minSpan) must be >= the shard gram width ($shard) " +
+        "or reported spans could cross a posting boundary")
     val toks = docs.select(col(idCol).as("doc_id"),
         TermOps.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) > 0)
@@ -621,10 +631,9 @@ object DedupOps {
         s"transform(sequence(1, size(tk)), i -> slice(tk, i, $cap))"))
         .as(Seq("p0", "arr")))
       .select(col("doc_id"), col("p0").cast("long").as("pos"), col("arr"),
-        expr("array_join(slice(arr, 1, 2), ' ')").as("k2"),
-        expr("array_join(arr, ' ')").as("s"))
-    val w = Window.partitionBy(col("k2"))
-      .orderBy(col("s"), col("doc_id"), col("pos"))
+        expr(s"array_join(slice(arr, 1, $shard), ' ')").as("gkey"))
+    val w = Window.partitionBy(col("gkey"))
+      .orderBy(col("arr"), col("doc_id"), col("pos"))
     // token-level LCP with a sorted neighbor: an ordered list-state
     // fold ([go, n] — the t14 list-state rule) over the element-wise
     // equality prefix, iterated via slice(sequence(1, cap), 1, m)
