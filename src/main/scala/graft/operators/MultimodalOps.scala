@@ -274,27 +274,18 @@ object MultimodalOps {
     * two surrogate units on the Spark side only. Real image bytes
     * (the production input) are unaffected — they enter as unsigned
     * byte values. */
-  def avgHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def avgHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    // one codegen fold per doc (graft.plans.AHash64) — bit-identical to
+    // the r13 HOF aggregate chain (Round15Spec pins it) at ~1/17 the
+    // per-byte cost: no per-char array ever materializes
     docs
       .select(col(idCol), col(textCol).as("__t"))
       .filter(length(col("__t")) > 0)
-      .withColumn("cs",
-        expr("transform(split(__t, ''), c -> CAST(ascii(c) AS BIGINT))"))
-      .withColumn("len", size(col("cs")).cast("long"))
-      .withColumn("stot", expr("aggregate(cs, 0L, (a, x) -> a + x)"))
-      .withColumn("phash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          | acc | CASE WHEN
-          |  aggregate(slice(cs,
-          |    CAST(CAST(b AS BIGINT) * len div 64 AS INT) + 1,
-          |    CAST(CAST(b + 1 AS BIGINT) * len div 64 -
-          |         CAST(b AS BIGINT) * len div 64 AS INT)),
-          |   0L, (a, x) -> a + x) * len >
-          |  stot * (CAST(b + 1 AS BIGINT) * len div 64 -
-          |          CAST(b AS BIGINT) * len div 64)
-          | THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)"""
-          .stripMargin))
-      .select(col(idCol), col("len").as("n_pix"), col("phash"))
+      .withColumn("h", expr("ahash64(__t)"))
+      .select(col(idCol), col("h.n_pix").as("n_pix"),
+        col("h.phash").as("phash"))
+  }
 
   /** Banded hamming near-dup join over [[avgHash64]] signatures: the
     * 64-bit hash splits into four 16-bit bands; a pair is a candidate

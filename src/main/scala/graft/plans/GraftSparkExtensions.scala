@@ -73,6 +73,7 @@ object GraftSparkExtensions {
     unary("normalize_title", classOf[NormalizeTitle], NormalizeTitle),
     unary("freebase_encode", classOf[FreebaseEncode], FreebaseEncode),
     unary("rolling_fingerprint", classOf[RollingFingerprint], RollingFingerprint),
+    unary("ahash64", classOf[AHash64], AHash64),
     unary("extract_domain", classOf[ExtractDomain], ExtractDomain),
     binary("seeded_hash", classOf[SeededHash], SeededHash),
     binary("sorted_intersect_count", classOf[SortedIntersectCount],

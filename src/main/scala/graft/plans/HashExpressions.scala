@@ -269,6 +269,58 @@ object HashKernels {
       out.asInstanceOf[Array[AnyRef]], k))
   }
 
+  /** 64-bit average-hash (aHash) of a string-as-grayscale payload —
+    * the `mm_phash` chain as ONE codegen fold: the codepoint stream
+    * splits into 64 integer-boundary linear blocks (block b spans
+    * codepoints ⌊b·len/64⌋ until ⌊(b+1)·len/64⌋), bit b sets iff the
+    * block's mean exceeds the global mean via the exact integer
+    * cross-multiply `blocksum·len > total·blocksize` — bit-identical
+    * to the HOF aggregate chain it replaces (Round15Spec pins it),
+    * ~17× cheaper per byte (no per-char array materialization).
+    * Returns (n_pix, phash); empty/null input → (0, 0) (callers
+    * filter empties, matching the HOF chain's length>0 guard).
+    * Same BMP parity contract as [[blockMeansData]]. */
+  def aHash64Data(s: UTF8String): InternalRow = {
+    if (s == null) return InternalRow(0L, 0L)
+    val bytes = s.getBytes
+    if (bytes.length == 0) return InternalRow(0L, 0L)
+    val len = s.numChars().toLong
+    val bsum = new Array[Long](64)
+    var stot = 0L
+    var bi = 0
+    var i = 0L
+    while (bi < bytes.length) {
+      val b0 = bytes(bi) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; bi += 1 }
+      else if ((b0 & 0xe0) == 0xc0) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(bi + 1) & 0x3f); bi += 2
+      } else if ((b0 & 0xf0) == 0xe0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(bi + 1) & 0x3f) << 6) |
+          (bytes(bi + 2) & 0x3f)
+        bi += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3f) << 12) |
+          ((bytes(bi + 2) & 0x3f) << 6) | (bytes(bi + 3) & 0x3f)
+        bi += 4
+      }
+      // block of codepoint i under boundaries ⌊b·len/64⌋:
+      // b = ((i+1)·64 − 1) div len (the standard partition inverse)
+      val blk = (((i + 1L) * 64L - 1L) / len).toInt
+      bsum(blk) += cp
+      stot += cp
+      i += 1L
+    }
+    var phash = 0L
+    var b = 0
+    while (b < 64) {
+      val sz = ((b + 1L) * len / 64L) - (b.toLong * len / 64L)
+      if (bsum(b) * len > stot * sz) phash |= (1L << b)
+      b += 1
+    }
+    InternalRow(len, phash)
+  }
+
   /** Block-mean RESIZE of a string-as-grayscale payload (the
     * `mm_resize` kernel): the codepoint stream reads as a row-major
     * `width`-column matrix, every pixel lands in the integer-boundary
@@ -913,6 +965,31 @@ case class BlockMeans(child: Expression, width: Expression,
       newChildren: IndexedSeq[Expression]): BlockMeans =
     copy(child = newChildren(0), width = newChildren(1),
       grid = newChildren(2))
+}
+
+/** `ahash64(text)` — (n_pix, phash) aHash struct in one codegen fold
+  * (see [[HashKernels.aHash64Data]]); empty/null → (0, 0), never null. */
+case class AHash64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "ahash64"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pix", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ahash64 requires string, got ${other.catalogString}")
+  }
+  override def eval(input: InternalRow): Any =
+    HashKernels.aHash64Data(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"${c.code}\nInternalRow ${ev.value} = " +
+      code"graft.plans.HashKernels.aHash64Data(${c.isNull} ? null : ${c.value});",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): AHash64 =
+    copy(child = newChild)
 }
 
 /** `normalize_title(s)` — wikistats title normalization (null-safe). */

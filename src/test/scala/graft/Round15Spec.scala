@@ -290,6 +290,44 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("ahash64 kernel ≡ the r13 HOF aggregate chain (mm_phash bits " +
+    "unchanged by the native rewrite)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // the planted-variant union exercises the suffix-edit paths too
+    val base = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = base.unionByName(base.filter(col("doc_id") % 53 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text")))
+    val old = docs
+      .select(col("doc_id"), col("text").as("__t"))
+      .filter(length(col("__t")) > 0)
+      .withColumn("cs",
+        expr("transform(split(__t, ''), c -> CAST(ascii(c) AS BIGINT))"))
+      .withColumn("len", size(col("cs")).cast("long"))
+      .withColumn("stot", expr("aggregate(cs, 0L, (a, x) -> a + x)"))
+      .withColumn("phash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          | acc | CASE WHEN
+          |  aggregate(slice(cs,
+          |    CAST(CAST(b AS BIGINT) * len div 64 AS INT) + 1,
+          |    CAST(CAST(b + 1 AS BIGINT) * len div 64 -
+          |         CAST(b AS BIGINT) * len div 64 AS INT)),
+          |   0L, (a, x) -> a + x) * len >
+          |  stot * (CAST(b + 1 AS BIGINT) * len div 64 -
+          |          CAST(b AS BIGINT) * len div 64)
+          | THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)"""
+          .stripMargin))
+      .select(col("doc_id"), col("len").as("n_pix"), col("phash"))
+      .collect().map(_.toString).sorted
+    val neu = operators.MultimodalOps.avgHash64(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    assert(old.length == neu.length && old.sameElements(neu),
+      s"ahash64 diverges from the HOF chain (${old.length} vs " +
+        s"${neu.length} rows)")
+  }
+
   test("libm discovery finds the known exposed families (sweep is " +
     "not vacuously empty)") {
     // (t30_granger is NOT here: its F statistic is closed-form rational
