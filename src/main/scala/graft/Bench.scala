@@ -2,6 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // reclaim scratch debris from dead runs BEFORE timing anything —
+    // accumulated stale temp dirs inflated past records ~30% (r15)
+    Scratch.sweepStale()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   *    expected copy-vs-original cosine at ~0.93 — below the 0.99
   *    near-dup threshold, so embedding-dedup candidate counts reflect
   *    the algorithm, not planted replicas — while keeping vectors in
-  *    the same magnitude envelope (cell/bucket occupancy comparable).
+  *    the same magnitude envelope (cell/bucket occupancy comparable);
+  *  - TPC-H-shape facts (customer/supplier/part/orders/lineitem): 10
+  *    disjoint isomorphic copies via the chain-bijective key map
+  *    k·10 + copy applied to every key AND foreign key (join
+  *    fan-outs copy-exact); nation/region dims stay fixed.
   *
   * `runMain graft.ScaleData [outDir]` (default /tmp/graft-sf1).
   */
@@ -88,12 +92,35 @@ object ScaleData {
       .select("vec_id", "embedding", "label")
     embs.repartition(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // small relational tables ride along unchanged so every query resolves
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-      .foreach { t =>
-        spark.read.parquet(s"$src/$t.parquet")
-          .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      }
+    // TPC-H-shape tables replicate too (r16: graph/join anchors need
+    // ×N datapoints — they were excluded from the r15 sweep because
+    // these tables rode along fixed). Key transform is k·10 + copy:
+    // BIJECTIVE under chaining (gen-2 key = k·100 + c1·10 + c2),
+    // unlike the additive document shift, so replicated keys never
+    // collide; every foreign key applies the same transform, so the
+    // join graph becomes 10 disjoint isomorphic copies of the
+    // original sharing the nation/region dims — per-key densities and
+    // join fan-outs are copy-exact. Dates, prices and dim attributes
+    // stay unchanged (workload-preserving value distributions).
+    def replicate(t: String, keys: Seq[String]): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+        .withColumn("copy", explode(sequence(lit(0L), lit(copies - 1L))))
+      keys.foldLeft(base) { (df, k) =>
+          df.withColumn(k, col(k) * lit(10L) + col("copy"))
+        }
+        .drop("copy")
+        .repartition(8).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    // dimension tables stay fixed — replicated fact keys reference them
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     println(s"""{"scale_data":"$out","copies":$copies}""")
     spark.stop()
   }

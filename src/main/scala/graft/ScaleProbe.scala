@@ -17,6 +17,7 @@ object ScaleProbe {
     "sketch_kmv", "curate_docs")
 
   def main(args: Array[String]): Unit = {
+    Scratch.sweepStale() // reclaim temp-dir debris from dead runs
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Per-process scratch-directory management.
+  *
+  * Every temp directory the engine creates (sink round-trips, table-
+  * maintenance fixtures, warehouse dirs in tests) lives under ONE
+  * per-process root `/tmp/graft-run-<pid>`, recursively deleted by a
+  * single shutdown hook. Before r16, each site called
+  * `Files.createTempDirectory("graft_*")` with no deletion; long
+  * sessions accumulated hundreds of stale dirs (~800 observed once)
+  * and inflated bench wall-clock ~30% — the filesystem was being
+  * measured, not the code. Rooting everything per-process makes any
+  * single run self-cleaning, and [[sweepStale]] (called at Bench /
+  * Verify / ScaleProbe startup) reclaims debris from crashed runs
+  * whose hook never fired.
+  *
+  * NOT swept: the persistent cross-process caches that are pure
+  * functions of the test data — `graft-sf*` (ScaleData replicas),
+  * `graft-fixtures` (wiki XML fixtures), `graft-events-us-*`
+  * (content-fingerprinted µs events layout). Those are bounded (one
+  * per data fingerprint) and deliberately outlive the JVM.
+  */
+object Scratch {
+  private val tmp: Path =
+    Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+
+  /** The per-process scratch root; created lazily, deleted on JVM exit. */
+  lazy val root: Path = {
+    val r = tmp.resolve(s"graft-run-${ProcessHandle.current().pid()}")
+    Files.createDirectories(r)
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(r.toFile)
+    }
+    r
+  }
+
+  /** A fresh unique directory under the per-process root. Callers do
+    * NOT delete it per-query: lazily-built frames re-read their dir on
+    * every action (bench times each query twice), so per-query deletion
+    * would break re-execution; the exit hook reclaims everything at
+    * once and the within-run population is bounded by #queries × runs. */
+  def dir(prefix: String): Path =
+    Files.createTempDirectory(root, s"graft_$prefix")
+
+  private def deleteTree(p: Path): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+
+  /** Reclaim scratch debris from runs that are no longer alive:
+    *  - `graft-run-<pid>` roots whose pid is dead (crashed runs);
+    *  - legacy top-level `graft_*` / `graft-wh*` dirs older than this
+    *    JVM's start (pre-r16 binaries created them unrooted; nothing
+    *    creates them any more, so this converges to zero debris while
+    *    never racing a live process's fresh dirs).
+    * Persistent caches (graft-sf*, graft-fixtures, graft-events-us-*)
+    * are never touched. Errors are swallowed — a sweep must never fail
+    * the run it is trying to keep honest. */
+  def sweepStale(): Unit = try {
+    val jvmStart = ProcessHandle.current().info().startInstant()
+      .map(_.toEpochMilli).orElse(System.currentTimeMillis())
+    val entries = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+    entries.foreach { f =>
+      val n = f.getName
+      try {
+        if (n.startsWith("graft-run-")) {
+          val pid = n.stripPrefix("graft-run-")
+          val alive = pid.forall(_.isDigit) && pid.nonEmpty &&
+            ProcessHandle.of(pid.toLong).map[java.lang.Boolean](_.isAlive)
+              .orElse(java.lang.Boolean.FALSE)
+          if (!alive && f.getPath != root.toString) deleteTree(f.toPath)
+        } else if ((n.startsWith("graft_") || n.startsWith("graft-wh")) &&
+                   f.isDirectory && f.lastModified() < jvmStart) {
+          deleteTree(f.toPath)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
+}

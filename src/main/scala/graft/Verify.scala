@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    Scratch.sweepStale() // reclaim temp-dir debris from dead runs
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names — run only those
     // (local iteration aid; the driver always passes exactly two args)

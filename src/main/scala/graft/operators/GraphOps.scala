@@ -219,8 +219,12 @@ object GraphOps {
     * rational digit but its decimal HashAggregate over the ~sum-df²
     * candidate rows cost 2.5× the whole long-arithmetic query). Both
     * engines compute the identical integral divides, so parity is
-    * bit-exact by construction; the quantization (< 10⁻¹² relative per
-    * term) is invisible at the emitted 6-decimal floor. */
+    * bit-exact by construction. The quantization (< 10⁻¹² relative per
+    * term) can surface at the emitted 6-decimal floor only when the
+    * TRUE RA sum lands exactly on a 10⁻⁶ boundary (e.g. three shared
+    * neighbors of degree 3: exact RA 1.0 emits 0.999999 — one ulp
+    * low); parity, not exactness, is the contract, and both engines
+    * replay the identical integer divides either way. */
   private[graft] val raScale = 1000000000000L
 
   /** Link prediction over a bipartite (src → dst) edge relation —

@@ -243,6 +243,17 @@ object TermOps {
     * for unseen terms, made deterministic) rather than sending every
     * score to −∞.
     *
+    * Overflow headroom (the raScale discipline): the largest BIGINT
+    * intermediate is (|d| + µ)·C ≤ 2⁶³ whenever doc_len·ctot stays
+    * under ~9.2·10¹⁸ — e.g. a 10¹³-token corpus with 900k-token docs,
+    * or a 10¹⁴-token corpus with 90k-token docs. Inside that envelope
+    * both engines compute identical integers; beyond it they diverge
+    * in FAILURE MODE (Spark wraps where the oracle errors), so a
+    * deployment at the >10¹³-token frontier must restructure the ln
+    * argument as ln(tf + µ·cf/C) − ln(|d| + µ) — two double-precision
+    * lns over pre-divided terms — accepting the last-ulp libm
+    * divergence the exact-integer form exists to avoid.
+    *
     * Scale shape: tf for query terms comes from the same
     * filter-inside-explode scan as BM25 (only query-term tokens ever
     * shuffle); corpus stats (C, per-term cf) are one broadcast row; the

@@ -292,21 +292,36 @@ object HashKernels {
     while (bi < bytes.length) {
       val b0 = bytes(bi) & 0xff
       var cp = 0
-      if (b0 < 0x80) { cp = b0; bi += 1 }
+      // malformed-input guards (defensive, matching the other kernels):
+      // an unexpected continuation lead (0x80-0xBF) or a sequence
+      // truncated at the buffer end decodes as a single byte instead of
+      // reading past `bytes` — unreachable from a valid UTF8String, but
+      // the kernel must not be one bad cast away from a task-killing
+      // ArrayIndexOutOfBoundsException (r15 advice)
+      if (b0 < 0x80 || (b0 & 0xc0) == 0x80) { cp = b0; bi += 1 }
       else if ((b0 & 0xe0) == 0xc0) {
-        cp = ((b0 & 0x1f) << 6) | (bytes(bi + 1) & 0x3f); bi += 2
+        if (bi + 2 > bytes.length) { cp = b0; bi += 1 }
+        else { cp = ((b0 & 0x1f) << 6) | (bytes(bi + 1) & 0x3f); bi += 2 }
       } else if ((b0 & 0xf0) == 0xe0) {
-        cp = ((b0 & 0x0f) << 12) | ((bytes(bi + 1) & 0x3f) << 6) |
-          (bytes(bi + 2) & 0x3f)
-        bi += 3
+        if (bi + 3 > bytes.length) { cp = b0; bi += 1 }
+        else {
+          cp = ((b0 & 0x0f) << 12) | ((bytes(bi + 1) & 0x3f) << 6) |
+            (bytes(bi + 2) & 0x3f)
+          bi += 3
+        }
       } else {
-        cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3f) << 12) |
-          ((bytes(bi + 2) & 0x3f) << 6) | (bytes(bi + 3) & 0x3f)
-        bi += 4
+        if (bi + 4 > bytes.length) { cp = b0; bi += 1 }
+        else {
+          cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3f) << 12) |
+            ((bytes(bi + 2) & 0x3f) << 6) | (bytes(bi + 3) & 0x3f)
+          bi += 4
+        }
       }
       // block of codepoint i under boundaries ⌊b·len/64⌋:
-      // b = ((i+1)·64 − 1) div len (the standard partition inverse)
-      val blk = (((i + 1L) * 64L - 1L) / len).toInt
+      // b = ((i+1)·64 − 1) div len (the standard partition inverse).
+      // Clamped: on malformed input the single-byte fallback can decode
+      // MORE codepoints than numChars() predicted, so i may pass len
+      val blk = math.min(63, (((i + 1L) * 64L - 1L) / len).toInt)
       bsum(blk) += cp
       stot += cp
       i += 1L
@@ -351,19 +366,34 @@ object HashKernels {
     while (bi < bytes.length) {
       val b0 = bytes(bi) & 0xff
       var cp = 0
-      if (b0 < 0x80) { cp = b0; bi += 1 }
+      // malformed-input guards (defensive, matching the other kernels):
+      // an unexpected continuation lead (0x80-0xBF) or a sequence
+      // truncated at the buffer end decodes as a single byte instead of
+      // reading past `bytes` — unreachable from a valid UTF8String, but
+      // the kernel must not be one bad cast away from a task-killing
+      // ArrayIndexOutOfBoundsException (r15 advice)
+      if (b0 < 0x80 || (b0 & 0xc0) == 0x80) { cp = b0; bi += 1 }
       else if ((b0 & 0xe0) == 0xc0) {
-        cp = ((b0 & 0x1f) << 6) | (bytes(bi + 1) & 0x3f); bi += 2
+        if (bi + 2 > bytes.length) { cp = b0; bi += 1 }
+        else { cp = ((b0 & 0x1f) << 6) | (bytes(bi + 1) & 0x3f); bi += 2 }
       } else if ((b0 & 0xf0) == 0xe0) {
-        cp = ((b0 & 0x0f) << 12) | ((bytes(bi + 1) & 0x3f) << 6) |
-          (bytes(bi + 2) & 0x3f)
-        bi += 3
+        if (bi + 3 > bytes.length) { cp = b0; bi += 1 }
+        else {
+          cp = ((b0 & 0x0f) << 12) | ((bytes(bi + 1) & 0x3f) << 6) |
+            (bytes(bi + 2) & 0x3f)
+          bi += 3
+        }
       } else {
-        cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3f) << 12) |
-          ((bytes(bi + 2) & 0x3f) << 6) | (bytes(bi + 3) & 0x3f)
-        bi += 4
+        if (bi + 4 > bytes.length) { cp = b0; bi += 1 }
+        else {
+          cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3f) << 12) |
+            ((bytes(bi + 2) & 0x3f) << 6) | (bytes(bi + 3) & 0x3f)
+          bi += 4
+        }
       }
-      val pr = ((i / w) * g / rowsImg).toInt
+      // pr clamped like pc: on malformed input the single-byte fallback
+      // can decode more codepoints than numChars() predicted (i > len)
+      val pr = math.min(g - 1, ((i / w) * g / rowsImg).toInt)
       val pc = math.min(g - 1, ((i % w) / colDiv).toInt)
       val k = pr * g + pc
       cnt(k) += 1L

@@ -13,7 +13,7 @@ class JobsSpec extends AnyFunSuite {
     val in = WikiFixtures.materialize("job_revs.json",
       """{"page_id":1,"page_title":"T","page_namespace":0,"rev_id":5,"parent_id":4,"timestamp":100,"user":"u","user_id":3,"comment":"c","text":"see [[A|b]] and [[C]]"}
         |""".stripMargin)
-    val out = Files.createTempDirectory("j2a").toString + "/out"
+    val out = graft.Scratch.dir("j2a").toString + "/out"
     Json2Anchor.run(spark, in, out)
     val rows = spark.read.option("sep", "\t").csv(out)
     assert(rows.count() == 2)
@@ -24,9 +24,9 @@ class JobsSpec extends AnyFunSuite {
   }
 
   test("BuildDictionary writes a ranked dictionary") {
-    val in = Files.createTempDirectory("dictin").toString + "/docs"
+    val in = graft.Scratch.dir("dictin").toString + "/docs"
     Seq((1L, "x y x"), (2L, "x z")).toDF("doc_id", "text").write.parquet(in)
-    val out = Files.createTempDirectory("dictout").toString + "/dict"
+    val out = graft.Scratch.dir("dictout").toString + "/dict"
     BuildDictionary.run(spark, in, out)
     val dict = spark.read.parquet(out).as[(String, Int, Long, Long)].collect()
       .map(t => t._1 -> t._2).toMap
@@ -34,7 +34,7 @@ class JobsSpec extends AnyFunSuite {
   }
 
   test("MatchWikistats CLI resolves redirects and joins ids end-to-end") {
-    val dir = Files.createTempDirectory("mws")
+    val dir = graft.Scratch.dir("mws")
     Files.writeString(dir.resolve("pv.txt"),
       "en.z Foo_bar 10 AA10\nen.z Old_name 4 BA4\nen.z Baz 2 BA2\n")
     Files.writeString(dir.resolve("redirects.tsv"), "Old_name\tBaz\n")
@@ -50,7 +50,7 @@ class JobsSpec extends AnyFunSuite {
   }
 
   test("ExtractTemporalAnchorText samples and extracts over the XML source") {
-    val out = Files.createTempDirectory("anchors").toString + "/out"
+    val out = graft.Scratch.dir("anchors").toString + "/out"
     ExtractTemporalAnchorText.run(spark, WikiFixtures.graphXmlPath, out)
     val rows = spark.read.option("sep", "\t").csv(out)
     // single-revision pages: every revision kept; 2+3 resolvable+raw links

@@ -17,7 +17,7 @@ class LegacyLayoutSpec extends AnyFunSuite {
 
   /** One logical dataset, two physical layouts. */
   private lazy val (nanosDir, microsDir): (String, String) = {
-    val base = java.nio.file.Files.createTempDirectory("graft_legacy")
+    val base = graft.Scratch.dir("legacy")
     val rows = (0L until 5000L).map { i =>
       (i, 1700000000000000L + i * 61000000L, i % 37,
         s"t${i % 5}", (i % 101).toDouble / 4.0, "{}")

@@ -15,7 +15,7 @@ class NanosFilterRuleSpec extends AnyFunSuite {
   /** A legacy-shaped table on disk: int64 epoch-NANOS column `tsn` (what
     * nanosAsLong surfaces a TIMESTAMP(NANOS) parquet as). */
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    val d = graft.Scratch.dir("nanos").toString
     (0L until 4000L)
       .map(i => (i, 1700000000000000000L + i * 1000000000L)) // 1s apart
       .toDF("id", "tsn")

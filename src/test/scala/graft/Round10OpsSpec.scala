@@ -13,7 +13,7 @@ class Round10OpsSpec extends AnyFunSuite {
 
   test("manifestPrunedScanTable prunes via the manifest TABLE, " +
     "no manifest subtree on the query path") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r10_mf")
+    val dir = graft.Scratch.dir("r10_mf")
       .toString + "/t"
     val df = (1L to 400L).map(i => (i, i % 5)).toDF("id", "g")
     LayoutOps.writeRangeLayout(df, "id", dir, numFiles = 8)
@@ -37,7 +37,7 @@ class Round10OpsSpec extends AnyFunSuite {
 
   test("manifestPrunedScanTable with an empty match returns an empty " +
     "frame with the data schema") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r10_mf2")
+    val dir = graft.Scratch.dir("r10_mf2")
       .toString + "/t"
     val df = (1L to 50L).map(i => (i, i % 3)).toDF("id", "g")
     LayoutOps.writeRangeLayout(df, "id", dir, numFiles = 2)

@@ -68,7 +68,7 @@ class Round11OpsSpec extends AnyFunSuite {
   // ---- copyInto: scale-safe idempotent ingest (round-11 item 1) ----
 
   private def copyDirs(): (String, String, String) = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ci").toString
+    val dir = graft.Scratch.dir("ci").toString
     spark.range(100).selectExpr("id", "id * 2 AS v")
       .repartition(4).write.parquet(s"$dir/src")
     (s"$dir/src", s"$dir/target", s"$dir/_load_log")
@@ -129,7 +129,7 @@ class Round11OpsSpec extends AnyFunSuite {
 
   test("indexed read prunes zone-mapped files for range predicates at " +
     "planning time and never drops rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ifi").toString + "/t"
+    val dir = graft.Scratch.dir("ifi").toString + "/t"
     val data = spark.range(4000).selectExpr("id AS k", "id * 3 AS v")
     graft.operators.LayoutOps.writeRangeLayout(data, "k", dir, numFiles = 8)
     graft.operators.LayoutOps.writeManifestTable(spark, dir, "k")
@@ -147,7 +147,7 @@ class Round11OpsSpec extends AnyFunSuite {
 
   test("indexed read prunes bloom-qualified partition directories for " +
     "point probes, including the absent-probe case") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ifb").toString + "/t"
+    val dir = graft.Scratch.dir("ifb").toString + "/t"
     graft.plans.GraftSparkExtensions.install(spark)
     val data = spark.range(4000)
       .selectExpr("id AS event_id", "id % 100 AS user_id")
@@ -180,7 +180,7 @@ class Round11OpsSpec extends AnyFunSuite {
 
   test("a file appended AFTER the manifest was written is still read " +
     "through the index (stale-index conservatism)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString + "/t"
+    val dir = graft.Scratch.dir("stale").toString + "/t"
     val data = spark.range(4000).selectExpr("id AS k", "id * 3 AS v")
     graft.operators.LayoutOps.writeRangeLayout(data, "k", dir, numFiles = 8)
     graft.operators.LayoutOps.writeManifestTable(spark, dir, "k")
@@ -197,7 +197,7 @@ class Round11OpsSpec extends AnyFunSuite {
 
   test("deleteWhereCow keeps rows whose predicate evaluates to NULL " +
     "in rewritten files") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cown").toString
+    val dir = graft.Scratch.dir("cown").toString
     import spark.implicits._
     Seq((1L, Option(10L)), (2L, Option.empty[Long]), (3L, Option(2L)))
       .toDF("k", "x").coalesce(1).write.parquet(s"$dir/v1")
@@ -218,7 +218,7 @@ class Round11OpsSpec extends AnyFunSuite {
 
   test("deleteWhereCow rewrites only the files containing matches and " +
     "byte-copies the rest") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cow").toString
+    val dir = graft.Scratch.dir("cow").toString
     graft.operators.LayoutOps.writeRangeLayout(
       spark.range(400).selectExpr("id AS k", "id * 2 AS v"),
       "k", s"$dir/v1", numFiles = 4)
@@ -256,7 +256,7 @@ class Round11OpsSpec extends AnyFunSuite {
 
   test("multi-column manifest prunes on either dimension independently " +
     "and never drops rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString + "/t"
+    val dir = graft.Scratch.dir("mm").toString + "/t"
     val data = spark.range(4096)
       .selectExpr("id % 64 AS x", "id div 64 AS y", "id AS v")
     graft.operators.LayoutOps.zorder(data, col("x"), col("y"), numFiles = 8)

@@ -140,12 +140,12 @@ class Round8OpsSpec extends AnyFunSuite {
 
   test("sequence file round-trips, including bzip2 block compression") {
     val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "")).toDF("k", "v")
-    val plain = java.nio.file.Files.createTempDirectory("seqrt").toString + "/p"
+    val plain = graft.Scratch.dir("seqrt").toString + "/p"
     GraftSinks.writeSequenceFile(df, plain)
     assert(GraftSinks.readSequenceFile(spark, plain)
       .as[(Long, String)].collect().toSet ==
       Set((1L, "alpha"), (2L, "beta"), (3L, "")))
-    val bz = java.nio.file.Files.createTempDirectory("seqrt").toString + "/b"
+    val bz = graft.Scratch.dir("seqrt").toString + "/b"
     GraftSinks.writeSequenceFile(df, bz,
       Some(classOf[org.apache.hadoop.io.compress.BZip2Codec]))
     assert(GraftSinks.readSequenceFile(spark, bz)

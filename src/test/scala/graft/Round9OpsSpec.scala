@@ -182,7 +182,7 @@ class Round9OpsSpec extends AnyFunSuite {
   // ---- LayoutOps manifest skipping ----
 
   test("manifestPrunedScan reads a strict file subset and loses no rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r9_mf")
+    val dir = graft.Scratch.dir("r9_mf")
       .toString + "/t"
     val df = (1L to 400L).map(i => (i, i % 5)).toDF("id", "g")
     LayoutOps.writeRangeLayout(df, "id", dir, numFiles = 8)

@@ -12,7 +12,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+        graft.Scratch.dir("wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

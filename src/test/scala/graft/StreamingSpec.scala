@@ -165,7 +165,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("sinks: tsv, json, parquet, dictionary round-trip") {
-    val dir = java.nio.file.Files.createTempDirectory("sinks").toString
+    val dir = graft.Scratch.dir("sinks").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     GraftSinks.writeTsv(df, s"$dir/tsv", compression = Some("bzip2"))
     GraftSinks.writeJson(df, s"$dir/json")

@@ -91,7 +91,7 @@ class WikiSourceSpec extends AnyFunSuite {
     Files.writeString(f, graft.sources.WikiFixtures.bigXml(60))
     val idx = graft.sources.IndexSplits.build(spark, f.toString)
     assert(idx.count() == 60) // one offset per page
-    val idxPath = Files.createTempDirectory("idx").toString + "/index"
+    val idxPath = graft.Scratch.dir("idx").toString + "/index"
     graft.sources.GraftSinks.writeSplitIndex(idx, idxPath)
     val indexed = WikiXml.read(spark, f.toString,
       Map("maxSplitBytes" -> "4000", "splitIndex" -> idxPath))
@@ -107,7 +107,7 @@ class WikiSourceSpec extends AnyFunSuite {
     Files.writeString(f, graft.sources.WikiFixtures.bigXml(120))
     val idx = graft.sources.IndexSplits.build(spark, f.toString)
     assert(idx.count() == 120)
-    val idxPath = Files.createTempDirectory("idx2").toString + "/index"
+    val idxPath = graft.Scratch.dir("idx2").toString + "/index"
     graft.sources.GraftSinks.writeSplitIndex(idx, idxPath)
     val maxSplit = 4000L
     val indexed = WikiXml.read(spark, f.toString,
