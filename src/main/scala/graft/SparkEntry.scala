@@ -898,6 +898,17 @@ object SparkEntry {
       DedupOps.suffixDupSpans(t(s, d, "documents"), "doc_id", "text",
         cap = 24, minSpan = 8)),
 
+    "dedup_substring_approx" -> ((s, d) =>
+      // the tier BETWEEN dedup_spans (exact fixed windows) and
+      // dedup_substring (exact suffix array): strided 16-token windows
+      // sketched by bottom-1 MinHash over their 4-shingles — windows
+      // sharing the sketch collide with probability = shingle Jaccard,
+      // so NEAR-duplicate spans surface too. One 8-byte key per
+      // window through the corpus-wide pass; the 100 TB default the
+      // exact SA row calibrates. See DedupOps.windowMinhashSpans.
+      DedupOps.windowMinhashSpans(t(s, d, "documents"), "doc_id", "text",
+        w = 16, stride = 8, shingleK = 4, minCount = 2L)),
+
     "dedup_paragraph" -> ((s, d) => {
       import s.implicits._
       // line-level corpus dedup + in-order reconstruction (the C4/CCNet
@@ -3929,6 +3940,30 @@ object SparkEntry {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))),
 
+    "curate_source_contamination" -> ((s, d) => {
+      // per-source contamination audit — text_overlap_frac's graded
+      // 8-gram benchmark overlap (every 97th doc plays the benchmark,
+      // the curate_e2e convention) rolled up to the acquisition
+      // channel: the table a curation run reads to decide which feed
+      // to drop or re-crawl when leakage concentrates in one source.
+      // Contamination is the integer cross-multiply 2·hits ≥ grams
+      // (no rounded-0.5 boundary); docs too short to produce an 8-gram
+      // count as clean (no grams → nothing to leak).
+      val docs = t(s, d, "documents")
+      val contam = TextAnalysisOps.overlapFraction(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", n = 8)
+        .select(col("doc_id"),
+          (col("n_hits") * 2 >= col("n_grams")).as("contam"))
+      docs.select(col("doc_id"), col("source"))
+        .join(contam, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(coalesce(col("contam"), lit(false)), 1L)
+            .otherwise(0L)).as("n_contam"))
+        .withColumn("contam_rate",
+          round(col("n_contam").cast("double") / col("n_docs"), 4))
+    }),
+
     "curate_source_card" -> ((s, d) =>
       // per-source health card — the groupBy sibling of the corpus-wide
       // curate_card: each ingestion source gets its own size, exact-dup
@@ -4892,6 +4927,49 @@ object SparkEntry {
           coalesce(col("n_masked"), lit(0L)).as("n_masked"),
           round(coalesce(col("n_masked"), lit(0L)).cast("double") /
             col("n_tokens"), 4).as("mask_frac"))
+    }),
+
+    "pack_fim" -> ((s, d) => {
+      // fill-in-the-middle packing layout (Bavarian et al. 2022, the
+      // span-corruption sibling for autoregressive infilling): half
+      // the docs (hash-decided) reorder as PSM — <pre> prefix <suf>
+      // suffix <mid> middle — with both split points hash-derived
+      // uniform over [0, n]; the other half pass through untouched.
+      // Beyond the piece-length arithmetic, the gate pins the fnv64
+      // fingerprint of the ACTUAL emitted token stream, so the reorder
+      // itself is verified, not just its bookkeeping. Pure per-doc
+      // map — zero exchanges, the pack_span_corruption scale shape.
+      graft.plans.GraftSparkExtensions.install(s)
+      def h32(tag: String): org.apache.spark.sql.Column =
+        expr(s"fnv64(concat(cast(doc_id as string), '#$tag'))")
+          .bitwiseAND(lit(4294967295L))
+      val cut = t(s, d, "documents")
+        .select(col("doc_id"), TermOps.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .withColumn("n", size(col("tk")).cast("long"))
+        .withColumn("fim", pmod(h32("fim"), lit(2L)) === 0L)
+        .withColumn("c1", pmod(h32("cut1"), col("n") + lit(1L)))
+        .withColumn("c2", pmod(h32("cut2"), col("n") + lit(1L)))
+        .withColumn("lo", least(col("c1"), col("c2")))
+        .withColumn("hi", greatest(col("c1"), col("c2")))
+      cut.select(col("doc_id"), col("n").as("n_tokens"), col("fim"),
+        when(col("fim"), col("lo")).otherwise(col("n")).as("pre_len"),
+        when(col("fim"), col("hi") - col("lo")).otherwise(lit(0L))
+          .as("mid_len"),
+        when(col("fim"), col("n") - col("hi")).otherwise(lit(0L))
+          .as("suf_len"),
+        when(col("fim"), col("n") + lit(3L)).otherwise(col("n"))
+          .as("out_len"),
+        graft.GraftFunctions.fnv64(when(col("fim"),
+            array_join(concat(
+              array(lit("<pre>")),
+              expr("slice(tk, 1, cast(lo as int))"),
+              array(lit("<suf>")),
+              expr("slice(tk, cast(hi as int) + 1, cast(n - hi as int))"),
+              array(lit("<mid>")),
+              expr("slice(tk, cast(lo as int) + 1, cast(hi - lo as int))")),
+              " "))
+          .otherwise(array_join(col("tk"), " "))).as("layout_fp"))
     }),
 
     "text_readability" -> ((s, d) => {
@@ -10168,6 +10246,38 @@ object SparkEntry {
         |   AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM lc GROUP BY doc_id""".stripMargin,
 
+    // the bottom-1 window-MinHash replay: strided windows, min over
+    // the 13 in-window 4-gram fnv hashes WRAPPED TO SIGNED BIGINT
+    // before the min (Spark orders the signed value — the established
+    // CASE), then the dedup_spans-style frequency join on the sketch
+    "dedup_substring_approx" ->
+      s"""WITH arrs AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         |    '\\s+'), x -> x <> '') AS a
+         |  FROM documents),
+         |win AS (
+         |  SELECT doc_id, i, a[i:i+15] AS warr
+         |  FROM arrs, unnest(generate_series(1, len(a) - 15, 8)) AS t(i)
+         |  WHERE len(a) >= 16),
+         |gr AS (
+         |  SELECT doc_id, i,
+         |   CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |     THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+         |     AS hs
+         |  FROM (SELECT doc_id, i,
+         |         ${fnvSql("array_to_string(warr[j:j+3], ' ')")} AS h
+         |        FROM win, unnest(generate_series(1, 13)) AS g(j))),
+         |sk AS (SELECT doc_id, i, min(hs) AS mh FROM gr GROUP BY doc_id, i),
+         |pd AS (SELECT doc_id, mh, count(*) AS c FROM sk GROUP BY doc_id, mh),
+         |dup AS (SELECT mh FROM pd GROUP BY mh HAVING sum(c) >= 2)
+         |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
+         | CAST(sum(CASE WHEN dup.mh IS NOT NULL THEN c ELSE 0 END)
+         |   AS BIGINT) AS n_dup_windows,
+         | round(sum(CASE WHEN dup.mh IS NOT NULL THEN c ELSE 0 END) * 1.0
+         |   / sum(c), 4) AS dup_ratio
+         |FROM pd LEFT JOIN dup USING (mh)
+         |GROUP BY pd.doc_id""".stripMargin,
+
     // first-wins line election mirrors min(struct(doc_id, idx)); planted
     // docs exercise cross-doc AND within-doc dup lines + the all-lost doc
     "dedup_paragraph" ->
@@ -12528,6 +12638,33 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pii_rate
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // the text_overlap_frac 8-gram chain rolled up per source; docs
+    // with no 8-gram (absent from j) coalesce to clean
+    "curate_source_contamination" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> '') AS a
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(a[i:i+7], ' ') AS g
+        |  FROM arrs, unnest(generate_series(1, greatest(len(a)-7, 0))) AS t(i)
+        |  WHERE len(a) >= 8),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |j AS (
+        |  SELECT g.doc_id, count(*) AS n_grams, count(b.g) AS n_hits
+        |  FROM g LEFT JOIN b USING (g)
+        |  GROUP BY g.doc_id),
+        |lab AS (
+        |  SELECT d.doc_id, d.source,
+        |   coalesce(j.n_hits * 2 >= j.n_grams, false) AS contam
+        |  FROM documents d LEFT JOIN j USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN contam THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_contam,
+        | round(sum(CASE WHEN contam THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+        |   AS contam_rate
+        |FROM lab GROUP BY source""".stripMargin,
+
     // symmetrized (deg_u, deg_v) pairs; by symmetry Σx = Σy and
     // Σx² = Σy² — the oracle mirrors the engine's use of sxx with sy
     "graph_assortativity" ->
@@ -13094,6 +13231,45 @@ object SparkEntry {
          | round(CAST(coalesce(n_masked, 0) AS DOUBLE) / n_tokens, 4)
          |   AS mask_frac
          |FROM n LEFT JOIN ns USING (doc_id) LEFT JOIN nm USING (doc_id)""".stripMargin,
+
+    // the PSM reorder replay: hash-decided fim flag, hash-derived
+    // split points uniform over [0, n], and the layout fingerprint as
+    // fnv over the ACTUAL reordered stream (empty slices a[1:0] /
+    // a[n+1:n] clamp to [] in both engines); fp wrapped to signed
+    "pack_fim" ->
+      s"""WITH arrs AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         |    '\\s+'), x -> x <> '') AS a
+         |  FROM documents),
+         |sized AS (SELECT doc_id, a, CAST(len(a) AS BIGINT) AS n
+         |          FROM arrs WHERE len(a) >= 2),
+         |c AS (
+         |  SELECT doc_id, a, n,
+         |   CAST(${fnvSql("doc_id::VARCHAR || '#fim'")}
+         |     % 4294967296::HUGEINT AS BIGINT) % 2 = 0 AS fim,
+         |   CAST(${fnvSql("doc_id::VARCHAR || '#cut1'")}
+         |     % 4294967296::HUGEINT AS BIGINT) % (n + 1) AS c1,
+         |   CAST(${fnvSql("doc_id::VARCHAR || '#cut2'")}
+         |     % 4294967296::HUGEINT AS BIGINT) % (n + 1) AS c2
+         |  FROM sized),
+         |lh AS (SELECT doc_id, a, n, fim,
+         |        least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c),
+         |fp AS (
+         |  SELECT doc_id, n, fim, lo, hi,
+         |   ${fnvSql("array_to_string(CASE WHEN fim THEN " +
+             "['<pre>'] || a[1:CAST(lo AS INT)] || ['<suf>'] || " +
+             "a[CAST(hi AS INT)+1:CAST(n AS INT)] || ['<mid>'] || " +
+             "a[CAST(lo AS INT)+1:CAST(hi AS INT)] ELSE a END, ' ')")} AS h
+         |  FROM lh)
+         |SELECT doc_id, n AS n_tokens, fim,
+         | CASE WHEN fim THEN lo ELSE n END AS pre_len,
+         | CASE WHEN fim THEN hi - lo ELSE 0 END AS mid_len,
+         | CASE WHEN fim THEN n - hi ELSE 0 END AS suf_len,
+         | CASE WHEN fim THEN n + 3 ELSE n END AS out_len,
+         | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |   THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+         |   AS layout_fp
+         |FROM fp""".stripMargin,
 
     // word/sentence/vowel-group counts + the Flesch formula on
     // identical literal doubles

@@ -684,6 +684,52 @@ object DedupOps {
           .as("dup_frac"))
   }
 
+  /** APPROXIMATE corpus-substring dedup — the tier between
+    * [[duplicatedSpans]] (exact w-gram equality) and [[suffixDupSpans]]
+    * (exact suffix-array resolution): strided w-token windows, each
+    * sketched by the MINIMUM fnv64 over its k-shingle set (a bottom-1
+    * MinHash), and a window counts as duplicated when its sketch value
+    * occurs ≥ `minCount` times corpus-wide. Two windows share the
+    * sketch with probability = their shingle-set Jaccard (the MinHash
+    * collision law), so NEAR-duplicate spans — windows differing in a
+    * few tokens, which the exact tiers miss entirely — are caught in
+    * proportion to their overlap. Same per-document profile shape as
+    * the siblings (window counts + duplicated fraction).
+    *
+    * Scale shape — this is the 100 TB default the exact SA row
+    * calibrates: `stride` divides the row count (vs every-position
+    * suffixes), each row carries ONE 8-byte sketch (vs ≤cap-token
+    * arrays), and the corpus-wide pass is a count-aggregate on that
+    * 8-byte key followed by a semi-join — no sort, no window function,
+    * no neighbor comparison anywhere. The sketch kernel (slice →
+    * shingle_hashes → array_min) is pure HOFs + native expressions
+    * inside whole-stage codegen. */
+  def windowMinhashSpans(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int = 16, stride: Int = 8, shingleK: Int = 4,
+                         minCount: Long = 2L): DataFrame = {
+    graft.plans.GraftSparkExtensions.install(docs.sparkSession)
+    require(w > shingleK, s"window width $w must exceed shingle size")
+    val wins = docs
+      .select(col(idCol).as("doc_id"), TermOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk) - ${w - 1}, $stride)," +
+          s" i -> slice(tk, i, $w))")).as("warr"))
+    val sk = wins.select(col("doc_id"),
+      array_min(graft.GraftFunctions.shingleHashes(col("warr"), shingleK))
+        .as("mh"))
+    val perDoc = sk.groupBy("doc_id", "mh").agg(count(lit(1)).as("c"))
+    val dup = perDoc.groupBy("mh").agg(sum("c").as("n"))
+      .filter(col("n") >= minCount).select(col("mh"), lit(1).as("dup"))
+    perDoc.join(dup, Seq("mh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_windows"),
+        sum(when(col("dup").isNotNull, col("c")).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
+  }
+
   /** Duplicated-span profile — the exact-substring-dedup signal of
     * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better") at w-token window granularity: a window is duplicated when

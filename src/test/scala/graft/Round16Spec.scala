@@ -73,6 +73,90 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  private val sf = "/root/testdata/sf0.001"
+
+  test("windowMinhashSpans: exact window dups always collide, unique " +
+      "docs never do, and the strided window count is exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val span = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      // A and B share the exact 16-token span at a window-aligned
+      // position → identical bottom-1 sketch, both flagged
+      (1L, span + " " + (1 to 8).map(i => s"apad$i").mkString(" ")),
+      (2L, span + " " + (1 to 8).map(i => s"bpad$i").mkString(" ")),
+      // C: 24 globally-unique tokens → no sketch collision anywhere
+      (3L, (1 to 24).map(i => s"cuniq$i").mkString(" ")),
+      // D repeats ITS OWN aligned span → in-doc duplication counts
+      (4L, span + " " + span + " " + span.split(" ").take(8).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = operators.DedupOps.windowMinhashSpans(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2))).toMap
+    // 24 tokens, w=16, stride=8 → starts 1 and 9 → 2 windows each;
+    // doc 4 has 40 tokens → starts 1, 9, 17, 25 → 4 windows
+    assert(r(1L)._1 == 2 && r(2L)._1 == 2 && r(3L)._1 == 2 && r(4L)._1 == 4)
+    assert(r(1L)._2 >= 1, "exact cross-doc span not flagged")
+    assert(r(2L)._2 >= 1)
+    assert(r(3L)._2 == 0, "unique doc flagged dup")
+    assert(r(4L)._2 >= 2, "in-doc repeat not flagged")
+  }
+
+  test("dedup_substring_approx plans with no Window operator and no " +
+      "sort (the cheap tier's contract vs the exact SA row)") {
+    val p = SparkEntry.queries("dedup_substring_approx")(TestSpark.spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "approx tier must not window-sort")
+  }
+
+  test("pack_fim: piece lengths tile the doc, out_len adds exactly the " +
+      "3 sentinels, both branches populated, passthrough fp = fnv64(doc)") {
+    val spark = TestSpark.spark
+    val r = SparkEntry.queries("pack_fim")(spark, sf)
+    val rows = r.collect()
+    assert(rows.length == 500)
+    val fim = rows.filter(_.getBoolean(2))
+    val plain = rows.filterNot(_.getBoolean(2))
+    assert(fim.nonEmpty && plain.nonEmpty, "hash split degenerate")
+    rows.foreach { x =>
+      val (n, pre, mid, suf, out) = (x.getLong(1), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6))
+      if (x.getBoolean(2)) {
+        assert(pre + mid + suf == n, s"pieces don't tile: $x")
+        assert(out == n + 3)
+      } else {
+        assert(pre == n && mid == 0 && suf == 0 && out == n)
+      }
+    }
+    // passthrough fingerprint is fnv64 of the plain token stream —
+    // cross-checked against the independent fnv64-of-tokens query path
+    import org.apache.spark.sql.functions._
+    val expect = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), GraftFunctions.fnv64(
+        array_join(operators.TermOps.tokens(col("text")), " ")).as("fp"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    plain.foreach { x =>
+      assert(x.getLong(7) == expect(x.getLong(0)),
+        s"passthrough fp mismatch for doc ${x.getLong(0)}")
+    }
+  }
+
+  test("curate_source_contamination rolls up exactly the per-doc " +
+      "overlap verdicts and covers every doc") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val agg = SparkEntry.queries("curate_source_contamination")(spark, sf)
+      .collect()
+    assert(agg.map(_.getLong(1)).sum == 500, "per-source doc counts " +
+      "must cover the corpus")
+    val docs = Tables.table(spark, sf, "documents")
+    val perDoc = operators.TextAnalysisOps.overlapFraction(docs, "doc_id",
+        "text", docs.filter(col("doc_id") % 97 === 0), "text", n = 8)
+      .filter(col("n_hits") * 2 >= col("n_grams")).count()
+    assert(agg.map(_.getLong(2)).sum == perDoc,
+      "rolled-up contaminated count diverges from the per-doc gate")
+  }
+
   test("aHash64Data survives malformed UTF-8 (truncated tails, stray " +
       "continuation leads) without reading past the buffer") {
     // valid input: guard must not change behavior
