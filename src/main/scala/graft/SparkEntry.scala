@@ -1528,6 +1528,21 @@ object SparkEntry {
           round(lit(1.0) - col("s") / col("n_nbrs"), 6).as("ood"))
     }),
 
+    "embed_knn_graph_lsh" -> ((s, d) =>
+      // the LINEAR-cost kNN-graph escape leg (r16 ×100 probes: the IVF
+      // legs' in-cell pair volume is N²/cells at fixed 16 cells — 294×
+      // wall at ×100 — and N^1.5 at ⌈√N⌉ cells — 207×): occupancy-
+      // targeted LSH grows the plane count with the corpus (integer
+      // search, oracle-replayed) so bucket size stays ~32 and
+      // candidates stay corpus-linear. The production default at
+      // 100 TB; the IVF rows stay as the exactness/tuning gates. See
+      // SimilarityOps.knnGraphLshAuto and the SCALE.md switchover rule.
+      SimilarityOps.knnGraphLshAuto(t(s, d, "embeddings")
+          .withColumn("embedding", col("embedding").cast("array<double>")),
+        k = 5)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("sim"), 4).as("sim"), col("rank"))),
+
     "embed_knn_graph_auto" -> ((s, d) =>
       // the scale-shaped default for the k-NN graph family: nCentroids
       // = ⌈√N⌉ from one cheap count (SimilarityOps.knnGraphAuto), so
@@ -9551,6 +9566,30 @@ object SparkEntry {
        |     AS bucket
        |  FROM dots GROUP BY vec_id)""".stripMargin
 
+  /** [[lshSigSub]] with the plane count derived from the corpus the
+    * way `SimilarityOps.knnGraphLshAuto` derives it — the smallest
+    * p ≥ 4 with 32·2^p ≥ N (integer comparisons only, so both engines
+    * agree exactly); the occupancy law itself is part of the gate.
+    * Plane ids come from `unnest(range(...))` in a SELECT list (the
+    * r10 rule: generate_series can't take lateral parameters). */
+  private val lshSigSubAuto: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cnt AS (SELECT count(*) AS n FROM e),
+       |pl AS (SELECT min(p) AS planes FROM generate_series(4, 20) g(p), cnt
+       |       WHERE 32 * (1::BIGINT << p) >= cnt.n),
+       |pp AS (SELECT vec_id, emb,
+       |        unnest(range(0, (SELECT planes FROM pl))) AS p FROM e),
+       |dots AS (
+       |  SELECT vec_id, p,
+       |   list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+       |     i -> emb[i] * ($planeWeightSql))), (acc, x) -> acc + x) AS dot
+       |  FROM pp),
+       |sig AS (
+       |  SELECT vec_id,
+       |   CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+       |     AS bucket
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+
   private val tfSub =
     s"""SELECT doc_id, term, count(*) AS tf FROM ($tokensSub)
        |WHERE term <> '' GROUP BY doc_id, term""".stripMargin
@@ -13605,6 +13644,32 @@ object SparkEntry {
          |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
          |WHERE rank <= 3""".stripMargin,
+
+    // the occupancy-law LSH graph replay: auto planes (integer search,
+    // part of the gate), signature + 4 single-bit-flip probes, within-
+    // bucket cosine, per-query rank — the ann_lsh_join chain on the
+    // lshSigSubAuto prologue
+    "embed_knn_graph_lsh" ->
+      s"""WITH $lshSigSubAuto,
+         |qsig AS (
+         |  SELECT e.vec_id AS query_id, e.emb AS q_emb,
+         |   CASE WHEN b = -1 THEN s.bucket
+         |        ELSE xor(s.bucket, 1::BIGINT << b) END AS bucket
+         |  FROM e JOIN sig s USING (vec_id),
+         |       unnest(generate_series(-1, 3)) AS t(b)),
+         |cand AS (
+         |  SELECT q.query_id, q.q_emb, ce.vec_id AS nbr_id, ce.emb AS nbr_emb
+         |  FROM qsig q JOIN sig c ON q.bucket = c.bucket
+         |       JOIN e ce ON ce.vec_id = c.vec_id
+         |  WHERE c.vec_id <> q.query_id),
+         |scored AS (
+         |  SELECT query_id, nbr_id, ${cosSql("q_emb", "nbr_emb")} AS sim FROM cand),
+         |r AS (
+         |  SELECT query_id, nbr_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+         |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
+         |WHERE rank <= 5""".stripMargin,
 
     // full replication of the IVF path: deterministic hashed centroid
     // pick, nearest-cell assignment (keep 1 corpus / 3 probe), cell-local

@@ -575,6 +575,32 @@ object SimilarityOps {
     knnGraph(corpus, k, nc, nProbe)
   }
 
+  /** Occupancy-targeted LSH kNN graph — the LINEAR-cost escape leg the
+    * IVF variants calibrate against at corpus scale. The hyperplane
+    * count grows with the corpus (smallest p ≥ 4 with
+    * targetBucket·2^p ≥ N — an INTEGER search, no libm, so the oracle
+    * replays identical comparisons), which pins expected bucket
+    * occupancy at ~targetBucket regardless of N: candidate volume is
+    * O(N · (1+probes) · targetBucket) — corpus-linear — vs
+    * [[knnGraph]]'s O(N²/cells) at fixed cells (r16 ×100 probe: 294×
+    * wall for 100× data) and [[knnGraphAuto]]'s O(N^1.5) (207×).
+    * Recall is the multi-probe LSH tradeoff (the signature plus its
+    * single-bit flips); at 100 TB this bucketed shape — not an
+    * all-pairs-within-cell shape — is what a production kNN-graph
+    * build runs. */
+  /** The occupancy law: smallest p ≥ 4 with targetBucket·2^p ≥ n.
+    * Exposed so Round16Spec pins the integer search against the
+    * oracle's SQL replay of the same comparisons. */
+  private[graft] def lshPlanesFor(n: Long, targetBucket: Int = 32): Int =
+    (4 to 20).find(p => (targetBucket.toLong << p) >= n).getOrElse(20)
+
+  def knnGraphLshAuto(corpus: DataFrame, k: Int, targetBucket: Int = 32,
+                      probes: Int = 4): DataFrame = {
+    val n = corpus.count() // column-pruned count; metadata-cheap
+    lshCandidateTopK(corpus, corpus, k, lshPlanesFor(n, targetBucket),
+      probes, broadcastQueries = false)
+  }
+
   def knnGraph(corpus: DataFrame, k: Int, nCentroids: Int = 16,
                nProbe: Int = 3): DataFrame = {
     val cents = ivfCentroids(corpus, nCentroids)

@@ -157,6 +157,30 @@ class Round16Spec extends AnyFunSuite {
       "rolled-up contaminated count diverges from the per-doc gate")
   }
 
+  test("knnGraphLshAuto: the occupancy law is the exact integer search " +
+      "(oracle-mirrored), and identical vectors are rank-1 neighbors") {
+    import operators.SimilarityOps.lshPlanesFor
+    // the documented law: smallest p >= 4 with 32*2^p >= N
+    assert(lshPlanesFor(20) == 4)    // sf0.001-ish
+    assert(lshPlanesFor(2000) == 6)  // sf0.1 (2000 > 32*2^5 = 1024)
+    assert(lshPlanesFor(512) == 4)   // exact boundary: 32*2^4 = 512
+    assert(lshPlanesFor(513) == 5)   // one past it
+    assert(lshPlanesFor(200000) == 13)
+    assert(lshPlanesFor(Long.MaxValue) == 20) // capped, never unbounded
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // two identical vectors share every hyperplane sign → same bucket
+    // → each other's rank-1 at sim 1.0; the far vector is neither's
+    val mk = (seed: Int) => Array.tabulate(64)(i =>
+      math.sin(seed * 64.0 + i)) // deterministic, no Math.random
+    val emb = Seq((1L, mk(1)), (2L, mk(1)), (3L, mk(7)))
+      .toDF("vec_id", "embedding")
+    val g = operators.SimilarityOps.knnGraphLshAuto(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g.get(1L).contains(2L) && g.get(2L).contains(1L),
+      s"identical pair not mutual rank-1: $g")
+  }
+
   test("aHash64Data survives malformed UTF-8 (truncated tails, stray " +
       "continuation leads) without reading past the buffer") {
     // valid input: guard must not change behavior
