@@ -1533,7 +1533,7 @@ object SparkEntry {
       // legs' in-cell pair volume is N²/cells at fixed 16 cells — 294×
       // wall at ×100 — and N^1.5 at ⌈√N⌉ cells — 207×): occupancy-
       // targeted LSH grows the plane count with the corpus (integer
-      // search, oracle-replayed) so bucket size stays ~32 and
+      // search, oracle-replayed) so bucket size stays ~128 and
       // candidates stay corpus-linear. The production default at
       // 100 TB; the IVF rows stay as the exactness/tuning gates. See
       // SimilarityOps.knnGraphLshAuto and the SCALE.md switchover rule.
@@ -1542,6 +1542,29 @@ object SparkEntry {
         k = 5)
         .select(col("query_id"), col("nbr_id"),
           round(col("sim"), 4).as("sim"), col("rank"))),
+
+    "embed_knn_recall_lsh" -> ((s, d) => {
+      // recall@5 of the linear LSH graph leg against the brute truth —
+      // the audit that LICENSES embed_knn_graph_lsh as the 100 TB
+      // default (a leg is only a default when its recall is measured,
+      // not assumed). Truth is brute by definition (the ann_recall
+      // harness-by-construction pattern); a deployment audits on a
+      // sample. Both legs rank on the UNROUNDED sim with the nbr_id
+      // tie-break, so the pair-set join replays exactly.
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .localCheckpoint(false) // truth + LSH legs share one result job
+      val truth = SimilarityOps.bruteForceTopK(emb, emb, k = 5)
+        .select(col("query_id"), col("nbr_id"))
+      val got = SimilarityOps.knnGraphLshAuto(emb, k = 5)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+      truth.join(got, Seq("query_id", "nbr_id"), "left_outer")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum("hit"), lit(0L)).as("n_hit"))
+        .select(col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 4)
+            .as("recall"))
+    }),
 
     "embed_knn_graph_auto" -> ((s, d) =>
       // the scale-shaped default for the k-NN graph family: nCentroids
@@ -9568,7 +9591,7 @@ object SparkEntry {
 
   /** [[lshSigSub]] with the plane count derived from the corpus the
     * way `SimilarityOps.knnGraphLshAuto` derives it — the smallest
-    * p ≥ 4 with 32·2^p ≥ N (integer comparisons only, so both engines
+    * p ≥ 4 with 128·2^p ≥ N (integer comparisons only, so both engines
     * agree exactly); the occupancy law itself is part of the gate.
     * Plane ids come from `unnest(range(...))` in a SELECT list (the
     * r10 rule: generate_series can't take lateral parameters). */
@@ -9576,7 +9599,7 @@ object SparkEntry {
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |cnt AS (SELECT count(*) AS n FROM e),
        |pl AS (SELECT min(p) AS planes FROM generate_series(4, 20) g(p), cnt
-       |       WHERE 32 * (1::BIGINT << p) >= cnt.n),
+       |       WHERE 128 * (1::BIGINT << p) >= cnt.n),
        |pp AS (SELECT vec_id, emb,
        |        unnest(range(0, (SELECT planes FROM pl))) AS p FROM e),
        |dots AS (
@@ -13670,6 +13693,45 @@ object SparkEntry {
          |     ORDER BY sim DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, round(sim, 4) AS sim, rank FROM r
          |WHERE rank <= 5""".stripMargin,
+
+    // recall audit: the LSH graph chain (above) joined against the
+    // brute corpus-vs-corpus truth, both ranked on the unrounded sim
+    // with the nbr_id tie-break
+    "embed_knn_recall_lsh" ->
+      s"""WITH $lshSigSubAuto,
+         |qsig AS (
+         |  SELECT e.vec_id AS query_id, e.emb AS q_emb,
+         |   CASE WHEN b = -1 THEN s.bucket
+         |        ELSE xor(s.bucket, 1::BIGINT << b) END AS bucket
+         |  FROM e JOIN sig s USING (vec_id),
+         |       unnest(generate_series(-1, 3)) AS t(b)),
+         |cand AS (
+         |  SELECT q.query_id, q.q_emb, ce.vec_id AS nbr_id, ce.emb AS nbr_emb
+         |  FROM qsig q JOIN sig c ON q.bucket = c.bucket
+         |       JOIN e ce ON ce.vec_id = c.vec_id
+         |  WHERE c.vec_id <> q.query_id),
+         |lscored AS (
+         |  SELECT query_id, nbr_id, ${cosSql("q_emb", "nbr_emb")} AS sim FROM cand),
+         |lsh AS (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT query_id, nbr_id,
+         |     row_number() OVER (PARTITION BY query_id
+         |       ORDER BY sim DESC, nbr_id ASC) AS rank FROM lscored)
+         |  WHERE rank <= 5),
+         |tscored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+         |   ${cosSql("a.emb", "b.emb")} AS sim
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |truth AS (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT query_id, nbr_id,
+         |     row_number() OVER (PARTITION BY query_id
+         |       ORDER BY sim DESC, nbr_id ASC) AS r FROM tscored)
+         |  WHERE r <= 5)
+         |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         | CAST(count(l.nbr_id) AS BIGINT) AS n_hit,
+         | round(count(l.nbr_id) * 1.0 / count(*), 4) AS recall
+         |FROM truth t LEFT JOIN lsh l USING (query_id, nbr_id)""".stripMargin,
 
     // full replication of the IVF path: deterministic hashed centroid
     // pick, nearest-cell assignment (keep 1 corpus / 3 probe), cell-local

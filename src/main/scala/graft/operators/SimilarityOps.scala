@@ -580,7 +580,8 @@ object SimilarityOps {
     * count grows with the corpus (smallest p ≥ 4 with
     * targetBucket·2^p ≥ N — an INTEGER search, no libm, so the oracle
     * replays identical comparisons), which pins expected bucket
-    * occupancy at ~targetBucket regardless of N: candidate volume is
+    * occupancy at ~targetBucket (default 128, the measured recall/cost
+    * knee) regardless of N: candidate volume is
     * O(N · (1+probes) · targetBucket) — corpus-linear — vs
     * [[knnGraph]]'s O(N²/cells) at fixed cells (r16 ×100 probe: 294×
     * wall for 100× data) and [[knnGraphAuto]]'s O(N^1.5) (207×).
@@ -590,11 +591,15 @@ object SimilarityOps {
     * build runs. */
   /** The occupancy law: smallest p ≥ 4 with targetBucket·2^p ≥ n.
     * Exposed so Round16Spec pins the integer search against the
-    * oracle's SQL replay of the same comparisons. */
-  private[graft] def lshPlanesFor(n: Long, targetBucket: Int = 32): Int =
+    * oracle's SQL replay of the same comparisons. targetBucket = 128
+    * is the measured recall/cost knee at sf0.1 (B=32: recall@5 0.20;
+    * B=64: 0.32; B=128: 0.52 ≈ the IVF leg's 0.56 — all at ~1 s; the
+    * r16 sweep in PLANS.md) — recall buys linearly in B while cost
+    * stays corpus-linear with constant B. */
+  private[graft] def lshPlanesFor(n: Long, targetBucket: Int = 128): Int =
     (4 to 20).find(p => (targetBucket.toLong << p) >= n).getOrElse(20)
 
-  def knnGraphLshAuto(corpus: DataFrame, k: Int, targetBucket: Int = 32,
+  def knnGraphLshAuto(corpus: DataFrame, k: Int, targetBucket: Int = 128,
                       probes: Int = 4): DataFrame = {
     val n = corpus.count() // column-pruned count; metadata-cheap
     lshCandidateTopK(corpus, corpus, k, lshPlanesFor(n, targetBucket),

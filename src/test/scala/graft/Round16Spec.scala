@@ -160,12 +160,12 @@ class Round16Spec extends AnyFunSuite {
   test("knnGraphLshAuto: the occupancy law is the exact integer search " +
       "(oracle-mirrored), and identical vectors are rank-1 neighbors") {
     import operators.SimilarityOps.lshPlanesFor
-    // the documented law: smallest p >= 4 with 32*2^p >= N
-    assert(lshPlanesFor(20) == 4)    // sf0.001-ish
-    assert(lshPlanesFor(2000) == 6)  // sf0.1 (2000 > 32*2^5 = 1024)
-    assert(lshPlanesFor(512) == 4)   // exact boundary: 32*2^4 = 512
-    assert(lshPlanesFor(513) == 5)   // one past it
-    assert(lshPlanesFor(200000) == 13)
+    // the documented law: smallest p >= 4 with 128*2^p >= N
+    assert(lshPlanesFor(20) == 4)     // sf0.001-ish
+    assert(lshPlanesFor(2000) == 4)   // sf0.1 (128*2^4 = 2048 >= 2000)
+    assert(lshPlanesFor(2048) == 4)   // exact boundary: 128*2^4 = 2048
+    assert(lshPlanesFor(2049) == 5)   // one past it
+    assert(lshPlanesFor(200000) == 11)
     assert(lshPlanesFor(Long.MaxValue) == 20) // capped, never unbounded
     val spark = TestSpark.spark
     import spark.implicits._
