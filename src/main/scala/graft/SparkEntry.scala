@@ -909,6 +909,36 @@ object SparkEntry {
       DedupOps.windowMinhashSpans(t(s, d, "documents"), "doc_id", "text",
         w = 16, stride = 8, shingleK = 4, minCount = 2L)),
 
+    "dedup_substring_eval" -> ((s, d) => {
+      // the calibration made concrete: doc-level agreement between the
+      // exact SA tier and the approx window-MinHash tier at the
+      // standard hot-doc verdict (duplicated mass ≥ half — integer
+      // cross-multiply, the curate_e2e convention). A deployment runs
+      // this on a sample to license the cheap tier corpus-wide; the
+      // four-cell confusion table is the whole decision input. Inner
+      // join: both tiers must cover the doc (approx needs ≥ 16 tokens).
+      val docs = t(s, d, "documents")
+      val ex = DedupOps.suffixDupSpans(docs, "doc_id", "text",
+          cap = 24, minSpan = 8)
+        .select(col("doc_id"),
+          (col("n_dup_pos") * 2 >= col("n_pos")).as("ehot"))
+      val ap = DedupOps.windowMinhashSpans(docs, "doc_id", "text",
+          w = 16, stride = 8, shingleK = 4, minCount = 2L)
+        .select(col("doc_id"),
+          (col("n_dup_windows") * 2 >= col("n_windows")).as("ahot"))
+      ex.join(ap, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ehot") && col("ahot"), 1L).otherwise(0L))
+            .as("n_both_hot"),
+          sum(when(col("ehot") && !col("ahot"), 1L).otherwise(0L))
+            .as("n_exact_only"),
+          sum(when(!col("ehot") && col("ahot"), 1L).otherwise(0L))
+            .as("n_approx_only"))
+        .withColumn("agreement", round(
+          (col("n_docs") - col("n_exact_only") - col("n_approx_only"))
+            .cast("double") / col("n_docs"), 4))
+    }),
+
     "dedup_paragraph" -> ((s, d) => {
       import s.implicits._
       // line-level corpus dedup + in-order reconstruction (the C4/CCNet
@@ -9574,6 +9604,89 @@ object SparkEntry {
   private val planeWeightSql: String =
     hash32Sql("(p*64 + i)") + " / 2147483648.0 - 1.0"
 
+  /** The suffix-array replay (dedup_substring's oracle): 4-gram-
+    * partitioned neighbor sort on the token list, mirrored [go, n]
+    * list-state LCP folds. A shared val so dedup_substring_eval can
+    * nest the SAME chain (edit THIS, not copies). */
+  private lazy val suffixDupSql: String =
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tkn AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0),
+        |sfx AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   tk[i:least(len(tk), i + 23)] AS arr
+        |  FROM tkn, unnest(generate_series(1, len(tk))) AS g(i)),
+        |s2 AS (
+        |  SELECT doc_id, pos, arr,
+        |   array_to_string(arr[1:least(len(arr), 4)], ' ') AS gkey
+        |  FROM sfx),
+        |nb AS (
+        |  SELECT doc_id, pos, arr,
+        |   lag(arr) OVER w AS pa, lead(arr) OVER w AS na
+        |  FROM s2
+        |  WINDOW w AS (PARTITION BY gkey ORDER BY arr, doc_id, pos)),
+        |lc AS (
+        |  SELECT doc_id,
+        |   greatest(
+        |    CASE WHEN pa IS NULL THEN 0 ELSE
+        |     list_reduce(list_prepend([1::BIGINT, 0::BIGINT],
+        |       list_transform(generate_series(1, least(len(arr), len(pa))),
+        |        j -> [CASE WHEN arr[j] = pa[j] THEN 1::BIGINT
+        |              ELSE 0::BIGINT END, 0::BIGINT])),
+        |      (ac, x) -> CASE WHEN ac[1] = 1 AND x[1] = 1
+        |        THEN [1::BIGINT, ac[2] + 1]
+        |        ELSE [0::BIGINT, ac[2]] END)[2] END,
+        |    CASE WHEN na IS NULL THEN 0 ELSE
+        |     list_reduce(list_prepend([1::BIGINT, 0::BIGINT],
+        |       list_transform(generate_series(1, least(len(arr), len(na))),
+        |        j -> [CASE WHEN arr[j] = na[j] THEN 1::BIGINT
+        |              ELSE 0::BIGINT END, 0::BIGINT])),
+        |      (ac, x) -> CASE WHEN ac[1] = 1 AND x[1] = 1
+        |        THEN [1::BIGINT, ac[2] + 1]
+        |        ELSE [0::BIGINT, ac[2]] END)[2] END) AS dup_len
+        |  FROM nb)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+        | CAST(max(dup_len) AS BIGINT) AS max_dup_len,
+        | CAST(sum(CASE WHEN dup_len >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_pos,
+        | round(CAST(sum(CASE WHEN dup_len >= 8 THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM lc GROUP BY doc_id""".stripMargin
+
+  /** The bottom-1 window-MinHash replay (dedup_substring_approx's
+    * oracle): strided windows, min over the 13 in-window 4-gram fnv
+    * hashes wrapped to SIGNED BIGINT before the min, dedup_spans-
+    * style frequency join. Shared with dedup_substring_eval. */
+  private lazy val windowMinhashSql: String =
+      s"""WITH arrs AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         |    '\\s+'), x -> x <> '') AS a
+         |  FROM documents),
+         |win AS (
+         |  SELECT doc_id, i, a[i:i+15] AS warr
+         |  FROM arrs, unnest(generate_series(1, len(a) - 15, 8)) AS t(i)
+         |  WHERE len(a) >= 16),
+         |gr AS (
+         |  SELECT doc_id, i,
+         |   CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |     THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+         |     AS hs
+         |  FROM (SELECT doc_id, i,
+         |         ${fnvSql("array_to_string(warr[j:j+3], ' ')")} AS h
+         |        FROM win, unnest(generate_series(1, 13)) AS g(j))),
+         |sk AS (SELECT doc_id, i, min(hs) AS mh FROM gr GROUP BY doc_id, i),
+         |pd AS (SELECT doc_id, mh, count(*) AS c FROM sk GROUP BY doc_id, mh),
+         |dup AS (SELECT mh FROM pd GROUP BY mh HAVING sum(c) >= 2)
+         |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
+         | CAST(sum(CASE WHEN dup.mh IS NOT NULL THEN c ELSE 0 END)
+         |   AS BIGINT) AS n_dup_windows,
+         | round(sum(CASE WHEN dup.mh IS NOT NULL THEN c ELSE 0 END) * 1.0
+         |   / sum(c), 4) AS dup_ratio
+         |FROM pd LEFT JOIN dup USING (mh)
+         |GROUP BY pd.doc_id""".stripMargin
+
   /** Hyperplane signature CTEs shared by the LSH oracle: per-plane dots
     * folded in dimension order exactly like `SimilarityOps.signBits`. */
   private val lshSigSub: String =
@@ -10261,84 +10374,38 @@ object SparkEntry {
     // order identically: byte-wise element compare, shorter-prefix
     // first), same [go, n] list-state LCP fold (list_reduce wraps
     // elements to state arity per the t25 rule)
-    "dedup_substring" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
-        |    '\s+'), x -> x <> '') AS tk
-        |  FROM documents),
-        |tkn AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0),
-        |sfx AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |   tk[i:least(len(tk), i + 23)] AS arr
-        |  FROM tkn, unnest(generate_series(1, len(tk))) AS g(i)),
-        |s2 AS (
-        |  SELECT doc_id, pos, arr,
-        |   array_to_string(arr[1:least(len(arr), 4)], ' ') AS gkey
-        |  FROM sfx),
-        |nb AS (
-        |  SELECT doc_id, pos, arr,
-        |   lag(arr) OVER w AS pa, lead(arr) OVER w AS na
-        |  FROM s2
-        |  WINDOW w AS (PARTITION BY gkey ORDER BY arr, doc_id, pos)),
-        |lc AS (
-        |  SELECT doc_id,
-        |   greatest(
-        |    CASE WHEN pa IS NULL THEN 0 ELSE
-        |     list_reduce(list_prepend([1::BIGINT, 0::BIGINT],
-        |       list_transform(generate_series(1, least(len(arr), len(pa))),
-        |        j -> [CASE WHEN arr[j] = pa[j] THEN 1::BIGINT
-        |              ELSE 0::BIGINT END, 0::BIGINT])),
-        |      (ac, x) -> CASE WHEN ac[1] = 1 AND x[1] = 1
-        |        THEN [1::BIGINT, ac[2] + 1]
-        |        ELSE [0::BIGINT, ac[2]] END)[2] END,
-        |    CASE WHEN na IS NULL THEN 0 ELSE
-        |     list_reduce(list_prepend([1::BIGINT, 0::BIGINT],
-        |       list_transform(generate_series(1, least(len(arr), len(na))),
-        |        j -> [CASE WHEN arr[j] = na[j] THEN 1::BIGINT
-        |              ELSE 0::BIGINT END, 0::BIGINT])),
-        |      (ac, x) -> CASE WHEN ac[1] = 1 AND x[1] = 1
-        |        THEN [1::BIGINT, ac[2] + 1]
-        |        ELSE [0::BIGINT, ac[2]] END)[2] END) AS dup_len
-        |  FROM nb)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
-        | CAST(max(dup_len) AS BIGINT) AS max_dup_len,
-        | CAST(sum(CASE WHEN dup_len >= 8 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_dup_pos,
-        | round(CAST(sum(CASE WHEN dup_len >= 8 THEN 1 ELSE 0 END)
-        |   AS DOUBLE) / count(*), 4) AS dup_frac
-        |FROM lc GROUP BY doc_id""".stripMargin,
+    "dedup_substring" -> suffixDupSql,
+
 
     // the bottom-1 window-MinHash replay: strided windows, min over
     // the 13 in-window 4-gram fnv hashes WRAPPED TO SIGNED BIGINT
     // before the min (Spark orders the signed value — the established
     // CASE), then the dedup_spans-style frequency join on the sketch
-    "dedup_substring_approx" ->
-      s"""WITH arrs AS (
-         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
-         |    '\\s+'), x -> x <> '') AS a
-         |  FROM documents),
-         |win AS (
-         |  SELECT doc_id, i, a[i:i+15] AS warr
-         |  FROM arrs, unnest(generate_series(1, len(a) - 15, 8)) AS t(i)
-         |  WHERE len(a) >= 16),
-         |gr AS (
-         |  SELECT doc_id, i,
-         |   CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-         |     THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
-         |     AS hs
-         |  FROM (SELECT doc_id, i,
-         |         ${fnvSql("array_to_string(warr[j:j+3], ' ')")} AS h
-         |        FROM win, unnest(generate_series(1, 13)) AS g(j))),
-         |sk AS (SELECT doc_id, i, min(hs) AS mh FROM gr GROUP BY doc_id, i),
-         |pd AS (SELECT doc_id, mh, count(*) AS c FROM sk GROUP BY doc_id, mh),
-         |dup AS (SELECT mh FROM pd GROUP BY mh HAVING sum(c) >= 2)
-         |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
-         | CAST(sum(CASE WHEN dup.mh IS NOT NULL THEN c ELSE 0 END)
-         |   AS BIGINT) AS n_dup_windows,
-         | round(sum(CASE WHEN dup.mh IS NOT NULL THEN c ELSE 0 END) * 1.0
-         |   / sum(c), 4) AS dup_ratio
-         |FROM pd LEFT JOIN dup USING (mh)
-         |GROUP BY pd.doc_id""".stripMargin,
+    "dedup_substring_approx" -> windowMinhashSql,
+
+    // both full tier chains nested as derived tables (the r9 rule:
+    // CTEs are legal inside FROM (...)), joined on doc_id, integer
+    // hot verdicts mirrored, one final rounded division
+    "dedup_substring_eval" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN x.n_dup_pos * 2 >= x.n_pos
+         |   AND a.n_dup_windows * 2 >= a.n_windows THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_both_hot,
+         | CAST(sum(CASE WHEN x.n_dup_pos * 2 >= x.n_pos
+         |   AND NOT (a.n_dup_windows * 2 >= a.n_windows) THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_exact_only,
+         | CAST(sum(CASE WHEN NOT (x.n_dup_pos * 2 >= x.n_pos)
+         |   AND a.n_dup_windows * 2 >= a.n_windows THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_approx_only,
+         | round((count(*)
+         |   - sum(CASE WHEN x.n_dup_pos * 2 >= x.n_pos
+         |       AND NOT (a.n_dup_windows * 2 >= a.n_windows)
+         |       THEN 1 ELSE 0 END)
+         |   - sum(CASE WHEN NOT (x.n_dup_pos * 2 >= x.n_pos)
+         |       AND a.n_dup_windows * 2 >= a.n_windows
+         |       THEN 1 ELSE 0 END)) * 1.0 / count(*), 4) AS agreement
+         |FROM ($suffixDupSql) x JOIN ($windowMinhashSql) a USING (doc_id)""".stripMargin,
+
 
     // first-wins line election mirrors min(struct(doc_id, idx)); planted
     // docs exercise cross-doc AND within-doc dup lines + the all-lost doc
