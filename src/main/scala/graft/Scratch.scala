@@ -65,10 +65,22 @@ object Scratch {
       try {
         if (n.startsWith("graft-run-")) {
           val pid = n.stripPrefix("graft-run-")
-          val alive = pid.forall(_.isDigit) && pid.nonEmpty &&
-            ProcessHandle.of(pid.toLong).map[java.lang.Boolean](_.isAlive)
+          if (pid.nonEmpty && pid.forall(_.isDigit)) {
+            // pid-liveness test, with an age backstop: if the pid was
+            // reused by an unrelated long-lived process the root would
+            // otherwise be spared forever (r16 ADVICE) — anything older
+            // than a day is debris regardless of what now owns the pid
+            // (no graft run lives that long).
+            val alive = ProcessHandle.of(pid.toLong)
+              .map[java.lang.Boolean](_.isAlive)
               .orElse(java.lang.Boolean.FALSE)
-          if (!alive && f.getPath != root.toString) deleteTree(f.toPath)
+            val dayOld =
+              f.lastModified() < System.currentTimeMillis() - 86400000L
+            if ((!alive || dayOld) && f.getPath != root.toString)
+              deleteTree(f.toPath)
+          }
+          // non-numeric suffix: not ours to judge — skip, never delete
+          // (r16 ADVICE: the old code classified these as dead)
         } else if ((n.startsWith("graft_") || n.startsWith("graft-wh")) &&
                    f.isDirectory && f.lastModified() < jvmStart) {
           deleteTree(f.toPath)

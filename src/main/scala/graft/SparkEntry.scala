@@ -8204,7 +8204,10 @@ object SparkEntry {
     "s19_split_index" -> ((s, _) => {
       // S19: the split-index build finds exactly one offset per <page>,
       // strictly increasing within the file
-      val f = java.nio.file.Files.createTempFile("graft_s19", ".xml")
+      // file lives under the per-process Scratch root (a bare temp-file
+      // call leaked one top-level /tmp xml per run; the r16 audit only
+      // watched directory creation — Round17Spec now watches files too)
+      val f = Scratch.dir("s19").resolve("dump.xml")
       java.nio.file.Files.writeString(f, graft.sources.WikiFixtures.bigXml(60))
       val idx = graft.sources.IndexSplits.build(s, f.toString)
       idx.agg(count(lit(1)).as("n_offsets"),
@@ -9711,7 +9714,8 @@ object SparkEntry {
   private val lshSigSubAuto: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |cnt AS (SELECT count(*) AS n FROM e),
-       |pl AS (SELECT min(p) AS planes FROM generate_series(4, 20) g(p), cnt
+       |pl AS (SELECT coalesce(min(p), 20) AS planes
+       |       FROM generate_series(4, 20) g(p), cnt
        |       WHERE 128 * (1::BIGINT << p) >= cnt.n),
        |pp AS (SELECT vec_id, emb,
        |        unnest(range(0, (SELECT planes FROM pl))) AS p FROM e),

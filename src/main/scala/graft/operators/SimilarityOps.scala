@@ -596,6 +596,10 @@ object SimilarityOps {
     * B=64: 0.32; B=128: 0.52 ≈ the IVF leg's 0.56 — all at ~1 s; the
     * r16 sweep in PLANS.md) — recall buys linearly in B while cost
     * stays corpus-linear with constant B. */
+  // The 20-plane cap (.getOrElse(20)) binds only beyond ~134M vectors
+  // (128·2^20); the oracle mirrors it with coalesce(min(p), 20) so the
+  // two integer searches agree across the whole domain, not just the
+  // verify envelope (r16 ADVICE).
   private[graft] def lshPlanesFor(n: Long, targetBucket: Int = 128): Int =
     (4 to 20).find(p => (targetBucket.toLong << p) >= n).getOrElse(20)
 

@@ -107,6 +107,9 @@ class Round16Spec extends AnyFunSuite {
     val p = SparkEntry.queries("dedup_substring_approx")(TestSpark.spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), "approx tier must not window-sort")
+    // the title promises "no sort" — pin it (r16 ADVICE: a
+    // Sort/Exchange-with-sort slipped past the Window-only assert)
+    assert(!p.contains("Sort"), "approx tier must not sort")
   }
 
   test("pack_fim: piece lengths tile the doc, out_len adds exactly the " +

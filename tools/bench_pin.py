@@ -19,6 +19,10 @@ import json, statistics, sys
 
 runs = [json.load(open(p)) for p in sys.argv[1:]]
 assert len(runs) >= 3, "median pin needs >= 3 full runs"
+# An even run count would make statistics.median interpolate between two
+# runs, so the pinned wall would match no actual run (r16 ADVICE); with
+# odd N the base record IS the median run and the wall is its wall.
+assert len(runs) % 2 == 1, "median pin needs an ODD run count"
 for r in runs:
     assert not r.get("suite_filter"), "refusing to pin a filtered run"
     assert r.get("errors") == {}, f"run has errors: {r['errors']}"
@@ -35,14 +39,18 @@ best = {n: round(min(r["queries"][n] for r in runs), 3)
 qsums = [round(sum(r["queries"].values()), 3) for r in runs]
 
 # base record = the run at the median wall (its errors/transients/shared
-# lists describe a real run, not a synthetic average)
+# lists describe a real run, not a synthetic average); with the odd-N
+# assert above, statistics.median(walls) == base["value"] exactly.
 base = sorted(runs, key=lambda r: r["value"])[len(runs) // 2]
 out = dict(base)
 out["queries"] = med
 out["queries_best"] = best
 out["pin_mode"] = f"median_of_{len(runs)}"
-out["run_walls"] = [round(w, 3) for w in sorted(walls)]
-out["run_query_sums"] = sorted(qsums)
+# run_walls / run_query_sums stay in ORIGINAL run order (argv order) so
+# the two lists correlate per run (r16 ADVICE: sorting them independently
+# lost which query-sum belonged to which wall).
+out["run_walls"] = [round(w, 3) for w in walls]
+out["run_query_sums"] = qsums
 out["value"] = round(statistics.median(walls), 3)
 json.dump(out, sys.stdout, separators=(",", ":"))
 print()
