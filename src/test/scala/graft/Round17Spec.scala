@@ -11,6 +11,54 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class Round17Spec extends AnyFunSuite {
 
+  private lazy val spark = TestSpark.spark
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // --- the shared brute-truth contract (r17: one corpus-quadratic brute
+  // pass serves both recall audits) ------------------------------------
+
+  test("brute truth restriction identity: top-5 for queries vec_id<10 " +
+      "IS the corpus-wide top-5 filtered to those queries") {
+    import graft.operators.SimilarityOps
+    import org.apache.spark.sql.functions._
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val direct = SimilarityOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+    val restricted = SimilarityOps.bruteForceTopK(emb, emb, k = 5)
+      .filter(col("query_id") < 10)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+    assert(rows(direct) == rows(restricted),
+      "per-query brute ranking is not restriction-stable — the shared " +
+        "truth frame would change ann_recall")
+  }
+
+  test("the process-shared corpus/brute frames reproduce a fresh " +
+      "embed_knn_recall_lsh chain bit-for-bit") {
+    import graft.operators.SimilarityOps
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.table(spark, sf, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val truth = SimilarityOps.bruteForceTopK(emb, emb, k = 5)
+      .select(col("query_id"), col("nbr_id"))
+    val got = SimilarityOps.knnGraphLshAuto(emb, k = 5)
+      .select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+    val fresh = truth.join(got, Seq("query_id", "nbr_id"), "left_outer")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 4)
+          .as("recall"))
+    val shared = SparkEntry.queries("embed_knn_recall_lsh")(spark, sf)
+    assert(rows(shared) == rows(fresh),
+      "shared corpus/brute frames diverged from a fresh chain")
+  }
+
   test("no main source file creates temp FILES outside Scratch either " +
       "(the r16 audit only covered directories)") {
     import scala.jdk.CollectionConverters._
