@@ -46,6 +46,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // spill/broadcast scratch under the per-process root (swept on
+      // exit/crash; /tmp blockmgr debris from dead runs measured 37 GB)
+      .config("spark.local.dir", Scratch.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // materialize via the noop sink: unlike count(), it evaluates every

@@ -27,22 +27,48 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // spill/broadcast scratch under the per-process root (swept on
+      // exit/crash — a dead ×100 probe once left 37 GB in /tmp)
+      .config("spark.local.dir", Scratch.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
-    def time(name: String): Double = {
-      val runs = (1 to 2).map { _ =>
+    // one row per query, PRINTED AS IT COMPLETES, and a failed query
+    // records its error instead of killing the run — a 50-minute ×100
+    // probe must not lose its finished measurements to the last row
+    // (the r17 ktruss disk-fill lost triangles+scc numbers that way)
+    // SPARK_GRAFT_PROBE_RUNS=1 for multi-ten-minute ×100 rows where
+    // best-of-2 would double an hour-long measurement (recorded as-is;
+    // a single run reads HIGH if anything, never flatters)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
+    def time(name: String): Either[String, Double] = try {
+      val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      runs.min
+      Right(runs.min)
+    } catch {
+      case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
     }
-    val results = names.map(n => n -> time(n))
-    val js = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val r = time(n)
+      r match {
+        case Right(v) => println(s"""{"scale_probe_row":{"$n":$v}}""")
+        case Left(e)  => println(
+          s"""{"scale_probe_row":{"$n":-1},"error":${"\"" +
+            e.replaceAll("[\"\\\\\\n\\r]", " ") + "\""}}""")
+      }
+      n -> r
+    }
+    val js = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"scale_probe":$js,"dir":"$dir"}""")
+    val errs = results.collect { case (k, Left(e)) =>
+      s"\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"scale_probe":$js,"errors":$errs,"dir":"$dir"}""")
     spark.stop()
   }
 }

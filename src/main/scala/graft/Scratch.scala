@@ -36,6 +36,16 @@ object Scratch {
     r
   }
 
+  /** Spark scratch (blockmgr spill, broadcast files) for this process,
+    * under the per-process root so the exit hook / sweepStale reclaim
+    * it. Without this, `spark.local.dir` defaults to /tmp and a
+    * crashed run leaves its spill behind unswept — a dead ktruss ×100
+    * probe left 37 GB of blockmgr files and the NEXT probe died on
+    * "No space left on device" (r17). Pass to
+    * `.config("spark.local.dir", Scratch.sparkLocalDir)` before the
+    * session starts. */
+  def sparkLocalDir: String = dir("spark_local").toString
+
   /** A fresh unique directory under the per-process root. Callers do
     * NOT delete it per-query: lazily-built frames re-read their dir on
     * every action (bench times each query twice), so per-query deletion

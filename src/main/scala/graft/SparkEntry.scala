@@ -152,6 +152,46 @@ object SparkEntry {
     sharedFrame(s, d, "brute_top5")(
       SimilarityOps.bruteForceTopK(embF64(s, d), embF64(s, d), k = 5))
 
+  /** Per-doc hot verdicts of the two substring-dedup tiers (exact
+    * suffix-array, approx window-MinHash) at the standard parameters —
+    * the frame BOTH calibration rows (corpus-wide confusion table +
+    * per-source rollup) aggregate from. Sharing is legitimate here for
+    * the same reason as dedupLabels05: the tier GENERATORS have their
+    * own gates (dedup_substring / dedup_substring_approx build their
+    * own chains); the calibration rows are downstream consumers of the
+    * verdicts, and a deployment materializes the verdict table once per
+    * snapshot. Pure deterministic function of the corpus. */
+  private def substringVerdicts(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "substr_verdicts") {
+      val docs = t(s, d, "documents")
+      val ex = DedupOps.suffixDupSpans(docs, "doc_id", "text",
+          cap = 24, minSpan = 8)
+        .select(col("doc_id"),
+          (col("n_dup_pos") * 2 >= col("n_pos")).as("ehot"))
+      val ap = DedupOps.windowMinhashSpans(docs, "doc_id", "text",
+          w = 16, stride = 8, shingleK = 4, minCount = 2L)
+        .select(col("doc_id"),
+          (col("n_dup_windows") * 2 >= col("n_windows")).as("ahot"))
+      ex.join(ap, Seq("doc_id"))
+    }
+
+  /** Planted "audio" clips for mm_audio_neardup: `blocks` frames of 32
+    * bytes each — 16 loud chars (one uniform code per frame, walking
+    * `'A' + (i·step) mod 26`, so the energy curve has dense local
+    * maxima) + 16 quiet pad chars the 32-byte frame stride never reads.
+    * Deterministic Scala constants interpolated verbatim into BOTH the
+    * Spark union and the oracle VALUES (chars are [A-Za-b] only — SQL-
+    * literal-safe). */
+  private def audioClip(step: Int, blocks: Int): String =
+    (0 until blocks).map { i =>
+      ('A' + (i * step) % 26).toChar.toString * 16 + "a" * 16
+    }.mkString
+  // step 11 × 24 blocks → 9 peaks → 8 gap-2 landmarks (exactly the
+  // support cut); step 7 needs 36 blocks for its 8 gap-3/4 landmarks
+  private lazy val audioClipBase = audioClip(11, 24)
+  private lazy val audioClipShift = "b" * 32 + audioClipBase
+  private lazy val audioClipOther = audioClip(7, 36)
+
   /** The corpus near-dup backbone shared by the CC family: the
     * prefix-filtered jaccard pair set at the standard threshold 0.5,
     * and the connected-components labeling over it. dedup_components /
@@ -186,6 +226,7 @@ object SparkEntry {
     "ann_ivfpq_topk", "ann_pq_topk", "ann_recall", "ann_rerank",
     "curate_e2e",
     "dedup_canonical", "dedup_cluster_profile", "dedup_components",
+    "dedup_substring_eval", "dedup_substring_src_eval",
     "embed_knn_recall_lsh",
     "graph_cc_incremental", "sample_split_leakfree",
     "search_bm25", "search_hybrid", "search_ndcg", "search_rbo",
@@ -938,16 +979,9 @@ object SparkEntry {
       // this on a sample to license the cheap tier corpus-wide; the
       // four-cell confusion table is the whole decision input. Inner
       // join: both tiers must cover the doc (approx needs ≥ 16 tokens).
-      val docs = t(s, d, "documents")
-      val ex = DedupOps.suffixDupSpans(docs, "doc_id", "text",
-          cap = 24, minSpan = 8)
-        .select(col("doc_id"),
-          (col("n_dup_pos") * 2 >= col("n_pos")).as("ehot"))
-      val ap = DedupOps.windowMinhashSpans(docs, "doc_id", "text",
-          w = 16, stride = 8, shingleK = 4, minCount = 2L)
-        .select(col("doc_id"),
-          (col("n_dup_windows") * 2 >= col("n_windows")).as("ahot"))
-      ex.join(ap, Seq("doc_id"))
+      // The verdict frame is process-shared with the per-source rollup
+      // (substringVerdicts); the tier generators keep their own gates.
+      substringVerdicts(s, d)
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("ehot") && col("ahot"), 1L).otherwise(0L))
             .as("n_both_hot"),
@@ -959,6 +993,29 @@ object SparkEntry {
           (col("n_docs") - col("n_exact_only") - col("n_approx_only"))
             .cast("double") / col("n_docs"), 4))
     }),
+
+    "dedup_substring_src_eval" -> ((s, d) =>
+      // the tier calibration rolled up PER SOURCE: which feed's
+      // duplicated mass the cheap tier is missing (exact-only) or
+      // over-flagging (approx-only) — the table that decides where the
+      // exact SA tier's budget goes at 100 TB (run it only on feeds
+      // whose exact-only mass is material; trust the 8-byte sketch on
+      // the rest). Reads the same process-shared verdict frame as the
+      // corpus-wide confusion row, plus one (doc_id, source) join.
+      substringVerdicts(s, d)
+        .join(t(s, d, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ehot") && col("ahot"), 1L).otherwise(0L))
+            .as("n_both_hot"),
+          sum(when(col("ehot") && !col("ahot"), 1L).otherwise(0L))
+            .as("n_exact_only"),
+          sum(when(!col("ehot") && col("ahot"), 1L).otherwise(0L))
+            .as("n_approx_only"))
+        .withColumn("agreement", round(
+          (col("n_docs") - col("n_exact_only") - col("n_approx_only"))
+            .cast("double") / col("n_docs"), 4))),
 
     "dedup_paragraph" -> ((s, d) => {
       import s.implicits._
@@ -5832,6 +5889,40 @@ object SparkEntry {
         "doc_id", maxHamming = 12)
     }),
 
+    "mm_audio_neardup" -> ((s, d) => {
+      // AUDIO near-dup pairs — the modality symmetry completer (images
+      // have mm_phash_neardup; this consumes mm_audio_fp's landmark
+      // constellation as a similarity key): per medium, a SimHash over
+      // the landmark hash set (MultimodalOps.audioSimhash — hamming-
+      // robust, unlike the XOR fold fp, where one differing landmark
+      // re-randomizes half the bits), then the SAME banded-hamming join
+      // recipe (16-bit bands; candidates only ever form inside a
+      // (band, value) bucket — never all-pairs), exact popcount ≤ 6.
+      // Planted overlapping clips: clipShift = one quiet 32-byte frame
+      // + clipBase, so the shared region's frames ALIGN to the stride
+      // and its landmarks are identical (landmark keys carry gaps and
+      // quantized energies, never absolute offsets); clipOther walks a
+      // different code sequence — guaranteed positive and negative on
+      // any corpus.
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, audioClipBase), (9000002L, audioClipShift),
+        (9000003L, audioClipOther)).toDF("doc_id", "text")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      // support cut: a majority vote over < 8 landmarks is not a stable
+      // signature (1-2 landmark docs inherit the raw hash bits and
+      // identical-landmark classes would pair quadratically) — the same
+      // degenerate-key discipline as the dedup family's hub cuts
+      MultimodalOps.phashNearDup(
+        MultimodalOps.audioSimhash(
+          docs.select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload", frameSize = 16, stride = 2)
+          .filter(col("n_landmarks") >= 8),
+        "doc_id", maxHamming = 6)
+    }),
+
     "mm_neardup" -> ((s, d) =>
       // perceptual near-dup pairs over the payload patch grid: ≥ 4/5 of
       // aligned sub-hub patch signatures coincide — the image-side
@@ -8423,6 +8514,57 @@ object SparkEntry {
           (unix_millis(col("ts")) - 1700000000000L).as("ts_ms"))
     }),
 
+    "st_substring" -> ((s, _) => {
+      // streaming SUBSTRING dedup through the gate — the stream form of
+      // the window-MinHash tier (batch/stream symmetry for the newest
+      // dedup tier, as st_dedup/st_neardup are for exact and MinHash):
+      // docs explode into strided 4-token windows, each claiming its
+      // 8-byte bottom-1 MinHash sketch within the watermark horizon;
+      // the emitted stream is the NOVEL spans. The trace drives: a full
+      // duplicate contributes nothing, a half-overlapping doc emits
+      // only its new tail window, eviction re-admits, a late replay
+      // never reaches the operator. State is O(windows-in-horizon).
+      val ss = streamSession(s)
+      implicit val sq = ss.sqlContext
+      import graft.streaming.EventStreamOps
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[EventStreamOps.DocEvent]
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.DocEvent]
+      val q = EventStreamOps.substringNovelWindows(mem.toDF(), "text", "ts",
+          "1 minute", w = 4, stride = 4, shingleK = 2)
+        .writeStream.format("memory").queryName("st_substring_out")
+        .outputMode("append").start()
+      def e(id: Long, ms: Long, text: String) = EventStreamOps.DocEvent(
+        id, text, new java.sql.Timestamp(1700000000000L + ms))
+      val eight = "alpha beta gamma delta epsilon zeta eta theta"
+      try {
+        // batch 1: doc 1 (8 tokens → 2 disjoint windows, both novel);
+        // doc 2 (4 tokens → 1 novel window)
+        mem.addData(e(1, 0L, eight), e(2, 10000L, "one two three four"))
+        q.processAllAvailable()
+        // batch 2: doc 3 duplicates doc 1 exactly → both windows
+        // claimed, nothing emits; doc 4 overlaps doc 1's second window
+        // → window 0 drops, window 1 (the novel tail) emits
+        mem.addData(e(3, 20000L, eight),
+          e(4, 30000L, "epsilon zeta eta theta iota kappa lambda mu"))
+        q.processAllAvailable()
+        // batch 3: sentinel pushes the watermark to 3_540_000 ms,
+        // evicting every claimed sketch
+        mem.addData(e(9, 3600000L, "sentinel watermark advance tick"))
+        q.processAllAvailable()
+        // batch 4: doc 6 replays doc 1 past the horizon → both windows
+        // re-emit (within-horizon semantics); doc 7 replays doc 4 with
+        // ts < watermark → dropped as late
+        mem.addData(e(6, 3600000L, eight),
+          e(7, 100000L, "epsilon zeta eta theta iota kappa lambda mu"))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table("st_substring_out").filter(col("doc_id") =!= 9L)
+        .select(col("doc_id"), col("win_idx"),
+          (unix_millis(col("ts")) - 1700000000000L).as("ts_ms"))
+    }),
+
     "st_curate" -> ((s, _) => {
       // composed streaming curation (EventStreamOps.curateStream):
       // quality gate → exact dedup → banded near-dup in ONE append
@@ -10432,6 +10574,30 @@ object SparkEntry {
          |       THEN 1 ELSE 0 END)) * 1.0 / count(*), 4) AS agreement
          |FROM ($suffixDupSql) x JOIN ($windowMinhashSql) a USING (doc_id)""".stripMargin,
 
+    // the same nested tier chains rolled up per source (one extra
+    // documents join for the source key)
+    "dedup_substring_src_eval" ->
+      s"""SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN x.n_dup_pos * 2 >= x.n_pos
+         |   AND a.n_dup_windows * 2 >= a.n_windows THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_both_hot,
+         | CAST(sum(CASE WHEN x.n_dup_pos * 2 >= x.n_pos
+         |   AND NOT (a.n_dup_windows * 2 >= a.n_windows) THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_exact_only,
+         | CAST(sum(CASE WHEN NOT (x.n_dup_pos * 2 >= x.n_pos)
+         |   AND a.n_dup_windows * 2 >= a.n_windows THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_approx_only,
+         | round((count(*)
+         |   - sum(CASE WHEN x.n_dup_pos * 2 >= x.n_pos
+         |       AND NOT (a.n_dup_windows * 2 >= a.n_windows)
+         |       THEN 1 ELSE 0 END)
+         |   - sum(CASE WHEN NOT (x.n_dup_pos * 2 >= x.n_pos)
+         |       AND a.n_dup_windows * 2 >= a.n_windows
+         |       THEN 1 ELSE 0 END)) * 1.0 / count(*), 4) AS agreement
+         |FROM ($suffixDupSql) x JOIN ($windowMinhashSql) a USING (doc_id)
+         |JOIN (SELECT doc_id, source FROM documents) dd USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+
 
     // first-wins line election mirrors min(struct(doc_id, idx)); planted
     // docs exercise cross-doc AND within-doc dup lines + the all-lost doc
@@ -11468,6 +11634,75 @@ object SparkEntry {
          |SELECT a.doc_id, CAST(n_peaks AS BIGINT) AS n_peaks,
          | CAST(n_landmarks AS BIGINT) AS n_landmarks, fp
          |FROM agg a JOIN np USING (doc_id)""".stripMargin,
+
+    // the landmark chain over documents + the planted clips, then the
+    // dedup_simhash vote/fold/band tail: per-bit ±1 votes over each
+    // medium's landmark hashes (HUGEINT bit extraction), signature
+    // folded in HUGEINT and wrapped to signed, four 16-bit band keys,
+    // OR-banded self-join, exact popcount <= 6
+    "mm_audio_neardup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (9000001, '$audioClipBase'),
+         |    (9000002, '$audioClipShift'),
+         |    (9000003, '$audioClipOther')) v(doc_id, text)),
+         |fr AS (
+         |  SELECT doc_id, text, i AS off
+         |  FROM base, unnest(generate_series(0, strlen(text) - 1, 32)) AS t(i)),
+         |e AS (
+         |  SELECT doc_id, off,
+         |   list_reduce(list_prepend(0::BIGINT, list_transform(
+         |     regexp_split_to_array(substr(text, off + 1, 16), ''),
+         |     c -> unicode(c)::BIGINT * unicode(c)::BIGINT)),
+         |    (a, b) -> a + b) AS energy
+         |  FROM fr),
+         |pk AS (SELECT doc_id, off, energy,
+         |        lag(energy) OVER (PARTITION BY doc_id ORDER BY off) AS pe,
+         |        lead(energy) OVER (PARTITION BY doc_id ORDER BY off) AS ne
+         |       FROM e),
+         |peaks AS (SELECT doc_id, off, energy FROM pk
+         |          WHERE pe IS NOT NULL AND ne IS NOT NULL
+         |            AND energy > pe AND energy > ne),
+         |l0 AS (SELECT doc_id, off, energy,
+         |        lead(off) OVER (PARTITION BY doc_id ORDER BY off) AS nf,
+         |        lead(energy) OVER (PARTITION BY doc_id ORDER BY off) AS nen
+         |       FROM peaks),
+         |lm AS (SELECT doc_id,
+         |        CAST((nf - off) // 32 AS VARCHAR) || '|' ||
+         |        CAST(energy // 1024 AS VARCHAR) || '|' ||
+         |        CAST(nen // 1024 AS VARCHAR) AS lk
+         |       FROM l0 WHERE nf IS NOT NULL AND (nf - off) // 32 <= 8),
+         |h AS (SELECT doc_id, ${fnvSql("lk")} AS fu FROM lm),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |   sum(CASE WHEN (fu // (1::HUGEINT << b)) % 2 = 1
+         |     THEN 1 ELSE -1 END) AS acc
+         |  FROM h, unnest(generate_series(0, 63)) AS t(b)
+         |  GROUP BY doc_id, b),
+         |nl AS (SELECT doc_id, count(*) AS n_lm FROM h GROUP BY 1),
+         |sigs AS (
+         |  SELECT doc_id,
+         |   sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+         |     AS su
+         |  FROM bits JOIN nl USING (doc_id)
+         |  WHERE n_lm >= 8 GROUP BY doc_id),
+         |sigc AS (
+         |  SELECT doc_id,
+         |   CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+         |     THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT)
+         |     AS sig,
+         |   CAST(su % 65536 AS BIGINT) AS c0,
+         |   CAST((su // 65536) % 65536 AS BIGINT) AS c1,
+         |   CAST((su // 4294967296) % 65536 AS BIGINT) AS c2,
+         |   CAST((su // 281474976710656) % 65536 AS BIGINT) AS c3
+         |  FROM sigs)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sigc a JOIN sigc b ON a.doc_id < b.doc_id
+         | AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin,
 
     // the frame-energy fold + run-start segmentation windows
     "mm_vad" ->
@@ -16666,6 +16901,21 @@ object SparkEntry {
         | (2, 10000),
         | (5, 40000),
         | (6, 3600000)) t""".stripMargin,
+
+    // streaming substring dedup: the novel-window stream — doc 1's two
+    // windows and doc 2's one admit; doc 3 (full dup) contributes
+    // nothing; doc 4 emits only its novel tail window; doc 6 re-admits
+    // both windows after eviction; doc 7's late replay never lands
+    "st_substring" ->
+      """SELECT CAST(col0 AS BIGINT) AS doc_id, CAST(col1 AS BIGINT) AS win_idx,
+        | CAST(col2 AS BIGINT) AS ts_ms
+        |FROM (VALUES
+        | (1, 0, 0),
+        | (1, 1, 0),
+        | (2, 0, 10000),
+        | (4, 1, 30000),
+        | (6, 0, 3600000),
+        | (6, 1, 3600000)) t""".stripMargin,
 
     // composed streaming curation: the admitted stream — gate-rejected
     // (3, 7), exact-dup (2) and near-dup (4) rows never land; the

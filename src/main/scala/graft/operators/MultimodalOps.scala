@@ -325,9 +325,13 @@ object MultimodalOps {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  def audioFingerprint(docs: DataFrame, idCol: String, binCol: String,
-                       frameSize: Int, stride: Int,
-                       quantBits: Int = 10, maxGap: Int = 8): DataFrame = {
+  /** The constellation chain shared by [[audioFingerprint]] and
+    * [[audioSimhash]]: energy-curve local maxima → (gap, q-energy,
+    * q-energy) landmark hashes. Returns (peaks, landmarks-with-h). */
+  private def landmarkHashes(docs: DataFrame, idCol: String,
+                             binCol: String, frameSize: Int, stride: Int,
+                             quantBits: Int, maxGap: Int)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy("frame_idx")
     val peaks = frameEnergy(docs.select(col(idCol), col(binCol)),
@@ -346,10 +350,50 @@ object MultimodalOps {
         (col("nf") - col("frame_idx")).cast("string"), lit("|"),
         expr(s"energy div ${1L << quantBits}").cast("string"), lit("|"),
         expr(s"nen div ${1L << quantBits}").cast("string"))))
+    (peaks, lm)
+  }
+
+  def audioFingerprint(docs: DataFrame, idCol: String, binCol: String,
+                       frameSize: Int, stride: Int,
+                       quantBits: Int = 10, maxGap: Int = 8): DataFrame = {
+    val (peaks, lm) = landmarkHashes(docs, idCol, binCol, frameSize,
+      stride, quantBits, maxGap)
     lm.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_landmarks"), expr("bit_xor(h)").as("fp"))
       .join(peaks.groupBy(col(idCol)).agg(count(lit(1)).as("n_peaks")),
         Seq(idCol))
       .select(col(idCol), col("n_peaks"), col("n_landmarks"), col("fp"))
+  }
+
+  /** Hamming-ROBUST constellation signature: SimHash over the landmark
+    * hash set — bit b of the 64-bit signature is the majority vote of
+    * the landmarks' bit b (strict: ties fall to 0). Two clips sharing
+    * most landmarks (an overlapping region aligned to the frame
+    * stride — translation cancels because landmark keys carry only
+    * gaps and quantized energies, never absolute offsets) land within
+    * a few hamming bits of each other, which is what a banded-hamming
+    * join can bucket; [[audioFingerprint]]'s XOR fold is an exact-set
+    * check only (one differing landmark re-randomizes half the bits).
+    * Output is (id, n_landmarks, phash) — the signature column is
+    * named `phash` so [[phashNearDup]]'s banded join consumes it
+    * unchanged (the deliberate modality symmetry).
+    *
+    * Scale shape: one groupBy on the medium id with 64 bit-count
+    * partial aggregates (map-side combine, no explode, no vector
+    * state); the vote compare and bit fold are pure projections. */
+  def audioSimhash(docs: DataFrame, idCol: String, binCol: String,
+                   frameSize: Int, stride: Int,
+                   quantBits: Int = 10, maxGap: Int = 8): DataFrame = {
+    val (_, lm) = landmarkHashes(docs, idCol, binCol, frameSize,
+      stride, quantBits, maxGap)
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b"))
+    val aggs = count(lit(1)).as("n_landmarks") +: bitSums
+    val counted = lm.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until 64).map(b =>
+        when(col(s"c$b") * 2 > col("n_landmarks"), lit(1L << b))
+          .otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counted.select(col(idCol), col("n_landmarks"), sig.as("phash"))
   }
 }

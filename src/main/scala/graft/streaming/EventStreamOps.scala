@@ -362,6 +362,45 @@ object EventStreamOps {
     df.drop((0 until bands).map(i => s"_b$i"): _*)
   }
 
+  /** Streaming SUBSTRING dedup — the stream form of the batch
+    * window-MinHash tier (`DedupOps.windowMinhashSpans`), completing
+    * the batch/stream symmetry the exact and MinHash tiers already
+    * have (st_dedup / st_neardup): each arriving document explodes
+    * into strided `w`-token windows, each sketched by the bottom-1
+    * MinHash over its `shingleK`-shingles (the batch kernel — ONE
+    * 8-byte key per window), and a window DROPS when its sketch is
+    * already claimed by an earlier in-horizon window, in this doc or
+    * any other (first-carrier-wins, the established claim semantics).
+    * The emitted stream is the NOVEL spans: a fully-duplicated doc
+    * contributes nothing, a partial overlap emits only its new tail,
+    * and `win_idx` says where in the doc the novelty sits.
+    *
+    * State: one (sketch, ts) entry per DISTINCT in-horizon sketch —
+    * O(windows-in-horizon), bounded by rate × horizon / stride, never
+    * corpus-sized; eviction re-admits (within-horizon semantics by
+    * design — corpus-wide substring dedup is the batch tier's job).
+    * Near-duplicate windows collide in proportion to their shingle
+    * Jaccard, exactly as in the batch tier. */
+  def substringNovelWindows(docs: DataFrame, textCol: String,
+                            tsCol: String, watermark: String,
+                            w: Int = 16, stride: Int = 8,
+                            shingleK: Int = 4): DataFrame = {
+    require(w > shingleK, s"window width $w must exceed shingle size")
+    val wins = docs
+      .withColumn("_tk", graft.operators.TermOps.tokens(col(textCol)))
+      .filter(size(col("_tk")) >= w)
+      .select(col("*"), posexplode(expr(
+        s"transform(sequence(1, size(_tk) - ${w - 1}, $stride)," +
+          s" i -> slice(_tk, i, $w))")).as(Seq("_wi", "_warr")))
+      .withColumn("_mh", array_min(
+        graft.GraftFunctions.shingleHashes(col("_warr"), shingleK)))
+      .withColumn("win_idx", col("_wi").cast("long"))
+      .drop("_tk", "_warr", "_wi")
+    wins.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_mh"))
+      .drop("_mh")
+  }
+
   case class Change(key: Long, op: String, value: Double, version: Long)
   case class CdcState(version: Long, value: Double, deleted: Boolean)
   case class CurrentRow(key: Long, value: Double, version: Long,

@@ -73,6 +73,35 @@ class Round17Spec extends AnyFunSuite {
       s"temp files created outside Scratch.dir: $offenders")
   }
 
+  // --- round-17 operators ----------------------------------------------
+
+  test("mm_audio_neardup: the shifted planted clip pairs with its base " +
+      "(aligned overlap -> near simhash), the unrelated clip with " +
+      "neither") {
+    val r = SparkEntry.queries("mm_audio_neardup")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((9000001L, 9000002L)),
+      "base/shift overlapping clips not flagged as audio near-dups")
+    assert(!r.contains((9000001L, 9000003L)) &&
+           !r.contains((9000002L, 9000003L)),
+      "unrelated clip flagged against the planted pair")
+  }
+
+  test("dedup_substring_src_eval cells sum to the corpus-wide " +
+      "dedup_substring_eval confusion table") {
+    val sf = "/root/testdata/sf0.001"
+    val per = SparkEntry.queries("dedup_substring_src_eval")(spark, sf)
+      .collect()
+    val tot = SparkEntry.queries("dedup_substring_eval")(spark, sf)
+      .collect().head
+    def s(i: Int) = per.map(_.getLong(i)).sum
+    assert(s(1) == tot.getLong(0), "n_docs mismatch")
+    assert(s(2) == tot.getLong(1), "n_both_hot mismatch")
+    assert(s(3) == tot.getLong(2), "n_exact_only mismatch")
+    assert(s(4) == tot.getLong(3), "n_approx_only mismatch")
+  }
+
   test("sweepStale SKIPS graft-run roots with a non-numeric suffix " +
       "(not ours to judge) and reclaims dead numeric ones") {
     val tmp = java.nio.file.Paths.get(
