@@ -736,11 +736,15 @@ object SimilarityOps {
     * candidate generation read one materialization; the ADC tables
     * grow nProbe-fold (queries × nProbe × m × codes rows) and still
     * broadcast. */
-  def ivfpqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                        nCentroids: Int = 16, nProbe: Int = 3,
-                        m: Int = 8, codes: Int = 16, dims: Int = 64): DataFrame = {
-    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
-    val dsub = dims / m
+  /** The trained residual-IVFPQ model: (coarse centroids, per-vector
+    * cell assignment + residual, residual PQ codebook, residual PQ
+    * codes). A pure deterministic function of the corpus — exposed so
+    * the model can be trained once per process and shared between the
+    * serving row and the recall harness's residual leg, exactly the
+    * [[pqTrain]]/pqModel discipline. */
+  def ivfpqResidualModel(corpus: DataFrame, nCentroids: Int = 16,
+                         m: Int = 8, codes: Int = 16, dims: Int = 64)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // trained coarse quantizer: k-means cell means (2 Lloyd rounds).
     // The model's FINAL assignment is the same (csim desc, cent_id asc)
     // argmax `cellsFull` needs, so it is REUSED (r13): the residual
@@ -764,6 +768,18 @@ object SimilarityOps {
     val (cent2, encoded) = pqCodebookEncode(
       cellsFull.select(col("vec_id"), col("resid").as("embedding")),
       m, codes, dims)
+    (cents, cellsFull, cent2, encoded)
+  }
+
+  def ivfpqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nCentroids: Int = 16, nProbe: Int = 3,
+                        m: Int = 8, codes: Int = 16, dims: Int = 64,
+                        model: Option[(DataFrame, DataFrame, DataFrame,
+                          DataFrame)] = None): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val dsub = dims / m
+    val (cents, cellsFull, cent2, encoded) = model.getOrElse(
+      ivfpqResidualModel(corpus, nCentroids, m, codes, dims))
 
     // query probes: nProbe nearest cells, one residual per probed cell
     val probes = queries.select(col("vec_id").as("query_id"),

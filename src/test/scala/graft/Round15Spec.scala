@@ -351,7 +351,8 @@ class Round15Spec extends AnyFunSuite {
     val reg = """^    "([a-z0-9_]+)" ->""".r
     val helpers = Seq("bm25Leg(s, d)", "pqModel(s, d)",
       "dedupLabels05(s, d)", "jaccardPairs05(s, d)",
-      "embF64(s, d)", "bruteTop5(s, d)", "substringVerdicts(s, d)")
+      "embF64(s, d)", "bruteTop5(s, d)", "substringVerdicts(s, d)",
+      "residualModel(s, d)")
     var current: Option[String] = None
     val derived = scala.collection.mutable.SortedSet.empty[String]
     for (l <- lines) {

@@ -73,6 +73,22 @@ class Round17Spec extends AnyFunSuite {
       s"temp files created outside Scratch.dir: $offenders")
   }
 
+  test("the process-shared residual-IVFPQ model reproduces a freshly " +
+      "trained model's top-k bit-for-bit") {
+    import graft.operators.SimilarityOps
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.table(spark, sf, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val fresh = SimilarityOps.ivfpqResidualTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("adc"), 4).as("adc"), col("rank"))
+    val shared = SparkEntry.queries("ann_ivfpq_residual")(spark, sf)
+    assert(rows(shared) == rows(fresh),
+      "shared residual model diverged from a fresh deterministic training")
+  }
+
   // --- round-17 operators ----------------------------------------------
 
   test("mm_audio_neardup: the shifted planted clip pairs with its base " +
