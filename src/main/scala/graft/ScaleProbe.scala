@@ -40,7 +40,12 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE_RUNS=1 for multi-ten-minute ×100 rows where
     // best-of-2 would double an hour-long measurement (recorded as-is;
     // a single run reads HIGH if anything, never flatters)
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
+    // defensive parse (r17 ADVICE): a malformed value must not throw
+    // before any row runs, and 0/negative must not make runs.min throw
+    // per query — clamp to >= 1, fall back to best-of-2
+    val nRuns = sys.env.get("SPARK_GRAFT_PROBE_RUNS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(2)
     def time(name: String): Either[String, Double] = try {
       val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
@@ -58,15 +63,14 @@ object ScaleProbe {
       r match {
         case Right(v) => println(s"""{"scale_probe_row":{"$n":$v}}""")
         case Left(e)  => println(
-          s"""{"scale_probe_row":{"$n":-1},"error":${"\"" +
-            e.replaceAll("[\"\\\\\\n\\r]", " ") + "\""}}""")
+          s"""{"scale_probe_row":{"$n":-1},"error":${JsonUtil.jstr(e)}}""")
       }
       n -> r
     }
     val js = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) =>
-      s"\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r]", " ") + "\"" }
+      s"\"" + k + "\":" + JsonUtil.jstr(e) }
       .mkString("{", ",", "}")
     println(s"""{"scale_probe":$js,"errors":$errs,"dir":"$dir"}""")
     spark.stop()

@@ -76,17 +76,26 @@ object Scratch {
         if (n.startsWith("graft-run-")) {
           val pid = n.stripPrefix("graft-run-")
           if (pid.nonEmpty && pid.forall(_.isDigit)) {
-            // pid-liveness test, with an age backstop: if the pid was
-            // reused by an unrelated long-lived process the root would
-            // otherwise be spared forever (r16 ADVICE) — anything older
-            // than a day is debris regardless of what now owns the pid
-            // (no graft run lives that long).
-            val alive = ProcessHandle.of(pid.toLong)
-              .map[java.lang.Boolean](_.isAlive)
+            // pid-liveness test, with precise pid-reuse detection
+            // (r17 ADVICE): the true owner created the root AFTER it
+            // started, so owner.start <= root.creation <= root.mtime.
+            // A live process whose startInstant is LATER than the
+            // root's mtime (plus clock slack) cannot be the owner —
+            // the pid was reused and the root is debris. A live run
+            // whose process predates its root is never deleted, no
+            // matter how long it has been alive (×100 probe rows now
+            // reach hour scale, so the old >24h age backstop could
+            // have deleted a live run's spark.local.dir mid-flight).
+            val ph = ProcessHandle.of(pid.toLong)
+            val alive = ph.map[java.lang.Boolean](_.isAlive)
               .orElse(java.lang.Boolean.FALSE)
-            val dayOld =
-              f.lastModified() < System.currentTimeMillis() - 86400000L
-            if ((!alive || dayOld) && f.getPath != root.toString)
+            val pidReused: Boolean = alive && {
+              val start = ph.get().info().startInstant()
+              // no start time readable → conservative: treat as owner
+              start.isPresent &&
+                start.get().toEpochMilli > f.lastModified() + 60000L
+            }
+            if ((!alive || pidReused) && f.getPath != root.toString)
               deleteTree(f.toPath)
           }
           // non-numeric suffix: not ours to judge — skip, never delete

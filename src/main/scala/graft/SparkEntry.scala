@@ -204,7 +204,7 @@ object SparkEntry {
     * `'A' + (i·step) mod 26`, so the energy curve has dense local
     * maxima) + 16 quiet pad chars the 32-byte frame stride never reads.
     * Deterministic Scala constants interpolated verbatim into BOTH the
-    * Spark union and the oracle VALUES (chars are [A-Za-b] only — SQL-
+    * Spark union and the oracle VALUES (chars are [A-Za0] only — SQL-
     * literal-safe). */
   private def audioClip(step: Int, blocks: Int): String =
     (0 until blocks).map { i =>
@@ -213,7 +213,13 @@ object SparkEntry {
   // step 11 × 24 blocks → 9 peaks → 8 gap-2 landmarks (exactly the
   // support cut); step 7 needs 36 blocks for its 8 gap-3/4 landmarks
   private lazy val audioClipBase = audioClip(11, 24)
-  private lazy val audioClipShift = "b" * 32 + audioClipBase
+  // pad frame '0' (codepoint 48) is genuinely LOWER-energy than every
+  // loud code ('A'..'Z', 65..90) — before r18 the pad was 'b' (98,
+  // louder than any loud frame), and the base/shift landmark identity
+  // held only because frame 0 can never be a peak (no lag neighbor);
+  // with a truly quiet pad the identity no longer leans on that
+  // boundary rule (r17 ADVICE)
+  private lazy val audioClipShift = "0" * 32 + audioClipBase
   private lazy val audioClipOther = audioClip(7, 36)
 
   /** The corpus near-dup backbone shared by the CC family: the
@@ -5929,7 +5935,10 @@ object SparkEntry {
       // re-randomizes half the bits), then the SAME banded-hamming join
       // recipe (16-bit bands; candidates only ever form inside a
       // (band, value) bucket — never all-pairs), exact popcount ≤ 6.
-      // Planted overlapping clips: clipShift = one quiet 32-byte frame
+      // Planted overlapping clips: clipShift = one genuinely-quiet
+      // 32-byte '0' pad frame (energy below every 'A'..'Z' loud code,
+      // AND frame 0 is peak-ineligible anyway — no lag neighbor; two
+      // independent reasons the pad can't mint a landmark)
       // + clipBase, so the shared region's frames ALIGN to the stride
       // and its landmarks are identical (landmark keys carry gaps and
       // quantized energies, never absolute offsets); clipOther walks a
