@@ -21,9 +21,16 @@ object ScaleProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // ×100 probes of build-side-heavy joins (ktruss's shuffle-hash
+    // closure) need MORE shuffle partitions than cores so each build
+    // map fits in task memory — AQE coalesces the small stages back,
+    // so raising this does not distort light queries' plans
+    val parts = sys.env.get("SPARK_GRAFT_PROBE_PARTS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1).map(_.toString).getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

