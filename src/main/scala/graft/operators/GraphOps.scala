@@ -414,7 +414,18 @@ object GraphOps {
     var e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
-    def support(ed: DataFrame): DataFrame = {
+    // Size-adaptive closure strategy: below the threshold the edge set
+    // broadcasts (AQE's pick) and the ~m·w̄ wedge stream never leaves
+    // its generating stage — the fast small-graph shape; above it the
+    // broadcast would not fit, so the join is FORCED to shuffled-hash
+    // (edge set builds, wedge stream streams) because the alternative,
+    // sort-merge, externally sorts the wedge stream — the spill that
+    // killed the m=400× probe at >60 GB (r17). 32M edges ≈ 0.5 GB of
+    // (long, long) rows — a comfortable build/broadcast, well under
+    // executor memory at 256 shuffle partitions. The count per call is
+    // one cheap scan of the already-checkpointed edge list.
+    val bigEdges = 32000000L
+    def support(ed: DataFrame, big: Boolean): DataFrame = {
       val deg = ed.select(col("a").as("node"))
         .unionByName(ed.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -428,42 +439,60 @@ object GraphOps {
             col("b")).otherwise(col("a")).as("v"))
       // Closure + support in ONE pass over the wedge stream (r17 judge
       // item 2 — the m=400× probe died on >60 GB of spill):
-      //  - the closure join hints SHUFFLE_HASH with the edge set as
-      //    the build side, so the ~m·w̄ wedge stream is STREAMED, never
-      //    externally sorted (a sort-merge join would spill a second
-      //    wedge-volume copy of sorted runs);
       //  - the three per-triangle edge credits emit through one
       //    explode instead of three unionByName branches — the old
-      //    shape re-ran the closure join (and its sort spill) once per
-      //    branch, since only Exchanges are reused across branches;
-      //  - the partial aggregation after the explode runs on
-      //    (w1, w2)-partitioned data, which is clique-LOCAL on dense
-      //    graphs: a partition holding a clique's C(w,3) triangles
-      //    folds to ≤ 3·C(w,2) distinct edges in-memory, so the final
-      //    exchange carries near-m rows, not triangle-stream volume.
-      // Net disk: one wedge-volume exchange instead of ~four copies.
+      //    shape re-ran the closure join (and, at scale, its sort
+      //    spill) once per branch, since only Exchanges are reused
+      //    across branches;
+      //  - the partial aggregation after the explode runs on data
+      //    that is clique-LOCAL on dense graphs: a partition holding a
+      //    clique's C(w,3) triangles folds to ≤ 3·C(w,2) distinct
+      //    edges in-memory, so the final exchange carries near-m
+      //    rows, not triangle-stream volume.
+      // Net disk at scale: one wedge-volume exchange instead of ~four
+      // copies (and below the broadcast threshold, ZERO — see
+      // bigEdges above).
+      val closing = ed.select(col("a").as("w1"), col("b").as("w2"))
       val tri = ori.as("x").join(ori.as("y"),
           col("x.u") === col("y.u") && col("x.v") < col("y.v"))
         .select(col("x.u").as("w0"), col("x.v").as("w1"),
           col("y.v").as("w2"))
-        .join(ed.select(col("a").as("w1"), col("b").as("w2"))
-          .hint("shuffle_hash"),
+        .join(if (big) closing.hint("shuffle_hash") else closing,
           Seq("w1", "w2"), "left_semi")
-      tri.select(explode(array(
-          struct(least(col("w0"), col("w1")).as("a"),
-            greatest(col("w0"), col("w1")).as("b")),
-          struct(least(col("w0"), col("w2")).as("a"),
-            greatest(col("w0"), col("w2")).as("b")),
-          struct(col("w1").as("a"), col("w2").as("b")))).as("t"))
-        .select(col("t.a").as("a"), col("t.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      if (big)
+        tri.select(explode(array(
+            struct(least(col("w0"), col("w1")).as("a"),
+              greatest(col("w0"), col("w1")).as("b")),
+            struct(least(col("w0"), col("w2")).as("a"),
+              greatest(col("w0"), col("w2")).as("b")),
+            struct(col("w1").as("a"), col("w2").as("b")))).as("t"))
+          .select(col("t.a").as("a"), col("t.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      else
+        // below the threshold the closure is a broadcast join (no
+        // wedge exchange at all), so re-running it per branch is
+        // cheap and the three small aggregations OVERLAP on idle
+        // cores — measured ~0.9 s faster than the one-pass explode at
+        // sf0.1 (A/B in PLANS.md round 18); at scale the overlap
+        // inverts into 3× the spill, hence the explode above
+        tri.select(least(col("w0"), col("w1")).as("a"),
+            greatest(col("w0"), col("w1")).as("b"))
+          .unionByName(tri.select(least(col("w0"), col("w2")).as("a"),
+            greatest(col("w0"), col("w2")).as("b")))
+          .unionByName(tri.select(col("w1").as("a"), col("w2").as("b")))
+          .groupBy("a", "b").agg(count(lit(1)).as("support"))
     }
+    // one strategy decision per run, on the pre-peel edge count: peels
+    // only shrink e, so a graph judged big may stream a round it could
+    // have broadcast (correct, merely conservative), and a small graph
+    // pays exactly one count job
+    val big = e.count() > bigEdges
     for (_ <- 1 to rounds) {
-      e = e.join(support(e).filter(col("support") >= k - 2),
+      e = e.join(support(e, big).filter(col("support") >= k - 2),
           Seq("a", "b"), "left_semi")
         .localCheckpoint(false)
     }
-    e.join(support(e), Seq("a", "b"), "left")
+    e.join(support(e, big), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
