@@ -414,17 +414,24 @@ object GraphOps {
     var e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
-    // Size-adaptive closure strategy: below the threshold the edge set
-    // broadcasts (AQE's pick) and the ~m·w̄ wedge stream never leaves
-    // its generating stage — the fast small-graph shape; above it the
-    // broadcast would not fit, so the join is FORCED to shuffled-hash
-    // (edge set builds, wedge stream streams) because the alternative,
-    // sort-merge, externally sorts the wedge stream — the spill that
-    // killed the m=400× probe at >60 GB (r17). 32M edges ≈ 0.5 GB of
-    // (long, long) rows — a comfortable build/broadcast, well under
-    // executor memory at 256 shuffle partitions. The count per call is
+    // Size-adaptive closure strategy: below the threshold the original
+    // 3-branch shape runs (closure joins are cheap at that scale and
+    // the three small aggregations overlap on idle cores); above it
+    // the join is FORCED to shuffled-hash (edge set builds, the ~m·w̄
+    // wedge stream streams) with single-explode credits, because the
+    // alternative — sort-merge — externally sorts the wedge stream
+    // once PER BRANCH: the spill that killed the m=400× probe at
+    // >60 GB (r17). The threshold is deliberately LOW: 8M edges
+    // ≈ 128 MB of (long, long) builds comfortably at ≥16 partitions,
+    // and the true cost driver is wedge volume ~ Σ C(deg⁺, 2), which
+    // a dense graph pushes to billions of rows well before m itself
+    // looks large — the ×100 co-order replica carries only 29.9M
+    // edges yet its wedge stream OOM'd the 3-branch shape (measured,
+    // PLANS.md round 18). Streaming a mid-size graph that could have
+    // used the small shape costs ~20%; sorting a dense graph that
+    // needed the streamed shape kills the job. The count per run is
     // one cheap scan of the already-checkpointed edge list.
-    val bigEdges = 32000000L
+    val bigEdges = 8000000L
     def support(ed: DataFrame, big: Boolean): DataFrame = {
       val deg = ed.select(col("a").as("node"))
         .unionByName(ed.select(col("b").as("node")))
