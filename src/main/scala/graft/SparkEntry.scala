@@ -498,6 +498,16 @@ object SparkEntry {
       // big relations co-locate once; supplier/nation broadcast. The
       // (numwait DESC, s_name) order with unique names makes the
       // LIMIT 100 cut deterministic.
+      // r18 optimization (guide §2.4/§3): the semi+anti formulation read
+      // lineitem three times and shuffled three pair relations (l1,
+      // others-distinct, lateOthers-distinct) plus two join exchanges.
+      // EXISTS/NOT EXISTS over the same order are a per-order aggregate:
+      // group once to (orderkey, suppkey, late_lines), then per order
+      // count suppliers and late suppliers — a blamed supplier is a late
+      // one in a multi-supplier order whose late-supplier count is
+      // exactly 1 (itself). numwait sums the pair's late LINE count,
+      // which is what the row-per-late-line semi/anti chain counted.
+      // One lineitem scan, one pair exchange, one order-keyed window.
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       val ord = t(s, d, "orders").filter(col("o_orderstatus") === "F")
@@ -505,18 +515,15 @@ object SparkEntry {
       val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late", col("l_shipdate").cast("long") -
           col("o_orderdate").cast("long") > lit(90L * 86400L))
-      val l1 = joined.filter(col("late"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val others = li.select(col("l_orderkey").as("ok"),
-        col("l_suppkey").as("sk")).distinct()
-      val lateOthers = joined.filter(col("late"))
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val blamed = l1
-        .join(others, col("ok") === col("l_orderkey") &&
-          col("sk") =!= col("l_suppkey"), "left_semi")
-        .join(lateOthers, col("ok") === col("l_orderkey") &&
-          col("sk") =!= col("l_suppkey"), "left_anti")
+      val grp = joined.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val blamed = grp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late_supp",
+          sum(when(col("late_lines") > 0L, 1L).otherwise(0L)).over(w))
+        .filter(col("late_lines") > 0L && col("n_supp") >= 2L &&
+          col("n_late_supp") === 1L)
       blamed
         .join(broadcast(t(s, d, "supplier")
           .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
@@ -525,7 +532,7 @@ object SparkEntry {
           .select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("s_name"), col("n_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("late_lines")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(100)
     }),
@@ -1266,6 +1273,16 @@ object SparkEntry {
       // relations, so the sequential greedy loop costs five tiny joins,
       // never a corpus pass. Completes the retrieval family's diversity
       // axis (RRF fuses, RBO compares, nDCG grades, MMR diversifies).
+      // r18 optimization (guide §1/§2.4): the join-per-step formulation
+      // ran 28 one-task jobs (JobProbe: 28 jobs / 28 stages / 28 tasks,
+      // 0 MB shuffled) — pure scheduling floor on a 20-row relation.
+      // The greedy loop now runs as unrolled expressions over ONE
+      // collected 20-row array: same doubles (the cosine kernel and the
+      // 0.5·rel − 0.5·msim arithmetic are unchanged; max-over-selected
+      // becomes greatest() of the identical values), same (score DESC,
+      // id ASC) argmax tie-break encoded in the fold, so the selection
+      // replays bit-identically — the corpus pass (bruteForceTopK) is
+      // the only distributed work left.
       val emb = t(s, d, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = emb.filter(col("vec_id") === 0L)
@@ -1273,30 +1290,57 @@ object SparkEntry {
         .select(col("nbr_id").as("id"), col("sim").as("rel"))
         .join(emb.select(col("vec_id").as("id"), col("embedding")),
           Seq("id"))
-        .localCheckpoint()
-      val pw = cand.alias("a").crossJoin(cand.alias("b"))
-        .filter(col("a.id") =!= col("b.id"))
-        .select(col("a.id").as("id"), col("b.id").as("oid"),
-          SimilarityOps.cosine(col("a.embedding"), col("b.embedding"))
-            .as("psim"))
-        .localCheckpoint()
-      var selected = cand.orderBy(col("rel").desc, col("id")).limit(1)
-        .select(col("id"), lit(1).as("step"))
-      for (step <- 2 to 5) {
-        val msim = pw
-          .join(selected.select(col("id").as("oid")), Seq("oid"))
-          .groupBy("id").agg(max(col("psim")).as("msim"))
-        val next = cand
-          .join(selected.select(col("id")), Seq("id"), "left_anti")
-          .join(msim, Seq("id"))
-          .withColumn("score",
-            lit(0.5) * col("rel") - lit(0.5) * col("msim"))
-          .orderBy(col("score").desc, col("id")).limit(1)
-          .select(col("id"), lit(step).as("step"))
-        selected = selected.unionByName(next)
+      // one row holding the candidate set, id-ascending (ids unique)
+      val folded = cand.agg(array_sort(collect_list(
+        struct(col("id"), col("rel"), col("embedding")))).as("arr"))
+      val negInf = lit(Double.NegativeInfinity)
+      def pick(scoreOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+               taken: Seq[org.apache.spark.sql.Column])
+          : org.apache.spark.sql.Column = {
+        val remaining =
+          if (taken.isEmpty) col("arr")
+          else filter(col("arr"), x =>
+            taken.map(t => x.getField("id") =!= t.getField("id"))
+              .reduce(_ && _))
+        aggregate(remaining,
+          struct(lit(-1L).as("id"), negInf.as("score"),
+            lit(0.0d).as("rel"),
+            array().cast("array<double>").as("embedding")),
+          (acc, x) => {
+            val sc = scoreOf(x)
+            when(sc > acc.getField("score") ||
+                (sc === acc.getField("score") &&
+                  x.getField("id") < acc.getField("id")),
+              struct(x.getField("id").as("id"), sc.as("score"),
+                x.getField("rel").as("rel"),
+                x.getField("embedding").as("embedding")))
+              .otherwise(acc)
+          })
       }
-      selected.join(cand.select(col("id"), col("rel")), Seq("id"))
-        .select(col("step"), col("id"), round(col("rel"), 6).as("rel"))
+      // step 1: argmax rel; steps 2..5: argmax 0.5·rel − 0.5·max sim
+      // to the already-selected set (ties to the smaller id, as the
+      // orderBy(score DESC, id) limit 1 it replaces). Later steps
+      // reference the s1..s(k−1) COLUMNS so the expression tree stays
+      // linear in the step count.
+      val withSel = (1 to 5).foldLeft(folded) { case (df, step) =>
+        val taken = (1 until step).map(i => col(s"s$i"))
+        val c =
+          if (step == 1) pick(x => x.getField("rel"), taken)
+          else pick(x => {
+            val sims = taken.map(t => SimilarityOps.cosine(
+              x.getField("embedding"), t.getField("embedding")))
+            val msim = if (sims.size == 1) sims.head else greatest(sims: _*)
+            lit(0.5) * x.getField("rel") - lit(0.5) * msim
+          }, taken)
+        df.withColumn(s"s$step", c)
+      }
+      withSel
+        .select(explode(array((1 to 5).map { i =>
+          struct(lit(i).as("step"), col(s"s$i.id").as("id"),
+            col(s"s$i.rel").as("rel"))
+        }: _*)).as("sel"))
+        .select(col("sel.step").as("step"), col("sel.id").as("id"),
+          round(col("sel.rel"), 6).as("rel"))
     }),
 
     "search_ndcg" -> ((s, d) => {
@@ -4281,15 +4325,19 @@ object SparkEntry {
       var frontier = seeds
       var out = seeds.withColumn("step", lit(0))
       for (step <- 1 to 3) {
+        // r18 optimization (guide §2.3): per-walk argmin as a grouped
+        // min(struct(h, v)) — map-side partial aggregation instead of
+        // the row_number window's full per-partition sort; the (h, v)
+        // lexicographic struct order IS the window's (h ASC, v ASC)
+        // tie-break, so the chosen neighbor is identical
         frontier = frontier
           .join(edges, frontier("node") === edges("u"))
           .withColumn("h", call_function("fnv64", concat(
             col("node").cast("string"), lit(s"#$step#"),
             col("v").cast("string"))))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("walk_id").orderBy(col("h"), col("v"))))
-          .filter(col("rn") === 1)
-          .select(col("walk_id"), col("v").as("node"))
+          .groupBy("walk_id")
+          .agg(min(struct(col("h"), col("v"))).as("m"))
+          .select(col("walk_id"), col("m.v").as("node"))
         out = out.unionByName(frontier.withColumn("step", lit(step)))
       }
       out.select(col("walk_id"), col("step"), col("node"))
@@ -5036,18 +5084,27 @@ object SparkEntry {
           .filter(SimilarityOps.cosine(col("emb_a"), col("emb_b")) >= 0.99)
           .select(col("id_b").as("vec_id")).distinct()
       }
-      val dE = dropped(exact).localCheckpoint()
-      val dA = dropped(approx).localCheckpoint()
+      // r18 optimization (guide §1/§2.4): the three dropped-set counts
+      // ran as three separate aggregate+crossJoin subtrees over two
+      // eagerly-checkpointed drop sets (JobProbe: 61 jobs for this row,
+      // ~0 MB shuffled — scheduling floor, not data). One full-outer
+      // join computes |E|, |A| and |E∩A| in a single pass, each drop
+      // set has exactly one consumer (so no checkpoint at all), and the
+      // identical exact/approx chains feed the same counts.
+      val dstats = dropped(exact).withColumn("e", lit(1L))
+        .join(dropped(approx).withColumn("a", lit(1L)),
+          Seq("vec_id"), "full_outer")
+        .agg(sum(coalesce(col("e"), lit(0L))).as("n_dropped_exact"),
+          sum(coalesce(col("a"), lit(0L))).as("n_dropped_approx"),
+          sum(when(col("e").isNotNull && col("a").isNotNull, 1L)
+            .otherwise(0L)).as("n_dropped_both"))
       val agree = exact
         .join(approx.withColumnRenamed("cluster", "ca"), "vec_id")
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("cluster") === col("ca"), 1L).otherwise(0L))
             .as("n_agree"))
       agree
-        .crossJoin(broadcast(dE.agg(count(lit(1)).as("n_dropped_exact"))))
-        .crossJoin(broadcast(dA.agg(count(lit(1)).as("n_dropped_approx"))))
-        .crossJoin(broadcast(dE.join(dA, "vec_id")
-          .agg(count(lit(1)).as("n_dropped_both"))))
+        .crossJoin(broadcast(dstats))
         .select(col("n_vecs"), lit(k).as("k"), lit(g).as("g"),
           col("n_agree"),
           round(col("n_agree").cast("double") / col("n_vecs"), 4)
@@ -7761,7 +7818,14 @@ object SparkEntry {
         .toString + "/small"
       val outDir = Scratch.dir("k13")
         .toString + "/compacted"
+      // r18 optimization (guide §6): repartition BY g before the
+      // partitionBy(g) write — without it every scan task wrote a file
+      // into every g dir (~scan-tasks × 64 small files; JobProbe read
+      // them back as 235 tasks), which over-delivered on "64 small
+      // files" and made the read-back pay the per-file open cost the
+      // row exists to measure. One file per g is the stated fixture.
       t(s, d, "events").withColumn("g", pmod(col("event_id"), lit(64L)))
+        .repartition(64, col("g"))
         .write.partitionBy("g").parquet(smallDir)
       // partition-column type inference reads g back as INT; re-derive
       // it from content so the bin map joins on a stable long key

@@ -546,10 +546,20 @@ object GraphOps {
       }
       lab
     }
+    // the two direction chains stay INDEPENDENT subtrees (an r18
+    // fused direction-tagged variant halved the round stages but
+    // serialized the two colorings — probed 0.5-0.9 s SLOWER at sf0.1
+    // because the chains overlap on idle cores, the ktruss small-path
+    // lesson); only the finish changed: union+pivot aggregation
+    // instead of the fwd ⋈ bwd self-join (guide §2.4 — one exchange
+    // of 2N tagged label rows replaces two join exchanges + the join)
     val fwd = minLabel(e)
     val bwd = minLabel(e.select(col("dst").as("src"), col("src").as("dst")))
-    fwd.select(col("node"), col("label").as("f"))
-      .join(bwd.select(col("node"), col("label").as("b")), "node")
+    fwd.select(col("node"), lit(0).as("dir"), col("label"))
+      .unionByName(bwd.select(col("node"), lit(1).as("dir"), col("label")))
+      .groupBy("node")
+      .agg(min(when(col("dir") === 0, col("label"))).as("f"),
+        min(when(col("dir") === 1, col("label"))).as("b"))
       .select(col("node"), col("f"), col("b"),
         when(col("f") === col("b"), col("f")).otherwise(col("node"))
           .as("scc_id"),
