@@ -287,6 +287,30 @@ object SparkEntry {
     "search_bm25", "search_hybrid", "search_ndcg", "search_rbo",
     "search_rrf")
 
+  /** Session clone for EXPLODING-stage queries (r18, guide §3): AQE's
+    * partition coalescer sizes post-shuffle partitions by the SHUFFLE
+    * bytes (floor `minPartitionSize` = 1 MB), blind to downstream
+    * fan-out — the Σdf² pair-enumeration stages read a ~1 MB edge
+    * shuffle and emit tens of millions of candidate rows from 1-3
+    * coalesced partitions, i.e. near single-threaded. Lowering the
+    * coalesce floor ONLY for these queries parallelizes the explosion
+    * (graph_link_predict probe 4.5-4.9 → 2.1-2.4 s) without taxing the
+    * rest of the suite with 32-task tiny stages — a GLOBAL 64k floor
+    * A/B'd +22.6 s on the full bench (iterative small-stage rows paid
+    * task overhead per round), so the scope is per-query, the
+    * k30_bucket_prune newSession pattern. Scale-safe: the floor only
+    * binds when total shuffle bytes / parallelism < 64k — at real
+    * scale the quotient is far larger and the conf is a no-op. */
+  private val explodeSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def explodeSession(s: SparkSession): SparkSession =
+    explodeSessions.computeIfAbsent(s, { parent =>
+      val es = parent.newSession()
+      es.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      es
+    })
+
   private val streamSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private def streamSession(s: SparkSession): SparkSession =
@@ -4410,6 +4434,10 @@ object SparkEntry {
       val edges = t(s, d, "lineitem")
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
+      // r18: a lazy checkpoint of `lab` (its chain feeds two subtrees)
+      // probed ~0.4 s SLOWER at sf0.1 — runtime exchange reuse already
+      // dedupes the chain and the independent subtrees overlap on idle
+      // cores. Left un-materialized (measured, not assumed).
       val lab = queries("graph_label_prop")(s, d)
       val supLab = lab.filter(col("node_type") === "supplier")
         .select(col("node_id").as("src"), col("label").as("lab_s"))
@@ -4477,8 +4505,8 @@ object SparkEntry {
       // link-based node similarity; pairs only through a shared dst
       // with the hub cut, never node × node
       GraphOps.nodeSimilarity(
-        t(s, d, "lineitem").select(col("l_suppkey").as("src"),
-          col("l_partkey").as("dst")))),
+        t(explodeSession(s), d, "lineitem").select(
+          col("l_suppkey").as("src"), col("l_partkey").as("dst")))),
 
     "graph_link_predict" -> ((s, d) =>
       // resource-allocation link prediction between suppliers via
@@ -4488,8 +4516,8 @@ object SparkEntry {
       // discipline, RA = Σ 1/deg(z) as an ordered fold of exact-integer
       // reciprocals. See GraphOps.linkPredict.
       GraphOps.linkPredict(
-        t(s, d, "lineitem").select(col("l_suppkey").as("src"),
-          col("l_partkey").as("dst")))),
+        t(explodeSession(s), d, "lineitem").select(
+          col("l_suppkey").as("src"), col("l_partkey").as("dst")))),
 
     "graph_hits" -> ((s, d) => {
       // two integer HITS rounds on the supplier→part graph (hub⁰ = 1):
