@@ -34,6 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++
   // dev-only passthrough for A/B conf experiments (the driver never
-  // sets it): SPARK_GRAFT_JAVA_OPTS="-Dk=v -Dk=v"
+  // sets it): SPARK_GRAFT_JAVA_OPTS="-Dk=v -Dk=v". CONSTRAINT: values
+  // must not contain whitespace — the split below would break such a
+  // -D into invalid JVM options and the forked run dies with a
+  // confusing launcher error (r18 ADVICE).
   sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
     .flatMap(_.split("\\s+").filter(_.nonEmpty))

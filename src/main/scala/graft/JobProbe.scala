@@ -61,11 +61,28 @@ object JobProbe {
               // drain queued listener events so the counters are complete
               // (listenerBus is private[spark]; the accessor is public at
               // the bytecode level, so reflection reaches it)
+              // r18 ADVICE: waitUntilEmpty's signature varies across
+              // Spark lines (no-arg vs (timeoutMillis: Long)) — try
+              // both before falling back, and SAY when the fallback
+              // sleep ran (it can undercount late stage events, and
+              // probe numbers drive optimization decisions)
               try {
                 val bus = spark.sparkContext.getClass
                   .getMethod("listenerBus").invoke(spark.sparkContext)
-                bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-              } catch { case _: Throwable => Thread.sleep(300) }
+                try bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+                catch {
+                  case _: NoSuchMethodException =>
+                    bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+                      .invoke(bus, java.lang.Long.valueOf(10000L))
+                }
+              } catch {
+                case _: Throwable =>
+                  System.err.println(
+                    "[job_probe] listener-bus drain unavailable; " +
+                      "falling back to sleep(300) — counters may " +
+                      "undercount late stage events")
+                  Thread.sleep(300)
+              }
               spark.sparkContext.removeSparkListener(c)
             }
             ((System.nanoTime() - t0) / 1e9, c)

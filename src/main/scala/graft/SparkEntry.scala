@@ -287,29 +287,12 @@ object SparkEntry {
     "search_bm25", "search_hybrid", "search_ndcg", "search_rbo",
     "search_rrf")
 
-  /** Session clone for EXPLODING-stage queries (r18, guide §3): AQE's
-    * partition coalescer sizes post-shuffle partitions by the SHUFFLE
-    * bytes (floor `minPartitionSize` = 1 MB), blind to downstream
-    * fan-out — the Σdf² pair-enumeration stages read a ~1 MB edge
-    * shuffle and emit tens of millions of candidate rows from 1-3
-    * coalesced partitions, i.e. near single-threaded. Lowering the
-    * coalesce floor ONLY for these queries parallelizes the explosion
-    * (graph_link_predict probe 4.5-4.9 → 2.1-2.4 s) without taxing the
-    * rest of the suite with 32-task tiny stages — a GLOBAL 64k floor
-    * A/B'd +22.6 s on the full bench (iterative small-stage rows paid
-    * task overhead per round), so the scope is per-query, the
-    * k30_bucket_prune newSession pattern. Scale-safe: the floor only
-    * binds when total shuffle bytes / parallelism < 64k — at real
-    * scale the quotient is far larger and the conf is a no-op. */
-  private val explodeSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-  private def explodeSession(s: SparkSession): SparkSession =
-    explodeSessions.computeIfAbsent(s, { parent =>
-      val es = parent.newSession()
-      es.conf.set(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      es
-    })
+  // The r18 `explodeSession` clone (per-query AQE coalesce-floor 64k for
+  // the Σdf² pair-explosion queries) is retired in r19: the explosion
+  // parallelism is now an explicit shape — GraphOps.fanOutByKey
+  // repartitions the post-hub-cut edge relation on the self-join key
+  // inside nodeSimilarity/linkPredict, which survives coalescer-behavior
+  // drift instead of encoding a byte constant against it.
 
   private val streamSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
@@ -4505,7 +4488,7 @@ object SparkEntry {
       // link-based node similarity; pairs only through a shared dst
       // with the hub cut, never node × node
       GraphOps.nodeSimilarity(
-        t(explodeSession(s), d, "lineitem").select(
+        t(s, d, "lineitem").select(
           col("l_suppkey").as("src"), col("l_partkey").as("dst")))),
 
     "graph_link_predict" -> ((s, d) =>
@@ -4516,7 +4499,7 @@ object SparkEntry {
       // discipline, RA = Σ 1/deg(z) as an ordered fold of exact-integer
       // reciprocals. See GraphOps.linkPredict.
       GraphOps.linkPredict(
-        t(explodeSession(s), d, "lineitem").select(
+        t(s, d, "lineitem").select(
           col("l_suppkey").as("src"), col("l_partkey").as("dst")))),
 
     "graph_hits" -> ((s, d) => {
@@ -5122,10 +5105,17 @@ object SparkEntry {
       val dstats = dropped(exact).withColumn("e", lit(1L))
         .join(dropped(approx).withColumn("a", lit(1L)),
           Seq("vec_id"), "full_outer")
-        .agg(sum(coalesce(col("e"), lit(0L))).as("n_dropped_exact"),
-          sum(coalesce(col("a"), lit(0L))).as("n_dropped_approx"),
-          sum(when(col("e").isNotNull && col("a").isNotNull, 1L)
-            .otherwise(0L)).as("n_dropped_both"))
+        // coalesce around each sum (r18 ADVICE): with BOTH drop sets
+        // empty the full-outer join has zero rows and a bare sum()
+        // would emit NULL where the oracle's count(*) emits 0 — a
+        // latent data-dependent mismatch (non-empty on all shipped SFs,
+        // so hashes are unchanged by this guard)
+        .agg(coalesce(sum(coalesce(col("e"), lit(0L))), lit(0L))
+            .as("n_dropped_exact"),
+          coalesce(sum(coalesce(col("a"), lit(0L))), lit(0L))
+            .as("n_dropped_approx"),
+          coalesce(sum(when(col("e").isNotNull && col("a").isNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_dropped_both"))
       val agree = exact
         .join(approx.withColumnRenamed("cluster", "ca"), "vec_id")
         .agg(count(lit(1)).as("n_vecs"),

@@ -190,10 +190,10 @@ object GraphOps {
   def nodeSimilarity(edges: DataFrame, maxDf: Int = 64,
                      minCommon: Int = 2): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
-    val small = e.join(
+    val small = fanOutByKey(e.join(
       e.groupBy("dst").agg(count(lit(1)).as("ddf"))
         .filter(col("ddf") <= maxDf).select("dst"),
-      Seq("dst"))
+      Seq("dst")), "dst")
     val deg = small.groupBy("src").agg(count(lit(1)).as("deg"))
     val common = small.as("a")
       .join(small.as("b"), col("a.dst") === col("b.dst") &&
@@ -209,6 +209,30 @@ object GraphOps {
         round(col("n_common").cast("double") /
           (col("deg_a") + col("deg_b") - col("n_common")).cast("double"), 6)
           .as("jaccard"))
+  }
+
+  /** r19 shape fix for the Σdf² pair-explosion stages (guide §3,
+    * exploding join — replaces the r18 per-query AQE
+    * coalesce-floor session clone, which encoded a 64 KB magic number
+    * against the current coalescer's byte-based sizing): an EXPLICIT
+    * hash exchange on the self-join key, with a pinned partition count
+    * AQE will not coalesce. Why it matters: the post-hub-cut edge
+    * relation is tiny on the wire (~1 MB at sf0.1) so the byte-based
+    * coalescer folds it to 1-3 partitions — but the downstream
+    * self-join emits up to maxDf× the input rows per partition, so the
+    * explosion ran near single-threaded. Partition count =
+    * max(defaultParallelism, spark.sql.shuffle.partitions): follows
+    * the hardware/cluster config rather than a local constant, and at
+    * real scale only ever RAISES parallelism above what the coalescer
+    * would pick for a small-byte shuffle (for a big edge relation the
+    * configured shuffle partitioning governs, unchanged). Both
+    * self-join sides read the one exchange, so the join itself adds no
+    * further shuffle. */
+  private def fanOutByKey(df: DataFrame, key: String): DataFrame = {
+    val ss = df.sparkSession
+    val parts = math.max(ss.sparkContext.defaultParallelism,
+      ss.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    df.repartition(parts, col(key))
   }
 
   /** Fixed-point scale for [[linkPredict]]'s resource-allocation sum:
@@ -250,10 +274,10 @@ object GraphOps {
   def linkPredict(edges: DataFrame, maxDf: Int = 64, minCommon: Int = 2,
                   k: Int = 50): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
-    val small = e.join(
+    val small = fanOutByKey(e.join(
       e.groupBy("dst").agg(count(lit(1)).as("ddf"))
         .filter(col("ddf") <= maxDf),
-      Seq("dst"))
+      Seq("dst")), "dst")
     small.as("a")
       .join(small.as("b"), col("a.dst") === col("b.dst") &&
         col("a.src") < col("b.src"))
