@@ -20,11 +20,15 @@ object JobProbe {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
     val spill = new AtomicLong
+    // SPARK_GRAFT_JOBPROBE_DETAIL=1: per-stage (name, tasks) lines so a
+    // task-heavy row can be attributed to its exact stages
+    val detail = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     override def onJobStart(j: SparkListenerJobStart): Unit =
       jobs.incrementAndGet()
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       stages.incrementAndGet()
       tasks.addAndGet(s.stageInfo.numTasks)
+      detail.add(s"${s.stageInfo.numTasks}\t${s.stageInfo.name.take(120)}")
       val m = s.stageInfo.taskMetrics
       if (m != null) {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
@@ -94,6 +98,8 @@ object JobProbe {
             // in attempt 1; attempt 2 is the steady-state shape)
             val (t, c) = if (t2 <= t1) (t2, c2) else (t1, c1)
             println(f"""{"job_probe":{"name":"$n","sec":$t%.3f,"sec_other":${math.max(t1, t2)}%.3f,"jobs":${c.jobs.get},"stages":${c.stages.get},"tasks":${c.tasks.get},"shuf_read_mb":${c.shuffleRead.get / 1e6}%.1f,"shuf_write_mb":${c.shuffleWrite.get / 1e6}%.1f,"spill_mb":${c.spill.get / 1e6}%.1f}}""")
+            if (sys.env.get("SPARK_GRAFT_JOBPROBE_DETAIL").contains("1"))
+              c.detail.forEach(l => println(s"[stage] $l"))
           } catch {
             case e: Throwable => println(s"""{"job_probe":{"name":${JsonUtil.jstr(n)},"error":${JsonUtil.jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}}""")
           }

@@ -300,6 +300,14 @@ object SparkEntry {
     streamSessions.computeIfAbsent(s, { parent =>
       val ss = parent.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "1")
+      // r19 REJECTED experiment (VERDICT item 6): disabling no-data
+      // micro-batches (spark.sql.streaming.noDataMicroBatches.enabled=
+      // false) would cut ~3 of st_curate's 7 batches (~1.5 s of its
+      // 3.8 s) — but 9 of the 21 golden traces go RED: append-mode
+      // window flushes and watermark-eviction-dependent re-admissions
+      // (st_curate doc 6) NEED the watermark-advance batch. The
+      // per-batch floor decomposition lives in PLANS.md round-19
+      // (StreamFloor probe).
       ss
     })
 
@@ -4946,6 +4954,12 @@ object SparkEntry {
       // necessarily trains its own codebooks on residuals), and the IVF
       // coarse-centroid pick is computed once for ivf + ivfpq
       val model = Some(pqModel(s, d)) // process-shared trained codebooks
+      // r19 REJECTED experiment (VERDICT item 4): dropping these lazy
+      // checkpoints in favor of runtime stage reuse left the job count
+      // EXACTLY at 55 and recomputed ~1.7 MB of shuffle (probe 2.35 →
+      // 2.63 s) — the 55 one-task jobs are the training/serving
+      // chains' own materializations, not checkpoint glue. The audit's
+      // 8 legs already run as ONE action (a single unioned frame).
       val centsDf = SimilarityOps.ivfCentroids(emb)
         .localCheckpoint(eager = false)
       val cents = Some(centsDf)
@@ -5083,8 +5097,9 @@ object SparkEntry {
       val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       val (cents, asnE) = ClusterOps.kmeansModel(
         emb.select(col("vec_id"), col("embedding")), k, iters = 2)
-      val exact = asnE.localCheckpoint()
-      val approx = ClusterOps.twoLevelAssign(emb, cents, g).localCheckpoint()
+      val exact = asnE.localCheckpoint(eager = false)
+      val approx = ClusterOps.twoLevelAssign(emb, cents, g)
+        .localCheckpoint(eager = false)
       def dropped(asn: DataFrame) = {
         val v2 = emb.join(asn, "vec_id")
         val a = v2.select(col("cluster"), col("vec_id").as("id_a"),

@@ -165,8 +165,8 @@ object ClusterOps {
       .select(pmod(col("cluster"), lit(g)).as("super"), col("centroid")))
     val sup1 = supFrom(centroids.join(assignCent(sup0), "cluster")
         .select(col("super"), col("centroid")))
-      .localCheckpoint() // consumed by the centroid map AND the vec pass
-    val cmap = assignCent(sup1).localCheckpoint() // (cluster, super)
+      .localCheckpoint(false) // consumed by the centroid map AND the vec pass
+    val cmap = assignCent(sup1).localCheckpoint(false) // (cluster, super)
     // vectors choose among super-cells that own >= 1 centroid (a cell
     // every centroid deserted would strand its vectors)
     val live = sup1.join(cmap.select("super").distinct(), Seq("super"))
